@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Arrival-order ordinal ("import_item") support.
+  *
+  * The reference engine materializes a 1-based arrival ordinal on the
+  * staged temp table (`DbUtilities.addIndexedIntegerColumn`,
+  * reference DbImportWorker.java:465, populated at :992-997) and uses it
+  * for every "first occurrence" decision (dedup keep-first, join-duplicates
+  * last-wins, UPDATE_FIRST_*). On Spark, arrival order must be made
+  * explicit; two strategies:
+  *
+  *  - [[withArrivalOrdinal]]: true ingest order (partition-by-partition,
+  *    row-by-row) via a two-pass per-partition offset computation. Scales
+  *    linearly: one tiny job to count partition sizes, then a narrow
+  *    map — no shuffle, no global sort, works at 100 TB. Order is the
+  *    source's split order (for files: file order × in-file offset),
+  *    which is the exact analog of the reference's single-stream order.
+  *
+  *  - [[withOrderedOrdinal]]: ordinal from an explicit deterministic
+  *    ORDER BY (global `row_number`). Only for oracle-comparable small
+  *    results — a global window is a single-partition sort and does NOT
+  *    scale; large-scale callers should pass the order columns straight
+  *    to the Window in Dedup instead of materializing an ordinal.
+  */
+object Ordinals {
+
+  val DefaultName = "import_item"
+
+  /** 1-based arrival ordinal without any shuffle: counts rows per input
+    * partition (small job), broadcasts cumulative offsets, then assigns
+    * `offset(partition) + local index` in a narrow map. Equivalent to
+    * `zipWithIndex` but stays a DataFrame.
+    */
+  def withArrivalOrdinal(df: DataFrame, name: String = DefaultName): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(name, LongType, nullable = false)
+    val rdd = df.rdd
+    val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator.single(i -> it.size.toLong)
+    }.collect().toMap
+    val offsets = {
+      var acc = 1L // 1-based, like the reference's import_item
+      (0 until rdd.getNumPartitions).map { i =>
+        val o = acc; acc += counts.getOrElse(i, 0L); i -> o
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { case (i, it) =>
+      val base = bc.value(i)
+      it.zipWithIndex.map { case (r, j) => Row.fromSeq(r.toSeq :+ (base + j)) }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** 1-based ordinal from an explicit total order. Global window ⇒ only
+    * for small/bounded results (oracle parity, tests).
+    */
+  def withOrderedOrdinal(df: DataFrame, order: Seq[Column],
+                         name: String = DefaultName): DataFrame =
+    df.withColumn(name, row_number().over(Window.orderBy(order: _*)).cast(LongType))
+}
