@@ -215,6 +215,110 @@ object SparkEntry {
         Seq(col("o_orderkey")))
       .orderBy(col("o_orderkey"))
 
+  // ---------------------------------------------------------------- q13
+  /** Decimal format-info transforms (`.` and `,` formats, reference
+    * DbImportWorker.java:1145-1208): build locale-formatted strings from
+    * part prices, parse them back; the oracle asserts exact round-trip.
+    */
+  def q13DecimalFormats(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Transforms
+    val src = part(s, d).select(col("p_partkey"),
+      format_number(col("p_retailprice"), 2).as("dot_str"))
+      .withColumn("comma_str", translate(col("dot_str"), ",.", ".,"))
+    src.select(col("p_partkey"),
+        Transforms.parseDecimalDot(col("dot_str")).as("parsed_dot"),
+        Transforms.parseDecimalComma(col("comma_str")).as("parsed_comma"))
+      .orderBy(col("p_partkey"))
+  }
+
+  // ---------------------------------------------------------------- q14
+  /** Case folding + email normalize/validate format infos (reference
+    * DbImportWorker.java:1316-1342).
+    */
+  def q14CaseEmail(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Transforms
+    val raw = concat(lit("User."), col("c_custkey"),
+      when(col("c_custkey") % 5 === 0, lit(".Example.COM  ")).otherwise(lit("@Example.COM  ")))
+    customer(s, d).select(col("c_custkey"),
+        Transforms.emailNormalize(raw).as("email_clean"),
+        Transforms.emailValid(raw).as("email_valid"),
+        Transforms.lowerCase(col("c_mktsegment")).as("seg_lc"),
+        Transforms.upperCase(col("c_name")).as("name_uc"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------- q15
+  /** Date/datetime pattern parse with the reference's fallback chain
+    * (5-stage coalesce, DbImportWorker.java:1372-1483) + fixed-offset
+    * import-TZ → db-TZ shift (`-idtz`/`-dbtz`,
+    * DbImportWorker.java:1347-1349).
+    */
+  def q15DateChain(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Transforms
+    val str = when(col("o_custkey") % 3 === 0, date_format(col("o_orderdate"), "dd.MM.yyyy HH:mm:ss"))
+      .when(col("o_custkey") % 3 === 1, date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+      .otherwise(date_format(col("o_orderdate"), "yyyy/MM/dd HH:mm:ss"))
+    val parsed = Transforms.parseTimestampChain(col("date_str"),
+      Seq("dd.MM.yyyy HH:mm:ss", "yyyy-MM-dd HH:mm:ss", "yyyy/MM/dd HH:mm:ss"))
+    orders(s, d).withColumn("date_str", str)
+      .select(col("o_orderkey"), parsed.as("parsed_ts"),
+        Transforms.shiftTimezone(parsed, "+02:00", "UTC").as("shifted_ts"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ---------------------------------------------------------------- q16
+  /** Boolean interpretation, integer coercion, null-token and
+    * non-null-String repair (reference DbImportWorker.java:1488-1566,
+    * 1124-1136; CsvDataProvider.java:211-213).
+    */
+  def q16Coercions(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Transforms
+    val boolStr = when(col("c_custkey") % 4 === 0, lit("true"))
+      .when(col("c_custkey") % 4 === 1, lit("False"))
+      .when(col("c_custkey") % 4 === 2, lit("1"))
+      .otherwise(lit("no"))
+    val intStr = when(col("c_custkey") % 3 === 0, lit("true"))
+      .when(col("c_custkey") % 3 === 1, concat(col("c_custkey"), lit(".0")))
+      .otherwise(col("c_custkey").cast("string"))
+    val tokenStr = when(col("c_custkey") % 7 === 0, lit("NULL")).otherwise(col("c_mktsegment"))
+    customer(s, d).select(col("c_custkey"),
+        Transforms.interpretBool(boolStr).as("bool_val"),
+        Transforms.coerceInt(intStr).as("int_val"),
+        Transforms.nullToken(tokenStr, "NULL").as("segment_or_null"),
+        Transforms.notNullStringRepair(Transforms.nullToken(tokenStr, "NULL")).as("segment_repaired"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------- q17
+  /** Base64 → Blob format info (reference DbImportWorker.java:1484-1487):
+    * encode document prefixes to base64, decode back to binary; oracle
+    * asserts byte-exact round-trip.
+    */
+  def q17Base64Blob(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Transforms
+    documents(s, d).select(col("doc_id"),
+        Transforms.base64Blob(base64(substring(col("text"), 1, 64).cast("binary")))
+          .as("blob_out"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q18
+  /** Schema inference lattice (reference DataProvider.java:61-148) as one
+    * distributed aggregation pass over stringified columns; the oracle
+    * re-implements the same lattice in SQL.
+    */
+  def q18InferTypes(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d).select(
+      col("o_orderkey").cast("string").as("c1"),
+      col("o_totalprice").cast("string").as("c2"),
+      date_format(col("o_orderdate"), "dd.MM.yyyy").as("c3"),
+      when(col("o_orderstatus") === "F", lit("true")).otherwise(lit("false")).as("c4"),
+      col("o_orderpriority").as("c5"),
+      (col("o_orderkey") * 1000000000L).cast("string").as("c6"),
+      date_format(col("o_orderdate"), "dd.MM.yyyy HH:mm:ss").as("c7"))
+    graft.schema.TypeLattice.infer(src).orderBy(col("column_name"))
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -231,6 +335,12 @@ object SparkEntry {
     "q10_upsert_pipeline" -> (q10UpsertPipeline _),
     "q11_insert_pipeline" -> (q11InsertPipeline _),
     "q12_arrival_ordinal" -> (q12ArrivalOrdinal _),
+    "q13_decimal_formats" -> (q13DecimalFormats _),
+    "q14_case_email" -> (q14CaseEmail _),
+    "q15_date_chain" -> (q15DateChain _),
+    "q16_coercions" -> (q16Coercions _),
+    "q17_base64_blob" -> (q17Base64Blob _),
+    "q18_infer_types" -> (q18InferTypes _),
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same aliases, same
@@ -367,5 +477,83 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey,
         | row_number() OVER (ORDER BY o_orderkey) AS import_item
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // q13: the oracle asserts exact numeric round-trip of the formatted
+    // strings (p_retailprice is 2dp in the test data).
+    "q13_decimal_formats" ->
+      """SELECT p_partkey, p_retailprice AS parsed_dot, p_retailprice AS parsed_comma
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q14_case_email" ->
+      """WITH src AS (
+        | SELECT c_custkey, c_mktsegment, c_name,
+        |  'User.' || c_custkey ||
+        |   CASE WHEN c_custkey % 5 = 0 THEN '.Example.COM  '
+        |        ELSE '@Example.COM  ' END AS raw
+        | FROM customer)
+        |SELECT c_custkey, lower(trim(raw)) AS email_clean,
+        | regexp_matches(lower(trim(raw)),
+        |  '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$') AS email_valid,
+        | lower(c_mktsegment) AS seg_lc, upper(c_name) AS name_uc
+        |FROM src ORDER BY c_custkey""".stripMargin,
+    // q15: round-trip identity + fixed-offset shift (+02:00 → UTC = -2h).
+    "q15_date_chain" ->
+      """SELECT o_orderkey, o_orderdate AS parsed_ts,
+        | o_orderdate - INTERVAL 2 HOUR AS shifted_ts
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q16_coercions" ->
+      """WITH src AS (
+        | SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 4 = 0 THEN 'true' WHEN c_custkey % 4 = 1 THEN 'False'
+        |       WHEN c_custkey % 4 = 2 THEN '1' ELSE 'no' END AS bool_str,
+        |  CASE WHEN c_custkey % 3 = 0 THEN 'true'
+        |       WHEN c_custkey % 3 = 1 THEN c_custkey || '.0'
+        |       ELSE CAST(c_custkey AS VARCHAR) END AS int_str,
+        |  CASE WHEN c_custkey % 7 = 0 THEN 'NULL' ELSE c_mktsegment END AS token_str
+        | FROM customer)
+        |SELECT c_custkey,
+        | CASE WHEN lower(trim(bool_str)) IN ('true','1','yes','y','j') THEN true
+        |      WHEN lower(trim(bool_str)) IN ('false','0','no','n') THEN false
+        |      END AS bool_val,
+        | CASE WHEN lower(trim(int_str)) = 'true' THEN 1
+        |      WHEN lower(trim(int_str)) = 'false' THEN 0
+        |      WHEN contains(lower(trim(int_str)), '.')
+        |       THEN CAST(CAST(lower(trim(int_str)) AS DOUBLE) AS INTEGER)
+        |      ELSE CAST(lower(trim(int_str)) AS INTEGER) END AS int_val,
+        | CASE WHEN token_str = 'NULL' THEN NULL ELSE token_str END AS segment_or_null,
+        | coalesce(CASE WHEN token_str = 'NULL' THEN NULL ELSE token_str END, '')
+        |  AS segment_repaired
+        |FROM src ORDER BY c_custkey""".stripMargin,
+    "q17_base64_blob" ->
+      """SELECT doc_id, encode(substr(text, 1, 64)) AS blob_out
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q18_infer_types" ->
+      """WITH src AS (
+        | SELECT CAST(o_orderkey AS VARCHAR) AS c1, CAST(o_totalprice AS VARCHAR) AS c2,
+        |  strftime(o_orderdate, '%d.%m.%Y') AS c3,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'true' ELSE 'false' END AS c4,
+        |  o_orderpriority AS c5,
+        |  CAST(o_orderkey * 1000000000 AS VARCHAR) AS c6,
+        |  strftime(o_orderdate, '%d.%m.%Y %H:%M:%S') AS c7
+        | FROM orders),
+        |lng AS (SELECT column_name, trim(v) AS v FROM src
+        |        UNPIVOT (v FOR column_name IN (c1, c2, c3, c4, c5, c6, c7))),
+        |st AS (SELECT column_name,
+        |  bool_and(regexp_matches(v, '(^\d{2}\.\d{2}\.\d{4}$)|(^\d{4}-\d{2}-\d{2}$)')) AS all_date,
+        |  bool_and(regexp_matches(v, '(^\d{2}\.\d{2}\.\d{4} \d{2}:\d{2}:\d{2}$)|(^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}$)')) AS all_datetime,
+        |  bool_and(regexp_matches(v, '^[+-]?\d{1,9}$')) AS all_int,
+        |  bool_and(regexp_matches(v, '^[+-]?\d{1,18}$')) AS all_bigint,
+        |  bool_and(regexp_matches(v, '^[+-]?(\d+([.]\d*)?|[.]\d+)([eE][+-]?\d+)?$'))
+        |   AND max(length(v)) <= 20 AS all_double,
+        |  bool_and(regexp_matches(v, '^(true|false)$')) AS all_bool,
+        |  max(strlen(v)) AS maxbytes
+        | FROM lng GROUP BY column_name),
+        |sel AS (SELECT column_name,
+        |  CASE WHEN all_date THEN 'DATE' WHEN all_datetime THEN 'TIMESTAMP'
+        |       WHEN all_int THEN 'INTEGER' WHEN all_bigint THEN 'BIGINT'
+        |       WHEN all_double THEN 'DOUBLE' WHEN all_bool THEN 'BOOLEAN'
+        |       WHEN maxbytes > 4000 THEN 'BLOB' ELSE 'VARCHAR' END AS data_type,
+        |  maxbytes FROM st)
+        |SELECT column_name, data_type,
+        | CAST(CASE WHEN data_type = 'VARCHAR' THEN maxbytes ELSE 0 END AS BIGINT) AS data_size
+        |FROM sel ORDER BY column_name""".stripMargin,
   )
 }

@@ -25,8 +25,8 @@ def cell(v):
         if math.isnan(v):
             return "NULL"
         return repr(v)
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(cell(x) for x in v) + "]"
     return str(v)
