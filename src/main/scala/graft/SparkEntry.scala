@@ -319,6 +319,151 @@ object SparkEntry {
     graft.schema.TypeLattice.infer(src).orderBy(col("column_name"))
   }
 
+  // ------------------------------------------------------ LLM pipeline
+
+  /** Dedup test corpus: the documents plus exact copies (doc_id+1000000,
+    * every 5th doc) and near-dup mutations (doc_id+2000000, every 7th doc
+    * with the first 3 words dropped) — guarantees non-trivial dedup
+    * output and is reproducible in SQL.
+    */
+  private def dedupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    docs
+      .unionAll(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          regexp_replace(col("text"), "^(\\S+\\s+){3}", "").as("text")))
+  }
+
+  // ---------------------------------------------------------------- q19
+  /** Text quality scoring: token counts (whitespace + BPE-ish), punct
+    * ratio, stopword share, composite quality — all codegen'd scan-stage
+    * expressions.
+    */
+  def q19TextStats(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextAnalysis._
+    documents(s, d).select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+        punctCount(col("text")).cast("long").as("n_punct"),
+        stopwordCount(col("text")).cast("long").as("n_stop"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q20
+  /** Language ID via marker-word scoring with deterministic argmax. */
+  def q20LangId(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextAnalysis._
+    documents(s, d).select(col("doc_id"),
+        langScore(col("text"), "de").cast("long").as("s_de"),
+        langScore(col("text"), "en").cast("long").as("s_en"),
+        langScore(col("text"), "es").cast("long").as("s_es"),
+        langScore(col("text"), "fr").cast("long").as("s_fr"),
+        langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q21
+  /** Document fingerprinting: md5 of normalized content + winnowing-style
+    * min-hash over word 5-gram shingles.
+    */
+  def q21Fingerprint(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextAnalysis._
+    documents(s, d).select(col("doc_id"),
+        fingerprintMd5(col("text")).as("fp_md5"),
+        winnowFingerprint(col("text"), 5).as("fp_winnow"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q22
+  /** Exact dedup: hash-groupBy on the content fingerprint. */
+  def q22ExactDedup(s: SparkSession, d: String): DataFrame =
+    operators.TextDedup.exactDedup(dedupCorpus(s, d), "doc_id", "text")
+      .select(col("keep_id"), col("group_size"), col("fp"))
+      .orderBy(col("keep_id"))
+
+  // ---------------------------------------------------------------- q23
+  /** MinHash+LSH near-dup detection: shingle → signature → band buckets →
+    * candidate join → exact-Jaccard verification.
+    */
+  def q23MinhashLsh(s: SparkSession, d: String): DataFrame =
+    operators.TextDedup.verifiedNearDupPairs(dedupCorpus(s, d), "doc_id", "text",
+        k = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+
+  // ---------------------------------------------------------------- q24
+  /** Exact n-gram Jaccard pairs with hot-shingle skew guard. */
+  def q24NgramJaccard(s: SparkSession, d: String): DataFrame =
+    operators.TextDedup.jaccardPairs(dedupCorpus(s, d), "doc_id", "text",
+        k = 3, threshold = 0.6, maxShingleDocFreq = 1000)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+
+  // ---------------------------------------------------------------- q25
+  /** 32-bit SimHash sketch per document. */
+  def q25Simhash(s: SparkSession, d: String): DataFrame =
+    dedupCorpus(s, d).select(col("doc_id"),
+        operators.TextDedup.simhash32(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q26
+  /** Brute-force cosine top-k ANN baseline (broadcast queries, no corpus
+    * shuffle).
+    */
+  def q26AnnTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    operators.Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- q27
+  /** IVF-style ANN (coarse centroids + nprobe buckets) — the scale path.
+    * Not SQL-expressible compactly; driver records a rows-only check.
+    */
+  def q27AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    operators.Similarity.ivfTopK(queries, corpus, k = 5, nprobe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- q28
+  /** Embedding-cosine near-duplicates inside coarse (label) buckets; the
+    * corpus is augmented with exact copies so duplicates exist.
+    */
+  def q28EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+    val corpus = e.unionAll(e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("label"), col("embedding")))
+    operators.Similarity.nearDupPairs(corpus, threshold = 0.99)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  // ---------------------------------------------------------------- q29
+  /** Multimodal binary-column plumbing: opaque payloads + typed metadata
+    * extracted scan-side (decode itself is the stubbed mapPartitions path,
+    * exercised in the test suite).
+    */
+  def q29MultimodalMeta(s: SparkSession, d: String): DataFrame = {
+    val media = documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, lit("image"))
+        .when(col("doc_id") % 3 === 1, lit("audio")).otherwise(lit("video"))
+        .as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+    operators.Multimodal.withBinaryMeta(media, "payload")
+      .select(col("doc_id"), col("media_type"), col("byte_len"),
+        col("header_hex"), col("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -341,7 +486,57 @@ object SparkEntry {
     "q16_coercions" -> (q16Coercions _),
     "q17_base64_blob" -> (q17Base64Blob _),
     "q18_infer_types" -> (q18InferTypes _),
+    "q19_text_stats" -> (q19TextStats _),
+    "q20_lang_id" -> (q20LangId _),
+    "q21_fingerprint" -> (q21Fingerprint _),
+    "q22_exact_dedup" -> (q22ExactDedup _),
+    "q23_minhash_lsh" -> (q23MinhashLsh _),
+    "q24_ngram_jaccard" -> (q24NgramJaccard _),
+    "q25_simhash" -> (q25Simhash _),
+    "q26_ann_topk" -> (q26AnnTopK _),
+    "q27_ann_ivf" -> (q27AnnIvf _),
+    "q28_embedding_near_dup" -> (q28EmbeddingNearDup _),
+    "q29_multimodal_meta" -> (q29MultimodalMeta _),
   )
+
+  // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
+
+  /** Whitespace tokens of lowercased text (mirrors TextAnalysis.tokens). */
+  private val SqlToks =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
+
+  /** The dedup corpus CTE body (mirrors dedupCorpus). */
+  private val SqlCorpus =
+    """corpus AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      | UNION ALL SELECT doc_id + 2000000 AS doc_id,
+      |  regexp_replace(text, '^(\S+\s+){3}', '') AS text FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** Distinct word-3-gram shingles per corpus doc (mirrors
+    * TextShingles.shingles with k=3 + array_distinct).
+    */
+  private val SqlShingles3 =
+    s"""tok AS (SELECT doc_id, $SqlToks AS toks FROM corpus),
+       |shl AS (SELECT doc_id,
+       | CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+       |      ELSE list_transform(generate_series(1, len(toks) - 2),
+       |            i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END AS shingles
+       | FROM tok),
+       |s AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM shl)""".stripMargin
+
+  /** 32-term SimHash sum (mirrors TextDedup.simhash32). */
+  private val SqlSimhash: String = (0 until 32).map { j =>
+    s"(CASE WHEN list_sum(list_transform(toks, t -> " +
+      s"((CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) >> $j) & 1) * 2 - 1)) > 0 " +
+      s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+  }.mkString(" + ")
+
+  /** Double-precision cosine over DOUBLE[] lists (mirrors
+    * Similarity.cosine's left-to-right summation).
+    */
+  private def sqlCosine(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
   /** DuckDB-equivalent SQL per query (same tables, same aliases, same
     * ORDER BY).
@@ -555,5 +750,123 @@ object SparkEntry {
         |SELECT column_name, data_type,
         | CAST(CASE WHEN data_type = 'VARCHAR' THEN maxbytes ELSE 0 END AS BIGINT) AS data_size
         |FROM sel ORDER BY column_name""".stripMargin,
+    "q19_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $SqlToks AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         | CAST(len(toks) AS BIGINT) AS n_tokens,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
+         | CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS n_punct,
+         | CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) AS n_stop,
+         | length(text) AS n_chars
+         | FROM t)
+         |SELECT doc_id, n_tokens, n_bpe, n_punct, n_stop,
+         | least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+         | + (1.0 - (CASE WHEN n_chars = 0 THEN 0.0
+         |           ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END)) * 0.25
+         | + (CASE WHEN n_tokens = 0 THEN 0.0
+         |    ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) * 0.25 AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q20_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |sc AS (SELECT doc_id,
+         | CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS BIGINT) AS s_de,
+         | CAST(len(list_filter(toks, x -> x IN ('the','a','is','of','and','to','in','it'))) AS BIGINT) AS s_en,
+         | CAST(len(list_filter(toks, x -> x IN ('el','la','y','es','de','que','un','en'))) AS BIGINT) AS s_es,
+         | CAST(len(list_filter(toks, x -> x IN ('le','la','et','est','les','des','un','une'))) AS BIGINT) AS s_fr
+         | FROM t)
+         |SELECT doc_id, s_de, s_en, s_es, s_fr,
+         | CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |      WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr THEN 'es'
+         |      WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es THEN 'fr'
+         |      ELSE 'und' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q21_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, $SqlToks AS toks FROM documents),
+         |sh AS (SELECT doc_id, text,
+         | CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+         |      ELSE list_transform(generate_series(1, len(toks) - 4),
+         |            i -> array_to_string(list_slice(toks, i, i + 4), ' ')) END AS shingles
+         | FROM t)
+         |SELECT doc_id,
+         | md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5,
+         | list_min(list_transform(shingles, x -> md5(x))) AS fp_winnow
+         |FROM sh ORDER BY doc_id""".stripMargin,
+    "q22_exact_dedup" ->
+      s"""WITH $SqlCorpus
+         |SELECT min(doc_id) AS keep_id, count(*) AS group_size,
+         | md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |FROM corpus GROUP BY fp ORDER BY keep_id""".stripMargin,
+    "q23_minhash_lsh" -> {
+      val sigCols = (0 until 12).map(j => s"min(md5('$j:' || sh)) AS s$j").mkString(",\n ")
+      s"""WITH $SqlCorpus,
+         |$SqlShingles3,
+         |sig AS (SELECT doc_id, $sigCols FROM s GROUP BY doc_id),
+         |band AS (SELECT doc_id,
+         | md5(s0 || '|' || s1 || '|' || s2) AS b0,
+         | md5(s3 || '|' || s4 || '|' || s5) AS b1,
+         | md5(s6 || '|' || s7 || '|' || s8) AS b2,
+         | md5(s9 || '|' || s10 || '|' || s11) AS b3 FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         | FROM band a JOIN band b ON a.doc_id < b.doc_id
+         |  AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+         |n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |com AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS common
+         | FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |jac AS (SELECT c.id1, c.id2,
+         |  CAST(com.common AS DOUBLE) / CAST(n1.n + n2.n - com.common AS DOUBLE) AS jaccard
+         | FROM cand c JOIN com ON com.id1 = c.id1 AND com.id2 = c.id2
+         | JOIN n n1 ON n1.doc_id = c.id1 JOIN n n2 ON n2.doc_id = c.id2)
+         |SELECT id1, id2, round(jaccard, 6) AS jaccard FROM jac
+         |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin
+    },
+    "q24_ngram_jaccard" ->
+      s"""WITH $SqlCorpus,
+         |$SqlShingles3,
+         |hot AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM s GROUP BY sh) WHERE c <= 1000),
+         |sf AS (SELECT s.doc_id, s.sh FROM s JOIN hot USING (sh)),
+         |n AS (SELECT doc_id, count(*) AS n FROM sf GROUP BY doc_id),
+         |com AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS common
+         | FROM sf x JOIN sf y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |jac AS (SELECT com.id1, com.id2,
+         |  CAST(com.common AS DOUBLE) / CAST(n1.n + n2.n - com.common AS DOUBLE) AS jaccard
+         | FROM com JOIN n n1 ON n1.doc_id = com.id1 JOIN n n2 ON n2.doc_id = com.id2)
+         |SELECT id1, id2, round(jaccard, 6) AS jaccard FROM jac
+         |WHERE jaccard >= 0.6 ORDER BY id1, id2""".stripMargin,
+    "q25_simhash" ->
+      s"""WITH $SqlCorpus,
+         |tok AS (SELECT doc_id, $SqlToks AS toks FROM corpus)
+         |SELECT doc_id, CAST($SqlSimhash AS BIGINT) AS simhash
+         |FROM tok ORDER BY doc_id""".stripMargin,
+    "q26_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id >= 10),
+         |scored AS (SELECT query_id, vec_id, ${sqlCosine("qv", "cv")} AS sim FROM q, c),
+         |r AS (SELECT query_id, vec_id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+         | FROM scored)
+         |SELECT query_id, rank, vec_id AS neighbor_id, round(sim, 6) AS sim
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q28_embedding_near_dup" ->
+      s"""WITH c AS (
+         | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         | UNION ALL SELECT vec_id + 1000000 AS vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |  ${sqlCosine("a.v", "b.v")} AS sim
+         | FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT id1, id2, round(sim, 6) AS sim FROM p
+         |WHERE sim >= 0.99 ORDER BY id1, id2""".stripMargin,
+    "q29_multimodal_meta" ->
+      """WITH media AS (SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+        |      ELSE 'video' END AS media_type,
+        | encode(text) AS payload FROM documents)
+        |SELECT doc_id, media_type, octet_length(payload) AS byte_len,
+        | upper(substr(hex(payload), 1, 16)) AS header_hex,
+        | md5(upper(hex(payload))) AS content_md5
+        |FROM media ORDER BY doc_id""".stripMargin,
   )
 }

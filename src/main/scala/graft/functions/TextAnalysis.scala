@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting (whitespace + BPE-ish regex), quality
+  * scoring, language identification (marker-word n-gram heuristic) and
+  * document fingerprinting. All pure Column expressions — codegen'd,
+  * no UDFs, no shuffles; they run inside the scan stage at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text (empties dropped). */
+  def tokens(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword proxy: letter runs, digit runs, and single
+    * punctuation marks each count as one token.
+    */
+  val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeTokenRe), lit(0)))
+
+  /** ASCII punctuation characters in the raw text. */
+  val PunctClass = "[.,;:!?'\"()\\[\\]{}-]"
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, PunctClass, ""))
+
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(punctCount(c).cast("double") / length(c).cast("double"))
+
+  /** Small closed stopword list (quality signal, not linguistics). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  def stopwordCount(c: Column): Column =
+    size(filter(tokens(c), t => t.isInCollection(Stopwords)))
+
+  def stopwordRatio(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n === 0, lit(0.0)).otherwise(stopwordCount(c).cast("double") / n.cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: length saturation + low punctuation
+    * + healthy stopword share. Formula is fixed so the DuckDB oracle can
+    * reproduce it bit-for-bit (single FP ops on exact ints).
+    */
+  def qualityScore(c: Column): Column =
+    least(tokenCount(c).cast("double") / lit(100.0), lit(1.0)) * lit(0.5) +
+      (lit(1.0) - punctRatio(c)) * lit(0.25) +
+      stopwordRatio(c) * lit(0.25)
+
+  /** Marker-word sets per language for the n-gram language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "is", "of", "and", "to", "in", "it"),
+    "es" -> Seq("el", "la", "y", "es", "de", "que", "un", "en"),
+    "fr" -> Seq("le", "la", "et", "est", "les", "des", "un", "une"))
+
+  def langScore(c: Column, lang: String): Column = {
+    val markers = LangMarkers.toMap.apply(lang)
+    size(filter(tokens(c), t => t.isInCollection(markers)))
+  }
+
+  /** Predicted language = argmax of marker scores; ties resolve to the
+    * alphabetically-first language (deterministic, oracle-replicable).
+    */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (l, _) => l -> langScore(c, l) }
+    scores.foldRight(lit("und")) { case ((l, s), rest) =>
+      val isMax = scores.filter(_._1 != l).map { case (_, o) => s >= o }.reduce(_ && _)
+      when(isMax, lit(l)).otherwise(rest)
+    }
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized lowercase
+    * text.
+    */
+  def fingerprintMd5(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Winnowing-style fingerprint: the lexicographic minimum of the md5
+    * hashes of all word k-gram shingles (rolling-hash document sketch).
+    */
+  def winnowFingerprint(c: Column, k: Int = 5): Column = {
+    val sh = TextShingles.shingles(tokens(c), k)
+    array_min(transform(sh, s => md5(s)))
+  }
+}
+
+/** Word k-gram shingling shared by fingerprinting and MinHash dedup. */
+object TextShingles {
+  /** All consecutive k-grams of `tokens` joined by a single space; for
+    * texts shorter than k tokens, the whole text is the one shingle.
+    */
+  def shingles(tokens: Column, k: Int): Column =
+    when(size(tokens) <= k, array(concat_ws(" ", tokens)))
+      .otherwise(transform(
+        sequence(lit(1), size(tokens) - (k - 1)),
+        i => concat_ws(" ", slice(tokens, i, lit(k)))))
+}

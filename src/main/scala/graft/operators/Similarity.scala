@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k via a broadcast of the query
+  *    set against the corpus — the correctness baseline. Linear in
+  *    |corpus| × |queries|; at 100 TB the corpus stays partitioned, only
+  *    the (small) query set is broadcast, and the per-partition top-k is
+  *    combined via the aggregation-like window, so no corpus shuffle.
+  *  - [[ivfTopK]]: IVF-style two-stage search — coarse centroids (one
+  *    tiny aggregation), rank buckets per query, probe only `nprobe`
+  *    buckets. Cuts the scanned fraction to nprobe/nlist.
+  *  - [[nearDupPairs]]: embedding-cosine near-duplicate detection inside
+  *    coarse buckets.
+  *
+  * All arithmetic is double-precision with left-to-right summation so an
+  * external engine computes bit-identical results.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def d(c: Column) = transform(c, x => x.cast("double"))
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val da = d(a); val db = d(b)
+    dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
+  }
+
+  /** Exact top-k neighbors for each query vector. `queries` must be small
+    * (it is broadcast); ties break on ascending neighbor id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     qId: String = "query_id", qVec: String = "query_vec",
+                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("sim", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col("rank").cast("long").as("rank"), col(cId).as("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Coarse centroids: per-bucket mean vector. Sums go through DECIMAL so
+    * the result is independent of partial-aggregation order (and thus
+    * reproducible by any engine).
+    */
+  def centroids(corpus: DataFrame, bucketCol: String,
+                vecCol: String = "embedding"): DataFrame = {
+    val ex = corpus.select(col(bucketCol).as("bucket"),
+      posexplode(col(vecCol)).as(Seq("dim", "x")))
+    ex.groupBy(col("bucket"), col("dim"))
+      .agg((sum(col("x").cast("decimal(28,10)")) / count(lit(1))).cast("double").as("m"))
+      .groupBy(col("bucket"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+      .select(col("bucket"), transform(col("pairs"), p => p.getField("m")).as("centroid"))
+  }
+
+  /** IVF-style search: rank buckets by query↔centroid cosine, then exact
+    * top-k only within the best `nprobe` buckets.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
+              bucketCol: String = "label",
+              qId: String = "query_id", qVec: String = "query_vec",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val cents = centroids(corpus, bucketCol, cVec)
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col(qVec), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col(qId)).orderBy(col("csim").desc, col("bucket"))))
+      .filter(col("crank") <= nprobe)
+      .select(col(qId), col(qVec), col("bucket"))
+    val scored = corpus.join(broadcast(probed), col(bucketCol) === col("bucket"))
+      .withColumn("sim", cosine(col(qVec), col(cVec)))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId))))
+      .filter(col("rank") <= k)
+      .select(col(qId), col("rank").cast("long").as("rank"), col(cId).as("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Embedding near-duplicates: pairs in the same coarse bucket with
+    * cosine ≥ threshold. The bucket join keeps the pair space linear in
+    * bucket size rather than all-pairs.
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+                   bucketCol: String = "label",
+                   cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(bucketCol).as("bk"), col(cId).as("id1"), col(cVec).as("v1"))
+    val b = corpus.select(col(bucketCol).as("bk"), col(cId).as("id2"), col(cVec).as("v2"))
+    a.join(b, Seq("bk")).filter(col("id1") < col("id2"))
+      .withColumn("sim", cosine(col("v1"), col("v2")))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextAnalysis, TextShingles}
+
+/** Document deduplication for training-data pipelines, at three cost
+  * tiers:
+  *
+  *  - [[exactDedup]]: hash-groupBy on a content fingerprint — one
+  *    shuffle of (hash, id), no text movement.
+  *  - [[minhashCandidates]] + [[verifiedNearDupPairs]]: MinHash + LSH —
+  *    shingle → per-doc signature (map-side, no shuffle) → band buckets →
+  *    equi-join on (band, hash) → exact-Jaccard verification of the few
+  *    candidates. This is the 100 TB path: cost is bounded by bucket
+  *    collisions, never all-pairs.
+  *  - [[jaccardPairs]]: exact n-gram Jaccard via a shingle equi-join with
+  *    a document-frequency cap on hot shingles (skew guard) — the
+  *    ground-truth oracle for the approximate tiers.
+  *  - [[simhash32]]: 32-bit SimHash sketch; equal sketches bucket
+  *    near-identical token multisets.
+  *
+  * All hashing is md5-based and lexicographic so an external SQL engine
+  * can replicate results exactly.
+  */
+object TextDedup {
+
+  /** Exact dedup: keep the smallest id per normalized-content hash.
+    * Returns (keep_id, group_size, fingerprint).
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextAnalysis.fingerprintMd5(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+
+  /** MinHash signature: for hash function j, the lexicographic minimum of
+    * `md5(j ':' shingle)` over the doc's distinct shingles. String-min
+    * keeps it portable across engines.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingles, s => md5(concat(lit(s"$j:"), s))))
+    }: _*)
+
+  /** LSH band keys: bands of `rowsPerBand` consecutive signature entries,
+    * hashed together.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => sig.getItem(b * rowsPerBand + r)): _*))
+    }: _*)
+
+  /** Per-doc shingle set + signature + band keys. */
+  def withMinhash(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    docs.select(col(idCol),
+        array_distinct(TextShingles.shingles(TextAnalysis.tokens(col(textCol)), k))
+          .as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("bandkeys", lshBandKeys(col("sig"), bands, rows))
+  }
+
+  /** Candidate pairs: docs sharing at least one LSH band. One shuffle on
+    * (band_idx, band_hash); bucket sizes bound the join fan-out.
+    */
+  def minhashCandidates(withSig: DataFrame, idCol: String): DataFrame = {
+    val exploded = withSig.select(col(idCol),
+      posexplode(col("bandkeys")).as(Seq("band_idx", "band_hash")))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b,
+        col(s"a.band_idx") === col(s"b.band_idx") &&
+        col(s"a.band_hash") === col(s"b.band_hash") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over distinct word-k-gram shingles via a shingle
+    * equi-join. `maxShingleDocFreq` drops shingles present in more than
+    * that many docs (skew guard; a shingle shared by every doc would
+    * otherwise quadratically explode the join).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, threshold: Double = 0.5,
+                   maxShingleDocFreq: Long = 1000): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextShingles.shingles(
+          TextAnalysis.tokens(col(textCol)), k))).as("sh"))
+    val filtered = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDocFreq).select("sh"),
+      Seq("sh"))
+    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val common = filtered.as("x").join(filtered.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n", "n1"), Seq("id1"))
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n", "n2"), Seq("id2"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n1") + col("n2") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** LSH candidates verified by exact Jaccard ≥ threshold — the standard
+    * near-dup pipeline (approximate recall, exact precision).
+    */
+  def verifiedNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                           threshold: Double = 0.5): DataFrame = {
+    val cand = minhashCandidates(withMinhash(docs, idCol, textCol, k, numHashes, bands), idCol)
+    val exact = jaccardPairs(docs, idCol, textCol, k, threshold, Long.MaxValue)
+    cand.join(exact, Seq("id1", "id2"))
+  }
+
+  /** 32-bit SimHash over whitespace tokens: token hash = first 8 hex
+    * digits of md5; each bit contributes ±1; sketch bit j set iff the sum
+    * is positive. Pure expressions, portable to SQL engines with the same
+    * md5/hex-int semantics.
+    */
+  def simhash32(textCol: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(textCol),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 32).map { j =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(1L) * 2L - 1L))
+    }
+    bitSums.zipWithIndex.map { case (s, j) =>
+      when(s > 0, lit(1L << j).cast("long")).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+}
