@@ -464,6 +464,150 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  // ----------------------------------------------------- source round-trips
+
+  /** Nation rendered as `n_nationkey;n_name;n_regionkey` CSV lines
+    * (driver-side, 25 rows — a fixture generator, not a data path).
+    */
+  private def nationCsv(s: SparkSession, d: String): String = {
+    val rows = nation(s, d).orderBy(col("n_nationkey")).collect()
+    val body = rows.map(r => s"${r.getInt(0)};${r.getString(1)};${r.getInt(2)}")
+    ("n_nationkey;n_name;n_regionkey" +: body).mkString("\n")
+  }
+
+  private def castNation(df: DataFrame): DataFrame =
+    df.select(col("n_nationkey").cast("int"), col("n_name").cast("string"),
+        col("n_regionkey").cast("int"))
+      .orderBy(col("n_nationkey"))
+
+  // ---------------------------------------------------------------- q30
+  /** CSV source round-trip: write nation as `;`-separated CSV with the
+    * reference dialect, read it back through [[sources.CsvSource]] and
+    * cast via the mapping (SURVEY §2.1 CSV scan).
+    */
+  def q30SrcCsv(s: SparkSession, d: String): DataFrame = {
+    import sources._
+    val f = SyntheticFixtures.dir("csv")
+    SyntheticFixtures.writeText(new java.io.File(f, "nation.csv"), nationCsv(s, d))
+    castNation(CsvSource.read(s, new java.io.File(f, "nation.csv").getPath))
+  }
+
+  // ---------------------------------------------------------------- q31
+  /** JSON source round-trip (JSON-lines, the scalable layout): write an
+    * orders subset, read back via [[sources.JsonSource.readLines]]
+    * (SURVEY §2.1 JSON scan).
+    */
+  def q31SrcJson(s: SparkSession, d: String): DataFrame = {
+    val f = new java.io.File(sources.SyntheticFixtures.dir("json"), "orders")
+    orders(s, d).filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+      .write.mode("overwrite").json(f.getPath)
+    sources.JsonSource.readLines(s, f.getPath)
+      .select(col("o_orderkey").cast("long"), col("o_orderstatus").cast("string"),
+        col("o_totalprice").cast("double"), col("o_orderdate").cast("timestamp"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ---------------------------------------------------------------- q32
+  /** XML source round-trip: `<Entries><Entry><col>v</col>…` generated
+    * from region, parsed back by the streaming StAX reader
+    * (SURVEY §2.1 XML scan).
+    */
+  def q32SrcXml(s: SparkSession, d: String): DataFrame = {
+    val rows = region(s, d).orderBy(col("r_regionkey")).collect()
+    val xml = rows.map { r =>
+      s"  <Entry>\n    <r_regionkey>${r.getInt(0)}</r_regionkey>\n" +
+        s"    <r_name>${r.getString(1)}</r_name>\n  </Entry>"
+    }.mkString("<Entries>\n", "\n", "\n</Entries>")
+    val f = new java.io.File(sources.SyntheticFixtures.dir("xml"), "region.xml")
+    sources.SyntheticFixtures.writeText(f, xml)
+    sources.XmlSource.read(s, f.getPath)
+      .select(col("r_regionkey").cast("int"), col("r_name").cast("string"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  // ---------------------------------------------------------------- q33
+  /** YAML source round-trip: nation as a YAML sequence of flat mappings,
+    * parsed by SnakeYAML inside tasks (SURVEY §2.1 YAML scan).
+    */
+  def q33SrcYaml(s: SparkSession, d: String): DataFrame = {
+    val rows = nation(s, d).orderBy(col("n_nationkey")).collect()
+    val yaml = rows.map { r =>
+      s"- n_nationkey: ${r.getInt(0)}\n  n_name: \"${r.getString(1)}\"\n  n_regionkey: ${r.getInt(2)}"
+    }.mkString("\n")
+    val f = new java.io.File(sources.SyntheticFixtures.dir("yaml"), "nation.yaml")
+    sources.SyntheticFixtures.writeText(f, yaml)
+    castNation(sources.YamlSource.read(s, f.getPath))
+  }
+
+  // ---------------------------------------------------------------- q34
+  /** vCard source round-trip: cards generated from customers, flattened
+    * back to firstname/lastname/formatted_name/phone columns
+    * (SURVEY §2.1 vCard scan).
+    */
+  def q34SrcVcf(s: SparkSession, d: String): DataFrame = {
+    val ks = customer(s, d).filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey")).orderBy(col("c_custkey")).collect().map(_.getLong(0))
+    val vcf = ks.map { k =>
+      s"BEGIN:VCARD\nVERSION:2.1\nN:Cust$k;First$k;;;\nFN:First$k Cust$k\nTEL;CELL:+490000$k\nEND:VCARD"
+    }.mkString("\n")
+    val f = new java.io.File(sources.SyntheticFixtures.dir("vcf"), "customers.vcf")
+    sources.SyntheticFixtures.writeText(f, vcf)
+    sources.VcfSource.read(s, f.getPath)
+      .select(col("firstname"), col("lastname"), col("formatted_name"),
+        col("phone_1"), col("phone_1_attr"))
+      .orderBy(col("lastname"))
+  }
+
+  // ---------------------------------------------------------------- q35
+  /** Compression layer: the same nation CSV read through gz, tar.gz,
+    * plain zip and ZipCrypto-password zip containers
+    * (SURVEY §2.1 compression; password fixture analog of
+    * `Test_ZipCrypto_Password_abc123.csv.zip`).
+    */
+  def q35SrcCompressed(s: SparkSession, d: String): DataFrame = {
+    import sources._
+    import s.implicits._
+    val csv = nationCsv(s, d)
+    val base = SyntheticFixtures.dir("compressed")
+    SyntheticFixtures.writeGz(new java.io.File(base, "nation_gz.csv.gz"), csv)
+    SyntheticFixtures.writeZip(new java.io.File(base, "nation_zip.csv.zip"), "nation.csv", csv)
+    SyntheticFixtures.writeTarGz(new java.io.File(base, "nation_tgz.csv.tar.gz"), "nation.csv", csv)
+    SyntheticFixtures.writeZipCrypto(
+      new java.io.File(base, "nation_pwzip.csv.zip"), "nation.csv", csv, "abc123")
+    def readVariant(file: String, variant: String, pw: Option[String]): DataFrame = {
+      val content = Compression.readWholeText(s, new java.io.File(base, file).getPath, pw)
+        .map(_._2)
+      val lines = content.flatMap(_.split("\n").toSeq)
+      CsvSource.readLines(lines).withColumn("variant", lit(variant))
+    }
+    readVariant("nation_gz.csv.gz", "gz", None)
+      .unionAll(readVariant("nation_pwzip.csv.zip", "pwzip", Some("abc123")))
+      .unionAll(readVariant("nation_tgz.csv.tar.gz", "tgz", None))
+      .unionAll(readVariant("nation_zip.csv.zip", "zip", None))
+      .select(col("variant"), col("n_nationkey").cast("int"),
+        col("n_name").cast("string"), col("n_regionkey").cast("int"))
+      .orderBy(col("variant"), col("n_nationkey"))
+  }
+
+  // ---------------------------------------------------------------- q36
+  /** Table-name-from-file-name derivation for multi-file `-table '*'`
+    * imports (reference DbImport.java:1316-1340, pinned by its unit
+    * test): names flow through [[sources.TableNames.deriveTableName]].
+    */
+  def q36TableNames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = nation(s, d).select(col("n_nationkey"), col("n_name"))
+      .orderBy(col("n_nationkey")).collect()
+      .map { r =>
+        val fileName = s"import_${r.getString(1)}(${r.getString(1).toLowerCase}).csv.gz"
+        (r.getInt(0), sources.TableNames.deriveTableName(fileName))
+      }
+    s.createDataset(rows.toIndexedSeq).toDF("n_nationkey", "table_name")
+      .orderBy(col("n_nationkey"))
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -497,6 +641,13 @@ object SparkEntry {
     "q27_ann_ivf" -> (q27AnnIvf _),
     "q28_embedding_near_dup" -> (q28EmbeddingNearDup _),
     "q29_multimodal_meta" -> (q29MultimodalMeta _),
+    "q30_src_csv" -> (q30SrcCsv _),
+    "q31_src_json" -> (q31SrcJson _),
+    "q32_src_xml" -> (q32SrcXml _),
+    "q33_src_yaml" -> (q33SrcYaml _),
+    "q34_src_vcf" -> (q34SrcVcf _),
+    "q35_src_compressed" -> (q35SrcCompressed _),
+    "q36_table_names" -> (q36TableNames _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -868,5 +1019,26 @@ object SparkEntry {
         | upper(substr(hex(payload), 1, 16)) AS header_hex,
         | md5(upper(hex(payload))) AS content_md5
         |FROM media ORDER BY doc_id""".stripMargin,
+    "q30_src_csv" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q31_src_json" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+    "q32_src_xml" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q33_src_yaml" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q34_src_vcf" ->
+      """SELECT 'First' || c_custkey AS firstname, 'Cust' || c_custkey AS lastname,
+        | 'First' || c_custkey || ' Cust' || c_custkey AS formatted_name,
+        | '+490000' || c_custkey AS phone_1, 'CELL' AS phone_1_attr
+        |FROM customer WHERE c_custkey % 97 = 0 ORDER BY lastname""".stripMargin,
+    "q35_src_compressed" ->
+      """SELECT v.variant, n.n_nationkey, n.n_name, n.n_regionkey
+        |FROM nation n CROSS JOIN
+        | (VALUES ('gz'), ('pwzip'), ('tgz'), ('zip')) v(variant)
+        |ORDER BY v.variant, n.n_nationkey""".stripMargin,
+    "q36_table_names" ->
+      "SELECT n_nationkey, lower(n_name) AS table_name FROM nation ORDER BY n_nationkey",
   )
 }

@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, File, FileOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPOutputStream, ZipEntry, ZipOutputStream}
+
+/** Deterministic fixture-file generation for the source round-trip
+  * queries: the driver-side analog of the reference's inline test
+  * fixtures (SURVEY §5). Only used with tiny dimension tables; data flow
+  * back in is fully distributed.
+  */
+object SyntheticFixtures {
+
+  def dir(name: String): File = {
+    val d = new File(new File(System.getProperty("java.io.tmpdir"), "graft_fixtures"), name)
+    d.mkdirs()
+    d
+  }
+
+  def writeText(f: File, content: String): File = {
+    val out = new FileOutputStream(f)
+    try out.write(content.getBytes(UTF_8)) finally out.close()
+    f
+  }
+
+  def writeGz(f: File, content: String): File = {
+    val out = new GZIPOutputStream(new FileOutputStream(f))
+    try out.write(content.getBytes(UTF_8)) finally out.close()
+    f
+  }
+
+  /** Single-entry uncompressed-deflate zip via java.util.zip. */
+  def writeZip(f: File, entryName: String, content: String): File = {
+    val out = new ZipOutputStream(new FileOutputStream(f))
+    try {
+      out.putNextEntry(new ZipEntry(entryName))
+      out.write(content.getBytes(UTF_8))
+      out.closeEntry()
+    } finally out.close()
+    f
+  }
+
+  /** Minimal ustar single-file tar.gz (header + 512-padded payload). */
+  def writeTarGz(f: File, entryName: String, content: String): File = {
+    val data = content.getBytes(UTF_8)
+    val header = new Array[Byte](512)
+    val name = entryName.getBytes("US-ASCII")
+    System.arraycopy(name, 0, header, 0, math.min(name.length, 100))
+    def octal(v: Long, off: Int, len: Int): Unit = {
+      val s = ("%0" + (len - 1) + "o").format(v)
+      System.arraycopy(s.getBytes("US-ASCII"), 0, header, off, len - 1)
+    }
+    octal(420, 100, 8) // mode 0644
+    octal(0, 108, 8); octal(0, 116, 8)
+    octal(data.length.toLong, 124, 12)
+    octal(0, 136, 12)
+    header(156) = '0'
+    java.util.Arrays.fill(header, 148, 156, ' '.toByte)
+    val checksum = header.map(_ & 0xff).sum
+    octal(checksum.toLong, 148, 7)
+    header(155) = 0
+    val out = new GZIPOutputStream(new FileOutputStream(f))
+    try {
+      out.write(header)
+      out.write(data)
+      val pad = (512 - data.length % 512) % 512
+      out.write(new Array[Byte](pad))
+      out.write(new Array[Byte](1024)) // end-of-archive blocks
+    } finally out.close()
+    f
+  }
+
+  /** Single stored entry zip encrypted with traditional ZipCrypto
+    * (PKWARE APPNOTE §6.1) — readable by [[Compression.decompress]] with
+    * a password and by standard zip tools.
+    */
+  def writeZipCrypto(f: File, entryName: String, content: String, password: String): File = {
+    val data = content.getBytes(UTF_8)
+    val crc = { val c = new java.util.zip.CRC32(); c.update(data); c.getValue }
+    // encrypt: 12-byte header (last byte = crc>>24 per spec) + payload
+    val zc = new Compression.ZipCrypto(password.getBytes("US-ASCII"))
+    val head = Array.tabulate[Byte](12)(i => if (i == 11) ((crc >>> 24) & 0xff).toByte else i.toByte)
+    val cipher = zc.encrypt(head ++ data)
+    val nameB = entryName.getBytes("US-ASCII")
+    val bos = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >>> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >>> 8) & 0xff).toInt)
+      bos.write(((v >>> 16) & 0xff).toInt); bos.write(((v >>> 24) & 0xff).toInt)
+    }
+    w32(0x04034b50L); w16(20); w16(1 /* encrypted */); w16(0 /* stored */)
+    w16(0); w16(0) // time, date
+    w32(crc); w32(cipher.length.toLong); w32(data.length.toLong)
+    w16(nameB.length); w16(0)
+    bos.write(nameB); bos.write(cipher)
+    val out = new FileOutputStream(f)
+    try out.write(bos.toByteArray) finally out.close()
+    f
+  }
+}

@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** vCard source (reference dataprovider/VcfDataProvider.java:30-301,
+  * SURVEY §2.1): `BEGIN:VCARD … END:VCARD` records flattened to scalar
+  * columns — N → firstname/lastname, FN → formatted_name, TEL;TYPE →
+  * phone_N (+ phone_N_attr), ADR → address_N_<part> columns,
+  * quoted-printable values decoded, internal `;` separators replaced
+  * with ", ".
+  */
+object VcfSource {
+
+  private def decodeQp(value: String, charset: String): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < value.length) {
+      val c = value.charAt(i)
+      val hex = if (c == '=' && i + 2 < value.length) value.substring(i + 1, i + 3) else ""
+      if (hex.length == 2 && hex.forall(ch => Character.digit(ch, 16) >= 0)) {
+        out.write(Integer.parseInt(hex, 16)); i += 3
+      } else { out.write(c.toInt); i += 1 }
+    }
+    new String(out.toByteArray, charset)
+  }
+
+  /** ADR structured parts in vCard order (RFC 6350 §6.3.1). */
+  private val AdrParts =
+    Seq("po_box", "extended", "street", "locality", "region", "postal_code", "country")
+
+  private[sources] def parseCards(text: String): Seq[Map[String, String]] = {
+    // unfold continuations (lines beginning with space/tab)
+    val unfolded = text.replace("\r\n", "\n").replaceAll("\n[ \t]", "")
+    val cards = unfolded.split("(?m)^END:VCARD\\s*$").toSeq
+      .map(_.split("\n").map(_.trim).filter(_.nonEmpty)
+        .dropWhile(l => !l.equalsIgnoreCase("BEGIN:VCARD")).drop(1))
+      .filter(_.nonEmpty)
+    cards.map { lines =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      var phoneN = 0
+      var adrN = 0
+      lines.foreach { line =>
+        val idx = line.indexOf(':')
+        if (idx > 0) {
+          val keyPart = line.substring(0, idx)
+          var value = line.substring(idx + 1)
+          val keyBits = keyPart.split(";")
+          val key = keyBits.head.toUpperCase
+          val attrs = keyBits.tail.filterNot(_.startsWith("CHARSET="))
+            .filterNot(_.startsWith("ENCODING=")).mkString(",")
+          val charset = keyBits.tail.find(_.startsWith("CHARSET="))
+            .map(_.stripPrefix("CHARSET=")).getOrElse("UTF-8")
+          if (keyBits.exists(_.equalsIgnoreCase("ENCODING=QUOTED-PRINTABLE")))
+            value = decodeQp(value, charset)
+          key match {
+            case "N" =>
+              val parts = value.split(";", -1)
+              if (parts.length > 0 && parts(0).nonEmpty) m("lastname") = parts(0)
+              if (parts.length > 1 && parts(1).nonEmpty) m("firstname") = parts(1)
+            case "FN" => m("formatted_name") = value
+            case "TEL" =>
+              phoneN += 1
+              m(s"phone_$phoneN") = value
+              if (attrs.nonEmpty) m(s"phone_${phoneN}_attr") = attrs
+            case "ADR" =>
+              adrN += 1
+              val parts = value.split(";", -1)
+              AdrParts.zipWithIndex.foreach { case (p, i) =>
+                if (i < parts.length && parts(i).nonEmpty)
+                  // internal separators → ", " (VcfDataProvider flatten)
+                  m(s"address_${adrN}_$p") = parts(i).replace("\\n", ", ")
+              }
+              if (attrs.nonEmpty) m(s"address_${adrN}_attr") = attrs
+            case "EMAIL" => m("email") = value
+            case "VERSION" | "BEGIN" =>
+            case other => m(other.toLowerCase) = value
+          }
+        }
+      }
+      m.toMap
+    }.filter(_.nonEmpty)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files: Dataset[String] = spark.read.option("wholetext", "true").text(path).as[String]
+    val parsed = files.rdd.flatMap(parseCards)
+    parsed.cache()
+    val cols = parsed.flatMap(_.keys).distinct().collect().sorted
+    val schema = StructType(cols.map(c => StructField(c, StringType, nullable = true)))
+    spark.createDataFrame(parsed.map(m => Row.fromSeq(cols.map(c => m.getOrElse(c, null)))), schema)
+  }
+
+  /** Parse an in-memory payload (inline data / decompressed stream). */
+  def readInline(spark: SparkSession, payload: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = parseCards(payload)
+    val cols = rows.flatMap(_.keys).distinct.sorted
+    val schema = StructType(cols.map(c => StructField(c, StringType, nullable = true)))
+    spark.createDataFrame(
+      rows.map(m => Row.fromSeq(cols.map(c => m.getOrElse(c, null)))).asJava, schema)
+  }
+}

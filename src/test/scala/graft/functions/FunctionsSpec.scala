@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.schema.TypeLattice
+
+/** Transforms, text analysis, inference lattice, similarity and
+  * multimodal plumbing.
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decimal formats: dot strips grouping commas; comma format swaps") {
+    val df = Seq(("1,234.56", "1.234,56")).toDF("dot", "comma")
+    val r = df.select(
+      Transforms.parseDecimalDot(col("dot")).as("a"),
+      Transforms.parseDecimalComma(col("comma")).as("b")).collect()(0)
+    assert(r.getDouble(0) == 1234.56 && r.getDouble(1) == 1234.56)
+  }
+
+  test("date chain falls through patterns and nulls on total failure") {
+    val df = Seq("01.02.2003 11:12:13", "2003-02-01 11:12:13", "garbage").toDF("s")
+    val parsed = df.select(Transforms.parseTimestampChain(col("s"),
+      Seq("dd.MM.yyyy HH:mm:ss", "yyyy-MM-dd HH:mm:ss")).as("t")).collect()
+    assert(parsed(0).getTimestamp(0) == parsed(1).getTimestamp(0))
+    assert(parsed(2).isNullAt(0))
+  }
+
+  test("timezone shift: +02:00 wall-clock renders 2h earlier in UTC") {
+    val df = Seq("2003-02-01 11:12:13").toDF("s")
+    val r = df.select(Transforms.shiftTimezone(
+      Transforms.parseTimestampChain(col("s"), Seq("yyyy-MM-dd HH:mm:ss")),
+      "+02:00", "UTC").cast("string")).collect()(0)
+    assert(r.getString(0) == "2003-02-01 09:12:13")
+  }
+
+  test("bool interpretation accepts the reference token set") {
+    val df = Seq("true", "False", "1", "no", "junk").toDF("s")
+    val got = df.select(Transforms.interpretBool(col("s"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getBoolean(0)))
+    assert(got.toSeq == Seq(Some(true), Some(false), Some(true), Some(false), None))
+  }
+
+  test("email: normalized lowercase+trim, validity flag") {
+    val df = Seq(" Foo.Bar@EXample.COM ", "not-an-email").toDF("s")
+    val got = df.select(Transforms.emailNormalize(col("s")),
+      Transforms.emailValid(col("s"))).collect()
+    assert(got(0).getString(0) == "foo.bar@example.com" && got(0).getBoolean(1))
+    assert(!got(1).getBoolean(1))
+  }
+
+  test("inference lattice: canonical fixture values (FIXTURES.md §7)") {
+    val df = Seq(
+      ("123", "123.456E0", "01.02.2003", "01.02.2003 11:12:13", "true", "x" * 4001, "plain"),
+      ("456", "1.5", "02.03.2004", "02.03.2004 00:00:00", "false", "y", "länger"),
+    ).toDF("i", "d", "dt", "ts", "b", "blob", "vc")
+    val got = TypeLattice.infer(df).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got("i") == ("INTEGER", 0L))
+    assert(got("d") == ("DOUBLE", 0L))
+    assert(got("dt") == ("DATE", 0L))
+    assert(got("ts") == ("TIMESTAMP", 0L))
+    assert(got("b") == ("BOOLEAN", 0L))
+    assert(got("blob") == ("BLOB", 0L))
+    assert(got("vc")._1 == "VARCHAR")
+    assert(got("vc")._2 == 7L) // "länger" = 7 UTF-8 bytes (ä is 2)
+  }
+
+  test("inference: empty values never demote; all-empty column is VARCHAR") {
+    val df = Seq(("", "1"), ("", ""), ("", "2")).toDF("e", "i")
+    val got = TypeLattice.infer(df).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("e") == "VARCHAR" && got("i") == "INTEGER")
+  }
+
+  test("language ID prefers marker-heavy language, deterministic ties") {
+    val df = Seq("der hund und die katze ist da", "the cat is on the mat").toDF("t")
+    val got = df.select(TextAnalysis.langId(col("t"))).as[String].collect()
+    assert(got.toSeq == Seq("de", "en"))
+  }
+
+  test("simhash is stable and near-equal for near-identical docs") {
+    val df = Seq("alpha beta gamma delta epsilon", "alpha beta gamma delta epsilon",
+      "totally different words here now").toDF("t")
+    val hs = df.select(graft.operators.TextDedup.simhash32(col("t"))).as[Long].collect()
+    assert(hs(0) == hs(1))
+    assert(hs(0) != hs(2))
+  }
+
+  test("cosine similarity: identical vectors → 1.0, orthogonal → 0.0") {
+    val df = Seq((Array(1f, 0f, 2f), Array(1f, 0f, 2f), Array(0f, 3f, 0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      graft.operators.Similarity.cosine(col("a"), col("b")),
+      graft.operators.Similarity.cosine(col("a"), col("c"))).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("brute-force top-k returns k neighbors ranked by similarity") {
+    val corpus = Seq((10L, Array(1f, 0f)), (11L, Array(0.9f, 0.1f)), (12L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1f, 0f))).toDF("query_id", "query_vec")
+    val got = graft.operators.Similarity.bruteForceTopK(queries, corpus, 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(got.toSeq == Seq(10L, 11L))
+  }
+
+  test("multimodal decode stub: deterministic features + frame sampling") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal._
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, "video", "fake-bytes-a".getBytes("UTF-8")),
+      MediaRecord(2L, "image", "fake-bytes-b".getBytes("UTF-8"))))
+    val feats = Multimodal.decodeFeatures(ds)
+    val rows = feats.collect().sortBy(_.media_id)
+    assert(rows(0).n_frames > 1 && rows(1).n_frames == 1)
+    assert(rows.forall(f => f.width % 16 == 0 && f.height % 16 == 0))
+    // determinism
+    assert(Multimodal.decodeFeatures(ds).collect().sortBy(_.media_id).toSeq == rows.toSeq)
+    val frames = Multimodal.sampleFrames(feats, stride = 10)
+    assert(frames.where(col("media_id") === 2L).count() == 1)
+  }
+
+  test("exact dedup groups identical normalized content") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val got = graft.operators.TextDedup.exactDedup(df, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val near = "three four five six seven eight nine ten eleven twelve"
+    val far = "completely unrelated set of words with zero overlap whatsoever"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = graft.operators.TextDedup
+      .verifiedNearDupPairs(df, "doc_id", "text", k = 3, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Merge.{DuplicateMode, ImportMode, Key}
+
+/** Merge/dedup semantics pinned by the reference's golden JSON upsert
+  * test (FIXTURES.md §3 ⇄ reference DbImportTest_HSQL.java:792-905):
+  * 8 source records with duplicated keys 1-3 (second occurrence has a
+  * null varchar), pre-filled target keys 1, 3, 999.
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // source arrival order = ord; keys 1,1,2,2,3,3,4,5; later dup rows have
+  // null varchar but a distinct clob (the §3 scenario).
+  private def source = Seq(
+    (1, Some(" aBcDeF123_1"), " aBcDeF1234", 1),
+    (1, None, " aBcDeF1235_1", 2),
+    (2, Some(" aBcDeF123_2"), " aBcDeF1234", 3),
+    (2, None, " aBcDeF1235_2", 4),
+    (3, Some(" aBcDeF123_3"), " aBcDeF1234", 5),
+    (3, None, " aBcDeF1235_3", 6),
+    (4, None, " aBcDeF1235_4", 7),
+    (5, Some(" aBcDeF123_5"), " aBcDeF1234", 8),
+  ).toDF("k", "varchar_col", "clob_col", "ord")
+
+  private def target = Seq(
+    (1, Some("pre_1"), "pre_clob_1"),
+    (3, Some("pre_3"), "pre_clob_3"),
+    (999, Some("Überprüfung \"§\""), "pre_clob_999"),
+  ).toDF("k", "varchar_col", "clob_col")
+
+  test("UPSERT with UPDATE_ALL_JOIN and updateWithNullValues=true (reference default)") {
+    val out = Merge.importMerge(target, source, Seq(Key("k")),
+        ImportMode.Upsert, DuplicateMode.UpdateAllJoin, updateWithNull = true,
+        sourceOrder = col("ord"), targetOrder = Seq(col("k")))
+      .orderBy("k").select("k", "varchar_col", "clob_col").collect()
+    // later dup rows win INCLUDING nulls: keys 1-3 get null varchar and the
+    // _1235 clob; 999 untouched; 4,5 inserted.
+    assert(out.toSeq == Seq(
+      Row(1, null, " aBcDeF1235_1"),
+      Row(2, null, " aBcDeF1235_2"),
+      Row(3, null, " aBcDeF1235_3"),
+      Row(4, null, " aBcDeF1235_4"),
+      Row(5, " aBcDeF123_5", " aBcDeF1234"),
+      Row(999, "Überprüfung \"§\"", "pre_clob_999")))
+  }
+
+  test("UPSERT with updateWithNullValues=false keeps last non-null per column") {
+    val out = Merge.importMerge(target, source, Seq(Key("k")),
+        ImportMode.Upsert, DuplicateMode.UpdateAllJoin, updateWithNull = false,
+        sourceOrder = col("ord"), targetOrder = Seq(col("k")))
+      .orderBy("k").select("k", "varchar_col", "clob_col").collect()
+    assert(out.toSeq == Seq(
+      Row(1, " aBcDeF123_1", " aBcDeF1235_1"),
+      Row(2, " aBcDeF123_2", " aBcDeF1235_2"),
+      Row(3, " aBcDeF123_3", " aBcDeF1235_3"),
+      Row(4, null, " aBcDeF1235_4"),
+      Row(5, " aBcDeF123_5", " aBcDeF1234"),
+      Row(999, "Überprüfung \"§\"", "pre_clob_999")))
+  }
+
+  test("INSERT with UPDATE_ALL_DROP keeps first occurrence and skips existing keys") {
+    val out = Merge.importMerge(target, source, Seq(Key("k")),
+        ImportMode.Insert, DuplicateMode.UpdateAllDrop, updateWithNull = true,
+        sourceOrder = col("ord"), targetOrder = Seq(col("k")))
+      .orderBy("k").select("k", "varchar_col").collect()
+    // keys 1,3 exist → dropped; first occurrences of 2,4,5 appended
+    assert(out.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq(
+      1 -> "pre_1", 2 -> " aBcDeF123_2", 3 -> "pre_3", 4 -> null,
+      5 -> " aBcDeF123_5", 999 -> "Überprüfung \"§\""))
+  }
+
+  test("UPDATE with NO_CHECK leaves the target unchanged") {
+    val out = Merge.importMerge(target, source, Seq(Key("k")),
+        ImportMode.Update, DuplicateMode.NoCheck, updateWithNull = true,
+        sourceOrder = col("ord"), targetOrder = Seq(col("k")))
+    assert(out.orderBy("k").collect().toSeq == target.orderBy("k").collect().toSeq)
+  }
+
+  test("CLEARINSERT empties the target before inserting deduped source") {
+    val out = Merge.importMerge(target, source, Seq(Key("k")),
+        ImportMode.ClearInsert, DuplicateMode.UpdateAllJoin, updateWithNull = true,
+        sourceOrder = col("ord"), targetOrder = Seq(col("k")))
+    assert(out.select("k").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("UPDATE_FIRST only updates the first duplicate target row") {
+    val dupTarget = Seq((1, "a", 10), (1, "b", 20), (2, "c", 30))
+      .toDF("k", "v", "pos")
+    val staged = Seq((1, "NEW")).toDF("k", "v")
+    val out = Merge.updateFirst(dupTarget, staged, Seq(Key("k")),
+        targetOrder = Seq(col("pos")))
+      .orderBy("k", "pos").select("k", "v").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq(1 -> "NEW", 1 -> "b", 2 -> "c"))
+  }
+
+  test("key functions compare on fn(col) — LOWER(email) style keys") {
+    val t = Seq(("A@X.COM", 1), ("b@y.com", 2)).toDF("email", "v")
+    val s = Seq(("a@x.com", 99), ("C@Z.COM", 3)).toDF("email", "v")
+    val out = Merge.insertNotExisting(t, s, Seq(Key("email", lower)))
+      .orderBy("v").collect()
+    // a@x.com matches A@X.COM case-insensitively → only C@Z.COM inserted
+    assert(out.map(_.getString(0)).toSeq == Seq("A@X.COM", "b@y.com", "C@Z.COM"))
+  }
+
+  test("arrival ordinal is contiguous, 1-based, and order-preserving") {
+    val df = spark.range(0, 1000).toDF("x").repartition(7)
+    val withOrd = Ordinals.withArrivalOrdinal(df)
+    val ords = withOrd.select("import_item").as[Long].collect().sorted
+    assert(ords.toSeq == (1L to 1000L))
+    // ordinal follows partition-local row order (true arrival semantics)
+    val firstPerPart = withOrd.rdd
+      .mapPartitions(it => it.toSeq.sortBy(_.getLong(1)).headOption.iterator)
+    assert(firstPerPart.count() == 7)
+  }
+
+  test("detectDuplicates counts duplicated key groups") {
+    val df = Seq(1, 1, 2, 3, 3, 3).toDF("k")
+    assert(Dedup.detectDuplicates(df, Seq("k")) == 2)
+  }
+}

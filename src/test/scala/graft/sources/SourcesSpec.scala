@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.io.File
+
+import graft.SparkSpec
+
+/** Source readers against the reference's canonical fixtures
+  * (FIXTURES.md §2-§8).
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String, content: String): File =
+    SyntheticFixtures.writeText(new File(SyntheticFixtures.dir("spec"), name), content)
+
+  // The canonical Test.csv content (FIXTURES.md §2): header names with a
+  // space, leading spaces in values, `;` separator.
+  private val canonicalCsv =
+    "column integer; column_double; column_varchar; column_clob; column_timestamp; column_date\n" +
+      "123; 123.456E0; aBcDeF123; aBcDeF1234; 01.02.2003 11:12:13; 01.02.2003 21:22:23"
+
+  test("CSV: reference dialect, no implicit trim, leading spaces survive") {
+    val f = tmp("canonical.csv", canonicalCsv)
+    val df = CsvSource.read(spark, f.getPath)
+    assert(df.columns.toSeq == Seq("column integer", " column_double", " column_varchar",
+      " column_clob", " column_timestamp", " column_date"))
+    val r = df.collect()(0)
+    assert(r.getString(1) == " 123.456E0") // leading space survives
+  }
+
+  test("CSV: no-headers mode names columns column_1..N") {
+    val f = tmp("nohdr.csv", "1;a\n2;b")
+    val df = CsvSource.read(spark, f.getPath, CsvSource.CsvOptions(header = false))
+    assert(df.columns.toSeq == Seq("column_1", "column_2"))
+  }
+
+  test("CSV: null token and trim options") {
+    val f = tmp("nulltok.csv", "a;b\n NULL ; x ")
+    val df = CsvSource.read(spark, f.getPath,
+      CsvSource.CsvOptions(trimValues = true, nullToken = Some("NULL")))
+    val r = df.collect()(0)
+    assert(r.isNullAt(0) && r.getString(1) == "x")
+  }
+
+  test("CSV: underfilled lines null-fill") {
+    val f = tmp("under.csv", "a;b;c\n1;2;3\n4;5")
+    val rows = CsvSource.read(spark, f.getPath).orderBy("a").collect()
+    assert(rows(1).isNullAt(2))
+  }
+
+  test("JSON: array-of-flat-objects whole file") {
+    val f = tmp("arr.json", """[{"a": 1, "b": "x"}, {"a": 2, "b": null}]""")
+    val df = JsonSource.readArray(spark, f.getPath)
+    assert(df.count() == 2 && df.columns.sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("JSON: -dp data path navigates to the nested array") {
+    val f = tmp("nested.json",
+      """{"meta": {"v": 1}, "payload": {"items": [{"a": 1}, {"a": 2}]}}""")
+    val df = JsonSource.readArrayAt(spark, f.getPath, "payload/items")
+    assert(df.select("a").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("XML: list/entry parse with null token and -dp path") {
+    val xml =
+      """<root><meta>x</meta><data><list>
+        |<e><c1>v1</c1><c2>NULL</c2></e>
+        |<e><c1>v2</c1><c2>w2</c2></e>
+        |</list></data></root>""".stripMargin
+    val f = tmp("dp.xml", xml)
+    val df = XmlSource.read(spark, f.getPath, dataPath = Some("data/list"),
+      nullToken = Some("NULL"))
+    val rows = df.orderBy("c1").collect()
+    assert(rows.length == 2 && rows(0).isNullAt(1) && rows(1).getString(1) == "w2")
+  }
+
+  test("XML: root as list element (no -dp)") {
+    val f = tmp("plain.xml",
+      "<Entries><Entry><a>1</a><b>x</b></Entry><Entry><a>2</a></Entry></Entries>")
+    val rows = XmlSource.read(spark, f.getPath).orderBy("a").collect()
+    assert(rows.length == 2 && rows(1).isNullAt(1)) // missing tag → null
+  }
+
+  test("YAML: sequence of flat mappings; scalars stringified") {
+    val f = tmp("seq.yaml", "- a: 1\n  b: \"x\"\n- a: 2\n  b:")
+    val rows = YamlSource.read(spark, f.getPath).orderBy("a").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1", "2"))
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("YAML: non-sequence root is rejected (reference contract)") {
+    intercept[IllegalArgumentException] {
+      YamlSource.parseDocument("a: 1")
+    }
+  }
+
+  test("vCard: N/FN/TEL/ADR flatten with quoted-printable decode") {
+    val vcf =
+      "BEGIN:VCARD\nVERSION:2.1\nN:Testermann;Tester;;;\nFN:Tester Testermann\n" +
+        "TEL;CELL:+4947110815\n" +
+        "ADR;HOME;CHARSET=UTF-8;ENCODING=QUOTED-PRINTABLE:;;=50=6F=72=67=65=73;M=C3=BCnchen;;81247;Deutschland\n" +
+        "END:VCARD\n"
+    val cards = VcfSource.parseCards(vcf)
+    assert(cards.length == 1)
+    val m = cards.head
+    assert(m("firstname") == "Tester" && m("lastname") == "Testermann")
+    assert(m("formatted_name") == "Tester Testermann")
+    assert(m("phone_1") == "+4947110815" && m("phone_1_attr") == "CELL")
+    assert(m("address_1_street") == "Porges")
+    assert(m("address_1_locality") == "München")
+    assert(m("address_1_country") == "Deutschland")
+    assert(m("address_1_attr") == "HOME")
+  }
+
+  test("compression: gz/zip/tar.gz/ZipCrypto round-trip byte-exact") {
+    val content = "hello;world\n1;2\n"
+    val base = SyntheticFixtures.dir("speccomp")
+    SyntheticFixtures.writeGz(new File(base, "t.csv.gz"), content)
+    SyntheticFixtures.writeZip(new File(base, "t.csv.zip"), "t.csv", content)
+    SyntheticFixtures.writeTarGz(new File(base, "t.csv.tar.gz"), "t.csv", content)
+    SyntheticFixtures.writeZipCrypto(new File(base, "tpw.csv.zip"), "t.csv", content, "abc123")
+    def bytes(n: String) = java.nio.file.Files.readAllBytes(new File(base, n).toPath)
+    assert(new String(Compression.decompress("t.csv.gz", bytes("t.csv.gz")), "UTF-8") == content)
+    assert(new String(Compression.decompress("t.csv.zip", bytes("t.csv.zip")), "UTF-8") == content)
+    assert(new String(Compression.decompress("t.csv.tar.gz", bytes("t.csv.tar.gz")), "UTF-8") == content)
+    assert(new String(Compression.decompress("tpw.csv.zip", bytes("tpw.csv.zip"),
+      Some("abc123")), "UTF-8") == content)
+  }
+
+  test("table name derivation pinned by the reference unit test") {
+    assert(TableNames.deriveTableName("some_additional text(test_tbl).csv") == "test_tbl")
+    assert(TableNames.deriveTableName("/x/y/test2_tbl.csv") == "test2_tbl")
+    assert(TableNames.deriveTableName("data.csv.gz") == "data")
+    assert(TableNames.deriveTableName("archive.csv.tar.gz") == "archive")
+  }
+
+  test("glob expansion sorts file names") {
+    val base = SyntheticFixtures.dir("specglob")
+    SyntheticFixtures.writeText(new File(base, "b_tbl.csv"), "x")
+    SyntheticFixtures.writeText(new File(base, "a_tbl.csv"), "x")
+    val got = TableNames.expandGlob(new File(base, "*_tbl.csv").getPath)
+    assert(got.map(new File(_).getName) == Seq("a_tbl.csv", "b_tbl.csv"))
+  }
+}
