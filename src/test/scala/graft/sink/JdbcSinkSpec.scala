@@ -1,0 +1,191 @@
+package graft.sink
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.api.{Importer, Validation}
+import graft.operators.Merge.{DuplicateMode, ImportMode}
+import graft.sources.{CsvSource, SyntheticFixtures}
+
+/** JDBC sink + orchestrator against embedded Derby — the no-server-vendor
+  * analog of the reference's NoInstallNeededImportTestSuite.
+  */
+class JdbcSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var dbN = 0
+  private def freshDb(): String = {
+    dbN += 1
+    s"jdbc:derby:memory:graftdb$dbN;create=true"
+  }
+
+  private val canonicalSchema = StructType(Seq(
+    StructField("column_integer", IntegerType),
+    StructField("column_double", DoubleType),
+    StructField("column_varchar", StringType),
+    StructField("column_clob", StringType),
+    StructField("column_timestamp", TimestampType),
+    StructField("column_date", DateType)))
+
+  test("batch append + table create + golden canonical CSV import (FIXTURES §2)") {
+    val url = freshDb()
+    JdbcSink.withConnection(url)(c =>
+      JdbcSink.createTable(c, "test_tbl", canonicalSchema))
+    val csv = "column integer; column_double; column_varchar; column_clob; column_timestamp; column_date\n" +
+      "123; 123.456E0; aBcDeF123; aBcDeF1234; 01.02.2003 11:12:13; 01.02.2003 21:22:23"
+    val f = SyntheticFixtures.writeText(
+      new File(SyntheticFixtures.dir("jdbc"), "canonical.csv"), csv)
+    val src = CsvSource.read(spark, f.getPath)
+    val mapping = "column_integer='column integer'; column_double=' column_double'; " +
+      "column_varchar=' column_varchar'; column_clob=' column_clob'; " +
+      "column_timestamp=' column_timestamp'dd.MM.yyyy HH:mm:ss; " +
+      "column_date=' column_date'dd.MM.yyyy HH:mm:ss"
+    val res = Importer.importToJdbc(src, url, "test_tbl",
+      Importer.ImportConfig(mapping = Some(mapping)))
+    assert(res.found == 1 && res.inserted == 1 && res.finalCount == 1)
+    val row = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "TEST_TBL").load().collect()(0)
+    assert(row.getAs[Int]("COLUMN_INTEGER") == 123)
+    assert(row.getAs[Double]("COLUMN_DOUBLE") == 123.456)
+    assert(row.getAs[String]("COLUMN_VARCHAR") == " aBcDeF123") // no implicit trim
+    assert(row.getAs[java.sql.Timestamp]("COLUMN_TIMESTAMP").toString == "2003-02-01 11:12:13.0")
+    // DATE column accepts the datetime pattern, keeps the date part
+    assert(row.getAs[java.sql.Date]("COLUMN_DATE").toString == "2003-02-01")
+  }
+
+  test("UPSERT merge path against a pre-filled table (FIXTURES §3 scenario)") {
+    val url = freshDb()
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType)))
+    JdbcSink.withConnection(url) { c =>
+      JdbcSink.createTable(c, "t", schema, keys = Seq("k"))
+      val st = c.createStatement()
+      st.executeUpdate("INSERT INTO \"T\" VALUES (1, 'pre_1'), (3, 'pre_3'), (999, 'pre_999')")
+      st.close()
+    }
+    val src = Seq(("1", "new_1a"), ("1", "new_1b"), ("2", "new_2"), ("5", "new_5"))
+      .toDF("k", "v")
+    val res = Importer.importToJdbc(src, url, "t",
+      Importer.ImportConfig(mode = ImportMode.Upsert, keyColumns = Seq("k")))
+    val got = spark.read.format("jdbc").option("url", url).option("dbtable", "T").load()
+      .orderBy("K").collect().map(r => (r.getInt(0), r.getString(1)))
+    // join-duplicates: later row new_1b wins for key 1; 2,5 inserted
+    assert(got.toSeq == Seq(1 -> "new_1b", 2 -> "new_2", 3 -> "pre_3",
+      5 -> "new_5", 999 -> "pre_999"))
+    assert(res.duplicates == 1 && res.finalCount == 5)
+    assert(res.createdIndex.isEmpty) // PK already indexes the key
+  }
+
+  test("batch failure falls back to row-by-row and isolates bad rows") {
+    val url = freshDb()
+    JdbcSink.withConnection(url) { c =>
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE \"FB\" (\"K\" INTEGER PRIMARY KEY, \"V\" VARCHAR(10))")
+      st.close()
+    }
+    val df = Seq((1, "a"), (2, "b"), (2, "dup-key"), (3, "c")).toDF("k", "v").coalesce(1)
+    val stats = JdbcSink.appendBatch(df, url, "fb", batchSize = 1000)
+    assert(stats.inserted == 3 && stats.failedRows == 1 && stats.fallbackBlocks == 1)
+  }
+
+  test("completeCommit: all-or-nothing atomic append") {
+    val url = freshDb()
+    JdbcSink.withConnection(url) { c =>
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE \"AT\" (\"K\" INTEGER PRIMARY KEY)")
+      st.executeUpdate("INSERT INTO \"AT\" VALUES (7)")
+      st.close()
+    }
+    // staging succeeds but promotion violates the PK → everything rolls back
+    val bad = Seq(5, 6, 7).toDF("k")
+    intercept[java.sql.SQLException] {
+      JdbcSink.appendAtomic(bad, url, "at")
+    }
+    JdbcSink.withConnection(url) { c =>
+      assert(JdbcSink.countRows(c, "at") == 1) // untouched
+    }
+    val ok = Seq(8, 9).toDF("k")
+    JdbcSink.appendAtomic(ok, url, "at")
+    JdbcSink.withConnection(url)(c => assert(JdbcSink.countRows(c, "at") == 3))
+  }
+
+  test("-create: inferred schema with VARCHAR sizing and PK keys") {
+    val url = freshDb()
+    val src = Seq(("1", "1.5", "abcdef", "01.02.2003"), ("2", "2.5", "xy", "02.02.2003"))
+      .toDF("id", "price", "name", "d")
+    val res = Importer.importToJdbc(src, url, "created_tbl",
+      Importer.ImportConfig(createTableIfNeeded = true, keyColumns = Seq("id"),
+        mode = ImportMode.Upsert))
+    assert(res.finalCount == 2)
+    val meta = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "CREATED_TBL").load().schema
+    assert(meta("ID").dataType == IntegerType)
+    assert(meta("PRICE").dataType == DoubleType)
+    assert(meta("NAME").dataType == StringType)
+    assert(meta("D").dataType == DateType)
+  }
+
+  test("index auto-create on non-indexed merge keys reports its name") {
+    val url = freshDb()
+    JdbcSink.withConnection(url) { c =>
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE \"IX\" (\"A\" INTEGER, \"B\" VARCHAR(5))")
+      st.close()
+      val name = JdbcSink.createIndexIfNeeded(c, "ix", Seq("a"))
+      assert(name.contains("IDX_IX_A"))
+      assert(JdbcSink.createIndexIfNeeded(c, "ix", Seq("a")).isEmpty) // now indexed
+    }
+  }
+
+  test("SQL script: per-statement errors collected; completeCommit rolls back") {
+    val url = freshDb()
+    val script =
+      """CREATE TABLE "S1" ("A" INTEGER);
+        |INSERT INTO "S1" VALUES (1);
+        |INSERT INTO "NO_SUCH" VALUES (1);
+        |INSERT INTO "S1" VALUES (2);
+        |-- trailing comment
+        |""".stripMargin
+    val r = SqlScript.execute(url, script)
+    assert(r.executed == 3 && r.errors.length == 1 && r.errors.head._1 == 2)
+    JdbcSink.withConnection(url)(c => assert(JdbcSink.countRows(c, "s1") == 2))
+    val r2 = intercept[java.sql.SQLException] {
+      SqlScript.execute(url, "INSERT INTO \"S1\" VALUES (3); INSERT INTO \"NO_SUCH\" VALUES (1)",
+        completeCommit = true)
+    }
+    JdbcSink.withConnection(url)(c => assert(JdbcSink.countRows(c, "s1") == 2)) // rolled back
+  }
+
+  test("blob import: single payload into a BLOB column via update SQL") {
+    val url = freshDb()
+    JdbcSink.withConnection(url) { c =>
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE \"BL\" (\"ID\" INTEGER, \"B\" BLOB)")
+      st.executeUpdate("INSERT INTO \"BL\" (\"ID\") VALUES (1)")
+      st.close()
+    }
+    val n = JdbcSink.updateBlob(url, "UPDATE \"BL\" SET \"B\" = ? WHERE \"ID\" = 1",
+      "payload-bytes".getBytes("UTF-8"))
+    assert(n == 1)
+    JdbcSink.withConnection(url) { c =>
+      val rs = c.createStatement().executeQuery("SELECT \"B\" FROM \"BL\" WHERE \"ID\" = 1")
+      rs.next()
+      assert(new String(rs.getBytes(1), "UTF-8") == "payload-bytes")
+    }
+  }
+
+  test("validation side channel: invalid rows diverted with reason") {
+    val df = Seq(("1", "a@x.com"), ("x", "b@y.com"), ("3", "not-mail"))
+      .toDF("id", "email")
+    val v = Validation.validate(df, Seq(
+      "invalid integer" -> col("id").rlike("^\\d+$").unary_!,
+      "invalid email" -> graft.functions.Transforms.emailValid(col("email")).unary_!))
+    assert(v.valid.count() == 1)
+    val errs = v.errors.orderBy("id").collect()
+    assert(errs.map(_.getAs[String]("error_reason")).toSeq ==
+      Seq("invalid email", "invalid integer"))
+  }
+}
