@@ -608,6 +608,49 @@ object SparkEntry {
       .orderBy(col("n_nationkey"))
   }
 
+  // ---------------------------------------------------------------- q37
+  /** Event-time tumbling-window aggregation — the batch face of the
+    * Structured-Streaming surface (the streaming variant with watermarks
+    * runs in StreamingSpec over the same logic). `ts` arrives as raw
+    * nanos (see Tables) and buckets to epoch-aligned hours.
+    */
+  def q37EventWindows(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  // ---------------------------------------------------------------- q38
+  /** Excel (.xlsx) source round-trip: OOXML workbook generated from
+    * nation, parsed back by the pure-JDK zip+StAX reader
+    * (SURVEY §2.1 Excel scan).
+    */
+  def q38SrcXlsx(s: SparkSession, d: String): DataFrame = {
+    val rows = nation(s, d).orderBy(col("n_nationkey")).collect()
+    val data = Seq(Seq("n_nationkey", "n_name", "n_regionkey")) ++
+      rows.map(r => Seq(r.getInt(0).toString, r.getString(1), r.getInt(2).toString))
+    val f = new java.io.File(sources.SyntheticFixtures.dir("xlsx"), "nation.xlsx")
+    sources.SyntheticFixtures.writeXlsx(f, "data", data)
+    castNation(sources.XlsxSource.read(s, f.getPath))
+  }
+
+  // ---------------------------------------------------------------- q39
+  /** ODS source round-trip: content.xml table generated from nation with
+    * sheet selection by name (SURVEY §2.1 ODS scan).
+    */
+  def q39SrcOds(s: SparkSession, d: String): DataFrame = {
+    val rows = nation(s, d).orderBy(col("n_nationkey")).collect()
+    val data = Seq(Seq("n_nationkey", "n_name", "n_regionkey")) ++
+      rows.map(r => Seq(r.getInt(0).toString, r.getString(1), r.getInt(2).toString))
+    val f = new java.io.File(sources.SyntheticFixtures.dir("ods"), "nation.ods")
+    sources.SyntheticFixtures.writeOds(f, "data", data)
+    castNation(sources.OdsSource.read(s, f.getPath, sheetName = Some("data")))
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -648,6 +691,9 @@ object SparkEntry {
     "q34_src_vcf" -> (q34SrcVcf _),
     "q35_src_compressed" -> (q35SrcCompressed _),
     "q36_table_names" -> (q36TableNames _),
+    "q37_event_windows" -> (q37EventWindows _),
+    "q38_src_xlsx" -> (q38SrcXlsx _),
+    "q39_src_ods" -> (q39SrcOds _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -1040,5 +1086,14 @@ object SparkEntry {
         |ORDER BY v.variant, n.n_nationkey""".stripMargin,
     "q36_table_names" ->
       "SELECT n_nationkey, lower(n_name) AS table_name FROM nation ORDER BY n_nationkey",
+    "q37_event_windows" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q38_src_xlsx" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q39_src_ods" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
   )
 }

@@ -70,6 +70,72 @@ object SyntheticFixtures {
     f
   }
 
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def colRef(i: Int): String = {
+    var n = i + 1
+    val sb = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+
+  /** Minimal OOXML workbook with one sheet of inline-string cells —
+    * enough structure for [[XlsxSource]] (and Excel itself).
+    */
+  def writeXlsx(f: File, sheetName: String, rows: Seq[Seq[String]]): File = {
+    val sheetXml = {
+      val body = rows.zipWithIndex.map { case (r, ri) =>
+        val cells = r.zipWithIndex.map { case (v, ci) =>
+          if (v == null) ""
+          else s"""<c r="${colRef(ci)}${ri + 1}" t="inlineStr"><is><t>${xmlEscape(v)}</t></is></c>"""
+        }.mkString
+        s"""<row r="${ri + 1}">$cells</row>"""
+      }.mkString
+      s"""<?xml version="1.0" encoding="UTF-8"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$body</sheetData></worksheet>"""
+    }
+    val workbookXml =
+      s"""<?xml version="1.0" encoding="UTF-8"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="${xmlEscape(sheetName)}" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    val relsXml =
+      """<?xml version="1.0" encoding="UTF-8"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>"""
+    val out = new ZipOutputStream(new FileOutputStream(f))
+    try {
+      Seq("xl/workbook.xml" -> workbookXml, "xl/_rels/workbook.xml.rels" -> relsXml,
+        "xl/worksheets/sheet1.xml" -> sheetXml).foreach { case (n, c) =>
+        out.putNextEntry(new ZipEntry(n)); out.write(c.getBytes(UTF_8)); out.closeEntry()
+      }
+    } finally out.close()
+    f
+  }
+
+  /** Minimal ODS with one table of string/typed cells for [[OdsSource]]. */
+  def writeOds(f: File, sheetName: String, rows: Seq[Seq[String]]): File = {
+    val body = rows.map { r =>
+      val cells = r.map {
+        case null => """<table:table-cell/>"""
+        case v =>
+          s"""<table:table-cell office:value-type="string"><text:p>${xmlEscape(v)}</text:p></table:table-cell>"""
+      }.mkString
+      s"<table:table-row>$cells</table:table-row>"
+    }.mkString
+    val content =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<office:document-content
+         | xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+         | xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+         | xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+         |<office:body><office:spreadsheet>
+         |<table:table table:name="${xmlEscape(sheetName)}">$body</table:table>
+         |</office:spreadsheet></office:body></office:document-content>""".stripMargin
+    val out = new ZipOutputStream(new FileOutputStream(f))
+    try {
+      out.putNextEntry(new ZipEntry("content.xml"))
+      out.write(content.getBytes(UTF_8))
+      out.closeEntry()
+    } finally out.close()
+    f
+  }
+
   /** Single stored entry zip encrypted with traditional ZipCrypto
     * (PKWARE APPNOTE §6.1) — readable by [[Compression.decompress]] with
     * a password and by standard zip tools.

@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Excel 2007+ (.xlsx) source (reference
+  * dataprovider/ExcelDataProvider.java:37-606, SURVEY §2.1): OOXML is a
+  * zip of XML parts — parsed here with ZipInputStream + StAX only (no
+  * POI in this environment). Supports sheet selection by name (`-dp`,
+  * default first sheet), shared & inline strings, header row or
+  * `column_N`, blank→null, trailing-empty-row trimming. Values surface
+  * as strings and are typed downstream by the mapping/inference pass
+  * (the reference's typed-cell reads collapse to the same post-cast).
+  *
+  * Legacy binary .xls (BIFF8) is NOT parsed natively — the container
+  * lacks a BIFF reader; [[XlsxSource.read]] rejects it with a clear
+  * error (swap in POI's HSSF in production).
+  *
+  * Scale model: one workbook = one task (`binaryFile`), like the
+  * reference's single stream; many files parallelize.
+  */
+object XlsxSource {
+
+  private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val z = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    var e = z.getNextEntry
+    val buf = new Array[Byte](64 * 1024)
+    while (e != null) {
+      if (!e.isDirectory) {
+        val bos = new java.io.ByteArrayOutputStream()
+        var n = z.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = z.read(buf) }
+        out(e.getName) = bos.toByteArray
+      }
+      e = z.getNextEntry
+    }
+    out.toMap
+  }
+
+  private def xmlReader(bytes: Array[Byte]) = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.createXMLStreamReader(new ByteArrayInputStream(bytes))
+  }
+
+  private def sharedStrings(bytes: Option[Array[Byte]]): IndexedSeq[String] = {
+    bytes match {
+      case None => IndexedSeq.empty
+      case Some(b) =>
+        val r = xmlReader(b)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val cur = new StringBuilder
+        var inSi = false
+        var inT = false
+        try while (r.hasNext) r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "si" => inSi = true; cur.clear()
+              case "t" if inSi => inT = true
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS if inT => cur.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "t" => inT = false
+              case "si" => inSi = false; out += cur.toString
+              case _ =>
+            }
+          case _ =>
+        } finally r.close()
+        out.toIndexedSeq
+    }
+  }
+
+  /** sheet name → worksheet part path, in workbook order. */
+  private def sheetTargets(parts: Map[String, Array[Byte]]): Seq[(String, String)] = {
+    val rels = parts.get("xl/_rels/workbook.xml.rels").map { b =>
+      val r = xmlReader(b)
+      val m = scala.collection.mutable.Map.empty[String, String]
+      try while (r.hasNext) if (r.next() == XMLStreamConstants.START_ELEMENT &&
+        r.getLocalName == "Relationship")
+        m(r.getAttributeValue(null, "Id")) = r.getAttributeValue(null, "Target")
+      finally r.close()
+      m.toMap
+    }.getOrElse(Map.empty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    parts.get("xl/workbook.xml").foreach { b =>
+      val r = xmlReader(b)
+      try while (r.hasNext) if (r.next() == XMLStreamConstants.START_ELEMENT &&
+        r.getLocalName == "sheet") {
+        val name = r.getAttributeValue(null, "name")
+        val rid = (0 until r.getAttributeCount)
+          .find(i => r.getAttributeLocalName(i) == "id")
+          .map(r.getAttributeValue).getOrElse("")
+        val target = rels.getOrElse(rid, s"worksheets/sheet${out.size + 1}.xml")
+        val path = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+        out += ((name, path))
+      } finally r.close()
+    }
+    out.toSeq
+  }
+
+  /** `"BC12"` → 0-based column index 54. */
+  private[sources] def colIndex(ref: String): Int = {
+    val letters = ref.takeWhile(_.isLetter)
+    letters.foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
+  }
+
+  /** Parse one worksheet into rows of cell strings. */
+  private def parseSheet(bytes: Array[Byte], shared: IndexedSeq[String]): Seq[IndexedSeq[String]] = {
+    val r = xmlReader(bytes)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[String]]
+    var cur: scala.collection.mutable.ArrayBuffer[String] = null
+    var cellRef = ""
+    var cellType = ""
+    var inV = false
+    var inIs = false
+    val v = new StringBuilder
+    try while (r.hasNext) r.next() match {
+      case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+        case "row" => cur = scala.collection.mutable.ArrayBuffer.empty
+        case "c" if cur != null =>
+          cellRef = Option(r.getAttributeValue(null, "r")).getOrElse("")
+          cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+          v.clear()
+        case "v" => inV = true
+        case "is" => inIs = true
+        case "t" if inIs => inV = true
+        case _ =>
+      }
+      case XMLStreamConstants.CHARACTERS if inV => v.append(r.getText)
+      case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+        case "v" => inV = false
+        case "t" if inIs => inV = false
+        case "is" => inIs = false
+        case "c" if cur != null =>
+          val idx = if (cellRef.nonEmpty) colIndex(cellRef) else cur.size
+          while (cur.size <= idx) cur += null
+          val raw = v.toString
+          cur(idx) = cellType match {
+            case "s" => shared.lift(raw.toInt).orNull
+            case "b" => if (raw == "1") "true" else "false"
+            case _ => if (raw.isEmpty) null else raw
+          }
+        case "row" => rows += cur.toIndexedSeq; cur = null
+        case _ =>
+      }
+      case _ =>
+    } finally r.close()
+    // trailing-empty-row trimming (ExcelDataProvider behavior)
+    rows.reverse.dropWhile(r => r.forall(x => x == null || x.isEmpty)).reverse.toSeq
+  }
+
+  /** Parse workbook bytes → (headers?, rows) of the selected sheet. */
+  private[sources] def parseWorkbook(bytes: Array[Byte], sheetName: Option[String],
+                                     header: Boolean): (IndexedSeq[String], Seq[IndexedSeq[String]]) = {
+    require(bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == 'K'.toByte,
+      "not an OOXML (.xlsx) workbook — legacy .xls (BIFF) needs a POI-based reader")
+    val parts = zipEntries(bytes)
+    val sheets = sheetTargets(parts)
+    require(sheets.nonEmpty, "workbook has no sheets")
+    val (_, path) = sheetName match {
+      case Some(n) => sheets.find(_._1 == n)
+        .getOrElse(throw new IllegalArgumentException(s"no sheet named $n"))
+      case None => sheets.head
+    }
+    val shared = sharedStrings(parts.get("xl/sharedStrings.xml"))
+    val rows = parseSheet(parts(path), shared)
+    if (rows.isEmpty) (IndexedSeq.empty, Seq.empty)
+    else {
+      val width = rows.map(_.size).max
+      val padded = rows.map(r => r.padTo(width, null: String))
+      if (header) (padded.head.zipWithIndex.map { case (h, i) =>
+        if (h == null || h.isEmpty) s"column_${i + 1}" else h
+      }, padded.tail)
+      else ((1 to width).map(i => s"column_$i"), padded)
+    }
+  }
+
+  /** One workbook per task; `sheetName` = the reference's `-dp`. */
+  def read(spark: SparkSession, path: String, sheetName: Option[String] = None,
+           header: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]]
+    val parsed = files.rdd.map(b => parseWorkbook(b, sheetName, header))
+    parsed.cache()
+    val cols = parsed.map(_._1).reduce((a, b) => if (a.nonEmpty) a else b)
+    val schema = StructType(cols.map(c => StructField(c, StringType, nullable = true)))
+    val rows = parsed.flatMap(_._2).map(r => Row.fromSeq(r.padTo(cols.size, null)))
+    spark.createDataFrame(rows, schema)
+  }
+}

@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.types.IntegerType
+
+import graft.SparkSpec
+import graft.schema.StructureFile
+import graft.sink.{ConnectionTest, JdbcSink, UpsertWriter}
+
+/** Upsert writer, structure file, connection test, file-blob loading and
+  * spreadsheet parsers.
+  */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var dbN = 100
+  private def freshDb(): String = { dbN += 1; s"jdbc:derby:memory:compdb$dbN;create=true" }
+
+  test("upsert writer routes UPDATE vs INSERT with in-flight key dedup") {
+    val url = freshDb()
+    JdbcSink.withConnection(url) { c =>
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE \"UP\" (\"K\" INTEGER PRIMARY KEY, \"V\" VARCHAR(10))")
+      st.executeUpdate("INSERT INTO \"UP\" VALUES (1, 'pre')")
+      st.close()
+    }
+    // key 1 exists → update; key 2 new → insert; second 2 → in-flight update
+    val df = Seq((1, "u1"), (2, "i2"), (2, "u2")).toDF("k", "v")
+    val stats = UpsertWriter.upsert(df, url, "up", Seq("k"))
+    assert(stats.inserted == 1 && stats.updated == 2)
+    JdbcSink.withConnection(url) { c =>
+      val rs = c.createStatement().executeQuery("SELECT \"K\", \"V\" FROM \"UP\" ORDER BY \"K\"")
+      val got = Iterator.continually(rs).takeWhile(_.next()).map(r => (r.getInt(1), r.getString(2))).toSeq
+      assert(got == Seq(1 -> "u1", 2 -> "u2"))
+    }
+  }
+
+  test("upsert writer with updateWithNull=false skips null columns") {
+    val url = freshDb()
+    JdbcSink.withConnection(url) { c =>
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE \"UP2\" (\"K\" INTEGER PRIMARY KEY, \"A\" VARCHAR(5), \"B\" VARCHAR(5))")
+      st.executeUpdate("INSERT INTO \"UP2\" VALUES (1, 'a0', 'b0')")
+      st.close()
+    }
+    val df = Seq((1, null.asInstanceOf[String], "b1")).toDF("k", "a", "b")
+    UpsertWriter.upsert(df, url, "up2", Seq("k"), updateWithNull = false)
+    JdbcSink.withConnection(url) { c =>
+      val rs = c.createStatement().executeQuery("SELECT \"A\", \"B\" FROM \"UP2\"")
+      rs.next()
+      assert(rs.getString(1) == "a0" && rs.getString(2) == "b1")
+    }
+  }
+
+  test("structure file: parse, create, and column sync") {
+    val url = freshDb()
+    val json =
+      """{ "t_struct": {
+        |    "columns": [
+        |      {"name": "column_integer", "datatype": "Integer"},
+        |      {"name": "column_varchar", "datatype": "String", "datasize": 42}
+        |    ],
+        |    "keycolumns": ["column_integer"] } }""".stripMargin
+    val defs = StructureFile.parse(json)
+    assert(defs.head.columns.map(_.name) == Seq("column_integer", "column_varchar"))
+    val (created, added) = StructureFile.sync(url, defs)
+    assert(created == Seq("t_struct") && added.isEmpty)
+    // second sync with an extra column → ALTER ADD
+    val json2 = json.replace(
+      """{"name": "column_varchar", "datatype": "String", "datasize": 42}""",
+      """{"name": "column_varchar", "datatype": "String", "datasize": 42},
+        |      {"name": "column_new", "datatype": "Double"}""".stripMargin)
+    val (c2, a2) = StructureFile.sync(url, StructureFile.parse(json2))
+    assert(c2.isEmpty && a2 == Seq(("t_struct", "column_new")))
+    val meta = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "T_STRUCT").load().schema
+    assert(meta.fieldNames.toSeq == Seq("COLUMN_INTEGER", "COLUMN_VARCHAR", "COLUMN_NEW"))
+  }
+
+  test("connection test: iterations with check statement") {
+    val url = freshDb()
+    JdbcSink.withConnection(url)(_ => ()) // create db
+    val ok = ConnectionTest.run(url, iterations = 3,
+      checkStatement = Some("VALUES 1"))
+    assert(ok.forall(_.ok) && ok.length == 3)
+    val bad = ConnectionTest.run("jdbc:derby:memory:doesnotexist", iterations = 1)
+    assert(!bad.head.ok && bad.head.error.nonEmpty)
+  }
+
+  test("file format info: path column loads as BLOB/CLOB with size guard") {
+    import graft.functions.FileLoad
+    val f1 = SyntheticFixtures.writeText(
+      new File(SyntheticFixtures.dir("fileload"), "a.txt"), "content-a")
+    val f2 = SyntheticFixtures.writeGz(
+      new File(SyntheticFixtures.dir("fileload"), "b.txt.gz"), "content-b")
+    val df = Seq((1, f1.getPath), (2, f2.getPath)).toDF("id", "path")
+    val blobs = FileLoad.loadFileColumn(df, "path", "data")
+      .orderBy("id").collect()
+    assert(new String(blobs(0).getAs[Array[Byte]]("data"), "UTF-8") == "content-a")
+    assert(new String(blobs(1).getAs[Array[Byte]]("data"), "UTF-8") == "content-b") // gz transparent
+    val clobs = FileLoad.loadFileColumn(df, "path", "data", asText = true)
+      .orderBy("id").collect()
+    assert(clobs(0).getAs[String]("data") == "content-a")
+    intercept[org.apache.spark.SparkException] {
+      FileLoad.loadFileColumn(df, "path", "data", maxBytes = 3).collect()
+    }
+  }
+
+  test("xlsx parser: shared strings, cell refs, blank cells, sheet select") {
+    // hand-written workbook exercising shared strings (the writer only
+    // emits inline strings, so this part is independent coverage)
+    assert(XlsxSource.colIndex("A1") == 0)
+    assert(XlsxSource.colIndex("BC12") == 54)
+    val rows = Seq(Seq("h1", "h2"), Seq("v1", null), Seq("v2", "w2"))
+    val f = SyntheticFixtures.writeXlsx(
+      new File(SyntheticFixtures.dir("xlsxspec"), "t.xlsx"), "sheetA", rows)
+    val df = XlsxSource.read(spark, f.getPath, sheetName = Some("sheetA"))
+    assert(df.columns.toSeq == Seq("h1", "h2"))
+    val got = df.orderBy("h1").collect()
+    assert(got(0).isNullAt(1) && got(1).getString(1) == "w2")
+    intercept[Exception] {
+      XlsxSource.read(spark, f.getPath, sheetName = Some("nope")).collect()
+    }
+  }
+
+  test("xlsx parser rejects legacy BIFF .xls with a clear error") {
+    val biff = Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte)
+    val e = intercept[Exception] {
+      XlsxSource.parseWorkbook(biff, None, header = true)
+    }
+    assert(e.getMessage.contains("POI"))
+  }
+
+  test("ods parser: typed cells, repeated columns, sheet select") {
+    val content =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<office:document-content
+        | xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+        | xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+        | xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+        |<office:body><office:spreadsheet>
+        |<table:table table:name="first"><table:table-row>
+        | <table:table-cell office:value-type="string"><text:p>skip</text:p></table:table-cell>
+        |</table:table-row></table:table>
+        |<table:table table:name="data">
+        |<table:table-row>
+        | <table:table-cell office:value-type="string"><text:p>a</text:p></table:table-cell>
+        | <table:table-cell office:value-type="string"><text:p>b</text:p></table:table-cell>
+        | <table:table-cell office:value-type="string"><text:p>c</text:p></table:table-cell>
+        |</table:table-row>
+        |<table:table-row>
+        | <table:table-cell office:value-type="float" office:value="1.5"><text:p>1,50</text:p></table:table-cell>
+        | <table:table-cell office:value-type="date" office:date-value="2003-02-01"><text:p>01.02.03</text:p></table:table-cell>
+        | <table:table-cell office:value-type="string" table:number-columns-repeated="1"><text:p>x</text:p></table:table-cell>
+        |</table:table-row>
+        |</table:table>
+        |</office:spreadsheet></office:body></office:document-content>""".stripMargin
+    val f = new File(SyntheticFixtures.dir("odsspec"), "t.ods")
+    val out = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+    out.putNextEntry(new java.util.zip.ZipEntry("content.xml"))
+    out.write(content.getBytes("UTF-8")); out.closeEntry(); out.close()
+    val df = OdsSource.read(spark, f.getPath, sheetName = Some("data"))
+    val r = df.collect()(0)
+    // typed cells surface the office value attributes, not display text
+    assert(r.getString(0) == "1.5" && r.getString(1) == "2003-02-01" && r.getString(2) == "x")
+  }
+}

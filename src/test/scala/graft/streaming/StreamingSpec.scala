@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.sources.SyntheticFixtures
+
+/** Structured-Streaming surface: watermarked windows and the
+  * foreachBatch merge pipeline (micro-batch = one import run).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", IntegerType), StructField("v", StringType)))
+
+  test("csv directory stream merges each micro-batch with upsert semantics") {
+    val dir = SyntheticFixtures.dir(s"stream_${System.nanoTime()}")
+    SyntheticFixtures.writeText(new File(dir, "batch1.csv"), "k;v\n1;a\n2;b")
+    @volatile var target = Seq.empty[(Int, String)].toDF("k", "v")
+    val stream = StreamingImport.csvStream(spark, dir.getPath, schema)
+    val q = StreamingImport.mergeEachBatch(stream, Seq("k"),
+        loadTarget = () => target,
+        saveTarget = m => { target = m.collect().toSeq
+          .map(r => (r.getInt(0), r.getString(1))).toDF("k", "v") })
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", new File(dir, "_cp1").getPath)
+      .start()
+    q.awaitTermination(60000)
+    assert(target.orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq(1 -> "a", 2 -> "b"))
+    // second micro-batch updates key 2 and inserts 3
+    SyntheticFixtures.writeText(new File(dir, "batch2.csv"), "k;v\n2;B2\n3;c")
+    val q2 = StreamingImport.mergeEachBatch(
+        StreamingImport.csvStream(spark, dir.getPath, schema), Seq("k"),
+        loadTarget = () => target,
+        saveTarget = m => { target = m.collect().toSeq
+          .map(r => (r.getInt(0), r.getString(1))).toDF("k", "v") })
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      // same checkpoint → batch1.csv already committed, only batch2 runs
+      .option("checkpointLocation", new File(dir, "_cp1").getPath)
+      .start()
+    q2.awaitTermination(60000)
+    assert(target.orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq(1 -> "a", 2 -> "B2", 3 -> "c"))
+  }
+
+  test("watermarked windowed aggregation over an event stream (memory sink)") {
+    val dir = SyntheticFixtures.dir(s"evstream_${System.nanoTime()}")
+    val ts1 = "2024-01-01 10:05:00"
+    val ts2 = "2024-01-01 10:55:00"
+    val ts3 = "2024-01-01 11:05:00"
+    SyntheticFixtures.writeText(new File(dir, "ev.csv"),
+      s"ts;event_type;value\n$ts1;click;1.0\n$ts2;click;2.0\n$ts3;view;5.0")
+    val evSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(evSchema)
+      .option("sep", ";").option("header", "true").csv(dir.getPath)
+    val agg = StreamingImport.windowedEventStats(stream, "ts", "1 hour",
+      "10 minutes", Seq("event_type"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(s"ev_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT window_start, event_type, n, sum_value FROM ev_out")
+      .orderBy("window_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
+  }
+}
