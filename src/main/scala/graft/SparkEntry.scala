@@ -327,7 +327,11 @@ object SparkEntry {
     * output and is reproducible in SQL.
     */
   private def dedupCorpus(s: SparkSession, d: String): DataFrame = {
+    // documents.parquet is a single small file → ONE input split; the
+    // md5/shingle pipelines are CPU-bound, so spread rows across all
+    // cores (on a real corpus the file splits provide this for free)
     val docs = documents(s, d).select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
     docs
       .unionAll(docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
@@ -355,13 +359,28 @@ object SparkEntry {
   // ---------------------------------------------------------------- q20
   /** Language ID via marker-word scoring with deterministic argmax. */
   def q20LangId(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.TextAnalysis._
-    documents(s, d).select(col("doc_id"),
-        langScore(col("text"), "de").cast("long").as("s_de"),
-        langScore(col("text"), "en").cast("long").as("s_en"),
-        langScore(col("text"), "es").cast("long").as("s_es"),
-        langScore(col("text"), "fr").cast("long").as("s_fr"),
-        langId(col("text")).as("lang_pred"))
+    import graft.functions.TextAnalysis
+    // tokenize ONCE, score from the materialized token array, and derive
+    // the argmax from the score columns (langId over raw text would
+    // re-tokenize per comparison — ~20 scans per row)
+    val toks = documents(s, d).select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("__toks"))
+    def score(lang: String) = {
+      val markers = TextAnalysis.LangMarkers.toMap.apply(lang)
+      size(filter(col("__toks"), t => t.isInCollection(markers))).cast("long")
+    }
+    val scored = toks.select(col("doc_id"), score("de").as("s_de"), score("en").as("s_en"),
+      score("es").as("s_es"), score("fr").as("s_fr"))
+    scored.withColumn("lang_pred",
+        when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
+          col("s_de") >= col("s_fr"), lit("de"))
+        .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+          col("s_en") >= col("s_fr"), lit("en"))
+        .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_en") &&
+          col("s_es") >= col("s_fr"), lit("es"))
+        .when(col("s_fr") >= col("s_de") && col("s_fr") >= col("s_en") &&
+          col("s_fr") >= col("s_es"), lit("fr"))
+        .otherwise(lit("und")))
       .orderBy(col("doc_id"))
   }
 
@@ -441,6 +460,7 @@ object SparkEntry {
     */
   def q28EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+      .repartition(s.sparkContext.defaultParallelism)
     val corpus = e.unionAll(e.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000).as("vec_id"), col("label"), col("embedding")))
     operators.Similarity.nearDupPairs(corpus, threshold = 0.99)

@@ -111,13 +111,32 @@ object TextDedup {
 
   /** LSH candidates verified by exact Jaccard ≥ threshold — the standard
     * near-dup pipeline (approximate recall, exact precision).
+    *
+    * Verification joins the candidate pairs back to the per-doc shingle
+    * SETS and intersects per pair (`array_intersect`) — cost is
+    * O(|candidates| × shingles), never the all-pairs shingle join of
+    * [[jaccardPairs]]. That difference is the whole point of LSH at
+    * 100 TB: the exact tier enumerates every co-shingled pair; this
+    * tier only touches what the band buckets surfaced.
     */
   def verifiedNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                            k: Int = 3, numHashes: Int = 12, bands: Int = 4,
                            threshold: Double = 0.5): DataFrame = {
-    val cand = minhashCandidates(withMinhash(docs, idCol, textCol, k, numHashes, bands), idCol)
-    val exact = jaccardPairs(docs, idCol, textCol, k, threshold, Long.MaxValue)
-    cand.join(exact, Seq("id1", "id2"))
+    // reused by the candidate join and both set lookups; at larger scale
+    // signatures would be a materialized artifact, here a cache
+    val withSig = withMinhash(docs, idCol, textCol, k, numHashes, bands).cache()
+    val cand = minhashCandidates(withSig, idCol)
+    val sets = withSig.select(col(idCol), col("shingles"))
+    cand
+      .join(sets.withColumnRenamed(idCol, "id1").withColumnRenamed("shingles", "__sh1"),
+        Seq("id1"))
+      .join(sets.withColumnRenamed(idCol, "id2").withColumnRenamed("shingles", "__sh2"),
+        Seq("id2"))
+      .withColumn("__common", size(array_intersect(col("__sh1"), col("__sh2"))))
+      .withColumn("jaccard", col("__common").cast("double") /
+        (size(col("__sh1")) + size(col("__sh2")) - col("__common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
   }
 
   /** 32-bit SimHash over whitespace tokens: token hash = first 8 hex
