@@ -1,0 +1,161 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.api.{Importer, MultiImporter}
+import graft.operators.Merge.{DuplicateMode, ImportMode}
+import graft.sources._
+
+/** Argv-compatible CLI surface (reference DbImport.java:264-743, SURVEY
+  * §3.1): `graft.cli.Main <jdbcUrl> <table> <importFile> [flags]` with
+  * the reference's main flags. A user of the reference's CLI keeps the
+  * same mental model; connection arguments collapse to one JDBC URL.
+  *
+  * Flags: -i <mode> -d <dupmode> -k <keys,..> -m <mapping> -create -t
+  * -n <nulltoken> -c -x (sql script) -data (inline) -sep <c> -quote <c>
+  * -noheaders -zippassword <pw> -dp <path> -idtz <tz> -dbtz <tz>
+  * -analyse
+  */
+object Main {
+
+  case class Args(url: String, table: String, importPathOrData: String,
+                  cfg: Importer.ImportConfig, inline: Boolean = false,
+                  sqlScript: Boolean = false, analyse: Boolean = false,
+                  sep: String = ";", quote: String = "\"", headers: Boolean = true,
+                  nullToken: Option[String] = None, zipPassword: Option[String] = None,
+                  dataPath: Option[String] = None)
+
+  def parseArgs(argv: Array[String]): Args = {
+    require(argv.length >= 3, "usage: graft.cli.Main <jdbcUrl> <table> <file> [flags]")
+    var a = Args(argv(0), argv(1), argv(2), Importer.ImportConfig())
+    var i = 3
+    def next(): String = { i += 1; argv(i - 1) }
+    while (i < argv.length) {
+      argv(i) match {
+        case "-i" => i += 1; a = a.copy(cfg = a.cfg.copy(mode = next() match {
+          case m if m.equalsIgnoreCase("insert") => ImportMode.Insert
+          case m if m.equalsIgnoreCase("update") => ImportMode.Update
+          case m if m.equalsIgnoreCase("upsert") => ImportMode.Upsert
+          case m if m.equalsIgnoreCase("clearinsert") => ImportMode.ClearInsert
+          case m => throw new IllegalArgumentException(s"Invalid import mode: $m")
+        }))
+        case "-d" => i += 1; a = a.copy(cfg = a.cfg.copy(duplicateMode = next().toUpperCase match {
+          case "NO_CHECK" => DuplicateMode.NoCheck
+          case "CKECK_SOURCE_ONLY_DROP" => DuplicateMode.CheckSourceOnlyDrop
+          case "CKECK_SOURCE_ONLY_JOIN" => DuplicateMode.CheckSourceOnlyJoin
+          case "UPDATE_FIRST_DROP" => DuplicateMode.UpdateFirstDrop
+          case "UPDATE_FIRST_JOIN" => DuplicateMode.UpdateFirstJoin
+          case "UPDATE_ALL_DROP" => DuplicateMode.UpdateAllDrop
+          case "UPDATE_ALL_JOIN" => DuplicateMode.UpdateAllJoin
+          case "MAKE_UNIQUE_DROP" => DuplicateMode.MakeUniqueDrop
+          case "MAKE_UNIQUE_JOIN" => DuplicateMode.MakeUniqueJoin
+          case m => throw new IllegalArgumentException(s"Invalid duplicate mode: $m")
+        }))
+        case "-k" => i += 1
+          a = a.copy(cfg = a.cfg.copy(keyColumns = next().split(",").map(_.trim).toSeq))
+        case "-m" => i += 1; a = a.copy(cfg = a.cfg.copy(mapping = Some(next())))
+        case "-create" => i += 1; a = a.copy(cfg = a.cfg.copy(createTableIfNeeded = true))
+        case "-t" => i += 1; a = a.copy(cfg = a.cfg.copy(trimValues = true))
+        case "-c" => i += 1; a = a.copy(cfg = a.cfg.copy(completeCommit = true))
+        case "-n" => i += 1; a = a.copy(nullToken = Some(next()))
+        case "-x" => i += 1; a = a.copy(sqlScript = true)
+        case "-data" => i += 1; a = a.copy(inline = true)
+        case "-analyse" => i += 1; a = a.copy(analyse = true)
+        case "-sep" => i += 1; a = a.copy(sep = next())
+        case "-quote" => i += 1; a = a.copy(quote = next())
+        case "-noheaders" => i += 1; a = a.copy(headers = false)
+        case "-zippassword" => i += 1; a = a.copy(zipPassword = Some(next()))
+        case "-dp" => i += 1; a = a.copy(dataPath = Some(next()))
+        case "-idtz" => i += 1; a = a.copy(cfg = a.cfg.copy(importTz = next()))
+        case "-dbtz" => i += 1; a = a.copy(cfg = a.cfg.copy(dbTz = next()))
+        case "-nonewindex" => i += 1; a = a.copy(cfg = a.cfg.copy(createIndexIfNeeded = false))
+        case "-batchBlockSize" => i += 1; a = a.copy(cfg = a.cfg.copy(batchSize = next().toInt))
+        case other => throw new IllegalArgumentException(s"Invalid parameter: $other")
+      }
+    }
+    a
+  }
+
+  /** Format sniffing by extension (reference
+    * DbImportDefinition.java:582-653).
+    */
+  def readSource(spark: SparkSession, a: Args, path: String): DataFrame = {
+    val lower = path.toLowerCase
+      .stripSuffix(".zip").stripSuffix(".tar.gz").stripSuffix(".tgz").stripSuffix(".gz")
+    val csvOpts = CsvSource.CsvOptions(separator = a.sep, quote = a.quote,
+      header = a.headers, nullToken = a.nullToken, trimValues = false)
+    def decompressed: org.apache.spark.sql.Dataset[String] = {
+      import spark.implicits._
+      Compression.readWholeText(spark, path, a.zipPassword).map(_._2)
+    }
+    val compressed = path.toLowerCase.matches(".*\\.(zip|gz|tgz)$")
+    if (lower.endsWith(".csv") || lower.endsWith(".txt")) {
+      if (compressed) {
+        import spark.implicits._
+        CsvSource.readLines(decompressed.flatMap(_.split("\n").toSeq), csvOpts)
+      } else CsvSource.read(spark, path, csvOpts)
+    }
+    else if (lower.endsWith(".json"))
+      a.dataPath.map(dp => JsonSource.readArrayAt(spark, path, dp))
+        .getOrElse(JsonSource.readArray(spark, path))
+    else if (lower.endsWith(".yaml") || lower.endsWith(".yml")) YamlSource.read(spark, path)
+    else if (lower.endsWith(".xml")) XmlSource.read(spark, path, a.dataPath, a.nullToken)
+    else if (lower.endsWith(".xlsx")) XlsxSource.read(spark, path, a.dataPath, a.headers)
+    else if (lower.endsWith(".ods")) OdsSource.read(spark, path, a.dataPath, a.headers)
+    else if (lower.endsWith(".vcf")) VcfSource.read(spark, path)
+    else throw new IllegalArgumentException(s"unsupported format: $path")
+  }
+
+  def run(spark: SparkSession, a: Args): Int = {
+    if (a.sqlScript) {
+      val script =
+        if (a.inline) a.importPathOrData
+        else new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(a.importPathOrData)), "UTF-8")
+      val r = graft.sink.SqlScript.execute(a.url, script, a.cfg.completeCommit)
+      println(s"Executed ${r.executed} statements, ${r.errors.length} errors")
+      return if (r.errors.isEmpty) 0 else 1
+    }
+    val multi = a.importPathOrData.exists(c => c == '*' || c == '?') && !a.inline
+    if (multi) {
+      val results = MultiImporter.importGlob(spark, a.importPathOrData, a.url, a.table,
+        a.cfg, (s, f) => readSource(s, a, f))
+      results.foreach {
+        case MultiImporter.FileResult(f, t, Right(r)) =>
+          println(s"$f -> $t: imported ${r.inserted}, updated ${r.updated}")
+        case MultiImporter.FileResult(f, t, Left(e)) => println(s"$f -> $t: ERROR $e")
+      }
+      if (results.forall(_.result.isRight)) 0 else 1
+    } else {
+      val src =
+        if (a.inline) {
+          import spark.implicits._
+          CsvSource.readLines(spark.createDataset(a.importPathOrData.split("\n").toSeq),
+            CsvSource.CsvOptions(separator = a.sep, header = a.headers,
+              nullToken = a.nullToken))
+        } else readSource(spark, a, a.importPathOrData)
+      if (a.analyse) {
+        MultiImporter.analyse(src).foreach { case (c, t) => println(s"$c: $t") }
+        0
+      } else {
+        val r = Importer.importToJdbc(src, a.url, a.table, a.cfg)
+        println(s"Found: ${r.found}  Valid: ${r.valid}  Invalid: ${r.invalid}  " +
+          s"Duplicates: ${r.duplicates}  Inserted: ${r.inserted}  Updated: ${r.updated}  " +
+          s"Final count: ${r.finalCount}")
+        0
+      }
+    }
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val code = try run(spark, a) finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+}

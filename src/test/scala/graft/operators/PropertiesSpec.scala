@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+
+import graft.SparkSpec
+
+/** Property tests (SURVEY §5: "Add ScalaCheck property tests for the
+  * type-inference lattice and dedup semantics"): Spark operators vs a
+  * plain-Scala reference model on randomized data.
+  */
+class PropertiesSpec extends SparkSpec {
+
+  private def check(p: Prop, minSuccessful: Int): Unit = {
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(minSuccessful).withWorkers(1), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  import spark.implicits._
+
+  private val rowGen: Gen[(Int, Option[String], Int)] = for {
+    k <- Gen.chooseNum(0, 5)
+    v <- Gen.option(Gen.alphaStr.map(_.take(6)))
+  } yield (k, v, 0)
+
+  private val dataGen: Gen[List[(Int, Option[String], Int)]] =
+    Gen.listOfN(30, rowGen).map(_.zipWithIndex.map { case ((k, v, _), i) => (k, v, i) })
+
+  test("dropDuplicatesKeepFirst keeps exactly the min-ordinal row per key") {
+    check(Prop.forAllNoShrink(dataGen) { data =>
+      val df = data.toDF("k", "v", "ord")
+      val got = Dedup.dropDuplicatesKeepFirst(df, Seq("k"), Seq(col("ord")))
+        .collect().map(r => (r.getInt(0), Option(r.getString(1)), r.getInt(2))).toSet
+      val expected = data.groupBy(_._1).values.map(_.minBy(_._3)).toSet
+      got == expected
+    }, 8)
+  }
+
+  test("joinDuplicates(updateWithNull=true) equals the last row per key") {
+    check(Prop.forAllNoShrink(dataGen) { data =>
+      val df = data.toDF("k", "v", "ord")
+      val got = Dedup.joinDuplicates(df.select(col("k"), col("v"), col("ord")),
+          Seq("k"), col("ord"), updateWithNull = true)
+        .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toMap
+      val expected = data.groupBy(_._1).map { case (k, rows) =>
+        k -> rows.maxBy(_._3)._2
+      }
+      got == expected
+    }, 8)
+  }
+
+  test("joinDuplicates(updateWithNull=false) equals the last NON-NULL per column") {
+    check(Prop.forAllNoShrink(dataGen) { data =>
+      val df = data.toDF("k", "v", "ord")
+      val got = Dedup.joinDuplicates(df.select(col("k"), col("v"), col("ord")),
+          Seq("k"), col("ord"), updateWithNull = false)
+        .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toMap
+      val expected = data.groupBy(_._1).map { case (k, rows) =>
+        k -> rows.sortBy(_._3).reverse.collectFirst {
+          case (_, Some(v), _) => v
+        }
+      }
+      got == expected
+    }, 8)
+  }
+
+  test("upsert invariants: keys = union, untouched target keys unchanged") {
+    val srcGen = Gen.listOfN(15, Gen.zip(Gen.chooseNum(0, 8), Gen.alphaStr.map(_.take(4))))
+    val tgtGen = Gen.listOfN(6, Gen.zip(Gen.chooseNum(5, 12), Gen.alphaStr.map(_.take(4))))
+      .map(_.distinctBy(_._1))
+    check(Prop.forAllNoShrink(Gen.zip(srcGen, tgtGen)) { case (src, tgt) =>
+      val srcDf = src.zipWithIndex.map { case ((k, v), i) => (k, v, i) }.toDF("k", "v", "ord")
+      val tgtDf = tgt.toDF("k", "v")
+      val out = Merge.importMerge(tgtDf, srcDf, Seq(Merge.Key("k")),
+          Merge.ImportMode.Upsert, Merge.DuplicateMode.UpdateAllJoin,
+          updateWithNull = true, sourceOrder = col("ord"), targetOrder = Seq(col("k")))
+        .select("k", "v").collect().map(r => (r.getInt(0), r.getString(1)))
+      val outKeys = out.map(_._1).toSet
+      val expectKeys = tgt.map(_._1).toSet ++ src.map(_._1).toSet
+      val untouched = tgt.filterNot(t => src.exists(_._1 == t._1))
+      val untouchedOk = untouched.forall(t => out.contains(t))
+      val updatedOk = src.groupBy(_._1).forall { case (k, rows) =>
+        out.toMap.get(k).contains(rows.last._2)
+      }
+      outKeys == expectKeys && untouchedOk && updatedOk && out.length == outKeys.size
+    }, 6)
+  }
+
+  test("inference lattice: numeric strings never misclassify") {
+    val colGen: Gen[List[String]] = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.chooseNum(-999999999, 999999999).map(_.toString),
+      Gen.chooseNum(-1e9, 1e9).map(d => f"$d%.3f"),
+      Gen.oneOf("true", "false"),
+      Gen.alphaStr.map(s => "w" + s.take(8))))
+    check(Prop.forAllNoShrink(Gen.listOfN(12, colGen.map(_.take(12)))) { cols =>
+      val n = cols.map(_.size).max
+      val padded = cols.map(c => c.padTo(n, c.head))
+      val rows = (0 until n).map(i => padded.map(_(i)))
+      val names = cols.indices.map(i => s"c$i")
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row.fromSeq), 2),
+        org.apache.spark.sql.types.StructType(names.map(nm =>
+          org.apache.spark.sql.types.StructField(nm,
+            org.apache.spark.sql.types.StringType))))
+      val decided = graft.schema.TypeLattice.stats(df, names)
+        .map(graft.schema.TypeLattice.decide).map(i => i.columnName -> i.dataType).toMap
+      cols.zipWithIndex.forall { case (vals, i) =>
+        val t = decided(s"c$i")
+        def isInt(s: String) = s.matches("[+-]?\\d{1,9}")
+        def isDouble(s: String) = s.matches("[+-]?(\\d+([.]\\d*)?|[.]\\d+)([eE][+-]?\\d+)?") && s.length <= 20
+        def isBool(s: String) = s == "true" || s == "false"
+        if (vals.forall(isInt)) t == "INTEGER"
+        else if (vals.forall(isDouble)) Set("DOUBLE", "BIGINT")(t)
+        else if (vals.forall(isBool)) t == "BOOLEAN"
+        else if (vals.exists(v => !isInt(v) && !isDouble(v) && !isBool(v)))
+          Set("VARCHAR", "BLOB", "DATE", "TIMESTAMP")(t) // mixed → never numeric
+        else true
+      }
+    }, 6)
+  }
+}
