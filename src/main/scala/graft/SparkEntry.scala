@@ -671,6 +671,28 @@ object SparkEntry {
     castNation(sources.OdsSource.read(s, f.getPath, sheetName = Some("data")))
   }
 
+  // ---------------------------------------------------------------- q40
+  /** KeePass (.kdbx) source round-trip: entries generated from customers,
+    * encrypted into a kdbx 3.1 container (AES-KDF + AES-CBC + hashed
+    * block stream + gzip), decrypted and flattened back
+    * (SURVEY §2.1 KeePass scan).
+    */
+  def q40SrcKdbx(s: SparkSession, d: String): DataFrame = {
+    val ks = customer(s, d).filter(col("c_custkey") % 101 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey")).collect()
+    val entries = ks.map { r =>
+      Map("Title" -> s"cust${r.getLong(0)}", "UserName" -> r.getString(1),
+        "Notes" -> r.getString(2))
+    }.toSeq
+    val f = new java.io.File(sources.SyntheticFixtures.dir("kdbx"), "customers.kdbx")
+    sources.KdbxWriter.write(f, "abc123", entries)
+    sources.KdbxSource.read(s, f.getPath, "abc123")
+      .select(col("Title").as("title"), col("UserName").as("username"),
+        col("Notes").as("notes"))
+      .orderBy(col("title"))
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -714,6 +736,7 @@ object SparkEntry {
     "q37_event_windows" -> (q37EventWindows _),
     "q38_src_xlsx" -> (q38SrcXlsx _),
     "q39_src_ods" -> (q39SrcOds _),
+    "q40_src_kdbx" -> (q40SrcKdbx _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -1066,6 +1089,28 @@ object SparkEntry {
          | FROM scored)
          |SELECT query_id, rank, vec_id AS neighbor_id, round(sim, 6) AS sim
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q27_ann_ivf" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id >= 10),
+         |ex AS (SELECT label, generate_subscripts(cv, 1) AS dim, unnest(cv) AS x FROM c),
+         |cm AS (SELECT label, dim,
+         |  CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+         | FROM ex GROUP BY label, dim),
+         |cent AS (SELECT label, list(m ORDER BY dim) AS centroid FROM cm GROUP BY label),
+         |probe AS (SELECT query_id, qv, label FROM (
+         |  SELECT q.query_id, q.qv, cent.label,
+         |   row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${sqlCosine("q.qv", "cent.centroid")} DESC, cent.label) AS crank
+         |  FROM q, cent) WHERE crank <= 3),
+         |scored AS (SELECT p.query_id, c.vec_id, ${sqlCosine("p.qv", "c.cv")} AS sim
+         | FROM probe p JOIN c ON c.label = p.label),
+         |r AS (SELECT query_id, vec_id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+         | FROM scored)
+         |SELECT query_id, rank, vec_id AS neighbor_id, round(sim, 6) AS sim
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q28_embedding_near_dup" ->
       s"""WITH c AS (
          | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1115,5 +1160,9 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q39_src_ods" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q40_src_kdbx" ->
+      """SELECT 'cust' || c_custkey AS title, c_name AS username,
+        | c_mktsegment AS notes
+        |FROM customer WHERE c_custkey % 101 = 0 ORDER BY title""".stripMargin,
   )
 }

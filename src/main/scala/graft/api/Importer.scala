@@ -33,7 +33,13 @@ object Importer {
                           createTableIfNeeded: Boolean = false,
                           trimValues: Boolean = false,
                           importTz: String = "UTC", dbTz: String = "UTC",
-                          createIndexIfNeeded: Boolean = true)
+                          createIndexIfNeeded: Boolean = true,
+                          /** Run the merge as SQL inside the destination
+                            * DB (reference strategy) instead of reading
+                            * the target into Spark — for very large
+                            * remote targets. See [[graft.sink.JdbcMerge]].
+                            */
+                          mergeInDb: Boolean = false)
 
   /** Per-run statistics (reference DbImportWorker.java:879-934). */
   case class ImportResult(found: Long, valid: Long, invalid: Long,
@@ -108,6 +114,13 @@ object Importer {
           if (cfg.completeCommit) JdbcSink.appendAtomic(mapped, url, table, cfg.batchSize)
           else JdbcSink.appendBatch(mapped, url, table, cfg.batchSize)
         (stats.inserted, 0L, deleted, 0L)
+      } else if (cfg.mergeInDb) {
+        // DB-side merge: Spark dedups the staged side, the destination DB
+        // runs the set-based merge against its indexed target in place.
+        val st = graft.sink.JdbcMerge.mergeViaSql(mapped, url, table,
+          cfg.keyColumns, cfg.mode, cfg.duplicateMode, cfg.updateWithNull,
+          cfg.batchSize)
+        (st.inserted, st.updated, 0L, st.duplicates)
       } else {
         // MERGE PATH: ordinal → dedup → mode matrix → atomic rewrite
         val staged = Ordinals.withArrivalOrdinal(mapped, "__graft_ord")

@@ -55,8 +55,10 @@ object Similarity {
                 vecCol: String = "embedding"): DataFrame = {
     val ex = corpus.select(col(bucketCol).as("bucket"),
       posexplode(col(vecCol)).as(Seq("dim", "x")))
+    // exact decimal sum, then ONE double division — bit-reproducible by
+    // any engine regardless of partial-aggregation order
     ex.groupBy(col("bucket"), col("dim"))
-      .agg((sum(col("x").cast("decimal(28,10)")) / count(lit(1))).cast("double").as("m"))
+      .agg((sum(col("x").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("m"))
       .groupBy(col("bucket"))
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
       .select(col("bucket"), transform(col("pairs"), p => p.getField("m")).as("centroid"))

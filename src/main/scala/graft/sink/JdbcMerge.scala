@@ -1,0 +1,107 @@
+package graft.sink
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Dedup, Merge, Ordinals}
+import graft.operators.Merge.{DuplicateMode, ImportMode}
+
+/** DB-side merge: the reference's own execution strategy
+  * (DbImportWorker.java:438-581 — stage into `tmp_<ts>`, then one SQL
+  * statement per phase inside the destination DB), for targets too large
+  * to read into the cluster. Division of labor at scale:
+  *
+  *  - Spark dedups/transforms the STAGED side (cheap, cluster-side,
+  *    where the new data lives);
+  *  - the DB runs the set-based anti-join INSERT and update-join UPDATE
+  *    against its own (indexed) target — no target extraction, no
+  *    rewrite.
+  *
+  * Generated SQL is ANSI (correlated subqueries), valid on Derby/
+  * HSQL/Postgres/MySQL-family alike.
+  */
+object JdbcMerge {
+
+  case class MergeStats(staged: Long, duplicates: Long, inserted: Long, updated: Long)
+
+  private def q(n: String) = s""""${n.toUpperCase}""""
+
+  /** Stage + merge. `source` is the mapped, transformed import data (raw
+    * duplicates allowed — deduped Spark-side per `dupMode`).
+    */
+  def mergeViaSql(source: DataFrame, url: String, table: String, keys: Seq[String],
+                  mode: ImportMode, dupMode: DuplicateMode = DuplicateMode.UpdateAllJoin,
+                  updateWithNull: Boolean = true, batchSize: Int = 1000): MergeStats = {
+    require(keys.nonEmpty, "DB-side merge needs key columns")
+
+    // Spark-side dedup of the staged data (SURVEY §2.5 semantics)
+    val withOrd = Ordinals.withArrivalOrdinal(source, "__graft_ord")
+    val rawCount = withOrd.count()
+    val staged0 =
+      if (dupMode == DuplicateMode.NoCheck) withOrd
+      else if (dupMode.drop) Dedup.dropDuplicatesKeepFirst(withOrd, keys, Seq(col("__graft_ord")))
+      else Dedup.joinDuplicates(withOrd, keys, col("__graft_ord"), updateWithNull)
+    val staged = staged0.drop("__graft_ord")
+    val stagedCount = staged.count()
+
+    val cols = staged.columns.toSeq
+    val valCols = cols.filterNot(keys.contains)
+    val keyEq = (t: String, s: String) =>
+      keys.map(k => s"$t.${q(k)} = $s.${q(k)}").mkString(" AND ")
+
+    val tmp = JdbcSink.withConnection(url) { c =>
+      val t = JdbcSink.tempTableName(c)
+      JdbcSink.createTable(c, t, staged.schema)
+      t
+    }
+    try {
+      JdbcSink.appendBatch(staged, url, tmp, batchSize, singleRowFallback = false)
+      val colList = cols.map(q).mkString(", ")
+      val T = q(table)
+      val S = q(tmp)
+
+      val insertSql =
+        s"""INSERT INTO $T ($colList) SELECT $colList FROM $S src
+           | WHERE NOT EXISTS (SELECT 1 FROM $T dst WHERE ${keyEq("dst", "src")})""".stripMargin
+      def updateSql: String = {
+        val sets = valCols.map { vc =>
+          val sub = s"(SELECT src.${q(vc)} FROM $S src WHERE ${keyEq("src", "dst")})"
+          val v = if (updateWithNull) sub else s"COALESCE($sub, dst.${q(vc)})"
+          s"${q(vc)} = $v"
+        }.mkString(", ")
+        s"""UPDATE $T dst SET $sets
+           | WHERE EXISTS (SELECT 1 FROM $S src WHERE ${keyEq("src", "dst")})""".stripMargin
+      }
+
+      JdbcSink.withConnection(url) { c =>
+        c.setAutoCommit(false)
+        val st = c.createStatement()
+        try {
+          var inserted = 0L
+          var updated = 0L
+          mode match {
+            case ImportMode.ClearInsert =>
+              JdbcSink.clearTable(c, table)
+              inserted = st.executeUpdate(insertSql).toLong
+            case ImportMode.Insert =>
+              inserted = st.executeUpdate(insertSql).toLong
+            case ImportMode.Update =>
+              if (!dupMode.sourceOnly && valCols.nonEmpty)
+                updated = st.executeUpdate(updateSql).toLong
+            case ImportMode.Upsert =>
+              if (valCols.nonEmpty) updated = st.executeUpdate(updateSql).toLong
+              inserted = st.executeUpdate(insertSql).toLong
+          }
+          c.commit()
+          MergeStats(stagedCount, rawCount - stagedCount, inserted, updated)
+        } catch {
+          case e: java.sql.SQLException => c.rollback(); throw e
+        } finally st.close()
+      }
+    } finally JdbcSink.withConnection(url) { c =>
+      val st = c.createStatement()
+      try st.executeUpdate(s"""DROP TABLE "${tmp.toUpperCase}"""")
+      catch { case _: java.sql.SQLException => } finally st.close()
+    }
+  }
+}

@@ -177,6 +177,36 @@ class JdbcSinkSpec extends SparkSpec {
     }
   }
 
+  test("DB-side merge SQL produces the same result as the Spark-side merge") {
+    def setup(): String = {
+      val url = freshDb()
+      JdbcSink.withConnection(url) { c =>
+        val st = c.createStatement()
+        st.executeUpdate("CREATE TABLE \"M\" (\"K\" INTEGER PRIMARY KEY, \"A\" VARCHAR(10), \"B\" VARCHAR(10))")
+        st.executeUpdate("INSERT INTO \"M\" VALUES (1,'a1','b1'), (3,'a3','b3'), (9,'a9','b9')")
+        st.close()
+      }
+      url
+    }
+    val src = Seq(("1", "A1", null), ("1", null, "B1x"), ("2", "A2", "B2"), ("5", null, "B5"))
+      .toDF("k", "a", "b")
+    def readOut(url: String) =
+      spark.read.format("jdbc").option("url", url).option("dbtable", "M").load()
+        .orderBy("K").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    val cfg = Importer.ImportConfig(mode = ImportMode.Upsert, keyColumns = Seq("k"),
+      updateWithNull = false)
+    val urlSpark = setup()
+    Importer.importToJdbc(src, urlSpark, "m", cfg)
+    val urlDb = setup()
+    val resDb = Importer.importToJdbc(src, urlDb, "m", cfg.copy(mergeInDb = true))
+    assert(readOut(urlSpark) == readOut(urlDb))
+    // last-non-null join-dup: key 1 -> (A1, B1x); inserts 2 and 5
+    assert(readOut(urlDb) == Seq((1, "A1", "B1x"), (2, "A2", "B2"), (3, "a3", "b3"),
+      (5, null, "B5"), (9, "a9", "b9")))
+    assert(resDb.inserted == 2 && resDb.updated == 1 && resDb.duplicates == 1)
+  }
+
   test("validation side channel: invalid rows diverted with reason") {
     val df = Seq(("1", "a@x.com"), ("x", "b@y.com"), ("3", "not-mail"))
       .toDF("id", "email")

@@ -127,6 +127,37 @@ class SourcesSpec extends SparkSpec {
       Some("abc123")), "UTF-8") == content)
   }
 
+  test("kdbx: encrypt/decrypt round-trip, wrong password rejected, nested groups") {
+    val f = new File(SyntheticFixtures.dir("kdbxspec"), "t.kdbx")
+    KdbxWriter.write(f, "s3cret", Seq(
+      Map("Title" -> "one", "UserName" -> "u1", "Password" -> "p1"),
+      Map("Title" -> "two", "Notes" -> "hello <xml> & stuff")))
+    val df = KdbxSource.read(spark, f.getPath, "s3cret")
+    val rows = df.orderBy("Title").collect()
+    assert(df.columns.sorted.toSeq == Seq("Notes", "Password", "Title", "UserName"))
+    assert(rows(0).getAs[String]("UserName") == "u1")
+    assert(rows(1).getAs[String]("Notes") == "hello <xml> & stuff")
+    assert(rows(1).getAs[String]("Password") == null)
+    val e = intercept[Exception] {
+      KdbxSource.read(spark, f.getPath, "wrong").collect()
+    }
+    assert(e.getMessage.contains("password") || e.getCause != null)
+  }
+
+  test("kdbx: entries in nested groups and History excluded") {
+    val xml =
+      """<KeePassFile><Root><Group><Name>Root</Name>
+        |<Entry><String><Key>Title</Key><Value>a</Value></String>
+        | <History><Entry><String><Key>Title</Key><Value>OLD</Value></String></Entry></History>
+        |</Entry>
+        |<Group><Name>Sub</Name>
+        | <Entry><String><Key>Title</Key><Value>b</Value></String></Entry>
+        |</Group>
+        |</Group></Root></KeePassFile>""".stripMargin
+    val got = KdbxSource.parseEntries(xml).map(_("Title"))
+    assert(got == Seq("a", "b"))
+  }
+
   test("table name derivation pinned by the reference unit test") {
     assert(TableNames.deriveTableName("some_additional text(test_tbl).csv") == "test_tbl")
     assert(TableNames.deriveTableName("/x/y/test2_tbl.csv") == "test2_tbl")
