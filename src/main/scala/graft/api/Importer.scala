@@ -39,7 +39,25 @@ object Importer {
                             * the target into Spark — for very large
                             * remote targets. See [[graft.sink.JdbcMerge]].
                             */
-                          mergeInDb: Boolean = false)
+                          mergeInDb: Boolean = false,
+                          /** Divert rows whose mapped values failed to
+                            * parse (non-null source → null target) to the
+                            * error channel instead of importing nulls;
+                            * optionally re-export them as CSV
+                            * (reference erroneous-data file, §2.3).
+                            */
+                          errorChannel: Boolean = false,
+                          errorExportPath: Option[String] = None,
+                          /** Additional insert/update values: extra
+                            * target columns set from SQL expressions
+                            * (reference `-insvalues`/`-updvalues`,
+                            * DbImportWorker.java:939-948). Spark-evaluable
+                            * expressions apply cluster-side; DB-only
+                            * expressions (sequences) belong in
+                            * [[graft.sink.JdbcMerge]]'s generated SQL.
+                            */
+                          additionalInsertValues: Map[String, String] = Map.empty,
+                          additionalUpdateValues: Map[String, String] = Map.empty)
 
   /** Per-run statistics (reference DbImportWorker.java:879-934). */
   case class ImportResult(found: Long, valid: Long, invalid: Long,
@@ -92,9 +110,40 @@ object Importer {
     val targetLc = target.toDF(target.columns.map(_.toLowerCase).toIndexedSeq: _*)
     val targetSchema = targetLc.schema
 
-    val mapped = transformSource(source, targetSchema, cfg)
     val found = source.count()
-    val valid = mapped.count()
+    val (mapped, invalid) =
+      if (cfg.errorChannel) {
+        val trimmed = if (cfg.trimValues)
+          source.select(source.columns.map(c => trim(col(s"`$c`")).as(c)).toIndexedSeq: _*)
+        else source
+        val mappings = cfg.mapping.map(Mapping.parseMappingString).getOrElse(
+          Mapping.autoMap(targetSchema.fieldNames.toIndexedSeq, trimmed.columns.toIndexedSeq))
+        val pairs = mappings.flatMap(m => m.dataColumn.flatMap(dc =>
+          targetSchema.fields.find(_.name.equalsIgnoreCase(m.dbColumn)).map(f => (m, f, dc))))
+        val compiled = pairs.map { case (m, f, _) =>
+          // prefix mapped outputs: raw data columns may share the name
+          Mapping.compile(m, f, cfg.importTz, cfg.dbTz).as(s"__graft_m_${f.name}")
+        }
+        val combined = trimmed.select((trimmed.columns.map(c => col(s"`$c`")) ++ compiled)
+          .toIndexedSeq: _*)
+        // a non-empty source value that mapped to null failed its parse
+        // (reference: per-value failure marks the row invalid, §2.3)
+        val rules = pairs.map { case (_, f, dc) =>
+          s"invalid value for ${f.name}" ->
+            (col(s"`$dc`").isNotNull && trim(col(s"`$dc`")) =!= "" &&
+              col(s"__graft_m_${f.name}").isNull)
+        }
+        val v = Validation.validate(combined, rules)
+        cfg.errorExportPath.foreach { p =>
+          Validation.exportErrorsCsv(
+            v.errors.select((trimmed.columns.map(c => col(s"`$c`")) :+
+              col("error_reason")).toIndexedSeq: _*), p)
+        }
+        (v.valid.select(pairs.map { case (_, f, _) =>
+          col(s"__graft_m_${f.name}").as(f.name) }.toIndexedSeq: _*),
+          v.errors.count())
+      } else (transformSource(source, targetSchema, cfg), 0L)
+    val valid = found - invalid
 
     val createdIndex =
       if (cfg.keyColumns.nonEmpty && cfg.createIndexIfNeeded)
@@ -110,16 +159,21 @@ object Importer {
         val deleted = if (cfg.mode == ImportMode.ClearInsert)
           JdbcSink.withConnection(url)(c => JdbcSink.clearTable(c, table))
         else 0L
+        // Spark-evaluable additional insert values (DB-only expressions
+        // like sequences need the mergeInDb path)
+        val withExtra = cfg.additionalInsertValues.foldLeft(mapped) {
+          case (df, (c, sql)) => df.withColumn(c, expr(sql))
+        }
         val stats =
-          if (cfg.completeCommit) JdbcSink.appendAtomic(mapped, url, table, cfg.batchSize)
-          else JdbcSink.appendBatch(mapped, url, table, cfg.batchSize)
+          if (cfg.completeCommit) JdbcSink.appendAtomic(withExtra, url, table, cfg.batchSize)
+          else JdbcSink.appendBatch(withExtra, url, table, cfg.batchSize)
         (stats.inserted, 0L, deleted, 0L)
       } else if (cfg.mergeInDb) {
         // DB-side merge: Spark dedups the staged side, the destination DB
         // runs the set-based merge against its indexed target in place.
         val st = graft.sink.JdbcMerge.mergeViaSql(mapped, url, table,
           cfg.keyColumns, cfg.mode, cfg.duplicateMode, cfg.updateWithNull,
-          cfg.batchSize)
+          cfg.batchSize, cfg.additionalInsertValues, cfg.additionalUpdateValues)
         (st.inserted, st.updated, 0L, st.duplicates)
       } else {
         // MERGE PATH: ordinal → dedup → mode matrix → atomic rewrite
@@ -154,7 +208,7 @@ object Importer {
       }
 
     val finalCount = JdbcSink.withConnection(url)(c => JdbcSink.countRows(c, table))
-    ImportResult(found, valid, found - valid, duplicates, inserted, updated,
+    ImportResult(found, valid, invalid, duplicates, inserted, updated,
       deleted, finalCount, createdIndex)
   }
 }

@@ -15,13 +15,13 @@ object Transforms {
     * (reference DbImportWorker.java:1145-1176).
     */
   def parseDecimalDot(c: Column, to: String = "double"): Column =
-    regexp_replace(c, ",", "").cast(to)
+    regexp_replace(c, ",", "").try_cast(to)
 
   /** `,` decimal format: strip `.` grouping, `,` → `.`, then cast
     * (reference DbImportWorker.java:1177-1208).
     */
   def parseDecimalComma(c: Column, to: String = "double"): Column =
-    translate(regexp_replace(c, "\\.", ""), ",", ".").cast(to)
+    translate(regexp_replace(c, "\\.", ""), ",", ".").try_cast(to)
 
   /** `lc` / `uc` format info (reference DbImportWorker.java:1316-1331). */
   def lowerCase(c: Column): Column = lower(c)
@@ -77,8 +77,8 @@ object Transforms {
     val l = lower(trim(c))
     when(l === "true", lit(1))
       .when(l === "false", lit(0))
-      .when(l.contains("."), l.cast("double").cast("int"))
-      .otherwise(l.cast("int"))
+      .when(l.contains("."), l.try_cast("double").try_cast("int"))
+      .otherwise(l.try_cast("int"))
   }
 
   /** Configured null-value token → null (reference

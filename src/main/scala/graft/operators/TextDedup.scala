@@ -141,10 +141,17 @@ object TextDedup {
 
   /** 32-bit SimHash over whitespace tokens: token hash = first 8 hex
     * digits of md5; each bit contributes ±1; sketch bit j set iff the sum
-    * is positive. Pure expressions, portable to SQL engines with the same
-    * md5/hex-int semantics.
+    * is positive. Evaluated by the native single-pass Catalyst
+    * expression [[graft.plans.SimHash32Expr]]; the declarative
+    * formulation below is kept as the cross-check reference.
     */
-  def simhash32(textCol: Column): Column = {
+  def simhash32(textCol: Column): Column =
+    graft.plans.SimHash32Expr.simhash32(TextAnalysis.tokens(textCol))
+
+  /** Pure-`functions._` formulation (32 aggregates over the hash array)
+    * — portable to SQL engines, used to pin the native expression.
+    */
+  def simhash32Declarative(textCol: Column): Column = {
     val hashes = transform(TextAnalysis.tokens(textCol),
       t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
     val bitSums = (0 until 32).map { j =>

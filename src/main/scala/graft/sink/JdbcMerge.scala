@@ -29,9 +29,18 @@ object JdbcMerge {
   /** Stage + merge. `source` is the mapped, transformed import data (raw
     * duplicates allowed — deduped Spark-side per `dupMode`).
     */
+  /** @param additionalInsertValues extra target columns ← raw SQL
+    *        evaluated by the DESTINATION DB inside the generated INSERT
+    *        (the reference's `id=seq.NEXTVAL` case,
+    *        DbImportWorker.java:939-948) — this path exists precisely
+    *        because such expressions cannot run in Spark.
+    * @param additionalUpdateValues same for the UPDATE statement.
+    */
   def mergeViaSql(source: DataFrame, url: String, table: String, keys: Seq[String],
                   mode: ImportMode, dupMode: DuplicateMode = DuplicateMode.UpdateAllJoin,
-                  updateWithNull: Boolean = true, batchSize: Int = 1000): MergeStats = {
+                  updateWithNull: Boolean = true, batchSize: Int = 1000,
+                  additionalInsertValues: Map[String, String] = Map.empty,
+                  additionalUpdateValues: Map[String, String] = Map.empty): MergeStats = {
     require(keys.nonEmpty, "DB-side merge needs key columns")
 
     // Spark-side dedup of the staged data (SURVEY §2.5 semantics)
@@ -56,20 +65,22 @@ object JdbcMerge {
     }
     try {
       JdbcSink.appendBatch(staged, url, tmp, batchSize, singleRowFallback = false)
-      val colList = cols.map(q).mkString(", ")
       val T = q(table)
       val S = q(tmp)
 
+      val (extraInsCols, extraInsExprs) =
+        (additionalInsertValues.keys.map(q).toSeq, additionalInsertValues.values.toSeq)
       val insertSql =
-        s"""INSERT INTO $T ($colList) SELECT $colList FROM $S src
+        s"""INSERT INTO $T (${(cols.map(q) ++ extraInsCols).mkString(", ")})
+           | SELECT ${(cols.map(c => s"src.${q(c)}") ++ extraInsExprs).mkString(", ")} FROM $S src
            | WHERE NOT EXISTS (SELECT 1 FROM $T dst WHERE ${keyEq("dst", "src")})""".stripMargin
       def updateSql: String = {
         val sets = valCols.map { vc =>
           val sub = s"(SELECT src.${q(vc)} FROM $S src WHERE ${keyEq("src", "dst")})"
           val v = if (updateWithNull) sub else s"COALESCE($sub, dst.${q(vc)})"
           s"${q(vc)} = $v"
-        }.mkString(", ")
-        s"""UPDATE $T dst SET $sets
+        } ++ additionalUpdateValues.map { case (c, e) => s"${q(c)} = $e" }
+        s"""UPDATE $T dst SET ${sets.mkString(", ")}
            | WHERE EXISTS (SELECT 1 FROM $S src WHERE ${keyEq("src", "dst")})""".stripMargin
       }
 

@@ -88,6 +88,21 @@ class FunctionsSpec extends SparkSpec {
     assert(hs(0) != hs(2))
   }
 
+  test("native SimHash32 expression is bit-identical to the declarative form") {
+    val docs = graft.Tables.documents(spark, sf()).limit(100)
+    val both = docs.select(
+      graft.operators.TextDedup.simhash32(col("text")).as("native"),
+      graft.operators.TextDedup.simhash32Declarative(col("text")).as("decl"))
+    assert(both.filter(col("native") =!= col("decl")).count() == 0)
+    // SQL registration path
+    graft.plans.SimHash32Expr.register(spark)
+    docs.createOrReplaceTempView("__docs_simhash")
+    val viaSql = spark.sql(
+      """SELECT simhash32(filter(split(lower(trim(text)), '\\s+'), t -> length(t) > 0))
+        | AS h FROM __docs_simhash""".stripMargin)
+    assert(viaSql.count() == 100)
+  }
+
   test("cosine similarity: identical vectors → 1.0, orthogonal → 0.0") {
     val df = Seq((Array(1f, 0f, 2f), Array(1f, 0f, 2f), Array(0f, 3f, 0f)))
       .toDF("a", "b", "c")

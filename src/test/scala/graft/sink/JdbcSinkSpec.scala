@@ -207,6 +207,48 @@ class JdbcSinkSpec extends SparkSpec {
     assert(resDb.inserted == 2 && resDb.updated == 1 && resDb.duplicates == 1)
   }
 
+  test("error channel in the orchestrator: unparseable rows diverted + exported") {
+    val url = freshDb()
+    JdbcSink.withConnection(url)(c =>
+      JdbcSink.createTable(c, "ec", StructType(Seq(
+        StructField("column_integer", IntegerType),
+        StructField("column_date", DateType)))))
+    val src = Seq(("1", "01.02.2003"), ("not-a-number", "02.02.2003"), ("3", "junk-date"))
+      .toDF("column_integer", "column_date")
+    val exportDir = new File(SyntheticFixtures.dir("ecerr"), "errors").getPath
+    val res = Importer.importToJdbc(src, url, "ec",
+      Importer.ImportConfig(errorChannel = true, errorExportPath = Some(exportDir)))
+    assert(res.found == 3 && res.valid == 1 && res.invalid == 2 && res.finalCount == 1)
+    val errs = spark.read.option("header", "true").option("sep", ";").csv(exportDir)
+    assert(errs.count() == 2)
+    val reasons = errs.select("error_reason").collect().map(_.getString(0)).sorted
+    assert(reasons.toSeq ==
+      Seq("invalid value for column_date", "invalid value for column_integer"))
+  }
+
+  test("additional insert/update values: DB-evaluated SQL in the merge statements") {
+    val url = freshDb()
+    JdbcSink.withConnection(url) { c =>
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE \"AV\" (\"K\" INTEGER PRIMARY KEY, \"V\" VARCHAR(10), " +
+        "\"CREATED\" VARCHAR(10), \"TOUCHED\" INTEGER)")
+      st.executeUpdate("INSERT INTO \"AV\" (\"K\", \"V\") VALUES (1, 'old')")
+      st.close()
+    }
+    val src = Seq(("1", "upd"), ("2", "new")).toDF("k", "v")
+    Importer.importToJdbc(src, url, "av",
+      Importer.ImportConfig(mode = ImportMode.Upsert, keyColumns = Seq("k"),
+        mergeInDb = true,
+        additionalInsertValues = Map("created" -> "'ins'"),
+        additionalUpdateValues = Map("touched" -> "41 + 1")))
+    val got = spark.read.format("jdbc").option("url", url).option("dbtable", "AV").load()
+      .orderBy("K").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3)))
+    // key 1 updated (touched=42, created untouched-null), key 2 inserted (created='ins')
+    assert(got.toSeq == Seq((1, "upd", null, 42), (2, "new", "ins", -1)))
+  }
+
   test("validation side channel: invalid rows diverted with reason") {
     val df = Seq(("1", "a@x.com"), ("x", "b@y.com"), ("3", "not-mail"))
       .toDF("id", "email")
