@@ -693,6 +693,22 @@ object SparkEntry {
       .orderBy(col("title"))
   }
 
+  // ---------------------------------------------------------------- q41
+  /** Skew-mitigated join: lineitem ⨝ orders with the orders side
+    * replicated over salt buckets — result-identical to the plain join,
+    * but a hot order key spreads across `saltFactor` reducers. Oracle =
+    * the plain join (salting must be invisible in the result).
+    */
+  def q41SaltedJoin(s: SparkSession, d: String): DataFrame =
+    operators.Skew.saltedJoin(
+        lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        orders(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+        keys = Seq("l_orderkey"), saltFactor = 8, saltSource = col("l_linenumber"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("o_orderstatus"))
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -737,6 +753,7 @@ object SparkEntry {
     "q38_src_xlsx" -> (q38SrcXlsx _),
     "q39_src_ods" -> (q39SrcOds _),
     "q40_src_kdbx" -> (q40SrcKdbx _),
+    "q41_salted_join" -> (q41SaltedJoin _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -1164,5 +1181,10 @@ object SparkEntry {
       """SELECT 'cust' || c_custkey AS title, c_name AS username,
         | c_mktsegment AS notes
         |FROM customer WHERE c_custkey % 101 = 0 ORDER BY title""".stripMargin,
+    "q41_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }
