@@ -596,13 +596,16 @@ object SparkEntry {
     SyntheticFixtures.writeTarGz(new java.io.File(base, "nation_tgz.csv.tar.gz"), "nation.csv", csv)
     SyntheticFixtures.writeZipCrypto(
       new java.io.File(base, "nation_pwzip.csv.zip"), "nation.csv", csv, "abc123")
+    SyntheticFixtures.writeZipAes256(
+      new java.io.File(base, "nation_aeszip.csv.zip"), "nation.csv", csv, "abc123")
     def readVariant(file: String, variant: String, pw: Option[String]): DataFrame = {
       val content = Compression.readWholeText(s, new java.io.File(base, file).getPath, pw)
         .map(_._2)
       val lines = content.flatMap(_.split("\n").toSeq)
       CsvSource.readLines(lines).withColumn("variant", lit(variant))
     }
-    readVariant("nation_gz.csv.gz", "gz", None)
+    readVariant("nation_aeszip.csv.zip", "aeszip", Some("abc123"))
+      .unionAll(readVariant("nation_gz.csv.gz", "gz", None))
       .unionAll(readVariant("nation_pwzip.csv.zip", "pwzip", Some("abc123")))
       .unionAll(readVariant("nation_tgz.csv.tar.gz", "tgz", None))
       .unionAll(readVariant("nation_zip.csv.zip", "zip", None))
@@ -1164,7 +1167,7 @@ object SparkEntry {
     "q35_src_compressed" ->
       """SELECT v.variant, n.n_nationkey, n.n_name, n.n_regionkey
         |FROM nation n CROSS JOIN
-        | (VALUES ('gz'), ('pwzip'), ('tgz'), ('zip')) v(variant)
+        | (VALUES ('aeszip'), ('gz'), ('pwzip'), ('tgz'), ('zip')) v(variant)
         |ORDER BY v.variant, n.n_nationkey""".stripMargin,
     "q36_table_names" ->
       "SELECT n_nationkey, lower(n_name) AS table_name FROM nation ORDER BY n_nationkey",

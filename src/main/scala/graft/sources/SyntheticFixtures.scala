@@ -136,6 +136,41 @@ object SyntheticFixtures {
     f
   }
 
+  /** Single stored entry zip encrypted with WinZip AES-256 (AE-1):
+    * PBKDF2(1000) keys, AES-CTR (LE counter from 1), HMAC-SHA1 auth code
+    * — readable by [[Compression.decompress]] and standard zip tools.
+    * Salt derives deterministically from the content (fixtures only).
+    */
+  def writeZipAes256(f: File, entryName: String, content: String, password: String): File = {
+    val data = content.getBytes(UTF_8)
+    val salt = java.security.MessageDigest.getInstance("MD5")
+      .digest(("salt:" + content).getBytes(UTF_8)) // 16 bytes
+    val (aesKey, macKey, pv) = Compression.aesZipKeys(password, salt, 32)
+    val cipher = Compression.aesCtr(aesKey, data)
+    val mac = javax.crypto.Mac.getInstance("HmacSHA1")
+    mac.init(new javax.crypto.spec.SecretKeySpec(macKey, "HmacSHA1"))
+    val auth = mac.doFinal(cipher).take(10)
+    val payload = salt ++ pv ++ cipher ++ auth
+    val crc = { val c = new java.util.zip.CRC32(); c.update(data); c.getValue }
+    val nameB = entryName.getBytes("US-ASCII")
+    // extra field 0x9901: vendor version AE-1, "AE", strength 3, method 0
+    val extra = Array[Byte](0x01.toByte, 0x99.toByte, 7, 0, 1, 0, 'A', 'E', 3, 0, 0)
+    val bos = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >>> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >>> 8) & 0xff).toInt)
+      bos.write(((v >>> 16) & 0xff).toInt); bos.write(((v >>> 24) & 0xff).toInt)
+    }
+    w32(0x04034b50L); w16(51); w16(1); w16(99)
+    w16(0); w16(0)
+    w32(crc); w32(payload.length.toLong); w32(data.length.toLong)
+    w16(nameB.length); w16(extra.length)
+    bos.write(nameB); bos.write(extra); bos.write(payload)
+    val out = new FileOutputStream(f)
+    try out.write(bos.toByteArray) finally out.close()
+    f
+  }
+
   /** Single stored entry zip encrypted with traditional ZipCrypto
     * (PKWARE APPNOTE §6.1) — readable by [[Compression.decompress]] with
     * a password and by standard zip tools.

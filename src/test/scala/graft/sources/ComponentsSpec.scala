@@ -78,6 +78,38 @@ class ComponentsSpec extends SparkSpec {
     assert(meta.fieldNames.toSeq == Seq("COLUMN_INTEGER", "COLUMN_VARCHAR", "COLUMN_NEW"))
   }
 
+  test("bucketed staging: equi-join of co-bucketed tables runs without a shuffle") {
+    import graft.sink.BucketedStore
+    spark.sql("DROP TABLE IF EXISTS b_target")
+    spark.sql("DROP TABLE IF EXISTS b_staged")
+    // a fresh in-memory metastore can orphan old warehouse dirs
+    Seq("b_target", "b_staged").foreach { t =>
+      val d = new File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (d.exists()) {
+        def rm(f: File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(d)
+      }
+    }
+    val target = spark.range(0, 10000).toDF("k")
+      .withColumn("v", org.apache.spark.sql.functions.col("k") * 2)
+    val staged = spark.range(0, 1000).toDF("k")
+      .withColumn("w", org.apache.spark.sql.functions.col("k") + 1)
+    BucketedStore.writeBucketed(target, "b_target", Seq("k"), 8)
+    BucketedStore.writeBucketed(staged, "b_staged", Seq("k"), 8)
+    val joined = BucketedStore.read(spark, "b_target")
+      .join(BucketedStore.read(spark, "b_staged"), "k")
+    // co-located: no hash-exchange in the physical plan
+    assert(!BucketedStore.hasShuffle(joined))
+    assert(joined.count() == 1000)
+    // contrast: the same join forced to sort-merge over unbucketed data
+    // must hash-shuffle both sides
+    val smj = target.hint("merge").join(staged.hint("merge"), "k")
+    assert(BucketedStore.hasShuffle(smj))
+  }
+
   test("connection test: iterations with check statement") {
     val url = freshDb()
     JdbcSink.withConnection(url)(_ => ()) // create db

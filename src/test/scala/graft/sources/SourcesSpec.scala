@@ -119,7 +119,13 @@ class SourcesSpec extends SparkSpec {
     SyntheticFixtures.writeZip(new File(base, "t.csv.zip"), "t.csv", content)
     SyntheticFixtures.writeTarGz(new File(base, "t.csv.tar.gz"), "t.csv", content)
     SyntheticFixtures.writeZipCrypto(new File(base, "tpw.csv.zip"), "t.csv", content, "abc123")
+    SyntheticFixtures.writeZipAes256(new File(base, "taes.csv.zip"), "t.csv", content, "abc123")
     def bytes(n: String) = java.nio.file.Files.readAllBytes(new File(base, n).toPath)
+    assert(new String(Compression.decompress("taes.csv.zip", bytes("taes.csv.zip"),
+      Some("abc123")), "UTF-8") == content)
+    intercept[IllegalArgumentException] {
+      Compression.decompress("taes.csv.zip", bytes("taes.csv.zip"), Some("wrong"))
+    }
     assert(new String(Compression.decompress("t.csv.gz", bytes("t.csv.gz")), "UTF-8") == content)
     assert(new String(Compression.decompress("t.csv.zip", bytes("t.csv.zip")), "UTF-8") == content)
     assert(new String(Compression.decompress("t.csv.tar.gz", bytes("t.csv.tar.gz")), "UTF-8") == content)
