@@ -390,7 +390,9 @@ object SparkEntry {
     */
   def q21Fingerprint(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextAnalysis._
-    documents(s, d).select(col("doc_id"),
+    // md5-per-shingle is CPU-bound; spread the single test-file split
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
         fingerprintMd5(col("text")).as("fp_md5"),
         winnowFingerprint(col("text"), 5).as("fp_winnow"))
       .orderBy(col("doc_id"))

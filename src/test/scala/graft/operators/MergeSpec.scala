@@ -123,4 +123,31 @@ class MergeSpec extends SparkSpec {
     val df = Seq(1, 1, 2, 3, 3, 3).toDF("k")
     assert(Dedup.detectDuplicates(df, Seq("k")) == 2)
   }
+
+  test("MAKE_UNIQUE_DROP dedups the target itself before merging") {
+    val dupTarget = Seq((1, "first", 10), (1, "second", 20), (2, "only", 30))
+      .toDF("k", "v", "pos")
+    val src = Seq((3, "new", 1)).toDF("k", "v", "ord")
+    val out = Merge.importMerge(dupTarget.drop("pos"), src, Seq(Key("k")),
+        ImportMode.Insert, DuplicateMode.MakeUniqueDrop, updateWithNull = true,
+        sourceOrder = col("ord"),
+        targetOrder = Seq(col("v"))) // "first" < "second" lexicographically
+      .orderBy("k").select("k", "v").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq(1 -> "first", 2 -> "only", 3 -> "new"))
+  }
+
+  test("MAKE_UNIQUE_JOIN merges duplicate target rows before merging") {
+    val dupTarget = Seq((1, Some("a"), 10), (1, None, 20), (2, Some("x"), 30))
+      .toDF("k", "v", "pos")
+    val src = Seq((9, Some("z"), 1)).toDF("k", "v", "ord")
+    val out = Merge.importMerge(dupTarget.drop("pos"), src.drop("ord")
+          .withColumn("ord", lit(1)), Seq(Key("k")),
+        ImportMode.Upsert, DuplicateMode.MakeUniqueJoin, updateWithNull = false,
+        sourceOrder = col("ord"), targetOrder = Seq(col("v")))
+      .orderBy("k").select("k", "v").collect()
+    // target key 1: join-dup keeps last non-null over v-order → "a"
+    assert(out.map(r => (r.getInt(0), Option(r.getString(1)))).toSeq ==
+      Seq(1 -> Some("a"), 2 -> Some("x"), 9 -> Some("z")))
+  }
 }

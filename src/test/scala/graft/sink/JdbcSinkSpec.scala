@@ -249,6 +249,44 @@ class JdbcSinkSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "upd", null, 42), (2, "new", "ins", -1)))
   }
 
+  test("integer overflow routes to the error channel (testCsvImportTooBigIntegerError)") {
+    val url = freshDb()
+    JdbcSink.withConnection(url)(c =>
+      JdbcSink.createTable(c, "ovf", StructType(Seq(
+        StructField("column_integer", IntegerType)))))
+    val src = Seq("123", "12345678901234567890", "456").toDF("column_integer")
+    val res = Importer.importToJdbc(src, url, "ovf",
+      Importer.ImportConfig(errorChannel = true))
+    assert(res.valid == 2 && res.invalid == 1 && res.finalCount == 2)
+  }
+
+  test("limited batch block size: fallback isolates only the bad block's row") {
+    val url = freshDb()
+    JdbcSink.withConnection(url) { c =>
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE \"LB\" (\"K\" INTEGER PRIMARY KEY)")
+      st.close()
+    }
+    // blockSize=2 over 6 rows, duplicate key in the middle block
+    val df = Seq(1, 2, 3, 3, 5, 6).toDF("k").coalesce(1)
+    val stats = JdbcSink.appendBatch(df, url, "lb", batchSize = 2)
+    assert(stats.inserted == 5 && stats.failedRows == 1 && stats.fallbackBlocks == 1)
+  }
+
+  test("no-headers import maps column_N names through the mapping") {
+    val url = freshDb()
+    JdbcSink.withConnection(url)(c =>
+      JdbcSink.createTable(c, "nh", StructType(Seq(
+        StructField("a", IntegerType), StructField("b", StringType)))))
+    val f = SyntheticFixtures.writeText(
+      new File(SyntheticFixtures.dir("nohdr2"), "x.csv"), "7;seven\n8;eight")
+    val src = graft.sources.CsvSource.read(spark, f.getPath,
+      graft.sources.CsvSource.CsvOptions(header = false))
+    val res = Importer.importToJdbc(src, url, "nh",
+      Importer.ImportConfig(mapping = Some("a='column_1'; b='column_2'")))
+    assert(res.inserted == 2 && res.finalCount == 2)
+  }
+
   test("validation side channel: invalid rows diverted with reason") {
     val df = Seq(("1", "a@x.com"), ("x", "b@y.com"), ("3", "not-mail"))
       .toDF("id", "email")
