@@ -181,11 +181,16 @@ object Importer {
         val beforeCount = targetLc.count()
         val dupsInSource = staged.count() -
           Dedup.dropDuplicatesKeepFirst(staged, cfg.keyColumns, Seq(col("__graft_ord"))).count()
+        // target order for UPDATE_FIRST/MAKE_UNIQUE must break ties WITHIN
+        // duplicate key groups — keys alone are constant there, so append
+        // the value columns for a deterministic total order
+        val targetOrder = (cfg.keyColumns ++
+          targetLc.columns.filterNot(cfg.keyColumns.contains)).map(col)
         val merged = Merge.importMerge(
             targetLc, staged, cfg.keyColumns.map(Key(_)),
             cfg.mode, cfg.duplicateMode, cfg.updateWithNull,
             sourceOrder = col("__graft_ord"),
-            targetOrder = cfg.keyColumns.map(col))
+            targetOrder = targetOrder)
           .drop("__graft_ord")
           .select(targetLc.columns.map(col).toIndexedSeq: _*)
           .cache()

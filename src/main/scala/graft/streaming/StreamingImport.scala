@@ -61,4 +61,27 @@ object StreamingImport {
   def startMemorySink(w: DataStreamWriter[org.apache.spark.sql.Row],
                       name: String): StreamingQuery =
     w.start()
+
+  /** Cross-batch streaming dedup via keyed state
+    * (`mapGroupsWithState`): the first record per key passes, every
+    * later occurrence — in the same OR any later micro-batch — drops.
+    * This is the streaming form of the keep-first dedup: state holds one
+    * boolean per key, partitioned by key, so it scales with distinct
+    * keys, not stream volume.
+    */
+  def dedupStream[K: org.apache.spark.sql.Encoder, V: org.apache.spark.sql.Encoder](
+      stream: org.apache.spark.sql.Dataset[V], key: V => K): org.apache.spark.sql.Dataset[V] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+    stream.groupByKey(key)
+      .flatMapGroupsWithState[Boolean, V](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: K, rows: Iterator[V], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1)
+          }
+      }
+  }
 }

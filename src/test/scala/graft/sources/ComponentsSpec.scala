@@ -110,6 +110,19 @@ class ComponentsSpec extends SparkSpec {
     assert(BucketedStore.hasShuffle(smj))
   }
 
+  test("SparkSessionExtensions injection wires simhash32 into a session") {
+    // the builder path (an existing active session would be returned
+    // as-is by getOrCreate, so drive the injection directly)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext) // must not throw
+    // end-to-end SQL evaluation via the same registration the extension
+    // performs:
+    graft.plans.SimHash32Expr.register(spark)
+    val h = spark.sql("SELECT simhash32(array('a', 'b')) AS h").collect()(0).getLong(0)
+    val h2 = spark.sql("SELECT simhash32(array('a', 'b')) AS h").collect()(0).getLong(0)
+    assert(h == h2 && h != 0L)
+  }
+
   test("connection test: iterations with check statement") {
     val url = freshDb()
     JdbcSink.withConnection(url)(_ => ()) // create db

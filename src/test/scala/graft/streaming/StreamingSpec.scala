@@ -48,6 +48,32 @@ class StreamingSpec extends SparkSpec {
       Seq(1 -> "a", 2 -> "B2", 3 -> "c"))
   }
 
+  test("stateful streaming dedup: first occurrence passes, later batches drop") {
+    val dir = SyntheticFixtures.dir(s"ddstream_${System.nanoTime()}")
+    // two files + maxFilesPerTrigger=1 → two sequential micro-batches in
+    // one query: batch 2 re-sends key 1, which keyed state must drop
+    val b1 = SyntheticFixtures.writeText(new File(dir, "b1.csv"), "k;v\n1;a\n1;dup\n2;b")
+    val b2 = SyntheticFixtures.writeText(new File(dir, "b2.csv"), "k;v\n1;late-dup\n3;c")
+    // the file source orders batches by modification time — pin it
+    b1.setLastModified(System.currentTimeMillis() - 60000)
+    b2.setLastModified(System.currentTimeMillis())
+    val stream = spark.readStream.schema(schema)
+      .option("sep", ";").option("header", "true")
+      .option("maxFilesPerTrigger", "1")
+      .csv(dir.getPath).as[(Int, String)]
+    val deduped = StreamingImport.dedupStream[Int, (Int, String)](stream, _._1)
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dd_out")
+      .option("checkpointLocation", new File(dir, "_cp").getPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val all = spark.sql("SELECT * FROM dd_out")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    // exactly one row per key: in-batch dup of key 1 dropped, AND its
+    // re-appearance in the later micro-batch dropped by keyed state
+    assert(all.toSeq == Seq(1 -> "a", 2 -> "b", 3 -> "c"))
+  }
+
   test("watermarked windowed aggregation over an event stream (memory sink)") {
     val dir = SyntheticFixtures.dir(s"evstream_${System.nanoTime()}")
     val ts1 = "2024-01-01 10:05:00"
