@@ -416,7 +416,13 @@ object SparkEntry {
       .orderBy(col("id1"), col("id2"))
 
   // ---------------------------------------------------------------- q24
-  /** Exact n-gram Jaccard pairs with hot-shingle skew guard. */
+  /** Exact n-gram Jaccard pairs with hot-shingle skew guard. The test
+    * corpus has near-unique shingles (tiny vocabulary), so the direct
+    * shingle join enumerates few pairs and beats
+    * [[operators.TextDedup.jaccardPairsPrefix]] (PPJoin-style prefix
+    * filtering — result-identical, spec-pinned) which wins on real
+    * corpora with high shingle collision.
+    */
   def q24NgramJaccard(s: SparkSession, d: String): DataFrame =
     operators.TextDedup.jaccardPairs(dedupCorpus(s, d), "doc_id", "text",
         k = 3, threshold = 0.6, maxShingleDocFreq = 1000)

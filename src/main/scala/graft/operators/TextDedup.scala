@@ -109,6 +109,47 @@ object TextDedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Exact all-pairs Jaccard ≥ threshold via PREFIX FILTERING (the
+    * PPJoin family of all-pairs similarity joins): under any global
+    * shingle order, two sets with Jaccard ≥ t must share at least one
+    * element among each set's first `|s| - ⌈t·|s|⌉ + 1` shingles. Only
+    * those prefixes are indexed — ordered rarest-first (ascending
+    * document frequency) so the candidate join fans out on the LEAST
+    * common shingles — then candidates verify with a per-pair
+    * `array_intersect`. Result-identical to [[jaccardPairs]], but the
+    * enumeration cost tracks prefix collisions instead of every
+    * co-shingled pair — the difference between quadratic blowup and
+    * linear behavior on large corpora.
+    */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+        array_distinct(TextShingles.shingles(TextAnalysis.tokens(col(textCol)), k))
+          .as("shingles"))
+      .withColumn("n", size(col("shingles")))
+      .cache()
+    val exploded = sets.select(col("id"), col("n"), explode(col("shingles")).as("sh"))
+    val dfreq = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = exploded.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("df"), col("sh"))))
+      // prefix length: n - ceil(t*n) + 1
+      .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("id"), col("sh"))
+    val cand = ranked.as("a").join(ranked.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+    cand
+      .join(sets.select(col("id").as("id1"), col("shingles").as("__s1")), Seq("id1"))
+      .join(sets.select(col("id").as("id2"), col("shingles").as("__s2")), Seq("id2"))
+      .withColumn("__common", size(array_intersect(col("__s1"), col("__s2"))))
+      .withColumn("jaccard", col("__common").cast("double") /
+        (size(col("__s1")) + size(col("__s2")) - col("__common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** LSH candidates verified by exact Jaccard ≥ threshold — the standard
     * near-dup pipeline (approximate recall, exact precision).
     *

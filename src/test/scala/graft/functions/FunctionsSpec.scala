@@ -145,6 +145,22 @@ class FunctionsSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("prefix-filtered Jaccard equals brute-force enumeration (PPJoin invariant)") {
+    val docs = graft.Tables.documents(spark, sf()).limit(120)
+      .select(col("doc_id"), col("text"))
+    val mutated = docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 5000).as("doc_id"),
+        regexp_replace(col("text"), "^(\\S+\\s+){2}", "").as("text"))
+    val corpus = docs.unionAll(mutated)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").as[(Long, Long)].collect().sorted.toSeq
+    val brute = canon(graft.operators.TextDedup.jaccardPairs(
+      corpus, "doc_id", "text", k = 3, threshold = 0.55, maxShingleDocFreq = Long.MaxValue))
+    val prefix = canon(graft.operators.TextDedup.jaccardPairsPrefix(
+      corpus, "doc_id", "text", k = 3, threshold = 0.55))
+    assert(prefix == brute && brute.nonEmpty)
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val near = "three four five six seven eight nine ten eleven twelve"
