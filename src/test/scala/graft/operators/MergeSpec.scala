@@ -124,6 +124,36 @@ class MergeSpec extends SparkSpec {
     assert(Dedup.detectDuplicates(df, Seq("k")) == 2)
   }
 
+  test("INSERT with CKECK_SOURCE_ONLY_DROP dedups source but keeps existing keys") {
+    val out = Merge.importMerge(target, source, Seq(Key("k")),
+        ImportMode.Insert, DuplicateMode.CheckSourceOnlyDrop, updateWithNull = true,
+        sourceOrder = col("ord"), targetOrder = Seq(col("k")))
+      .groupBy("k").count().orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    // source-only check: deduped source appends even where keys exist →
+    // keys 1 and 3 now appear twice (target row + source first occurrence)
+    assert(out.toSeq == Seq(1 -> 2L, 2 -> 1L, 3 -> 2L, 4 -> 1L, 5 -> 1L, 999 -> 1L))
+  }
+
+  test("UPSERT with NO_CHECK appends everything unconditionally") {
+    val out = Merge.importMerge(target, source, Seq(Key("k")),
+        ImportMode.Upsert, DuplicateMode.NoCheck, updateWithNull = true,
+        sourceOrder = col("ord"), targetOrder = Seq(col("k")))
+    assert(out.count() == target.count() + source.count())
+  }
+
+  test("composite keys: merge matches on all key columns") {
+    val t = Seq((1, "x", "t1"), (1, "y", "t2")).toDF("k1", "k2", "v")
+    val s = Seq((1, "x", "S1", 1), (1, "z", "S3", 2)).toDF("k1", "k2", "v", "ord")
+    val out = Merge.importMerge(t, s, Seq(Key("k1"), Key("k2")),
+        ImportMode.Upsert, DuplicateMode.UpdateAllJoin, updateWithNull = true,
+        sourceOrder = col("ord"), targetOrder = Seq(col("k1"), col("k2")))
+      .orderBy("k1", "k2").select("k1", "k2", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    // (1,x) updated, (1,y) untouched, (1,z) inserted
+    assert(out.toSeq == Seq((1, "x", "S1"), (1, "y", "t2"), (1, "z", "S3")))
+  }
+
   test("MAKE_UNIQUE_DROP dedups the target itself before merging") {
     val dupTarget = Seq((1, "first", 10), (1, "second", 20), (2, "only", 30))
       .toDF("k", "v", "pos")
