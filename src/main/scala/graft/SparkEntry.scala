@@ -704,6 +704,19 @@ object SparkEntry {
       .orderBy(col("title"))
   }
 
+  // ---------------------------------------------------------------- q42
+  /** Legacy Excel (.xls, BIFF8) source round-trip through the native
+    * CFB+BIFF reader (SURVEY §2.1 Excel 2003 scan).
+    */
+  def q42SrcXls(s: SparkSession, d: String): DataFrame = {
+    val rows = nation(s, d).orderBy(col("n_nationkey")).collect()
+    val data = Seq(Seq("n_nationkey", "n_name", "n_regionkey")) ++
+      rows.map(r => Seq(r.getInt(0).toString, r.getString(1), r.getInt(2).toString))
+    val f = new java.io.File(sources.SyntheticFixtures.dir("xls"), "nation.xls")
+    sources.SyntheticFixtures.writeXls(f, "data", data)
+    castNation(sources.XlsSource.read(s, f.getPath, sheetName = Some("data")))
+  }
+
   // ---------------------------------------------------------------- q41
   /** Skew-mitigated join: lineitem ⨝ orders with the orders side
     * replicated over salt buckets — result-identical to the plain join,
@@ -765,6 +778,7 @@ object SparkEntry {
     "q39_src_ods" -> (q39SrcOds _),
     "q40_src_kdbx" -> (q40SrcKdbx _),
     "q41_salted_join" -> (q41SaltedJoin _),
+    "q42_src_xls" -> (q42SrcXls _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -1197,5 +1211,7 @@ object SparkEntry {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q42_src_xls" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
   )
 }

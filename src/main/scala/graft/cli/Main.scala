@@ -101,6 +101,7 @@ object Main {
     else if (lower.endsWith(".yaml") || lower.endsWith(".yml")) YamlSource.read(spark, path)
     else if (lower.endsWith(".xml")) XmlSource.read(spark, path, a.dataPath, a.nullToken)
     else if (lower.endsWith(".xlsx")) XlsxSource.read(spark, path, a.dataPath, a.headers)
+    else if (lower.endsWith(".xls")) XlsSource.read(spark, path, a.dataPath, a.headers)
     else if (lower.endsWith(".ods")) OdsSource.read(spark, path, a.dataPath, a.headers)
     else if (lower.endsWith(".vcf")) VcfSource.read(spark, path)
     else throw new IllegalArgumentException(s"unsupported format: $path")

@@ -108,6 +108,123 @@ object SyntheticFixtures {
     f
   }
 
+  /** Minimal BIFF8 .xls inside a CFB container for [[XlsSource]]: one
+    * sheet of LABEL (inline string) and NUMBER cells. The Workbook
+    * stream is padded past the 4096-byte mini-stream cutoff so the
+    * container needs only the regular FAT (the reader handles both).
+    */
+  def writeXls(f: File, sheetName: String, rows: Seq[Seq[String]]): File = {
+    val bos = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >>> 8) & 0xff) }
+    def w32(v: Long): Unit = { var x = v; (0 until 4).foreach { _ => bos.write((x & 0xff).toInt); x >>= 8 } }
+    def rec(id: Int, body: Array[Byte]): Unit = { w16(id); w16(body.length); bos.write(body) }
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+    def le32(v: Long) = Array[Byte]((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    def bof(docType: Int) = le16(0x0600) ++ le16(docType) ++ le16(0x0DBB) ++
+      le16(0x07CC) ++ le32(0x000000C1L) ++ le32(0x00000406L)
+    // globals: BOF + BOUNDSHEET (offset patched later) + EOF
+    rec(0x0809, bof(0x0005))
+    val boundsheetAt = bos.size()
+    val nameBytes = sheetName.getBytes("ISO-8859-1")
+    rec(0x0085, le32(0) ++ le16(0) ++
+      Array[Byte](nameBytes.length.toByte, 0) ++ nameBytes)
+    rec(0x000A, Array.empty)
+    val sheetBof = bos.size()
+    rec(0x0809, bof(0x0010))
+    rows.zipWithIndex.foreach { case (r, ri) =>
+      r.zipWithIndex.foreach { case (v, ci) =>
+        if (v != null) {
+          val isNum = v.nonEmpty && v.matches("[+-]?\\d+(\\.\\d+)?")
+          if (isNum) {
+            val d = java.nio.ByteBuffer.allocate(8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(v.toDouble).array()
+            rec(0x0203, le16(ri) ++ le16(ci) ++ le16(0) ++ d)
+          } else {
+            val chars = v.getBytes("ISO-8859-1")
+            rec(0x0204, le16(ri) ++ le16(ci) ++ le16(0) ++
+              le16(chars.length) ++ Array[Byte](0) ++ chars)
+          }
+        }
+      }
+    }
+    rec(0x000A, Array.empty)
+    var stream = bos.toByteArray
+    // patch the BOUNDSHEET sheet-BOF offset
+    val patched = stream.clone()
+    val off = le32(sheetBof.toLong)
+    System.arraycopy(off, 0, patched, boundsheetAt + 4, 4)
+    stream = patched
+    if (stream.length < 4096) stream = stream ++ new Array[Byte](4096 - stream.length)
+
+    // --- CFB container: header + FAT sector(s) + directory + stream ---
+    val sectorSize = 512
+    val streamSectors = (stream.length + sectorSize - 1) / sectorSize
+    val dirSectors = 1 // 4 entries of 128B
+    val total = streamSectors + dirSectors // data sectors after the FAT
+    val fatSectors = 1 // supports up to 128 sectors ≈ 64 KB streams
+    require(total + fatSectors <= 128, "fixture too large for single-FAT layout")
+    val out = new ByteArrayOutputStream()
+    def h16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def h32(v: Long): Unit = { var x = v; (0 until 4).foreach { _ => out.write((x & 0xff).toInt); x >>= 8 } }
+    // header
+    h32(0xE011CFD0L); h32(0xE11AB1A1L)
+    out.write(new Array[Byte](16)) // clsid
+    h16(0x003E); h16(0x0003) // minor, major
+    h16(0xFFFE) // byte order
+    h16(9); h16(6) // sector 512, mini 64
+    out.write(new Array[Byte](6))
+    h32(0) // num dir sectors (v3: 0)
+    h32(fatSectors.toLong)
+    h32(1L + streamSectors) // first directory sector = after FAT+stream
+    h32(0)
+    h32(4096L) // mini cutoff
+    h32(EndOfChainC); h32(0) // no mini FAT
+    h32(EndOfChainC); h32(0) // no DIFAT beyond header
+    h32(0L) // DIFAT[0] = FAT at sector 0
+    (1 until 109).foreach(_ => h32(0xFFFFFFFFL))
+    // FAT sector 0: [0]=FATSECT, stream chain at sectors 1..streamSectors,
+    // directory chain after
+    val fat = new ByteArrayOutputStream()
+    def f32(v: Long): Unit = { var x = v; (0 until 4).foreach { _ => fat.write((x & 0xff).toInt); x >>= 8 } }
+    f32(0xFFFFFFFDL) // sector 0 = FAT itself
+    (1 to streamSectors).foreach { i =>
+      f32(if (i == streamSectors) EndOfChainC else i + 1L)
+    }
+    f32(EndOfChainC) // single directory sector
+    while (fat.size() < sectorSize) f32(0xFFFFFFFFL)
+    out.write(fat.toByteArray)
+    // stream sectors
+    out.write(stream)
+    out.write(new Array[Byte](streamSectors * sectorSize - stream.length))
+    // directory: root + Workbook + 2 empty
+    val dir = new ByteArrayOutputStream()
+    def dirEntry(name: String, typ: Int, start: Long, size: Long): Unit = {
+      val n = name.getBytes("UTF-16LE")
+      val e = new Array[Byte](128)
+      System.arraycopy(n, 0, e, 0, math.min(n.length, 62))
+      e(64) = ((n.length + 2) & 0xff).toByte
+      e(65) = (((n.length + 2) >>> 8) & 0xff).toByte
+      e(66) = typ.toByte
+      e(67) = 1 // black
+      // sibling/child: -1 except root's child = 1
+      def put32(o: Int, v: Long): Unit = { var x = v; (0 until 4).foreach { i => e(o + i) = (x & 0xff).toByte; x >>= 8 } }
+      put32(68, 0xFFFFFFFFL); put32(72, 0xFFFFFFFFL)
+      put32(76, if (typ == 5) 1L else 0xFFFFFFFFL)
+      put32(116, start); put32(120, size)
+      dir.write(e)
+    }
+    dirEntry("Root Entry", 5, EndOfChainC, 0)
+    dirEntry("Workbook", 2, 1L, stream.length.toLong)
+    dir.write(new Array[Byte](128 * 2))
+    out.write(dir.toByteArray)
+    val fos = new FileOutputStream(f)
+    try fos.write(out.toByteArray) finally fos.close()
+    f
+  }
+
+  private val EndOfChainC = 0xFFFFFFFEL
+
   /** Minimal ODS with one table of string/typed cells for [[OdsSource]]. */
   def writeOds(f: File, sheetName: String, rows: Seq[Seq[String]]): File = {
     val body = rows.map { r =>

@@ -16,9 +16,8 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * as strings and are typed downstream by the mapping/inference pass
   * (the reference's typed-cell reads collapse to the same post-cast).
   *
-  * Legacy binary .xls (BIFF8) is NOT parsed natively — the container
-  * lacks a BIFF reader; [[XlsxSource.read]] rejects it with a clear
-  * error (swap in POI's HSSF in production).
+  * Legacy binary .xls (BIFF8) routes to [[XlsSource]] (native CFB+BIFF
+  * reader); this class handles only the OOXML container.
   *
   * Scale model: one workbook = one task (`binaryFile`), like the
   * reference's single stream; many files parallelize.
@@ -161,7 +160,7 @@ object XlsxSource {
   private[sources] def parseWorkbook(bytes: Array[Byte], sheetName: Option[String],
                                      header: Boolean): (IndexedSeq[String], Seq[IndexedSeq[String]]) = {
     require(bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == 'K'.toByte,
-      "not an OOXML (.xlsx) workbook — legacy .xls (BIFF) needs a POI-based reader")
+      "not an OOXML (.xlsx) workbook — legacy .xls (BIFF) is handled by XlsSource")
     val parts = zipEntries(bytes)
     val sheets = sheetTargets(parts)
     require(sheets.nonEmpty, "workbook has no sheets")

@@ -169,12 +169,12 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
-  test("xlsx parser rejects legacy BIFF .xls with a clear error") {
+  test("xlsx parser points legacy BIFF .xls at the native XlsSource") {
     val biff = Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte)
     val e = intercept[Exception] {
       XlsxSource.parseWorkbook(biff, None, header = true)
     }
-    assert(e.getMessage.contains("POI"))
+    assert(e.getMessage.contains("XlsSource"))
   }
 
   test("ods parser: typed cells, repeated columns, sheet select") {

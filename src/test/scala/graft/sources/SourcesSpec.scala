@@ -164,6 +164,22 @@ class SourcesSpec extends SparkSpec {
     assert(got == Seq("a", "b"))
   }
 
+  test("xls (BIFF8): CFB container + record stream round-trip with numbers") {
+    val rows = Seq(Seq("name", "qty", "price"), Seq("alpha", "3", "1.5"),
+      Seq("beta", null, "2.25"))
+    val f = new File(SyntheticFixtures.dir("xlsspec"), "t.xls")
+    SyntheticFixtures.writeXls(f, "SheetOne", rows)
+    val df = XlsSource.read(spark, f.getPath, sheetName = Some("SheetOne"))
+    assert(df.columns.toSeq == Seq("name", "qty", "price"))
+    val got = df.orderBy("name").collect()
+    assert(got(0).getString(0) == "alpha" && got(0).getString(1) == "3" &&
+      got(0).getString(2) == "1.5")
+    assert(got(1).isNullAt(1) && got(1).getString(2) == "2.25")
+    intercept[Exception] {
+      XlsSource.read(spark, f.getPath, sheetName = Some("nope")).collect()
+    }
+  }
+
   test("table name derivation pinned by the reference unit test") {
     assert(TableNames.deriveTableName("some_additional text(test_tbl).csv") == "test_tbl")
     assert(TableNames.deriveTableName("/x/y/test2_tbl.csv") == "test2_tbl")
