@@ -19,15 +19,75 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * Pure-JDK implementation of the public KDBX 3.1 container (KeePass
   * file-format spec): AES-KDF (N rounds of AES-ECB over the composite
   * key), AES-256-CBC payload, StreamStartBytes check, hashed block
-  * stream, optional gzip, inner XML. Inner-stream protection
-  * (Salsa20/ChaCha20 for Protected="True" values) is not implemented —
-  * protected values surface as their raw text and kdbx4 (Argon2) files
-  * are rejected with a clear error.
+  * stream, optional gzip, inner XML, and Salsa20 inner-stream
+  * protection for `Protected="True"` values (one continuous keystream
+  * over values in document order). kdbx4 (Argon2) files are rejected
+  * with a clear error.
   */
 object KdbxSource {
 
   private val Magic1 = 0x9AA2D903
   private val Magic2 = 0xB54BFB67
+
+  /** Salsa20 keystream (D. Bernstein's public algorithm) — KeePass
+    * protects inner `Protected="True"` values with Salsa20 keyed by
+    * SHA256(ProtectedStreamKey) and the fixed nonce E830094B97205D2A,
+    * one continuous stream over the values in document order.
+    */
+  private[sources] final class Salsa20(key: Array[Byte], nonce: Array[Byte]) {
+    private val state = new Array[Int](16)
+    private def u32le(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    // "expa nd 3 2-by te k" constants + 32-byte key + nonce + counter
+    state(0) = 0x61707865
+    state(5) = 0x3320646e
+    state(10) = 0x79622d32
+    state(15) = 0x6b206574
+    (0 until 4).foreach(i => state(1 + i) = u32le(key, i * 4))
+    (0 until 4).foreach(i => state(11 + i) = u32le(key, 16 + i * 4))
+    state(6) = u32le(nonce, 0)
+    state(7) = u32le(nonce, 4)
+    state(8) = 0; state(9) = 0 // block counter
+    private val block = new Array[Byte](64)
+    private var blockPos = 64
+    private def rotl(v: Int, c: Int): Int = (v << c) | (v >>> (32 - c))
+    private def nextBlock(): Unit = {
+      val x = state.clone()
+      var i = 0
+      while (i < 10) {
+        def qr(a: Int, b: Int, c: Int, d: Int): Unit = {
+          x(b) ^= rotl(x(a) + x(d), 7)
+          x(c) ^= rotl(x(b) + x(a), 9)
+          x(d) ^= rotl(x(c) + x(b), 13)
+          x(a) ^= rotl(x(d) + x(c), 18)
+        }
+        qr(0, 4, 8, 12); qr(5, 9, 13, 1); qr(10, 14, 2, 6); qr(15, 3, 7, 11)
+        qr(0, 1, 2, 3); qr(5, 6, 7, 4); qr(10, 11, 8, 9); qr(15, 12, 13, 14)
+        i += 1
+      }
+      var j = 0
+      while (j < 16) {
+        val v = x(j) + state(j)
+        block(j * 4) = (v & 0xff).toByte
+        block(j * 4 + 1) = ((v >>> 8) & 0xff).toByte
+        block(j * 4 + 2) = ((v >>> 16) & 0xff).toByte
+        block(j * 4 + 3) = ((v >>> 24) & 0xff).toByte
+        j += 1
+      }
+      val c = (state(8).toLong & 0xffffffffL) + 1
+      state(8) = (c & 0xffffffffL).toInt
+      if (c > 0xffffffffL) state(9) += 1
+      blockPos = 0
+    }
+    def crypt(data: Array[Byte]): Array[Byte] = data.map { b =>
+      if (blockPos >= 64) nextBlock()
+      val k = block(blockPos); blockPos += 1
+      (b ^ k).toByte
+    }
+  }
+
+  private[sources] val InnerStreamNonce: Array[Byte] =
+    Array(0xE8, 0x30, 0x09, 0x4B, 0x97, 0x20, 0x5D, 0x2A).map(_.toByte)
 
   private def sha256(b: Array[Byte]*): Array[Byte] = {
     val md = MessageDigest.getInstance("SHA-256")
@@ -38,7 +98,9 @@ object KdbxSource {
   private[sources] case class Header(cipherIv: Array[Byte], masterSeed: Array[Byte],
                                      transformSeed: Array[Byte], rounds: Long,
                                      streamStart: Array[Byte], gzip: Boolean,
-                                     headerLen: Int)
+                                     headerLen: Int,
+                                     protectedStreamKey: Option[Array[Byte]],
+                                     innerStreamId: Int)
 
   private def parseHeader(bytes: Array[Byte]): Header = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -52,6 +114,8 @@ object KdbxSource {
     var rounds = 600000L
     var start: Array[Byte] = null
     var gz = false
+    var protKey: Option[Array[Byte]] = None
+    var innerId = 0
     var done = false
     while (!done) {
       val id = buf.get()
@@ -65,11 +129,13 @@ object KdbxSource {
         case 5 => tseed = data
         case 6 => rounds = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN).getLong()
         case 7 => iv = data
+        case 8 => protKey = Some(data)
         case 9 => start = data
-        case _ => // CipherID(2), ProtectedStreamKey(8), InnerRandomStreamID(10): unused
+        case 10 => innerId = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN).getInt()
+        case _ => // CipherID(2): unused
       }
     }
-    Header(iv, seed, tseed, rounds, start, gz, buf.position())
+    Header(iv, seed, tseed, rounds, start, gz, buf.position(), protKey, innerId)
   }
 
   private def deriveMasterKey(password: String, h: Header): Array[Byte] = {
@@ -102,8 +168,11 @@ object KdbxSource {
     out.toByteArray
   }
 
-  /** Decrypt a kdbx payload to the inner XML string. */
-  private[sources] def decryptXml(bytes: Array[Byte], password: String): String = {
+  /** Decrypt a kdbx payload to (inner XML, optional inner-stream cipher
+    * for Protected values).
+    */
+  private[sources] def decryptXmlWithStream(bytes: Array[Byte],
+      password: String): (String, Option[Salsa20]) = {
     val h = parseHeader(bytes)
     val key = deriveMasterKey(password, h)
     val aes = Cipher.getInstance("AES/CBC/PKCS5Padding")
@@ -121,13 +190,21 @@ object KdbxSource {
       while (n >= 0) { out.write(b, 0, n); n = g.read(b) }
       out.toByteArray
     } else blocks
-    new String(xml, "UTF-8")
+    val salsa =
+      if (h.innerStreamId == 2) h.protectedStreamKey.map(k =>
+        new Salsa20(sha256(k), InnerStreamNonce))
+      else None
+    (new String(xml, "UTF-8"), salsa)
   }
+
+  private[sources] def decryptXml(bytes: Array[Byte], password: String): String =
+    decryptXmlWithStream(bytes, password)._1
 
   /** Entries from the inner XML: every `<Entry>`'s `<String><Key>/<Value>`
     * pairs (all groups, any depth), like the reference's entry walk.
     */
-  private[sources] def parseEntries(xml: String): Seq[Map[String, String]] = {
+  private[sources] def parseEntries(xml: String,
+      inner: Option[Salsa20] = None): Seq[Map[String, String]] = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
@@ -137,6 +214,7 @@ object KdbxSource {
     var inHistory = false
     var key: String = null
     var cur: String = null // "Key" | "Value" | null
+    var isProtected = false
     val text = new StringBuilder
     try while (r.hasNext) r.next() match {
       case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
@@ -144,6 +222,10 @@ object KdbxSource {
         case "Entry" if !inHistory => entry = scala.collection.mutable.LinkedHashMap.empty
         case "Key" | "Value" if entry != null && !inHistory =>
           cur = r.getLocalName; text.clear()
+          isProtected = cur == "Value" &&
+            (0 until r.getAttributeCount).exists(i =>
+              r.getAttributeLocalName(i) == "Protected" &&
+                r.getAttributeValue(i).equalsIgnoreCase("True"))
         case _ =>
       }
       case XMLStreamConstants.CHARACTERS if cur != null => text.append(r.getText)
@@ -151,7 +233,15 @@ object KdbxSource {
         case "History" => inHistory = false
         case "Key" if entry != null && !inHistory => key = text.toString; cur = null
         case "Value" if entry != null && key != null && !inHistory =>
-          entry(key) = text.toString; key = null; cur = null
+          val v =
+            if (isProtected) inner match {
+              // ONE continuous keystream over protected values in
+              // document order (KeePass inner-stream contract)
+              case Some(s20) => new String(
+                s20.crypt(java.util.Base64.getDecoder.decode(text.toString)), "UTF-8")
+              case None => text.toString
+            } else text.toString
+          entry(key) = v; key = null; cur = null; isProtected = false
         case "Entry" if !inHistory && entry != null => out += entry.toMap; entry = null
         case _ =>
       }
@@ -165,7 +255,10 @@ object KdbxSource {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(path)
       .select("content").as[Array[Byte]]
-    val parsed = files.rdd.flatMap(b => parseEntries(decryptXml(b, password)))
+    val parsed = files.rdd.flatMap { b =>
+      val (xml, inner) = decryptXmlWithStream(b, password)
+      parseEntries(xml, inner)
+    }
     parsed.cache()
     val cols = parsed.flatMap(_.keys).distinct().collect().sorted
     val schema = StructType(cols.map(c => StructField(c, StringType, nullable = true)))
@@ -183,12 +276,23 @@ object KdbxWriter {
   }
 
   def write(f: java.io.File, password: String,
-            entries: Seq[Map[String, String]], rounds: Long = 6000): java.io.File = {
+            entries: Seq[Map[String, String]], rounds: Long = 6000,
+            protectKeys: Set[String] = Set.empty): java.io.File = {
     def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    // protected stream key: deterministic for fixtures
+    val protKey = sha256("protkey".getBytes,
+      entries.map(_.toString).mkString("|").getBytes("UTF-8"))
+    val salsa = new KdbxSource.Salsa20(sha256(protKey), KdbxSource.InnerStreamNonce)
     val xml = {
       val es = entries.map { e =>
         e.map { case (k, v) =>
-          s"<String><Key>${esc(k)}</Key><Value>${esc(v)}</Value></String>"
+          if (protectKeys.contains(k)) {
+            // continuous keystream in document order, like KeePass
+            val ct = java.util.Base64.getEncoder.encodeToString(
+              salsa.crypt(v.getBytes("UTF-8")))
+            s"""<String><Key>${esc(k)}</Key><Value Protected="True">$ct</Value></String>"""
+          } else
+            s"<String><Key>${esc(k)}</Key><Value>${esc(v)}</Value></String>"
         }.mkString("<Entry>", "", "</Entry>")
       }.mkString
       s"""<?xml version="1.0" encoding="UTF-8"?><KeePassFile><Root><Group><Name>Root</Name>$es</Group></Root></KeePassFile>"""
@@ -238,8 +342,10 @@ object KdbxWriter {
     field(5, transformSeed)
     field(6, { val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN); b.putLong(rounds); b.array() })
     field(7, iv)
+    field(8, protKey)
     field(9, streamStart)
-    field(10, new Array[Byte](4)) // InnerRandomStreamID = 0 (none)
+    field(10, { val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(if (protectKeys.nonEmpty) 2 else 0); b.array() }) // 2 = Salsa20
     field(0, "\r\n\r\n".getBytes)
     out.write(cipherText)
     val fos = new java.io.FileOutputStream(f)

@@ -150,6 +150,20 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("password") || e.getCause != null)
   }
 
+  test("kdbx: Salsa20-protected values decrypt through the inner stream") {
+    val f = new File(SyntheticFixtures.dir("kdbxspec"), "prot.kdbx")
+    KdbxWriter.write(f, "s3cret", Seq(
+      Map("Title" -> "one", "Password" -> "p@ss-1"),
+      Map("Title" -> "two", "Password" -> "p@ss-2", "UserName" -> "u2")),
+      protectKeys = Set("Password"))
+    val rows = KdbxSource.read(spark, f.getPath, "s3cret").orderBy("Title").collect()
+    // two protected values share ONE continuous keystream — both must
+    // decode correctly, proving stream-position bookkeeping
+    assert(rows(0).getAs[String]("Password") == "p@ss-1")
+    assert(rows(1).getAs[String]("Password") == "p@ss-2")
+    assert(rows(1).getAs[String]("UserName") == "u2")
+  }
+
   test("kdbx: entries in nested groups and History excluded") {
     val xml =
       """<KeePassFile><Root><Group><Name>Root</Name>
