@@ -77,6 +77,55 @@ object XlsxSource {
     }
   }
 
+  /** Date-style detection (reference typed date cells,
+    * ExcelDataProvider.java:281-282): cellXf indexes in styles.xml whose
+    * numFmtId is a builtin date format (14-22, 45-47) or a custom format
+    * containing date tokens.
+    */
+  private def dateStyles(bytes: Option[Array[Byte]]): Set[Int] = bytes match {
+    case None => Set.empty
+    case Some(b) =>
+      val r = xmlReader(b)
+      val customDate = scala.collection.mutable.Set.empty[Int]
+      val xfs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var inCellXfs = false
+      try while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "numFmt" =>
+            val id = Option(r.getAttributeValue(null, "numFmtId")).map(_.toInt).getOrElse(-1)
+            val code = Option(r.getAttributeValue(null, "formatCode")).getOrElse("")
+            // date-ish tokens outside [] sections / quoted parts (approx)
+            if (code.replaceAll("\\[[^\\]]*\\]", "").exists("ymdhs".contains(_)))
+              customDate += id
+          case "cellXfs" => inCellXfs = true
+          case "xf" if inCellXfs =>
+            xfs += Option(r.getAttributeValue(null, "numFmtId")).map(_.toInt).getOrElse(0)
+          case _ =>
+        }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+          inCellXfs = false
+        case _ =>
+      } finally r.close()
+      val builtinDate = (14 to 22).toSet ++ (45 to 47).toSet
+      xfs.zipWithIndex.collect {
+        case (fmt, i) if builtinDate(fmt) || customDate(fmt) => i
+      }.toSet
+  }
+
+  /** Excel serial date/time → ISO string (1900 date system). */
+  private[sources] def serialToIso(serial: Double): String = {
+    // day 1 = 1900-01-01; Excel's phantom 1900-02-29 means serial >= 60
+    // is offset by one; epoch trick: 1899-12-30 + serial days
+    val days = serial.toLong
+    val frac = serial - days
+    val date = java.time.LocalDate.of(1899, 12, 30).plusDays(days)
+    if (frac < 1e-9) date.toString
+    else {
+      val secs = math.round(frac * 86400)
+      date.atStartOfDay().plusSeconds(secs).toString.replace('T', ' ')
+    }
+  }
+
   /** sheet name → worksheet part path, in workbook order. */
   private def sheetTargets(parts: Map[String, Array[Byte]]): Seq[(String, String)] = {
     val rels = parts.get("xl/_rels/workbook.xml.rels").map { b =>
@@ -112,12 +161,14 @@ object XlsxSource {
   }
 
   /** Parse one worksheet into rows of cell strings. */
-  private def parseSheet(bytes: Array[Byte], shared: IndexedSeq[String]): Seq[IndexedSeq[String]] = {
+  private def parseSheet(bytes: Array[Byte], shared: IndexedSeq[String],
+                         dateXfs: Set[Int]): Seq[IndexedSeq[String]] = {
     val r = xmlReader(bytes)
     val rows = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[String]]
     var cur: scala.collection.mutable.ArrayBuffer[String] = null
     var cellRef = ""
     var cellType = ""
+    var cellStyle = -1
     var inV = false
     var inIs = false
     val v = new StringBuilder
@@ -127,6 +178,7 @@ object XlsxSource {
         case "c" if cur != null =>
           cellRef = Option(r.getAttributeValue(null, "r")).getOrElse("")
           cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+          cellStyle = Option(r.getAttributeValue(null, "s")).map(_.toInt).getOrElse(-1)
           v.clear()
         case "v" => inV = true
         case "is" => inIs = true
@@ -145,7 +197,14 @@ object XlsxSource {
           cur(idx) = cellType match {
             case "s" => shared.lift(raw.toInt).orNull
             case "b" => if (raw == "1") "true" else "false"
-            case _ => if (raw.isEmpty) null else raw
+            case _ =>
+              if (raw.isEmpty) null
+              // date-styled numeric cells surface as ISO strings, like
+              // the reference's typed Date cells
+              else if (dateXfs.contains(cellStyle) && raw.forall(c =>
+                c.isDigit || c == '.' || c == '-'))
+                try serialToIso(raw.toDouble) catch { case _: Exception => raw }
+              else raw
           }
         case "row" => rows += cur.toIndexedSeq; cur = null
         case _ =>
@@ -170,7 +229,8 @@ object XlsxSource {
       case None => sheets.head
     }
     val shared = sharedStrings(parts.get("xl/sharedStrings.xml"))
-    val rows = parseSheet(parts(path), shared)
+    val dates = dateStyles(parts.get("xl/styles.xml"))
+    val rows = parseSheet(parts(path), shared, dates)
     if (rows.isEmpty) (IndexedSeq.empty, Seq.empty)
     else {
       val width = rows.map(_.size).max

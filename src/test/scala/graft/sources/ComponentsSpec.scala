@@ -169,6 +169,33 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("xlsx parser converts date-styled numeric cells to ISO (typed dates)") {
+    // hand-built workbook: styles.xml declares xf 0 = general, xf 1 =
+    // builtin date fmt 14; the sheet has one general and one date cell
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val f = new File(SyntheticFixtures.dir("xlsxdate"), "d.xlsx")
+    val out = new ZipOutputStream(new java.io.FileOutputStream(f))
+    def put(n: String, c: String): Unit = {
+      out.putNextEntry(new ZipEntry(n)); out.write(c.getBytes("UTF-8")); out.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns="x" xmlns:r="y"><sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships><Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>""")
+    put("xl/styles.xml",
+      """<styleSheet><cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14"/></cellXfs></styleSheet>""")
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>num</t></is></c><c r="B1" t="inlineStr"><is><t>d</t></is></c></row>
+        |<row r="2"><c r="A2" s="0"><v>37622.5</v></c><c r="B2" s="1"><v>37622</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    out.close()
+    val r = XlsxSource.read(spark, f.getPath).collect()(0)
+    assert(r.getString(0) == "37622.5") // general style stays numeric
+    assert(r.getString(1) == "2003-01-01") // date style → ISO
+    assert(XlsxSource.serialToIso(37622.5) == "2003-01-01 12:00")
+  }
+
   test("xlsx parser points legacy BIFF .xls at the native XlsSource") {
     val biff = Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte)
     val e = intercept[Exception] {
