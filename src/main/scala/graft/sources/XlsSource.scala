@@ -14,9 +14,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * cells. Values surface as strings (numbers via minimal repr) and are
   * typed downstream by mapping/inference like every other graft source.
   *
-  * Documented subset: no CONTINUE-spanning SST strings, no encrypted
-  * workbooks, no date-XF detection (date cells arrive as serial-number
-  * strings; the mapping layer parses them).
+  * Date-styled numeric cells (XF numFmtId in the builtin date range or
+  * a custom FORMAT with date tokens) convert to ISO strings like the
+  * reference's typed Date cells. Documented subset: no
+  * CONTINUE-spanning SST strings, no encrypted workbooks.
   */
 object XlsSource {
 
@@ -132,7 +133,9 @@ object XlsSource {
     case class Sheet(name: String, bofOffset: Int)
     val sheets = scala.collection.mutable.ArrayBuffer.empty[Sheet]
     val sst = scala.collection.mutable.ArrayBuffer.empty[String]
-    // pass 1: globals — BOUNDSHEET + SST
+    val xfFormats = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val customDateFmts = scala.collection.mutable.Set.empty[Int]
+    // pass 1: globals — BOUNDSHEET + SST + XF/FORMAT (typed dates)
     var o = 0
     var depth = 0
     while (o + 4 <= wb.length) {
@@ -151,6 +154,12 @@ object XlsSource {
             new String(wb.slice(body + 8, body + 8 + nameLen * 2), "UTF-16LE")
           else new String(wb.slice(body + 8, body + 8 + nameLen), "ISO-8859-1")
           sheets += Sheet(name, bof)
+        case 0x00E0 if depth == 1 => // XF: numFmtId at offset 2
+          xfFormats += u16(wb, body + 2)
+        case 0x041E if depth == 1 => // FORMAT: custom code
+          val fmtId = u16(wb, body)
+          val (code, _) = decodeXlUnicode(wb, body + 2)
+          if (code.exists("ymdhs".contains(_))) customDateFmts += fmtId
         case 0x00FC if depth == 1 =>
           val unique = u32(wb, body + 4).toInt
           var so = body + 8
@@ -165,6 +174,14 @@ object XlsSource {
       }
       if (o < wb.length) o = body + len
     }
+    val builtinDate = (14 to 22).toSet ++ (45 to 47).toSet
+    val dateXf = xfFormats.zipWithIndex.collect {
+      case (fmt, i) if builtinDate(fmt) || customDateFmts(fmt) => i
+    }.toSet
+    def maybeDate(xf: Int, repr: String): String =
+      if (dateXf.contains(xf))
+        try XlsxSource.serialToIso(repr.toDouble) catch { case _: Exception => repr }
+      else repr
     // pass 2: per sheet, walk records from its BOF to EOF
     sheets.toSeq.map { sh =>
       val cells = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
@@ -184,17 +201,19 @@ object XlsSource {
           case 0x0204 => // LABEL (inline)
             val (s, _) = decodeXlUnicode(wb, b + 6)
             cells += ((u16(wb, b), u16(wb, b + 2), s))
-          case 0x0203 => // NUMBER
+          case 0x0203 => // NUMBER (xf at +4; date-styled → ISO)
             val bits = ByteBuffer.wrap(wb, b + 6, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
-            cells += ((u16(wb, b), u16(wb, b + 2), numRepr(bits)))
+            cells += ((u16(wb, b), u16(wb, b + 2), maybeDate(u16(wb, b + 4), numRepr(bits))))
           case 0x027E => // RK
-            cells += ((u16(wb, b), u16(wb, b + 2), decodeRk(u32(wb, b + 6))))
+            cells += ((u16(wb, b), u16(wb, b + 2),
+              maybeDate(u16(wb, b + 4), decodeRk(u32(wb, b + 6)))))
           case 0x00BD => // MULRK: row, firstCol, (xf+rk)*, lastCol
             val row = u16(wb, b)
             val first = u16(wb, b + 2)
             val n = (len - 6) / 6
             (0 until n).foreach { i =>
-              cells += ((row, first + i, decodeRk(u32(wb, b + 4 + i * 6 + 2))))
+              cells += ((row, first + i,
+                maybeDate(u16(wb, b + 4 + i * 6), decodeRk(u32(wb, b + 4 + i * 6 + 2)))))
             }
           case 0x0201 => // BLANK
             cells += ((u16(wb, b), u16(wb, b + 2), null))

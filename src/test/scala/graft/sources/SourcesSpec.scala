@@ -194,6 +194,35 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("xls (BIFF8): date-XF numeric cells convert to ISO strings") {
+    // hand-built workbook stream: XF 0 = general, XF 1 = builtin date 14
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >>> 8) & 0xff) }
+    def rec(id: Int, body: Array[Byte]): Unit = { w16(id); w16(body.length); bos.write(body) }
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+    def le32(v: Long) = (0 until 4).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+    def num(row: Int, c: Int, xf: Int, d: Double) = {
+      val b = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(d).array()
+      le16(row) ++ le16(c) ++ le16(xf) ++ b
+    }
+    rec(0x0809, le16(0x0600) ++ le16(0x0005) ++ new Array[Byte](12))
+    rec(0x00E0, le16(0) ++ le16(0) ++ new Array[Byte](16)) // XF 0: general
+    rec(0x00E0, le16(0) ++ le16(14) ++ new Array[Byte](16)) // XF 1: date
+    val bsAt = bos.size()
+    rec(0x0085, le32(0L) ++ le16(0) ++ Array[Byte](1, 0, 'S'))
+    rec(0x000A, Array.empty)
+    val sheetAt = bos.size()
+    rec(0x0809, le16(0x0600) ++ le16(0x0010) ++ new Array[Byte](12))
+    rec(0x0203, num(0, 0, 0, 37622.5))
+    rec(0x0203, num(0, 1, 1, 37622.0))
+    rec(0x000A, Array.empty)
+    val wb = bos.toByteArray
+    System.arraycopy(le32(sheetAt.toLong), 0, wb, bsAt + 4, 4)
+    val cells = XlsSource.parseWorkbookStream(wb).head._2
+    assert(cells.toSet == Set((0, 0, "37622.5"), (0, 1, "2003-01-01")))
+  }
+
   test("table name derivation pinned by the reference unit test") {
     assert(TableNames.deriveTableName("some_additional text(test_tbl).csv") == "test_tbl")
     assert(TableNames.deriveTableName("/x/y/test2_tbl.csv") == "test2_tbl")
