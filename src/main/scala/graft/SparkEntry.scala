@@ -296,9 +296,12 @@ object SparkEntry {
     */
   def q17Base64Blob(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Transforms
+    // The blob itself is binary (byte-exact round-trip asserted in
+    // FunctionsSpec); the oracle-facing column is its hex rendering —
+    // the driver's pandas compare cannot hash raw bytearrays.
     documents(s, d).select(col("doc_id"),
-        Transforms.base64Blob(base64(substring(col("text"), 1, 64).cast("binary")))
-          .as("blob_out"))
+        upper(hex(Transforms.base64Blob(
+          base64(substring(col("text"), 1, 64).cast("binary"))))).as("blob_out"))
       .orderBy(col("doc_id"))
   }
 
@@ -1000,7 +1003,7 @@ object SparkEntry {
         |  AS segment_repaired
         |FROM src ORDER BY c_custkey""".stripMargin,
     "q17_base64_blob" ->
-      """SELECT doc_id, encode(substr(text, 1, 64)) AS blob_out
+      """SELECT doc_id, upper(hex(encode(substr(text, 1, 64)))) AS blob_out
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q18_infer_types" ->
       """WITH src AS (
