@@ -291,17 +291,16 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- q17
   /** Base64 → Blob format info (reference DbImportWorker.java:1484-1487):
-    * encode document prefixes to base64, decode back to binary; oracle
-    * asserts byte-exact round-trip.
+    * encode document prefixes to base64, decode back to binary. The
+    * oracle compares the HEX RENDERING of the round-tripped blob (the
+    * driver's pandas compare cannot hash raw bytearrays); the byte-exact
+    * binary round-trip itself is asserted in FunctionsSpec.
     */
   def q17Base64Blob(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Transforms
-    // The blob itself is binary (byte-exact round-trip asserted in
-    // FunctionsSpec); the oracle-facing column is its hex rendering —
-    // the driver's pandas compare cannot hash raw bytearrays.
     documents(s, d).select(col("doc_id"),
-        upper(hex(Transforms.base64Blob(
-          base64(substring(col("text"), 1, 64).cast("binary"))))).as("blob_out"))
+        hex(Transforms.base64Blob(
+          base64(substring(col("text"), 1, 64).cast("binary")))).as("blob_out"))
       .orderBy(col("doc_id"))
   }
 
@@ -419,16 +418,15 @@ object SparkEntry {
       .orderBy(col("id1"), col("id2"))
 
   // ---------------------------------------------------------------- q24
-  /** Exact n-gram Jaccard pairs with hot-shingle skew guard. The test
-    * corpus has near-unique shingles (tiny vocabulary), so the direct
-    * shingle join enumerates few pairs and beats
-    * [[operators.TextDedup.jaccardPairsPrefix]] (PPJoin-style prefix
-    * filtering — result-identical, spec-pinned) which wins on real
-    * corpora with high shingle collision.
+  /** Exact n-gram Jaccard pairs via PPJoin-style prefix filtering
+    * ([[operators.TextDedup.jaccardPairsPrefix]]) — result-identical to
+    * the direct shingle join (spec-pinned), but candidate enumeration is
+    * bounded by prefix collisions instead of every co-shingled pair, so
+    * it survives hot-shingle corpora at scale.
     */
   def q24NgramJaccard(s: SparkSession, d: String): DataFrame =
-    operators.TextDedup.jaccardPairs(dedupCorpus(s, d), "doc_id", "text",
-        k = 3, threshold = 0.6, maxShingleDocFreq = 1000)
+    operators.TextDedup.jaccardPairsPrefix(dedupCorpus(s, d), "doc_id", "text",
+        k = 3, threshold = 0.6)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id1"), col("id2"))
 
@@ -1003,7 +1001,7 @@ object SparkEntry {
         |  AS segment_repaired
         |FROM src ORDER BY c_custkey""".stripMargin,
     "q17_base64_blob" ->
-      """SELECT doc_id, upper(hex(encode(substr(text, 1, 64)))) AS blob_out
+      """SELECT doc_id, hex(encode(substr(text, 1, 64))) AS blob_out
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q18_infer_types" ->
       """WITH src AS (

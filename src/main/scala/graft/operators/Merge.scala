@@ -146,10 +146,10 @@ object Merge {
       case DuplicateMode.MakeUniqueDrop =>
         Dedup.dropDuplicatesKeepFirst(target, keyNames, targetOrder)
       case DuplicateMode.MakeUniqueJoin =>
-        // target-side join-duplicates needs a single order column
-        Dedup.joinDuplicates(
-          Ordinals.withOrderedOrdinal(target, targetOrder, "__graft_tord"),
-          keyNames, col("__graft_tord"), updateWithNull).drop("__graft_tord")
+        // order WITHIN a key group is all join-duplicates needs: a struct
+        // of the order columns is orderable under max_by, so this stays a
+        // pure hash aggregate — no window, no global (or even per-key) sort
+        Dedup.joinDuplicates(target, keyNames, struct(targetOrder: _*), updateWithNull)
       case _ => target
     }
     // CLEARINSERT clears before staging (:411-415).
