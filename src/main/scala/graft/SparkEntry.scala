@@ -1081,15 +1081,25 @@ object SparkEntry {
          | md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
          |FROM corpus GROUP BY fp ORDER BY keep_id""".stripMargin,
     "q23_minhash_lsh" -> {
-      val sigCols = (0 until 12).map(j => s"min(md5('$j:' || sh)) AS s$j").mkString(",\n ")
+      // universal-hash family over ONE md5 per shingle — mirrors
+      // TextDedup.minhashBase / minhashSignature exactly
+      val p = operators.TextDedup.MinhashPrime
+      val sigCols = (0 until 12).map { j =>
+        val (a, b) = operators.TextDedup.minhashParams(j)
+        s"min(($a * hh + $b) % $p) AS s$j"
+      }.mkString(",\n ")
+      def bandExpr(cols: Seq[Int]): String =
+        "md5(" + cols.map(j => s"CAST(s$j AS VARCHAR)").mkString(" || '|' || ") + ")"
       s"""WITH $SqlCorpus,
          |$SqlShingles3,
-         |sig AS (SELECT doc_id, $sigCols FROM s GROUP BY doc_id),
+         |hh0 AS (SELECT doc_id,
+         |  CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) % $p AS hh FROM s),
+         |sig AS (SELECT doc_id, $sigCols FROM hh0 GROUP BY doc_id),
          |band AS (SELECT doc_id,
-         | md5(s0 || '|' || s1 || '|' || s2) AS b0,
-         | md5(s3 || '|' || s4 || '|' || s5) AS b1,
-         | md5(s6 || '|' || s7 || '|' || s8) AS b2,
-         | md5(s9 || '|' || s10 || '|' || s11) AS b3 FROM sig),
+         | ${bandExpr(Seq(0, 1, 2))} AS b0,
+         | ${bandExpr(Seq(3, 4, 5))} AS b1,
+         | ${bandExpr(Seq(6, 7, 8))} AS b2,
+         | ${bandExpr(Seq(9, 10, 11))} AS b3 FROM sig),
          |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          | FROM band a JOIN band b ON a.doc_id < b.doc_id
          |  AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
@@ -1106,11 +1116,9 @@ object SparkEntry {
     "q24_ngram_jaccard" ->
       s"""WITH $SqlCorpus,
          |$SqlShingles3,
-         |hot AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM s GROUP BY sh) WHERE c <= 1000),
-         |sf AS (SELECT s.doc_id, s.sh FROM s JOIN hot USING (sh)),
-         |n AS (SELECT doc_id, count(*) AS n FROM sf GROUP BY doc_id),
+         |n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
          |com AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS common
-         | FROM sf x JOIN sf y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         | FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
          |jac AS (SELECT com.id1, com.id2,
          |  CAST(com.common AS DOUBLE) / CAST(n1.n + n2.n - com.common AS DOUBLE) AS jaccard
          | FROM com JOIN n n1 ON n1.doc_id = com.id1 JOIN n n2 ON n2.doc_id = com.id2)

@@ -126,6 +126,12 @@ object Merge {
     * @param targetOrder deterministic target-side order for
     *        UPDATE_FIRST / MAKE_UNIQUE modes (the reference uses the
     *        DB's physical row order; a PK or ingest ordinal here).
+    *        MUST be unique WITHIN each duplicate key group:
+    *        MAKE_UNIQUE_JOIN feeds it to [[Dedup.joinDuplicates]], whose
+    *        per-column max_by would otherwise mix columns from different
+    *        tied rows into a row that never existed. Key columns alone
+    *        are constant within a group and therefore insufficient —
+    *        append value columns or an ingest ordinal as tie-breakers.
     */
   def importMerge(target: DataFrame, source: DataFrame, keys: Seq[Key],
                   mode: ImportMode, dupMode: DuplicateMode = DuplicateMode.UpdateAllJoin,

@@ -34,13 +34,33 @@ object TextDedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
-  /** MinHash signature: for hash function j, the lexicographic minimum of
-    * `md5(j ':' shingle)` over the doc's distinct shingles. String-min
-    * keeps it portable across engines.
+  /** 31-bit Mersenne prime modulus of the universal MinHash family. */
+  val MinhashPrime = 2147483647L
+
+  /** Deterministic (a, b) parameters of universal hash j — fixed LCG
+    * constants, so any SQL engine can reproduce the family exactly.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  def minhashParams(j: Int): (Long, Long) =
+    (((1103515245L * (j + 7)) % (MinhashPrime - 1)) + 1,
+     (12345L + 2654435761L * j) % MinhashPrime)
+
+  /** md5-derived base hash per shingle (the ONLY md5 in the signature
+    * path): first 8 hex digits as an integer, reduced mod the prime.
+    */
+  def minhashBase(shingles: Column): Column =
+    transform(shingles,
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long") % MinhashPrime)
+
+  /** MinHash signature from the per-shingle base hashes: entry j is the
+    * minimum of `(a_j·h + b_j) mod p` over the doc's base hashes — a
+    * universal-hash family over ONE md5 per shingle, instead of hashing
+    * every (j, shingle) combination (`numHashes`× the md5 cost, which
+    * dominates signature compute at corpus scale).
+    */
+  def minhashSignature(baseHashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { j =>
-      array_min(transform(shingles, s => md5(concat(lit(s"$j:"), s))))
+      val (a, b) = minhashParams(j)
+      array_min(transform(baseHashes, h => (h * a + b) % MinhashPrime))
     }: _*)
 
   /** LSH band keys: bands of `rowsPerBand` consecutive signature entries,
@@ -49,17 +69,23 @@ object TextDedup {
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
       md5(concat_ws("|",
-        (0 until rowsPerBand).map(r => sig.getItem(b * rowsPerBand + r)): _*))
+        (0 until rowsPerBand).map(r => sig.getItem(b * rowsPerBand + r).cast("string")): _*))
     }: _*)
 
-  /** Per-doc shingle set + signature + band keys. */
+  /** Per-doc shingle set + signature + band keys. The base-hash array is
+    * a separate projection so the 12 signature mins re-scan a computed
+    * integer array (CollapseProject keeps non-cheap multi-referenced
+    * aliases materialized) rather than re-deriving md5 per function.
+    */
   def withMinhash(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
     docs.select(col(idCol),
         array_distinct(TextShingles.shingles(TextAnalysis.tokens(col(textCol)), k))
           .as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("__mh_base", minhashBase(col("shingles")))
+      .withColumn("sig", minhashSignature(col("__mh_base"), numHashes))
+      .drop("__mh_base")
       .withColumn("bandkeys", lshBandKeys(col("sig"), bands, rows))
   }
 
@@ -134,11 +160,32 @@ object TextDedup {
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
           .orderBy(col("df"), col("sh"))))
-      // prefix length: n - ceil(t*n) + 1
-      .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("id"), col("sh"))
+      // prefix length: n - ceil(t*n) + 1. The epsilon guards double
+      // round-up: if n*t lands a hair ABOVE the exact rational product
+      // (e.g. 0.6*5 → 3.0000000000000004), a bare ceil would overshoot
+      // and shorten the prefix, silently dropping a boundary pair.
+      .filter(col("rn") <= col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1)
+      .select(col("id"), col("n"), col("sh"), col("rn"))
+      // both sides of the candidate self-join read this frame; without a
+      // cache each side would redo explode → df-join → window (two full
+      // shuffles of every shingle, twice)
+      .cache()
+    // Candidate join with the full PPJoin filter stack — on a
+    // collision-heavy corpus the prefix filter alone admits hundreds of
+    // candidates per surviving pair, and these two predicates (both
+    // cheap integer comparisons evaluated INSIDE the join) discard them
+    // before the verify stage ever sees them:
+    //  - LENGTH filter: J ≥ t ⟹ min(n1,n2) ≥ t·max(n1,n2)
+    //  - POSITIONAL filter: matching at prefix positions (rn1, rn2)
+    //    caps the total overlap at 1 + min(n1−rn1, n2−rn2), which must
+    //    still reach the required overlap ⌈t/(1+t)·(n1+n2)⌉
+    val minOverlap =
+      ceil((col("a.n") + col("b.n")) * (threshold / (1 + threshold)) - lit(1e-9))
     val cand = ranked.as("a").join(ranked.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+        least(col("a.n"), col("b.n")) >=
+          ceil(greatest(col("a.n"), col("b.n")) * threshold - lit(1e-9)) &&
+        lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >= minOverlap)
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
     cand
       .join(sets.select(col("id").as("id1"), col("shingles").as("__s1")), Seq("id1"))

@@ -39,9 +39,16 @@ object StreamingImport {
                      saveTarget: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val staged = graft.operators.Ordinals.withArrivalOrdinal(batch, "__graft_ord")
-      val merged = Merge.importMerge(loadTarget(), staged, keys.map(Key(_)),
+      val target = loadTarget()
+      // importMerge's targetOrder must be unique WITHIN a duplicate key
+      // group (joinDuplicates picks per-column max_by over it; a fully
+      // tied order could mix columns from different rows into a row that
+      // never existed). Keys alone are constant within a group, so append
+      // the value columns as tie-breakers — same rule as Importer.
+      val targetOrder = (keys ++ target.columns.filterNot(keys.contains)).map(col)
+      val merged = Merge.importMerge(target, staged, keys.map(Key(_)),
           mode, dupMode, updateWithNull,
-          sourceOrder = col("__graft_ord"), targetOrder = keys.map(col))
+          sourceOrder = col("__graft_ord"), targetOrder = targetOrder)
         .drop("__graft_ord")
       saveTarget(merged)
     }
