@@ -464,15 +464,20 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------- q28
-  /** Embedding-cosine near-duplicates inside coarse (label) buckets; the
-    * corpus is augmented with exact copies so duplicates exist.
+  /** Embedding-cosine near-duplicates via hyperplane-LSH sub-buckets
+    * inside the coarse (label) buckets, verified with exact cosine
+    * (approximate recall, exact precision). The corpus is augmented with
+    * exact copies so duplicates exist; copies agree on every sign bit, so
+    * LSH recall on them is 1. The all-pairs-in-bucket tier
+    * ([[operators.Similarity.nearDupPairs]]) remains the ground truth in
+    * the spec suite.
     */
   def q28EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
       .repartition(s.sparkContext.defaultParallelism)
     val corpus = e.unionAll(e.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000).as("vec_id"), col("label"), col("embedding")))
-    operators.Similarity.nearDupPairs(corpus, threshold = 0.99)
+    operators.Similarity.nearDupPairsLsh(corpus, threshold = 0.99)
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -1162,16 +1167,34 @@ object SparkEntry {
          | FROM scored)
          |SELECT query_id, rank, vec_id AS neighbor_id, round(sim, 6) AS sim
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    "q28_embedding_near_dup" ->
+    "q28_embedding_near_dup" -> {
+      // the SAME hyperplane literals as Similarity.nearDupPairsLsh — the
+      // LSH banding is part of the operator's portable definition
+      val w = operators.Similarity.hyperplaneWeights(12, 64)
+      val bitCols = w.indices.map { i =>
+        // Double.toString round-trips exactly; DuckDB parses E-notation
+        val arr = w(i).mkString(", ")
+        s"CASE WHEN list_dot_product(v, [$arr]) > 0 THEN 1 ELSE 0 END AS bit$i"
+      }.mkString(",\n ")
+      val bandCols = (0 until 4).map { b =>
+        s"bit${b * 3}*4 + bit${b * 3 + 1}*2 + bit${b * 3 + 2} AS b$b"
+      }.mkString(", ")
       s"""WITH c AS (
          | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          | UNION ALL SELECT vec_id + 1000000 AS vec_id, label, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings WHERE vec_id % 10 = 0),
-         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |  ${sqlCosine("a.v", "b.v")} AS sim
-         | FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |bits AS (SELECT vec_id, label, v,
+         | $bitCols
+         | FROM c),
+         |band AS (SELECT vec_id, label, v, $bandCols FROM bits),
+         |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         | FROM band a JOIN band b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+         |p AS (SELECT cand.id1, cand.id2, ${sqlCosine("x.v", "y.v")} AS sim
+         | FROM cand JOIN c x ON x.vec_id = cand.id1 JOIN c y ON y.vec_id = cand.id2)
          |SELECT id1, id2, round(sim, 6) AS sim FROM p
-         |WHERE sim >= 0.99 ORDER BY id1, id2""".stripMargin,
+         |WHERE sim >= 0.99 ORDER BY id1, id2""".stripMargin
+    },
     "q29_multimodal_meta" ->
       """WITH media AS (SELECT doc_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'

@@ -89,7 +89,9 @@ object Similarity {
 
   /** Embedding near-duplicates: pairs in the same coarse bucket with
     * cosine ≥ threshold. The bucket join keeps the pair space linear in
-    * bucket size rather than all-pairs.
+    * bucket size rather than all-pairs — but a single hot bucket is still
+    * quadratic in its population, so this tier is the small-bucket /
+    * ground-truth path; [[nearDupPairsLsh]] is the scale path.
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    bucketCol: String = "label",
@@ -97,6 +99,70 @@ object Similarity {
     val a = corpus.select(col(bucketCol).as("bk"), col(cId).as("id1"), col(cVec).as("v1"))
     val b = corpus.select(col(bucketCol).as("bk"), col(cId).as("id2"), col(cVec).as("v2"))
     a.join(b, Seq("bk")).filter(col("id1") < col("id2"))
+      .withColumn("sim", cosine(col("v1"), col("v2")))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic random-hyperplane weights: entry (i, j) derives from
+    * `md5(i ':' j)` mapped to [-1, 1) and rounded to 6 decimals, so the
+    * SAME literals embed bit-identically in any engine's SQL — the
+    * hyperplanes are part of the operator's portable definition, not
+    * runtime randomness.
+    */
+  def hyperplaneWeights(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim) { (i, j) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8")).take(4)
+        .foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+      math.rint(((h.toDouble / 2147483648.0) - 1.0) * 1e6) / 1e6
+    }
+
+  /** Per-vector LSH band keys from hyperplane sign bits: bit i is
+    * `⟨v, w_i⟩ > 0`; band b packs its `planes/bands` consecutive bits
+    * MSB-first into a small integer. Two vectors at angle θ agree on a
+    * bit with probability 1 − θ/π, so near-identical vectors land in the
+    * same band key with high probability while the key space partitions
+    * hot buckets into 2^(planes/bands) sub-buckets per band.
+    */
+  def hyperplaneBandKeys(vec: Column, weights: Array[Array[Double]],
+                         bands: Int): Column = {
+    val r = weights.length / bands
+    val bits = weights.map { w =>
+      val dot = aggregate(
+        zip_with(vec, typedLit(w.toSeq), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1)).otherwise(lit(0))
+    }
+    array((0 until bands).map { b =>
+      (0 until r).map(i => bits(b * r + i) * lit(1 << (r - 1 - i))).reduce(_ + _)
+    }: _*)
+  }
+
+  /** Scale path for embedding near-dup: candidates must share the coarse
+    * bucket AND at least one hyperplane-LSH band key, then verify with
+    * exact cosine (approximate recall, exact precision — same contract as
+    * the MinHash text tier). The (bucket, band, key) join space is
+    * 2^(planes/bands) finer than the coarse bucket alone, so one hot
+    * bucket no longer degenerates to all-pairs.
+    */
+  def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
+                      numPlanes: Int = 12, bands: Int = 4, dim: Int = 64,
+                      bucketCol: String = "label",
+                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val keyed = corpus.select(col(bucketCol).as("bk"), col(cId).as("id"), col(cVec).as("v"))
+      .withColumn("bandkeys",
+        hyperplaneBandKeys(col("v"), hyperplaneWeights(numPlanes, dim), bands))
+      .cache()
+    val exploded = keyed.select(col("bk"), col("id"),
+      posexplode(col("bandkeys")).as(Seq("band_idx", "band_key")))
+    val cand = exploded.as("a").join(exploded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+    cand
+      .join(keyed.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(keyed.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
       .withColumn("sim", cosine(col("v1"), col("v2")))
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))

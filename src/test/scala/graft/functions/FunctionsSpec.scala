@@ -113,6 +113,40 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("hyperplane-LSH near-dup: subset of exact tier, full recall on copies") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val corpus = e.unionAll(e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("label"), col("embedding")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").as[(Long, Long)].collect().sorted.toSeq
+    val exact = canon(Similarity.nearDupPairs(corpus, threshold = 0.99))
+    val lsh = canon(Similarity.nearDupPairsLsh(corpus, threshold = 0.99))
+    // exact precision: every LSH pair is a true pair
+    assert(lsh.toSet.subsetOf(exact.toSet))
+    // exact copies agree on every hyperplane sign → recall 1 on them;
+    // here the planted copies are the entire ground truth
+    assert(lsh == exact && exact.nonEmpty)
+  }
+
+  test("hyperplane band keys partition a bucket and agree on copies") {
+    import graft.operators.Similarity
+    val w = Similarity.hyperplaneWeights(12, 4)
+    assert(w.length == 12 && w.forall(_.length == 4))
+    assert(w.flatten.forall(x => x >= -1.0 && x < 1.0))
+    // deterministic across calls
+    assert(Similarity.hyperplaneWeights(12, 4).flatten.toSeq == w.flatten.toSeq)
+    val df = Seq((1L, Array(1f, 2f, -3f, 0.5f)), (2L, Array(1f, 2f, -3f, 0.5f)),
+        (3L, Array(-1f, -2f, 3f, -0.5f)))
+      .toDF("id", "v")
+      .withColumn("keys", Similarity.hyperplaneBandKeys(col("v"), w, bands = 4))
+    val rows = df.select("id", "keys").as[(Long, Seq[Int])].collect().sortBy(_._1)
+    assert(rows(0)._2 == rows(1)._2)            // identical vectors: same keys
+    assert(rows(0)._2 != rows(2)._2)            // antipodal: all bits flip
+    assert(rows.forall(_._2.forall(k => k >= 0 && k < 8)))
+  }
+
   test("brute-force top-k returns k neighbors ranked by similarity") {
     val corpus = Seq((10L, Array(1f, 0f)), (11L, Array(0.9f, 0.1f)), (12L, Array(0f, 1f)))
       .toDF("vec_id", "embedding")
