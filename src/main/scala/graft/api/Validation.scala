@@ -34,4 +34,98 @@ object Validation {
   def exportErrorsCsv(errors: DataFrame, path: String, separator: String = ";"): Unit =
     errors.write.mode("overwrite")
       .option("sep", separator).option("header", "true").csv(path)
+
+  /** Re-export erroneous rows as a single JSON array-of-objects file —
+    * the original-format errors file for JSON sources (reference
+    * JsonDataProvider.java:218-278 re-writes the flagged items as a JSON
+    * array). The errors side channel is a single file by contract, so
+    * the driver streams it partition-at-a-time (`toLocalIterator`) —
+    * bounded memory, never a full `collect`.
+    */
+  def exportErrorsJson(errors: DataFrame, path: String): Unit = {
+    val names = errors.columns
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(path), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      w.write("[")
+      val it = errors.toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        val row = it.next()
+        if (!first) w.write(",")
+        first = false
+        w.write("\n\t{")
+        w.write(names.zipWithIndex.map { case (n, i) =>
+          "\"" + jsonEscape(n) + "\": " + jsonValue(row.get(i))
+        }.mkString(", "))
+        w.write("}")
+      }
+      w.write("\n]\n")
+    } finally w.close()
+  }
+
+  /** Re-export erroneous rows as a single XML file:
+    * `<root><entry><col>value</col>…</entry>…</root>`, nulls written as
+    * `nullValueText` — the original-format errors file for XML sources
+    * (reference XmlDataProvider.java:205-281, value rendering at
+    * :244-258: dates as `yyyy-MM-dd HH:mm:ss`, numbers/strings as text).
+    */
+  def exportErrorsXml(errors: DataFrame, path: String, rootTag: String = "list",
+                      entryTag: String = "entry", nullValueText: String = ""): Unit = {
+    val names = errors.columns
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(path), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      w.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+      w.write(s"<$rootTag>")
+      val it = errors.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        w.write(s"\n\t<$entryTag>")
+        names.zipWithIndex.foreach { case (n, i) =>
+          val v = row.get(i)
+          val text = if (v == null) nullValueText else textValue(v)
+          w.write(s"\n\t\t<$n>${xmlEscape(text)}</$n>")
+        }
+        w.write(s"\n\t</$entryTag>")
+      }
+      w.write(s"\n</$rootTag>\n")
+    } finally w.close()
+  }
+
+  private val TsFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  /** Reference value rendering (XmlDataProvider.java:244-258). */
+  private def textValue(v: Any): String = v match {
+    case t: java.sql.Timestamp => TsFmt.format(t.toLocalDateTime)
+    case d: java.math.BigDecimal => d.toPlainString
+    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+    case other => other.toString
+  }
+
+  private def jsonValue(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + jsonEscape(s) + "\""
+    case b: Boolean => b.toString
+    case n: java.math.BigDecimal => n.toPlainString
+    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) => n.toString
+    case other => "\"" + jsonEscape(textValue(other)) + "\""
+  }
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def xmlEscape(s: String): String = s.flatMap {
+    case '&' => "&amp;"
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case c => c.toString
+  }
 }

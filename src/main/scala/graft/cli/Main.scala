@@ -14,7 +14,9 @@ import graft.sources._
   * Flags: -i <mode> -d <dupmode> -k <keys,..> -m <mapping> -create -t
   * -n <nulltoken> -c -x (sql script) -data (inline) -sep <c> -quote <c>
   * -noheaders -zippassword <pw> -dp <path> -idtz <tz> -dbtz <tz>
-  * -analyse
+  * -analyse -sp <schemafile> (JSON-schema/XSD pre-pass), plus the
+  * `importblob` mode with -updatesql (single file → BLOB column,
+  * reference DbImport.java:234-235,834).
   */
 object Main {
 
@@ -23,7 +25,8 @@ object Main {
                   sqlScript: Boolean = false, analyse: Boolean = false,
                   sep: String = ";", quote: String = "\"", headers: Boolean = true,
                   nullToken: Option[String] = None, zipPassword: Option[String] = None,
-                  dataPath: Option[String] = None)
+                  dataPath: Option[String] = None, schemaFile: Option[String] = None,
+                  blobImport: Boolean = false, updateSql: Option[String] = None)
 
   def parseArgs(argv: Array[String]): Args = {
     require(argv.length >= 3, "usage: graft.cli.Main <jdbcUrl> <table> <file> [flags]")
@@ -70,6 +73,9 @@ object Main {
         case "-dbtz" => i += 1; a = a.copy(cfg = a.cfg.copy(dbTz = next()))
         case "-nonewindex" => i += 1; a = a.copy(cfg = a.cfg.copy(createIndexIfNeeded = false))
         case "-batchBlockSize" => i += 1; a = a.copy(cfg = a.cfg.copy(batchSize = next().toInt))
+        case "-sp" => i += 1; a = a.copy(schemaFile = Some(next()))
+        case "importblob" => i += 1; a = a.copy(blobImport = true)
+        case "-updatesql" => i += 1; a = a.copy(updateSql = Some(next()))
         case other => throw new IllegalArgumentException(s"Invalid parameter: $other")
       }
     }
@@ -82,6 +88,10 @@ object Main {
   def readSource(spark: SparkSession, a: Args, path: String): DataFrame = {
     val lower = path.toLowerCase
       .stripSuffix(".zip").stripSuffix(".tar.gz").stripSuffix(".tgz").stripSuffix(".gz")
+    // schema pre-pass is a JSON/XML concept (DbImportDefinition.java:696)
+    if (a.schemaFile.isDefined && !lower.endsWith(".json") && !lower.endsWith(".xml"))
+      throw new IllegalArgumentException(
+        s"SchemaFilePath is not supported for data format: $path")
     val csvOpts = CsvSource.CsvOptions(separator = a.sep, quote = a.quote,
       header = a.headers, nullToken = a.nullToken, trimValues = false)
     def decompressed: org.apache.spark.sql.Dataset[String] = {
@@ -95,11 +105,16 @@ object Main {
         CsvSource.readLines(decompressed.flatMap(_.split("\n").toSeq), csvOpts)
       } else CsvSource.read(spark, path, csvOpts)
     }
-    else if (lower.endsWith(".json"))
+    else if (lower.endsWith(".json")) {
+      a.schemaFile.foreach(SchemaValidation.validateJsonSchema(path, _))
       a.dataPath.map(dp => JsonSource.readArrayAt(spark, path, dp))
         .getOrElse(JsonSource.readArray(spark, path))
+    }
     else if (lower.endsWith(".yaml") || lower.endsWith(".yml")) YamlSource.read(spark, path)
-    else if (lower.endsWith(".xml")) XmlSource.read(spark, path, a.dataPath, a.nullToken)
+    else if (lower.endsWith(".xml")) {
+      a.schemaFile.foreach(SchemaValidation.validateXsd(path, _))
+      XmlSource.read(spark, path, a.dataPath, a.nullToken)
+    }
     else if (lower.endsWith(".xlsx")) XlsxSource.read(spark, path, a.dataPath, a.headers)
     else if (lower.endsWith(".xls")) XlsSource.read(spark, path, a.dataPath, a.headers)
     else if (lower.endsWith(".ods")) OdsSource.read(spark, path, a.dataPath, a.headers)
@@ -108,6 +123,17 @@ object Main {
   }
 
   def run(spark: SparkSession, a: Args): Int = {
+    if (a.blobImport) {
+      // single-file → BLOB column (DbImport.java:834: DbUtilities
+      // .updateBlob(definition, updateSql, importFilePath))
+      val sql = a.updateSql.getOrElse(
+        throw new IllegalArgumentException("importblob requires -updatesql"))
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(a.importPathOrData))
+      val n = graft.sink.JdbcSink.updateBlob(a.url, sql, bytes)
+      println(s"Updated $n rows")
+      return 0
+    }
     if (a.sqlScript) {
       val script =
         if (a.inline) a.importPathOrData

@@ -88,6 +88,70 @@ class CliSpec extends SparkSpec {
     JdbcSink.withConnection(url)(c => assert(JdbcSink.countRows(c, "inline_t") == 1))
   }
 
+  test("importblob mode loads one file into a BLOB column via -updatesql") {
+    val url = freshDb()
+    JdbcSink.withConnection(url) { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE \"DOCS\" (\"ID\" INTEGER, \"PAYLOAD\" BLOB)")
+      st.execute("INSERT INTO \"DOCS\" (\"ID\") VALUES (7)")
+      st.close()
+    }
+    val f = SyntheticFixtures.writeText(
+      new File(SyntheticFixtures.dir("cliblob"), "payload.bin"), "blob-bytes-123")
+    val a = Main.parseArgs(Array(url, "-", f.getPath, "importblob",
+      "-updatesql", "UPDATE \"DOCS\" SET \"PAYLOAD\" = ? WHERE \"ID\" = 7"))
+    assert(a.blobImport && a.updateSql.isDefined)
+    assert(Main.run(spark, a) == 0)
+    JdbcSink.withConnection(url) { c =>
+      val rs = c.createStatement().executeQuery("SELECT \"PAYLOAD\" FROM \"DOCS\" WHERE \"ID\" = 7")
+      rs.next()
+      assert(new String(rs.getBytes(1), "UTF-8") == "blob-bytes-123")
+    }
+  }
+
+  test("-sp schema pre-pass gates JSON and XML imports") {
+    import graft.sources.{SchemaValidation, SyntheticFixtures => SF}
+    val dir = SF.dir("clischema")
+    val okJson = SF.writeText(new File(dir, "rows.json"),
+      """[{"id": 1, "name": "ann"}, {"id": 2, "name": "bob"}]""")
+    val schema = SF.writeText(new File(dir, "rows.schema.json"),
+      """{"type": "array", "items": {"type": "object",
+        |  "required": ["id", "name"],
+        |  "properties": {"id": {"type": "integer", "minimum": 0},
+        |                 "name": {"type": "string", "minLength": 1}}}}""".stripMargin)
+    SchemaValidation.validateJsonSchema(okJson.getPath, schema.getPath)
+    val badJson = SF.writeText(new File(dir, "bad.json"),
+      """[{"id": -3, "name": "ann"}]""")
+    val e = intercept[IllegalArgumentException](
+      SchemaValidation.validateJsonSchema(badJson.getPath, schema.getPath))
+    assert(e.getMessage.contains("does not comply to JSON schema"))
+    val missing = intercept[IllegalArgumentException](
+      SchemaValidation.validateJsonSchema(okJson.getPath, dir.getPath + "/nope.json"))
+    assert(missing.getMessage.contains("does not exist"))
+
+    val okXml = SF.writeText(new File(dir, "rows.xml"),
+      "<list><entry><id>1</id></entry></list>")
+    val xsd = SF.writeText(new File(dir, "rows.xsd"),
+      """<?xml version="1.0"?>
+        |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        | <xs:element name="list"><xs:complexType><xs:sequence>
+        |  <xs:element name="entry" maxOccurs="unbounded"><xs:complexType><xs:sequence>
+        |   <xs:element name="id" type="xs:integer"/>
+        |  </xs:sequence></xs:complexType></xs:element>
+        | </xs:sequence></xs:complexType></xs:element>
+        |</xs:schema>""".stripMargin)
+    SchemaValidation.validateXsd(okXml.getPath, xsd.getPath)
+    val badXml = SF.writeText(new File(dir, "bad.xml"),
+      "<list><entry><id>not-a-number</id></entry></list>")
+    val ex = intercept[IllegalArgumentException](
+      SchemaValidation.validateXsd(badXml.getPath, xsd.getPath))
+    assert(ex.getMessage.contains("does not comply to XSD"))
+    // -sp is a JSON/XML concept: any other format refuses it
+    val csv = SF.writeText(new File(dir, "x.csv"), "a;b\n1;2")
+    val aCsv = Main.parseArgs(Array("jdbc:x", "t", csv.getPath, "-sp", schema.getPath))
+    intercept[IllegalArgumentException](Main.readSource(spark, aCsv, csv.getPath))
+  }
+
   test("SQL script mode executes against the sink") {
     val url = freshDb()
     val f = SyntheticFixtures.writeText(new File(SyntheticFixtures.dir("clisql"), "s.sql"),

@@ -230,6 +230,31 @@ class SourcesSpec extends SparkSpec {
     assert(TableNames.deriveTableName("archive.csv.tar.gz") == "archive")
   }
 
+  test("erroneous rows re-export as parseable JSON and XML") {
+    import org.apache.spark.sql.functions.col
+    import graft.api.Validation
+    val df = Seq(("1", "a@x.com"), ("x", "b&c <bad>"), ("3", "not-mail"))
+      .toDF("id", "email")
+    val v = Validation.validate(df, Seq(
+      "invalid integer" -> col("id").rlike("^\\d+$").unary_!,
+      "invalid email" -> graft.functions.Transforms.emailValid(col("email")).unary_!))
+    assert(v.errors.count() == 2)
+    val base = SyntheticFixtures.dir("errfmt")
+    val jsonF = new File(base, "rows.errors.json")
+    Validation.exportErrorsJson(v.errors, jsonF.getPath)
+    val backJ = graft.sources.JsonSource.readArray(spark, jsonF.getPath)
+      .orderBy("id").select("id", "email", "error_reason")
+      .as[(String, String, String)].collect().toSeq
+    assert(backJ == Seq(("3", "not-mail", "invalid email"),
+      ("x", "b&c <bad>", "invalid integer")))
+    val xmlF = new File(base, "rows.errors.xml")
+    Validation.exportErrorsXml(v.errors, xmlF.getPath)
+    val backX = graft.sources.XmlSource.read(spark, xmlF.getPath)
+      .orderBy("id").select("id", "email", "error_reason")
+      .as[(String, String, String)].collect().toSeq
+    assert(backX == backJ)
+  }
+
   test("glob expansion sorts file names") {
     val base = SyntheticFixtures.dir("specglob")
     SyntheticFixtures.writeText(new File(base, "b_tbl.csv"), "x")
