@@ -16,8 +16,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *
   * Date-styled numeric cells (XF numFmtId in the builtin date range or
   * a custom FORMAT with date tokens) convert to ISO strings like the
-  * reference's typed Date cells. Documented subset: no
-  * CONTINUE-spanning SST strings, no encrypted workbooks.
+  * reference's typed Date cells. SST string tables spanning CONTINUE
+  * records are handled (including the compressed/wide width switch at
+  * each continuation boundary). Documented subset: no encrypted
+  * workbooks.
   */
 object XlsSource {
 
@@ -116,6 +118,57 @@ object XlsSource {
     (s, o - off)
   }
 
+  /** Cursor over the SST record body plus its CONTINUE record bodies.
+    * BIFF8 splits an oversized SST (> 8224-byte record cap) across
+    * CONTINUE records; structure fields may fall on a boundary, and when
+    * CHARACTER data crosses one, the continuation restarts with a fresh
+    * option-flags byte — the string can switch between compressed and
+    * UTF-16 mid-string (MS-XLS 2.5.293 XLUnicodeRichExtendedString).
+    */
+  private final class SstCursor(segs: IndexedSeq[Array[Byte]]) {
+    private var si = 0
+    private var off = 0
+    private def ensure(): Unit =
+      while (si < segs.length && off >= segs(si).length) { si += 1; off = 0 }
+    def u8(): Int = { ensure(); val v = segs(si)(off) & 0xff; off += 1; v }
+    def u16(): Int = u8() | (u8() << 8)
+    def u32(): Long = u16().toLong | (u16().toLong << 16)
+    def skip(n: Int): Unit = {
+      var left = n
+      while (left > 0) {
+        ensure()
+        val take = math.min(left, segs(si).length - off)
+        off += take; left -= take
+      }
+    }
+    def hasMore: Boolean = { ensure(); si < segs.length }
+    /** Read `n` characters, re-reading the option-flags byte (and thus
+      * possibly switching width) at every continuation boundary crossed
+      * mid-string.
+      */
+    def readChars(n: Int, wideInit: Boolean): String = {
+      val sb = new StringBuilder
+      var left = n
+      var wide = wideInit
+      while (left > 0) {
+        ensure()
+        require(si < segs.length, s"SST truncated: $left chars missing")
+        // a continuation entered mid-string restarts with a fresh
+        // option-flags byte (the width may switch)
+        if (off == 0 && left < n) wide = (u8() & 1) != 0
+        val bytesPerChar = if (wide) 2 else 1
+        val avail = (segs(si).length - off) / bytesPerChar
+        val take = math.min(left, avail)
+        val raw = segs(si).slice(off, off + take * bytesPerChar)
+        sb ++= (if (wide) new String(raw, "UTF-16LE") else new String(raw, "ISO-8859-1"))
+        off += take * bytesPerChar
+        left -= take
+        if (left > 0 && avail == 0) off = segs(si).length // malformed odd tail
+      }
+      sb.toString
+    }
+  }
+
   private def decodeRk(rk: Long): String = {
     val div100 = (rk & 1) != 0
     val isInt = (rk & 2) != 0
@@ -161,13 +214,26 @@ object XlsSource {
           val (code, _) = decodeXlUnicode(wb, body + 2)
           if (code.exists("ymdhs".contains(_))) customDateFmts += fmtId
         case 0x00FC if depth == 1 =>
-          val unique = u32(wb, body + 4).toInt
-          var so = body + 8
+          // SST body + all immediately-following CONTINUE record bodies
+          // form one logical stream (MS-XLS 2.4.265 + 2.4.58)
+          val segs = scala.collection.mutable.ArrayBuffer(wb.slice(body, body + len))
+          var q = body + len
+          while (q + 4 <= wb.length && u16(wb, q) == 0x003C) {
+            val clen = u16(wb, q + 2)
+            segs += wb.slice(q + 4, q + 4 + clen)
+            q += 4 + clen
+          }
+          val cur = new SstCursor(segs.toIndexedSeq)
+          cur.u32() // total refs
+          val unique = cur.u32().toInt
           var i = 0
-          while (i < unique && so < body + len) {
-            val (s, consumed) = decodeXlUnicode(wb, so)
-            sst += s
-            so += consumed
+          while (i < unique && cur.hasMore) {
+            val cch = cur.u16()
+            val flags = cur.u8()
+            val richCount = if ((flags & 8) != 0) cur.u16() else 0
+            val extLen = if ((flags & 4) != 0) cur.u32().toInt else 0
+            sst += cur.readChars(cch, (flags & 1) != 0)
+            cur.skip(richCount * 4 + extLen)
             i += 1
           }
         case _ =>

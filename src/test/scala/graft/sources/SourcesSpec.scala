@@ -223,6 +223,43 @@ class SourcesSpec extends SparkSpec {
     assert(cells.toSet == Set((0, 0, "37622.5"), (0, 1, "2003-01-01")))
   }
 
+  test("xls (BIFF8): SST spanning CONTINUE records, width switch mid-string") {
+    // hand-built workbook stream: SST whose second string's characters
+    // cross into a CONTINUE record and switch compressed → wide there
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >>> 8) & 0xff) }
+    def rec(id: Int, body: Array[Byte]): Unit = { w16(id); w16(body.length); bos.write(body) }
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+    def le32(v: Long) = (0 until 4).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+    rec(0x0809, le16(0x0600) ++ le16(0x0005) ++ new Array[Byte](12))
+    val bsAt = bos.size()
+    rec(0x0085, le32(0L) ++ le16(0) ++ Array[Byte](1, 0, 'S'))
+    // SST record: cstTotal=3, cstUnique=3; "alpha" complete; "split..."
+    // has 10 chars but only 4 fit in this record
+    val s1 = "alpha".getBytes("ISO-8859-1")
+    val sstBody = le32(3L) ++ le32(3L) ++
+      le16(s1.length) ++ Array[Byte](0) ++ s1 ++
+      le16(10) ++ Array[Byte](0) ++ "spli".getBytes("ISO-8859-1")
+    rec(0x00FC, sstBody)
+    // CONTINUE: fresh flags byte (wide=1), remaining 6 chars in UTF-16LE,
+    // then the third string "tail" entirely inside the continuation
+    val rest = "t-rest".getBytes("UTF-16LE")
+    val s3 = "tail".getBytes("ISO-8859-1")
+    rec(0x003C, Array[Byte](1) ++ rest ++ le16(s3.length) ++ Array[Byte](0) ++ s3)
+    rec(0x000A, Array.empty)
+    val sheetAt = bos.size()
+    rec(0x0809, le16(0x0600) ++ le16(0x0010) ++ new Array[Byte](12))
+    def labelSst(row: Int, c: Int, isst: Long) = le16(row) ++ le16(c) ++ le16(0) ++ le32(isst)
+    rec(0x00FD, labelSst(0, 0, 0))
+    rec(0x00FD, labelSst(0, 1, 1))
+    rec(0x00FD, labelSst(0, 2, 2))
+    rec(0x000A, Array.empty)
+    val wb = bos.toByteArray
+    System.arraycopy(le32(sheetAt.toLong), 0, wb, bsAt + 4, 4)
+    val cells = XlsSource.parseWorkbookStream(wb).head._2
+    assert(cells.toSet == Set((0, 0, "alpha"), (0, 1, "split-rest"), (0, 2, "tail")))
+  }
+
   test("table name derivation pinned by the reference unit test") {
     assert(TableNames.deriveTableName("some_additional text(test_tbl).csv") == "test_tbl")
     assert(TableNames.deriveTableName("/x/y/test2_tbl.csv") == "test2_tbl")
