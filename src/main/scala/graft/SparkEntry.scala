@@ -724,20 +724,29 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------- q41
-  /** Skew-mitigated join: lineitem ⨝ orders with the orders side
-    * replicated over salt buckets — result-identical to the plain join,
-    * but a hot order key spreads across `saltFactor` reducers. Oracle =
-    * the plain join (salting must be invisible in the result).
+  /** Skew-mitigated join on a GENUINELY hot key: ~70% of lineitem rows
+    * collapse onto skew_key 0 (a real-world "default value" hot key), so
+    * the plain shuffle join lands 70% of the fact on ONE reducer. The
+    * salted join spreads that key over `saltFactor` reducers and is
+    * result-identical — the oracle IS the plain join. The dimension here
+    * is broadcastable at test scale; salting is the tool for when it is
+    * not (measured salted-vs-plain in PLANS.md).
     */
-  def q41SaltedJoin(s: SparkSession, d: String): DataFrame =
-    operators.Skew.saltedJoin(
-        lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
-        orders(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
-        keys = Seq("l_orderkey"), saltFactor = 8, saltSource = col("l_linenumber"))
-      .groupBy(col("o_orderstatus"))
+  def q41SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = lineitem(s, d).select(
+      when(col("l_orderkey") % 10 < 7, 0L).otherwise(col("l_orderkey") % 997)
+        .as("skew_key"),
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val dim = orders(s, d)
+      .select((col("o_orderkey") % 997).as("skew_key")).distinct()
+      .withColumn("bucket_mod", col("skew_key") % 5)
+    operators.Skew.saltedJoin(fact, dim, keys = Seq("skew_key"),
+        saltFactor = 8, saltSource = hash(col("l_orderkey"), col("l_linenumber")))
+      .groupBy(col("bucket_mod"))
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
-      .orderBy(col("o_orderstatus"))
+      .orderBy(col("bucket_mod"))
+  }
 
   // ------------------------------------------------------------------
 
@@ -1239,10 +1248,15 @@ object SparkEntry {
         | c_mktsegment AS notes
         |FROM customer WHERE c_custkey % 101 = 0 ORDER BY title""".stripMargin,
     "q41_salted_join" ->
-      """SELECT o_orderstatus, count(*) AS n,
+      """WITH fact AS (SELECT
+        |  CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 997 END AS skew_key,
+        |  l_quantity FROM lineitem),
+        |dim AS (SELECT DISTINCT o_orderkey % 997 AS skew_key FROM orders),
+        |dim2 AS (SELECT skew_key, skew_key % 5 AS bucket_mod FROM dim)
+        |SELECT bucket_mod, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+        |FROM fact JOIN dim2 USING (skew_key)
+        |GROUP BY bucket_mod ORDER BY bucket_mod""".stripMargin,
     "q42_src_xls" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
   )
