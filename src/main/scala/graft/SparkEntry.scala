@@ -1179,14 +1179,17 @@ object SparkEntry {
     "q28_embedding_near_dup" -> {
       // the SAME hyperplane literals as Similarity.nearDupPairsLsh — the
       // LSH banding is part of the operator's portable definition
-      val w = operators.Similarity.hyperplaneWeights(12, 64)
+      val bands = 4
+      val w = operators.Similarity.hyperplaneWeights(24, 64)
+      val r = w.length / bands
       val bitCols = w.indices.map { i =>
         // Double.toString round-trips exactly; DuckDB parses E-notation
         val arr = w(i).mkString(", ")
         s"CASE WHEN list_dot_product(v, [$arr]) > 0 THEN 1 ELSE 0 END AS bit$i"
       }.mkString(",\n ")
-      val bandCols = (0 until 4).map { b =>
-        s"bit${b * 3}*4 + bit${b * 3 + 1}*2 + bit${b * 3 + 2} AS b$b"
+      val bandCols = (0 until bands).map { b =>
+        (0 until r).map(i => s"bit${b * r + i}*${1 << (r - 1 - i)}").mkString(" + ") +
+          s" AS b$b"
       }.mkString(", ")
       s"""WITH c AS (
          | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -118,26 +118,43 @@ object Similarity {
       math.rint(((h.toDouble / 2147483648.0) - 1.0) * 1e6) / 1e6
     }
 
-  /** Per-vector LSH band keys from hyperplane sign bits: bit i is
-    * `⟨v, w_i⟩ > 0`; band b packs its `planes/bands` consecutive bits
-    * MSB-first into a small integer. Two vectors at angle θ agree on a
-    * bit with probability 1 − θ/π, so near-identical vectors land in the
-    * same band key with high probability while the key space partitions
-    * hot buckets into 2^(planes/bands) sub-buckets per band.
+  /** Per-vector hyperplane sign bits: bit i is `⟨v, w_i⟩ > 0`. The
+    * weight matrix enters the plan as ONE 2-D array literal looped by a
+    * single `transform` — unrolling a per-plane expression instead would
+    * make the generated code grow with planes × dims (measurable
+    * whole-stage-codegen compile cost), whereas here the weights are
+    * data.
+    */
+  def hyperplaneBits(vec: Column, weights: Array[Array[Double]]): Column = {
+    val w2d = typedLit(weights.map(_.toSeq).toSeq)
+    transform(w2d, w =>
+      when(aggregate(zip_with(vec, w, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v) > 0, lit(1)).otherwise(lit(0)))
+  }
+
+  /** Pack sign bits into `bands` keys, `r` consecutive bits MSB-first
+    * per band. Callers MUST materialize `bits` as its own column first —
+    * each band key reads `r` positions, and an inlined bits expression
+    * would recompute every dot product per reference.
+    */
+  def packBandKeys(bits: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map { b =>
+      (0 until r).map(i => element_at(bits, b * r + i + 1) * lit(1 << (r - 1 - i)))
+        .reduce(_ + _)
+    }: _*)
+
+  /** Per-vector LSH band keys from hyperplane sign bits: band b packs
+    * its `planes/bands` consecutive bits MSB-first into a small integer.
+    * Two vectors at angle θ agree on a bit with probability 1 − θ/π, so
+    * near-identical vectors land in the same band key with high
+    * probability while the key space partitions hot buckets into
+    * 2^(planes/bands) sub-buckets per band. (Convenience composition for
+    * tests/one-off use; the scale path materializes the bits column —
+    * see [[nearDupPairsLsh]].)
     */
   def hyperplaneBandKeys(vec: Column, weights: Array[Array[Double]],
-                         bands: Int): Column = {
-    val r = weights.length / bands
-    val bits = weights.map { w =>
-      val dot = aggregate(
-        zip_with(vec, typedLit(w.toSeq), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1)).otherwise(lit(0))
-    }
-    array((0 until bands).map { b =>
-      (0 until r).map(i => bits(b * r + i) * lit(1 << (r - 1 - i))).reduce(_ + _)
-    }: _*)
-  }
+                         bands: Int): Column =
+    packBandKeys(hyperplaneBits(vec, weights), bands, weights.length / bands)
 
   /** Scale path for embedding near-dup: candidates must share the coarse
     * bucket AND at least one hyperplane-LSH band key, then verify with
@@ -147,12 +164,17 @@ object Similarity {
     * bucket no longer degenerates to all-pairs.
     */
   def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
-                      numPlanes: Int = 12, bands: Int = 4, dim: Int = 64,
+                      numPlanes: Int = 24, bands: Int = 4, dim: Int = 64,
                       bucketCol: String = "label",
                       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val keyed = corpus.select(col(bucketCol).as("bk"), col(cId).as("id"), col(cVec).as("v"))
-      .withColumn("bandkeys",
-        hyperplaneBandKeys(col("v"), hyperplaneWeights(numPlanes, dim), bands))
+      // bits materialized as their own projection so the per-band
+      // element_at reads scan a computed array instead of re-deriving
+      // the dot products (CollapseProject keeps non-cheap
+      // multi-referenced aliases materialized)
+      .withColumn("__hp_bits", hyperplaneBits(col("v"), hyperplaneWeights(numPlanes, dim)))
+      .withColumn("bandkeys", packBandKeys(col("__hp_bits"), bands, numPlanes / bands))
+      .drop("__hp_bits")
       .cache()
     val exploded = keyed.select(col("bk"), col("id"),
       posexplode(col("bandkeys")).as(Seq("band_idx", "band_key")))
