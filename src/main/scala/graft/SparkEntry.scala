@@ -702,9 +702,17 @@ object SparkEntry {
       Map("Title" -> s"cust${r.getLong(0)}", "UserName" -> r.getString(1),
         "Notes" -> r.getString(2))
     }.toSeq
-    val f = new java.io.File(sources.SyntheticFixtures.dir("kdbx"), "customers.kdbx")
-    sources.KdbxWriter.write(f, "abc123", entries)
-    sources.KdbxSource.read(s, f.getPath, "abc123")
+    // half the entries in a kdbx 3.1 vault (AES-KDF + Salsa20), half in a
+    // kdbx4 vault (Argon2id + ChaCha20) — one glob read covers both
+    // container formats
+    val (even, odd) = entries.zipWithIndex.partition(_._2 % 2 == 0)
+    val dir = sources.SyntheticFixtures.dir("kdbx")
+    sources.KdbxWriter.write(new java.io.File(dir, "customers_a.kdbx"),
+      "abc123", even.map(_._1))
+    sources.KdbxWriter.write4(new java.io.File(dir, "customers_b.kdbx"),
+      "abc123", odd.map(_._1))
+    sources.KdbxSource.read(s, new java.io.File(dir, "customers_*.kdbx").getPath,
+        "abc123")
       .select(col("Title").as("title"), col("UserName").as("username"),
         col("Notes").as("notes"))
       .orderBy(col("title"))

@@ -11,30 +11,42 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
-/** KeePass 2 (.kdbx, format 3.1) source (reference
+/** KeePass 2 (.kdbx, formats 3.1 AND 4) source (reference
   * dataprovider/KdbxDataProvider.java:31-280, SURVEY §2.1): decrypt with
   * the password, iterate every entry in every group, each entry's
   * String key/value map = one row.
   *
-  * Pure-JDK implementation of the public KDBX 3.1 container (KeePass
-  * file-format spec): AES-KDF (N rounds of AES-ECB over the composite
-  * key), AES-256-CBC payload, StreamStartBytes check, hashed block
-  * stream, optional gzip, inner XML, and Salsa20 inner-stream
-  * protection for `Protected="True"` values (one continuous keystream
-  * over values in document order). kdbx4 (Argon2) files are rejected
-  * with a clear error.
+  * Pure-JDK implementation of the public container formats (KeePass
+  * file-format spec):
+  *  - KDBX 3.1: AES-KDF (N rounds of AES-ECB over the composite key),
+  *    AES-256-CBC payload, StreamStartBytes check, hashed block stream,
+  *    optional gzip, Salsa20 inner stream.
+  *  - KDBX 4: Argon2d/Argon2id KDF (or AES-KDF) from a
+  *    VariantDictionary, header SHA-256 + HMAC-SHA-256 verification,
+  *    HMAC block stream, AES-256-CBC or ChaCha20 payload, binary inner
+  *    header, ChaCha20 (or Salsa20) inner stream. Argon2/ChaCha20/
+  *    BLAKE2b are from-RFC implementations in [[Kdbx4Crypto]].
+  *
+  * `Protected="True"` values decrypt with ONE continuous keystream over
+  * the values in document order.
   */
 object KdbxSource {
 
   private val Magic1 = 0x9AA2D903
   private val Magic2 = 0xB54BFB67
 
+  /** Inner-stream cipher for `Protected` values (Salsa20 in 3.1,
+    * ChaCha20 in 4).
+    */
+  trait InnerCipher { def crypt(data: Array[Byte]): Array[Byte] }
+
   /** Salsa20 keystream (D. Bernstein's public algorithm) — KeePass
     * protects inner `Protected="True"` values with Salsa20 keyed by
     * SHA256(ProtectedStreamKey) and the fixed nonce E830094B97205D2A,
     * one continuous stream over the values in document order.
     */
-  private[sources] final class Salsa20(key: Array[Byte], nonce: Array[Byte]) {
+  private[sources] final class Salsa20(key: Array[Byte], nonce: Array[Byte])
+      extends InnerCipher {
     private val state = new Array[Int](16)
     private def u32le(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
@@ -107,7 +119,7 @@ object KdbxSource {
     require(buf.getInt() == Magic1 && buf.getInt() == Magic2, "not a kdbx file")
     val version = buf.getInt()
     require((version >>> 16) == 3,
-      s"unsupported kdbx version ${version >>> 16} (only 3.x; kdbx4 needs Argon2)")
+      s"internal: v${version >>> 16} header routed to the 3.x parser")
     var iv: Array[Byte] = null
     var seed: Array[Byte] = null
     var tseed: Array[Byte] = null
@@ -169,10 +181,13 @@ object KdbxSource {
   }
 
   /** Decrypt a kdbx payload to (inner XML, optional inner-stream cipher
-    * for Protected values).
+    * for Protected values). Dispatches on the header's major version.
     */
   private[sources] def decryptXmlWithStream(bytes: Array[Byte],
-      password: String): (String, Option[Salsa20]) = {
+      password: String): (String, Option[InnerCipher]) = {
+    require(bytes.length >= 12, "truncated kdbx file")
+    val major = ((bytes(11) & 0xff) << 8) | (bytes(10) & 0xff)
+    if (major >= 4) return Kdbx4Reader.decrypt(bytes, password)
     val h = parseHeader(bytes)
     val key = deriveMasterKey(password, h)
     val aes = Cipher.getInstance("AES/CBC/PKCS5Padding")
@@ -204,7 +219,7 @@ object KdbxSource {
     * pairs (all groups, any depth), like the reference's entry walk.
     */
   private[sources] def parseEntries(xml: String,
-      inner: Option[Salsa20] = None): Seq[Map[String, String]] = {
+      inner: Option[InnerCipher] = None): Seq[Map[String, String]] = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
@@ -266,13 +281,137 @@ object KdbxSource {
   }
 }
 
-/** Fixture-side kdbx 3.1 writer (deterministic seeds for tests). */
+/** Fixture-side kdbx 3.1 + 4 writers (deterministic seeds for tests). */
 object KdbxWriter {
 
   private def sha256(b: Array[Byte]*): Array[Byte] = {
     val md = MessageDigest.getInstance("SHA-256")
     b.foreach(md.update)
     md.digest()
+  }
+
+  private def sha512(b: Array[Byte]*): Array[Byte] = {
+    val md = MessageDigest.getInstance("SHA-512")
+    b.foreach(md.update)
+    md.digest()
+  }
+
+  private def entriesXml(entries: Seq[Map[String, String]],
+                         protectKeys: Set[String],
+                         inner: Option[KdbxSource.InnerCipher]): String = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val es = entries.map { e =>
+      e.map { case (k, v) =>
+        if (protectKeys.contains(k)) {
+          val ct = java.util.Base64.getEncoder.encodeToString(
+            inner.get.crypt(v.getBytes("UTF-8")))
+          s"""<String><Key>${esc(k)}</Key><Value Protected="True">$ct</Value></String>"""
+        } else
+          s"<String><Key>${esc(k)}</Key><Value>${esc(v)}</Value></String>"
+      }.mkString("<Entry>", "", "</Entry>")
+    }.mkString
+    s"""<?xml version="1.0" encoding="UTF-8"?><KeePassFile><Root><Group><Name>Root</Name>$es</Group></Root></KeePassFile>"""
+  }
+
+  /** kdbx4 fixture: Argon2 KDF (id or d), ChaCha20 payload + ChaCha20
+    * inner stream, gzip, HMAC block stream — deterministic "random"
+    * material so tests are stable.
+    */
+  def write4(f: java.io.File, password: String,
+             entries: Seq[Map[String, String]],
+             protectKeys: Set[String] = Set.empty,
+             argon2Variant: Int = Kdbx4Crypto.Argon2Type.Id,
+             memoryKib: Int = 64, iterations: Int = 2,
+             parallelism: Int = 2): java.io.File = {
+    val seedSrc = entries.map(_.toString).mkString("|").getBytes("UTF-8")
+    val masterSeed = sha256("seed4".getBytes, seedSrc)
+    val salt = sha256("salt4".getBytes, seedSrc)
+    val iv = sha256("iv4".getBytes, seedSrc).take(12) // ChaCha20 nonce
+    val innerKey = sha256("inner4".getBytes, seedSrc) ++ sha256("inner4b".getBytes, seedSrc)
+    def le32(v: Int) = { val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN); b.putInt(v); b.array() }
+    def le64(v: Long) = { val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN); b.putLong(v); b.array() }
+
+    // inner stream cipher (ChaCha20, id 3)
+    val kh = sha512(innerKey)
+    val innerCipher = new Kdbx4Crypto.ChaCha20(kh.take(32), kh.slice(32, 44))
+    val xml = entriesXml(entries, protectKeys, Some(innerCipher))
+
+    // inner header: streamID 3 + key + end, then XML
+    val innerHdr = new ByteArrayOutputStream()
+    def ifield(t: Int, data: Array[Byte]): Unit = {
+      innerHdr.write(t); innerHdr.write(le32(data.length)); innerHdr.write(data)
+    }
+    ifield(1, le32(3))
+    ifield(2, innerKey)
+    ifield(0, Array.empty)
+    innerHdr.write(xml.getBytes("UTF-8"))
+
+    val gzipped = {
+      val bos = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(bos)
+      g.write(innerHdr.toByteArray); g.close()
+      bos.toByteArray
+    }
+
+    // outer header with Int32 field lengths
+    val hdr = new ByteArrayOutputStream()
+    def hfield(id: Int, data: Array[Byte]): Unit = {
+      hdr.write(id); hdr.write(le32(data.length)); hdr.write(data)
+    }
+    hdr.write(le32(0x9AA2D903)); hdr.write(le32(0xB54BFB67))
+    hdr.write(le32(0x00040000)) // version 4.0
+    val chachaUuid = "d6038a2b8b6f4cb5a524339a31dbb59a"
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val kdfUuid = (if (argon2Variant == Kdbx4Crypto.Argon2Type.D)
+      "ef636ddf8c29444b91f7a9a403e30a0c" else "9e298b1956db4773b23dfc3ec6f0a1e6")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    hfield(2, chachaUuid)
+    hfield(3, le32(1)) // gzip
+    hfield(4, masterSeed)
+    hfield(7, iv)
+    // KDF VariantDictionary
+    val vd = new ByteArrayOutputStream()
+    vd.write(Array[Byte](0, 1)) // dict version 0x0100 LE
+    def ventry(t: Int, key: String, value: Array[Byte]): Unit = {
+      vd.write(t)
+      val kb = key.getBytes("UTF-8")
+      vd.write(le32(kb.length)); vd.write(kb)
+      vd.write(le32(value.length)); vd.write(value)
+    }
+    ventry(0x42, "$UUID", kdfUuid)
+    ventry(0x42, "S", salt)
+    ventry(0x04, "P", le32(parallelism))
+    ventry(0x05, "M", le64(memoryKib * 1024L))
+    ventry(0x05, "I", le64(iterations.toLong))
+    ventry(0x04, "V", le32(0x13))
+    vd.write(0)
+    hfield(11, vd.toByteArray)
+    hfield(0, "\r\n\r\n".getBytes)
+    val header = hdr.toByteArray
+
+    val composite = sha256(sha256(password.getBytes("UTF-8")))
+    val transformed = Kdbx4Crypto.argon2(argon2Variant, composite, salt,
+      parallelism, memoryKib, iterations)
+    val hmacKey64 = sha512(masterSeed, transformed, Array(1.toByte))
+    val cipherKey = sha256(masterSeed, transformed)
+    val encrypted = new Kdbx4Crypto.ChaCha20(cipherKey, iv).crypt(gzipped)
+
+    val out = new ByteArrayOutputStream()
+    out.write(header)
+    out.write(sha256(header))
+    out.write(Kdbx4Reader.hmacSha256(sha512(le64(-1L), hmacKey64), header))
+    // HMAC block stream: one data block + terminator
+    def block(index: Long, data: Array[Byte]): Unit = {
+      val bk = sha512(le64(index), hmacKey64)
+      out.write(Kdbx4Reader.hmacSha256(bk, le64(index), le32(data.length), data))
+      out.write(le32(data.length))
+      out.write(data)
+    }
+    block(0, encrypted)
+    block(1, Array.empty)
+    val fos = new java.io.FileOutputStream(f)
+    try fos.write(out.toByteArray) finally fos.close()
+    f
   }
 
   def write(f: java.io.File, password: String,

@@ -267,6 +267,63 @@ class SourcesSpec extends SparkSpec {
     assert(TableNames.deriveTableName("archive.csv.tar.gz") == "archive")
   }
 
+  test("BLAKE2b pinned to the RFC 7693 'abc' vector") {
+    val got = Kdbx4Crypto.blake2b(64, "abc".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(got ==
+      "ba80a53f981c4d0d6a2797b69f12f6e94c212f14685ac4b74b12bb6fdbffa2d1" +
+      "7d87c5392aab792dc252d5de4533cc9518d38aa8dbf1925ab92386edd4009923")
+  }
+
+  test("ChaCha20 pinned to the RFC 8439 block-function vector") {
+    val key = Array.tabulate[Byte](32)(_.toByte)
+    val nonce = Array[Byte](0, 0, 0, 9, 0, 0, 0, 0x4a, 0, 0, 0, 0)
+    val ks = new Kdbx4Crypto.ChaCha20(key, nonce, counter = 1)
+      .crypt(new Array[Byte](16)).map(b => f"$b%02x").mkString
+    assert(ks == "10f1e7e4d13b5915500fdd1fa32071c4")
+  }
+
+  test("Argon2 pinned to the RFC 9106 test vectors") {
+    val pwd = Array.fill[Byte](32)(1)
+    val salt = Array.fill[Byte](16)(2)
+    val secret = Array.fill[Byte](8)(3)
+    val ad = Array.fill[Byte](12)(4)
+    def run(variant: Int) =
+      Kdbx4Crypto.argon2(variant, pwd, salt, parallelism = 4, memoryKib = 32,
+        iterations = 3, outLen = 32, version = 0x13, secret = secret, ad = ad)
+        .map(b => f"$b%02x").mkString
+    assert(run(Kdbx4Crypto.Argon2Type.D) ==
+      "512b391b6f1162975371d30919734294f868e3be3984f3c1a13a4db9fabe4acb")
+    assert(run(Kdbx4Crypto.Argon2Type.I) ==
+      "c814d9d1dc7f37aa13f0d77f2494bda1c8de6b016dd388d29952a4c4672b6ce8")
+    assert(run(Kdbx4Crypto.Argon2Type.Id) ==
+      "0d640df58d78766c08c037a34a8b53c9d01ef0452d75b65eb52520e96b01e659")
+  }
+
+  test("kdbx4: Argon2id + ChaCha20 round-trip with protected values") {
+    val f = new File(SyntheticFixtures.dir("kdbx4"), "vault4.kdbx")
+    KdbxWriter.write4(f, "s3cret", Seq(
+      Map("Title" -> "alpha", "UserName" -> "ann", "Password" -> "p1"),
+      Map("Title" -> "beta", "UserName" -> "bob", "Password" -> "p2")),
+      protectKeys = Set("Password"))
+    val df = KdbxSource.read(spark, f.getPath, "s3cret")
+      .orderBy("Title").select("Title", "UserName", "Password")
+      .as[(String, String, String)].collect().toSeq
+    assert(df == Seq(("alpha", "ann", "p1"), ("beta", "bob", "p2")))
+    val bad = intercept[Exception](
+      KdbxSource.decryptXml(java.nio.file.Files.readAllBytes(f.toPath), "wrong"))
+    assert(bad.getMessage.contains("wrong kdbx password"))
+  }
+
+  test("kdbx4: Argon2d variant also round-trips") {
+    val f = new File(SyntheticFixtures.dir("kdbx4"), "vault4d.kdbx")
+    KdbxWriter.write4(f, "pw-d", Seq(Map("Title" -> "gamma", "Note" -> "n&<x>")),
+      argon2Variant = Kdbx4Crypto.Argon2Type.D)
+    val (xml, inner) = KdbxSource.decryptXmlWithStream(
+      java.nio.file.Files.readAllBytes(f.toPath), "pw-d")
+    val rows = KdbxSource.parseEntries(xml, inner)
+    assert(rows == Seq(Map("Title" -> "gamma", "Note" -> "n&<x>")))
+  }
+
   test("erroneous rows re-export as parseable JSON and XML") {
     import org.apache.spark.sql.functions.col
     import graft.api.Validation
