@@ -57,13 +57,23 @@ object Importer {
                             * [[graft.sink.JdbcMerge]]'s generated SQL.
                             */
                           additionalInsertValues: Map[String, String] = Map.empty,
-                          additionalUpdateValues: Map[String, String] = Map.empty)
+                          additionalUpdateValues: Map[String, String] = Map.empty,
+                          /** Source byte size for the statistics surface
+                            * (reference "Imported data amount"); the CLI
+                            * passes the import file's size.
+                            */
+                          dataAmount: Long = 0L)
 
-  /** Per-run statistics (reference DbImportWorker.java:879-934). */
+  /** Per-run statistics (reference DbImportWorker.java:879-934):
+    * counts, the source byte amount, wall-clock duration, and the
+    * reference's items/second throughput figure.
+    */
   case class ImportResult(found: Long, valid: Long, invalid: Long,
                           duplicates: Long, inserted: Long, updated: Long,
                           deleted: Long, finalCount: Long,
-                          createdIndex: Option[String])
+                          createdIndex: Option[String],
+                          dataAmount: Long = 0L, durationMs: Long = 0L,
+                          itemsPerSecond: Double = 0.0)
 
   /** Map + transform the raw source through the mapping pipeline. */
   def transformSource(source: DataFrame, targetSchema: StructType,
@@ -90,6 +100,7 @@ object Importer {
   def importToJdbc(source: DataFrame, url: String, table: String,
                    cfg: ImportConfig): ImportResult = {
     val spark = source.sparkSession
+    val startedAt = System.nanoTime()
 
     // --- destination schema: existing table or auto-create (-create) ---
     val exists = JdbcSink.withConnection(url)(c => JdbcSink.tableExists(c, table))
@@ -213,7 +224,12 @@ object Importer {
       }
 
     val finalCount = JdbcSink.withConnection(url)(c => JdbcSink.countRows(c, table))
+    val durationMs = (System.nanoTime() - startedAt) / 1000000L
+    val itemsPerSec =
+      if (durationMs > 0) found.toDouble * 1000.0 / durationMs else 0.0
     ImportResult(found, valid, invalid, duplicates, inserted, updated,
-      deleted, finalCount, createdIndex)
+      deleted, finalCount, createdIndex,
+      dataAmount = cfg.dataAmount, durationMs = durationMs,
+      itemsPerSecond = itemsPerSec)
   }
 }

@@ -165,10 +165,17 @@ object Main {
         MultiImporter.analyse(src).foreach { case (c, t) => println(s"$c: $t") }
         0
       } else {
-        val r = Importer.importToJdbc(src, a.url, a.table, a.cfg)
+        // reference "Imported data amount" statistic: the source's size
+        val amount =
+          if (a.inline) a.importPathOrData.getBytes("UTF-8").length.toLong
+          else new java.io.File(a.importPathOrData).length()
+        val r = Importer.importToJdbc(src, a.url, a.table,
+          a.cfg.copy(dataAmount = amount))
         println(s"Found: ${r.found}  Valid: ${r.valid}  Invalid: ${r.invalid}  " +
           s"Duplicates: ${r.duplicates}  Inserted: ${r.inserted}  Updated: ${r.updated}  " +
           s"Final count: ${r.finalCount}")
+        println(f"Imported data amount: ${r.dataAmount} Byte  " +
+          f"Duration: ${r.durationMs} ms  Items/second: ${r.itemsPerSecond}%.1f")
         0
       }
     }

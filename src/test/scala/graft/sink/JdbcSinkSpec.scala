@@ -298,4 +298,41 @@ class JdbcSinkSpec extends SparkSpec {
     assert(errs.map(_.getAs[String]("error_reason")).toSeq ==
       Seq("invalid email", "invalid integer"))
   }
+
+  test("PostgreSQL COMMENT clause stripped from CREATE TABLE statements") {
+    import graft.sink.SqlScript.stripPostgresComment
+    assert(stripPostgresComment(
+      "CREATE TABLE t (a INTEGER COMMENT 'the ''a'' col', b INTEGER)") ==
+      "CREATE TABLE t (a INTEGER, b INTEGER)")
+    // only CREATE TABLE statements with a COMMENT clause are touched
+    val untouched = "INSERT INTO t VALUES ('keep COMMENT ''x'' intact')"
+    assert(stripPostgresComment(untouched) == untouched)
+  }
+
+  test("import statistics include data amount, duration, items/second") {
+    val url = freshDb()
+    val df = Seq(("1", "a"), ("2", "b"), ("3", "c")).toDF("id", "v")
+    val r = Importer.importToJdbc(df, url, "statt",
+      Importer.ImportConfig(createTableIfNeeded = true, dataAmount = 123L))
+    assert(r.found == 3 && r.dataAmount == 123L)
+    assert(r.durationMs > 0 && r.itemsPerSecond > 0.0)
+  }
+
+  test("progress listener reports task counts and ETA lines") {
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new graft.api.ProgressListener("spec-import", intervalMs = 0,
+      log = s => lines.synchronized { lines += s })
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.range(100000).repartition(8).selectExpr("sum(id)").collect()
+      // listener events arrive on the bus asynchronously
+      val deadline = System.nanoTime() + 5000000000L
+      while (listener.tasksDone < 8 && System.nanoTime() < deadline) Thread.sleep(50)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(listener.tasksDone >= 8 && listener.tasksTotal >= listener.tasksDone)
+    lines.synchronized {
+      assert(lines.nonEmpty && lines.forall(l =>
+        l.startsWith("spec-import:") && l.contains("ETA")))
+    }
+  }
 }
