@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -22,10 +21,11 @@ import org.apache.spark.sql.types.LongType
   *    which is the exact analog of the reference's single-stream order.
   *
   *  - [[withOrderedOrdinal]]: ordinal from an explicit deterministic
-  *    ORDER BY (global `row_number`). Only for oracle-comparable small
-  *    results — a global window is a single-partition sort and does NOT
-  *    scale; large-scale callers should pass the order columns straight
-  *    to the Window in Dedup instead of materializing an ordinal.
+  *    ORDER BY — a range-partitioned distributed sort (Spark `orderBy`)
+  *    followed by the same per-partition offset assignment. Equivalent
+  *    to a global `row_number` when the order is total, WITHOUT the
+  *    single-partition window: every stage stays parallel, so this
+  *    scales like a sort.
   */
 object Ordinals {
 
@@ -57,10 +57,14 @@ object Ordinals {
     spark.createDataFrame(out, schema)
   }
 
-  /** 1-based ordinal from an explicit total order. Global window ⇒ only
-    * for small/bounded results (oracle parity, tests).
+  /** 1-based ordinal from an explicit total order: distributed
+    * range-partitioned sort, then per-partition offsets. Result is
+    * identical to `row_number() OVER (ORDER BY …)` for a TOTAL order,
+    * but no stage ever collapses to one partition. (With a non-total
+    * order, ties land in an arbitrary-but-deterministic sequence —
+    * exactly like the window formulation.)
     */
   def withOrderedOrdinal(df: DataFrame, order: Seq[Column],
                          name: String = DefaultName): DataFrame =
-    df.withColumn(name, row_number().over(Window.orderBy(order: _*)).cast(LongType))
+    withArrivalOrdinal(df.orderBy(order: _*), name)
 }
