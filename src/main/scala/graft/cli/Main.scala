@@ -26,7 +26,20 @@ object Main {
                   sep: String = ";", quote: String = "\"", headers: Boolean = true,
                   nullToken: Option[String] = None, zipPassword: Option[String] = None,
                   dataPath: Option[String] = None, schemaFile: Option[String] = None,
-                  blobImport: Boolean = false, updateSql: Option[String] = None)
+                  blobImport: Boolean = false, updateSql: Option[String] = None,
+                  kdbxPassword: Option[String] = None,
+                  connectionTest: Boolean = false, iterations: Int = 1,
+                  sleepSeconds: Int = 0, checkSql: Option[String] = None)
+
+  /** `col=expr; col=expr` additional-values list (reference
+    * `-insvalues`/`-updvalues`, DbImport.java:408-427).
+    */
+  private def parseValuesList(s: String): Map[String, String] =
+    s.split(";").map(_.trim).filter(_.nonEmpty).map { pair =>
+      val eq = pair.indexOf('=')
+      require(eq > 0, s"invalid values list entry: $pair")
+      pair.substring(0, eq).trim -> pair.substring(eq + 1).trim
+    }.toMap
 
   def parseArgs(argv: Array[String]): Args = {
     require(argv.length >= 3, "usage: graft.cli.Main <jdbcUrl> <table> <file> [flags]")
@@ -76,6 +89,15 @@ object Main {
         case "-sp" => i += 1; a = a.copy(schemaFile = Some(next()))
         case "importblob" => i += 1; a = a.copy(blobImport = true)
         case "-updatesql" => i += 1; a = a.copy(updateSql = Some(next()))
+        case "-kdbxpassword" => i += 1; a = a.copy(kdbxPassword = Some(next()))
+        case "-insvalues" => i += 1
+          a = a.copy(cfg = a.cfg.copy(additionalInsertValues = parseValuesList(next())))
+        case "-updvalues" => i += 1
+          a = a.copy(cfg = a.cfg.copy(additionalUpdateValues = parseValuesList(next())))
+        case "connectiontest" => i += 1; a = a.copy(connectionTest = true)
+        case "-iter" => i += 1; a = a.copy(iterations = next().toInt)
+        case "-sleep" => i += 1; a = a.copy(sleepSeconds = next().toInt)
+        case "-check" => i += 1; a = a.copy(checkSql = Some(next()))
         case other => throw new IllegalArgumentException(s"Invalid parameter: $other")
       }
     }
@@ -119,10 +141,24 @@ object Main {
     else if (lower.endsWith(".xls")) XlsSource.read(spark, path, a.dataPath, a.headers)
     else if (lower.endsWith(".ods")) OdsSource.read(spark, path, a.dataPath, a.headers)
     else if (lower.endsWith(".vcf")) VcfSource.read(spark, path)
+    else if (lower.endsWith(".kdbx"))
+      KdbxSource.read(spark, path, a.kdbxPassword.getOrElse(
+        throw new IllegalArgumentException(".kdbx import requires -kdbxpassword")))
     else throw new IllegalArgumentException(s"unsupported format: $path")
   }
 
   def run(spark: SparkSession, a: Args): Int = {
+    if (a.connectionTest) {
+      // reference `connectiontest` mode (DbImport.java:222, -iter/-sleep/
+      // -check at :672-700)
+      val attempts = graft.sink.ConnectionTest.run(a.url, a.iterations,
+        a.sleepSeconds * 1000L, a.checkSql)
+      attempts.foreach { at =>
+        println(s"Iteration ${at.iteration}: " +
+          (if (at.ok) s"OK (${at.millis} ms)" else s"FAILED ${at.error.getOrElse("")}"))
+      }
+      return if (attempts.forall(_.ok)) 0 else 1
+    }
     if (a.blobImport) {
       // single-file → BLOB column (DbImport.java:834: DbUtilities
       // .updateBlob(definition, updateSql, importFilePath))

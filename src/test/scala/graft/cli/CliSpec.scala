@@ -152,6 +152,38 @@ class CliSpec extends SparkSpec {
     intercept[IllegalArgumentException](Main.readSource(spark, aCsv, csv.getPath))
   }
 
+  test("connectiontest mode reports per-iteration latency") {
+    val url = freshDb()
+    val a = Main.parseArgs(Array(url, "-", "-", "connectiontest",
+      "-iter", "2", "-check", "VALUES 1"))
+    assert(a.connectionTest && a.iterations == 2 && a.checkSql.contains("VALUES 1"))
+    assert(Main.run(spark, a) == 0)
+    val bad = Main.parseArgs(Array("jdbc:derby:memory:nope_no_create", "-", "-",
+      "connectiontest"))
+    assert(Main.run(spark, bad) == 1)
+  }
+
+  test("-insvalues/-updvalues and -kdbxpassword flow into the import") {
+    val a = Main.parseArgs(Array("jdbc:x", "t", "f.kdbx",
+      "-insvalues", "created=current_timestamp; src='cli'",
+      "-updvalues", "updated=current_timestamp",
+      "-kdbxpassword", "pw"))
+    assert(a.cfg.additionalInsertValues ==
+      Map("created" -> "current_timestamp", "src" -> "'cli'"))
+    assert(a.cfg.additionalUpdateValues == Map("updated" -> "current_timestamp"))
+    assert(a.kdbxPassword.contains("pw"))
+    // end-to-end: kdbx vault through the CLI format sniffer into Derby
+    val url = freshDb()
+    val f = new File(graft.sources.SyntheticFixtures.dir("clikdbx"), "v.kdbx")
+    graft.sources.KdbxWriter.write4(f, "pw", Seq(
+      Map("Title" -> "one", "UserName" -> "u1"),
+      Map("Title" -> "two", "UserName" -> "u2")))
+    val run = Main.parseArgs(Array(url, "vault", f.getPath,
+      "-kdbxpassword", "pw", "-create", "-i", "INSERT"))
+    assert(Main.run(spark, run) == 0)
+    JdbcSink.withConnection(url)(c => assert(JdbcSink.countRows(c, "vault") == 2))
+  }
+
   test("SQL script mode executes against the sink") {
     val url = freshDb()
     val f = SyntheticFixtures.writeText(new File(SyntheticFixtures.dir("clisql"), "s.sql"),
