@@ -29,7 +29,9 @@ object Main {
                   blobImport: Boolean = false, updateSql: Option[String] = None,
                   kdbxPassword: Option[String] = None,
                   connectionTest: Boolean = false, iterations: Int = 1,
-                  sleepSeconds: Int = 0, checkSql: Option[String] = None)
+                  sleepSeconds: Int = 0, checkSql: Option[String] = None,
+                  encoding: String = "UTF-8", verbose: Boolean = false,
+                  logToFile: Boolean = false)
 
   /** `col=expr; col=expr` additional-values list (reference
     * `-insvalues`/`-updvalues`, DbImport.java:408-427).
@@ -95,6 +97,9 @@ object Main {
         case "-updvalues" => i += 1
           a = a.copy(cfg = a.cfg.copy(additionalUpdateValues = parseValuesList(next())))
         case "connectiontest" => i += 1; a = a.copy(connectionTest = true)
+        case "-e" => i += 1; a = a.copy(encoding = next())
+        case "-v" => i += 1; a = a.copy(verbose = true)
+        case "-l" => i += 1; a = a.copy(logToFile = true)
         case "-iter" => i += 1; a = a.copy(iterations = next().toInt)
         case "-sleep" => i += 1; a = a.copy(sleepSeconds = next().toInt)
         case "-check" => i += 1; a = a.copy(checkSql = Some(next()))
@@ -115,7 +120,8 @@ object Main {
       throw new IllegalArgumentException(
         s"SchemaFilePath is not supported for data format: $path")
     val csvOpts = CsvSource.CsvOptions(separator = a.sep, quote = a.quote,
-      header = a.headers, nullToken = a.nullToken, trimValues = false)
+      header = a.headers, nullToken = a.nullToken, trimValues = false,
+      encoding = a.encoding)
     def decompressed: org.apache.spark.sql.Dataset[String] = {
       import spark.implicits._
       Compression.readWholeText(spark, path, a.zipPassword).map(_._2)
@@ -205,13 +211,25 @@ object Main {
         val amount =
           if (a.inline) a.importPathOrData.getBytes("UTF-8").length.toLong
           else new java.io.File(a.importPathOrData).length()
-        val r = Importer.importToJdbc(src, a.url, a.table,
+        def doImport() = Importer.importToJdbc(src, a.url, a.table,
           a.cfg.copy(dataAmount = amount))
-        println(s"Found: ${r.found}  Valid: ${r.valid}  Invalid: ${r.invalid}  " +
+        // -v: task-level progress with ETA (reference verbose mode)
+        val r = if (a.verbose)
+          graft.api.Progress.withProgress(spark, s"import ${a.table}")(doImport())
+        else doImport()
+        val stats =
+          s"Found: ${r.found}  Valid: ${r.valid}  Invalid: ${r.invalid}  " +
           s"Duplicates: ${r.duplicates}  Inserted: ${r.inserted}  Updated: ${r.updated}  " +
-          s"Final count: ${r.finalCount}")
-        println(f"Imported data amount: ${r.dataAmount} Byte  " +
-          f"Duration: ${r.durationMs} ms  Items/second: ${r.itemsPerSecond}%.1f")
+          s"Final count: ${r.finalCount}\n" +
+          f"Imported data amount: ${r.dataAmount} Byte  " +
+          f"Duration: ${r.durationMs} ms  Items/second: ${r.itemsPerSecond}%.1f"
+        println(stats)
+        // -l: persist the statistics next to the import file (reference
+        // log-file mode)
+        if (a.logToFile && !a.inline) {
+          val log = new java.io.File(a.importPathOrData + ".import.log")
+          java.nio.file.Files.write(log.toPath, stats.getBytes("UTF-8"))
+        }
         0
       }
     }

@@ -184,6 +184,26 @@ class CliSpec extends SparkSpec {
     JdbcSink.withConnection(url)(c => assert(JdbcSink.countRows(c, "vault") == 2))
   }
 
+  test("-e encoding, -v progress, and -l stats log file") {
+    val url = freshDb()
+    val dir = SyntheticFixtures.dir("cliflags")
+    // ISO-8859-1 CSV with a non-ASCII value
+    val f = new File(dir, "latin.csv")
+    java.nio.file.Files.write(f.toPath,
+      "id;name\n1;Müller".getBytes("ISO-8859-1"))
+    val a = Main.parseArgs(Array(url, "latin_t", f.getPath,
+      "-e", "ISO-8859-1", "-create", "-i", "INSERT", "-v", "-l"))
+    assert(a.encoding == "ISO-8859-1" && a.verbose && a.logToFile)
+    assert(Main.run(spark, a) == 0)
+    val got = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "LATIN_T").load().collect()(0)
+    assert(got.getAs[String]("NAME") == "Müller")
+    val log = new File(f.getPath + ".import.log")
+    assert(log.exists())
+    val text = new String(java.nio.file.Files.readAllBytes(log.toPath), "UTF-8")
+    assert(text.contains("Found: 1") && text.contains("Items/second"))
+  }
+
   test("SQL script mode executes against the sink") {
     val url = freshDb()
     val f = SyntheticFixtures.writeText(new File(SyntheticFixtures.dir("clisql"), "s.sql"),
