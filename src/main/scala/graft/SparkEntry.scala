@@ -661,6 +661,24 @@ object SparkEntry {
         col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  // ---------------------------------------------------------------- q43
+  /** Per-user session windows (30-minute inactivity gap) over the event
+    * stream — Spark's `session_window` evaluated in batch; the same
+    * expression runs under Structured Streaming with a watermark
+    * ([[streaming.StreamingImport.sessionEventStats]]). A new session
+    * starts when an event arrives ≥ gap after the previous one; the
+    * oracle is the classic gaps-and-islands formulation.
+    */
+  def q43SessionWindows(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(session_window(col("ts_utc"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("session_start"), col("user_id"), col("n"),
+        col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   // ---------------------------------------------------------------- q38
   /** Excel (.xlsx) source round-trip: OOXML workbook generated from
     * nation, parsed back by the pure-JDK zip+StAX reader
@@ -802,6 +820,7 @@ object SparkEntry {
     "q40_src_kdbx" -> (q40SrcKdbx _),
     "q41_salted_join" -> (q41SaltedJoin _),
     "q42_src_xls" -> (q42SrcXls _),
+    "q43_session_windows" -> (q43SessionWindows _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -1270,5 +1289,18 @@ object SparkEntry {
         |GROUP BY bucket_mod ORDER BY bucket_mod""".stripMargin,
     "q42_src_xls" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q43_session_windows" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+        |m AS (SELECT user_id, t, value,
+        |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |       OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM e),
+        |g AS (SELECT user_id, t, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS grp
+        | FROM m)
+        |SELECT min(t) AS session_start, user_id, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin,
   )
 }

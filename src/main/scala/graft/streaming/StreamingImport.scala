@@ -65,6 +65,19 @@ object StreamingImport {
       .select((Seq(col("window.start").as("window_start")) ++ groupCols.map(col) ++
         Seq(col("n"), col("sum_value"))): _*)
 
+  /** Per-key session windows (inactivity gap) with a watermark — the
+    * streaming form of the batch session aggregation (SparkEntry q43):
+    * a session closes once the watermark passes its end (last event +
+    * gap), so state is bounded by open sessions.
+    */
+  def sessionEventStats(events: DataFrame, tsCol: String, gap: String,
+                        watermark: String, groupCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy((session_window(col(tsCol), gap) +: groupCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select((Seq(col("session_window.start").as("session_start")) ++
+        groupCols.map(col) ++ Seq(col("n"), col("sum_value"))): _*)
+
   def startMemorySink(w: DataStreamWriter[org.apache.spark.sql.Row],
                       name: String): StreamingQuery =
     w.start()

@@ -99,4 +99,34 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
       ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
   }
+
+  test("session windows: gap merges events, >= gap starts a new session") {
+    val dir = SyntheticFixtures.dir(s"sesstream_${System.nanoTime()}")
+    // user u1: 10:00 and 10:20 chain (20 min < 30-min gap); 11:00 is
+    // >= 30 min after 10:20's session end window → new session
+    SyntheticFixtures.writeText(new File(dir, "ev.csv"),
+      "ts;user_id;value\n" +
+        "2024-01-01 10:00:00;u1;1.0\n" +
+        "2024-01-01 10:20:00;u1;2.0\n" +
+        "2024-01-01 11:00:00;u1;4.0\n" +
+        "2024-01-01 10:00:00;u2;8.0")
+    val evSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user_id", StringType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(evSchema)
+      .option("sep", ";").option("header", "true").csv(dir.getPath)
+    val agg = StreamingImport.sessionEventStats(stream, "ts", "30 minutes",
+      "10 minutes", Seq("user_id"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT session_start, user_id, n, sum_value FROM sess_out")
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", "u1", 2L, 3.0),
+      ("2024-01-01 11:00:00.0", "u1", 1L, 4.0),
+      ("2024-01-01 10:00:00.0", "u2", 1L, 8.0)))
+  }
 }
