@@ -679,6 +679,45 @@ object SparkEntry {
         col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  // ---------------------------------------------------------------- q44
+  /** As-of (point-in-time) join: every click event gains the same
+    * user's most recent view value at-or-before it. The right side is
+    * pre-aggregated to one row per (user, ts) — the as-of uniqueness
+    * contract. Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  def q44AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("view_value"))
+    operators.TemporalJoins.asofJoin(clicks, views, Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", rightVals = Seq("view_value"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(col("view_value"), 6).as("view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- q45
+  /** Banded range join: for every click, count the same user's views
+    * within ±5 minutes. The band equi-join bounds fan-out; the oracle is
+    * the plain range join (banding must be result-invisible).
+    */
+  def q45RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val fiveMinNs = 300000000000L // ts is nanos since epoch
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    operators.TemporalJoins.bandedRangeJoin(clicks, views, Seq("user_id"),
+        leftTs = "ts", rightTs = "view_ts", lower = -fiveMinNs, upper = fiveMinNs)
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(count(lit(1)).as("n_views_nearby"))
+      .orderBy(col("event_id"))
+  }
+
   // ---------------------------------------------------------------- q38
   /** Excel (.xlsx) source round-trip: OOXML workbook generated from
     * nation, parsed back by the pure-JDK zip+StAX reader
@@ -821,6 +860,8 @@ object SparkEntry {
     "q41_salted_join" -> (q41SaltedJoin _),
     "q42_src_xls" -> (q42SrcXls _),
     "q43_session_windows" -> (q43SessionWindows _),
+    "q44_asof_join" -> (q44AsofJoin _),
+    "q45_range_join" -> (q45RangeJoin _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -1302,5 +1343,24 @@ object SparkEntry {
         |SELECT min(t) AS session_start, user_id, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin,
+    "q44_asof_join" ->
+      """WITH clicks AS (SELECT user_id, event_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (SELECT user_id, ts, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT c.user_id, c.event_id, c.value,
+        | round(v.view_value, 6) AS view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q45_range_join" ->
+      """WITH clicks AS (SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (SELECT user_id, ts AS view_ts FROM events
+        |  WHERE event_type = 'view')
+        |SELECT c.user_id, c.event_id, count(*) AS n_views_nearby
+        |FROM clicks c JOIN views v ON c.user_id = v.user_id
+        | AND v.view_ts BETWEEN c.ts - INTERVAL 5 MINUTE AND c.ts + INTERVAL 5 MINUTE
+        |GROUP BY c.user_id, c.event_id ORDER BY c.event_id""".stripMargin,
   )
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark has no native operator for, expressed as
+  * scale-safe declarative plans (SURVEY §2.4 extension; the canonical
+  * operators of time-series/feature-store pipelines):
+  *
+  *  - [[asofJoin]]: for every left row, the single most recent right row
+  *    with `rightTs <= leftTs` per key — the point-in-time join. Not
+  *    expressible as an equi-join; a raw range join degenerates to
+  *    nested-loop. Formulated as union → per-key window
+  *    `last(_, ignoreNulls)` running over event order: one shuffle on
+  *    the key, per-key sort, NO global sort, no row explosion —
+  *    wall-clock scales like a groupBy of left+right.
+  *
+  *  - [[bandedRangeJoin]]: pairs with `rightTs ∈ [leftTs+lower,
+  *    leftTs+upper]` per key. The naive range predicate forces a
+  *    broadcast-nested-loop in Spark; banding quantizes time into
+  *    `upper−lower`-wide buckets, replicates each right row into the (≤
+  *    2 + span) buckets it can match, and equi-joins on (key, band) with
+  *    the exact range as a residual filter — the join fan-out is bounded
+  *    by band population, never |L|×|R|.
+  */
+object TemporalJoins {
+
+  /** Point-in-time join: left gains `rightVals` from the latest right
+    * row at-or-before its timestamp (ties: the right row at the same
+    * timestamp wins, matching `l.ts >= r.ts` semantics). `right` must be
+    * unique per (keys, rightTs) — pre-aggregate if not, or the carried
+    * values are nondeterministic (same contract as any as-of join).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // one struct column carries all right-side values through the window
+    val r = right.select(
+      keys.map(col) :+ col(rightTs).as("__ts") :+
+        struct(rightVals.map(col): _*).as("__rv"): _*)
+      .withColumn("__side", lit(0))
+    val l = left.withColumn("__ts", col(leftTs))
+      .withColumn("__rv", lit(null).cast(r.schema("__rv").dataType))
+      .withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort BEFORE left rows at equal ts (side 0 < 1), so a
+    // same-instant right row is visible to the left row — `>=` semantics
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = u.withColumn("__last_rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    joined.select(leftCols.map(col) ++
+      rightVals.map(v => col("__last_rv").getField(v).as(v)): _*)
+  }
+
+  /** Banded range join: inner-join pairs where
+    * `rightTs - leftTs ∈ [lower, upper]` on the same `keys`. Band width
+    * is `upper - lower` (minimum 1): each right row lands in every band
+    * its admissible left window overlaps, then the exact predicate
+    * filters residuals. Time and bounds share one unit (here: whatever
+    * the ts columns use).
+    */
+  def bandedRangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      lower: Long, upper: Long): DataFrame = {
+    require(upper >= lower, "upper bound must be >= lower bound")
+    val width = math.max(1L, upper - lower)
+    // integer `div`, NOT `/`: nanosecond timestamps (~1e18) exceed
+    // double precision, and `/` on longs goes through double. Truncating
+    // division == floor for the non-negative band operands used here.
+    val l = left.withColumn("__band", expr(s"`$leftTs` div ${width}L"))
+    // right row r matches left ts in [r-upper, r-lower] → bands
+    // floor((r-upper)/w) .. floor((r-lower)/w)
+    val r = right
+      .withColumn("__band_lo", expr(s"(`$rightTs` - ${upper}L) div ${width}L"))
+      .withColumn("__band_hi", expr(s"(`$rightTs` - ${lower}L) div ${width}L"))
+      .withColumn("__band", explode(sequence(col("__band_lo"), col("__band_hi"))))
+      .drop("__band_lo", "__band_hi")
+    l.join(r, keys :+ "__band")
+      .filter(col(rightTs) - col(leftTs) >= lower &&
+        col(rightTs) - col(leftTs) <= upper)
+      .drop("__band")
+  }
+}

@@ -120,4 +120,67 @@ class PropertiesSpec extends SparkSpec {
       }
     }, 6)
   }
+
+  test("asofJoin: most recent right row at-or-before, per key") {
+    import graft.operators.TemporalJoins
+    val left = Seq((1L, 101L, 100L), (1L, 102L, 200L), (1L, 103L, 50L),
+        (2L, 201L, 100L))
+      .toDF("k", "id", "ts")
+    val right = Seq((1L, 100L, "a"), (1L, 150L, "b"), (1L, 200L, "c"),
+        (3L, 10L, "z"))
+      .toDF("k", "ts", "v")
+    val got = TemporalJoins.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .orderBy("id").select("id", "v").as[(Long, Option[String])].collect().toSeq
+    // id 101 @100 → right @100 ("a", tie included); id 102 @200 → "c";
+    // id 103 @50 → none; key 2 has no right rows at all
+    assert(got == Seq((101L, Some("a")), (102L, Some("c")), (103L, None),
+      (201L, None)))
+  }
+
+  test("asofJoin: property — equals the per-row argmax subquery") {
+    import graft.operators.TemporalJoins
+    val pairGen = for {
+      k <- Gen.chooseNum(0, 3); ts <- Gen.chooseNum(0L, 40L)
+    } yield (k, ts)
+    val gen = for {
+      ls <- Gen.listOfN(25, pairGen)
+      rs <- Gen.listOfN(25, pairGen)
+    } yield (ls.zipWithIndex.map { case ((k, t), i) => (k, i.toLong, t) },
+      rs.map { case (k, t) => (k, t) }.distinct)
+    check(Prop.forAll(gen) { case (ls, rs) =>
+      val left = ls.toDF("k", "id", "ts")
+      val right = rs.map { case (k, t) => (k, t, s"v$k-$t") }.toDF("k", "ts", "v")
+      val got = TemporalJoins.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("v"))
+        .select("id", "v").as[(Long, Option[String])].collect().toMap
+      ls.forall { case (k, id, ts) =>
+        val expect = rs.filter(r => r._1 == k && r._2 <= ts)
+          .sortBy(_._2).lastOption.map { case (rk, rt) => s"v$rk-$rt" }
+        got(id) == expect
+      }
+    }, 8)
+  }
+
+  test("bandedRangeJoin: identical to the plain range predicate") {
+    import graft.operators.TemporalJoins
+    val pairGen = for {
+      k <- Gen.chooseNum(0, 3); ts <- Gen.chooseNum(0L, 100L)
+    } yield (k, ts)
+    val gen = for {
+      ls <- Gen.listOfN(20, pairGen)
+      rs <- Gen.listOfN(20, pairGen)
+    } yield (ls.zipWithIndex.map { case ((k, t), i) => (k, i.toLong, t) }, rs)
+    check(Prop.forAll(gen) { case (ls, rs) =>
+      val left = ls.toDF("k", "id", "ts")
+      val right = rs.zipWithIndex.map { case ((k, t), j) => (k, j.toLong, t) }
+        .toDF("k", "rid", "rts")
+      val banded = TemporalJoins.bandedRangeJoin(left, right, Seq("k"),
+          "ts", "rts", lower = -7L, upper = 13L)
+        .select("id", "rid").as[(Long, Long)].collect().toSet
+      val plain = ls.flatMap { case (k, id, ts) =>
+        rs.zipWithIndex.collect { case ((rk, rt), j)
+          if rk == k && rt - ts >= -7L && rt - ts <= 13L => (id, j.toLong) }
+      }.toSet
+      banded == plain
+    }, 8)
+  }
 }
