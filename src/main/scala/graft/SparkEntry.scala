@@ -679,6 +679,21 @@ object SparkEntry {
         col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  // ---------------------------------------------------------------- q46
+  /** Bloom-probed existence check: customers with no orders via
+    * [[operators.BloomProbe.antiJoinWithBloom]] — rows the target-key
+    * Bloom filter proves absent skip the join shuffle; "maybe" rows get
+    * the exact anti-join. Oracle = the plain NOT EXISTS (the probe must
+    * be result-invisible).
+    */
+  def q46BloomAnti(s: SparkSession, d: String): DataFrame =
+    operators.BloomProbe.antiJoinWithBloom(
+        customer(s, d).select(col("c_custkey"), col("c_name")),
+        orders(s, d).filter(col("o_orderdate") >= lit("1998-01-01"))
+          .select(col("o_custkey").as("c_custkey")),
+        keys = Seq("c_custkey"), expectedKeys = 200000L)
+      .orderBy(col("c_custkey"))
+
   // ---------------------------------------------------------------- q44
   /** As-of (point-in-time) join: every click event gains the same
     * user's most recent view value at-or-before it. The right side is
@@ -862,6 +877,7 @@ object SparkEntry {
     "q43_session_windows" -> (q43SessionWindows _),
     "q44_asof_join" -> (q44AsofJoin _),
     "q45_range_join" -> (q45RangeJoin _),
+    "q46_bloom_anti" -> (q46BloomAnti _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -1362,5 +1378,10 @@ object SparkEntry {
         |FROM clicks c JOIN views v ON c.user_id = v.user_id
         | AND v.view_ts BETWEEN c.ts - INTERVAL 5 MINUTE AND c.ts + INTERVAL 5 MINUTE
         |GROUP BY c.user_id, c.event_id ORDER BY c.event_id""".stripMargin,
+    "q46_bloom_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= '1998-01-01')
+        |ORDER BY c_custkey""".stripMargin,
   )
 }

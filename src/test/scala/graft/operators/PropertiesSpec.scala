@@ -121,6 +121,24 @@ class PropertiesSpec extends SparkSpec {
     }, 6)
   }
 
+  test("bloom-probed anti-join: identical to plain left-anti") {
+    import graft.operators.BloomProbe
+    val gen = for {
+      staged <- Gen.listOfN(40, Gen.chooseNum(0, 60))
+      target <- Gen.listOfN(40, Gen.chooseNum(0, 60))
+    } yield (staged.zipWithIndex, target.distinct)
+    check(Prop.forAll(gen) { case (stagedKeys, targetKeys) =>
+      val staged = stagedKeys.map { case (k, i) => (k, s"s$i") }.toDF("k", "v")
+      val target = targetKeys.map(k => (k, s"t$k")).toDF("k", "tv")
+      val plain = staged.join(target, Seq("k"), "left_anti")
+        .as[(Int, String)].collect().toSet
+      val bloomed = BloomProbe.antiJoinWithBloom(staged, target, Seq("k"),
+          expectedKeys = 100L)
+        .as[(Int, String)].collect().toSet
+      bloomed == plain
+    }, 8)
+  }
+
   test("asofJoin: most recent right row at-or-before, per key") {
     import graft.operators.TemporalJoins
     val left = Seq((1L, 101L, 100L), (1L, 102L, 200L), (1L, 103L, 50L),
