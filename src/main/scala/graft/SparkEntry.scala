@@ -694,6 +694,32 @@ object SparkEntry {
         keys = Seq("c_custkey"), expectedKeys = 200000L)
       .orderBy(col("c_custkey"))
 
+  // ---------------------------------------------------------------- q47
+  /** Per-document top term by TF-IDF-style relevance. The score is the
+    * RATIONAL form `tf · N / df` (one IEEE double division of exact
+    * integers) rather than `tf · ln(N/df)` — transcendental libm results
+    * are not bit-identical across engines, the rational form is, and the
+    * ranking it induces is the same for fixed N. Ties break on the
+    * lexicographically smallest term.
+    */
+  def q47Tfidf(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextAnalysis
+    val docs = documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- q44
   /** As-of (point-in-time) join: every click event gains the same
     * user's most recent view value at-or-before it. The right side is
@@ -878,6 +904,7 @@ object SparkEntry {
     "q44_asof_join" -> (q44AsofJoin _),
     "q45_range_join" -> (q45RangeJoin _),
     "q46_bloom_anti" -> (q46BloomAnti _),
+    "q47_tfidf" -> (q47Tfidf _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -1383,5 +1410,17 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderdate >= '1998-01-01')
         |ORDER BY c_custkey""".stripMargin,
+    "q47_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($SqlToks) AS term FROM documents),
+         |tfq AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+         |nq AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT tfq.doc_id, tfq.term,
+         |  CAST(tfq.tf * nq.n AS DOUBLE) / dfq.df AS score
+         | FROM tfq JOIN dfq ON tfq.term = dfq.term CROSS JOIN nq),
+         |ranked AS (SELECT doc_id, term, score, row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM scored)
+         |SELECT doc_id, term AS top_term, round(score, 6) AS score
+         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
   )
 }
