@@ -694,6 +694,38 @@ object SparkEntry {
         keys = Seq("c_custkey"), expectedKeys = 200000L)
       .orderBy(col("c_custkey"))
 
+  // ---------------------------------------------------------------- q48
+  /** Exact interpolated percentiles per group (SURVEY §2.6 analytics
+    * surface): Spark's `percentile` (exact sort-based, linear
+    * interpolation) vs DuckDB's `quantile_cont` — the same
+    * `lower + (upper−lower)·fraction` formula on both sides.
+    */
+  def q48Quantiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  // ---------------------------------------------------------------- q49
+  /** Multi-level ROLLUP aggregation (subtotals + grand total in one
+    * pass — Spark expands grouping sets map-side, no extra scan).
+    * Grouping-null keys surface as 'ALL' so the row set is
+    * hash-comparable.
+    */
+  def q49Rollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
   // ---------------------------------------------------------------- q47
   /** Per-document top term by TF-IDF-style relevance. The score is the
     * RATIONAL form `tf · N / df` (one IEEE double division of exact
@@ -905,6 +937,8 @@ object SparkEntry {
     "q45_range_join" -> (q45RangeJoin _),
     "q46_bloom_anti" -> (q46BloomAnti _),
     "q47_tfidf" -> (q47Tfidf _),
+    "q48_quantiles" -> (q48Quantiles _),
+    "q49_rollup" -> (q49Rollup _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -1422,5 +1456,19 @@ object SparkEntry {
          |  PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM scored)
          |SELECT doc_id, term AS top_term, round(score, 6) AS score
          |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q48_quantiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q49_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        | coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
   )
 }
