@@ -121,6 +121,18 @@ class PropertiesSpec extends SparkSpec {
     }, 6)
   }
 
+  test("bandedRangeJoin plans a hash join, never nested-loop") {
+    import graft.operators.TemporalJoins
+    val left = (1 to 100).map(i => (i % 5, i.toLong, i.toLong * 10)).toDF("k", "id", "ts")
+    val right = (1 to 100).map(i => (i % 5, i.toLong * 7)).toDF("k", "rts")
+    val plan = TemporalJoins.bandedRangeJoin(left, right, Seq("k"), "ts", "rts",
+        lower = -50L, upper = 50L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degraded to nested-loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
+
   test("bloom-probed anti-join: identical to plain left-anti") {
     import graft.operators.BloomProbe
     val gen = for {
