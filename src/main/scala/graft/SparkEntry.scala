@@ -694,6 +694,25 @@ object SparkEntry {
         keys = Seq("c_custkey"), expectedKeys = 200000L)
       .orderBy(col("c_custkey"))
 
+  // ---------------------------------------------------------------- q50
+  /** Set operations (SURVEY §2.6): INTERSECT and EXCEPT between the
+    * customer key sets ordering in 1995 vs 1996, unioned with a tag —
+    * Spark plans both as aggregated joins (no distinct-on-driver).
+    */
+  def q50SetOps(s: SparkSession, d: String): DataFrame = {
+    def orderers(year: Int) =
+      orders(s, d)
+        .filter(col("o_orderdate") >= lit(s"$year-01-01") &&
+          col("o_orderdate") < lit(s"${year + 1}-01-01"))
+        .select(col("o_custkey").as("c_custkey")).distinct()
+    val a = orderers(1995)
+    val b = orderers(1996)
+    a.intersect(b).withColumn("op", lit("both_years"))
+      .unionByName(a.except(b).withColumn("op", lit("only_1995")))
+      .select(col("op"), col("c_custkey"))
+      .orderBy(col("op"), col("c_custkey"))
+  }
+
   // ---------------------------------------------------------------- q48
   /** Exact interpolated percentiles per group (SURVEY §2.6 analytics
     * surface): Spark's `percentile` (exact sort-based, linear
@@ -939,6 +958,7 @@ object SparkEntry {
     "q47_tfidf" -> (q47Tfidf _),
     "q48_quantiles" -> (q48Quantiles _),
     "q49_rollup" -> (q49Rollup _),
+    "q50_setops" -> (q50SetOps _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -1470,5 +1490,16 @@ object SparkEntry {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q50_setops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'),
+        |b AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01')
+        |SELECT 'both_years' AS op, c_custkey FROM (SELECT c_custkey FROM a
+        |  INTERSECT SELECT c_custkey FROM b)
+        |UNION ALL
+        |SELECT 'only_1995' AS op, c_custkey FROM (SELECT c_custkey FROM a
+        |  EXCEPT SELECT c_custkey FROM b)
+        |ORDER BY op, c_custkey""".stripMargin,
   )
 }
