@@ -26,7 +26,12 @@ object Bench {
       // (a bare count() would let Catalyst prune the projections)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operators cache intermediates (minhash signatures, PPJoin
+      // prefixes); drop them so one query's storage doesn't squeeze the
+      // next query's execution memory — each entry measures cold
+      spark.catalog.clearCache()
+      name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -268,8 +268,17 @@ object KdbxSource {
   /** One kdbx file per task (`binaryFile`), union-of-keys schema. */
   def read(spark: SparkSession, path: String, password: String): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(path)
-      .select("content").as[Array[Byte]]
+    // A glob in the filename goes through pathGlobFilter on the parent
+    // directory: loading the glob path directly works too, but Spark's
+    // streaming-sink metadata probe then logs a FileNotFoundException
+    // stack trace for the unexpanded pattern on every read.
+    val p = new java.io.File(path)
+    val reader = spark.read.format("binaryFile")
+    val loaded =
+      if (p.getName.exists(c => c == '*' || c == '?'))
+        reader.option("pathGlobFilter", p.getName).load(p.getParent)
+      else reader.load(path)
+    val files = loaded.select("content").as[Array[Byte]]
     val parsed = files.rdd.flatMap { b =>
       val (xml, inner) = decryptXmlWithStream(b, password)
       parseEntries(xml, inner)
