@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Merge, Ordinals}
@@ -713,6 +714,107 @@ object SparkEntry {
       .orderBy(col("op"), col("c_custkey"))
   }
 
+  // ---------------------------------------------------------------- q51
+  /** Group-wise top-k (top-3 orders by price per priority class): a
+    * rank-over-partition window. The partition count bounds parallelism,
+    * but each partition streams — no per-group materialization, and at
+    * scale the window shuffle is the only exchange.
+    */
+  def q51GroupTopK(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- q52
+  /** Per-user event-stream analytics: lag, running sum, and a 3-row
+    * moving sum in one window pass (single shuffle on user_id; all three
+    * frames share the sort).
+    */
+  def q52WindowAnalytics(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_utc"), col("event_id"))
+    events(s, d)
+      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("running_sum",
+        sum(col("value").cast("decimal(18,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("moving3_sum",
+        sum(col("value").cast("decimal(18,6)"))
+          .over(w.rowsBetween(-2, Window.currentRow)).cast("double"))
+      .select(col("user_id"), col("event_id"), col("ts_utc"), col("value"),
+        col("prev_value"), col("running_sum"), col("moving3_sum"))
+      .orderBy(col("user_id"), col("ts_utc"), col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- q53
+  /** Pivot (revenue by nation × order status) with an explicit value
+    * list — fixed output schema, so the plan is a single hash aggregate
+    * (no values-discovery pre-pass, which at scale would be an extra
+    * full scan).
+    */
+  def q53Pivot(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .orderBy(col("n_name"))
+
+  // ---------------------------------------------------------------- q54
+  /** Fixed-width histogram of order totals (bucket = floor(price/50k)) —
+    * bucketing is a scan-stage expression, so the whole histogram is one
+    * partial+final aggregate, no window, no second scan for bounds.
+    */
+  def q54Histogram(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("bucket", floor(col("o_totalprice") / lit(50000.0)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("bucket"))
+
+  // ---------------------------------------------------------------- q55
+  /** Decile segmentation of customers by account balance + per-decile
+    * stats. `ntile(10) OVER (ORDER BY …)` would collapse to a single
+    * window partition; instead the bucket is re-derived from a
+    * DISTRIBUTED ordered ordinal ([[Ordinals.withOrderedOrdinal]]: range
+    * sort + per-partition offsets) using the SQL-standard ntile rule —
+    * with N rows and k buckets the first N mod k buckets get one extra
+    * row — so the result is bit-identical to the window form while every
+    * stage stays parallel.
+    */
+  def q55Ntile(s: SparkSession, d: String): DataFrame = {
+    val base = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    val ord = Ordinals.withOrderedOrdinal(base,
+      Seq(col("c_acctbal"), col("c_custkey")), "__ord")
+    val n = base.agg(count(lit(1)).as("__n"))
+    ord.crossJoin(broadcast(n))
+      // SQL ntile: s = N div k rows per bucket, first r = N mod k
+      // buckets take s+1
+      .withColumn("decile",
+        expr("""CASE WHEN (__ord - 1) < (__n % 10) * (__n DIV 10 + 1)
+               |  THEN (__ord - 1) DIV (__n DIV 10 + 1) + 1
+               |  ELSE (__n % 10) + ((__ord - 1) - (__n % 10) * (__n DIV 10 + 1))
+               |         DIV greatest(__n DIV 10, 1) + 1
+               |END""".stripMargin).cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        (sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_bal"))
+      .orderBy(col("decile"))
+  }
+
   // ---------------------------------------------------------------- q48
   /** Exact interpolated percentiles per group (SURVEY §2.6 analytics
     * surface): Spark's `percentile` (exact sort-based, linear
@@ -959,6 +1061,11 @@ object SparkEntry {
     "q48_quantiles" -> (q48Quantiles _),
     "q49_rollup" -> (q49Rollup _),
     "q50_setops" -> (q50SetOps _),
+    "q51_group_topk" -> (q51GroupTopK _),
+    "q52_window_analytics" -> (q52WindowAnalytics _),
+    "q53_pivot" -> (q53Pivot _),
+    "q54_histogram" -> (q54Histogram _),
+    "q55_ntile" -> (q55Ntile _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -1501,5 +1608,52 @@ object SparkEntry {
         |SELECT 'only_1995' AS op, c_custkey FROM (SELECT c_custkey FROM a
         |  EXCEPT SELECT c_custkey FROM b)
         |ORDER BY op, c_custkey""".stripMargin,
+    "q51_group_topk" ->
+      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        | FROM orders)
+        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+    "q52_window_analytics" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts_utc,
+        |  value FROM events)
+        |SELECT user_id, event_id, ts_utc, value,
+        | lag(value, 1) OVER w AS prev_value,
+        | CAST(sum(CAST(value AS DECIMAL(18,6)))
+        |   OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS DOUBLE) AS running_sum,
+        | CAST(sum(CAST(value AS DECIMAL(18,6)))
+        |   OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |   AS DOUBLE) AS moving3_sum
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_utc, event_id)
+        |ORDER BY user_id, ts_utc, event_id""".stripMargin,
+    "q53_pivot" ->
+      """SELECT n_name,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        | CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+        | CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q54_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q55_ntile" ->
+      """WITH t AS (SELECT c_acctbal,
+        |  ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        | FROM customer)
+        |SELECT decile, count(*) AS n, min(c_acctbal) AS min_bal,
+        | max(c_acctbal) AS max_bal,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |   AS avg_bal
+        |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
   )
 }
