@@ -815,6 +815,129 @@ object SparkEntry {
       .orderBy(col("decile"))
   }
 
+  // ---------------------------------------------------------------- q56
+  /** Corpus text normalization (NFC + control-char strip + whitespace
+    * collapse) as a native single-pass expression
+    * ([[graft.plans.TextNormalizeExpr]]) — scan-stage work, no shuffle.
+    * The fixture prepends a DECOMPOSED accent (e + U+0301), a tab and
+    * doubled spaces, and appends an NBSP (which must survive — it's
+    * data, not damage) so the pass is exercised for real.
+    */
+  def q56Normalize(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("messy",
+        concat(lit("é\t "), col("text"), lit("  x y")))
+      .select(col("doc_id"),
+        graft.plans.TextNormalizeExpr.textNormalize(col("messy")).as("clean_text"))
+      .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q57
+  /** PII masking (emails, phone numbers → placeholder tokens) — pure
+    * scan-stage regexp work on a synthesized contact string; patterns
+    * stay RE2-safe (plain character classes, no lookaround) so the same
+    * regex runs on any engine.
+    */
+  def q57PiiMask(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .withColumn("contact",
+        concat(regexp_replace(lower(col("c_name")), " ", "."),
+          lit("@corp"), col("c_nationkey"), lit(".example.com call 555-"),
+          col("c_custkey"), lit(" or (41) 555-0199")))
+      .select(col("c_custkey"),
+        regexp_replace(
+          regexp_replace(col("contact"), "[a-z0-9.#]+@[a-z0-9.-]+", "[EMAIL]"),
+          "[0-9]{3}-[0-9]+", "[PHONE]").as("contact_masked"))
+      .orderBy(col("c_custkey"))
+
+  // ---------------------------------------------------------------- q58
+  /** Deterministic train/val/test split by content-independent key hash
+    * (md5 of the id, first 8 hex digits) — the reproducible alternative
+    * to rand()-based sampling: any engine, any run, any partitioning
+    * produces the SAME assignment, and the split survives re-ingestion.
+    */
+  def q58HashSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("h") < 80, lit("train"))
+          .when(col("h") < 90, lit("val")).otherwise(lit("test")))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("split"))
+
+  // ---------------------------------------------------------------- q59
+  /** Sliding-window token chunking (window 32, stride 24) — how long
+    * documents become training samples. explode(sequence) keeps it a
+    * scan-stage generator: no shuffle, output size ~ n/stride per doc.
+    */
+  def q59Chunking(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", graft.functions.TextAnalysis.tokens(col("text")))
+      .withColumn("n", size(col("toks")))
+      .withColumn("last_idx",
+        when(col("n") <= 32, lit(0)).otherwise(expr("(n - 32 + 23) DIV 24")))
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("last_idx"))))
+      .withColumn("chunk_toks", expr("slice(toks, chunk_idx * 24 + 1, 32)"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk_toks")).cast("long").as("n_tokens"),
+        md5(array_join(col("chunk_toks"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  // ---------------------------------------------------------------- q60
+  /** Gopher-style repetition/quality signals per document: distinct-token
+    * fraction, mean word length, and top-bigram fraction. The bigram
+    * frequency profile needs one explode + two-level aggregate; all
+    * ratios are single integer divisions (bit-identical across engines).
+    */
+  def q60RepetitionQuality(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .withColumn("toks", graft.functions.TextAnalysis.tokens(col("text")))
+      .withColumn("n", size(col("toks")))
+    val stats = base.select(col("doc_id"), col("n"),
+      (size(array_distinct(col("toks"))).cast("double") /
+        col("n").cast("double")).as("distinct_frac"),
+      (expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").cast("double") /
+        col("n").cast("double")).as("mean_word_len"))
+    val bigrams = base
+      .withColumn("bg", explode(expr(
+        "transform(sequence(1, n - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("top_bigram_frac"))
+    stats.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        col("distinct_frac"), col("mean_word_len"), col("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q61
+  /** Edit-distance near-duplicates via suffix-key blocking: documents
+    * sharing their last 5 tokens join into small buckets (copies AND
+    * drop-first-words mutations share the suffix), then exact
+    * `levenshtein` verifies within each bucket — all-pairs cost is
+    * bounded by bucket size, never corpus size.
+    */
+  def q61LevNearDup(s: SparkSession, d: String): DataFrame = {
+    val c = dedupCorpus(s, d)
+      .withColumn("toks", graft.functions.TextAnalysis.tokens(col("text")))
+      .withColumn("n", size(col("toks")))
+      .withColumn("suffix_key", expr(
+        "array_join(CASE WHEN n >= 5 THEN slice(toks, n - 4, 5) ELSE toks END, ' ')"))
+      .select(col("doc_id"), col("text"), col("suffix_key"))
+    c.as("a").join(c.as("b"),
+        col("a.suffix_key") === col("b.suffix_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("lev", levenshtein(col("a.text"), col("b.text")))
+      .filter(col("lev") <= 40)
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("lev").cast("long").as("lev"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   // ---------------------------------------------------------------- q48
   /** Exact interpolated percentiles per group (SURVEY §2.6 analytics
     * surface): Spark's `percentile` (exact sort-based, linear
@@ -1066,6 +1189,12 @@ object SparkEntry {
     "q53_pivot" -> (q53Pivot _),
     "q54_histogram" -> (q54Histogram _),
     "q55_ntile" -> (q55Ntile _),
+    "q56_normalize" -> (q56Normalize _),
+    "q57_pii_mask" -> (q57PiiMask _),
+    "q58_hash_split" -> (q58HashSplit _),
+    "q59_chunking" -> (q59Chunking _),
+    "q60_repetition_quality" -> (q60RepetitionQuality _),
+    "q61_lev_neardup" -> (q61LevNearDup _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -1655,5 +1784,80 @@ object SparkEntry {
         | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |   AS avg_bal
         |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
+    "q56_normalize" ->
+      """WITH m AS (SELECT doc_id,
+        |  'e' || chr(769) || chr(9) || ' ' || text || '  x' || chr(160) || 'y' AS messy
+        | FROM documents),
+        |c AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(messy),
+        |    '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS clean_text
+        | FROM m)
+        |SELECT doc_id, clean_text,
+        | CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q57_pii_mask" ->
+      """WITH c AS (SELECT c_custkey,
+        |  replace(lower(c_name), ' ', '.') || '@corp' || c_nationkey ||
+        |  '.example.com call 555-' || c_custkey || ' or (41) 555-0199' AS contact
+        | FROM customer)
+        |SELECT c_custkey,
+        | regexp_replace(regexp_replace(contact,
+        |   '[a-z0-9.#]+@[a-z0-9.-]+', '[EMAIL]', 'g'),
+        |   '[0-9]{3}-[0-9]+', '[PHONE]', 'g') AS contact_masked
+        |FROM c ORDER BY c_custkey""".stripMargin,
+    "q58_hash_split" ->
+      """WITH h AS (SELECT lang,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 100 AS h
+        | FROM documents)
+        |SELECT lang,
+        | CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END
+        |   AS split,
+        | count(*) AS n
+        |FROM h GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q59_chunking" ->
+      s"""WITH tok AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |b AS (SELECT doc_id, toks, len(toks) AS n FROM tok),
+         |c AS (SELECT doc_id, toks,
+         |  unnest(generate_series(0,
+         |    CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END)) AS chunk_idx
+         | FROM b)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         | CAST(len(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32))
+         |   AS BIGINT) AS n_tokens,
+         | md5(array_to_string(
+         |   list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' '))
+         |   AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q60_repetition_quality" ->
+      s"""WITH tok AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |b AS (SELECT doc_id, toks, len(toks) AS n FROM tok),
+         |stats AS (SELECT doc_id, n,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(n AS DOUBLE)
+         |    AS distinct_frac,
+         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+         |    / CAST(n AS DOUBLE) AS mean_word_len
+         | FROM b),
+         |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, n - 1),
+         |   i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM b),
+         |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+         |top AS (SELECT doc_id,
+         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+         | FROM bgc GROUP BY doc_id)
+         |SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_tokens, s.distinct_frac,
+         | s.mean_word_len, t.top_bigram_frac
+         |FROM stats s LEFT JOIN top t ON t.doc_id = s.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
+    "q61_lev_neardup" ->
+      s"""WITH $SqlCorpus,
+         |tok AS (SELECT doc_id, text, $SqlToks AS toks FROM corpus),
+         |k AS (SELECT doc_id, text, array_to_string(
+         |  CASE WHEN len(toks) >= 5 THEN list_slice(toks, len(toks) - 4, len(toks))
+         |       ELSE toks END, ' ') AS suffix_key FROM tok)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         | CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+         |FROM k a JOIN k b ON a.suffix_key = b.suffix_key AND a.doc_id < b.doc_id
+         |WHERE levenshtein(a.text, b.text) <= 40
+         |ORDER BY id1, id2""".stripMargin,
   )
 }

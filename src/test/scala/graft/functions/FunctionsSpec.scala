@@ -195,6 +195,27 @@ class FunctionsSpec extends SparkSpec {
     assert(prefix == brute && brute.nonEmpty)
   }
 
+  test("text_normalize: NFC composes, controls strip, NBSP survives") {
+    import spark.implicits._
+    val got = Seq(
+      "éclair",               // decomposed accent -> composed é
+      "a\tb\r\nc",                  // controls -> single spaces
+      "  lots   of   space  ",      // collapse + trim
+      "nb sp",                 // NBSP is data, survives
+      "\t \t",                      // all-whitespace -> empty
+      "café")                  // already-composed stays
+      .toDF("s")
+      .select(graft.plans.TextNormalizeExpr.textNormalize(col("s")).as("t"))
+      .as[String].collect().toSeq
+    assert(got == Seq("éclair", "a b c", "lots of space",
+      "nb sp", "", "café"))
+    // SQL registration path
+    graft.plans.TextNormalizeExpr.register(spark)
+    val viaSql = spark.sql("SELECT text_normalize('é  x') AS t")
+      .as[String].head()
+    assert(viaSql == "é x")
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val near = "three four five six seven eight nine ten eleven twelve"
