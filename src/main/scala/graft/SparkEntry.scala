@@ -515,6 +515,32 @@ object SparkEntry {
         col("n_regionkey").cast("int"))
       .orderBy(col("n_nationkey"))
 
+  // ---------------------------------------------------------------- q62
+  /** REAL image decode end-to-end: deterministic solid-color PNGs are
+    * synthesized from part keys (lossless encode), decoded back through
+    * the JDK ImageIO pipeline ([[operators.Multimodal.imageFeatures]]),
+    * and the recovered dimensions + channel means are checked against an
+    * oracle that predicts them analytically from the same key formula —
+    * proving the binary column plumbing carries real media, not just
+    * metadata.
+    */
+  def q62ImageDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import operators.Multimodal
+    val recs = part(s, d).select(col("p_partkey"))
+      .filter(col("p_partkey") % 7 === 0)
+      .as[Long].map { k =>
+        Multimodal.MediaRecord(k, "image", Multimodal.solidPng(
+          w = (8 + k % 24).toInt, h = (8 + k % 17).toInt,
+          r = (k % 256).toInt, g = (k * 7 % 256).toInt, b = (k * 13 % 256).toInt))
+      }
+    Multimodal.imageFeatures(recs).toDF()
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("media_id"))
+  }
+
   // ---------------------------------------------------------------- q30
   /** CSV source round-trip: write nation as `;`-separated CSV with the
     * reference dialect, read it back through [[sources.CsvSource]] and
@@ -1195,6 +1221,7 @@ object SparkEntry {
     "q59_chunking" -> (q59Chunking _),
     "q60_repetition_quality" -> (q60RepetitionQuality _),
     "q61_lev_neardup" -> (q61LevNearDup _),
+    "q62_image_decode" -> (q62ImageDecode _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -1859,5 +1886,13 @@ object SparkEntry {
          |FROM k a JOIN k b ON a.suffix_key = b.suffix_key AND a.doc_id < b.doc_id
          |WHERE levenshtein(a.text, b.text) <= 40
          |ORDER BY id1, id2""".stripMargin,
+    "q62_image_decode" ->
+      """SELECT p_partkey AS media_id,
+        | CAST(8 + p_partkey % 24 AS BIGINT) AS width,
+        | CAST(8 + p_partkey % 17 AS BIGINT) AS height,
+        | CAST(p_partkey % 256 AS DOUBLE) AS mean_r,
+        | CAST(p_partkey * 7 % 256 AS DOUBLE) AS mean_g,
+        | CAST(p_partkey * 13 % 256 AS DOUBLE) AS mean_b
+        |FROM part WHERE p_partkey % 7 = 0 ORDER BY media_id""".stripMargin,
   )
 }

@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * engine as opaque `binary` columns with typed metadata. The Spark-side
   * plumbing (schema, partition-preserving batch decode via
   * `mapPartitions`, metadata extraction as pure expressions) is real and
-  * tested; the actual media decode is STUBBED with a deterministic fake
-  * (no image/audio libraries in this environment) behind
-  * [[Multimodal.decodeStub]] — swap that one function for a real decoder
-  * (JavaCV, TwelveMonkeys, ffmpeg-pipe) in production.
+  * tested. IMAGE decode is REAL — `javax.imageio` ships in the JDK
+  * (PNG/BMP/GIF/JPEG readers), so [[decodeImage]], [[imageFeatures]] and
+  * [[resizeImages]] run an actual pixel pipeline. Audio/video decode
+  * remains a documented deterministic stub ([[decodeStub]] — no codec
+  * libraries in this environment); swap that one function for a real
+  * decoder (JavaCV, ffmpeg-pipe) in production.
   */
 object Multimodal {
 
@@ -51,6 +53,82 @@ object Multimodal {
   def decodeFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it => it.map(decodeStub) }
+  }
+
+  /** Decoded image features: real dimensions + per-channel means. */
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                           mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL image decode via the JDK's ImageIO (PNG/BMP/GIF/JPEG). Returns
+    * None for payloads no installed reader accepts. Channel means are
+    * exact-integer sums divided once — deterministic across runs and
+    * engines.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[ImageFeatures] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = img.getWidth.toLong * img.getHeight
+      Some(ImageFeatures(0L, img.getWidth, img.getHeight,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+    }
+  }
+
+  /** Batch image feature extraction — the real-decoder face of
+    * [[decodeFeatures]]: partition-preserving, undecodable payloads drop
+    * (a production pipeline would route them to an error channel).
+    */
+  def imageFeatures(ds: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r =>
+      decodeImage(r.payload).map(_.copy(media_id = r.media_id))))
+  }
+
+  /** Real image resize (Graphics2D, then PNG re-encode) — the
+    * feature-extract/thumbnail stage of a multimodal pipeline, batched
+    * per partition like a Pandas-UDF would be.
+    */
+  def resizeImages(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      if (src == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", out)
+        Some(MediaRecord(r.media_id, r.media_type, out.toByteArray))
+      }
+    })
+  }
+
+  /** Deterministic PNG fixture: a solid `(r,g,b)` image of `w`×`h` —
+    * lossless encode, so decode recovers the exact constructed pixels
+    * (what lets an external oracle predict decode output analytically).
+    */
+  def solidPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Frame sampling plumbing for video-like payloads: emit every

@@ -172,6 +172,32 @@ class FunctionsSpec extends SparkSpec {
     assert(frames.where(col("media_id") === 2L).count() == 1)
   }
 
+  test("multimodal real image decode: PNG roundtrip + resize via ImageIO") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal._
+    // gradient image (not solid) so resize actually interpolates
+    val img = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 20)
+      img.setRGB(x, y, ((x * 12) << 16) | ((y * 25) << 8) | 40)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, "image", out.toByteArray),
+      MediaRecord(2L, "image", Multimodal.solidPng(16, 8, 10, 20, 30)),
+      MediaRecord(3L, "image", "not an image".getBytes("UTF-8"))))
+    val feats = Multimodal.imageFeatures(ds).collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(1L, 2L)) // undecodable drops
+    assert(feats(0).width == 20 && feats(0).height == 10 && feats(0).mean_b == 40.0)
+    assert(feats(1) == ImageFeatures(2L, 16, 8, 10.0, 20.0, 30.0))
+    // real resize: dimensions change, solid color is preserved exactly
+    val resized = Multimodal.imageFeatures(
+      Multimodal.resizeImages(ds, 4, 4)).collect().sortBy(_.media_id)
+    assert(resized.map(f => (f.width, f.height)).toSeq == Seq((4, 4), (4, 4)))
+    assert(resized(1).mean_r == 10.0 && resized(1).mean_g == 20.0 &&
+      resized(1).mean_b == 30.0)
+  }
+
   test("exact dedup groups identical normalized content") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val got = graft.operators.TextDedup.exactDedup(df, "doc_id", "text")
