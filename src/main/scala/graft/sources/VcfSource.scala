@@ -1,14 +1,16 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
 
 /** vCard source (reference dataprovider/VcfDataProvider.java:30-301,
   * SURVEY §2.1): `BEGIN:VCARD … END:VCARD` records flattened to scalar
   * columns — N → firstname/lastname, FN → formatted_name, TEL;TYPE →
   * phone_N (+ phone_N_attr), ADR → address_N_<part> columns,
   * quoted-printable values decoded, internal `;` separators replaced
-  * with ", ".
+  * with ", ". Base64-encoded properties (PHOTO;ENCODING=b …) decode to
+  * raw bytes and surface as `binary` columns — the reference maps vCard
+  * `byte[]` values to BLOB (VcfDataProvider.java:83-84).
   */
 object VcfSource {
 
@@ -29,7 +31,7 @@ object VcfSource {
   private val AdrParts =
     Seq("po_box", "extended", "street", "locality", "region", "postal_code", "country")
 
-  private[sources] def parseCards(text: String): Seq[Map[String, String]] = {
+  private[sources] def parseCards(text: String): Seq[Map[String, Any]] = {
     // unfold continuations (lines beginning with space/tab)
     val unfolded = text.replace("\r\n", "\n").replaceAll("\n[ \t]", "")
     val cards = unfolded.split("(?m)^END:VCARD\\s*$").toSeq
@@ -37,7 +39,7 @@ object VcfSource {
         .dropWhile(l => !l.equalsIgnoreCase("BEGIN:VCARD")).drop(1))
       .filter(_.nonEmpty)
     cards.map { lines =>
-      val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
       var phoneN = 0
       var adrN = 0
       lines.foreach { line =>
@@ -53,7 +55,13 @@ object VcfSource {
             .map(_.stripPrefix("CHARSET=")).getOrElse("UTF-8")
           if (keyBits.exists(_.equalsIgnoreCase("ENCODING=QUOTED-PRINTABLE")))
             value = decodeQp(value, charset)
-          key match {
+          val isBase64 = keyBits.exists(b => b.equalsIgnoreCase("ENCODING=B") ||
+            b.equalsIgnoreCase("ENCODING=BASE64"))
+          if (isBase64) {
+            // binary property (PHOTO/LOGO/SOUND …) → raw bytes, BLOB-bound
+            m(key.toLowerCase) =
+              java.util.Base64.getMimeDecoder.decode(value.replaceAll("\\s", ""))
+          } else key match {
             case "N" =>
               val parts = value.split(";", -1)
               if (parts.length > 0 && parts(0).nonEmpty) m("lastname") = parts(0)
@@ -82,13 +90,23 @@ object VcfSource {
     }.filter(_.nonEmpty)
   }
 
+  /** Column type per union-of-keys column: binary iff any card holds
+    * bytes for it (base64 property), string otherwise.
+    */
+  private def schemaFor(cols: Seq[String], binaryCols: Set[String]): StructType =
+    StructType(cols.map(c => StructField(c,
+      if (binaryCols.contains(c)) BinaryType else StringType, nullable = true)))
+
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val files: Dataset[String] = spark.read.option("wholetext", "true").text(path).as[String]
     val parsed = files.rdd.flatMap(parseCards)
     parsed.cache()
-    val cols = parsed.flatMap(_.keys).distinct().collect().sorted
-    val schema = StructType(cols.map(c => StructField(c, StringType, nullable = true)))
+    val cols = parsed.flatMap(_.keys).distinct().collect().sorted.toSeq
+    val binaryCols = parsed.flatMap(_.collect {
+      case (k, _: Array[Byte]) => k
+    }).distinct().collect().toSet
+    val schema = schemaFor(cols, binaryCols)
     spark.createDataFrame(parsed.map(m => Row.fromSeq(cols.map(c => m.getOrElse(c, null)))), schema)
   }
 
@@ -97,7 +115,10 @@ object VcfSource {
     import scala.jdk.CollectionConverters._
     val rows = parseCards(payload)
     val cols = rows.flatMap(_.keys).distinct.sorted
-    val schema = StructType(cols.map(c => StructField(c, StringType, nullable = true)))
+    val binaryCols = rows.flatMap(_.collect {
+      case (k, _: Array[Byte]) => k
+    }).toSet
+    val schema = schemaFor(cols, binaryCols)
     spark.createDataFrame(
       rows.map(m => Row.fromSeq(cols.map(c => m.getOrElse(c, null)))).asJava, schema)
   }

@@ -112,6 +112,22 @@ class SourcesSpec extends SparkSpec {
     assert(m("address_1_attr") == "HOME")
   }
 
+  test("vCard: base64 PHOTO decodes to a binary column") {
+    val photoBytes = Array[Byte](137.toByte, 80, 78, 71, 13, 10, 26, 10, 0, 1, 2, 3)
+    val b64 = java.util.Base64.getEncoder.encodeToString(photoBytes)
+    val vcf =
+      "BEGIN:VCARD\nVERSION:2.1\nN:Doe;Jane;;;\n" +
+        s"PHOTO;ENCODING=b;TYPE=PNG:$b64\n" +
+        "END:VCARD\n"
+    val cards = VcfSource.parseCards(vcf)
+    assert(cards.head("photo").asInstanceOf[Array[Byte]].toSeq == photoBytes.toSeq)
+    val df = VcfSource.readInline(spark, vcf)
+    assert(df.schema("photo").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val got = df.select("photo").head.getAs[Array[Byte]](0)
+    assert(got.toSeq == photoBytes.toSeq)
+  }
+
   test("compression: gz/zip/tar.gz/ZipCrypto round-trip byte-exact") {
     val content = "hello;world\n1;2\n"
     val base = SyntheticFixtures.dir("speccomp")
