@@ -1124,11 +1124,18 @@ object SparkEntry {
     */
   def q42SrcXls(s: SparkSession, d: String): DataFrame = {
     val rows = nation(s, d).orderBy(col("n_nationkey")).collect()
-    val data = Seq(Seq("n_nationkey", "n_name", "n_regionkey")) ++
-      rows.map(r => Seq(r.getInt(0).toString, r.getString(1), r.getInt(2).toString))
-    val f = new java.io.File(sources.SyntheticFixtures.dir("xls"), "nation.xls")
-    sources.SyntheticFixtures.writeXls(f, "data", data)
-    castNation(sources.XlsSource.read(s, f.getPath, sheetName = Some("data")))
+    val header = Seq(Seq("n_nationkey", "n_name", "n_regionkey"))
+    val all = rows.map(r => Seq(r.getInt(0).toString, r.getString(1), r.getInt(2).toString))
+    // half plain, half standard-RC4 encrypted — one glob read covers both
+    val (even, odd) = all.zipWithIndex.partition(_._2 % 2 == 0)
+    val dir = sources.SyntheticFixtures.dir("xls")
+    val fPlain = new java.io.File(dir, "nation_a.xls")
+    val fEnc = new java.io.File(dir, "nation_b.xls")
+    sources.SyntheticFixtures.writeXls(fPlain, "data", header ++ even.map(_._1))
+    sources.SyntheticFixtures.writeXls(fEnc, "data", header ++ odd.map(_._1),
+      password = Some("abc123"))
+    castNation(sources.XlsSource.read(s, new java.io.File(dir, "nation_*.xls").getPath,
+      sheetName = Some("data"), password = Some("abc123")))
   }
 
   // ---------------------------------------------------------------- q41

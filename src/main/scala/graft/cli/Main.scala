@@ -144,7 +144,10 @@ object Main {
       XmlSource.read(spark, path, a.dataPath, a.nullToken)
     }
     else if (lower.endsWith(".xlsx")) XlsxSource.read(spark, path, a.dataPath, a.headers)
-    else if (lower.endsWith(".xls")) XlsSource.read(spark, path, a.dataPath, a.headers)
+    else if (lower.endsWith(".xls"))
+      // -zippassword doubles as the workbook password (one container
+      // password flag, like the reference's zipPassword plumbing)
+      XlsSource.read(spark, path, a.dataPath, a.headers, a.zipPassword)
     else if (lower.endsWith(".ods")) OdsSource.read(spark, path, a.dataPath, a.headers)
     else if (lower.endsWith(".vcf")) VcfSource.read(spark, path)
     else if (lower.endsWith(".kdbx"))

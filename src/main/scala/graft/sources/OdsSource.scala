@@ -108,7 +108,7 @@ object OdsSource {
   def read(spark: SparkSession, path: String, sheetName: Option[String] = None,
            header: Boolean = true): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(path)
+    val files = BinaryFiles.read(spark, path)
       .select("content").as[Array[Byte]]
     val parsed = files.rdd.map(b => parseContent(b, sheetName, header))
     parsed.cache()

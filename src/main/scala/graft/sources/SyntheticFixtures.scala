@@ -113,7 +113,8 @@ object SyntheticFixtures {
     * stream is padded past the 4096-byte mini-stream cutoff so the
     * container needs only the regular FAT (the reader handles both).
     */
-  def writeXls(f: File, sheetName: String, rows: Seq[Seq[String]]): File = {
+  def writeXls(f: File, sheetName: String, rows: Seq[Seq[String]],
+               password: Option[String] = None): File = {
     val bos = new ByteArrayOutputStream()
     def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >>> 8) & 0xff) }
     def w32(v: Long): Unit = { var x = v; (0 until 4).foreach { _ => bos.write((x & 0xff).toInt); x >>= 8 } }
@@ -155,6 +156,17 @@ object SyntheticFixtures {
     val off = le32(sheetBof.toLong)
     System.arraycopy(off, 0, patched, boundsheetAt + 4, 4)
     stream = patched
+    password.foreach { pw =>
+      // standard-RC4 encrypt: FILEPASS right after the globals BOF, then
+      // the block-keyed keystream over the whole stream (XlsCrypto)
+      val (fpBody, salt) = XlsCrypto.filePassBody(pw)
+      val fpRec = le16(0x002F) ++ le16(fpBody.length) ++ fpBody
+      val firstEnd = 4 + ((stream(2) & 0xff) | ((stream(3) & 0xff) << 8))
+      val spliced = stream.take(firstEnd) ++ fpRec ++ stream.drop(firstEnd)
+      System.arraycopy(le32((sheetBof + fpRec.length).toLong), 0, spliced,
+        boundsheetAt + fpRec.length + 4, 4)
+      stream = XlsCrypto.encryptWorkbookStream(spliced, pw, salt)
+    }
     if (stream.length < 4096) stream = stream ++ new Array[Byte](4096 - stream.length)
 
     // --- CFB container: header + FAT sector(s) + directory + stream ---

@@ -18,8 +18,9 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * a custom FORMAT with date tokens) convert to ISO strings like the
   * reference's typed Date cells. SST string tables spanning CONTINUE
   * records are handled (including the compressed/wide width switch at
-  * each continuation boundary). Documented subset: no encrypted
-  * workbooks.
+  * each continuation boundary). Standard-RC4 encrypted workbooks decrypt
+  * via [[XlsCrypto]] given a password; XOR-obfuscated and CryptoAPI
+  * variants are rejected with a clear error.
   */
 object XlsSource {
 
@@ -292,8 +293,17 @@ object XlsSource {
   }
 
   private[sources] def parseWorkbook(bytes: Array[Byte], sheetName: Option[String],
-                                     header: Boolean): (IndexedSeq[String], Seq[IndexedSeq[String]]) = {
-    val wb = cfbStream(bytes, Set("Workbook", "Book"))
+                                     header: Boolean,
+                                     password: Option[String] = None): (IndexedSeq[String], Seq[IndexedSeq[String]]) = {
+    val raw = cfbStream(bytes, Set("Workbook", "Book"))
+    // encrypted workbook (FILEPASS near the stream head) → standard-RC4
+    // decrypt before record parsing; FILEPASS itself is then ignored
+    val wb =
+      if (XlsCrypto.findFilePass(raw).isDefined) {
+        val pw = password.getOrElse(
+          throw new IllegalArgumentException(".xls is encrypted — password required"))
+        XlsCrypto.decryptWorkbookStream(raw, pw)
+      } else raw
     val all = parseWorkbookStream(wb)
     require(all.nonEmpty, ".xls has no sheets")
     val (_, cells) = sheetName match {
@@ -317,11 +327,11 @@ object XlsSource {
   }
 
   def read(spark: SparkSession, path: String, sheetName: Option[String] = None,
-           header: Boolean = true): DataFrame = {
+           header: Boolean = true, password: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(path)
+    val files = BinaryFiles.read(spark, path)
       .select("content").as[Array[Byte]]
-    val parsed = files.rdd.map(b => parseWorkbook(b, sheetName, header))
+    val parsed = files.rdd.map(b => parseWorkbook(b, sheetName, header, password))
     parsed.cache()
     val cols = parsed.map(_._1).reduce((a, b) => if (a.nonEmpty) a else b)
     val schema = StructType(cols.map(c => StructField(c, StringType, nullable = true)))

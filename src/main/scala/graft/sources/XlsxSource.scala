@@ -246,7 +246,7 @@ object XlsxSource {
   def read(spark: SparkSession, path: String, sheetName: Option[String] = None,
            header: Boolean = true): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(path)
+    val files = BinaryFiles.read(spark, path)
       .select("content").as[Array[Byte]]
     val parsed = files.rdd.map(b => parseWorkbook(b, sheetName, header))
     parsed.cache()

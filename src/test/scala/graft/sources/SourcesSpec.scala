@@ -210,6 +210,30 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("xls (BIFF8): standard-RC4 encrypted workbook round-trips with password") {
+    val rows = Seq(Seq("name", "qty"), Seq("alpha", "3"), Seq("beta", "42"),
+      // > 1024 bytes of records forces at least one RC4 block rekey
+      Seq("g" * 600, "1"), Seq("h" * 600, "2"))
+    val f = new File(SyntheticFixtures.dir("xlsspec"), "enc.xls")
+    SyntheticFixtures.writeXls(f, "Secret", rows, password = Some("abc123"))
+    val df = XlsSource.read(spark, f.getPath, sheetName = Some("Secret"),
+      password = Some("abc123"))
+    assert(df.columns.toSeq == Seq("name", "qty"))
+    val got = df.orderBy("name").collect()
+    assert(got.map(_.getString(0)).toSeq ==
+      Seq("alpha", "beta", "g" * 600, "h" * 600))
+    assert(got.map(_.getString(1)).toSeq == Seq("3", "42", "1", "2"))
+    // wrong password and missing password both refuse
+    val wrong = intercept[Exception] {
+      XlsSource.read(spark, f.getPath, password = Some("nope")).collect()
+    }
+    assert(wrong.getMessage.contains("wrong .xls password"))
+    val missing = intercept[Exception] {
+      XlsSource.read(spark, f.getPath).collect()
+    }
+    assert(missing.getMessage.contains("password required"))
+  }
+
   test("xls (BIFF8): date-XF numeric cells convert to ISO strings") {
     // hand-built workbook stream: XF 0 = general, XF 1 = builtin date 14
     val bos = new java.io.ByteArrayOutputStream()
