@@ -72,10 +72,11 @@ object TextDedup {
         (0 until rowsPerBand).map(r => sig.getItem(b * rowsPerBand + r).cast("string")): _*))
     }: _*)
 
-  /** Per-doc shingle set + signature + band keys. The base-hash array is
-    * a separate projection so the 12 signature mins re-scan a computed
-    * integer array (CollapseProject keeps non-cheap multi-referenced
-    * aliases materialized) rather than re-deriving md5 per function.
+  /** Per-doc shingle set + signature + band keys. The signature is the
+    * native one-pass [[graft.plans.MinHashSigExpr]] (digest bytes, no
+    * hex-string churn) — spec-pinned value-identical to the declarative
+    * [[minhashBase]]+[[minhashSignature]] formulation that the SQL
+    * oracle mirrors.
     */
   def withMinhash(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
@@ -83,9 +84,8 @@ object TextDedup {
     docs.select(col(idCol),
         array_distinct(TextShingles.shingles(TextAnalysis.tokens(col(textCol)), k))
           .as("shingles"))
-      .withColumn("__mh_base", minhashBase(col("shingles")))
-      .withColumn("sig", minhashSignature(col("__mh_base"), numHashes))
-      .drop("__mh_base")
+      .withColumn("sig",
+        graft.plans.MinHashSigExpr.minhashSig(col("shingles"), numHashes))
       .withColumn("bandkeys", lshBandKeys(col("sig"), bands, rows))
   }
 

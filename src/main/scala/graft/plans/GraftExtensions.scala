@@ -17,5 +17,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32Expr].getName, "simhash32"),
       (children: Seq[Expression]) => SimHash32Expr(children.head)))
+    e.injectFunction((
+      new FunctionIdentifier("text_normalize"),
+      new ExpressionInfo(classOf[TextNormalizeExpr].getName, "text_normalize"),
+      (children: Seq[Expression]) => TextNormalizeExpr(children.head)))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSigExpr(children.head,
+        children(1).eval().asInstanceOf[Int])))
   }
 }

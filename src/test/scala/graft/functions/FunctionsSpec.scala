@@ -172,6 +172,22 @@ class FunctionsSpec extends SparkSpec {
     assert(frames.where(col("media_id") === 2L).count() == 1)
   }
 
+  test("native minhash signature equals the declarative formulation") {
+    import graft.operators.TextDedup
+    import graft.functions.{TextAnalysis, TextShingles}
+    val docs = graft.Tables.documents(spark, sf()).limit(200)
+      .select(col("doc_id"),
+        array_distinct(TextShingles.shingles(
+          TextAnalysis.tokens(col("text")), 3)).as("shingles"))
+    val both = docs.select(col("doc_id"),
+        graft.plans.MinHashSigExpr.minhashSig(col("shingles"), 12).as("native"),
+        TextDedup.minhashSignature(
+          TextDedup.minhashBase(col("shingles")), 12).as("declarative"))
+      .withColumn("same", col("native") === col("declarative"))
+    assert(both.filter(!col("same")).count() == 0)
+    assert(both.count() == 200)
+  }
+
   test("multimodal real image decode: PNG roundtrip + resize via ImageIO") {
     import graft.operators.Multimodal
     import graft.operators.Multimodal._
