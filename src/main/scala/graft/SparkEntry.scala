@@ -841,6 +841,52 @@ object SparkEntry {
       .orderBy(col("decile"))
   }
 
+  // ---------------------------------------------------------------- q63
+  /** Pearson correlation per customer segment from EXACT decimal moment
+    * sums (n, Σx, Σy, Σx², Σy², Σxy) — the one-pass, mergeable,
+    * map-side-combinable formulation. The final arithmetic runs in
+    * double on both engines over identical exact inputs, so the result
+    * is bit-identical — unlike `corr()`, whose streaming update order is
+    * engine-internal.
+    */
+  def q63Correlation(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(18,2)"
+    val j = orders(s, d).join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        col("o_totalprice").cast(dec).as("x"), col("c_acctbal").cast(dec).as("y"))
+    val m = j.groupBy(col("c_mktsegment")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"))
+    val nD = col("n").cast("double")
+    // rounded output: the scale-4 moment sums exceed 2^53, so the
+    // decimal->double CAST itself rounds — engines agree to ~12
+    // significant digits, not bit-exactly
+    m.select(col("c_mktsegment"), col("n"),
+        round((nD * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+           sqrt(nD * col("syy") - col("sy") * col("sy"))), 6).as("corr_price_bal"),
+        (col("sx") / nD).as("avg_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  // ---------------------------------------------------------------- q64
+  /** Corpus-wide vocabulary heavy hitters: term frequency + document
+    * frequency, top 20 — the vocab-building aggregate of a tokenizer
+    * pipeline. Explode + two-level aggregate, map-side combinable.
+    */
+  def q64Vocab(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(20)
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -1229,6 +1275,8 @@ object SparkEntry {
     "q60_repetition_quality" -> (q60RepetitionQuality _),
     "q61_lev_neardup" -> (q61LevNearDup _),
     "q62_image_decode" -> (q62ImageDecode _),
+    "q63_correlation" -> (q63Correlation _),
+    "q64_vocab" -> (q64Vocab _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -1901,5 +1949,25 @@ object SparkEntry {
         | CAST(p_partkey * 7 % 256 AS DOUBLE) AS mean_g,
         | CAST(p_partkey * 13 % 256 AS DOUBLE) AS mean_b
         |FROM part WHERE p_partkey % 7 = 0 ORDER BY media_id""".stripMargin,
+    "q63_correlation" ->
+      """WITH j AS (SELECT c_mktsegment,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+        |  CAST(c_acctbal AS DECIMAL(18,2)) AS y
+        | FROM orders JOIN customer ON o_custkey = c_custkey),
+        |m AS (SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |  CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy,
+        |  CAST(sum(x * y) AS DOUBLE) AS sxy
+        | FROM j GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, n,
+        | round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |   (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |    sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_price_bal,
+        | sx / CAST(n AS DOUBLE) AS avg_price
+        |FROM m ORDER BY c_mktsegment""".stripMargin,
+    "q64_vocab" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($SqlToks) AS token FROM documents)
+         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM tok GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin,
   )
 }
