@@ -887,6 +887,29 @@ object SparkEntry {
       .orderBy(col("tf").desc, col("token"))
       .limit(20)
 
+  // ---------------------------------------------------------------- q65
+  /** Incremental near-dup: the corpus LSH index is WRITTEN ONCE
+    * ([[operators.TextDedup.writeLshIndex]] — at scale a standing
+    * artifact), then a new ingest batch (the drop-first-3-words mutants)
+    * probes it with its band keys broadcast — the corpus is scanned,
+    * never re-hashed and never shuffled. Same banding/verify math as
+    * q23, so the oracle recomputes both sides declaratively.
+    */
+  def q65IncrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    val idxPath = new java.io.File(sources.SyntheticFixtures.dir("lshindex"),
+      "documents").getPath
+    operators.TextDedup.writeLshIndex(documents(s, d).select(col("doc_id"), col("text")),
+      "doc_id", "text", idxPath)
+    val fresh = documents(s, d).filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        regexp_replace(col("text"), "^(\\S+\\s+){3}", "").as("text"))
+    operators.TextDedup.probeLshIndex(fresh, "doc_id", "text", idxPath,
+        threshold = 0.5)
+      .select(col("new_id"), col("corpus_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -1277,6 +1300,7 @@ object SparkEntry {
     "q62_image_decode" -> (q62ImageDecode _),
     "q63_correlation" -> (q63Correlation _),
     "q64_vocab" -> (q64Vocab _),
+    "q65_incremental_neardup" -> (q65IncrementalNearDup _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -1969,5 +1993,51 @@ object SparkEntry {
       s"""WITH tok AS (SELECT doc_id, unnest($SqlToks) AS token FROM documents)
          |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM tok GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin,
+    "q65_incremental_neardup" -> {
+      val p = operators.TextDedup.MinhashPrime
+      val sigCols = (0 until 12).map { j =>
+        val (a, b) = operators.TextDedup.minhashParams(j)
+        s"min(($a * hh + $b) % $p) AS s$j"
+      }.mkString(",\n ")
+      def bandExpr(cols: Seq[Int]): String =
+        "md5(" + cols.map(j => s"CAST(s$j AS VARCHAR)").mkString(" || '|' || ") + ")"
+      def side(name: String, src: String): String =
+        s"""tok_$name AS (SELECT doc_id, $SqlToks AS toks FROM $src),
+           |shl_$name AS (SELECT doc_id,
+           | CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+           |      ELSE list_transform(generate_series(1, len(toks) - 2),
+           |            i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END AS shingles
+           | FROM tok_$name),
+           |s_$name AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM shl_$name),
+           |hh_$name AS (SELECT doc_id,
+           |  CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) % $p AS hh FROM s_$name),
+           |sig_$name AS (SELECT doc_id, $sigCols FROM hh_$name GROUP BY doc_id),
+           |band_$name AS (SELECT doc_id,
+           | ${bandExpr(Seq(0, 1, 2))} AS b0,
+           | ${bandExpr(Seq(3, 4, 5))} AS b1,
+           | ${bandExpr(Seq(6, 7, 8))} AS b2,
+           | ${bandExpr(Seq(9, 10, 11))} AS b3 FROM sig_$name),
+           |n_$name AS (SELECT doc_id, count(*) AS n FROM s_$name GROUP BY doc_id)""".stripMargin
+      s"""WITH idx AS (SELECT doc_id, text FROM documents),
+         |prb AS (SELECT doc_id + 2000000 AS doc_id,
+         |  regexp_replace(text, '^(\\S+\\s+){3}', '') AS text
+         | FROM documents WHERE doc_id % 7 = 0),
+         |${side("i", "idx")},
+         |${side("q", "prb")},
+         |cand AS (SELECT DISTINCT q.doc_id AS new_id, i.doc_id AS corpus_id
+         | FROM band_q q JOIN band_i i
+         |  ON q.b0 = i.b0 OR q.b1 = i.b1 OR q.b2 = i.b2 OR q.b3 = i.b3),
+         |com AS (SELECT q.doc_id AS new_id, i.doc_id AS corpus_id, count(*) AS common
+         | FROM s_q q JOIN s_i i ON q.sh = i.sh GROUP BY 1, 2),
+         |jac AS (SELECT c.new_id, c.corpus_id,
+         |  CAST(com.common AS DOUBLE) /
+         |    CAST(nq.n + ni.n - com.common AS DOUBLE) AS jaccard
+         | FROM cand c
+         | JOIN com ON com.new_id = c.new_id AND com.corpus_id = c.corpus_id
+         | JOIN n_q nq ON nq.doc_id = c.new_id
+         | JOIN n_i ni ON ni.doc_id = c.corpus_id)
+         |SELECT new_id, corpus_id, round(jaccard, 6) AS jaccard FROM jac
+         |WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id""".stripMargin
+    },
   )
 }

@@ -227,6 +227,53 @@ object TextDedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Persist the LSH index as a reusable artifact — the 100 TB shape of
+    * [[verifiedNearDupPairs]]'s in-session cache: signatures are
+    * computed ONCE per corpus, then every later ingest probes the stored
+    * bands instead of re-hashing the corpus. Two tables:
+    * `<path>/bands` (band_idx, band_hash, id — the join side; at real
+    * scale written bucketed by band_hash) and `<path>/sets`
+    * (id, shingles — the verify side).
+    */
+  def writeLshIndex(docs: DataFrame, idCol: String, textCol: String, path: String,
+                    k: Int = 3, numHashes: Int = 12, bands: Int = 4): Unit = {
+    val withSig = withMinhash(docs, idCol, textCol, k, numHashes, bands).cache()
+    withSig.select(col(idCol),
+        posexplode(col("bandkeys")).as(Seq("band_idx", "band_hash")))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    withSig.select(col(idCol), col("shingles"))
+      .write.mode("overwrite").parquet(s"$path/sets")
+    withSig.unpersist()
+  }
+
+  /** Incremental near-dup detection of a NEW batch against a stored
+    * index: the new docs' band keys broadcast into a join against the
+    * index's bands table (the corpus is scanned, never shuffled), then
+    * candidates verify with exact Jaccard against the stored shingle
+    * sets. Returns (new_id, corpus_id, jaccard ≥ threshold).
+    */
+  def probeLshIndex(newDocs: DataFrame, idCol: String, textCol: String, path: String,
+                    k: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                    threshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val probe = withMinhash(newDocs, idCol, textCol, k, numHashes, bands).cache()
+    val probeBands = probe.select(col(idCol).as("new_id"),
+      posexplode(col("bandkeys")).as(Seq("band_idx", "band_hash")))
+    val idxBands = spark.read.parquet(s"$path/bands")
+    val cand = idxBands.join(broadcast(probeBands), Seq("band_idx", "band_hash"))
+      .select(col("new_id"), col(idCol).as("corpus_id")).distinct()
+    val idxSets = spark.read.parquet(s"$path/sets")
+      .select(col(idCol).as("corpus_id"), col("shingles").as("__shc"))
+    val newSets = probe.select(col(idCol).as("new_id"), col("shingles").as("__shn"))
+    cand.join(idxSets, Seq("corpus_id"))
+      .join(broadcast(newSets), Seq("new_id"))
+      .withColumn("__common", size(array_intersect(col("__shn"), col("__shc"))))
+      .withColumn("jaccard", col("__common").cast("double") /
+        (size(col("__shn")) + size(col("__shc")) - col("__common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** 32-bit SimHash over whitespace tokens: token hash = first 8 hex
     * digits of md5; each bit contributes ±1; sketch bit j set iff the sum
     * is positive. Evaluated by the native single-pass Catalyst

@@ -172,6 +172,27 @@ class FunctionsSpec extends SparkSpec {
     assert(frames.where(col("media_id") === 2L).count() == 1)
   }
 
+  test("LSH index probe finds the same pairs as the in-session join") {
+    import graft.operators.TextDedup
+    val corpus = graft.Tables.documents(spark, sf()).limit(150)
+      .select(col("doc_id"), col("text"))
+    val fresh = corpus.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 9000).as("doc_id"),
+        regexp_replace(col("text"), "^(\\S+\\s+){2}", "").as("text"))
+    val idx = new java.io.File(
+      graft.sources.SyntheticFixtures.dir("lshindex"), "spec").getPath
+    TextDedup.writeLshIndex(corpus, "doc_id", "text", idx)
+    val probed = TextDedup.probeLshIndex(fresh, "doc_id", "text", idx, threshold = 0.5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().sorted.toSeq
+    // ground truth: full pairwise verified join over corpus+fresh,
+    // restricted to cross pairs
+    val full = TextDedup.verifiedNearDupPairs(corpus.unionAll(fresh),
+        "doc_id", "text", threshold = 0.5)
+      .filter(col("id2") >= 9000 && col("id1") < 9000)
+      .select(col("id2"), col("id1")).as[(Long, Long)].collect().sorted.toSeq
+    assert(probed == full && probed.nonEmpty)
+  }
+
   test("native minhash signature equals the declarative formulation") {
     import graft.operators.TextDedup
     import graft.functions.{TextAnalysis, TextShingles}
