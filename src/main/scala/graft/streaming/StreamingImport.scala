@@ -104,4 +104,19 @@ object StreamingImport {
           }
       }
   }
+
+  /** Streaming incremental near-dup: every micro-batch of documents
+    * probes the STANDING LSH index
+    * ([[graft.operators.TextDedup.probeLshIndex]]) — the corpus is never
+    * re-hashed; only the arriving batch's band keys broadcast. Matches
+    * (new_id, corpus_id, jaccard) go to `onMatches` per batch — route to
+    * a quarantine table, a drop filter, or metrics.
+    */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+                    indexPath: String, threshold: Double,
+                    onMatches: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      onMatches(graft.operators.TextDedup.probeLshIndex(
+        batch, idCol, textCol, indexPath, threshold = threshold))
+    }
 }

@@ -129,4 +129,36 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "u1", 1L, 4.0),
       ("2024-01-01 10:00:00.0", "u2", 1L, 8.0)))
   }
+
+  test("streaming near-dup probe against a standing LSH index") {
+    import graft.operators.TextDedup
+    val corpus = graft.Tables.documents(spark, sf()).limit(100)
+      .select(col("doc_id"), col("text"))
+    val idxPath = new File(SyntheticFixtures.dir("lshindex"), "streamspec").getPath
+    TextDedup.writeLshIndex(corpus, "doc_id", "text", idxPath)
+    // stream in mutated copies of every 4th doc as arriving documents
+    val arriving = corpus.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 9000).as("doc_id"),
+        regexp_replace(col("text"), "^(\\S+\\s+){2}", "").as("text"))
+      .collect().map(r => s"${r.getLong(0)};${r.getString(1)}")
+    val dir = SyntheticFixtures.dir(s"neardupstream_${System.nanoTime()}")
+    SyntheticFixtures.writeText(new File(dir, "b1.csv"),
+      "doc_id;text\n" + arriving.mkString("\n"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    @volatile var matches = Seq.empty[(Long, Long)]
+    val q = StreamingImport.nearDupStream(
+        StreamingImport.csvStream(spark, dir.getPath, docSchema),
+        "doc_id", "text", idxPath, threshold = 0.5,
+        onMatches = m => matches = matches ++ m.select("new_id", "corpus_id")
+          .as[(Long, Long)].collect())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", new File(dir, "_cp").getPath)
+      .start()
+    q.awaitTermination(60000)
+    // every mutated doc must match its origin
+    val expected = corpus.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id")).as[Long].collect().map(id => (id + 9000, id)).toSet
+    assert(expected.subsetOf(matches.toSet) && matches.nonEmpty)
+  }
 }
