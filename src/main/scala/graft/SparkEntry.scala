@@ -887,6 +887,30 @@ object SparkEntry {
       .orderBy(col("tf").desc, col("token"))
       .limit(20)
 
+  // ---------------------------------------------------------------- q66
+  /** REAL audio decode end-to-end (PCM WAV via the JDK's javax.sound):
+    * deterministic square-wave fixtures synthesized from supplier keys
+    * round-trip through encode → binary column → decode; recovered
+    * format and RMS check against an oracle predicting them analytically
+    * (square wave ⇒ RMS == amplitude, exactly, in raw sample units).
+    */
+  def q66AudioDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import operators.Multimodal
+    val recs = supplier(s, d).select(col("s_suppkey"))
+      .filter(col("s_suppkey") % 3 === 0)
+      .as[Long].map { k =>
+        Multimodal.MediaRecord(k, "audio", Multimodal.squareWav(
+          sampleRate = 8000, amplitude = (1000 + k * 31 % 20000).toInt,
+          nSamples = (4000 + k % 50 * 100).toInt))
+      }
+    Multimodal.audioFeatures(recs).toDF()
+      .select(col("media_id"), col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"), col("n_samples"),
+        col("rms"))
+      .orderBy(col("media_id"))
+  }
+
   // ---------------------------------------------------------------- q65
   /** Incremental near-dup: the corpus LSH index is WRITTEN ONCE
     * ([[operators.TextDedup.writeLshIndex]] — at scale a standing
@@ -1301,6 +1325,7 @@ object SparkEntry {
     "q63_correlation" -> (q63Correlation _),
     "q64_vocab" -> (q64Vocab _),
     "q65_incremental_neardup" -> (q65IncrementalNearDup _),
+    "q66_audio_decode" -> (q66AudioDecode _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -2039,5 +2064,12 @@ object SparkEntry {
          |SELECT new_id, corpus_id, round(jaccard, 6) AS jaccard FROM jac
          |WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id""".stripMargin
     },
+    "q66_audio_decode" ->
+      """SELECT s_suppkey AS media_id,
+        | CAST(8000 AS BIGINT) AS sample_rate,
+        | CAST(1 AS BIGINT) AS channels,
+        | CAST(4000 + s_suppkey % 50 * 100 AS BIGINT) AS n_samples,
+        | CAST(1000 + s_suppkey * 31 % 20000 AS DOUBLE) AS rms
+        |FROM supplier WHERE s_suppkey % 3 = 0 ORDER BY media_id""".stripMargin,
   )
 }

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * `mapPartitions`, metadata extraction as pure expressions) is real and
   * tested. IMAGE decode is REAL — `javax.imageio` ships in the JDK
   * (PNG/BMP/GIF/JPEG readers), so [[decodeImage]], [[imageFeatures]] and
-  * [[resizeImages]] run an actual pixel pipeline. Audio/video decode
-  * remains a documented deterministic stub ([[decodeStub]] — no codec
-  * libraries in this environment); swap that one function for a real
+  * [[resizeImages]] run an actual pixel pipeline. AUDIO decode is REAL
+  * for PCM WAV — `javax.sound.sampled` ships in the JDK
+  * ([[decodeAudio]], [[audioFeatures]]). Compressed-codec audio and
+  * video decode remain a documented deterministic stub ([[decodeStub]]
+  * — no codec libraries in the JDK); swap that one function for a real
   * decoder (JavaCV, ffmpeg-pipe) in production.
   */
 object Multimodal {
@@ -129,6 +131,71 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Decoded audio features (PCM WAV): real format + signal stats. */
+  case class AudioFeatures(media_id: Long, sample_rate: Int, channels: Int,
+                           n_samples: Long, rms: Double)
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (PCM WAV
+    * ships in the JDK — no codec library). Returns None for payloads no
+    * installed reader accepts. RMS is over raw 16-bit sample units with
+    * exact integer squares summed in double (< 2^53), one division, one
+    * sqrt — deterministic across engines.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[AudioFeatures] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16)
+        val data = in.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(data).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        var sumSq = 0.0
+        var n = 0L
+        while (bb.remaining() >= 2) {
+          val s = bb.getShort.toDouble
+          sumSq += s * s
+          n += 1
+        }
+        val frames = n / fmt.getChannels
+        Some(AudioFeatures(0L, fmt.getSampleRate.toInt, fmt.getChannels, frames,
+          if (n == 0) 0.0 else math.sqrt(sumSq / n)))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Batch audio feature extraction — partition-preserving, undecodable
+    * payloads drop (production would route them to an error channel).
+    */
+  def audioFeatures(ds: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r =>
+      decodeAudio(r.payload).map(_.copy(media_id = r.media_id))))
+  }
+
+  /** Deterministic 16-bit mono PCM WAV fixture: a square wave of
+    * constant amplitude — RMS over raw sample units equals the amplitude
+    * EXACTLY (A²·n/n is a perfect square in double), so an external
+    * oracle predicts decode output analytically.
+    */
+  def squareWav(sampleRate: Int, amplitude: Int, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort((if (i % 2 == 0) amplitude else -amplitude).toShort)
+      i += 1
+    }
+    bb.array()
   }
 
   /** Frame sampling plumbing for video-like payloads: emit every

@@ -257,6 +257,19 @@ class FunctionsSpec extends SparkSpec {
       resized(1).mean_b == 30.0)
   }
 
+  test("multimodal real audio decode: WAV roundtrip via javax.sound") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal._
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, "audio", Multimodal.squareWav(8000, 5000, 1600)),
+      MediaRecord(2L, "audio", Multimodal.squareWav(16000, 123, 800)),
+      MediaRecord(3L, "audio", "not audio".getBytes("UTF-8"))))
+    val feats = Multimodal.audioFeatures(ds).collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(1L, 2L)) // undecodable drops
+    assert(feats(0) == AudioFeatures(1L, 8000, 1, 1600L, 5000.0))
+    assert(feats(1) == AudioFeatures(2L, 16000, 1, 800L, 123.0))
+  }
+
   test("exact dedup groups identical normalized content") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val got = graft.operators.TextDedup.exactDedup(df, "doc_id", "text")
