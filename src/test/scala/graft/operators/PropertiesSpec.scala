@@ -213,4 +213,22 @@ class PropertiesSpec extends SparkSpec {
       banded == plain
     }, 8)
   }
+
+  test("PPJoin prefix tier equals brute-force Jaccard on random corpora") {
+    // random word-salad docs with planted overlaps (shared word pool)
+    val pool = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docGen = Gen.listOfN(8, Gen.oneOf(pool)).map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(25, docGen)
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    check(Prop.forAllNoShrink(corpusGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.select("id1", "id2").as[(Long, Long)].collect().sorted.toSeq
+      canon(TextDedup.jaccardPairsPrefix(df, "doc_id", "text",
+          k = 2, threshold = 0.4)) ==
+        canon(TextDedup.jaccardPairs(df, "doc_id", "text",
+          k = 2, threshold = 0.4, maxShingleDocFreq = Long.MaxValue))
+    }, 6)
+  }
 }
