@@ -934,6 +934,45 @@ object SparkEntry {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
+  // ---------------------------------------------------------------- q67
+  /** Dedup CLUSTERING — the step a real pipeline runs after pair
+    * generation: exact-Jaccard near-dup pairs (the q24 PPJoin tier)
+    * become undirected edges, and connected components labels every
+    * clustered document with its duplicate cluster (minimum doc id in
+    * the component) plus the cluster size. Components are the
+    * alternating large-star/small-star rounds of
+    * [[operators.ConnectedComponents]] — O(log n) rounds of hash
+    * joins, no driver-side graph. The oracle rebuilds the same pair
+    * set in SQL and closes it with a recursive CTE.
+    */
+  def q67DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = operators.TextDedup.jaccardPairsPrefix(
+      dedupCorpus(s, d), "doc_id", "text", k = 3, threshold = 0.6)
+    operators.ConnectedComponents.clusters(pairs, "id1", "id2")
+      .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q68
+  /** Benchmark decontamination: every corpus document scored by its
+    * word-3-gram overlap with a small benchmark set (docs with
+    * doc_id % 97 == 0 stand in for an eval suite). The benchmark's
+    * distinct shingles BROADCAST ([[operators.Decontamination]]) — the
+    * corpus is scanned once and never shuffled, which is the only shape
+    * that works when the corpus is the 100 TB side. The planted exact
+    * copies and drop-3-words mutants of benchmark docs must flag.
+    */
+  def q68Decontamination(s: SparkSession, d: String): DataFrame = {
+    val bench = documents(s, d).filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("text"))
+    operators.Decontamination.contaminationStats(
+        dedupCorpus(s, d), bench, "doc_id", "text", k = 3, threshold = 0.5)
+      .select(col("id").as("doc_id"), col("n_shingles"), col("n_matched"),
+        col("contam_frac"), col("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -1326,6 +1365,8 @@ object SparkEntry {
     "q64_vocab" -> (q64Vocab _),
     "q65_incremental_neardup" -> (q65IncrementalNearDup _),
     "q66_audio_decode" -> (q66AudioDecode _),
+    "q67_dedup_clusters" -> (q67DedupClusters _),
+    "q68_decontamination" -> (q68Decontamination _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -2071,5 +2112,25 @@ object SparkEntry {
         | CAST(4000 + s_suppkey % 50 * 100 AS BIGINT) AS n_samples,
         | CAST(1000 + s_suppkey * 31 % 20000 AS DOUBLE) AS rms
         |FROM supplier WHERE s_suppkey % 3 = 0 ORDER BY media_id""".stripMargin,
+    "q67_dedup_clusters" ->
+      s"""WITH RECURSIVE $SqlCorpus,
+         |$SqlShingles3,
+         |n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |com AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS common
+         | FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |pair AS (SELECT com.id1, com.id2 FROM com
+         | JOIN n n1 ON n1.doc_id = com.id1 JOIN n n2 ON n2.doc_id = com.id2
+         | WHERE CAST(com.common AS DOUBLE)
+         |   / CAST(n1.n + n2.n - com.common AS DOUBLE) >= 0.6),
+         |edge AS (SELECT id1 AS a, id2 AS b FROM pair
+         | UNION SELECT id2 AS a, id1 AS b FROM pair),
+         |reach(src, dst) AS (
+         | SELECT a, a FROM edge
+         | UNION
+         | SELECT r.src, e.b FROM reach r JOIN edge e ON e.a = r.dst),
+         |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT doc_id, cluster_id,
+         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin,
   )
 }

@@ -214,6 +214,41 @@ class PropertiesSpec extends SparkSpec {
     }, 8)
   }
 
+  test("connected components equals union-find on random graphs") {
+    val edgeGen = Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L))
+    val graphGen = Gen.listOfN(35, edgeGen)
+    check(Prop.forAllNoShrink(graphGen) { edges =>
+      val df = edges.toDF("a", "b")
+      val got = ConnectedComponents.labels(df, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // reference: plain union-find with min-root bookkeeping
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        if (a != b) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }
+        .filter(n => edges.exists { case (a, b) => a != b && (a == n || b == n) })
+        .distinct
+      val expected = nodes.map(n => n -> find(n)).toMap
+      got == expected
+    }, 6)
+  }
+
+  test("keepRepresentatives drops exactly the non-minimum cluster members") {
+    val docs = (0L to 9L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L), (3L, 5L), (7L, 8L)).toDF("id1", "id2")
+    val kept = ConnectedComponents.keepRepresentatives(docs, "doc_id", pairs, "id1", "id2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L, 4L, 6L, 7L, 9L))
+  }
+
   test("PPJoin prefix tier equals brute-force Jaccard on random corpora") {
     // random word-salad docs with planted overlaps (shared word pool)
     val pool = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
