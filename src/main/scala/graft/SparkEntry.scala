@@ -973,6 +973,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q69
+  /** Token-budget sequence packing: documents concatenated in doc_id
+    * order and cut into 512-token training sequences; each doc maps to
+    * the sequence range its token span overlaps. The global token
+    * offsets come from [[operators.Ordinals.withOrderedPrefixSum]] — a
+    * distributed sort plus per-partition offsets, never a
+    * single-partition window — and all arithmetic is integral.
+    */
+  def q69SequencePacking(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"),
+      graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+    operators.SequencePacking.packByBudget(docs, "n_tokens",
+        Seq(col("doc_id")), budget = 512L)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        col("first_seq"), col("last_seq"), col("n_seqs"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -1367,6 +1386,7 @@ object SparkEntry {
     "q66_audio_decode" -> (q66AudioDecode _),
     "q67_dedup_clusters" -> (q67DedupClusters _),
     "q68_decontamination" -> (q68Decontamination _),
+    "q69_sequence_packing" -> (q69SequencePacking _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -2132,5 +2152,39 @@ object SparkEntry {
          |SELECT doc_id, cluster_id,
          | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM lab ORDER BY doc_id""".stripMargin,
+    "q68_decontamination" ->
+      s"""WITH $SqlCorpus,
+         |$SqlShingles3,
+         |bdoc AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |btok AS (SELECT doc_id, $SqlToks AS toks FROM bdoc),
+         |bshl AS (SELECT doc_id,
+         | CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+         |      ELSE list_transform(generate_series(1, len(toks) - 2),
+         |            i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END AS shingles
+         | FROM btok),
+         |bsh AS (SELECT DISTINCT unnest(shingles) AS sh FROM bshl),
+         |m AS (SELECT s.doc_id, count(*) AS n_matched
+         | FROM s JOIN bsh ON s.sh = bsh.sh GROUP BY 1),
+         |n AS (SELECT doc_id, count(*) AS n_shingles FROM s GROUP BY 1)
+         |SELECT n.doc_id, n.n_shingles, coalesce(m.n_matched, 0) AS n_matched,
+         | round(CAST(coalesce(m.n_matched, 0) AS DOUBLE)
+         |   / CAST(n.n_shingles AS DOUBLE), 6) AS contam_frac,
+         | CAST(CAST(coalesce(m.n_matched, 0) AS DOUBLE)
+         |   / CAST(n.n_shingles AS DOUBLE) >= 0.5 AS BIGINT) AS is_contaminated
+         |FROM n LEFT JOIN m ON m.doc_id = n.doc_id ORDER BY n.doc_id""".stripMargin,
+    "q69_sequence_packing" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($SqlToks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |dd AS (SELECT * FROM d WHERE n_tokens > 0),
+         |o AS (SELECT doc_id, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+         | FROM dd)
+         |SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+         | CAST(start_offset // 512 AS BIGINT) AS first_seq,
+         | CAST((start_offset + n_tokens - 1) // 512 AS BIGINT) AS last_seq,
+         | CAST((start_offset + n_tokens - 1) // 512
+         |   - start_offset // 512 + 1 AS BIGINT) AS n_seqs
+         |FROM o ORDER BY doc_id""".stripMargin,
   )
 }

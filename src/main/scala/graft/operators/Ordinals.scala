@@ -67,4 +67,41 @@ object Ordinals {
   def withOrderedOrdinal(df: DataFrame, order: Seq[Column],
                          name: String = DefaultName): DataFrame =
     withArrivalOrdinal(df.orderBy(order: _*), name)
+
+  /** EXCLUSIVE global prefix sum of a LongType column under an explicit
+    * total order — `name` gets the sum of `valueCol` over all strictly
+    * preceding rows. Same shape as [[withOrderedOrdinal]]: a
+    * range-partitioned distributed sort, one tiny per-partition-totals
+    * job (numPartitions rows to the driver), then a narrow map adding
+    * `partition offset + local running sum`. Equivalent to
+    * `sum(value) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING AND 1
+    * PRECEDING)` but no single-partition window stage.
+    */
+  def withOrderedPrefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
+                           name: String): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val spark = sorted.sparkSession
+    require(sorted.schema(valueCol).dataType == LongType,
+      s"$valueCol must be LongType (cast before calling)")
+    val idx = sorted.schema.fieldIndex(valueCol)
+    val schema = sorted.schema.add(name, LongType, nullable = false)
+    val rdd = sorted.rdd
+    val sums = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(idx)); Iterator.single(i -> s)
+    }.collect().toMap
+    val offsets = {
+      var acc = 0L
+      (0 until rdd.getNumPartitions).map { i =>
+        val o = acc; acc += sums.getOrElse(i, 0L); i -> o
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var acc = bc.value(i)
+      it.map { r =>
+        val row = Row.fromSeq(r.toSeq :+ acc); acc += r.getLong(idx); row
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
 }

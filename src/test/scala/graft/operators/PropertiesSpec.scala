@@ -249,6 +249,54 @@ class PropertiesSpec extends SparkSpec {
     assert(kept == Set(0L, 1L, 2L, 4L, 6L, 7L, 9L))
   }
 
+  test("sequence packing: offsets are the exact prefix sums, spans tile the stream") {
+    val gen = Gen.listOfN(40, Gen.chooseNum(0L, 900L))
+    check(Prop.forAllNoShrink(gen) { counts =>
+      val docs = counts.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+        .toDF("doc_id", "n_tokens")
+      val got = SequencePacking.packByBudget(docs, "n_tokens",
+          Seq(col("doc_id")), budget = 512L)
+        .select("doc_id", "n_tokens", "start_offset", "first_seq", "last_seq")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      val nonEmpty = counts.zipWithIndex.filter(_._1 > 0)
+      val offsets = nonEmpty.map(_._1).scanLeft(0L)(_ + _)
+      got.length == nonEmpty.length && got.zip(nonEmpty.zip(offsets)).forall {
+        case ((id, n, off, fs, ls), ((cn, ci), coff)) =>
+          id == ci.toLong && n == cn && off == coff &&
+            fs == off / 512 && ls == (off + n - 1) / 512
+      }
+    }, 6)
+  }
+
+  test("sequenceMembers covers every budget window exactly") {
+    val docs = Seq((1L, 500L), (2L, 30L), (3L, 1100L), (4L, 1L))
+      .toDF("doc_id", "n_tokens")
+    val members = SequencePacking.sequenceMembers(docs, "n_tokens",
+        Seq(col("doc_id")), budget = 512L)
+      .select("seq_id", "doc_id").as[(Long, Long)].collect().toSet
+    // offsets: 1→[0,500) 2→[500,530) 3→[530,1630) 4→[1630,1631)
+    assert(members == Set((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 3L), (3L, 4L)))
+  }
+
+  test("decontamination flags planted copies and clears unrelated docs") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // exact copy
+      (2L, "fox jumps over the lazy dog tonight"),          // heavy overlap
+      (3L, "completely different words entirely here now")) // clean
+      .toDF("doc_id", "text")
+    val got = Decontamination.contaminationStats(corpus, bench,
+        "doc_id", "text", k = 3, threshold = 0.5)
+      .select("id", "is_contaminated").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 0L)
+    val kept = Decontamination.decontaminate(corpus, bench, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
   test("PPJoin prefix tier equals brute-force Jaccard on random corpora") {
     // random word-salad docs with planted overlaps (shared word pool)
     val pool = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
