@@ -992,6 +992,32 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q70
+  /** Stratified deterministic sampling: rebalance the language mix by
+    * downsampling the dominant language (en keeps 30%, the rest 90%)
+    * with an md5-of-id permille bucket ([[operators.Sampling]]) — no
+    * RNG, engine-invariant, scan-stage filter that pushes down.
+    */
+  def q70StratifiedSample(s: SparkSession, d: String): DataFrame =
+    operators.Sampling.stratifiedHashSample(
+        documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", ratesPermille = Map("en" -> 300),
+        defaultPermille = 900)
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q71
+  /** Per-source quota cap: at most 8 documents per source (the
+    * over-representation guard), deterministic by doc_id order. The
+    * window is hash-partitioned per source — parallelism is the number
+    * of sources, never a single partition.
+    */
+  def q71SourceQuota(s: SparkSession, d: String): DataFrame =
+    operators.Sampling.groupQuotaCap(
+        documents(s, d).select(col("doc_id"), col("source")),
+        Seq("source"), Seq(col("doc_id")), maxPerGroup = 8)
+      .select(col("doc_id"), col("source"), col("quota_rank"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -1387,6 +1413,8 @@ object SparkEntry {
     "q67_dedup_clusters" -> (q67DedupClusters _),
     "q68_decontamination" -> (q68Decontamination _),
     "q69_sequence_packing" -> (q69SequencePacking _),
+    "q70_stratified_sample" -> (q70StratifiedSample _),
+    "q71_source_quota" -> (q71SourceQuota _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -2186,5 +2214,16 @@ object SparkEntry {
          | CAST((start_offset + n_tokens - 1) // 512
          |   - start_offset // 512 + 1 AS BIGINT) AS n_seqs
          |FROM o ORDER BY doc_id""".stripMargin,
+    "q70_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+        |      < CASE WHEN lang = 'en' THEN 300 ELSE 900 END
+        |ORDER BY doc_id""".stripMargin,
+    "q71_source_quota" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS quota_rank
+        | FROM documents)
+        |SELECT doc_id, source, quota_rank FROM r WHERE quota_rank <= 8
+        |ORDER BY doc_id""".stripMargin,
   )
 }
