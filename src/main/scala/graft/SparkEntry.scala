@@ -1018,6 +1018,111 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("quota_rank"))
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- q72
+  /** Exact repeated-substring spans (suffix-array-style dedup as a
+    * distributed hash-groupBy, [[operators.SubstringDedup]]): every
+    * 15-token span occurring twice anywhere in the corpus is flagged
+    * and per-document coverage computed with exact interval merging.
+    * The dedup corpus's verbatim copies guarantee duplicated spans.
+    */
+  def q72SubstringSpans(s: SparkSession, d: String): DataFrame =
+    operators.SubstringDedup.duplicatedSpanStats(
+        dedupCorpus(s, d), "doc_id", "text", w = 15)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q73
+  /** Order-invariant per-group table checksum
+    * ([[operators.TableChecksum]]): XOR + modular-sum of 48-bit row
+    * hashes — verifies a 100 TB import against its source without
+    * sorting or co-locating either side (commutative aggregates merge
+    * across any partitioning).
+    */
+  def q73TableChecksum(s: SparkSession, d: String): DataFrame =
+    operators.TableChecksum.checksum(lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus"),
+        groupCols = Seq("l_returnflag"))
+      .orderBy(col("l_returnflag"))
+
+  // ---------------------------------------------------------------- q74
+  /** CUBE grouping sets over customer segments × nations — all four
+    * rollup combinations in ONE pass (Spark expands grouping sets
+    * inside a single hash aggregate; no repeated scans).
+    */
+  def q74Cube(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_cust"), col("sum_bal"))
+      .orderBy(col("mktsegment"), col("nation"))
+
+  // ---------------------------------------------------------------- q75
+  /** Distribution ranks (percent_rank / cume_dist) of account balances
+    * within each market segment — windows partitioned by segment, so
+    * parallelism is the segment count and no global sort exists.
+    */
+  def q75DistributionRanks(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+    customer(s, d).select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------- q76
+  /** Inverted index over the corpus ([[operators.InvertedIndex]]):
+    * term → document frequency + sorted posting list (CSV-joined for
+    * the oracle compare). One explode + one hash aggregation; the text
+    * never shuffles, only (term, doc_id) pairs.
+    */
+  def q76InvertedIndex(s: SparkSession, d: String): DataFrame =
+    operators.InvertedIndex.build(documents(s, d), "doc_id", "text")
+      .select(col("term"), col("df"),
+        array_join(col("postings"), ",").as("postings_csv"))
+      .orderBy(col("term"))
+
+  // ---------------------------------------------------------------- q77
+  /** Boolean AND keyword search resolved purely from the inverted
+    * index: explode the query terms' postings, keep doc_ids hit by all
+    * terms (k-way intersection as one hash aggregation).
+    */
+  def q77KeywordSearch(s: SparkSession, d: String): DataFrame = {
+    val idx = operators.InvertedIndex.build(documents(s, d), "doc_id", "text")
+    operators.InvertedIndex.searchAll(idx, Seq("merge", "vector"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q78
+  /** Int8-quantized ANN ([[operators.Quantization]]): per-dimension
+    * min/max calibration → 0..255 integer vectors → top-5 by EXACT
+    * integer dot product (engine-invariant, unlike float sums).
+    * Queries broadcast; the corpus never shuffles.
+    */
+  def q78QuantizedAnn(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val calib = operators.Quantization.calibrate(e, "embedding")
+    val q = operators.Quantization
+      .quantize(e.filter(col("vec_id") < 10), "vec_id", "embedding", calib)
+      .select(col("vec_id").as("query_id"), col("qvec").as("qv"))
+    val c = operators.Quantization
+      .quantize(e.filter(col("vec_id") >= 10), "vec_id", "embedding", calib)
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("qdot", operators.Quantization.qdot(col("qv"), col("qvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("qdot").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("qdot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -1415,6 +1520,13 @@ object SparkEntry {
     "q69_sequence_packing" -> (q69SequencePacking _),
     "q70_stratified_sample" -> (q70StratifiedSample _),
     "q71_source_quota" -> (q71SourceQuota _),
+    "q72_substring_spans" -> (q72SubstringSpans _),
+    "q73_table_checksum" -> (q73TableChecksum _),
+    "q74_cube" -> (q74Cube _),
+    "q75_distribution_ranks" -> (q75DistributionRanks _),
+    "q76_inverted_index" -> (q76InvertedIndex _),
+    "q77_keyword_search" -> (q77KeywordSearch _),
+    "q78_quantized_ann" -> (q78QuantizedAnn _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -2225,5 +2337,84 @@ object SparkEntry {
         | FROM documents)
         |SELECT doc_id, source, quota_rank FROM r WHERE quota_rank <= 8
         |ORDER BY doc_id""".stripMargin,
+    "q72_substring_spans" ->
+      s"""WITH $SqlCorpus,
+         |t AS (SELECT doc_id, $SqlToks AS toks FROM corpus),
+         |tn AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |gp AS (SELECT doc_id, toks,
+         |  unnest(generate_series(CAST(1 AS BIGINT), n - 14)) AS pos
+         | FROM tn WHERE n >= 15),
+         |g AS (SELECT doc_id, pos,
+         |  md5(array_to_string(list_slice(toks, pos, pos + 14), ' ')) AS h FROM gp),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+         |ds AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+         |c AS (SELECT doc_id, pos,
+         |  CASE WHEN lag(pos) OVER w IS NULL THEN 15
+         |       ELSE least(15, pos - lag(pos) OVER w) END AS contrib
+         | FROM ds WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |agg AS (SELECT doc_id, count(*) AS n_dup_grams,
+         |  sum(contrib) AS covered FROM c GROUP BY doc_id)
+         |SELECT tn.doc_id, CAST(tn.n AS BIGINT) AS n_tokens,
+         | CAST(coalesce(agg.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+         | CAST(coalesce(agg.covered, 0) AS BIGINT) AS covered_tokens,
+         | CASE WHEN tn.n > 0 THEN
+         |   round(CAST(coalesce(agg.covered, 0) AS DOUBLE) / CAST(tn.n AS DOUBLE), 6)
+         |  ELSE 0.0 END AS dup_frac
+         |FROM tn LEFT JOIN agg ON agg.doc_id = tn.doc_id
+         |ORDER BY tn.doc_id""".stripMargin,
+    "q73_table_checksum" ->
+      """WITH h AS (SELECT l_returnflag,
+        |  CAST(('0x' || substr(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) || '|' ||
+        |    CAST(l_suppkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' ||
+        |    l_returnflag || '|' || l_linestatus), 1, 12)) AS BIGINT) AS h
+        | FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows, bit_xor(h) AS xor_checksum,
+        | CAST(sum(CAST(h AS DECIMAL(38,0))) % 1000000007 AS BIGINT) AS sum_checksum
+        |FROM h GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q74_cube" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+        | coalesce(n_name, 'ALL') AS nation,
+        | count(*) AS n_cust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(c_mktsegment, n_name)
+        |ORDER BY mktsegment, nation""".stripMargin,
+    "q75_distribution_ranks" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        | round(percent_rank() OVER w, 6) AS pr,
+        | round(cume_dist() OVER w, 6) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+        |ORDER BY c_custkey""".stripMargin,
+    "q76_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |e AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)
+         |SELECT term, count(*) AS df,
+         | array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings_csv
+         |FROM e GROUP BY term ORDER BY term""".stripMargin,
+    "q77_keyword_search" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents)
+         |SELECT doc_id FROM t
+         |WHERE list_contains(toks, 'merge') AND list_contains(toks, 'vector')
+         |ORDER BY doc_id""".stripMargin,
+    "q78_quantized_ann" ->
+      """WITH ex AS (SELECT vec_id,
+        |  generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+        |  unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings),
+        |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim),
+        |qe AS (SELECT vec_id, ex.dim,
+        |  CASE WHEN mx = mn THEN 0 ELSE floor((x - mn) / (mx - mn) * 255) END AS q
+        | FROM ex JOIN st ON st.dim = ex.dim),
+        |qq AS (SELECT vec_id, dim, q FROM qe WHERE vec_id < 10),
+        |cc AS (SELECT vec_id, dim, q FROM qe WHERE vec_id >= 10),
+        |dot AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+        |  CAST(sum(CAST(qq.q AS BIGINT) * CAST(cc.q AS BIGINT)) AS BIGINT) AS qdot
+        | FROM qq JOIN cc ON qq.dim = cc.dim GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, qdot,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rank
+        | FROM dot)
+        |SELECT query_id, rank, neighbor_id, qdot FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Pins the round-6 corpus-scale operators: repeated-substring spans,
+  * order-invariant checksums, inverted-index search, and int8
+  * quantization.
+  */
+class IndexingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("substring spans: exact interval merge on hand-built repeats") {
+    // "p q r" repeats 3x within doc 1 and spans docs 2/3 share "a b c"
+    val docs = Seq(
+      (1L, "p q r p q r p q r"),
+      (2L, "a b c d e"),
+      (3L, "a b c x y"),
+      (4L, "u v w z t")).toDF("doc_id", "text")
+    val out = SubstringDedup.duplicatedSpanStats(docs, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc1: 9 tokens, starts 1..7 all duplicated (p q r / q r p / r p q
+    // each occur 3x / 2x / 2x) -> covered = 3 + 6*1 = 9, frac 1.0
+    assert(out(1L) === ((9L, 7L, 9L, 1.0)))
+    // docs 2,3: one duplicated gram "a b c" covering 3 of 5 tokens
+    assert(out(2L) === ((5L, 1L, 3L, 0.6)))
+    assert(out(3L) === ((5L, 1L, 3L, 0.6)))
+    assert(out(4L) === ((5L, 0L, 0L, 0.0)))
+    // the filtering face drops exactly the heavy-repeat doc at 0.9
+    val kept = SubstringDedup.dropHeavilyDuplicated(docs, "doc_id", "text", 3, 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L, 4L))
+  }
+
+  test("checksum: order/partitioning-invariant, group faces merge to table face") {
+    val li = Tables.lineitem(spark, sf())
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val whole = TableChecksum.checksum(li, cols).collect()(0)
+    val shuffled = TableChecksum.checksum(
+      li.repartition(13, col("l_partkey")), cols).collect()(0)
+    assert(whole === shuffled)
+    // group checksums merge: xor of group xors = table xor,
+    // modular sums add up (mod M)
+    val groups = TableChecksum.checksum(li, cols, Seq("l_returnflag")).collect()
+    assert(groups.map(_.getLong(2)).reduce(_ ^ _) === whole.getLong(1))
+    assert(groups.map(_.getLong(3)).sum % 1000000007L === whole.getLong(2))
+    // changed rows change the checksum pair
+    val tampered = li.withColumn("l_partkey",
+      when(col("l_linenumber") === 1, col("l_partkey") + 1)
+        .otherwise(col("l_partkey")))
+    val t = TableChecksum.checksum(tampered, cols).collect()(0)
+    assert((t.getLong(1), t.getLong(2)) !== ((whole.getLong(1), whole.getLong(2))))
+  }
+
+  test("inverted-index search equals brute-force containment") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val idx = InvertedIndex.build(docs, "doc_id", "text").cache()
+    for (terms <- Seq(Seq("merge"), Seq("merge", "vector"),
+                      Seq("scan", "join", "window"))) {
+      val viaIndex = InvertedIndex.searchAll(idx, terms)
+        .as[Long].collect().toSet
+      val brute = docs.filter(terms.map(t =>
+          array_contains(graft.functions.TextAnalysis.tokens(col("text")), t))
+          .reduce(_ && _))
+        .select("doc_id").as[Long].collect().toSet
+      assert(viaIndex === brute, s"terms=$terms")
+    }
+  }
+
+  test("quantization: 0..255 range, constant dims to 0, qdot exact") {
+    val emb = Seq(
+      (1L, Array(0.0f, 1.0f, 5.0f)),
+      (2L, Array(1.0f, 1.0f, 2.5f)),
+      (3L, Array(2.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val calib = Quantization.calibrate(emb, "embedding")
+    val q = Quantization.quantize(emb, "vec_id", "embedding", calib)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(q(1L) === Seq(0L, 0L, 255L))   // dim2 constant -> 0
+    assert(q(3L) === Seq(255L, 0L, 0L))
+    assert(q(2L) === Seq(127L, 0L, 127L)) // floor(0.5*255)=127
+    val dot = emb.select(col("vec_id"), lit(1).as("one")).limit(1)
+    // qdot of q(1) . q(3) = 0*255 + 0 + 255*0 = 0; q(2).q(2)=127^2*2
+    val d = spark.range(1).select(
+      Quantization.qdot(
+        typedLit(q(1L)), typedLit(q(3L))).as("a"),
+      Quantization.qdot(
+        typedLit(q(2L)), typedLit(q(2L))).as("b")).collect()(0)
+    assert(d.getLong(0) === 0L)
+    assert(d.getLong(1) === 127L * 127L * 2)
+  }
+}
