@@ -38,15 +38,27 @@ object ConnectedComponents {
   def labels(edges: DataFrame, srcCol: String, dstCol: String,
              maxIter: Int = 25): DataFrame = {
     var e = normalize(edges, srcCol, dstCol).localCheckpoint(true)
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("u") + col("v"))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     var iter = 0
     var done = e.isEmpty
+    var eStats = if (done) (0L, 0L) else stats(e)
     while (!done && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // star-shaped fixpoint: the edge SET is unchanged (two one-row
-      // existence probes — cheap relative to the round's joins)
-      done = next.except(e).isEmpty && e.except(next).isEmpty
+      val nextStats = stats(next)
+      // star-shaped fixpoint: the edge SET is unchanged. (count, Σu+v)
+      // is a cheap one-aggregation witness — rounds that still shrink
+      // skip the set comparison entirely; only a stats-stable round
+      // pays for the one-shuffle symmetric-difference probe.
+      done = nextStats == eStats && {
+        next.unionAll(e).groupBy(col("u"), col("v"))
+          .agg(count(lit(1)).as("c")).filter(col("c") =!= 2).isEmpty
+      }
       e.unpersist()
       e = next
+      eStats = nextStats
       iter += 1
     }
     require(done, s"connected components did not converge in $maxIter rounds")

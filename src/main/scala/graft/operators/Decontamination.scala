@@ -28,17 +28,16 @@ object Decontamination {
                          k: Int = 3, threshold: Double = 0.5): DataFrame = {
     def shingleSet(c: org.apache.spark.sql.Column) =
       array_distinct(TextShingles.shingles(TextAnalysis.tokens(c), k))
-    val corpusSh = corpus.select(col(idCol).as("id"),
-      shingleSet(col(textCol)).as("shingles"))
     val benchSh = benchmark
       .select(explode(shingleSet(col(textCol))).as("sh")).distinct()
-    val matched = corpusSh
-      .select(col("id"), explode(col("shingles")).as("sh"))
-      .join(broadcast(benchSh), Seq("sh"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_matched"))
-    corpusSh.select(col("id"), size(col("shingles")).cast("long").as("n_shingles"))
-      .join(matched, Seq("id"), "left")
-      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+    // ONE pass over the corpus: explode each doc's shingles, tag the
+    // benchmark hits with a broadcast left join, count both totals in
+    // the same hash aggregation (the corpus is shingled exactly once)
+    corpus.select(col(idCol).as("id"), explode(shingleSet(col(textCol))).as("sh"))
+      .join(broadcast(benchSh.withColumn("__hit", lit(1L))), Seq("sh"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_matched"))
       .withColumn("contam_frac",
         round(col("n_matched").cast("double") / col("n_shingles").cast("double"), 6))
       .withColumn("is_contaminated",
