@@ -1123,6 +1123,82 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- q79
+  /** Keyed snapshot diff ([[operators.SnapshotDiff]]): classify rows
+    * of a mutated orders snapshot as added / removed / changed via one
+    * full-outer join on the key comparing engine-invariant row hashes.
+    * The mutation is deterministic so the oracle reproduces it.
+    */
+  def q79SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val old = orders(s, d)
+    val neu = old.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 7 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      .unionAll(old.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
+    operators.SnapshotDiff.diff(old, neu, "o_orderkey",
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ---------------------------------------------------------------- q80
+  /** Conversion funnel over the event stream: users whose first signup
+    * is followed by >= 1 purchase within 7 days. All timestamp
+    * arithmetic in integer microseconds (nanos DIV 1000) — exact and
+    * engine-invariant. One shuffle keyed by user.
+    */
+  def q80Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      expr("ts DIV 1000").as("us"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("first_signup_us"))
+    val sevenDaysUs = 7L * 86400L * 1000000L
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(signup, Seq("user_id"))
+      .filter(col("us") > col("first_signup_us") &&
+        col("us") <= col("first_signup_us") + sevenDaysUs)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_purch_7d"))
+    signup.join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_signup_us"),
+        coalesce(col("n_purch_7d"), lit(0L)).as("n_purch_7d"),
+        (coalesce(col("n_purch_7d"), lit(0L)) > 0).cast("long").as("converted"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---------------------------------------------------------------- q81
+  /** Incremental aggregate maintenance ([[operators.IncrementalAgg]]):
+    * a standing per-customer aggregate state (90% of orders) is
+    * refreshed by merging the delta batch's partials — base never
+    * rescanned. Matches the full recompute exactly (decimal sums are
+    * merge-order-invariant).
+    */
+  def q81IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).withColumn("price",
+      col("o_totalprice").cast("decimal(18,2)"))
+    val state = operators.IncrementalAgg.partials(
+      o.filter(col("o_orderkey") % 10 =!= 0), Seq("o_custkey"), Seq("price"))
+    val delta = operators.IncrementalAgg.partials(
+      o.filter(col("o_orderkey") % 10 === 0), Seq("o_custkey"), Seq("price"))
+    operators.IncrementalAgg.merge(state, delta, Seq("o_custkey"), Seq("price"))
+      .select(col("o_custkey"), col("n").as("n_orders"),
+        col("sum_price").cast("double").as("sum_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  // ---------------------------------------------------------------- q82
+  /** Semi-structured extraction: parse the events' JSON `props` column
+    * in the scan stage (`get_json_object`, codegen'd — no UDF) and
+    * aggregate the extracted field per event type.
+    */
+  def q82JsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -1527,6 +1603,10 @@ object SparkEntry {
     "q76_inverted_index" -> (q76InvertedIndex _),
     "q77_keyword_search" -> (q77KeywordSearch _),
     "q78_quantized_ann" -> (q78QuantizedAnn _),
+    "q79_snapshot_diff" -> (q79SnapshotDiff _),
+    "q80_funnel" -> (q80Funnel _),
+    "q81_incremental_agg" -> (q81IncrementalAgg _),
+    "q82_json_extract" -> (q82JsonExtract _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -2416,5 +2496,51 @@ object SparkEntry {
         | FROM dot)
         |SELECT query_id, rank, neighbor_id, qdot FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "q79_snapshot_diff" ->
+      """WITH old AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |  o_orderstatus AS s, o_orderpriority AS p FROM orders),
+        |neu AS (
+        | SELECT o_orderkey AS k, o_custkey AS c,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS s,
+        |  o_orderpriority AS p
+        | FROM orders WHERE o_orderkey % 13 <> 0
+        | UNION ALL
+        | SELECT o_orderkey + 1000000000 AS k, o_custkey AS c,
+        |  o_orderstatus AS s, o_orderpriority AS p
+        | FROM orders WHERE o_orderkey % 11 = 0)
+        |SELECT coalesce(o.k, n.k) AS o_orderkey,
+        | CASE WHEN o.k IS NULL THEN 'added'
+        |      WHEN n.k IS NULL THEN 'removed'
+        |      WHEN o.c <> n.c OR o.s <> n.s OR o.p <> n.p THEN 'changed'
+        | END AS change_type
+        |FROM old o FULL JOIN neu n ON o.k = n.k
+        |WHERE (o.k IS NULL OR n.k IS NULL
+        |       OR o.c <> n.c OR o.s <> n.s OR o.p <> n.p)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q80_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us FROM events),
+        |s AS (SELECT user_id, min(us) AS first_signup_us FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT ev.user_id, count(*) AS n_purch_7d
+        |  FROM ev JOIN s ON s.user_id = ev.user_id
+        |  WHERE ev.event_type = 'purchase' AND ev.us > s.first_signup_us
+        |    AND ev.us <= s.first_signup_us + 604800000000
+        |  GROUP BY ev.user_id)
+        |SELECT s.user_id, s.first_signup_us,
+        | coalesce(p.n_purch_7d, 0) AS n_purch_7d,
+        | CAST(coalesce(p.n_purch_7d, 0) > 0 AS BIGINT) AS converted
+        |FROM s LEFT JOIN p ON p.user_id = s.user_id
+        |ORDER BY s.user_id""".stripMargin,
+    "q81_incremental_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q82_json_extract" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+        | CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
