@@ -1199,6 +1199,57 @@ object SparkEntry {
         max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
       .orderBy(col("event_type"))
 
+  // ---------------------------------------------------------------- q83
+  /** PageRank over the co-purchase part graph (parts sharing an order
+    * are linked), 3 fixed iterations ([[operators.PageRank]]). Each
+    * iteration is one join + one hash aggregation keyed by node; the
+    * top-20 ranking is decided on the ROUNDED score so any engine
+    * agrees on the boundary.
+    */
+  def q83PageRank(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    operators.PageRank.ranks(edges, "src", "dst", iters = 3)
+      .withColumn("prr", round(col("pr"), 6))
+      .orderBy(col("prr").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("part"), col("prr").as("pr"))
+  }
+
+  // ---------------------------------------------------------------- q84
+  /** Time-series regridding: per-user hourly grid from first to last
+    * event, left-joined with actual activity, gaps forward-filled with
+    * the last observed value (`last(..., ignoreNulls)` over a
+    * user-partitioned window). Grid generation is `sequence` +
+    * `explode` in the scan stage; all ts arithmetic in integer micros.
+    */
+  def q84ResampleFfill(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = events(s, d).filter(col("user_id") < 8)
+      .select(col("user_id"), expr("ts DIV 1000").as("us"), col("value"))
+      .withColumn("hour_us", (col("us") - (col("us") % hourUs)))
+    val hourly = ev.groupBy(col("user_id"), col("hour_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), lit(hourUs))).as("hour_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("hour_us"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("user_id", "hour_us"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("ffill_value",
+        last(col("sum_value"), ignoreNulls = true).over(w).cast("double"))
+      .select(col("user_id"), col("hour_us"), col("n_events"),
+        col("ffill_value"))
+      .orderBy(col("user_id"), col("hour_us"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -1607,6 +1658,8 @@ object SparkEntry {
     "q80_funnel" -> (q80Funnel _),
     "q81_incremental_agg" -> (q81IncrementalAgg _),
     "q82_json_extract" -> (q82JsonExtract _),
+    "q83_pagerank" -> (q83PageRank _),
+    "q84_resample_ffill" -> (q84ResampleFfill _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -2542,5 +2595,52 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
         | CAST(sum(k) AS BIGINT) AS sum_k
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q83_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS node, sum(r0.pr / od.outdeg) AS s
+        |  FROM e JOIN r0 ON r0.node = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node,
+        |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |   + CAST(0.85 AS DOUBLE) * coalesce(c1.s, CAST(0 AS DOUBLE)) AS pr
+        | FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.node = nodes.node),
+        |c2 AS (SELECT e.dst AS node, sum(r1.pr / od.outdeg) AS s
+        |  FROM e JOIN r1 ON r1.node = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node,
+        |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |   + CAST(0.85 AS DOUBLE) * coalesce(c2.s, CAST(0 AS DOUBLE)) AS pr
+        | FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.node = nodes.node),
+        |c3 AS (SELECT e.dst AS node, sum(r2.pr / od.outdeg) AS s
+        |  FROM e JOIN r2 ON r2.node = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node,
+        |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |   + CAST(0.85 AS DOUBLE) * coalesce(c3.s, CAST(0 AS DOUBLE)) AS pr
+        | FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.node = nodes.node)
+        |SELECT node AS part, round(pr, 6) AS pr FROM r3
+        |ORDER BY round(pr, 6) DESC, node LIMIT 20""".stripMargin,
+    "q84_resample_ffill" ->
+      """WITH ev AS (SELECT user_id,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us, value
+        | FROM events WHERE user_id < 8),
+        |h AS (SELECT user_id, us - (us % 3600000000) AS hour_us,
+        |  count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        | FROM ev GROUP BY 1, 2),
+        |g AS (SELECT user_id,
+        |  unnest(generate_series(min(hour_us), max(hour_us), 3600000000)) AS hour_us
+        | FROM h GROUP BY user_id)
+        |SELECT g.user_id, g.hour_us,
+        | coalesce(h.n_events, 0) AS n_events,
+        | CAST(last_value(h.sum_value IGNORE NULLS) OVER
+        |   (PARTITION BY g.user_id ORDER BY g.hour_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS ffill_value
+        |FROM g LEFT JOIN h ON h.user_id = g.user_id AND h.hour_us = g.hour_us
+        |ORDER BY g.user_id, g.hour_us""".stripMargin,
   )
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over an edge list — the canonical iterative graph
+  * computation, shaped the way it distributes: each iteration is ONE
+  * equi-join (ranks onto edge sources) and ONE hash aggregation
+  * (contributions by destination), both partitioned by node id. No
+  * driver-side graph, no global structure; an iteration's shuffle
+  * volume is O(edges), so k iterations cost k passes regardless of
+  * cluster size.
+  *
+  * Fixed iteration count (the common production choice for relevance
+  * scoring — convergence tests cost an extra pass each round). The
+  * simple variant: dangling-node mass is not redistributed, matching
+  * the per-node formula `(1-d)/N + d · Σ_in rank/outdeg` exactly, so
+  * any engine reproduces it (the only float noise is Σ-order, absorbed
+  * by rounding the published score).
+  */
+object PageRank {
+
+  /** (node, pr) after `iters` rounds on the DISTINCT directed edges. */
+  def ranks(edges: DataFrame, srcCol: String, dstCol: String,
+            iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val base = (1.0 - damping) / n
+    var p = nodes.withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(p.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+      p = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+    }
+    p
+  }
+}
