@@ -23,18 +23,22 @@ object PageRank {
   /** (node, pr) after `iters` rounds on the DISTINCT directed edges. */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
             iters: Int = 3, damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // outdeg is loop-invariant: fold it into the edge list ONCE so each
+    // iteration is exactly one join (ranks onto sources — typically a
+    // broadcast of the node-sized rank table) plus one aggregation
+    val e = e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+        Seq("src"))
+      .localCheckpoint(true)
     val base = (1.0 - damping) / n
     var p = nodes.withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to iters) {
       val contribs = e.join(p.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
       p = nodes.join(contribs, Seq("node"), "left")
