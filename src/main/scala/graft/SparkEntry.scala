@@ -1250,6 +1250,38 @@ object SparkEntry {
       .orderBy(col("user_id"), col("hour_us"))
   }
 
+  // ---------------------------------------------------------------- q85
+  /** Table profiling ([[operators.TableProfile]]): per-column nulls,
+    * exact distinct counts, min/max — the pre-import inspection pass.
+    */
+  def q85Profile(s: SparkSession, d: String): DataFrame =
+    operators.TableProfile.profile(
+        customer(s, d).withColumn("c_acctbal",
+          col("c_acctbal").cast("decimal(18,2)")),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"))
+      .orderBy(col("column_name"))
+
+  // ---------------------------------------------------------------- q86
+  /** CDC log application ([[operators.CdcApply]]): a synthesized I/U/D
+    * change log over orders folds to final state in ONE max_by hash
+    * aggregation (no window, no sort). The oracle states the expected
+    * final table directly.
+    */
+  def q86CdcApply(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val log = o.select(col("o_orderkey"), lit("I").as("op"), lit(1L).as("ord"),
+        col("o_orderstatus").as("status"), col("o_custkey"))
+      .unionAll(o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("U").as("op"), lit(2L).as("ord"),
+          lit("U").as("status"), col("o_custkey")))
+      .unionAll(o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("D").as("op"), lit(3L).as("ord"),
+          lit(null).cast("string").as("status"), col("o_custkey")))
+    operators.CdcApply.applyLog(log, "o_orderkey", "op", "ord",
+        Seq("status", "o_custkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -1660,6 +1692,8 @@ object SparkEntry {
     "q82_json_extract" -> (q82JsonExtract _),
     "q83_pagerank" -> (q83PageRank _),
     "q84_resample_ffill" -> (q84ResampleFfill _),
+    "q85_profile" -> (q85Profile _),
+    "q86_cdc_apply" -> (q86CdcApply _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -2642,5 +2676,35 @@ object SparkEntry {
         |  AS ffill_value
         |FROM g LEFT JOIN h ON h.user_id = g.user_id AND h.hour_us = g.hour_us
         |ORDER BY g.user_id, g.hour_us""".stripMargin,
+    "q85_profile" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |  CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal FROM customer),
+        |p AS (
+        | SELECT 'c_custkey' AS column_name, count(*) AS n_rows,
+        |  count(c_custkey) AS n_nonnull, count(DISTINCT c_custkey) AS ndv,
+        |  CAST(min(c_custkey) AS VARCHAR) AS min_s,
+        |  CAST(max(c_custkey) AS VARCHAR) AS max_s FROM c
+        | UNION ALL
+        | SELECT 'c_name', count(*), count(c_name), count(DISTINCT c_name),
+        |  CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR) FROM c
+        | UNION ALL
+        | SELECT 'c_nationkey', count(*), count(c_nationkey),
+        |  count(DISTINCT c_nationkey),
+        |  CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR) FROM c
+        | UNION ALL
+        | SELECT 'c_mktsegment', count(*), count(c_mktsegment),
+        |  count(DISTINCT c_mktsegment),
+        |  CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR) FROM c
+        | UNION ALL
+        | SELECT 'c_acctbal', count(*), count(c_acctbal),
+        |  count(DISTINCT c_acctbal),
+        |  CAST(min(c_acctbal) AS VARCHAR), CAST(max(c_acctbal) AS VARCHAR) FROM c)
+        |SELECT * FROM p ORDER BY column_name""".stripMargin,
+    "q86_cdc_apply" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+        | o_custkey
+        |FROM orders WHERE o_orderkey % 5 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -20,6 +20,27 @@ class MaintenanceSpec extends SparkSpec {
     assert(out === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
   }
 
+  test("profile reports exact nulls/ndv/min/max per column") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")), (4L, Some("a")))
+      .toDF("id", "s")
+    val p = TableProfile.profile(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("id") === ((4L, 4L, 4L, "1", "4")))
+    assert(p("s") === ((4L, 3L, 2L, "a", "b")))
+  }
+
+  test("CDC apply: latest op wins, deletes drop, out-of-order log ok") {
+    val log = Seq(
+      (1L, "I", 1L, "v1"), (1L, "U", 3L, "v3"), (1L, "U", 2L, "v2"),
+      (2L, "I", 1L, "x"), (2L, "D", 2L, null),
+      (3L, "D", 2L, null), (3L, "I", 1L, "y"), // delete is latest
+      (4L, "I", 9L, "z")).toDF("k", "op", "ord", "payload")
+    val out = CdcApply.applyLog(log, "k", "op", "ord", Seq("payload"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "v3", 4L -> "z"))
+  }
+
   test("incremental merge equals full recompute, in any delta split") {
     val o = Tables.orders(spark, sf())
       .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
