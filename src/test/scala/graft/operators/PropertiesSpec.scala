@@ -314,4 +314,34 @@ class PropertiesSpec extends SparkSpec {
           k = 2, threshold = 0.4, maxShingleDocFreq = Long.MaxValue))
     }, 6)
   }
+
+  test("substring spans equal a sequential reference on random corpora") {
+    val pool = Vector("a", "b", "c", "d", "e")
+    val docGen = Gen.choose(1, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(pool)).map(_.mkString(" ")))
+    val corpusGen = Gen.listOfN(20, docGen)
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val w = 3
+    check(Prop.forAllNoShrink(corpusGen) { docs =>
+      // sequential reference: count every w-gram globally, merge the
+      // duplicated start intervals per doc
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").toVector }
+      val grams = toks.flatMap { case (id, ts) =>
+        (0 to ts.length - w).map(i => (id, i, ts.slice(i, i + w).mkString(" "))) }
+      val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val expected = toks.map { case (id, ts) =>
+        val starts = grams.filter(g => g._1 == id && counts(g._3) >= 2)
+          .map(_._2).sorted
+        val covered = starts.foldLeft((0L, -1)) { case ((acc, prev), s) =>
+          (acc + math.min(w, if (prev < 0) w else s - prev), s) }._1
+        (id, ts.length.toLong, starts.size.toLong, covered)
+      }.toSet
+      val got = SubstringDedup.duplicatedSpanStats(
+          docs.toDF("doc_id", "text"), "doc_id", "text", w)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      got == expected
+    }, 6)
+  }
 }
