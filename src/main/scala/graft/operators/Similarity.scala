@@ -24,7 +24,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSimExpr.cosineSim(a, b)
+
+  /** The declarative HOF formulation — 8 array traversals per row; kept
+    * as the spec ground truth the native expression is pinned against
+    * (bit-equal: same per-sum accumulation order, same final ops).
+    */
+  def cosineDeclarative(a: Column, b: Column): Column = {
     def d(c: Column) = transform(c, x => x.cast("double"))
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)

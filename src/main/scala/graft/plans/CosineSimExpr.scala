@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native cosine similarity over two numeric arrays in ONE pass —
+  * replaces the declarative `aggregate(zip_with(...))` formulation,
+  * which walks the arrays eight times per row (two casts, three
+  * zip_with products, three running sums) and allocates an intermediate
+  * array per product. The hot similarity paths (brute-force ANN
+  * scoring, LSH candidate verification) evaluate this once per
+  * candidate pair, so the 8×-traversal and allocation churn is the
+  * dominant per-row cost at scale.
+  *
+  * VALUE-IDENTICAL to the declarative form and the SQL oracle: each of
+  * the three sums accumulates left-to-right in index order with plain
+  * double adds, and the final expression is `dot / (√na · √nb)` — the
+  * exact op sequence of the declarative version, so results are
+  * bit-equal (spec-pinned). Null elements and length mismatches yield
+  * null, matching `zip_with` padding semantics.
+  *
+  * `CodegenFallback` keeps the surrounding operators inside
+  * whole-stage codegen; the expression body is a tight primitive loop.
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim needs array<float|double>, got " +
+        s"${left.dataType.simpleString(100)}, ${right.dataType.simpleString(100)}")
+
+  @transient private lazy val leftDouble =
+    left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+  @transient private lazy val rightDouble =
+    right.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = if (leftDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (rightDouble) y.getDouble(i) else y.getFloat(i).toDouble
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimExpr {
+  /** Column API. */
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** SQL registration: `SELECT cosine_sim(a, b) FROM …`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimExpr(exprs(0), exprs(1)), "scala_udf")
+}

@@ -69,6 +69,24 @@ class IndexingSpec extends SparkSpec {
     }
   }
 
+  test("native cosine_sim is bit-equal to the declarative HOF form") {
+    val e = Tables.embeddings(spark, sf())
+    val pairs = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      .crossJoin(e.select(col("vec_id").as("id2"), col("embedding").as("v2")))
+      .filter(col("id1") < 40 && col("id2") >= 40 && col("id2") < 80)
+    val diff = pairs.select(
+        Similarity.cosine(col("v1"), col("v2")).as("a"),
+        Similarity.cosineDeclarative(col("v1"), col("v2")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0L)
+    // null / length-mismatch semantics follow zip_with: null result
+    import spark.implicits._
+    val odd = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("x", "y")
+      .select(Similarity.cosine(col("x"), col("y")).as("c")).collect()(0)
+    assert(odd.isNullAt(0))
+  }
+
   test("quantization: 0..255 range, constant dims to 0, qdot exact") {
     val emb = Seq(
       (1L, Array(0.0f, 1.0f, 5.0f)),
