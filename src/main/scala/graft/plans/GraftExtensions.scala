@@ -26,5 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSigExpr(children.head,
         children(1).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimExpr(children(0), children(1))))
   }
 }

@@ -121,6 +121,12 @@ class ComponentsSpec extends SparkSpec {
     val h = spark.sql("SELECT simhash32(array('a', 'b')) AS h").collect()(0).getLong(0)
     val h2 = spark.sql("SELECT simhash32(array('a', 'b')) AS h").collect()(0).getLong(0)
     assert(h == h2 && h != 0L)
+    graft.plans.CosineSimExpr.register(spark)
+    val c = spark.sql(
+      "SELECT cosine_sim(array(CAST(1 AS DOUBLE), CAST(0 AS DOUBLE))," +
+        " array(CAST(1 AS DOUBLE), CAST(0 AS DOUBLE))) AS c")
+      .collect()(0).getDouble(0)
+    assert(c === 1.0)
   }
 
   test("connection test: iterations with check statement") {
