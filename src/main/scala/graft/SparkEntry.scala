@@ -1282,6 +1282,23 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  // ---------------------------------------------------------------- q87
+  /** Z-order locality audit ([[operators.ZOrder]]): Morton-interleave
+    * (part, supplier) and bucket the code — each bucket bounds BOTH
+    * dimensions, the property that makes parquet min/max stats prune
+    * two-key filters after a Z-order write. Pure bit arithmetic.
+    */
+  def q87ZOrder(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select((col("l_partkey") % 1024).as("p"), (col("l_suppkey") % 1024).as("sk"))
+      .withColumn("zbin",
+        shiftright(operators.ZOrder.morton2(col("p"), col("sk")), 12))
+      .groupBy(col("zbin"))
+      .agg(count(lit(1)).as("n"), min(col("p")).as("min_p"),
+        max(col("p")).as("max_p"), min(col("sk")).as("min_s"),
+        max(col("sk")).as("max_s"))
+      .orderBy(col("zbin"))
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -1694,6 +1711,7 @@ object SparkEntry {
     "q84_resample_ffill" -> (q84ResampleFfill _),
     "q85_profile" -> (q85Profile _),
     "q86_cdc_apply" -> (q86CdcApply _),
+    "q87_zorder" -> (q87ZOrder _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -2706,5 +2724,22 @@ object SparkEntry {
         | o_custkey
         |FROM orders WHERE o_orderkey % 5 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+    "q87_zorder" ->
+      """WITH b AS (SELECT l_partkey % 1024 AS p, l_suppkey % 1024 AS sk FROM lineitem),
+        |s0 AS (SELECT p, sk, p & 2097151 AS xa, sk & 2097151 AS xb FROM b),
+        |s1 AS (SELECT p, sk, (xa | (xa << 16)) & 281470681808895 AS xa,
+        |  (xb | (xb << 16)) & 281470681808895 AS xb FROM s0),
+        |s2 AS (SELECT p, sk, (xa | (xa << 8)) & 71777214294589695 AS xa,
+        |  (xb | (xb << 8)) & 71777214294589695 AS xb FROM s1),
+        |s3 AS (SELECT p, sk, (xa | (xa << 4)) & 1085102592571150095 AS xa,
+        |  (xb | (xb << 4)) & 1085102592571150095 AS xb FROM s2),
+        |s4 AS (SELECT p, sk, (xa | (xa << 2)) & 3689348814741910323 AS xa,
+        |  (xb | (xb << 2)) & 3689348814741910323 AS xb FROM s3),
+        |s5 AS (SELECT p, sk, (xa | (xa << 1)) & 6148914691236517205 AS xa,
+        |  (xb | (xb << 1)) & 6148914691236517205 AS xb FROM s4),
+        |z AS (SELECT p, sk, (xa | (xb << 1)) >> 12 AS zbin FROM s5)
+        |SELECT zbin, count(*) AS n, min(p) AS min_p, max(p) AS max_p,
+        | min(sk) AS min_s, max(sk) AS max_s
+        |FROM z GROUP BY zbin ORDER BY zbin""".stripMargin,
   )
 }

@@ -87,6 +87,24 @@ class IndexingSpec extends SparkSpec {
     assert(odd.isNullAt(0))
   }
 
+  test("morton2 equals bit-by-bit interleave") {
+    def ref(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 21) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L),
+      (12345L, 54321L), (2097151L, 2097151L), (1048576L, 1L))
+    val df = cases.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.morton2(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (a, b) =>
+      assert(df((a, b)) === ref(a, b), s"($a,$b)") }
+  }
+
   test("quantization: 0..255 range, constant dims to 0, qdot exact") {
     val emb = Seq(
       (1L, Array(0.0f, 1.0f, 5.0f)),
