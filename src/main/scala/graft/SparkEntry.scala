@@ -1299,6 +1299,26 @@ object SparkEntry {
         max(col("sk")).as("max_s"))
       .orderBy(col("zbin"))
 
+  // ---------------------------------------------------------------- q88
+  /** Burst debounce: drop an event when the same (user, type) fired
+    * within the preceding 2 hours — telemetry de-noising as a per-key
+    * lag window (integer-μs arithmetic; total order via event_id
+    * tie-break). Windows partition by key: no global sort.
+    */
+  def q88Debounce(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 2L * 3600L * 1000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNull || col("us") - col("prev_us") >= gapUs)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("us"))
+      .orderBy(col("event_id"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -1712,6 +1732,7 @@ object SparkEntry {
     "q85_profile" -> (q85Profile _),
     "q86_cdc_apply" -> (q86CdcApply _),
     "q87_zorder" -> (q87ZOrder _),
+    "q88_debounce" -> (q88Debounce _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -2741,5 +2762,14 @@ object SparkEntry {
         |SELECT zbin, count(*) AS n, min(p) AS min_p, max(p) AS max_p,
         | min(sk) AS min_s, max(sk) AS max_s
         |FROM z GROUP BY zbin ORDER BY zbin""".stripMargin,
+    "q88_debounce" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us FROM events),
+        |l AS (SELECT event_id, user_id, event_type, us,
+        |  lag(us) OVER (PARTITION BY user_id, event_type
+        |                ORDER BY us, event_id) AS prev_us FROM ev)
+        |SELECT event_id, user_id, event_type, us FROM l
+        |WHERE prev_us IS NULL OR us - prev_us >= 7200000000
+        |ORDER BY event_id""".stripMargin,
   )
 }
