@@ -18,6 +18,7 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     // optional comma-separated name filter for profiling single queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -25,7 +26,13 @@ object Bench {
       // noop sink: forces full evaluation of every output column
       // (a bare count() would let Catalyst prune the projections)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // a failed query must be VISIBLE: record it in the JSON line and
+        // on stderr — a swallowed failure reads as a fast success
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+        failures(name) = msg
+        System.err.println(s"[bench] $name FAILED — $msg")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators cache intermediates (minhash signatures, PPJoin
       // prefixes); drop them so one query's storage doesn't squeeze the
@@ -36,7 +43,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    val errs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
