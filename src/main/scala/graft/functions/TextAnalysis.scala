@@ -96,8 +96,18 @@ object TextAnalysis {
 object TextShingles {
   /** All consecutive k-grams of `tokens` joined by a single space; for
     * texts shorter than k tokens, the whole text is the one shingle.
+    * Evaluated by the native one-pass [[graft.plans.ShinglesExpr]].
     */
   def shingles(tokens: Column, k: Int): Column =
+    graft.plans.ShinglesExpr.shingles(tokens, k)
+
+  /** Pure-`functions._` formulation — portable to SQL engines, used to
+    * pin the native expression. Do NOT use on a hot path: `slice(tokens,
+    * i, k)` inside the `transform` lambda re-evaluates the captured
+    * token expression per output element (higher-order functions don't
+    * share subexpressions), which is quadratic in the token count.
+    */
+  def shinglesDeclarative(tokens: Column, k: Int): Column =
     when(size(tokens) <= k, array(concat_ws(" ", tokens)))
       .otherwise(transform(
         sequence(lit(1), size(tokens) - (k - 1)),

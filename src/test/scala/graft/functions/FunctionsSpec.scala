@@ -88,6 +88,21 @@ class FunctionsSpec extends SparkSpec {
     assert(hs(0) != hs(2))
   }
 
+  test("native Shingles expression is value-identical to the declarative form") {
+    import graft.functions.{TextAnalysis, TextShingles}
+    // real corpus texts plus the edge shapes: empty text, single token,
+    // exactly-k tokens, k-1 tokens
+    val docs = graft.Tables.documents(spark, sf()).limit(200).select(col("text"))
+      .unionAll(Seq("", "one", "a b c", "a b", "  padded   whitespace  text   here ")
+        .toDF("text"))
+    for (k <- Seq(1, 3, 5)) {
+      val both = docs.select(
+        TextShingles.shingles(TextAnalysis.tokens(col("text")), k).as("native"),
+        TextShingles.shinglesDeclarative(TextAnalysis.tokens(col("text")), k).as("decl"))
+      assert(both.filter(col("native") =!= col("decl")).count() == 0, s"k=$k")
+    }
+  }
+
   test("native SimHash32 expression is bit-identical to the declarative form") {
     val docs = graft.Tables.documents(spark, sf()).limit(100)
     val both = docs.select(
