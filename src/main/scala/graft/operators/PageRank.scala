@@ -31,9 +31,13 @@ object PageRank {
     val n = nodes.count()
     // outdeg is loop-invariant: fold it into the edge list ONCE so each
     // iteration is exactly one join (ranks onto sources — typically a
-    // broadcast of the node-sized rank table) plus one aggregation
+    // broadcast of the node-sized rank table) plus one aggregation.
+    // Hash-partition the checkpointed edges on src: the per-iteration
+    // join then reuses this layout and only the node-sized rank table
+    // moves — the O(edges) side never re-shuffles.
     val e = e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
         Seq("src"))
+      .repartition(col("src"))
       .localCheckpoint(true)
     val base = (1.0 - damping) / n
     var p = nodes.withColumn("pr", lit(1.0 / n))
