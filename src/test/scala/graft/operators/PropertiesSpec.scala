@@ -344,4 +344,23 @@ class PropertiesSpec extends SparkSpec {
       got == expected
     }, 6)
   }
+
+  test("native ShinglesExpr equals a sequential sliding-window reference") {
+    val tokListGen: Gen[List[String]] = for {
+      n <- Gen.chooseNum(0, 12)
+      ts <- Gen.listOfN(n, Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(4).mkString))
+    } yield ts
+    val corpusGen = Gen.listOfN(12, tokListGen)
+    check(Prop.forAllNoShrink(corpusGen, Gen.chooseNum(1, 5)) { (corpus, k) =>
+      val df = corpus.zipWithIndex.map { case (ts, i) => (i, ts) }.toDF("id", "toks")
+      val got = df.select(col("id"),
+          graft.functions.TextShingles.shingles(col("toks"), k).as("sh"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toList).toMap
+      val expected = corpus.zipWithIndex.map { case (ts, i) =>
+        i -> (if (ts.length <= k) List(ts.mkString(" "))
+              else ts.sliding(k).map(_.mkString(" ")).toList)
+      }.toMap
+      got == expected
+    }, 8)
+  }
 }
