@@ -1319,6 +1319,22 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  // ---------------------------------------------------------------- q89
+  /** Trained coarse quantizer for ANN: spherical k-means
+    * ([[operators.KMeans]], k=4, two Lloyd's iterations) over the
+    * embeddings. Deterministic end to end — lowest-id seeding, argmax
+    * cosine with lowest-cluster tie-break, DECIMAL-exact centroid means
+    * — so the oracle replays both iterations in SQL exactly. Per
+    * iteration the corpus is scanned once with the k centroids
+    * broadcast; the update shuffle is k x dims rows per partition.
+    */
+  def q89Kmeans(s: SparkSession, d: String): DataFrame =
+    operators.KMeans.fit(embeddings(s, d), "vec_id", "embedding",
+        k = 4, iters = 2)
+      .select(col("cluster_id"), col("n_points"),
+        transform(col("centroid"), x => round(x, 6)).as("centroid"))
+      .orderBy(col("cluster_id"))
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -1733,6 +1749,7 @@ object SparkEntry {
     "q86_cdc_apply" -> (q86CdcApply _),
     "q87_zorder" -> (q87ZOrder _),
     "q88_debounce" -> (q88Debounce _),
+    "q89_kmeans" -> (q89Kmeans _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -2771,5 +2788,41 @@ object SparkEntry {
         |SELECT event_id, user_id, event_type, us FROM l
         |WHERE prev_us IS NULL OR us - prev_us >= 7200000000
         |ORDER BY event_id""".stripMargin,
+    "q89_kmeans" -> {
+      // one Lloyd's round: assign to argmax cosine (ties → lowest cid),
+      // then per-dim DECIMAL-exact mean; empty clusters keep their centroid
+      def round(i: Int): String = {
+        val (prev, a, u, c) = (s"c${i - 1}", s"a$i", s"u$i", s"c$i")
+        s"""$a AS (SELECT pid, v, cid FROM (
+           |  SELECT p.pid, p.v, $prev.cid,
+           |   row_number() OVER (PARTITION BY p.pid
+           |    ORDER BY ${sqlCosine("p.v", s"$prev.c")} DESC, $prev.cid) AS rn
+           |  FROM pts p, $prev) WHERE rn = 1),
+           |$u AS (SELECT cid, dim,
+           |  CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+           | FROM (SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+           |       FROM $a) GROUP BY cid, dim),
+           |$c AS (SELECT cid, list(m ORDER BY dim) AS c FROM $u GROUP BY cid
+           | UNION ALL SELECT cid, c FROM $prev
+           |  WHERE cid NOT IN (SELECT cid FROM $u))""".stripMargin
+      }
+      s"""WITH pts AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY pid) AS cid, v AS c
+         |  FROM (SELECT pid, v FROM pts ORDER BY pid LIMIT 4)),
+         |${round(1)},
+         |${round(2)},
+         |af AS (SELECT pid, cid FROM (
+         |  SELECT p.pid, c2.cid,
+         |   row_number() OVER (PARTITION BY p.pid
+         |    ORDER BY ${sqlCosine("p.v", "c2.c")} DESC, c2.cid) AS rn
+         |  FROM pts p, c2) WHERE rn = 1),
+         |n AS (SELECT cid, count(*) AS n_points FROM af GROUP BY cid)
+         |SELECT c2.cid AS cluster_id,
+         | coalesce(n.n_points, CAST(0 AS BIGINT)) AS n_points,
+         | list_transform(c2.c, x -> round(x, 6)) AS centroid
+         |FROM c2 LEFT JOIN n ON n.cid = c2.cid
+         |ORDER BY cluster_id""".stripMargin
+    },
   )
 }

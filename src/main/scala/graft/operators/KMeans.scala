@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spherical k-means (Lloyd's iterations under cosine similarity) for
+  * training the coarse quantizer of an IVF index — the step that turns
+  * [[Similarity]]'s label-bucketed IVF into a genuinely trained index
+  * when no natural bucketing exists.
+  *
+  * Spark shape, per iteration: ONE broadcast of the k centroids into a
+  * map-side assignment (corpus never shuffles for assignment) and ONE
+  * hash aggregation for the centroid update (partial aggregation means
+  * the shuffle carries k × dims rows per partition, not the corpus).
+  * `k` and `iters` are both small constants; the corpus is streamed
+  * `iters + 1` times and nothing corpus-sized ever reaches the driver.
+  *
+  * Deterministic and engine-reproducible by construction, so a SQL
+  * oracle can replay it exactly:
+  *  - init = the vectors of the `k` smallest ids (no RNG);
+  *  - assignment = argmax cosine, ties to the lowest cluster id;
+  *  - update = per-dimension DECIMAL-exact sum, ONE double division
+  *    (independent of partial-aggregation order — the
+  *    [[Similarity.centroids]] recipe);
+  *  - empty clusters keep their previous centroid.
+  */
+object KMeans {
+
+  /** Cluster ids 1..k with their trained centroid and final member
+    * count: (cluster_id, n_points, centroid).
+    */
+  def fit(points: DataFrame, idCol: String, vecCol: String,
+          k: Int, iters: Int): DataFrame = {
+    import points.sparkSession.implicits._
+    val pts = points.select(col(idCol).as("__pid"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .localCheckpoint(true)
+    // deterministic seeding: the k lowest-id vectors, numbered 1..k.
+    // k is a small constant, so the seed rows may come to the driver —
+    // this also keeps the plan free of a global (unpartitioned) window.
+    var cents = pts.orderBy(col("__pid")).limit(k)
+      .select(col("__v")).as[Seq[Double]].collect()
+      .zipWithIndex.map { case (v, i) => (i + 1L, v) }.toSeq
+      .toDF("cluster_id", "centroid")
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = assign(pts, cents)
+      val updated = assigned
+        .select(col("cluster_id"), posexplode(col("__v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster_id"), col("dim"))
+        .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("cluster_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+        .select(col("cluster_id"),
+          transform(col("pairs"), p => p.getField("m")).as("centroid"))
+      // empty clusters keep their previous centroid
+      cents = cents.as("old")
+        .join(updated.as("new"), Seq("cluster_id"), "left")
+        .select(col("cluster_id"),
+          coalesce(col("new.centroid"), col("old.centroid")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    val counts = assign(pts, cents)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_points"))
+    cents.join(counts, Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        coalesce(col("n_points"), lit(0L)).as("n_points"), col("centroid"))
+  }
+
+  /** Hard assignment of every point to its argmax-cosine centroid (ties
+    * to the lowest cluster id). Centroids broadcast; the point side
+    * keeps its partitioning.
+    */
+  def assign(pts: DataFrame, cents: DataFrame): DataFrame =
+    pts.crossJoin(broadcast(cents))
+      .withColumn("__sim", Similarity.cosine(col("__v"), col("centroid")))
+      .withColumn("__crank", row_number().over(
+        Window.partitionBy(col("__pid"))
+          .orderBy(col("__sim").desc, col("cluster_id"))))
+      .filter(col("__crank") === 1)
+      .drop("centroid", "__sim", "__crank")
+
+  /** End-to-end trained-IVF top-k: fit a spherical k-means coarse
+    * quantizer, bucket the corpus by its trained assignment, and run the
+    * two-stage [[Similarity.ivfTopK]] probe over those buckets. The
+    * trained path for corpora with no natural coarse label.
+    */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+                     nprobe: Int, nlist: Int, iters: Int = 2,
+                     qId: String = "query_id", qVec: String = "query_vec",
+                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val cents = fit(corpus, cId, cVec, nlist, iters)
+      .select(col("cluster_id"), col("centroid"))
+    val pts = corpus.select(col(cId).as("__pid"),
+      transform(col(cVec), x => x.cast("double")).as("__v"))
+    val bucketed = assign(pts, cents)
+      .select(col("__pid").as(cId), col("__v").as(cVec), col("cluster_id"))
+    Similarity.ivfTopK(queries, bucketed, k, nprobe, bucketCol = "cluster_id",
+      qId = qId, qVec = qVec, cId = cId, cVec = cVec)
+  }
+}

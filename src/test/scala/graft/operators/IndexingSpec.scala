@@ -126,4 +126,35 @@ class IndexingSpec extends SparkSpec {
     assert(d.getLong(0) === 0L)
     assert(d.getLong(1) === 127L * 127L * 2)
   }
+
+  test("k-means: separable clusters recovered, counts partition the corpus") {
+    // two tight bundles around orthogonal axes + noise-free members
+    val pts = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(10.0f, 0.5f, 0.0f) else Array(0.0f, 0.5f, 10.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + (i % 5) * 0.01f * (d + 1) })
+    }.toDF("vec_id", "embedding")
+    val fit = KMeans.fit(pts, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2))).toList
+    assert(fit.map(_._1).sorted === List(1L, 2L))
+    assert(fit.map(_._2).sum === 20L)           // every point assigned once
+    val cents = fit.map(_._3)
+    // one centroid dominated by dim 0, the other by dim 2
+    assert(cents.exists(c => c(0) > 5 && c(2) < 1))
+    assert(cents.exists(c => c(2) > 5 && c(0) < 1))
+  }
+
+  test("trained-IVF top-k with full probe equals brute force") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val corpus = e.filter(col("vec_id") >= 5)
+    val brute = Similarity.bruteForceTopK(queries, corpus, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // nprobe == nlist probes every bucket -> must equal the exact answer
+    val trained = KMeans.ivfTopKTrained(queries, corpus, k = 3,
+        nprobe = 3, nlist = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(trained === brute)
+  }
 }
