@@ -105,6 +105,20 @@ object StreamingImport {
       }
   }
 
+  /** Cross-batch dedup with BOUNDED state: duplicates are dropped only
+    * while their key can still legally reappear — once the event-time
+    * watermark passes a key's last occurrence plus `delay`, its state is
+    * evicted (Spark's `dropDuplicatesWithinWatermark`). The unbounded
+    * [[dedupStream]] is exact forever but its state grows with distinct
+    * keys; this variant is the 100 TB-stream configuration, trading
+    * "duplicates arriving later than the watermark delay pass through"
+    * for state that tracks only the active window.
+    */
+  def dedupStreamWithinWatermark(stream: DataFrame, keyCols: Seq[String],
+                                 tsCol: String, delay: String): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming incremental near-dup: every micro-batch of documents
     * probes the STANDING LSH index
     * ([[graft.operators.TextDedup.probeLshIndex]]) — the corpus is never

@@ -74,6 +74,34 @@ class StreamingSpec extends SparkSpec {
     assert(all.toSeq == Seq(1 -> "a", 2 -> "b", 3 -> "c"))
   }
 
+  test("watermark-bounded streaming dedup drops in-window duplicates") {
+    val dir = SyntheticFixtures.dir(s"ddwm_${System.nanoTime()}")
+    val b1 = SyntheticFixtures.writeText(new File(dir, "b1.csv"),
+      "k;ts;v\n1;2026-01-01 10:00:00;a\n1;2026-01-01 10:00:30;dup\n2;2026-01-01 10:01:00;b")
+    val b2 = SyntheticFixtures.writeText(new File(dir, "b2.csv"),
+      "k;ts;v\n1;2026-01-01 10:02:00;still-in-window-dup\n3;2026-01-01 10:03:00;c")
+    b1.setLastModified(System.currentTimeMillis() - 60000)
+    b2.setLastModified(System.currentTimeMillis())
+    val schemaWm = org.apache.spark.sql.types.StructType.fromDDL(
+      "k INT, ts TIMESTAMP, v STRING")
+    val stream = spark.readStream.schema(schemaWm)
+      .option("sep", ";").option("header", "true")
+      .option("maxFilesPerTrigger", "1")
+      .csv(dir.getPath)
+    val deduped = StreamingImport.dedupStreamWithinWatermark(
+      stream, Seq("k"), "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("ddwm_out")
+      .option("checkpointLocation", new File(dir, "_cp").getPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val all = spark.sql("SELECT k, v FROM ddwm_out")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    // both duplicates of key 1 land inside the 10-minute state window →
+    // dropped; each key survives exactly once
+    assert(all.toSeq == Seq(1 -> "a", 2 -> "b", 3 -> "c"))
+  }
+
   test("watermarked windowed aggregation over an event stream (memory sink)") {
     val dir = SyntheticFixtures.dir(s"evstream_${System.nanoTime()}")
     val ts1 = "2024-01-01 10:05:00"
