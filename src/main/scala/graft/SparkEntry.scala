@@ -1459,19 +1459,23 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------- q48
-  /** Exact interpolated percentiles per group (SURVEY §2.6 analytics
-    * surface): Spark's `percentile` (exact sort-based, linear
-    * interpolation) vs DuckDB's `quantile_cont` — the same
-    * `lower + (upper−lower)·fraction` formula on both sides.
+  /** Exact interpolated percentiles per group via
+    * [[operators.Quantiles.exactQuantiles]] — a distributed sort +
+    * rank selection, bit-identical to Spark's `percentile` built-in
+    * (same `(hi−pos)·v_lo + (pos−lo)·v_hi` interpolation) but with no
+    * per-group value buffering: the built-in funnels every value of a
+    * group through one reducer, this shape scales like a sort. DuckDB's
+    * `quantile_cont` computes the same formula.
     */
   def q48Quantiles(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+    operators.Quantiles.exactQuantiles(lineitem(s, d), Seq("l_returnflag"),
+        "l_extendedprice", Seq(0.5, 0.9, 0.99))
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"),
-        count(lit(1)).as("n"))
+        round(max(when(col("q") === 0.5, col("quantile"))), 6).as("p50"),
+        round(max(when(col("q") === 0.9, col("quantile"))), 6).as("p90"),
+        round(max(when(col("q") === 0.99, col("quantile"))), 6).as("p99"),
+        max(col("n_values")).as("n"))
       .orderBy(col("l_returnflag"))
 
   // ---------------------------------------------------------------- q49

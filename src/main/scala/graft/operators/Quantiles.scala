@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact per-group quantiles WITHOUT per-group value buffering.
+  *
+  * Spark's built-in `percentile` aggregate collects every value of a
+  * group into one reducer's memory — exact, but a single hot task (and
+  * an OOM) once a group no longer fits. This operator computes the same
+  * interpolated quantiles as a distributed sort + selection:
+  *
+  *  1. range-partitioned sort on (group, value) with per-partition
+  *     offset ordinals ([[Ordinals.withOrderedOrdinal]]) — scales like
+  *     a sort, every stage parallel, group size irrelevant; the sorted
+  *     frame is checkpointed once and read by both consumers;
+  *  2. one tiny aggregation for per-group (base ordinal, count);
+  *  3. the target ranks (floor/ceil of `(n-1)·q`) broadcast back, and
+  *     only those rows are kept — a selection, not a re-sort;
+  *  4. linear interpolation `(hi−pos)·v_lo + (pos−lo)·v_hi`, the exact
+  *     FP expression of Spark's `Percentile.getPercentile`, so results
+  *     are bit-identical to the built-in at any scale.
+  *
+  * Null values are ignored (as the built-in does); groups whose values
+  * are all null are omitted. Output is long form: one row per
+  * (group, q) with the group's non-null count.
+  */
+object Quantiles {
+
+  /** (groupCols*, q, quantile, n_values) for every q in `qs`. */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1], got $qs")
+    val gCols: Seq[Column] = groupCols.map(col)
+    val ranked = Ordinals.withOrderedOrdinal(
+        df.filter(col(valueCol).isNotNull)
+          .select((gCols :+ col(valueCol).as("__val")): _*),
+        gCols :+ col("__val").asc, name = "__rn")
+      .localCheckpoint(true)
+    // groups are contiguous under the (group, value) sort, so the
+    // group-local 0-based rank is the global ordinal minus the base
+    val sizes = ranked.groupBy(gCols: _*)
+      .agg(min(col("__rn")).as("__base"), count(lit(1)).as("n_values"))
+    // target ranks per (group, q): tiny (groups × qs), broadcast back
+    val targets = sizes
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("__pos", (col("n_values") - 1).cast("double") * col("q"))
+      .withColumn("__lo", floor(col("__pos")).cast("long"))
+      .withColumn("__hi", ceil(col("__pos")).cast("long"))
+    val joined = ranked.as("r").join(
+      broadcast(targets.as("t")),
+      groupCols.map(g => col("r." + g) === col("t." + g)).reduce(_ && _) &&
+        (col("r.__rn") - col("t.__base") === col("t.__lo") ||
+         col("r.__rn") - col("t.__base") === col("t.__hi")))
+    joined
+      .groupBy((groupCols.map(g => col("t." + g)) ++ Seq(col("t.q"),
+        col("t.__pos"), col("t.__lo"), col("t.__hi"), col("t.n_values"))): _*)
+      .agg(
+        max(when(col("r.__rn") - col("t.__base") === col("t.__lo"),
+          col("r.__val"))).as("__vlo"),
+        max(when(col("r.__rn") - col("t.__base") === col("t.__hi"),
+          col("r.__val"))).as("__vhi"))
+      .select((groupCols.map(g => col("t." + g).as(g)) ++ Seq(
+        col("q"),
+        // equal ranks OR equal boundary values short-circuit without
+        // interpolation — the built-in resolves both from its distinct-
+        // value cumulative counts, and interpolating equal values would
+        // add spurious FP rounding
+        when(col("__lo") === col("__hi") || col("__vlo") === col("__vhi"),
+            col("__vlo").cast("double"))
+          .otherwise(
+            (col("__hi").cast("double") - col("__pos")) * col("__vlo").cast("double") +
+            (col("__pos") - col("__lo").cast("double")) * col("__vhi").cast("double"))
+          .as("quantile"),
+        col("n_values"))): _*)
+  }
+}

@@ -345,6 +345,29 @@ class PropertiesSpec extends SparkSpec {
     }, 6)
   }
 
+  test("exactQuantiles is bit-identical to the percentile built-in") {
+    val valGen: Gen[Double] = Gen.chooseNum(-1000, 1000).map(_ / 7.0)
+    val grpRowGen: Gen[(String, Double)] = for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- valGen
+    } yield (g, v)
+    // group sizes 1..40 across draws; duplicate values likely
+    val dataGen = Gen.chooseNum(3, 40).flatMap(n => Gen.listOfN(n, grpRowGen))
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    check(Prop.forAllNoShrink(dataGen) { data =>
+      val df = data.toDF("g", "v")
+      val got = Quantiles.exactQuantiles(df, Seq("g"), "v", qs)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      val expected = df.groupBy("g").agg(
+          expr(s"percentile(v, array(${qs.mkString(",")}))").as("p"))
+        .collect().flatMap { r =>
+          r.getSeq[Double](1).zip(qs).map { case (p, q) => (r.getString(0), q) -> p }
+        }.toMap
+      // bit-identical, not approximately equal
+      got == expected
+    }, 8)
+  }
+
   test("native ShinglesExpr equals a sequential sliding-window reference") {
     val tokListGen: Gen[List[String]] = for {
       n <- Gen.chooseNum(0, 12)
