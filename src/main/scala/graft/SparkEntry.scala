@@ -1018,6 +1018,23 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("quota_rank"))
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- q90
+  /** Token-budget data mixture ([[operators.Sampling.tokenBudgetMix]]):
+    * three sources blended 40/40/20 into a 2000-token budget, members
+    * chosen by engine-invariant hash order. One distributed sort + a
+    * per-partition-offset prefix sum — no per-source single-reducer
+    * window, so the mixing step scales like a sort at corpus size.
+    */
+  def q90SourceMix(s: SparkSession, d: String): DataFrame =
+    operators.Sampling.tokenBudgetMix(
+        documents(s, d).select(col("doc_id"), col("source"),
+          functions.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "source",
+        "n_tokens", Map("src0" -> 0.4, "src1" -> 0.4, "src2" -> 0.2),
+        totalTokens = 2000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("tokens_before"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- q72
   /** Exact repeated-substring spans (suffix-array-style dedup as a
     * distributed hash-groupBy, [[operators.SubstringDedup]]): every
@@ -1754,6 +1771,7 @@ object SparkEntry {
     "q87_zorder" -> (q87ZOrder _),
     "q88_debounce" -> (q88Debounce _),
     "q89_kmeans" -> (q89Kmeans _),
+    "q90_source_mix" -> (q90SourceMix _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -2828,5 +2846,20 @@ object SparkEntry {
          |FROM c2 LEFT JOIN n ON n.cid = c2.cid
          |ORDER BY cluster_id""".stripMargin
     },
+    "q90_source_mix" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len($SqlToks) AS BIGINT) AS n_tokens,
+         |  md5(CAST(doc_id AS VARCHAR)) AS mix_hash
+         | FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+         |p AS (SELECT doc_id, source, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY mix_hash, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |   AS tokens_before
+         | FROM d)
+         |SELECT doc_id, source, n_tokens, tokens_before FROM p
+         |WHERE tokens_before < CASE source WHEN 'src0' THEN 800
+         |  WHEN 'src1' THEN 800 ELSE 400 END
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -48,4 +48,51 @@ object Sampling {
         row_number().over(Window.partitionBy(groupCols.map(col): _*)
           .orderBy(order: _*)).cast("long"))
       .filter(col("quota_rank") <= maxPerGroup)
+
+  /** Deterministic TOKEN-budget source mixing — the "data mixture" step
+    * of a training pipeline: each source contributes (close to) its
+    * weight's share of `totalTokens`, chosen by an engine-invariant
+    * pseudo-random order (md5 of the id), not by document position.
+    *
+    * A document is kept iff the tokens of the documents BEFORE it in
+    * its source's hash order fit under the source's budget — so the
+    * boundary document that crosses the budget is included, every later
+    * one is cut, and membership of any document depends only on the
+    * corpus content, never on partitioning.
+    *
+    * Shape: one range-partitioned sort on (source, hash) with
+    * per-partition offset prefix sums ([[Ordinals.withOrderedPrefixSum]]
+    * — global, every stage parallel), then the per-source EXCLUSIVE
+    * prefix is recovered by subtracting each source's base offset (one
+    * tiny aggregation) — the same contiguous-range trick as
+    * [[Quantiles.exactQuantiles]], no per-source single-reducer window.
+    * Sources absent from `weights` are dropped.
+    *
+    * Output: input columns + `mix_hash`, `tokens_before` (the
+    * exclusive in-source prefix) for audit.
+    */
+  def tokenBudgetMix(df: DataFrame, idCol: String, sourceCol: String,
+                     tokensCol: String, weights: Map[String, Double],
+                     totalTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val wSum = weights.values.sum
+    val budget = weights.foldLeft(lit(null).cast("long")) {
+      case (acc, (src, w)) =>
+        when(col(sourceCol) === src,
+          lit(math.floor(w / wSum * totalTokens).toLong)).otherwise(acc)
+    }
+    val prefixed = Ordinals.withOrderedPrefixSum(
+      df.filter(col(sourceCol).isInCollection(weights.keys.toSeq))
+        .withColumn("mix_hash", md5(col(idCol).cast("string")))
+        .withColumn("__tok", col(tokensCol).cast("long")),
+      Seq(col(sourceCol), col("mix_hash"), col(idCol)), "__tok", "__pre")
+      .localCheckpoint(true)
+    val bases = prefixed.groupBy(col(sourceCol).as("__src"))
+      .agg(min(col("__pre")).as("__base"))
+    prefixed.join(broadcast(bases), col(sourceCol) === col("__src"))
+      .withColumn("tokens_before", col("__pre") - col("__base"))
+      .filter(col("tokens_before") < budget)
+      .drop("__src", "__base", "__pre", "__tok")
+  }
 }

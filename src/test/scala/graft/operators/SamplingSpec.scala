@@ -57,4 +57,30 @@ class SamplingSpec extends SparkSpec {
           .map { case (id, i) => (src, id, (i + 1).toLong) } }.toSet
     assert(capped.toSet === expected)
   }
+
+  test("tokenBudgetMix matches a sequential per-source prefix model") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = (0 until 60).toList.map(i =>
+      (i.toLong, s"s${i % 4}", (5 + i % 7).toLong)) // sources s0..s3
+    val weights = Map("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2) // s3 dropped
+    val total = 120L
+    val got = Sampling.tokenBudgetMix(
+        rows.toDF("id", "src", "toks"), "id", "src", "toks", weights, total)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSet
+    val wSum = weights.values.sum
+    val expected = rows.filter(r => weights.contains(r._2))
+      .groupBy(_._2).flatMap { case (src, docs) =>
+        val budget = math.floor(weights(src) / wSum * total).toLong
+        val ordered = docs.sortBy(d => (md5hex(d._1.toString), d._1))
+        ordered.scanLeft(0L)((acc, d) => acc + d._3).zip(ordered)
+          .filter { case (before, _) => before < budget }
+          .map { case (before, d) => (d._1, src, before) }
+      }.toSet
+    assert(got === expected)
+    // every weighted source is present and under budget + one boundary doc
+    assert(got.map(_._2) === Set("s0", "s1", "s2"))
+  }
 }
