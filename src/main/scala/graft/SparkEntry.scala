@@ -1352,6 +1352,57 @@ object SparkEntry {
         transform(col("centroid"), x => round(x, 6)).as("centroid"))
       .orderBy(col("cluster_id"))
 
+  // ---------------------------------------------------------------- q91
+  /** Corpus-statistics quality scoring
+    * ([[functions.TextAnalysis.corpusFrequencyStats]]): tokens weighted
+    * by their corpus document frequency — rare-vocabulary documents
+    * surface as low `mean_token_df` / high `rare_frac`. Exact integer
+    * ratios with one final double division, so the oracle reproduces
+    * them bit-for-bit; one vocabulary aggregation + one keyed join
+    * back, all stages parallel at corpus size.
+    */
+  def q91CorpusQuality(s: SparkSession, d: String): DataFrame =
+    functions.TextAnalysis.corpusFrequencyStats(
+        documents(s, d), "doc_id", "text", rareMaxCount = 2L)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("mean_token_df"), 6).as("mean_token_df"),
+        round(col("rare_frac"), 6).as("rare_frac"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q92
+  /** FLAGSHIP curation pipeline — the steps a real pretraining-data
+    * pass chains, each one an operator verified on its own elsewhere:
+    * (1) heuristic quality gate ([[functions.TextAnalysis.qualityScore]]
+    * ≥ 0.45); (2) exact-duplicate collapse to the lowest-id
+    * representative ([[operators.TextDedup.exactDedup]] over the
+    * whitespace-normalized md5 fingerprint); (3) benchmark
+    * decontamination drop ([[operators.Decontamination]], word-3-gram
+    * overlap ≥ 0.5 against the doc_id%97 benchmark set). Every stage is
+    * a scan-stage filter, a hash aggregation, or a broadcast join — the
+    * corpus is never shuffled whole. Survivors emit with their token
+    * count and quality score.
+    */
+  def q92CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    val corpus = dedupCorpus(s, d)
+    val scored = corpus
+      .withColumn("quality", functions.TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= 0.45)
+    val reps = operators.TextDedup.exactDedup(scored, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val deduped = scored.join(reps, Seq("doc_id"))
+    val bench = documents(s, d).filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("text"))
+    val clean = operators.Decontamination.contaminationStats(
+        deduped, bench, "doc_id", "text", k = 3, threshold = 0.5)
+      .filter(col("is_contaminated") === 0)
+      .select(col("id").as("doc_id"))
+    deduped.join(clean, Seq("doc_id"))
+      .select(col("doc_id"),
+        functions.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(col("quality"), 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -1772,6 +1823,8 @@ object SparkEntry {
     "q88_debounce" -> (q88Debounce _),
     "q89_kmeans" -> (q89Kmeans _),
     "q90_source_mix" -> (q90SourceMix _),
+    "q91_corpus_quality" -> (q91CorpusQuality _),
+    "q92_curation_pipeline" -> (q92CurationPipeline _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -2861,5 +2914,52 @@ object SparkEntry {
          |WHERE tokens_before < CASE source WHEN 'src0' THEN 800
          |  WHEN 'src1' THEN 800 ELSE 400 END
          |ORDER BY doc_id""".stripMargin,
+    "q91_corpus_quality" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($SqlToks) AS t FROM documents),
+         |vocab AS (SELECT t, count(*) AS df FROM tok GROUP BY t)
+         |SELECT doc_id, count(*) AS n_tokens,
+         | round(CAST(sum(df) AS DOUBLE) / count(*), 6) AS mean_token_df,
+         | round(CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / count(*), 6) AS rare_frac
+         |FROM tok JOIN vocab USING (t)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q92_curation_pipeline" ->
+      s"""WITH $SqlCorpus,
+         |$SqlShingles3,
+         |qm AS (SELECT c.doc_id, c.text, CAST(len(tok.toks) AS BIGINT) AS n_tokens,
+         |  CAST(length(c.text) - length(regexp_replace(c.text,
+         |    '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS n_punct,
+         |  CAST(len(list_filter(tok.toks, x -> x IN
+         |    ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) AS n_stop,
+         |  length(c.text) AS n_chars
+         | FROM corpus c JOIN tok ON tok.doc_id = c.doc_id),
+         |q AS (SELECT doc_id, text, n_tokens,
+         |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+         |  + (1.0 - (CASE WHEN n_chars = 0 THEN 0.0
+         |            ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END)) * 0.25
+         |  + (CASE WHEN n_tokens = 0 THEN 0.0
+         |     ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) * 0.25 AS quality
+         | FROM qm),
+         |sc AS (SELECT * FROM q WHERE quality >= 0.45),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM sc
+         | GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+         |bdoc AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |btok AS (SELECT doc_id, $SqlToks AS toks FROM bdoc),
+         |bshl AS (SELECT doc_id,
+         | CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+         |      ELSE list_transform(generate_series(1, len(toks) - 2),
+         |            i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END AS shingles
+         | FROM btok),
+         |bsh AS (SELECT DISTINCT unnest(shingles) AS sh FROM bshl),
+         |m AS (SELECT s.doc_id, count(*) AS n_matched
+         | FROM s JOIN bsh ON s.sh = bsh.sh GROUP BY 1),
+         |n AS (SELECT doc_id, count(*) AS n_shingles FROM s GROUP BY 1),
+         |contam AS (SELECT n.doc_id FROM n LEFT JOIN m ON m.doc_id = n.doc_id
+         | WHERE CAST(coalesce(m.n_matched, 0) AS DOUBLE)
+         |   / CAST(n.n_shingles AS DOUBLE) >= 0.5)
+         |SELECT sc.doc_id, sc.n_tokens, round(sc.quality, 6) AS quality
+         |FROM sc JOIN reps ON reps.doc_id = sc.doc_id
+         |WHERE sc.doc_id NOT IN (SELECT doc_id FROM contam)
+         |ORDER BY sc.doc_id""".stripMargin,
   )
 }

@@ -90,6 +90,39 @@ object TextAnalysis {
     val sh = TextShingles.shingles(tokens(c), k)
     array_min(transform(sh, s => md5(s)))
   }
+
+  /** Corpus-statistics quality scoring — the statistical cousin of the
+    * heuristic [[qualityScore]]: every token is weighted by its CORPUS
+    * frequency, so documents full of tokens nothing else uses (OCR
+    * noise, mojibake, boilerplate ids) surface without any language
+    * resource. Per document:
+    *
+    *  - `mean_token_df` — mean corpus occurrence count of its tokens
+    *    (low = rare-vocabulary document);
+    *  - `rare_frac` — fraction of its tokens occurring ≤ `rareMaxCount`
+    *    times corpus-wide (high = garbage indicator).
+    *
+    * Both are exact integer ratios finished by ONE double division, so
+    * any engine reproduces them bit-for-bit (deliberately NOT
+    * log-surprisal: a cross-engine float `log` sum is not
+    * reproducible). Shape: one token-level aggregation (the vocabulary,
+    * map-side combined) + one shuffle join back on token + one per-doc
+    * aggregation — every stage keyed and parallel at corpus size.
+    */
+  def corpusFrequencyStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                           textCol: String, rareMaxCount: Long = 2L
+                          ): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col(idCol).as("__id"),
+        explode(tokens(col(textCol))).as("__t"))
+    val vocab = tok.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    tok.join(vocab, Seq("__t"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("__df")).cast("double") / count(lit(1))).as("mean_token_df"),
+        (sum(when(col("__df") <= rareMaxCount, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("rare_frac"))
+      .withColumnRenamed("__id", idCol)
+  }
 }
 
 /** Word k-gram shingling shared by fingerprinting and MinHash dedup. */
