@@ -24,7 +24,7 @@ object SparkEntry {
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    q01ScanAgg(spark, "/root/testdata/sf0.001")
+    q92CurationPipeline(spark, "/root/testdata/sf0.001")
 
   // ---------------------------------------------------------------- q01
   /** Pricing-summary scan+aggregate (filter pushdown + partial aggregation;

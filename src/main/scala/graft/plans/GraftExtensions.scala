@@ -30,5 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimExpr(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
+      (children: Seq[Expression]) => ShinglesExpr(children.head,
+        children(1).eval().asInstanceOf[Int])))
   }
 }

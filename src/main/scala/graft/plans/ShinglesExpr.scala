@@ -75,4 +75,10 @@ object ShinglesExpr {
   /** Column API. */
   def shingles(tokens: Column, k: Int): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(tokens), k))
+
+  /** SQL registration: `shingles(tokens, k)` with a literal `k`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles", exprs => ShinglesExpr(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
 }

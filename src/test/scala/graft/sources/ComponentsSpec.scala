@@ -127,6 +127,10 @@ class ComponentsSpec extends SparkSpec {
         " array(CAST(1 AS DOUBLE), CAST(0 AS DOUBLE))) AS c")
       .collect()(0).getDouble(0)
     assert(c === 1.0)
+    graft.plans.ShinglesExpr.register(spark)
+    val sh = spark.sql("SELECT shingles(array('a', 'b', 'c'), 2) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(sh === Seq("a b", "b c"))
   }
 
   test("connection test: iterations with check statement") {
