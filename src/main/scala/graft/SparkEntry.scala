@@ -1403,6 +1403,27 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q93
+  /** Line-level boilerplate removal ([[operators.LineDedup]]): every
+    * document is framed with synthetic site chrome (newsletter header
+    * on all, a cookie notice on every third, a two-line copyright
+    * footer), and any trimmed line occurring in more than 50 documents
+    * corpus-wide is dropped — the C4-style cleaning pass. Output pins
+    * the reassembled text by md5 so line order is verified too.
+    */
+  def q93LineBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val pages = documents(s, d).select(col("doc_id"),
+      concat(lit("Subscribe to our newsletter\n"),
+        when(col("doc_id") % 3 === 0, lit("Cookie notice: we use cookies\n"))
+          .otherwise(lit("")),
+        col("text"),
+        lit("\n(c) 2026 Example Corp\nAll rights reserved")).as("page"))
+    operators.LineDedup.removeBoilerplate(pages, "doc_id", "page", maxDf = 50L)
+      .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+        col("n_lines_kept"), col("n_lines_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -1825,6 +1846,7 @@ object SparkEntry {
     "q90_source_mix" -> (q90SourceMix _),
     "q91_corpus_quality" -> (q91CorpusQuality _),
     "q92_curation_pipeline" -> (q92CurationPipeline _),
+    "q93_line_boilerplate" -> (q93LineBoilerplate _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -2961,5 +2983,25 @@ object SparkEntry {
          |FROM sc JOIN reps ON reps.doc_id = sc.doc_id
          |WHERE sc.doc_id NOT IN (SELECT doc_id FROM contam)
          |ORDER BY sc.doc_id""".stripMargin,
+    "q93_line_boilerplate" ->
+      s"""WITH pages AS (SELECT doc_id,
+         |  'Subscribe to our newsletter' || chr(10) ||
+         |  CASE WHEN doc_id % 3 = 0
+         |    THEN 'Cookie notice: we use cookies' || chr(10) ELSE '' END ||
+         |  text || chr(10) || '(c) 2026 Example Corp' || chr(10) ||
+         |  'All rights reserved' AS page FROM documents),
+         |l AS (SELECT doc_id,
+         |  generate_subscripts(string_split(page, chr(10)), 1) AS idx,
+         |  unnest(string_split(page, chr(10))) AS line FROM pages),
+         |lk AS (SELECT doc_id, idx, line, trim(line) AS k FROM l),
+         |f AS (SELECT k, count(*) AS df FROM
+         |  (SELECT DISTINCT doc_id, k FROM lk) GROUP BY k)
+         |SELECT doc_id,
+         | md5(array_to_string(list(line ORDER BY idx) FILTER (df <= 50),
+         |   chr(10))) AS clean_md5,
+         | CAST(count(*) FILTER (df <= 50) AS BIGINT) AS n_lines_kept,
+         | CAST(count(*) FILTER (df > 50) AS BIGINT) AS n_lines_dropped
+         |FROM lk JOIN f USING (k)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

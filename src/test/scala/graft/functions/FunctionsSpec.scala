@@ -88,6 +88,24 @@ class FunctionsSpec extends SparkSpec {
     assert(hs(0) != hs(2))
   }
 
+  test("line boilerplate removal: df rule, order kept, in-doc repeats not promoted") {
+    val docs = Seq(
+      (1L, "FOOTER\nalpha\nbeta\nFOOTER"),
+      (2L, "FOOTER\ngamma\ngamma\ndelta"),   // gamma repeats WITHIN doc 2 only
+      (3L, "FOOTER\nepsilon"),
+      (4L, "zeta\n  FOOTER  ")               // trimmed match still counts
+    ).toDF("id", "text")
+    val out = graft.operators.LineDedup.removeBoilerplate(docs, "id", "text", maxDf = 3L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // FOOTER appears (trimmed) in 4 docs > maxDf=3 -> dropped everywhere,
+    // including doc 1's duplicate and doc 4's padded variant
+    assert(out(1L) === (("alpha\nbeta", 2L, 2L)))
+    // gamma's df is 1 (distinct within doc) -> both copies kept, in order
+    assert(out(2L) === (("gamma\ngamma\ndelta", 3L, 1L)))
+    assert(out(3L) === (("epsilon", 1L, 1L)))
+    assert(out(4L) === (("zeta", 1L, 1L)))
+  }
+
   test("native Shingles expression is value-identical to the declarative form") {
     import graft.functions.{TextAnalysis, TextShingles}
     // real corpus texts plus the edge shapes: empty text, single token,
