@@ -911,6 +911,38 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  // ---------------------------------------------------------------- q94
+  /** REAL video frame sampling: uncompressed AVIs (one per selected
+    * supplier, solid BI_RGB frames whose colors are a fixed function of
+    * (media_id, frame_idx)) are decoded by the RIFF walker
+    * ([[operators.Multimodal.decodeVideoFrames]]) and every 2nd frame's
+    * exact channel means emitted. Lossless frames ⇒ the oracle predicts
+    * decode output analytically (the video analog of q66's square-wave
+    * RMS). Decode is partition-preserving `mapPartitions` — each task
+    * decodes its own payloads, nothing centralizes.
+    */
+  def q94VideoFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import operators.Multimodal
+    val recs = supplier(s, d).select(col("s_suppkey"))
+      .filter(col("s_suppkey") % 4 === 0)
+      .as[Long].map { k =>
+        val n = (6 + k % 5).toInt
+        val colors = (0 until n).map { f =>
+          (((k * 37 + f * 11) % 256).toInt, ((k * 53 + f * 23) % 256).toInt,
+            ((k * 71 + f * 5) % 256).toInt)
+        }
+        Multimodal.MediaRecord(k, "video",
+          Multimodal.solidAvi(32 + (k % 3).toInt * 16, 24, fps = 10, colors))
+      }
+    Multimodal.videoFrameFeatures(recs, stride = 2).toDF()
+      .select(col("media_id"), col("frame_idx"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   // ---------------------------------------------------------------- q65
   /** Incremental near-dup: the corpus LSH index is WRITTEN ONCE
     * ([[operators.TextDedup.writeLshIndex]] — at scale a standing
@@ -1847,6 +1879,7 @@ object SparkEntry {
     "q91_corpus_quality" -> (q91CorpusQuality _),
     "q92_curation_pipeline" -> (q92CurationPipeline _),
     "q93_line_boilerplate" -> (q93LineBoilerplate _),
+    "q94_video_frames" -> (q94VideoFrames _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -3003,5 +3036,17 @@ object SparkEntry {
          | CAST(count(*) FILTER (df > 50) AS BIGINT) AS n_lines_dropped
          |FROM lk JOIN f USING (k)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q94_video_frames" ->
+      """WITH s AS (SELECT s_suppkey AS media_id FROM supplier
+        |  WHERE s_suppkey % 4 = 0),
+        |f AS (SELECT media_id,
+        |  unnest(range(0, 6 + media_id % 5, 2)) AS frame_idx FROM s)
+        |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        | CAST(32 + (media_id % 3) * 16 AS BIGINT) AS width,
+        | CAST(24 AS BIGINT) AS height,
+        | CAST((media_id * 37 + frame_idx * 11) % 256 AS DOUBLE) AS mean_r,
+        | CAST((media_id * 53 + frame_idx * 23) % 256 AS DOUBLE) AS mean_g,
+        | CAST((media_id * 71 + frame_idx * 5) % 256 AS DOUBLE) AS mean_b
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
   )
 }

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * (PNG/BMP/GIF/JPEG readers), so [[decodeImage]], [[imageFeatures]] and
   * [[resizeImages]] run an actual pixel pipeline. AUDIO decode is REAL
   * for PCM WAV — `javax.sound.sampled` ships in the JDK
-  * ([[decodeAudio]], [[audioFeatures]]). Compressed-codec audio and
-  * video decode remain a documented deterministic stub ([[decodeStub]]
-  * — no codec libraries in the JDK); swap that one function for a real
+  * ([[decodeAudio]], [[audioFeatures]]). VIDEO decode is REAL for
+  * uncompressed RIFF/AVI with BI_RGB DIB frames
+  * ([[decodeVideoFrames]], [[videoFrameFeatures]] — a hand-rolled RIFF
+  * chunk walker, no codec library needed). Compressed-codec audio and
+  * video remain a documented deterministic stub ([[decodeStub]] — no
+  * codec libraries in the JDK); swap that one function for a real
   * decoder (JavaCV, ffmpeg-pipe) in production.
   */
 object Multimodal {
@@ -206,4 +209,140 @@ object Multimodal {
   def sampleFrames(features: Dataset[MediaFeatures], stride: Int): DataFrame =
     features.toDF().select(col("media_id"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** One decoded (sampled) video frame: real dimensions + exact
+    * per-channel means.
+    */
+  case class VideoFrame(media_id: Long, frame_idx: Long, width: Int, height: Int,
+                        mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL video decode for uncompressed RIFF/AVI (BI_RGB 24-bit DIB
+    * frames — the only video container parseable with zero codec
+    * libraries): walks the RIFF chunk tree, takes width/height/bit depth
+    * from the `strf` BITMAPINFOHEADER, and reads every `stride`-th
+    * `00db`/`00dc` frame in the `movi` list (bottom-up BGR rows, 4-byte
+    * padded). Channel means are exact integer sums with one division.
+    * Returns Nil for anything that isn't an uncompressed AVI —
+    * compressed codecs still need an external decoder.
+    */
+  def decodeVideoFrames(bytes: Array[Byte], stride: Int): Seq[VideoFrame] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    try {
+      if (fourcc() != "RIFF") return Nil
+      bb.getInt // riff size
+      if (fourcc() != "AVI ") return Nil
+      var width = 0; var height = 0; var bitCount = 0; var compression = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (pos, len)
+      def walk(end: Int): Unit = {
+        while (bb.position() + 8 <= end) {
+          val id = fourcc()
+          val len = bb.getInt
+          val next = bb.position() + len + (len & 1) // chunks word-align
+          if (id == "LIST") {
+            val listType = fourcc()
+            if (listType == "hdrl" || listType == "strl" || listType == "movi")
+              walk(bb.position() + len - 4)
+          } else if (id == "strf" && len >= 40) {
+            bb.getInt // biSize
+            width = bb.getInt
+            height = bb.getInt
+            bb.getShort // planes
+            bitCount = bb.getShort
+            compression = bb.getInt
+          } else if (id == "00db" || id == "00dc") {
+            frames += ((bb.position(), len))
+          }
+          bb.position(math.min(next, end))
+        }
+      }
+      walk(bytes.length)
+      if (width <= 0 || height <= 0 || bitCount != 24 || compression != 0) return Nil
+      val rowSize = ((width * 3 + 3) / 4) * 4
+      frames.toSeq.zipWithIndex
+        .filter { case (_, idx) => idx % stride == 0 }
+        .flatMap { case ((pos, len), idx) =>
+          if (len < rowSize * height) None
+          else {
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < height) {
+              var x = 0
+              val row = pos + y * rowSize
+              while (x < width) {
+                val p = row + x * 3 // bottom-up order doesn't change means
+                sb += bytes(p) & 0xff
+                sg += bytes(p + 1) & 0xff
+                sr += bytes(p + 2) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = width.toLong * height
+            Some(VideoFrame(0L, idx.toLong, width, height,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+          }
+        }
+    } catch { case _: Exception => Nil }
+  }
+
+  /** Batch sampled-frame extraction — the real-decoder face of
+    * [[sampleFrames]]: partition-preserving, one row per sampled frame,
+    * undecodable payloads drop.
+    */
+  def videoFrameFeatures(ds: Dataset[MediaRecord], stride: Int): Dataset[VideoFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r =>
+      decodeVideoFrames(r.payload, stride).map(_.copy(media_id = r.media_id))))
+  }
+
+  /** Deterministic uncompressed-AVI fixture: solid-color BI_RGB frames —
+    * lossless, so each frame's decoded channel means equal the
+    * constructed color EXACTLY (an external oracle predicts decode
+    * output analytically, the video analog of [[squareWav]]).
+    */
+  def solidAvi(w: Int, h: Int, fps: Int, colors: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val frameLen = rowSize * h
+    val out = new java.io.ByteArrayOutputStream()
+    val bb = java.nio.ByteBuffer.allocate(
+        12 + 8 + 4 + 64 + 8 + 4 + 64 + 48 + 8 + 4 + colors.size * (8 + frameLen))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String) = bb.put(s.getBytes("US-ASCII"))
+    val moviLen = 4 + colors.size * (8 + frameLen)
+    val hdrlLen = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    cc("RIFF"); bb.putInt(4 + 8 + hdrlLen + 8 + moviLen); cc("AVI ")
+    cc("LIST"); bb.putInt(hdrlLen); cc("hdrl")
+    cc("avih"); bb.putInt(56)
+    bb.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0x10)
+      .putInt(colors.size).putInt(0).putInt(1).putInt(frameLen)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); cc("strl")
+    cc("strh"); bb.putInt(56)
+    cc("vids"); cc("DIB ")
+    bb.putInt(0).putInt(0).putInt(0)           // flags, prio+lang, initialFrames
+      .putInt(1).putInt(fps)                   // scale, rate
+      .putInt(0).putInt(colors.size)           // start, length
+      .putInt(frameLen).putInt(-1).putInt(0)   // bufSize, quality, sampleSize
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+    cc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(frameLen).putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); bb.putInt(moviLen); cc("movi")
+    colors.foreach { case (r, g, b) =>
+      cc("00db"); bb.putInt(frameLen)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { bb.put(b.toByte).put(g.toByte).put(r.toByte); x += 1 }
+        var p = w * 3
+        while (p < rowSize) { bb.put(0.toByte); p += 1 }
+        y += 1
+      }
+    }
+    out.write(bb.array(), 0, bb.position())
+    out.toByteArray
+  }
 }

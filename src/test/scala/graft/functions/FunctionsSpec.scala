@@ -303,6 +303,24 @@ class FunctionsSpec extends SparkSpec {
     assert(feats(1) == AudioFeatures(2L, 16000, 1, 800L, 123.0))
   }
 
+  test("multimodal real video decode: AVI roundtrip via the RIFF walker") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal._
+    val colors = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120))
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, "video", Multimodal.solidAvi(33, 24, 10, colors)), // odd width: row padding
+      MediaRecord(2L, "video", Multimodal.solidAvi(16, 8, 25, colors.take(1))),
+      MediaRecord(3L, "video", "not a riff".getBytes("UTF-8"))))
+    val frames = Multimodal.videoFrameFeatures(ds, stride = 2).collect()
+      .sortBy(f => (f.media_id, f.frame_idx))
+    // stride 2 over 4 frames -> indices 0 and 2; undecodable payload drops
+    assert(frames.map(f => (f.media_id, f.frame_idx)).toSeq ==
+      Seq((1L, 0L), (1L, 2L), (2L, 0L)))
+    assert(frames(0) == VideoFrame(1L, 0L, 33, 24, 10.0, 20.0, 30.0))
+    assert(frames(1) == VideoFrame(1L, 2L, 33, 24, 70.0, 80.0, 90.0))
+    assert(frames(2) == VideoFrame(2L, 0L, 16, 8, 10.0, 20.0, 30.0))
+  }
+
   test("exact dedup groups identical normalized content") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val got = graft.operators.TextDedup.exactDedup(df, "doc_id", "text")
