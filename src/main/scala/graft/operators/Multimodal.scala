@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // in-memory streams for ImageIO: the default disk-backed stream cache
+  // writes a temp FILE per encode/decode (plus registry locking) — a
+  // silent 10x tax on per-record image work in every executor
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media payload. `payload` is the opaque binary column. */
   case class MediaRecord(media_id: Long, media_type: String, payload: Array[Byte])
 
