@@ -37,14 +37,16 @@ object SubstringDedup {
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
     // every w-gram start position, hashed (md5 keeps the key
-    // engine-invariant; at production scale xxhash64 halves the bytes)
+    // engine-invariant; at production scale xxhash64 halves the bytes).
+    // Grams come from the native one-pass ShinglesExpr and explode as
+    // bare strings — slicing per exploded row would drag the whole
+    // token array through the generator output (O(tokens²) bytes/doc)
     val grams = toks.filter(col("n") >= w)
-      .select(col("id"),
-        explode(sequence(lit(1L), col("n") - (w - 1))).as("pos"),
-        col("toks"))
-      .select(col("id"), col("pos"),
-        md5(concat_ws(" ", slice(col("toks"), col("pos").cast("int"), lit(w))))
-          .as("h"))
+      .select(col("id"), posexplode(
+          graft.functions.TextShingles.shingles(col("toks"), w))
+        .as(Seq("pos0", "gram")))
+      .select(col("id"), (col("pos0") + 1).cast("long").as("pos"),
+        md5(col("gram")).as("h"))
     // grams occurring >= 2 times anywhere; the aggregation and the
     // join-back share the hash partitioning on h
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("occs"))
