@@ -119,6 +119,24 @@ object StreamingImport {
     stream.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked STREAM-STREAM interval join: each left event pairs
+    * with right events of the same key whose event time lies in
+    * `[leftTs + lowerBound, leftTs + upperBound]` (bounds in seconds,
+    * either sign). Both sides carry watermarks, so Spark buffers each
+    * side's state only until the other side's watermark passes the
+    * interval — bounded state at any stream volume, the streaming
+    * analog of the batch banded range join (q45).
+    */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+                          leftKey: String, rightKey: String,
+                          leftTs: String, rightTs: String,
+                          delay: String, lowerBoundS: Long, upperBoundS: Long): DataFrame =
+    left.withWatermark(leftTs, delay)
+      .join(right.withWatermark(rightTs, delay),
+        expr(s"$leftKey = $rightKey" +
+          s" AND $rightTs >= $leftTs + INTERVAL $lowerBoundS SECOND" +
+          s" AND $rightTs <= $leftTs + INTERVAL $upperBoundS SECOND"))
+
   /** Streaming incremental near-dup: every micro-batch of documents
     * probes the STANDING LSH index
     * ([[graft.operators.TextDedup.probeLshIndex]]) — the corpus is never

@@ -102,6 +102,36 @@ class StreamingSpec extends SparkSpec {
     assert(all.toSeq == Seq(1 -> "a", 2 -> "b", 3 -> "c"))
   }
 
+  test("stream-stream interval join pairs events within the time bound") {
+    val dirL = SyntheticFixtures.dir(s"ssjL_${System.nanoTime()}")
+    val dirR = SyntheticFixtures.dir(s"ssjR_${System.nanoTime()}")
+    SyntheticFixtures.writeText(new File(dirL, "l.csv"),
+      "k;lts;lv\n1;2026-01-01 10:00:00;click\n2;2026-01-01 11:00:00;click")
+    // right events: one 30 s after key 1's left event (in bound), one
+    // 10 min after (out of bound), one 30 s BEFORE key 2's (out: lower=0)
+    SyntheticFixtures.writeText(new File(dirR, "r.csv"),
+      "rk;rts;rv\n1;2026-01-01 10:00:30;buy\n1;2026-01-01 10:10:00;buy\n2;2026-01-01 10:59:30;buy")
+    val sL = org.apache.spark.sql.types.StructType.fromDDL(
+      "k INT, lts TIMESTAMP, lv STRING")
+    val sR = org.apache.spark.sql.types.StructType.fromDDL(
+      "rk INT, rts TIMESTAMP, rv STRING")
+    def src(dir: File, s: org.apache.spark.sql.types.StructType) =
+      spark.readStream.schema(s).option("sep", ";").option("header", "true")
+        .csv(dir.getPath)
+    val joined = StreamingImport.intervalJoinStreams(
+      src(dirL, sL), src(dirR, sR), "k", "rk", "lts", "rts",
+      delay = "1 minute", lowerBoundS = 0L, upperBoundS = 60L)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .option("checkpointLocation", new File(dirL, "_cp").getPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT k, lv, rv, rts FROM ssj_out")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    // only key 1's 30-seconds-later purchase falls in [lts, lts+60s]
+    assert(got == Seq((1, "click", "buy")))
+  }
+
   test("watermarked windowed aggregation over an event stream (memory sink)") {
     val dir = SyntheticFixtures.dir(s"evstream_${System.nanoTime()}")
     val ts1 = "2024-01-01 10:05:00"
