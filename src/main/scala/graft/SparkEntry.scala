@@ -3030,8 +3030,8 @@ object SparkEntry {
          |f AS (SELECT k, count(*) AS df FROM
          |  (SELECT DISTINCT doc_id, k FROM lk) GROUP BY k)
          |SELECT doc_id,
-         | md5(array_to_string(list(line ORDER BY idx) FILTER (df <= 50),
-         |   chr(10))) AS clean_md5,
+         | md5(coalesce(array_to_string(list(line ORDER BY idx) FILTER (df <= 50),
+         |   chr(10)), '')) AS clean_md5,
          | CAST(count(*) FILTER (df <= 50) AS BIGINT) AS n_lines_kept,
          | CAST(count(*) FILTER (df > 50) AS BIGINT) AS n_lines_dropped
          |FROM lk JOIN f USING (k)

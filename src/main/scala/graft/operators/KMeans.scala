@@ -32,6 +32,8 @@ object KMeans {
     */
   def fit(points: DataFrame, idCol: String, vecCol: String,
           k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
     import points.sparkSession.implicits._
     val pts = points.select(col(idCol).as("__pid"),
         transform(col(vecCol), x => x.cast("double")).as("__v"))

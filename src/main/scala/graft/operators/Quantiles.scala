@@ -32,6 +32,8 @@ object Quantiles {
                      qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0,1], got $qs")
+    require(!groupCols.exists(Set("q", "quantile", "n_values").contains),
+      "group columns may not be named q/quantile/n_values (output names)")
     val gCols: Seq[Column] = groupCols.map(col)
     val ranked = Ordinals.withOrderedOrdinal(
         df.filter(col(valueCol).isNotNull)

@@ -85,7 +85,8 @@ object Sampling {
     val prefixed = Ordinals.withOrderedPrefixSum(
       df.filter(col(sourceCol).isInCollection(weights.keys.toSeq))
         .withColumn("mix_hash", md5(col(idCol).cast("string")))
-        .withColumn("__tok", col(tokensCol).cast("long")),
+        // null token counts weigh 0 (getLong on a null would throw)
+        .withColumn("__tok", coalesce(col(tokensCol).cast("long"), lit(0L))),
       Seq(col(sourceCol), col("mix_hash"), col(idCol)), "__tok", "__pre")
       .localCheckpoint(true)
     val bases = prefixed.groupBy(col(sourceCol).as("__src"))
