@@ -43,7 +43,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    // blank out quotes, backslashes and ALL control chars — any of them
+    // raw inside the machine-read result line would break its JSON
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\x00-\\x1f]", " ") + "\""
     val errs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

@@ -112,8 +112,11 @@ object TextAnalysis {
   def corpusFrequencyStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
                            textCol: String, rareMaxCount: Long = 2L
                           ): org.apache.spark.sql.DataFrame = {
+    // both the vocabulary aggregation and the join-back probe read the
+    // exploded tokens; checkpoint so tokenize+explode runs ONCE
     val tok = docs.select(col(idCol).as("__id"),
         explode(tokens(col(textCol))).as("__t"))
+      .localCheckpoint(true)
     val vocab = tok.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
     tok.join(vocab, Seq("__t"))
       .groupBy(col("__id"))

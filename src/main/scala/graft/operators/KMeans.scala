@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Spherical k-means (Lloyd's iterations under cosine similarity) for
@@ -27,17 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Cluster ids 1..k with their trained centroid and final member
-    * count: (cluster_id, n_points, centroid).
+  /** Trained centroids only: (cluster_id, centroid) with ids 1..k.
+    * The building block shared by [[fit]] (which adds member counts)
+    * and [[ivfTopKTrained]] (which probes with the centroids directly).
     */
-  def fit(points: DataFrame, idCol: String, vecCol: String,
-          k: Int, iters: Int): DataFrame = {
+  def fitCentroids(points: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame =
+    fitCentroidsOn(prepare(points, idCol, vecCol), k, iters)
+
+  private def fitCentroidsOn(pts: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    import points.sparkSession.implicits._
-    val pts = points.select(col(idCol).as("__pid"),
-        transform(col(vecCol), x => x.cast("double")).as("__v"))
-      .localCheckpoint(true)
+    import pts.sparkSession.implicits._
     // deterministic seeding: the k lowest-id vectors, numbered 1..k.
     // k is a small constant, so the seed rows may come to the driver —
     // this also keeps the plan free of a global (unpartitioned) window.
@@ -64,6 +64,16 @@ object KMeans {
           coalesce(col("new.centroid"), col("old.centroid")).as("centroid"))
         .localCheckpoint(true)
     }
+    cents
+  }
+
+  /** Cluster ids 1..k with their trained centroid and final member
+    * count: (cluster_id, n_points, centroid).
+    */
+  def fit(points: DataFrame, idCol: String, vecCol: String,
+          k: Int, iters: Int): DataFrame = {
+    val pts = prepare(points, idCol, vecCol)
+    val cents = fitCentroidsOn(pts, k, iters)
     val counts = assign(pts, cents)
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_points"))
     cents.join(counts, Seq("cluster_id"), "left")
@@ -71,35 +81,53 @@ object KMeans {
         coalesce(col("n_points"), lit(0L)).as("n_points"), col("centroid"))
   }
 
+  private def prepare(points: DataFrame, idCol: String, vecCol: String): DataFrame =
+    points.select(col(idCol).as("__pid"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .localCheckpoint(true)
+
   /** Hard assignment of every point to its argmax-cosine centroid (ties
-    * to the lowest cluster id). Centroids broadcast; the point side
-    * keeps its partitioning.
+    * to the lowest cluster id, NaN similarities sort largest — the
+    * array_max convention, matching a descending sort). The k centroids
+    * ship as a LITERAL array inside the expression, so assignment is
+    * pure map-side work — no join, no window, no shuffle of the point
+    * side. `cents` must carry dense ids 1..k (what [[fitCentroids]]
+    * produces): the argmax position IS the cluster id.
     */
-  def assign(pts: DataFrame, cents: DataFrame): DataFrame =
-    pts.crossJoin(broadcast(cents))
-      .withColumn("__sim", Similarity.cosine(col("__v"), col("centroid")))
-      .withColumn("__crank", row_number().over(
-        Window.partitionBy(col("__pid"))
-          .orderBy(col("__sim").desc, col("cluster_id"))))
-      .filter(col("__crank") === 1)
-      .drop("centroid", "__sim", "__crank")
+  def assign(pts: DataFrame, cents: DataFrame): DataFrame = {
+    import cents.sparkSession.implicits._
+    val collected = cents.orderBy(col("cluster_id"))
+      .select(col("cluster_id"), col("centroid"))
+      .as[(Long, Seq[Double])].collect()
+    require(collected.nonEmpty, "assign needs at least one centroid")
+    require(collected.map(_._1).toSeq == (1L to collected.length.toLong),
+      s"centroid ids must be dense 1..k, got ${collected.map(_._1).mkString(",")}")
+    val centArr = array(collected.map(c => typedlit(c._2)): _*)
+    pts.withColumn("__sims",
+        transform(centArr, c => Similarity.cosine(col("__v"), c)))
+      .withColumn("cluster_id",
+        array_position(col("__sims"), array_max(col("__sims"))))
+      .drop("__sims")
+  }
 
   /** End-to-end trained-IVF top-k: fit a spherical k-means coarse
-    * quantizer, bucket the corpus by its trained assignment, and run the
-    * two-stage [[Similarity.ivfTopK]] probe over those buckets. The
-    * trained path for corpora with no natural coarse label.
+    * quantizer, bucket the corpus by its trained assignment, and run
+    * the two-stage probe with the TRAINED centroids
+    * ([[Similarity.ivfTopKWithCentroids]] — nothing training produced
+    * is recomputed). The trained path for corpora with no natural
+    * coarse label.
     */
   def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
                      nprobe: Int, nlist: Int, iters: Int = 2,
                      qId: String = "query_id", qVec: String = "query_vec",
                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val cents = fit(corpus, cId, cVec, nlist, iters)
-      .select(col("cluster_id"), col("centroid"))
-    val pts = corpus.select(col(cId).as("__pid"),
-      transform(col(cVec), x => x.cast("double")).as("__v"))
+    val pts = prepare(corpus, cId, cVec)
+    val cents = fitCentroidsOn(pts, nlist, iters)
     val bucketed = assign(pts, cents)
       .select(col("__pid").as(cId), col("__v").as(cVec), col("cluster_id"))
-    Similarity.ivfTopK(queries, bucketed, k, nprobe, bucketCol = "cluster_id",
+    Similarity.ivfTopKWithCentroids(queries, bucketed,
+      cents.select(col("cluster_id").as("bucket"), col("centroid")),
+      k, nprobe, bucketCol = "cluster_id",
       qId = qId, qVec = qVec, cId = cId, cVec = cVec)
   }
 }

@@ -21,9 +21,12 @@ object LineDedup {
   /** (idCol, clean_text, n_lines_kept, n_lines_dropped). */
   def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                         maxDf: Long): DataFrame = {
+    // the frequency aggregation and the join-back both read the
+    // exploded lines; checkpoint so the split runs ONCE
     val lines = docs.select(col(idCol).as("__id"),
         posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__line")))
       .withColumn("__key", trim(col("__line")))
+      .localCheckpoint(true)
     val freq = lines.select(col("__id"), col("__key")).distinct()
       .groupBy(col("__key")).agg(count(lit(1)).as("__df"))
     lines.join(freq, Seq("__key"))

@@ -231,6 +231,7 @@ object Multimodal {
     * compressed codecs still need an external decoder.
     */
   def decodeVideoFrames(bytes: Array[Byte], stride: Int): Seq[VideoFrame] = {
+    require(stride >= 1, s"frame stride must be >= 1, got $stride")
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(): String = {
       val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
@@ -248,7 +249,9 @@ object Multimodal {
           val next = bb.position() + len + (len & 1) // chunks word-align
           if (id == "LIST") {
             val listType = fourcc()
-            if (listType == "hdrl" || listType == "strl" || listType == "movi")
+            // 'rec ' is the standard interleaved-frame record wrapper
+            if (listType == "hdrl" || listType == "strl" || listType == "movi" ||
+                listType == "rec ")
               walk(bb.position() + len - 4)
           } else if (id == "strf" && len >= 40) {
             bb.getInt // biSize

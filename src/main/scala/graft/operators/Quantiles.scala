@@ -52,7 +52,9 @@ object Quantiles {
       .withColumn("__hi", ceil(col("__pos")).cast("long"))
     val joined = ranked.as("r").join(
       broadcast(targets.as("t")),
-      groupCols.map(g => col("r." + g) === col("t." + g)).reduce(_ && _) &&
+      // null-safe key equality: a NULL group key is a group like any
+      // other to the percentile built-in, and === would drop it here
+      groupCols.map(g => col("r." + g) <=> col("t." + g)).reduce(_ && _) &&
         (col("r.__rn") - col("t.__base") === col("t.__lo") ||
          col("r.__rn") - col("t.__base") === col("t.__hi")))
     joined

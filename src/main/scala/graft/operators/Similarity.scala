@@ -77,8 +77,20 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
               bucketCol: String = "label",
               qId: String = "query_id", qVec: String = "query_vec",
-              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val cents = centroids(corpus, bucketCol, cVec)
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame =
+    ivfTopKWithCentroids(queries, corpus, centroids(corpus, bucketCol, cVec),
+      k, nprobe, bucketCol, qId, qVec, cId, cVec)
+
+  /** IVF probe against ALREADY-BUILT coarse centroids (`(bucket,
+    * centroid)`) — the entry point for a trained quantizer
+    * ([[KMeans.ivfTopKTrained]]) or any stored index, so the probe
+    * never recomputes what training just produced.
+    */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
+                           cents: DataFrame, k: Int, nprobe: Int,
+                           bucketCol: String = "label",
+                           qId: String = "query_id", qVec: String = "query_vec",
+                           cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val probed = queries.crossJoin(broadcast(cents))
       .withColumn("csim", cosine(col(qVec), col("centroid")))
       .withColumn("crank", row_number().over(

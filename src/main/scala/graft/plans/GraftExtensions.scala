@@ -12,6 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session builder needed).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.intArg
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("simhash32"),
@@ -25,7 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSigExpr(children.head,
-        children(1).eval().asInstanceOf[Int])))
+        intArg("minhash_sig", "numHashes", children(1)))))
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
@@ -34,6 +36,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
       (children: Seq[Expression]) => ShinglesExpr(children.head,
-        children(1).eval().asInstanceOf[Int])))
+        intArg("shingles", "k", children(1)))))
   }
+}
+
+object GraftExtensions {
+  /** Foldable integer argument of a SQL-registered function — accepts
+    * INT or BIGINT literals and names the function/argument on error
+    * (a bare asInstanceOf would throw an anonymous ClassCastException
+    * for BIGINT and unbox NULL to 0).
+    */
+  private[plans] def intArg(fn: String, arg: String, e: Expression): Int =
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long
+        if l >= Int.MinValue && l <= Int.MaxValue => l.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn($arg) needs a non-null integer literal, got: " +
+          Option(other).map(_.toString).getOrElse("NULL"))
+    }
 }

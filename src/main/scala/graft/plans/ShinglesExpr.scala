@@ -80,5 +80,5 @@ object ShinglesExpr {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles", exprs => ShinglesExpr(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+        GraftExtensions.intArg("shingles", "k", exprs(1))), "scala_udf")
 }

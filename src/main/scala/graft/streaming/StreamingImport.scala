@@ -130,12 +130,20 @@ object StreamingImport {
   def intervalJoinStreams(left: DataFrame, right: DataFrame,
                           leftKey: String, rightKey: String,
                           leftTs: String, rightTs: String,
-                          delay: String, lowerBoundS: Long, upperBoundS: Long): DataFrame =
+                          delay: String, lowerBoundS: Long, upperBoundS: Long): DataFrame = {
+    require(upperBoundS >= lowerBoundS,
+      s"upper bound ($upperBoundS s) must be >= lower bound ($lowerBoundS s)")
+    // stream-stream joins resolve columns by NAME across both inputs,
+    // so the two sides' key/ts columns must be named differently
+    val clash = Set(leftKey, leftTs).intersect(Set(rightKey, rightTs))
+    require(clash.isEmpty,
+      s"left and right column names must differ, both sides have: ${clash.mkString(", ")}")
     left.withWatermark(leftTs, delay)
       .join(right.withWatermark(rightTs, delay),
-        expr(s"$leftKey = $rightKey" +
-          s" AND $rightTs >= $leftTs + INTERVAL $lowerBoundS SECOND" +
-          s" AND $rightTs <= $leftTs + INTERVAL $upperBoundS SECOND"))
+        expr(s"`$leftKey` = `$rightKey`" +
+          s" AND `$rightTs` >= `$leftTs` + INTERVAL $lowerBoundS SECOND" +
+          s" AND `$rightTs` <= `$leftTs` + INTERVAL $upperBoundS SECOND"))
+  }
 
   /** Streaming incremental near-dup: every micro-batch of documents
     * probes the STANDING LSH index

@@ -12,10 +12,14 @@ object TimeQuery {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, name) = args.take(2)
     val reps = if (args.length > 2) args(2).toInt else 3
+    // mirror Bench's session exactly (UTC, shuffle partitions = cpus) —
+    // this tool explains Bench outliers, so it must run Bench's plans
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .master(s"local[$cpus]")
       .appName("graft-time")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

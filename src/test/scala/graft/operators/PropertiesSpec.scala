@@ -347,8 +347,8 @@ class PropertiesSpec extends SparkSpec {
 
   test("exactQuantiles is bit-identical to the percentile built-in") {
     val valGen: Gen[Double] = Gen.chooseNum(-1000, 1000).map(_ / 7.0)
-    val grpRowGen: Gen[(String, Double)] = for {
-      g <- Gen.oneOf("a", "b", "c")
+    val grpRowGen: Gen[(Option[String], Double)] = for {
+      g <- Gen.oneOf(Some("a"), Some("b"), Some("c"), None) // null group too
       v <- valGen
     } yield (g, v)
     // group sizes 1..40 across draws; duplicate values likely
@@ -357,13 +357,13 @@ class PropertiesSpec extends SparkSpec {
     check(Prop.forAllNoShrink(dataGen) { data =>
       val df = data.toDF("g", "v")
       val got = Quantiles.exactQuantiles(df, Seq("g"), "v", qs)
-        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+        .collect().map(r => (Option(r.getString(0)), r.getDouble(1)) -> r.getDouble(2)).toMap
       val expected = df.groupBy("g").agg(
           expr(s"percentile(v, array(${qs.mkString(",")}))").as("p"))
         .collect().flatMap { r =>
-          r.getSeq[Double](1).zip(qs).map { case (p, q) => (r.getString(0), q) -> p }
+          r.getSeq[Double](1).zip(qs).map { case (p, q) => (Option(r.getString(0)), q) -> p }
         }.toMap
-      // bit-identical, not approximately equal
+      // bit-identical, not approximately equal — including the NULL group
       got == expected
     }, 8)
   }
