@@ -54,6 +54,11 @@ object Dedup {
   def joinDuplicates(df: DataFrame, keys: Seq[String], order: Column,
                      updateWithNull: Boolean = true): DataFrame = {
     val valueCols = df.columns.filterNot(keys.contains)
+    // key-only frame: nothing to merge — the deduped keys ARE the result
+    // (aggs.head below would otherwise throw on the empty list)
+    if (valueCols.isEmpty)
+      return df.groupBy(keyCols(df, keys): _*).agg(count(lit(1)).as("__graft_n"))
+        .select(df.columns.map(col).toIndexedSeq: _*)
     val aggs = valueCols.map { c =>
       val v =
         if (updateWithNull) max_by(col(c), order)

@@ -138,7 +138,6 @@ object Merge {
                   updateWithNull: Boolean = true,
                   sourceOrder: Column, targetOrder: Seq[Column]): DataFrame = {
     import ImportMode._
-    val keyNames = keys.map(_.column)
 
     // Fast path: INSERT/CLEARINSERT without keys = plain append
     // (DbImportWorker.java:426-429).
@@ -147,15 +146,33 @@ object Merge {
       return insertAll(base, source)
     }
 
+    // Dedup/detect must compare fn(col) exactly like the joins do, so
+    // every grouping runs on staged derived key columns (dropped after)
+    // — a raw-column grouping would keep "A@X" and "a@x" as distinct
+    // keys while the update join matches both, duplicating target rows.
+    val cmpNames = keys.indices.map(i => s"__graft_k$i")
+    def withCmpKeys(df: DataFrame): DataFrame =
+      keys.zip(cmpNames).foldLeft(df) {
+        case (d, (k, n)) => d.withColumn(n, k.fn(col(k.column)))
+      }
+    def dedupKeepFirst(df: DataFrame, order: Seq[Column]): DataFrame =
+      Dedup.dropDuplicatesKeepFirst(withCmpKeys(df), cmpNames, order)
+        .drop(cmpNames: _*)
+    def dedupJoin(df: DataFrame, order: Column): DataFrame =
+      Dedup.joinDuplicates(withCmpKeys(df), cmpNames, order, updateWithNull)
+        .drop(cmpNames: _*)
+    def hasDupKeys(df: DataFrame): Boolean =
+      Dedup.detectDuplicates(withCmpKeys(df), cmpNames) > 0
+
     // MAKE_UNIQUE_*: make the target itself unique first (:432-436).
     val target1 = dupMode match {
       case DuplicateMode.MakeUniqueDrop =>
-        Dedup.dropDuplicatesKeepFirst(target, keyNames, targetOrder)
+        dedupKeepFirst(target, targetOrder)
       case DuplicateMode.MakeUniqueJoin =>
         // order WITHIN a key group is all join-duplicates needs: a struct
         // of the order columns is orderable under max_by, so this stays a
         // pure hash aggregate — no window, no global (or even per-key) sort
-        Dedup.joinDuplicates(target, keyNames, struct(targetOrder: _*), updateWithNull)
+        dedupJoin(target, struct(targetOrder: _*))
       case _ => target
     }
     // CLEARINSERT clears before staging (:411-415).
@@ -164,8 +181,8 @@ object Merge {
     // Stage + in-source dedup (:477-485).
     val staged =
       if (dupMode == DuplicateMode.NoCheck) source
-      else if (dupMode.drop) Dedup.dropDuplicatesKeepFirst(source, keyNames, Seq(sourceOrder))
-      else Dedup.joinDuplicates(source, keyNames, sourceOrder, updateWithNull)
+      else if (dupMode.drop) dedupKeepFirst(source, Seq(sourceOrder))
+      else dedupJoin(source, sourceOrder)
 
     mode match {
       case ClearInsert =>
@@ -175,14 +192,14 @@ object Merge {
         else insertNotExisting(target2, staged, keys)
       case Update =>
         if (dupMode.sourceOnly) target2
-        else if (dupMode.updateFirst && Dedup.detectDuplicates(target2, keyNames) > 0)
+        else if (dupMode.updateFirst && hasDupKeys(target2))
           updateFirst(target2, staged, keys, targetOrder, updateWithNull)
         else updateAll(target2, staged, keys, updateWithNull)
       case Upsert =>
         if (dupMode.sourceOnly) insertAll(target2, staged)
         else {
           val updated =
-            if (dupMode.updateFirst && Dedup.detectDuplicates(target2, keyNames) > 0)
+            if (dupMode.updateFirst && hasDupKeys(target2))
               updateFirst(target2, staged, keys, targetOrder, updateWithNull)
             else updateAll(target2, staged, keys, updateWithNull)
           insertNotExisting(updated, staged, keys)

@@ -87,7 +87,15 @@ object Ordinals {
     val schema = sorted.schema.add(name, LongType, nullable = false)
     val rdd = sorted.rdd
     val sums = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var s = 0L; it.foreach(r => s += r.getLong(idx)); Iterator.single(i -> s)
+      var s = 0L
+      it.foreach { r =>
+        // fail with the column named — getLong on a null row would
+        // surface as an anonymous NPE deep inside the task
+        require(!r.isNullAt(idx), s"prefix-sum column '$valueCol' contains " +
+          "a null — coalesce to 0 (or filter) before calling")
+        s += r.getLong(idx)
+      }
+      Iterator.single(i -> s)
     }.collect().toMap
     val offsets = {
       var acc = 0L

@@ -27,6 +27,17 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.plans.CosineSimExpr.cosineSim(a, b)
 
+  /** Cosine for ranking/thresholding: a zero-norm vector's 0/0 = NaN
+    * becomes NULL, which every `>= threshold` filter rejects and every
+    * descending sort puts last — NaN would instead pass all filters and
+    * rank FIRST under Spark's NaN-greatest ordering, making a zero
+    * (padding) vector everyone's top neighbor.
+    */
+  private def simOrNull(a: Column, b: Column): Column = {
+    val c = cosine(a, b)
+    when(!isnan(c), c)
+  }
+
   /** The declarative HOF formulation — 8 array traversals per row; kept
     * as the spec ground truth the native expression is pinned against
     * (bit-equal: same per-sum accumulation order, same final ops).
@@ -40,13 +51,17 @@ object Similarity {
   }
 
   /** Exact top-k neighbors for each query vector. `queries` must be small
-    * (it is broadcast); ties break on ascending neighbor id.
+    * (it is broadcast); ties break on ascending neighbor id. The
+    * `rank <= k` filter under a `row_number` window plans as Spark 4's
+    * WindowGroupLimit: every scan partition pre-prunes to its LOCAL
+    * top-k per query before the exchange, so the shuffle carries at most
+    * k × partitions rows per query — never the scored corpus.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qId: String = "query_id", qVec: String = "query_vec",
                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("sim", cosine(col(qVec), col(cVec)))
+      .withColumn("sim", simOrNull(col(qVec), col(cVec)))
     val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -92,13 +107,13 @@ object Similarity {
                            qId: String = "query_id", qVec: String = "query_vec",
                            cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val probed = queries.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col(qVec), col("centroid")))
+      .withColumn("csim", simOrNull(col(qVec), col("centroid")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col(qId)).orderBy(col("csim").desc, col("bucket"))))
       .filter(col("crank") <= nprobe)
       .select(col(qId), col(qVec), col("bucket"))
     val scored = corpus.join(broadcast(probed), col(bucketCol) === col("bucket"))
-      .withColumn("sim", cosine(col(qVec), col(cVec)))
+      .withColumn("sim", simOrNull(col(qVec), col(cVec)))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId))))
       .filter(col("rank") <= k)
@@ -132,14 +147,14 @@ object Similarity {
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
     val probed = queries.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col(qVec), col("centroid")))
+      .withColumn("csim", simOrNull(col(qVec), col("centroid")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col(qId)).orderBy(col("csim").desc, col("bucket"))))
       .filter(col("crank") <= nprobe)
       .select(col(qId), col(qVec), col("bucket"))
     val vectors = spark.read.parquet(s"$path/vectors")
     val scored = vectors.join(broadcast(probed), Seq("bucket"))
-      .withColumn("sim", cosine(col(qVec), col(cVec)))
+      .withColumn("sim", simOrNull(col(qVec), col(cVec)))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId))))
       .filter(col("rank") <= k)
@@ -159,7 +174,7 @@ object Similarity {
     val a = corpus.select(col(bucketCol).as("bk"), col(cId).as("id1"), col(cVec).as("v1"))
     val b = corpus.select(col(bucketCol).as("bk"), col(cId).as("id2"), col(cVec).as("v2"))
     a.join(b, Seq("bk")).filter(col("id1") < col("id2"))
-      .withColumn("sim", cosine(col("v1"), col("v2")))
+      .withColumn("sim", simOrNull(col("v1"), col("v2")))
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
   }
@@ -227,6 +242,15 @@ object Similarity {
                       numPlanes: Int = 24, bands: Int = 4, dim: Int = 64,
                       bucketCol: String = "label",
                       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(numPlanes % bands == 0,
+      s"numPlanes ($numPlanes) must divide into bands ($bands)")
+    // a dim mismatch would null-pad every zip_with product, turn every
+    // sign bit into 0, and silently degrade the join to per-bucket
+    // all-pairs — the exact blowup this tier exists to prevent
+    corpus.select(size(col(cVec)).as("d")).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == dim,
+        s"dim ($dim) does not match the embedding length (${r.getInt(0)})")
+    }
     val keyed = corpus.select(col(bucketCol).as("bk"), col(cId).as("id"), col(cVec).as("v"))
       // bits materialized as their own projection so the per-band
       // element_at reads scan a computed array instead of re-deriving
@@ -235,7 +259,9 @@ object Similarity {
       .withColumn("__hp_bits", hyperplaneBits(col("v"), hyperplaneWeights(numPlanes, dim)))
       .withColumn("bandkeys", packBandKeys(col("__hp_bits"), bands, numPlanes / bands))
       .drop("__hp_bits")
-      .cache()
+      // eager checkpoint, not cache: three consumers, storage released
+      // with the RDD instead of pinning the cache catalog across calls
+      .localCheckpoint(true)
     val exploded = keyed.select(col("bk"), col("id"),
       posexplode(col("bandkeys")).as(Seq("band_idx", "band_key")))
     val cand = exploded.as("a").join(exploded.as("b"),
@@ -245,7 +271,7 @@ object Similarity {
     cand
       .join(keyed.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
       .join(keyed.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
-      .withColumn("sim", cosine(col("v1"), col("v2")))
+      .withColumn("sim", simOrNull(col("v1"), col("v2")))
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
   }

@@ -80,6 +80,9 @@ object TextDedup {
     */
   def withMinhash(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide into bands ($bands) — a remainder " +
+        "would silently drop trailing signature entries and shift the LSH operating point")
     val rows = numHashes / bands
     docs.select(col(idCol),
         array_distinct(TextShingles.shingles(TextAnalysis.tokens(col(textCol)), k))
@@ -142,7 +145,9 @@ object TextDedup {
     * those prefixes are indexed — ordered rarest-first (ascending
     * document frequency) so the candidate join fans out on the LEAST
     * common shingles — then candidates verify with a per-pair
-    * `array_intersect`. Result-identical to [[jaccardPairs]], but the
+    * `array_intersect`. Result-identical to [[jaccardPairs]] WITHOUT its
+    * hot-shingle cap (maxShingleDocFreq = infinity — the capped tier both
+    * prunes pairs and shrinks the jaccard denominators), but the
     * enumeration cost tracks prefix collisions instead of every
     * co-shingled pair — the difference between quadratic blowup and
     * linear behavior on large corpora.
@@ -153,7 +158,10 @@ object TextDedup {
         array_distinct(TextShingles.shingles(TextAnalysis.tokens(col(textCol)), k))
           .as("shingles"))
       .withColumn("n", size(col("shingles")))
-      .cache()
+      // eager checkpoint, not cache: both consumers materialize once and
+      // the storage is released with the RDD instead of pinning the
+      // cache catalog across calls
+      .localCheckpoint(true)
     val exploded = sets.select(col("id"), col("n"), explode(col("shingles")).as("sh"))
     val dfreq = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
     val ranked = exploded.join(dfreq, "sh")
@@ -166,10 +174,10 @@ object TextDedup {
       // and shorten the prefix, silently dropping a boundary pair.
       .filter(col("rn") <= col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1)
       .select(col("id"), col("n"), col("sh"), col("rn"))
-      // both sides of the candidate self-join read this frame; without a
-      // cache each side would redo explode → df-join → window (two full
-      // shuffles of every shingle, twice)
-      .cache()
+      // both sides of the candidate self-join read this frame; without
+      // materialization each side would redo explode → df-join → window
+      // (two full shuffles of every shingle, twice)
+      .localCheckpoint(true)
     // Candidate join with the full PPJoin filter stack — on a
     // collision-heavy corpus the prefix filter alone admits hundreds of
     // candidates per surviving pair, and these two predicates (both
@@ -211,8 +219,10 @@ object TextDedup {
                            k: Int = 3, numHashes: Int = 12, bands: Int = 4,
                            threshold: Double = 0.5): DataFrame = {
     // reused by the candidate join and both set lookups; at larger scale
-    // signatures would be a materialized artifact, here a cache
-    val withSig = withMinhash(docs, idCol, textCol, k, numHashes, bands).cache()
+    // signatures would be a materialized artifact (see writeLshIndex) —
+    // here an eager checkpoint whose storage frees with the RDD
+    val withSig = withMinhash(docs, idCol, textCol, k, numHashes, bands)
+      .localCheckpoint(true)
     val cand = minhashCandidates(withSig, idCol)
     val sets = withSig.select(col(idCol), col("shingles"))
     cand
@@ -237,6 +247,11 @@ object TextDedup {
     */
   def writeLshIndex(docs: DataFrame, idCol: String, textCol: String, path: String,
                     k: Int = 3, numHashes: Int = 12, bands: Int = 4): Unit = {
+    import docs.sparkSession.implicits._
+    // the hash family is part of the index: persist it so a probe with
+    // different parameters fails fast instead of silently matching nothing
+    Seq((k, numHashes, bands)).toDF("k", "num_hashes", "bands")
+      .write.mode("overwrite").parquet(s"$path/params")
     val withSig = withMinhash(docs, idCol, textCol, k, numHashes, bands).cache()
     withSig.select(col(idCol),
         posexplode(col("bandkeys")).as(Seq("band_idx", "band_hash")))
@@ -256,7 +271,19 @@ object TextDedup {
                     k: Int = 3, numHashes: Int = 12, bands: Int = 4,
                     threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
-    val probe = withMinhash(newDocs, idCol, textCol, k, numHashes, bands).cache()
+    // indexes written before params existed stay readable (no metadata →
+    // the caller is trusted, as before)
+    val stored =
+      try spark.read.parquet(s"$path/params").collect().headOption
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    stored.foreach { r =>
+      require((r.getInt(0), r.getInt(1), r.getInt(2)) == ((k, numHashes, bands)),
+        s"index at $path was written with (k=${r.getInt(0)}, numHashes=${r.getInt(1)}, " +
+          s"bands=${r.getInt(2)}) but the probe asked for (k=$k, numHashes=$numHashes, " +
+          s"bands=$bands) — a mismatched hash family would match nothing")
+    }
+    val probe = withMinhash(newDocs, idCol, textCol, k, numHashes, bands)
+      .localCheckpoint(true)
     val probeBands = probe.select(col(idCol).as("new_id"),
       posexplode(col("bandkeys")).as(Seq("band_idx", "band_hash")))
     val idxBands = spark.read.parquet(s"$path/bands")

@@ -108,6 +108,32 @@ class MergeSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSeq == Seq("A@X.COM", "b@y.com", "C@Z.COM"))
   }
 
+  test("importMerge dedups on fn(col): case-variant source keys collapse") {
+    val t = Seq(("A@X.COM", 1), ("b@y.com", 2)).toDF("email", "v")
+    // two case-variants of the SAME fn-key arrive; a raw-column dedup
+    // would keep both and the update join would then duplicate A@X.COM
+    val s = Seq(("a@x.com", 10, 1L), ("A@x.Com", 11, 2L), ("c@z.com", 3, 3L))
+      .toDF("email", "v", "ord")
+    val out = Merge.importMerge(t, s,
+        Seq(Key("email", lower)), ImportMode.Upsert, DuplicateMode.UpdateAllJoin,
+        updateWithNull = true, sourceOrder = col("ord"),
+        targetOrder = Seq(col("email")))
+      .orderBy(lower(col("email"))).select("email", "v").collect()
+    // exactly one row per fn-key; the later variant's value (11) wins
+    assert(out.map(r => (r.getString(0).toLowerCase, r.getInt(1))).toSeq ==
+      Seq(("a@x.com", 11), ("b@y.com", 2), ("c@z.com", 3)))
+  }
+
+  test("importMerge with key-only schema dedups instead of crashing") {
+    val t = Seq(Tuple1(1), Tuple1(2)).toDF("k")
+    val s = Seq((3, 1L), (3, 2L), (4, 3L)).toDF("k", "ord")
+    val out = Merge.importMerge(t, s, Seq(Key("k")),
+        ImportMode.Upsert, DuplicateMode.UpdateAllJoin, updateWithNull = true,
+        sourceOrder = col("ord"), targetOrder = Seq(col("k")))
+      .select("k").as[Int].collect().sorted
+    assert(out.toSeq == Seq(1, 2, 3, 4))
+  }
+
   test("arrival ordinal is contiguous, 1-based, and order-preserving") {
     val df = spark.range(0, 1000).toDF("x").repartition(7)
     val withOrd = Ordinals.withArrivalOrdinal(df)
