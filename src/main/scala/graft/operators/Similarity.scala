@@ -259,9 +259,9 @@ object Similarity {
       .withColumn("__hp_bits", hyperplaneBits(col("v"), hyperplaneWeights(numPlanes, dim)))
       .withColumn("bandkeys", packBandKeys(col("__hp_bits"), bands, numPlanes / bands))
       .drop("__hp_bits")
-      // eager checkpoint, not cache: three consumers, storage released
-      // with the RDD instead of pinning the cache catalog across calls
-      .localCheckpoint(true)
+      // cache, not localCheckpoint — checkpoint size stats would break
+      // broadcast planning downstream; clearCache() reclaims
+      .cache()
     val exploded = keyed.select(col("bk"), col("id"),
       posexplode(col("bandkeys")).as(Seq("band_idx", "band_key")))
     val cand = exploded.as("a").join(exploded.as("b"),

@@ -158,10 +158,11 @@ object TextDedup {
         array_distinct(TextShingles.shingles(TextAnalysis.tokens(col(textCol)), k))
           .as("shingles"))
       .withColumn("n", size(col("shingles")))
-      // eager checkpoint, not cache: both consumers materialize once and
-      // the storage is released with the RDD instead of pinning the
-      // cache catalog across calls
-      .localCheckpoint(true)
+      // cache, NOT localCheckpoint: a checkpoint's LogicalRDD reports
+      // default (huge) size stats, which would demote the verify-stage
+      // broadcast joins to sort-merge (~4x slower here). Long-lived
+      // sessions reclaim with spark.catalog.clearCache().
+      .cache()
     val exploded = sets.select(col("id"), col("n"), explode(col("shingles")).as("sh"))
     val dfreq = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
     val ranked = exploded.join(dfreq, "sh")
@@ -174,10 +175,10 @@ object TextDedup {
       // and shorten the prefix, silently dropping a boundary pair.
       .filter(col("rn") <= col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1)
       .select(col("id"), col("n"), col("sh"), col("rn"))
-      // both sides of the candidate self-join read this frame; without
-      // materialization each side would redo explode → df-join → window
-      // (two full shuffles of every shingle, twice)
-      .localCheckpoint(true)
+      // both sides of the candidate self-join read this frame; without a
+      // cache each side would redo explode → df-join → window (two full
+      // shuffles of every shingle, twice)
+      .cache()
     // Candidate join with the full PPJoin filter stack — on a
     // collision-heavy corpus the prefix filter alone admits hundreds of
     // candidates per surviving pair, and these two predicates (both
@@ -219,10 +220,10 @@ object TextDedup {
                            k: Int = 3, numHashes: Int = 12, bands: Int = 4,
                            threshold: Double = 0.5): DataFrame = {
     // reused by the candidate join and both set lookups; at larger scale
-    // signatures would be a materialized artifact (see writeLshIndex) —
-    // here an eager checkpoint whose storage frees with the RDD
-    val withSig = withMinhash(docs, idCol, textCol, k, numHashes, bands)
-      .localCheckpoint(true)
+    // signatures would be a materialized artifact (see writeLshIndex).
+    // cache, not localCheckpoint — checkpoint size stats would break
+    // broadcast planning downstream
+    val withSig = withMinhash(docs, idCol, textCol, k, numHashes, bands).cache()
     val cand = minhashCandidates(withSig, idCol)
     val sets = withSig.select(col(idCol), col("shingles"))
     cand
@@ -282,8 +283,7 @@ object TextDedup {
           s"bands=${r.getInt(2)}) but the probe asked for (k=$k, numHashes=$numHashes, " +
           s"bands=$bands) — a mismatched hash family would match nothing")
     }
-    val probe = withMinhash(newDocs, idCol, textCol, k, numHashes, bands)
-      .localCheckpoint(true)
+    val probe = withMinhash(newDocs, idCol, textCol, k, numHashes, bands).cache()
     val probeBands = probe.select(col(idCol).as("new_id"),
       posexplode(col("bandkeys")).as(Seq("band_idx", "band_hash")))
     val idxBands = spark.read.parquet(s"$path/bands")
