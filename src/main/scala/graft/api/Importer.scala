@@ -94,6 +94,43 @@ object Importer {
     trimmed.select(cols: _*)
   }
 
+  /** Spark-evaluable additional insert/update values on the merge path:
+    * insert expressions apply to rows whose key was ABSENT from the
+    * original target (all staged rows under CLEARINSERT), update
+    * expressions to matched target rows — mirroring which SQL statement
+    * the reference would have routed each row through
+    * (DbImportWorker.java:939-948). UPDATE_FIRST modes must use the
+    * mergeInDb path for update values: only the generated SQL knows
+    * which single duplicate row was updated.
+    */
+  private def withAdditionalValues(merged: DataFrame, target: DataFrame,
+                                   staged: DataFrame, cfg: ImportConfig): DataFrame = {
+    if (cfg.additionalInsertValues.isEmpty && cfg.additionalUpdateValues.isEmpty)
+      return merged
+    require(cfg.additionalUpdateValues.isEmpty || !cfg.duplicateMode.updateFirst,
+      "additionalUpdateValues with an UPDATE_FIRST duplicate mode needs " +
+        "mergeInDb = true (row-precise update routing)")
+    val keys = cfg.keyColumns
+    val pre = target.select(keys.map(col): _*).distinct()
+      .withColumn("__graft_pre", lit(true))
+    val stg = staged.select(keys.map(col): _*).distinct()
+      .withColumn("__graft_stg", lit(true))
+    val j = merged.join(pre, keys, "left").join(stg, keys, "left")
+    val isNew =
+      if (cfg.mode == ImportMode.ClearInsert) col("__graft_stg").isNotNull
+      else col("__graft_stg").isNotNull && col("__graft_pre").isNull
+    val doesUpdate = (cfg.mode == ImportMode.Update || cfg.mode == ImportMode.Upsert) &&
+      !cfg.duplicateMode.sourceOnly
+    val isUpd = col("__graft_stg").isNotNull && col("__graft_pre").isNotNull &&
+      lit(doesUpdate)
+    val withIns = cfg.additionalInsertValues.foldLeft(j) { case (df, (c, e)) =>
+      df.withColumn(c, when(isNew, expr(e)).otherwise(col(s"`$c`"))) }
+    val withUpd = cfg.additionalUpdateValues.foldLeft(withIns) { case (df, (c, e)) =>
+      df.withColumn(c, when(isUpd, expr(e)).otherwise(col(s"`$c`"))) }
+    withUpd.drop("__graft_pre", "__graft_stg")
+      .select(merged.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Full import into a JDBC target. `source` carries raw (string-ish)
     * data columns as produced by the graft sources.
     */
@@ -129,9 +166,12 @@ object Importer {
         else source
         val mappings = cfg.mapping.map(Mapping.parseMappingString).getOrElse(
           Mapping.autoMap(targetSchema.fieldNames.toIndexedSeq, trimmed.columns.toIndexedSeq))
-        val pairs = mappings.flatMap(m => m.dataColumn.flatMap(dc =>
-          targetSchema.fields.find(_.name.equalsIgnoreCase(m.dbColumn)).map(f => (m, f, dc))))
-        val compiled = pairs.map { case (m, f, _) =>
+        // ALL resolved mappings project (a `col=` mapping with no data
+        // column becomes an explicit null, exactly like transformSource
+        // — dropping it would silently change update semantics)
+        val resolved = mappings.flatMap(m =>
+          targetSchema.fields.find(_.name.equalsIgnoreCase(m.dbColumn)).map(f => (m, f)))
+        val compiled = resolved.map { case (m, f) =>
           // prefix mapped outputs: raw data columns may share the name
           Mapping.compile(m, f, cfg.importTz, cfg.dbTz).as(s"__graft_m_${f.name}")
         }
@@ -139,10 +179,10 @@ object Importer {
           .toIndexedSeq: _*)
         // a non-empty source value that mapped to null failed its parse
         // (reference: per-value failure marks the row invalid, §2.3)
-        val rules = pairs.map { case (_, f, dc) =>
+        val rules = resolved.flatMap { case (m, f) => m.dataColumn.map(dc =>
           s"invalid value for ${f.name}" ->
             (col(s"`$dc`").isNotNull && trim(col(s"`$dc`")) =!= "" &&
-              col(s"__graft_m_${f.name}").isNull)
+              col(s"__graft_m_${f.name}").isNull))
         }
         val v = Validation.validate(combined, rules)
         cfg.errorExportPath.foreach { p =>
@@ -150,7 +190,7 @@ object Importer {
             v.errors.select((trimmed.columns.map(c => col(s"`$c`")) :+
               col("error_reason")).toIndexedSeq: _*), p)
         }
-        (v.valid.select(pairs.map { case (_, f, _) =>
+        (v.valid.select(resolved.map { case (_, f) =>
           col(s"__graft_m_${f.name}").as(f.name) }.toIndexedSeq: _*),
           v.errors.count())
       } else (transformSource(source, targetSchema, cfg), 0L)
@@ -187,8 +227,12 @@ object Importer {
           cfg.batchSize, cfg.additionalInsertValues, cfg.additionalUpdateValues)
         (st.inserted, st.updated, 0L, st.duplicates)
       } else {
-        // MERGE PATH: ordinal → dedup → mode matrix → atomic rewrite
-        val staged = Ordinals.withArrivalOrdinal(mapped, "__graft_ord")
+        // MERGE PATH: ordinal → dedup → mode matrix → atomic rewrite.
+        // staged is read by the dup accounting, the merge, the update
+        // count and the extra-values flags: cache it so the source
+        // pipeline (and the ordinal's partition-count pass) runs once —
+        // recomputation could even reorder arrival ordinals.
+        val staged = Ordinals.withArrivalOrdinal(mapped, "__graft_ord").cache()
         val beforeCount = targetLc.count()
         val dupsInSource = staged.count() -
           Dedup.dropDuplicatesKeepFirst(staged, cfg.keyColumns, Seq(col("__graft_ord"))).count()
@@ -197,29 +241,38 @@ object Importer {
         // the value columns for a deterministic total order
         val targetOrder = (cfg.keyColumns ++
           targetLc.columns.filterNot(cfg.keyColumns.contains)).map(col)
-        val merged = Merge.importMerge(
+        val merged0 = Merge.importMerge(
             targetLc, staged, cfg.keyColumns.map(Key(_)),
             cfg.mode, cfg.duplicateMode, cfg.updateWithNull,
             sourceOrder = col("__graft_ord"),
             targetOrder = targetOrder)
           .drop("__graft_ord")
           .select(targetLc.columns.map(col).toIndexedSeq: _*)
-          .cache()
+        val merged = withAdditionalValues(merged0, targetLc, staged, cfg).cache()
         val afterCount = merged.count()
         val deleted = if (cfg.mode == ImportMode.ClearInsert) beforeCount else 0L
         val insertedN = cfg.mode match {
           case ImportMode.ClearInsert => afterCount
           case _ => afterCount - beforeCount
         }
+        // rows actually updated: none for sourceOnly; one per matched key
+        // for UPDATE_FIRST (and for MAKE_UNIQUE, which dedups the target
+        // first); every matched row otherwise
         val updatedN = cfg.mode match {
-          case ImportMode.Update | ImportMode.Upsert =>
-            targetLc.join(staged, cfg.keyColumns, "left_semi").count()
+          case ImportMode.Update | ImportMode.Upsert
+              if !cfg.duplicateMode.sourceOnly =>
+            val matched = targetLc.join(staged, cfg.keyColumns, "left_semi")
+            if (cfg.duplicateMode.updateFirst || cfg.duplicateMode.makeUnique)
+              matched.select(cfg.keyColumns.map(col): _*).distinct().count()
+            else matched.count()
           case _ => 0L
         }
-        // atomic rewrite: clear + atomic append of the merged table
-        JdbcSink.withConnection(url)(c => JdbcSink.clearTable(c, table))
-        JdbcSink.appendAtomic(merged, url, table, cfg.batchSize)
+        // atomic rewrite: stage the merged table while the target stays
+        // intact, then swap contents in ONE transaction — a failure can
+        // never leave the target empty
+        JdbcSink.rewriteAtomic(merged, url, table, cfg.batchSize)
         merged.unpersist()
+        staged.unpersist()
         (insertedN, updatedN, deleted, dupsInSource)
       }
 

@@ -60,19 +60,27 @@ object JdbcMerge {
 
     val tmp = JdbcSink.withConnection(url) { c =>
       val t = JdbcSink.tempTableName(c)
-      JdbcSink.createTable(c, t, staged.schema)
+      // staging mirrors the target's VARCHAR widths (default 1024 would
+      // reject values the target accepts)
+      JdbcSink.createTable(c, t, staged.schema,
+        varcharSizes = JdbcSink.varcharSizes(c, table))
       t
     }
     try {
-      JdbcSink.appendBatch(staged, url, tmp, batchSize, singleRowFallback = false)
+      // one txn per partition: task retries restart clean, no dup rows
+      JdbcSink.appendBatch(staged, url, tmp, batchSize,
+        singleRowFallback = false, commitPerBlock = false)
       val T = q(table)
       val S = q(tmp)
 
       val (extraInsCols, extraInsExprs) =
         (additionalInsertValues.keys.map(q).toSeq, additionalInsertValues.values.toSeq)
-      val insertSql =
+      // sourceOnly modes append unconditionally (Merge.insertAll parity)
+      val plainInsertSql =
         s"""INSERT INTO $T (${(cols.map(q) ++ extraInsCols).mkString(", ")})
-           | SELECT ${(cols.map(c => s"src.${q(c)}") ++ extraInsExprs).mkString(", ")} FROM $S src
+           | SELECT ${(cols.map(c => s"src.${q(c)}") ++ extraInsExprs).mkString(", ")} FROM $S src""".stripMargin
+      val insertSql =
+        s"""$plainInsertSql
            | WHERE NOT EXISTS (SELECT 1 FROM $T dst WHERE ${keyEq("dst", "src")})""".stripMargin
       def updateSql: String = {
         val sets = valCols.map { vc =>
@@ -95,13 +103,19 @@ object JdbcMerge {
               JdbcSink.clearTable(c, table)
               inserted = st.executeUpdate(insertSql).toLong
             case ImportMode.Insert =>
-              inserted = st.executeUpdate(insertSql).toLong
+              // sourceOnly appends everything (Spark path: insertAll)
+              inserted = st.executeUpdate(
+                if (dupMode.sourceOnly) plainInsertSql else insertSql).toLong
             case ImportMode.Update =>
               if (!dupMode.sourceOnly && valCols.nonEmpty)
                 updated = st.executeUpdate(updateSql).toLong
             case ImportMode.Upsert =>
-              if (valCols.nonEmpty) updated = st.executeUpdate(updateSql).toLong
-              inserted = st.executeUpdate(insertSql).toLong
+              if (dupMode.sourceOnly)
+                inserted = st.executeUpdate(plainInsertSql).toLong
+              else {
+                if (valCols.nonEmpty) updated = st.executeUpdate(updateSql).toLong
+                inserted = st.executeUpdate(insertSql).toLong
+              }
           }
           c.commit()
           MergeStats(stagedCount, rawCount - stagedCount, inserted, updated)

@@ -104,14 +104,29 @@ object JdbcSink {
     */
   def tempTableName(c: Connection): String = {
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+    val base = "tmp_" + java.time.LocalDateTime.now().format(fmt)
+    var name = base
     var i = 0
-    var name = "tmp_" + java.time.LocalDateTime.now().format(fmt)
-    while (tableExists(c, name) && i < 10) {
-      name = "tmp_" + java.time.LocalDateTime.now().format(fmt) + s"_$i"
+    while (tableExists(c, name)) {
+      if (i >= 10) throw new IllegalStateException("Cannot create temp table")
+      name = base + s"_$i"
       i += 1
     }
-    if (i >= 10) throw new IllegalStateException("Cannot create temp table")
     name
+  }
+
+  /** Declared VARCHAR widths of an existing table (lowercased column
+    * names) — staging tables mirror the target's sizing instead of the
+    * 1024 default, which would reject values the target accepts.
+    */
+  def varcharSizes(c: Connection, table: String): Map[String, Int] = {
+    val rs = c.getMetaData.getColumns(null, null, table.toUpperCase, null)
+    val m = scala.collection.mutable.Map.empty[String, Int]
+    try while (rs.next()) {
+      if (rs.getInt("DATA_TYPE") == java.sql.Types.VARCHAR)
+        m += rs.getString("COLUMN_NAME").toLowerCase -> rs.getInt("COLUMN_SIZE")
+    } finally rs.close()
+    m.toMap
   }
 
   private def jdbcType(dt: DataType): Int = dt match {
@@ -144,7 +159,8 @@ object JdbcSink {
     * partition.
     */
   def appendBatch(df: DataFrame, url: String, table: String,
-                  batchSize: Int = 1000, singleRowFallback: Boolean = true): WriteStats = {
+                  batchSize: Int = 1000, singleRowFallback: Boolean = true,
+                  commitPerBlock: Boolean = true): WriteStats = {
     val schema = df.schema
     val colList = schema.fieldNames.map(n => s""""${n.toUpperCase}"""").mkString(", ")
     val placeholders = schema.fieldNames.map(_ => "?").mkString(", ")
@@ -169,9 +185,14 @@ object JdbcSink {
             }
             try {
               ps.executeBatch()
-              c.commit()
+              if (commitPerBlock) c.commit()
               okAcc.add(block.size.toLong)
             } catch {
+              // staging mode (one txn per partition): roll the whole
+              // partition back and FAIL the task — a retry then starts
+              // from nothing instead of re-inserting committed blocks
+              case e: SQLException if !commitPerBlock =>
+                c.rollback(); throw e
               case _: SQLException if singleRowFallback =>
                 c.rollback()
                 fbAcc.add(1L)
@@ -194,6 +215,7 @@ object JdbcSink {
           }
           rows.foreach { r => block += r; if (block.size >= batchSize) flush() }
           flush()
+          if (!commitPerBlock) c.commit()
           ps.close()
         } finally c.close()
       }
@@ -207,20 +229,40 @@ object JdbcSink {
     * failure rolls back everything.
     */
   def appendAtomic(df: DataFrame, url: String, table: String,
-                   batchSize: Int = 1000): WriteStats = {
+                   batchSize: Int = 1000): WriteStats =
+    stageAndPromote(df, url, table, batchSize, clearFirst = false)
+
+  /** Atomic full-table REWRITE: stage `df` while the target stays
+    * intact and readable, then DELETE + INSERT…SELECT inside ONE
+    * transaction — at no point can a failure leave the target empty
+    * (the failure mode of a separate clear followed by an append).
+    */
+  def rewriteAtomic(df: DataFrame, url: String, table: String,
+                    batchSize: Int = 1000): WriteStats =
+    stageAndPromote(df, url, table, batchSize, clearFirst = true)
+
+  private def stageAndPromote(df: DataFrame, url: String, table: String,
+                              batchSize: Int, clearFirst: Boolean): WriteStats = {
     val (tmp, cols) = withConnection(url) { c =>
       val t = tempTableName(c)
-      createTable(c, t, df.schema)
+      // staging mirrors the target's VARCHAR widths — the 1024 default
+      // would reject values the target itself accepts
+      createTable(c, t, df.schema, varcharSizes = varcharSizes(c, table))
       (t, df.schema.fieldNames.map(n => s""""${n.toUpperCase}"""").mkString(", "))
     }
     try {
-      val stats = appendBatch(df, url, tmp, batchSize, singleRowFallback = false)
+      // one transaction per partition (no per-block commits): a task
+      // retry starts from a clean rollback instead of duplicating rows
+      val stats = appendBatch(df, url, tmp, batchSize,
+        singleRowFallback = false, commitPerBlock = false)
       if (stats.failedRows > 0)
         throw new SQLException(s"${stats.failedRows} rows failed during staging")
       withConnection(url) { c =>
         c.setAutoCommit(false)
         val st = c.createStatement()
         try {
+          if (clearFirst)
+            st.executeUpdate(s"""DELETE FROM "${table.toUpperCase}"""")
           st.executeUpdate(
             s"""INSERT INTO "${table.toUpperCase}" ($cols) SELECT $cols FROM "${tmp.toUpperCase}"""")
           c.commit()

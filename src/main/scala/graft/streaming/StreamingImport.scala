@@ -78,9 +78,12 @@ object StreamingImport {
       .select((Seq(col("session_window.start").as("session_start")) ++
         groupCols.map(col) ++ Seq(col("n"), col("sum_value"))): _*)
 
+  /** Start `w` into an in-memory table named `name` (test/debug sink:
+    * results readable via `SELECT * FROM name`).
+    */
   def startMemorySink(w: DataStreamWriter[org.apache.spark.sql.Row],
                       name: String): StreamingQuery =
-    w.start()
+    w.format("memory").queryName(name).start()
 
   /** Cross-batch streaming dedup via keyed state
     * (`mapGroupsWithState`): the first record per key passes, every

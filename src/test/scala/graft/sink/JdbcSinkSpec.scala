@@ -249,6 +249,53 @@ class JdbcSinkSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "upd", null, 42), (2, "new", "ins", -1)))
   }
 
+  test("additional insert/update values on the Spark-side merge path") {
+    val url = freshDb()
+    JdbcSink.withConnection(url) { c =>
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE \"AVS\" (\"K\" INTEGER PRIMARY KEY, \"V\" VARCHAR(10), " +
+        "\"CREATED\" VARCHAR(10), \"TOUCHED\" INTEGER)")
+      st.executeUpdate("INSERT INTO \"AVS\" (\"K\", \"V\") VALUES (1, 'old')")
+      st.executeUpdate("INSERT INTO \"AVS\" (\"K\", \"V\", \"TOUCHED\") VALUES (3, 'keep', 7)")
+      st.close()
+    }
+    val src = Seq(("1", "upd"), ("2", "new")).toDF("k", "v")
+    // same scenario as the mergeInDb variant above, but cluster-side:
+    // key 1 updated (touched=42), key 2 inserted (created='ins'),
+    // key 3 untouched (not staged)
+    Importer.importToJdbc(src, url, "avs",
+      Importer.ImportConfig(mode = ImportMode.Upsert, keyColumns = Seq("k"),
+        additionalInsertValues = Map("created" -> "'ins'"),
+        additionalUpdateValues = Map("touched" -> "41 + 1")))
+    val got = spark.read.format("jdbc").option("url", url).option("dbtable", "AVS").load()
+      .orderBy("K").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3)))
+    assert(got.toSeq == Seq((1, "upd", null, 42), (2, "new", "ins", -1),
+      (3, "keep", null, 7)))
+  }
+
+  test("rewriteAtomic keeps the target intact when staging fails") {
+    val url = freshDb()
+    JdbcSink.withConnection(url) { c =>
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE \"RWA\" (\"K\" INTEGER, \"V\" VARCHAR(2000))")
+      st.executeUpdate("INSERT INTO \"RWA\" (\"K\", \"V\") VALUES (1, 'precious')")
+      st.close()
+    }
+    // staging temp mirrors the 2000-char target width — a value of 1500
+    // chars must stage fine (the old 1024 default would reject it)...
+    val ok = Seq((2, "x" * 1500)).toDF("k", "v")
+    JdbcSink.rewriteAtomic(ok, url, "rwa")
+    // ...and a value over the real width fails during staging, BEFORE
+    // the target is touched: old contents must survive
+    val tooBig = Seq((3, "y" * 3000)).toDF("k", "v")
+    intercept[Exception] { JdbcSink.rewriteAtomic(tooBig, url, "rwa") }
+    val got = spark.read.format("jdbc").option("url", url).option("dbtable", "RWA").load()
+      .collect().map(r => (r.getInt(0), r.getString(1).length)).toSeq
+    assert(got == Seq((2, 1500))) // first rewrite applied; failed one didn't clear
+  }
+
   test("integer overflow routes to the error channel (testCsvImportTooBigIntegerError)") {
     val url = freshDb()
     JdbcSink.withConnection(url)(c =>
