@@ -32,8 +32,26 @@ object VcfSource {
     Seq("po_box", "extended", "street", "locality", "region", "postal_code", "country")
 
   private[sources] def parseCards(text: String): Seq[Map[String, Any]] = {
-    // unfold continuations (lines beginning with space/tab)
-    val unfolded = text.replace("\r\n", "\n").replaceAll("\n[ \t]", "")
+    // unfold continuations (lines beginning with space/tab), then join
+    // quoted-printable SOFT line breaks (vCard 2.1: a QP value line
+    // ending in '=' continues on the next physical line). The join is
+    // stateful and QP-scoped — a blanket '=\n' strip would corrupt
+    // base64 lines whose padding '=' happens to end a line.
+    val folded = text.replace("\r\n", "\n").replaceAll("\n[ \t]", "")
+    val joinedLines = scala.collection.mutable.ArrayBuffer.empty[String]
+    var qpCont = false
+    folded.split("\n").foreach { line =>
+      if (qpCont && joinedLines.nonEmpty) {
+        val prev = joinedLines.remove(joinedLines.length - 1)
+        joinedLines += prev.dropRight(1) + line // drop the soft-break '='
+        qpCont = line.endsWith("=")
+      } else {
+        joinedLines += line
+        qpCont = line.endsWith("=") &&
+          line.toUpperCase.contains("ENCODING=QUOTED-PRINTABLE")
+      }
+    }
+    val unfolded = joinedLines.mkString("\n")
     val cards = unfolded.split("(?m)^END:VCARD\\s*$").toSeq
       .map(_.split("\n").map(_.trim).filter(_.nonEmpty)
         .dropWhile(l => !l.equalsIgnoreCase("BEGIN:VCARD")).drop(1))
@@ -49,10 +67,11 @@ object VcfSource {
           var value = line.substring(idx + 1)
           val keyBits = keyPart.split(";")
           val key = keyBits.head.toUpperCase
-          val attrs = keyBits.tail.filterNot(_.startsWith("CHARSET="))
-            .filterNot(_.startsWith("ENCODING=")).mkString(",")
-          val charset = keyBits.tail.find(_.startsWith("CHARSET="))
-            .map(_.stripPrefix("CHARSET=")).getOrElse("UTF-8")
+          val attrs = keyBits.tail
+            .filterNot(_.toUpperCase.startsWith("CHARSET="))
+            .filterNot(_.toUpperCase.startsWith("ENCODING=")).mkString(",")
+          val charset = keyBits.tail.find(_.toUpperCase.startsWith("CHARSET="))
+            .map(_.substring("CHARSET=".length)).getOrElse("UTF-8")
           if (keyBits.exists(_.equalsIgnoreCase("ENCODING=QUOTED-PRINTABLE")))
             value = decodeQp(value, charset)
           val isBase64 = keyBits.exists(b => b.equalsIgnoreCase("ENCODING=B") ||
@@ -97,6 +116,17 @@ object VcfSource {
     StructType(cols.map(c => StructField(c,
       if (binaryCols.contains(c)) BinaryType else StringType, nullable = true)))
 
+  /** A BinaryType column's value for one card: a card that carried the
+    * property as a plain string (e.g. `PHOTO:https://…` next to another
+    * card's base64 photo) coerces to its UTF-8 bytes — Catalyst rejects
+    * a String in a binary column outright.
+    */
+  private def cell(m: Map[String, Any], c: String, binaryCols: Set[String]): Any =
+    m.get(c).map {
+      case s: String if binaryCols.contains(c) => s.getBytes("UTF-8")
+      case v => v
+    }.orNull
+
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val files: Dataset[String] = spark.read.option("wholetext", "true").text(path).as[String]
@@ -107,7 +137,8 @@ object VcfSource {
       case (k, _: Array[Byte]) => k
     }).distinct().collect().toSet
     val schema = schemaFor(cols, binaryCols)
-    spark.createDataFrame(parsed.map(m => Row.fromSeq(cols.map(c => m.getOrElse(c, null)))), schema)
+    spark.createDataFrame(
+      parsed.map(m => Row.fromSeq(cols.map(c => cell(m, c, binaryCols)))), schema)
   }
 
   /** Parse an in-memory payload (inline data / decompressed stream). */
@@ -120,6 +151,6 @@ object VcfSource {
     }).toSet
     val schema = schemaFor(cols, binaryCols)
     spark.createDataFrame(
-      rows.map(m => Row.fromSeq(cols.map(c => m.getOrElse(c, null)))).asJava, schema)
+      rows.map(m => Row.fromSeq(cols.map(c => cell(m, c, binaryCols)))).asJava, schema)
   }
 }

@@ -94,8 +94,10 @@ object XlsxSource {
           case "numFmt" =>
             val id = Option(r.getAttributeValue(null, "numFmtId")).map(_.toInt).getOrElse(-1)
             val code = Option(r.getAttributeValue(null, "formatCode")).getOrElse("")
-            // date-ish tokens outside [] sections / quoted parts (approx)
-            if (code.replaceAll("\\[[^\\]]*\\]", "").exists("ymdhs".contains(_)))
+            // date-ish tokens outside [] sections AND quoted literals —
+            // '0" days"' is a number format, not a date
+            if (code.replaceAll("\\[[^\\]]*\\]", "")
+                .replaceAll("\"[^\"]*\"", "").exists("ymdhs".contains(_)))
               customDate += id
           case "cellXfs" => inCellXfs = true
           case "xf" if inCellXfs =>
@@ -114,11 +116,14 @@ object XlsxSource {
 
   /** Excel serial date/time → ISO string (1900 date system). */
   private[sources] def serialToIso(serial: Double): String = {
-    // day 1 = 1900-01-01; Excel's phantom 1900-02-29 means serial >= 60
-    // is offset by one; epoch trick: 1899-12-30 + serial days
+    // day 1 = 1900-01-01. Excel's phantom 1900-02-29 occupies serial 60,
+    // so serials BEFORE it count from 1899-12-31 and later ones from
+    // 1899-12-30 — one fixed epoch would put Jan/Feb 1900 a day early.
     val days = serial.toLong
     val frac = serial - days
-    val date = java.time.LocalDate.of(1899, 12, 30).plusDays(days)
+    val epoch = if (days < 60) java.time.LocalDate.of(1899, 12, 31)
+                else java.time.LocalDate.of(1899, 12, 30)
+    val date = epoch.plusDays(days)
     if (frac < 1e-9) date.toString
     else {
       val secs = math.round(frac * 86400)
@@ -195,7 +200,8 @@ object XlsxSource {
           while (cur.size <= idx) cur += null
           val raw = v.toString
           cur(idx) = cellType match {
-            case "s" => shared.lift(raw.toInt).orNull
+            case "s" => if (raw.isEmpty) null
+              else shared.lift(raw.toInt).orNull
             case "b" => if (raw == "1") "true" else "false"
             case _ =>
               if (raw.isEmpty) null
@@ -250,9 +256,16 @@ object XlsxSource {
       .select("content").as[Array[Byte]]
     val parsed = files.rdd.map(b => parseWorkbook(b, sheetName, header))
     parsed.cache()
-    val cols = parsed.map(_._1).reduce((a, b) => if (a.nonEmpty) a else b)
+    // deterministic schema across workbooks: the WIDEST header list wins
+    // (ties: lexicographic) — an RDD reduce order must not pick it
+    val headerLists = parsed.map(_._1).collect()
+    require(headerLists.nonEmpty, s"no workbooks matched $path")
+    val cols = headerLists.maxBy(h => (h.size, h.mkString("\u0000")))
     val schema = StructType(cols.map(c => StructField(c, StringType, nullable = true)))
-    val rows = parsed.flatMap(_._2).map(r => Row.fromSeq(r.padTo(cols.size, null)))
+    // pad narrow rows, clamp wide ones — silent misalignment is worse
+    // than dropping trailing unheadered cells
+    val rows = parsed.flatMap(_._2)
+      .map(r => Row.fromSeq(r.padTo(cols.size, null).take(cols.size)))
     spark.createDataFrame(rows, schema)
   }
 }

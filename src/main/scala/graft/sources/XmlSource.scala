@@ -66,6 +66,11 @@ object XmlSource {
             } else if (inList && depthPath.length == listDepth + 1 && entryCols != null) {
               out += entryCols.toMap
               entryCols = null
+            } else if (inList && depthPath.length == listDepth) {
+              // the selected list element closed: a later sibling at the
+              // same depth (e.g. an <audit> next to the -dp list) must
+              // not have its children collected as rows
+              inList = false
             }
             depthPath = depthPath.dropRight(1)
           case _ =>

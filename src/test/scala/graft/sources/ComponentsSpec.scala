@@ -204,6 +204,11 @@ class ComponentsSpec extends SparkSpec {
     assert(r.getString(0) == "37622.5") // general style stays numeric
     assert(r.getString(1) == "2003-01-01") // date style → ISO
     assert(XlsxSource.serialToIso(37622.5) == "2003-01-01 12:00")
+    // the phantom 1900-02-29 (serial 60): serials BEFORE it must not
+    // shift a day — 1 = Jan 1, 59 = Feb 28; 61 = Mar 1
+    assert(XlsxSource.serialToIso(1.0) == "1900-01-01")
+    assert(XlsxSource.serialToIso(59.0) == "1900-02-28")
+    assert(XlsxSource.serialToIso(61.0) == "1900-03-01")
   }
 
   test("xlsx parser points legacy BIFF .xls at the native XlsSource") {

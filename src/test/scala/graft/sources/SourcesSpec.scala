@@ -74,6 +74,18 @@ class SourcesSpec extends SparkSpec {
     assert(rows.length == 2 && rows(0).isNullAt(1) && rows(1).getString(1) == "w2")
   }
 
+  test("XML: -dp path collects ONLY the selected list, not later siblings") {
+    val xml =
+      """<root><data><list>
+        |<e><c1>v1</c1></e>
+        |</list><audit>
+        |<e><c1>not-data</c1></e>
+        |</audit></data></root>""".stripMargin
+    val rows = XmlSource.parseDocument(xml, Some("data/list"), None)
+    // the <audit> sibling's entries must not leak into the result
+    assert(rows == Seq(Map("c1" -> "v1")))
+  }
+
   test("XML: root as list element (no -dp)") {
     val f = tmp("plain.xml",
       "<Entries><Entry><a>1</a><b>x</b></Entry><Entry><a>2</a></Entry></Entries>")
@@ -110,6 +122,32 @@ class SourcesSpec extends SparkSpec {
     assert(m("address_1_locality") == "München")
     assert(m("address_1_country") == "Deutschland")
     assert(m("address_1_attr") == "HOME")
+  }
+
+  test("vCard: QP soft line breaks join; base64 '=' padding does not") {
+    val photo = java.util.Base64.getEncoder.encodeToString("pix!".getBytes) // ends '='
+    val vcf =
+      "BEGIN:VCARD\nVERSION:2.1\nN:Doe;Jane;;;\n" +
+        "NOTE;ENCODING=QUOTED-PRINTABLE:first part=\nsecond:part\n" +
+        s"PHOTO;ENCODING=b:$photo\nTEL:123\n" +
+        "END:VCARD\n"
+    val m = VcfSource.parseCards(vcf).head
+    assert(m("note") == "first partsecond:part") // soft break joined
+    assert(!m.contains("second"))                // no phantom property
+    assert(m("phone_1") == "123")                // line after PHOTO intact
+    assert(new String(m("photo").asInstanceOf[Array[Byte]]) == "pix!")
+  }
+
+  test("vCard: mixed string/base64 photo column coerces instead of crashing") {
+    val b64 = java.util.Base64.getEncoder.encodeToString("img".getBytes)
+    val vcf =
+      s"BEGIN:VCARD\nN:A;B;;;\nPHOTO;ENCODING=b:$b64\nEND:VCARD\n" +
+        "BEGIN:VCARD\nN:C;D;;;\nPHOTO:https://example.com/x.jpg\nEND:VCARD\n"
+    val df = VcfSource.readInline(spark, vcf)
+    assert(df.schema("photo").dataType == org.apache.spark.sql.types.BinaryType)
+    val vals = df.select("photo").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0))).sorted
+    assert(vals.toSeq == Seq("https://example.com/x.jpg", "img"))
   }
 
   test("vCard: base64 PHOTO decodes to a binary column") {
