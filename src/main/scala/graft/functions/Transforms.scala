@@ -15,13 +15,25 @@ object Transforms {
     * (reference DbImportWorker.java:1145-1176).
     */
   def parseDecimalDot(c: Column, to: String = "double"): Column =
-    regexp_replace(c, ",", "").try_cast(to)
+    numericCast(regexp_replace(c, ",", ""), to)
 
   /** `,` decimal format: strip `.` grouping, `,` → `.`, then cast
     * (reference DbImportWorker.java:1177-1208).
     */
   def parseDecimalComma(c: Column, to: String = "double"): Column =
-    translate(regexp_replace(c, "\\.", ""), ",", ".").try_cast(to)
+    numericCast(translate(regexp_replace(c, "\\.", ""), ",", "."), to)
+
+  /** Numeric cast that accepts decimal-pointed strings for INTEGRAL
+    * targets: Spark's strict string→int cast nulls "12.50", but the
+    * reference parses via double and truncates. Pure-integer strings
+    * take the direct cast (exact for bigints beyond double precision);
+    * only decimal-pointed values detour through double.
+    */
+  private def numericCast(s: Column, to: String): Column = to match {
+    case "int" | "bigint" | "smallint" | "tinyint" =>
+      coalesce(s.try_cast(to), s.try_cast("double").try_cast(to))
+    case t => s.try_cast(t)
+  }
 
   /** `lc` / `uc` format info (reference DbImportWorker.java:1316-1331). */
   def lowerCase(c: Column): Column = lower(c)

@@ -42,12 +42,16 @@ object TypeLattice {
   /** One aggregation pass over `df` (all columns treated as strings). */
   def stats(df: DataFrame, columns: Seq[String]): Seq[ColumnStats] = {
     val aggs = columns.flatMap { c =>
-      val v = trim(col(c).cast("string"))
+      // quote the reference: a header like "No." must not resolve as a
+      // nested-field path
+      val v = trim(col(s"`${c.replace("`", "``")}`").cast("string"))
       val present = v.isNotNull && v =!= ""
       def allMatch(re: String) =
         coalesce(min(when(present, v.rlike(re))), lit(true))
       Seq(
-        sum(when(present, 1L).otherwise(0L)).as(s"${c}__n"),
+        // coalesce: sum over an EMPTY frame is null, which would NPE the
+        // Long unboxing below
+        coalesce(sum(when(present, 1L).otherwise(0L)), lit(0L)).as(s"${c}__n"),
         allMatch(s"($DateRe)|($IsoDateRe)").as(s"${c}__date"),
         allMatch(s"($DateTimeRe)|($IsoDateTimeRe)").as(s"${c}__datetime"),
         allMatch(IntRe).as(s"${c}__int"),

@@ -47,6 +47,7 @@ object OdsSource {
     var cur: scala.collection.mutable.ArrayBuffer[String] = null
     var cellValue: String = null
     var cellRepeat = 1
+    var rowRepeat = 1
     var inP = false
     val p = new StringBuilder
     def attr(name: String): Option[String] =
@@ -63,6 +64,12 @@ object OdsSource {
           if (inWantedTable) tableSeen = true
         case "table-row" if inWantedTable =>
           cur = scala.collection.mutable.ArrayBuffer.empty
+          rowRepeat = attr("number-rows-repeated").map(_.toInt).getOrElse(1)
+        case "covered-table-cell" if cur != null =>
+          // placeholder under a merged cell: still a grid position —
+          // skipping it would shift every later cell left
+          val rep = attr("number-columns-repeated").map(_.toInt).getOrElse(1)
+          (0 until math.min(rep, 4096)).foreach(_ => cur += null)
         case "table-cell" if cur != null =>
           cellRepeat = attr("number-columns-repeated").map(_.toInt).getOrElse(1)
           // typed cells carry their value as an office attribute
@@ -84,7 +91,14 @@ object OdsSource {
           (0 until math.min(cellRepeat, 4096)).foreach(_ => cur += v)
           cellValue = null
         case "table-row" if cur != null =>
-          rows += cur.toIndexedSeq; cur = null
+          // rows-repeated compresses identical consecutive rows; expand
+          // NON-EMPTY rows (empty ones are trailing grid filler with
+          // repeat counts in the millions)
+          val row = cur.toIndexedSeq
+          val n = if (row.forall(x => x == null || x.isEmpty)) 1
+                  else math.min(rowRepeat, 65536)
+          (0 until n).foreach(_ => rows += row)
+          cur = null; rowRepeat = 1
         case "table" => inWantedTable = false
         case _ =>
       }
@@ -112,9 +126,13 @@ object OdsSource {
       .select("content").as[Array[Byte]]
     val parsed = files.rdd.map(b => parseContent(b, sheetName, header))
     parsed.cache()
-    val cols = parsed.map(_._1).reduce((a, b) => if (a.nonEmpty) a else b)
+    // deterministic schema across files: widest header list wins
+    val headerLists = parsed.map(_._1).collect()
+    require(headerLists.nonEmpty, s"no documents matched $path")
+    val cols = headerLists.maxBy(h => (h.size, h.mkString("\u0000")))
     val schema = StructType(cols.map(c => StructField(c, StringType, nullable = true)))
-    val rows = parsed.flatMap(_._2).map(r => Row.fromSeq(r.padTo(cols.size, null)))
+    val rows = parsed.flatMap(_._2)
+      .map(r => Row.fromSeq(r.padTo(cols.size, null).take(cols.size)))
     spark.createDataFrame(rows, schema)
   }
 }

@@ -45,9 +45,25 @@ object XlsSource {
     val numMiniFat = u32(bytes, 64).toInt
     def sector(i: Long): Array[Byte] =
       bytes.slice(512 + (i * sectorSize).toInt, 512 + ((i + 1) * sectorSize).toInt)
-    // DIFAT: first 109 FAT sector ids live in the header
-    val fatSectors = (0 until math.min(numFat, 109))
+    // DIFAT: first 109 FAT sector ids live in the header; larger files
+    // continue the DIFAT in its own sector chain (header offsets 68/72)
+    val headerFat = (0 until math.min(numFat, 109))
       .map(i => u32(bytes, 76 + i * 4)).filter(_ < EndOfChain)
+    val extraFat = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var difat = u32(bytes, 68)
+      var guard = 0
+      while (difat < EndOfChain && guard < 4096) {
+        val sec = sector(difat)
+        val perSector = sectorSize / 4 - 1
+        (0 until perSector).map(i => u32(sec, i * 4))
+          .filter(_ < EndOfChain).foreach(out += _)
+        difat = u32(sec, perSector * 4) // last entry chains to next DIFAT
+        guard += 1
+      }
+      out.toSeq
+    }
+    val fatSectors = (headerFat ++ extraFat).take(numFat)
     val fat: Array[Long] = fatSectors.toArray.flatMap { fs =>
       val s = sector(fs)
       (0 until sectorSize / 4).map(i => u32(s, i * 4))
@@ -155,8 +171,9 @@ object XlsSource {
         ensure()
         require(si < segs.length, s"SST truncated: $left chars missing")
         // a continuation entered mid-string restarts with a fresh
-        // option-flags byte (the width may switch)
-        if (off == 0 && left < n) wide = (u8() & 1) != 0
+        // option-flags byte (the width may switch) — including when the
+        // boundary fell between the string header and its FIRST char
+        if (off == 0 && si > 0) wide = (u8() & 1) != 0
         val bytesPerChar = if (wide) 2 else 1
         val avail = (segs(si).length - off) / bytesPerChar
         val take = math.min(left, avail)
@@ -170,11 +187,11 @@ object XlsSource {
     }
   }
 
-  private def decodeRk(rk: Long): String = {
+  private[sources] def decodeRk(rk: Long): String = {
     val div100 = (rk & 1) != 0
     val isInt = (rk & 2) != 0
     val v: Double =
-      if (isInt) (rk >> 2).toInt.toDouble
+      if (isInt) (rk.toInt >> 2).toDouble // ARITHMETIC shift: sign-extend negatives
       else java.lang.Double.longBitsToDouble((rk & 0xFFFFFFFCL) << 32)
     numRepr(if (div100) v / 100.0 else v)
   }
@@ -319,6 +336,7 @@ object XlsSource {
       arr.toIndexedSeq
     }
     val trimmed = byRow.reverse.dropWhile(_.forall(v => v == null || v.isEmpty)).reverse
+    if (trimmed.isEmpty) return (IndexedSeq.empty, Seq.empty)
     if (header)
       (trimmed.head.zipWithIndex.map { case (h, i) =>
         if (h == null || h.isEmpty) s"column_${i + 1}" else h
@@ -333,9 +351,13 @@ object XlsSource {
       .select("content").as[Array[Byte]]
     val parsed = files.rdd.map(b => parseWorkbook(b, sheetName, header, password))
     parsed.cache()
-    val cols = parsed.map(_._1).reduce((a, b) => if (a.nonEmpty) a else b)
+    // deterministic schema across workbooks: widest header list wins
+    val headerLists = parsed.map(_._1).collect()
+    require(headerLists.nonEmpty, s"no workbooks matched $path")
+    val cols = headerLists.maxBy(h => (h.size, h.mkString("\u0000")))
     val schema = StructType(cols.map(c => StructField(c, StringType, nullable = true)))
-    val rows = parsed.flatMap(_._2).map(r => Row.fromSeq(r.padTo(cols.size, null)))
+    val rows = parsed.flatMap(_._2)
+      .map(r => Row.fromSeq(r.padTo(cols.size, null).take(cols.size)))
     spark.createDataFrame(rows, schema)
   }
 }

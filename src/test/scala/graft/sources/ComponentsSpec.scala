@@ -252,4 +252,69 @@ class ComponentsSpec extends SparkSpec {
     // typed cells surface the office value attributes, not display text
     assert(r.getString(0) == "1.5" && r.getString(1) == "2003-02-01" && r.getString(2) == "x")
   }
+
+  test("ods parser: covered cells hold grid positions; rows-repeated expands") {
+    val content =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<office:document-content
+        | xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+        | xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+        | xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+        |<office:body><office:spreadsheet>
+        |<table:table table:name="s">
+        |<table:table-row>
+        | <table:table-cell><text:p>h1</text:p></table:table-cell>
+        | <table:table-cell><text:p>h2</text:p></table:table-cell>
+        | <table:table-cell><text:p>h3</text:p></table:table-cell>
+        |</table:table-row>
+        |<table:table-row>
+        | <table:table-cell table:number-columns-spanned="2" office:value="1"/>
+        | <table:covered-table-cell/>
+        | <table:table-cell office:value="2"/>
+        |</table:table-row>
+        |<table:table-row table:number-rows-repeated="3">
+        | <table:table-cell office:value="9"/>
+        | <table:table-cell office:value="9"/>
+        | <table:table-cell office:value="9"/>
+        |</table:table-row>
+        |</table:table>
+        |</office:spreadsheet></office:body></office:document-content>""".stripMargin
+    val f = new File(SyntheticFixtures.dir("odscov"), "m.ods")
+    val out = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+    out.putNextEntry(new java.util.zip.ZipEntry("content.xml"))
+    out.write(content.getBytes("UTF-8")); out.closeEntry(); out.close()
+    val rows = OdsSource.read(spark, f.getPath).collect()
+    // merged row: value 2 lands in column h3, NOT h2
+    val mergedRow = rows.find(_.getString(0) == "1").get
+    assert(mergedRow.isNullAt(1) && mergedRow.getString(2) == "2")
+    // rows-repeated=3 expands to three data rows
+    assert(rows.count(r => r.getString(0) == "9") == 3)
+  }
+
+  test("xls RK decoding: negative integers sign-extend") {
+    // -1 as RK int: bits (-1 << 2) | 2, as unsigned u32
+    assert(XlsSource.decodeRk(((-1 << 2) | 2).toLong & 0xFFFFFFFFL) == "-1")
+    assert(XlsSource.decodeRk(((42 << 2) | 2).toLong) == "42")
+    // -12.5 stored as int -1250 with div-100 flag
+    assert(XlsSource.decodeRk(((-1250 << 2) | 3).toLong & 0xFFFFFFFFL) == "-12.5")
+  }
+
+  test("decimal formats parse into integral targets via double truncation") {
+    val df = Seq(("1,234.56", "12.00", "9223372036854775807")).toDF("a", "b", "c")
+    val r = df.select(
+      graft.functions.Transforms.parseDecimalDot(org.apache.spark.sql.functions.col("a"), "int").as("a"),
+      graft.functions.Transforms.parseDecimalDot(org.apache.spark.sql.functions.col("b"), "bigint").as("b"),
+      // a pure-integer bigint beyond double precision must stay exact
+      graft.functions.Transforms.parseDecimalDot(org.apache.spark.sql.functions.col("c"), "bigint").as("c")).collect()(0)
+    assert(r.getInt(0) == 1234 && r.getLong(1) == 12L)
+    assert(r.getLong(2) == 9223372036854775807L)
+  }
+
+  test("type inference survives an empty (0-row) frame") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL("`No.` STRING, b STRING"))
+    val st = graft.schema.TypeLattice.stats(empty, Seq("No.", "b"))
+    assert(st.forall(_.nonEmpty == 0L)) // and dotted names resolve
+  }
 }
