@@ -29,6 +29,9 @@ object Mapping {
       else if (rest.startsWith("'") || rest.startsWith("\"")) {
         val q = rest.charAt(0)
         val end = rest.indexOf(q, 1)
+        require(end > 0, s"unterminated quote in mapping entry: $entry " +
+          "(note: quoted data-column names cannot contain ';' — " +
+          "entries split on it)")
         val data = rest.substring(1, end)
         val fmt = rest.substring(end + 1).trim
         ColumnMapping(db, Some(data), if (fmt.isEmpty) None else Some(fmt))
@@ -67,10 +70,12 @@ object Mapping {
       case (_, "lc") => Transforms.lowerCase(src).cast(target.dataType)
       case (_, "uc") => Transforms.upperCase(src).cast(target.dataType)
       case (_, "email") => Transforms.emailNormalize(src)
-      case (DoubleType | FloatType | IntegerType | LongType, ".") =>
-        Transforms.parseDecimalDot(src, target.dataType.simpleString)
-      case (DoubleType | FloatType | IntegerType | LongType, ",") =>
-        Transforms.parseDecimalComma(src, target.dataType.simpleString)
+      // every numeric target takes the decimal formats — DECIMAL (the
+      // common SQL money type) and short/byte included
+      case (t: org.apache.spark.sql.types.NumericType, ".") =>
+        Transforms.parseDecimalDot(src, t.simpleString)
+      case (t: org.apache.spark.sql.types.NumericType, ",") =>
+        Transforms.parseDecimalComma(src, t.simpleString)
       // date parsing always trims first: values arrive untrimmed when the
       // global trim option is off, but the reference still parses them
       case (TimestampType, f) if f.exists(DatePatternChars.contains(_)) =>

@@ -85,7 +85,8 @@ object Validation {
         names.zipWithIndex.foreach { case (n, i) =>
           val v = row.get(i)
           val text = if (v == null) nullValueText else textValue(v)
-          w.write(s"\n\t\t<$n>${xmlEscape(text)}</$n>")
+          val tag = xmlTag(n)
+          w.write(s"\n\t\t<$tag>${xmlEscape(text)}</$tag>")
         }
         w.write(s"\n\t</$entryTag>")
       }
@@ -103,8 +104,23 @@ object Validation {
     case other => other.toString
   }
 
+  /** Column name → well-formed XML element name: invalid characters
+    * become '_' and a leading non-letter gets a '_' prefix — a header
+    * like "First Name" must not render the whole errors file unparseable.
+    */
+  private def xmlTag(n: String): String = {
+    val cleaned = n.map(c =>
+      if (c.isLetterOrDigit || c == '_' || c == '-' || c == '.') c else '_')
+    if (cleaned.isEmpty || !(cleaned.head.isLetter || cleaned.head == '_'))
+      "_" + cleaned
+    else cleaned
+  }
+
   private def jsonValue(v: Any): String = v match {
     case null => "null"
+    // bare NaN/Infinity tokens are not JSON — render as null
+    case d: Double if d.isNaN || d.isInfinite => "null"
+    case f: Float if f.isNaN || f.isInfinite => "null"
     case s: String => "\"" + jsonEscape(s) + "\""
     case b: Boolean => b.toString
     case n: java.math.BigDecimal => n.toPlainString

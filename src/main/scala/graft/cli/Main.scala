@@ -122,36 +122,42 @@ object Main {
     val csvOpts = CsvSource.CsvOptions(separator = a.sep, quote = a.quote,
       header = a.headers, nullToken = a.nullToken, trimValues = false,
       encoding = a.encoding)
-    def decompressed: org.apache.spark.sql.Dataset[String] = {
-      import spark.implicits._
-      Compression.readWholeText(spark, path, a.zipPassword).map(_._2)
-    }
     val compressed = path.toLowerCase.matches(".*\\.(zip|gz|tgz)$")
-    if (lower.endsWith(".csv") || lower.endsWith(".txt")) {
+    // compressed containers decompress ONCE to a temp file named like
+    // the inner format, then every branch (and the -sp validation and
+    // the -e charset handling) reads that path — wiring decompression
+    // per format would leave most branches reading raw container bytes
+    val p =
       if (compressed) {
-        import spark.implicits._
-        CsvSource.readLines(decompressed.flatMap(_.split("\n").toSeq), csvOpts)
-      } else CsvSource.read(spark, path, csvOpts)
-    }
+        val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+        val dec = Compression.decompress(new java.io.File(path).getName, raw, a.zipPassword)
+        val tmp = java.io.File.createTempFile("graft_dec_",
+          "_" + new java.io.File(lower).getName)
+        tmp.deleteOnExit()
+        java.nio.file.Files.write(tmp.toPath, dec)
+        tmp.getPath
+      } else path
+    if (lower.endsWith(".csv") || lower.endsWith(".txt"))
+      CsvSource.read(spark, p, csvOpts)
     else if (lower.endsWith(".json")) {
-      a.schemaFile.foreach(SchemaValidation.validateJsonSchema(path, _))
-      a.dataPath.map(dp => JsonSource.readArrayAt(spark, path, dp))
-        .getOrElse(JsonSource.readArray(spark, path))
+      a.schemaFile.foreach(SchemaValidation.validateJsonSchema(p, _))
+      a.dataPath.map(dp => JsonSource.readArrayAt(spark, p, dp))
+        .getOrElse(JsonSource.readArray(spark, p))
     }
-    else if (lower.endsWith(".yaml") || lower.endsWith(".yml")) YamlSource.read(spark, path)
+    else if (lower.endsWith(".yaml") || lower.endsWith(".yml")) YamlSource.read(spark, p)
     else if (lower.endsWith(".xml")) {
-      a.schemaFile.foreach(SchemaValidation.validateXsd(path, _))
-      XmlSource.read(spark, path, a.dataPath, a.nullToken)
+      a.schemaFile.foreach(SchemaValidation.validateXsd(p, _))
+      XmlSource.read(spark, p, a.dataPath, a.nullToken)
     }
-    else if (lower.endsWith(".xlsx")) XlsxSource.read(spark, path, a.dataPath, a.headers)
+    else if (lower.endsWith(".xlsx")) XlsxSource.read(spark, p, a.dataPath, a.headers)
     else if (lower.endsWith(".xls"))
       // -zippassword doubles as the workbook password (one container
       // password flag, like the reference's zipPassword plumbing)
-      XlsSource.read(spark, path, a.dataPath, a.headers, a.zipPassword)
-    else if (lower.endsWith(".ods")) OdsSource.read(spark, path, a.dataPath, a.headers)
-    else if (lower.endsWith(".vcf")) VcfSource.read(spark, path)
+      XlsSource.read(spark, p, a.dataPath, a.headers, a.zipPassword)
+    else if (lower.endsWith(".ods")) OdsSource.read(spark, p, a.dataPath, a.headers)
+    else if (lower.endsWith(".vcf")) VcfSource.read(spark, p)
     else if (lower.endsWith(".kdbx"))
-      KdbxSource.read(spark, path, a.kdbxPassword.getOrElse(
+      KdbxSource.read(spark, p, a.kdbxPassword.getOrElse(
         throw new IllegalArgumentException(".kdbx import requires -kdbxpassword")))
     else throw new IllegalArgumentException(s"unsupported format: $path")
   }
@@ -201,10 +207,23 @@ object Main {
     } else {
       val src =
         if (a.inline) {
-          import spark.implicits._
-          CsvSource.readLines(spark.createDataset(a.importPathOrData.split("\n").toSeq),
-            CsvSource.CsvOptions(separator = a.sep, header = a.headers,
-              nullToken = a.nullToken))
+          // -data payload shape decides the parser (the reference feeds
+          // inline data through the SAME provider dispatch,
+          // DataProvider.java:150-156): JSON array/object, vCard, YAML
+          // sequence, else the CSV dialect
+          val t = a.importPathOrData.trim
+          if (t.startsWith("[") || t.startsWith("{"))
+            JsonSource.readInline(spark, a.importPathOrData)
+          else if (t.toUpperCase.startsWith("BEGIN:VCARD"))
+            VcfSource.readInline(spark, a.importPathOrData)
+          else if (t.startsWith("- "))
+            YamlSource.readInline(spark, a.importPathOrData)
+          else {
+            import spark.implicits._
+            CsvSource.readLines(spark.createDataset(a.importPathOrData.split("\n").toSeq),
+              CsvSource.CsvOptions(separator = a.sep, header = a.headers,
+                nullToken = a.nullToken))
+          }
         } else readSource(spark, a, a.importPathOrData)
       if (a.analyse) {
         MultiImporter.analyse(src).foreach { case (c, t) => println(s"$c: $t") }

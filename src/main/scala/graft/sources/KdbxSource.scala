@@ -227,6 +227,7 @@ object KdbxSource {
     val out = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
     var entry: scala.collection.mutable.LinkedHashMap[String, String] = null
     var inHistory = false
+    var inString = false // only Entry/String/Key+Value pairs are fields
     var key: String = null
     var cur: String = null // "Key" | "Value" | null
     var isProtected = false
@@ -234,8 +235,15 @@ object KdbxSource {
     try while (r.hasNext) r.next() match {
       case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
         case "History" => inHistory = true
+        case "String" => inString = true
         case "Entry" if !inHistory => entry = scala.collection.mutable.LinkedHashMap.empty
-        case "Key" | "Value" if entry != null && !inHistory =>
+        // Key/Value collect inside ANY <String> — including History:
+        // the inner stream is ONE continuous keystream over protected
+        // values in document order, so a skipped history value would
+        // desync decryption of everything after it. (<Binary>
+        // attachments and <CustomData> items are NOT fields and are
+        // excluded by the String gate.)
+        case "Key" | "Value" if inString =>
           cur = r.getLocalName; text.clear()
           isProtected = cur == "Value" &&
             (0 until r.getAttributeCount).exists(i =>
@@ -246,17 +254,20 @@ object KdbxSource {
       case XMLStreamConstants.CHARACTERS if cur != null => text.append(r.getText)
       case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
         case "History" => inHistory = false
-        case "Key" if entry != null && !inHistory => key = text.toString; cur = null
-        case "Value" if entry != null && key != null && !inHistory =>
+        case "String" => inString = false
+        case "Key" if inString => key = text.toString; cur = null
+        case "Value" if inString =>
           val v =
             if (isProtected) inner match {
-              // ONE continuous keystream over protected values in
-              // document order (KeePass inner-stream contract)
               case Some(s20) => new String(
                 s20.crypt(java.util.Base64.getDecoder.decode(text.toString)), "UTF-8")
-              case None => text.toString
+              case None => throw new IllegalArgumentException(
+                "protected value found but the inner stream is absent or " +
+                  "unsupported — refusing to import ciphertext as data")
             } else text.toString
-          entry(key) = v; key = null; cur = null; isProtected = false
+          // history values DECRYPT (keystream position) but don't store
+          if (!inHistory && entry != null && key != null) entry(key) = v
+          key = null; cur = null; isProtected = false
         case "Entry" if !inHistory && entry != null => out += entry.toMap; entry = null
         case _ =>
       }
