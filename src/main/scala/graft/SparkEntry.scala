@@ -2715,16 +2715,20 @@ object SparkEntry {
          |  ELSE 0.0 END AS dup_frac
          |FROM tn LEFT JOIN agg ON agg.doc_id = tn.doc_id
          |ORDER BY tn.doc_id""".stripMargin,
-    "q73_table_checksum" ->
-      """WITH h AS (SELECT l_returnflag,
+    "q73_table_checksum" -> {
+      // mirrors TableChecksum.rowHash canonicalization: <charlen>:<value>
+      def canon(e: String): String =
+        s"(CAST(length(CAST($e AS VARCHAR)) AS VARCHAR) || ':' || CAST($e AS VARCHAR))"
+      s"""WITH h AS (SELECT l_returnflag,
         |  CAST(('0x' || substr(md5(
-        |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) || '|' ||
-        |    CAST(l_suppkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' ||
-        |    l_returnflag || '|' || l_linestatus), 1, 12)) AS BIGINT) AS h
+        |    ${canon("l_orderkey")} || '|' || ${canon("l_partkey")} || '|' ||
+        |    ${canon("l_suppkey")} || '|' || ${canon("l_linenumber")} || '|' ||
+        |    ${canon("l_returnflag")} || '|' || ${canon("l_linestatus")}), 1, 12)) AS BIGINT) AS h
         | FROM lineitem)
         |SELECT l_returnflag, count(*) AS n_rows, bit_xor(h) AS xor_checksum,
         | CAST(sum(CAST(h AS DECIMAL(38,0))) % 1000000007 AS BIGINT) AS sum_checksum
-        |FROM h GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |FROM h GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
     "q74_cube" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
         | coalesce(n_name, 'ALL') AS nation,

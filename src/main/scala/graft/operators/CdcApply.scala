@@ -22,7 +22,8 @@ object CdcApply {
     val payload = struct((col(opCol).as("op") +: payloadCols.map(col)): _*)
     log.groupBy(col(keyCol))
       .agg(max_by(payload, col(ordCol)).as("last"))
-      .filter(col("last.op") =!= "D")
+      // null-safe: a malformed NULL op must not act as a delete
+      .filter(!(col("last.op") <=> "D"))
       .select(col(keyCol) +: payloadCols.map(c => col(s"last.$c").as(c)): _*)
   }
 }

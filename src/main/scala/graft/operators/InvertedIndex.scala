@@ -30,10 +30,15 @@ object InvertedIndex {
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(col("doc_id"))).as("postings"))
 
-  /** Documents containing ALL `terms`, resolved purely from the index. */
+  /** Documents containing ALL `terms`, resolved purely from the index.
+    * Terms normalize with the build-side tokenizer convention
+    * (lowercase + trim) and dedupe — a repeated or differently-cased
+    * query term must not make the intersection unsatisfiable.
+    */
   def searchAll(index: DataFrame, terms: Seq[String]): DataFrame = {
-    val n = terms.length
-    index.filter(col("term").isin(terms: _*))
+    val ts = terms.map(_.trim.toLowerCase).distinct
+    val n = ts.length
+    index.filter(col("term").isin(ts: _*))
       .select(explode(col("postings")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_terms"))
       .filter(col("n_terms") === n)

@@ -26,12 +26,14 @@ object SnapshotDiff {
       TableChecksum.rowHash(compareCols.map(col)).as("oh"))
     val n = newSnap.select(col(keyCol).as("k"),
       TableChecksum.rowHash(compareCols.map(col)).as("nh"))
-    o.join(n, Seq("k"), "full_outer")
+    // null-safe key equality: an identical NULL-keyed row in both
+    // snapshots is unchanged, not an added+removed pair
+    o.as("o").join(n.as("n"), col("o.k") <=> col("n.k"), "full_outer")
       .withColumn("change_type",
         when(col("oh").isNull, lit("added"))
           .when(col("nh").isNull, lit("removed"))
           .when(col("oh") =!= col("nh"), lit("changed")))
       .filter(col("change_type").isNotNull)
-      .select(col("k").as(keyCol), col("change_type"))
+      .select(coalesce(col("o.k"), col("n.k")).as(keyCol), col("change_type"))
   }
 }

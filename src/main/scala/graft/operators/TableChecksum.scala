@@ -24,10 +24,18 @@ import org.apache.spark.sql.types.DecimalType
 object TableChecksum {
 
   /** 48-bit engine-invariant row hash: first 12 hex digits of the md5
-    * of the '|'-joined canonical row string.
+    * of the '|'-joined canonical row string. Each column canonicalizes
+    * as `<charlen>:<value>` with NULL → `N` — a bare concat_ws would
+    * SKIP nulls (rows differing only in which column is null collide)
+    * and a value containing '|' could imitate a column boundary.
     */
-  def rowHash(cols: Seq[Column]): Column =
-    conv(substring(md5(concat_ws("|", cols: _*)), 1, 12), 16, 10).cast("long")
+  def rowHash(cols: Seq[Column]): Column = {
+    val canon = cols.map { c =>
+      val v = c.cast("string")
+      coalesce(concat(length(v).cast("string"), lit(":"), v), lit("N"))
+    }
+    conv(substring(md5(concat_ws("|", canon: _*)), 1, 12), 16, 10).cast("long")
+  }
 
   private val Mod = 1000000007L
 

@@ -32,6 +32,11 @@ case class CosineSimExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // returns null for length mismatches / null elements / zero norms
+  // even when both inputs are non-nullable — without this override the
+  // optimizer would constant-fold IS NULL checks away
+  override def nullable: Boolean = true
+
   private def elemOk(t: DataType): Boolean = t match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
     case _ => false
@@ -64,7 +69,10 @@ case class CosineSimExpr(left: Expression, right: Expression)
       nb += yi * yi
       i += 1
     }
-    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    // zero-norm → null, matching the declarative form (Spark's non-ANSI
+    // Divide yields NULL on a 0.0 divisor, not IEEE NaN)
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
   override protected def withNewChildrenInternal(
