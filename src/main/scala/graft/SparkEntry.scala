@@ -2655,7 +2655,7 @@ object SparkEntry {
          |      ELSE list_transform(generate_series(1, len(toks) - 2),
          |            i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END AS shingles
          | FROM btok),
-         |bsh AS (SELECT DISTINCT unnest(shingles) AS sh FROM bshl),
+         |bsh AS (SELECT DISTINCT sh FROM (SELECT unnest(shingles) AS sh FROM bshl) WHERE sh <> ''),
          |m AS (SELECT s.doc_id, count(*) AS n_matched
          | FROM s JOIN bsh ON s.sh = bsh.sh GROUP BY 1),
          |n AS (SELECT doc_id, count(*) AS n_shingles FROM s GROUP BY 1)
@@ -3009,7 +3009,7 @@ object SparkEntry {
          |      ELSE list_transform(generate_series(1, len(toks) - 2),
          |            i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END AS shingles
          | FROM btok),
-         |bsh AS (SELECT DISTINCT unnest(shingles) AS sh FROM bshl),
+         |bsh AS (SELECT DISTINCT sh FROM (SELECT unnest(shingles) AS sh FROM bshl) WHERE sh <> ''),
          |m AS (SELECT s.doc_id, count(*) AS n_matched
          | FROM s JOIN bsh ON s.sh = bsh.sh GROUP BY 1),
          |n AS (SELECT doc_id, count(*) AS n_shingles FROM s GROUP BY 1),

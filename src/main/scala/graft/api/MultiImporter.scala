@@ -18,9 +18,12 @@ object MultiImporter {
   case class FileResult(file: String, table: String,
                         result: Either[String, Importer.ImportResult])
 
-  /** SQL hooks executed on the sink connection around the batch — the
-    * vendor-specific FK/trigger toggles (`-deactivatefk`,
-    * `-deactivatetriggers`) plug in here.
+  /** SQL hooks executed once around the whole batch, each on its own
+    * connection — the vendor-specific FK/trigger toggles
+    * (`-deactivatefk`, `-deactivatetriggers`) plug in here. Statements
+    * must have GLOBAL effect (ALTER TABLE … DISABLE TRIGGER, catalog
+    * DDL): SESSION-scoped settings (MySQL `SET FOREIGN_KEY_CHECKS=0`)
+    * do NOT carry over to the import's own per-partition connections.
     */
   case class Hooks(pre: Seq[String] = Nil, post: Seq[String] = Nil)
 

@@ -28,8 +28,12 @@ object Decontamination {
                          k: Int = 3, threshold: Double = 0.5): DataFrame = {
     def shingleSet(c: org.apache.spark.sql.Column) =
       array_distinct(TextShingles.shingles(TextAnalysis.tokens(c), k))
+    // blank/short benchmark docs collapse to the whole-text shingle
+    // ("" for empty text); drop empties so a vacuous match cannot flag
+    // every blank corpus doc as 100% contaminated
     val benchSh = benchmark
-      .select(explode(shingleSet(col(textCol))).as("sh")).distinct()
+      .select(explode(shingleSet(col(textCol))).as("sh"))
+      .filter(col("sh") =!= "").distinct()
     // ONE pass over the corpus: explode each doc's shingles, tag the
     // benchmark hits with a broadcast left join, count both totals in
     // the same hash aggregation (the corpus is shingled exactly once)

@@ -30,7 +30,7 @@ object SequencePacking {
     withOff
       .withColumn("first_seq", expr(s"start_offset div ${budget}L"))
       .withColumn("last_seq",
-        expr(s"(start_offset + $tokenCountCol - 1L) div ${budget}L"))
+        expr(s"(start_offset + `$tokenCountCol` - 1L) div ${budget}L"))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1L)
   }
 

@@ -26,7 +26,11 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                  saltFactor: Int, saltSource: Column): DataFrame = {
-    val salted = fact.withColumn("__graft_salt", pmod(saltSource, lit(saltFactor)).cast("int"))
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
+    // a null salt source must not DROP the row (null never equals any
+    // dim salt) — route nulls to bucket 0
+    val salted = fact.withColumn("__graft_salt",
+      pmod(coalesce(saltSource, lit(0)), lit(saltFactor)).cast("int"))
     val explodedDim = dim.withColumn("__graft_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(explodedDim, keys :+ "__graft_salt")
@@ -40,10 +44,13 @@ object Skew {
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltFactor: Int,
                       saltSource: Column,
-                      partial: Seq[Column], finalize: Seq[Column]): DataFrame =
-    df.withColumn("__graft_salt", pmod(saltSource, lit(saltFactor)).cast("int"))
+                      partial: Seq[Column], finalize: Seq[Column]): DataFrame = {
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
+    df.withColumn("__graft_salt",
+        pmod(coalesce(saltSource, lit(0)), lit(saltFactor)).cast("int"))
       .groupBy((keys :+ "__graft_salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)
       .agg(finalize.head, finalize.tail: _*)
+  }
 }

@@ -29,9 +29,13 @@ object StructureFile {
         .map { c =>
           ColumnDef(
             c.get("name").asText(),
-            Option(c.get("datatype")).map(_.asText()).getOrElse("String"),
-            Option(c.get("datasize")).map(_.asInt()),
-            Option(c.get("defaultvalue")).map(_.asText()))
+            // explicit JSON null arrives as Jackson NullNode, not Java
+            // null — filter it, or datasize:null becomes Some(0) and
+            // defaultvalue:null the literal string "null"
+            Option(c.get("datatype")).filterNot(_.isNull).map(_.asText())
+              .getOrElse("String"),
+            Option(c.get("datasize")).filterNot(_.isNull).map(_.asInt()),
+            Option(c.get("defaultvalue")).filterNot(_.isNull).map(_.asText()))
         }
       val keys = Option(node.get("keycolumns")).map(_.elements().asScala.toSeq)
         .getOrElse(Nil).map(_.asText())

@@ -33,8 +33,14 @@ object UpsertWriter {
     val sc = df.sparkSession.sparkContext
     val ins = sc.longAccumulator("graft.upsert.inserted")
     val upd = sc.longAccumulator("graft.upsert.updated")
-    // route each key to one partition so probes don't race
-    val partitioned = df.repartition(keys.map(org.apache.spark.sql.functions.col): _*)
+    // route each key to one partition so probes don't race; the shuffle
+    // loses arrival order, so pin it with an ordinal BEFORE repartition
+    // and sort within partitions — last-wins must be deterministic
+    val ordered = graft.operators.Ordinals.withArrivalOrdinal(df, "__graft_uord")
+    val partitioned = ordered
+      .repartition(keys.map(org.apache.spark.sql.functions.col): _*)
+      .sortWithinPartitions(org.apache.spark.sql.functions.col("__graft_uord"))
+      .drop("__graft_uord")
     partitioned.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
         val c = DriverManager.getConnection(url)
@@ -46,6 +52,9 @@ object UpsertWriter {
           val insertPs = c.prepareStatement(
             s"""INSERT INTO "$t" (${schema.fieldNames.map(q).mkString(", ")}) """ +
               s"VALUES (${schema.fieldNames.map(_ => "?").mkString(", ")})")
+          val cachedPs = scala.collection.mutable.Map.empty[String, java.sql.PreparedStatement]
+          def fullUpdatePs(conn: java.sql.Connection, sql: String): java.sql.PreparedStatement =
+            cachedPs.getOrElseUpdate(sql, conn.prepareStatement(sql))
           val seen = scala.collection.mutable.Set.empty[Seq[Any]]
           rows.foreach { r =>
             val keyVals = keyIdx.map(r.get)
@@ -63,9 +72,11 @@ object UpsertWriter {
               val setCols = valCols.filter(cn =>
                 updateWithNull || r.get(schema.fieldIndex(cn)) != null)
               if (setCols.nonEmpty) {
+                // updateWithNull=true always sets ALL value columns —
+                // reuse one prepared statement instead of compiling per row
                 val sql = s"""UPDATE "$t" SET ${setCols.map(cn => s"${q(cn)} = ?").mkString(", ")}""" +
                   s" WHERE ${keys.map(k => s"${q(k)} = ?").mkString(" AND ")}"
-                val ps = c.prepareStatement(sql)
+                val ps = if (updateWithNull) fullUpdatePs(c, sql) else c.prepareStatement(sql)
                 try {
                   setCols.zipWithIndex.foreach { case (cn, i) =>
                     ps.setObject(i + 1, r.get(schema.fieldIndex(cn)))
@@ -74,12 +85,13 @@ object UpsertWriter {
                     ps.setObject(setCols.length + i + 1, v)
                   }
                   ps.executeUpdate()
-                } finally ps.close()
+                } finally if (!updateWithNull) ps.close()
                 upd.add(1L)
               }
             }
           }
           probe.close(); insertPs.close()
+          cachedPs.values.foreach(_.close())
         } finally c.close()
       }
     }
