@@ -1376,13 +1376,19 @@ object SparkEntry {
     * — so the oracle replays both iterations in SQL exactly. Per
     * iteration the corpus is scanned once with the k centroids
     * broadcast; the update shuffle is k x dims rows per partition.
+    * Centroids are rendered one row per dimension — (cluster_id,
+    * n_points, dim, value) — so the oracle harness compares scalar
+    * columns, never a raw array.
     */
   def q89Kmeans(s: SparkSession, d: String): DataFrame =
     operators.KMeans.fit(embeddings(s, d), "vec_id", "embedding",
         k = 4, iters = 2)
       .select(col("cluster_id"), col("n_points"),
-        transform(col("centroid"), x => round(x, 6)).as("centroid"))
-      .orderBy(col("cluster_id"))
+        posexplode(col("centroid")).as(Seq("pos", "x")))
+      .select(col("cluster_id"), col("n_points"),
+        (col("pos") + 1).cast("long").as("dim"),
+        round(col("x"), 6).as("value"))
+      .orderBy(col("cluster_id"), col("dim"))
 
   // ---------------------------------------------------------------- q91
   /** Corpus-statistics quality scoring
@@ -2952,11 +2958,13 @@ object SparkEntry {
          |    ORDER BY ${sqlCosine("p.v", "c2.c")} DESC, c2.cid) AS rn
          |  FROM pts p, c2) WHERE rn = 1),
          |n AS (SELECT cid, count(*) AS n_points FROM af GROUP BY cid)
-         |SELECT c2.cid AS cluster_id,
-         | coalesce(n.n_points, CAST(0 AS BIGINT)) AS n_points,
-         | list_transform(c2.c, x -> round(x, 6)) AS centroid
-         |FROM c2 LEFT JOIN n ON n.cid = c2.cid
-         |ORDER BY cluster_id""".stripMargin
+         |SELECT cluster_id, n_points, dim, round(x, 6) AS value FROM (
+         |  SELECT c2.cid AS cluster_id,
+         |   coalesce(n.n_points, CAST(0 AS BIGINT)) AS n_points,
+         |   CAST(generate_subscripts(c2.c, 1) AS BIGINT) AS dim,
+         |   unnest(c2.c) AS x
+         |  FROM c2 LEFT JOIN n ON n.cid = c2.cid)
+         |ORDER BY cluster_id, dim""".stripMargin
     },
     "q90_source_mix" ->
       s"""WITH d AS (SELECT doc_id, source,

@@ -95,13 +95,17 @@ object Importer {
   }
 
   /** Spark-evaluable additional insert/update values on the merge path:
-    * insert expressions apply to rows whose key was ABSENT from the
-    * original target (all staged rows under CLEARINSERT), update
-    * expressions to matched target rows — mirroring which SQL statement
-    * the reference would have routed each row through
-    * (DbImportWorker.java:939-948). UPDATE_FIRST modes must use the
-    * mergeInDb path for update values: only the generated SQL knows
-    * which single duplicate row was updated.
+    * insert expressions apply to rows the merge INSERTED (key absent
+    * from the original target; all staged rows under CLEARINSERT and
+    * under sourceOnly Insert/Upsert, whose insertAll appends every
+    * staged row — those carry an explicit `__graft_stgflag` provenance
+    * column because a key join cannot tell an appended duplicate-key
+    * row from the target row it duplicates), update expressions to
+    * matched target rows — mirroring which SQL statement the reference
+    * would have routed each row through (DbImportWorker.java:939-948).
+    * UPDATE_FIRST modes must use the mergeInDb path for update values:
+    * only the generated SQL knows which single duplicate row was
+    * updated.
     */
   private def withAdditionalValues(merged: DataFrame, target: DataFrame,
                                    staged: DataFrame, cfg: ImportConfig): DataFrame = {
@@ -111,13 +115,15 @@ object Importer {
       "additionalUpdateValues with an UPDATE_FIRST duplicate mode needs " +
         "mergeInDb = true (row-precise update routing)")
     val keys = cfg.keyColumns
+    val hasStgFlag = merged.columns.contains(StagedFlagCol)
     val pre = target.select(keys.map(col): _*).distinct()
       .withColumn("__graft_pre", lit(true))
     val stg = staged.select(keys.map(col): _*).distinct()
       .withColumn("__graft_stg", lit(true))
     val j = merged.join(pre, keys, "left").join(stg, keys, "left")
     val isNew =
-      if (cfg.mode == ImportMode.ClearInsert) col("__graft_stg").isNotNull
+      if (hasStgFlag) col(StagedFlagCol)
+      else if (cfg.mode == ImportMode.ClearInsert) col("__graft_stg").isNotNull
       else col("__graft_stg").isNotNull && col("__graft_pre").isNull
     val doesUpdate = (cfg.mode == ImportMode.Update || cfg.mode == ImportMode.Upsert) &&
       !cfg.duplicateMode.sourceOnly
@@ -127,9 +133,14 @@ object Importer {
       df.withColumn(c, when(isNew, expr(e)).otherwise(col(s"`$c`"))) }
     val withUpd = cfg.additionalUpdateValues.foldLeft(withIns) { case (df, (c, e)) =>
       df.withColumn(c, when(isUpd, expr(e)).otherwise(col(s"`$c`"))) }
-    withUpd.drop("__graft_pre", "__graft_stg")
-      .select(merged.columns.map(col).toIndexedSeq: _*)
+    withUpd.drop("__graft_pre", "__graft_stg", StagedFlagCol)
+      .select(merged.columns.filterNot(_ == StagedFlagCol).map(col).toIndexedSeq: _*)
   }
+
+  /** Row-provenance marker threaded through the merge for sourceOnly
+    * Insert/Upsert (true = the row was appended from the staged side).
+    */
+  private val StagedFlagCol = "__graft_stgflag"
 
   /** Full import into a JDBC target. `source` carries raw (string-ish)
     * data columns as produced by the graft sources.
@@ -241,13 +252,28 @@ object Importer {
         // the value columns for a deterministic total order
         val targetOrder = (cfg.keyColumns ++
           targetLc.columns.filterNot(cfg.keyColumns.contains)).map(col)
+        // sourceOnly Insert/Upsert append EVERY staged row — even ones
+        // whose key already exists — and the reference's plain INSERT
+        // applies the extra insert expressions to all of them. A key
+        // join can't tell those appended rows from the target rows they
+        // duplicate, so carry explicit provenance through the merge.
+        val useStgFlag = cfg.duplicateMode.sourceOnly &&
+          (cfg.mode == ImportMode.Insert || cfg.mode == ImportMode.Upsert) &&
+          cfg.additionalInsertValues.nonEmpty
+        val (tIn, sIn) =
+          if (useStgFlag)
+            (targetLc.withColumn(StagedFlagCol, lit(false)),
+              staged.withColumn(StagedFlagCol, lit(true)))
+          else (targetLc, staged)
+        val keepCols = targetLc.columns.toIndexedSeq ++
+          (if (useStgFlag) Seq(StagedFlagCol) else Nil)
         val merged0 = Merge.importMerge(
-            targetLc, staged, cfg.keyColumns.map(Key(_)),
+            tIn, sIn, cfg.keyColumns.map(Key(_)),
             cfg.mode, cfg.duplicateMode, cfg.updateWithNull,
             sourceOrder = col("__graft_ord"),
             targetOrder = targetOrder)
           .drop("__graft_ord")
-          .select(targetLc.columns.map(col).toIndexedSeq: _*)
+          .select(keepCols.map(col): _*)
         val merged = withAdditionalValues(merged0, targetLc, staged, cfg).cache()
         val afterCount = merged.count()
         val deleted = if (cfg.mode == ImportMode.ClearInsert) beforeCount else 0L

@@ -129,7 +129,7 @@ object Main {
     // per format would leave most branches reading raw container bytes
     val p =
       if (compressed) {
-        val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+        val raw = readFileBytes(spark, path)
         val dec = Compression.decompress(new java.io.File(path).getName, raw, a.zipPassword)
         val tmp = java.io.File.createTempFile("graft_dec_",
           "_" + new java.io.File(lower).getName)
@@ -160,6 +160,26 @@ object Main {
       KdbxSource.read(spark, p, a.kdbxPassword.getOrElse(
         throw new IllegalArgumentException(".kdbx import requires -kdbxpassword")))
     else throw new IllegalArgumentException(s"unsupported format: $path")
+  }
+
+  /** Whole-file bytes for any path Spark can see. A plain local file is
+    * read directly (no Spark job); anything else — `hdfs://`/`s3://`
+    * schemes, `file:` URIs, residual glob patterns — goes through the
+    * binaryFile source so remote compressed inputs keep working.
+    */
+  private def readFileBytes(spark: SparkSession, path: String): Array[Byte] = {
+    val local = new java.io.File(path)
+    val isPattern = path.exists(c => c == '*' || c == '?' || c == '[' || c == '{')
+    if (!isPattern && local.isFile)
+      java.nio.file.Files.readAllBytes(local.toPath)
+    else {
+      val rows = spark.read.format("binaryFile").load(path)
+        .select("path", "content").limit(2).collect()
+      require(rows.nonEmpty, s"no file matched: $path")
+      require(rows.length == 1,
+        s"expected one file for single-file import, got multiple: $path")
+      rows(0).getAs[Array[Byte]]("content")
+    }
   }
 
   def run(spark: SparkSession, a: Args): Int = {

@@ -88,7 +88,10 @@ object KMeans {
 
   /** Hard assignment of every point to its argmax-cosine centroid (ties
     * to the lowest cluster id, NaN similarities sort largest — the
-    * array_max convention, matching a descending sort). The k centroids
+    * array_max convention, matching a descending sort). A zero-norm
+    * point (cosine undefined → null) is coalesced to a -2.0 sentinel —
+    * below every real cosine — so it lands deterministically in cluster
+    * 1 instead of vanishing with a null cluster_id. The k centroids
     * ship as a LITERAL array inside the expression, so assignment is
     * pure map-side work — no join, no window, no shuffle of the point
     * side. `cents` must carry dense ids 1..k (what [[fitCentroids]]
@@ -104,7 +107,8 @@ object KMeans {
       s"centroid ids must be dense 1..k, got ${collected.map(_._1).mkString(",")}")
     val centArr = array(collected.map(c => typedlit(c._2)): _*)
     pts.withColumn("__sims",
-        transform(centArr, c => Similarity.cosine(col("__v"), c)))
+        transform(centArr, c =>
+          coalesce(Similarity.cosine(col("__v"), c), lit(-2.0))))
       .withColumn("cluster_id",
         array_position(col("__sims"), array_max(col("__sims"))))
       .drop("__sims")

@@ -48,6 +48,7 @@ object OdsSource {
     var cellValue: String = null
     var cellRepeat = 1
     var rowRepeat = 1
+    var pendingEmpty = 0L
     var inP = false
     val p = new StringBuilder
     def attr(name: String): Option[String] =
@@ -91,19 +92,28 @@ object OdsSource {
           (0 until math.min(cellRepeat, 4096)).foreach(_ => cur += v)
           cellValue = null
         case "table-row" if cur != null =>
-          // rows-repeated compresses identical consecutive rows; expand
-          // NON-EMPTY rows (empty ones are trailing grid filler with
-          // repeat counts in the millions)
+          // rows-repeated compresses identical consecutive rows. Empty
+          // repeats are BUFFERED, not expanded eagerly: trailing grid
+          // filler carries repeat counts in the millions and must
+          // collapse, but a blank-row run BETWEEN data blocks is real
+          // grid content, so it flushes (capped) once a later non-empty
+          // row proves it wasn't trailing.
           val row = cur.toIndexedSeq
-          val n = if (row.forall(x => x == null || x.isEmpty)) 1
-                  else math.min(rowRepeat, 65536)
-          (0 until n).foreach(_ => rows += row)
+          if (row.forall(x => x == null || x.isEmpty))
+            pendingEmpty = math.min(pendingEmpty + math.min(rowRepeat, 65536).toLong, 65536L)
+          else {
+            (0L until pendingEmpty).foreach(_ => rows += IndexedSeq.empty)
+            pendingEmpty = 0L
+            (0 until math.min(rowRepeat, 65536)).foreach(_ => rows += row)
+          }
           cur = null; rowRepeat = 1
         case "table" => inWantedTable = false
         case _ =>
       }
       case _ =>
     } finally r.close()
+    // fully blank rows (incl. the buffered mid-sheet runs) are skipped
+    // from the import — same semantics as blank CSV lines
     val trimmed = rows.reverse
       .dropWhile(r => r.forall(x => x == null || x.isEmpty)).reverse
       .map(_.reverse.dropWhile(x => x == null || x.isEmpty).reverse.toIndexedSeq)

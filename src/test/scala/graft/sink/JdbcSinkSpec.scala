@@ -275,6 +275,31 @@ class JdbcSinkSpec extends SparkSpec {
       (3, "keep", null, 7)))
   }
 
+  test("additional insert values reach sourceOnly-appended duplicate-key rows") {
+    val url = freshDb()
+    JdbcSink.withConnection(url) { c =>
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE \"AVN\" (\"K\" INTEGER, \"V\" VARCHAR(10), " +
+        "\"CREATED\" VARCHAR(10))")
+      st.executeUpdate("INSERT INTO \"AVN\" (\"K\", \"V\") VALUES (1, 'old')")
+      st.close()
+    }
+    // NO_CHECK Insert appends EVERY staged row — including key 1, which
+    // already exists. The reference's plain INSERT applies the extra
+    // insert expressions to all inserted rows, so the appended (1,'dup')
+    // must get created='ins' while the original (1,'old') stays null —
+    // routing a key join alone cannot decide.
+    val src = Seq(("1", "dup"), ("2", "new")).toDF("k", "v")
+    Importer.importToJdbc(src, url, "avn",
+      Importer.ImportConfig(mode = ImportMode.Insert, keyColumns = Seq("k"),
+        duplicateMode = DuplicateMode.NoCheck,
+        additionalInsertValues = Map("created" -> "'ins'")))
+    val got = spark.read.format("jdbc").option("url", url).option("dbtable", "AVN").load()
+      .orderBy("K", "V").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq((1, "dup", "ins"), (1, "old", null), (2, "new", "ins")))
+  }
+
   test("rewriteAtomic keeps the target intact when staging fails") {
     val url = freshDb()
     JdbcSink.withConnection(url) { c =>
