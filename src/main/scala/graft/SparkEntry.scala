@@ -419,6 +419,27 @@ object SparkEntry {
       .orderBy(col("id1"), col("id2"))
 
   // ---------------------------------------------------------------- q24
+  /** One PPJoin pass shared by q24 (pairs) and q67 (clusters): the pair
+    * set is computed once per (session, sf-dir) and materialized as a
+    * parquet artifact ([[operators.Staging.Artifact]] pattern); the
+    * second consumer reads the artifact instead of re-running shingle →
+    * prefix → verify over the corpus. At pipeline scale this is the
+    * difference between one PPJoin pass and two — a real 100 TB run
+    * would point the artifact at durable storage instead of a driver
+    * temp dir.
+    */
+  private val pairsArtifacts = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def dedupPairs(s: SparkSession, d: String): DataFrame = {
+    val dir = pairsArtifacts.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pairs_").toString
+      operators.TextDedup.jaccardPairsPrefix(dedupCorpus(s, d), "doc_id", "text",
+          k = 3, threshold = 0.6)
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+    s.read.parquet(dir)
+  }
+
   /** Exact n-gram Jaccard pairs via PPJoin-style prefix filtering
     * ([[operators.TextDedup.jaccardPairsPrefix]]) — result-identical to
     * the direct shingle join (spec-pinned), but candidate enumeration is
@@ -426,8 +447,7 @@ object SparkEntry {
     * it survives hot-shingle corpora at scale.
     */
   def q24NgramJaccard(s: SparkSession, d: String): DataFrame =
-    operators.TextDedup.jaccardPairsPrefix(dedupCorpus(s, d), "doc_id", "text",
-        k = 3, threshold = 0.6)
+    dedupPairs(s, d)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id1"), col("id2"))
 
@@ -975,11 +995,13 @@ object SparkEntry {
     * alternating large-star/small-star rounds of
     * [[operators.ConnectedComponents]] — O(log n) rounds of hash
     * joins, no driver-side graph. The oracle rebuilds the same pair
-    * set in SQL and closes it with a recursive CTE.
+    * set in SQL and closes it with a recursive CTE. Pairs come from the
+    * shared per-session artifact ([[dedupPairs]]) — when q24 already
+    * ran, this query costs connected components only, not a second
+    * PPJoin pass.
     */
   def q67DedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = operators.TextDedup.jaccardPairsPrefix(
-      dedupCorpus(s, d), "doc_id", "text", k = 3, threshold = 0.6)
+    val pairs = dedupPairs(s, d)
     operators.ConnectedComponents.clusters(pairs, "id1", "id2")
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
         col("cluster_size"))
@@ -1727,15 +1749,20 @@ object SparkEntry {
       Map("Title" -> s"cust${r.getLong(0)}", "UserName" -> r.getString(1),
         "Notes" -> r.getString(2))
     }.toSeq
-    // half the entries in a kdbx 3.1 vault (AES-KDF + Salsa20), half in a
-    // kdbx4 vault (Argon2id + ChaCha20) — one glob read covers both
-    // container formats
-    val (even, odd) = entries.zipWithIndex.partition(_._2 % 2 == 0)
+    // entries split across a kdbx 3.1 vault (AES-KDF + Salsa20), a kdbx4
+    // Argon2id vault, and a kdbx4 Argon2d vault whose payload spans
+    // multiple HMAC blocks — one glob read covers all three container
+    // shapes
+    val byThree = entries.zipWithIndex.groupBy(_._2 % 3)
+    def part(i: Int) = byThree.getOrElse(i, Seq.empty).map(_._1)
     val dir = sources.SyntheticFixtures.dir("kdbx")
     sources.KdbxWriter.write(new java.io.File(dir, "customers_a.kdbx"),
-      "abc123", even.map(_._1))
+      "abc123", part(0))
     sources.KdbxWriter.write4(new java.io.File(dir, "customers_b.kdbx"),
-      "abc123", odd.map(_._1))
+      "abc123", part(1))
+    sources.KdbxWriter.write4(new java.io.File(dir, "customers_c.kdbx"),
+      "abc123", part(2),
+      argon2Variant = sources.Kdbx4Crypto.Argon2Type.D, blockSize = 96)
     sources.KdbxSource.read(s, new java.io.File(dir, "customers_*.kdbx").getPath,
         "abc123")
       .select(col("Title").as("title"), col("UserName").as("username"),

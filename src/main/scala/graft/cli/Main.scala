@@ -16,7 +16,9 @@ import graft.sources._
   * -noheaders -zippassword <pw> -dp <path> -idtz <tz> -dbtz <tz>
   * -analyse -sp <schemafile> (JSON-schema/XSD pre-pass), plus the
   * `importblob` mode with -updatesql (single file → BLOB column,
-  * reference DbImport.java:234-235,834).
+  * reference DbImport.java:234-235,834) and the `createtruststore`
+  * mode (<host[:port]> <truststoreFile> <password|''> createtruststore,
+  * reference DbImport.java:745-746).
   */
 object Main {
 
@@ -30,6 +32,7 @@ object Main {
                   kdbxPassword: Option[String] = None,
                   connectionTest: Boolean = false, iterations: Int = 1,
                   sleepSeconds: Int = 0, checkSql: Option[String] = None,
+                  createTrustStore: Boolean = false,
                   encoding: String = "UTF-8", verbose: Boolean = false,
                   logToFile: Boolean = false)
 
@@ -97,6 +100,7 @@ object Main {
         case "-updvalues" => i += 1
           a = a.copy(cfg = a.cfg.copy(additionalUpdateValues = parseValuesList(next())))
         case "connectiontest" => i += 1; a = a.copy(connectionTest = true)
+        case "createtruststore" => i += 1; a = a.copy(createTrustStore = true)
         case "-e" => i += 1; a = a.copy(encoding = next())
         case "-v" => i += 1; a = a.copy(verbose = true)
         case "-l" => i += 1; a = a.copy(logToFile = true)
@@ -183,6 +187,16 @@ object Main {
   }
 
   def run(spark: SparkSession, a: Args): Int = {
+    if (a.createTrustStore) {
+      // reference `createtruststore` mode (DbImport.java:745-746):
+      // positionals become <host[:port]> <truststoreFile> <password|''>
+      val pw = if (a.importPathOrData.nonEmpty) a.importPathOrData.toCharArray
+               else null
+      graft.sink.TrustStore.createTrustStoreFile(a.url, 443,
+        new java.io.File(a.table), pw)
+      println(s"Created TrustStore in file '${a.table}'")
+      return 0
+    }
     if (a.connectionTest) {
       // reference `connectiontest` mode (DbImport.java:222, -iter/-sleep/
       // -check at :672-700)

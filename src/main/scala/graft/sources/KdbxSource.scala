@@ -335,14 +335,18 @@ object KdbxWriter {
 
   /** kdbx4 fixture: Argon2 KDF (id or d), ChaCha20 payload + ChaCha20
     * inner stream, gzip, HMAC block stream — deterministic "random"
-    * material so tests are stable.
+    * material so tests are stable. `blockSize` splits the payload into
+    * multiple HMAC blocks (real KeePass writes 1 MiB blocks; a small
+    * value exercises the reader's multi-block loop).
     */
   def write4(f: java.io.File, password: String,
              entries: Seq[Map[String, String]],
              protectKeys: Set[String] = Set.empty,
              argon2Variant: Int = Kdbx4Crypto.Argon2Type.Id,
              memoryKib: Int = 64, iterations: Int = 2,
-             parallelism: Int = 2): java.io.File = {
+             parallelism: Int = 2,
+             blockSize: Int = Int.MaxValue): java.io.File = {
+    require(blockSize > 0, s"blockSize must be positive, got $blockSize")
     val seedSrc = entries.map(_.toString).mkString("|").getBytes("UTF-8")
     val masterSeed = sha256("seed4".getBytes, seedSrc)
     val salt = sha256("salt4".getBytes, seedSrc)
@@ -420,15 +424,16 @@ object KdbxWriter {
     out.write(header)
     out.write(sha256(header))
     out.write(Kdbx4Reader.hmacSha256(sha512(le64(-1L), hmacKey64), header))
-    // HMAC block stream: one data block + terminator
+    // HMAC block stream: ⌈len/blockSize⌉ data blocks + terminator
     def block(index: Long, data: Array[Byte]): Unit = {
       val bk = sha512(le64(index), hmacKey64)
       out.write(Kdbx4Reader.hmacSha256(bk, le64(index), le32(data.length), data))
       out.write(le32(data.length))
       out.write(data)
     }
-    block(0, encrypted)
-    block(1, Array.empty)
+    val chunks = encrypted.grouped(blockSize).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) => block(i.toLong, c) }
+    block(chunks.length.toLong, Array.empty)
     val fos = new java.io.FileOutputStream(f)
     try fos.write(out.toByteArray) finally fos.close()
     f

@@ -212,4 +212,58 @@ class CliSpec extends SparkSpec {
     assert(Main.run(spark, a) == 0)
     JdbcSink.withConnection(url)(c => assert(JdbcSink.countRows(c, "scripted") == 1))
   }
+
+  test("createtruststore captures a TLS endpoint's chain into a JKS file") {
+    import java.security.KeyStore
+    import javax.net.ssl.{KeyManagerFactory, SSLContext}
+    val dir = SyntheticFixtures.dir("truststore")
+    // self-signed server identity via the JDK's own keytool (offline)
+    val srvKs = new File(dir, "server.p12")
+    srvKs.delete()
+    val keytool = new File(new File(System.getProperty("java.home"), "bin"),
+      "keytool").getPath
+    val gen = new ProcessBuilder(keytool, "-genkeypair", "-alias", "srv",
+      "-keyalg", "RSA", "-keysize", "2048", "-validity", "1",
+      "-dname", "CN=localhost", "-keystore", srvKs.getPath,
+      "-storetype", "PKCS12", "-storepass", "changeit")
+      .redirectErrorStream(true).start()
+    assert(gen.waitFor() == 0, "keytool -genkeypair failed")
+    // minimal TLS server presenting that certificate
+    val ks = KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(srvKs)
+    try ks.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    val server = ctx.getServerSocketFactory.createServerSocket(0)
+    val port = server.getLocalPort
+    val accepter = new Thread(() => {
+      try {
+        val s = server.accept()
+        try s.getInputStream.read() // drives the server side of the handshake
+        catch { case _: Exception => }
+        finally s.close()
+      } catch { case _: Exception => }
+    })
+    accepter.setDaemon(true)
+    accepter.start()
+    try {
+      val out = new File(dir, "captured.jks")
+      out.delete()
+      val a = Main.parseArgs(Array(s"localhost:$port", out.getPath, "ts-pw",
+        "createtruststore"))
+      assert(a.createTrustStore)
+      assert(Main.run(spark, a) == 0)
+      // the captured store opens with the given password and pins the cert
+      val tks = KeyStore.getInstance("JKS")
+      val tin = new java.io.FileInputStream(out)
+      try tks.load(tin, "ts-pw".toCharArray) finally tin.close()
+      val aliases = tks.aliases()
+      assert(aliases.hasMoreElements)
+      val cert = tks.getCertificate(aliases.nextElement())
+        .asInstanceOf[java.security.cert.X509Certificate]
+      assert(cert.getSubjectX500Principal.getName.contains("CN=localhost"))
+    } finally server.close()
+  }
 }

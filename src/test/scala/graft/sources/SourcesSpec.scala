@@ -402,6 +402,21 @@ class SourcesSpec extends SparkSpec {
     assert(rows == Seq(Map("Title" -> "gamma", "Note" -> "n&<x>")))
   }
 
+  test("kdbx4: payload spanning multiple HMAC blocks round-trips") {
+    // real KeePass writes 1 MiB HMAC blocks; a 64-byte block size forces
+    // the reader's block loop past index 0 (and each block gets its own
+    // SHA512(LE64(i) || key) MAC, so index handling is exercised too)
+    val f = new File(SyntheticFixtures.dir("kdbx4"), "vault4mb.kdbx")
+    val entries = (1 to 20).map(i =>
+      Map("Title" -> s"entry$i", "UserName" -> s"user-$i-${"x" * 30}"))
+    KdbxWriter.write4(f, "pw-mb", entries, blockSize = 64)
+    // the encrypted payload must actually exceed one block
+    assert(f.length() > 64 + 36 + 36)
+    val df = KdbxSource.read(spark, f.getPath, "pw-mb")
+      .orderBy("Title").select("Title").as[String].collect().toSeq
+    assert(df == entries.map(_("Title")).sorted)
+  }
+
   test("erroneous rows re-export as parseable JSON and XML") {
     import org.apache.spark.sql.functions.col
     import graft.api.Validation
