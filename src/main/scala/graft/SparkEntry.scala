@@ -1772,20 +1772,28 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- q42
   /** Legacy Excel (.xls, BIFF8) source round-trip through the native
-    * CFB+BIFF reader (SURVEY §2.1 Excel 2003 scan).
+    * CFB+BIFF reader (SURVEY §2.1 Excel 2003 scan). The glob spans all
+    * four workbook protections — plaintext, standard RC4, RC4 CryptoAPI
+    * and XOR obfuscation — read in one pass with one password.
     */
   def q42SrcXls(s: SparkSession, d: String): DataFrame = {
     val rows = nation(s, d).orderBy(col("n_nationkey")).collect()
     val header = Seq(Seq("n_nationkey", "n_name", "n_regionkey"))
     val all = rows.map(r => Seq(r.getInt(0).toString, r.getString(1), r.getInt(2).toString))
-    // half plain, half standard-RC4 encrypted — one glob read covers both
-    val (even, odd) = all.zipWithIndex.partition(_._2 % 2 == 0)
+    val byFour = all.zipWithIndex.toSeq.groupBy(_._2 % 4)
+    def part(i: Int) = header ++ byFour.getOrElse(i, Seq.empty).map(_._1)
     val dir = sources.SyntheticFixtures.dir("xls")
-    val fPlain = new java.io.File(dir, "nation_a.xls")
-    val fEnc = new java.io.File(dir, "nation_b.xls")
-    sources.SyntheticFixtures.writeXls(fPlain, "data", header ++ even.map(_._1))
-    sources.SyntheticFixtures.writeXls(fEnc, "data", header ++ odd.map(_._1),
+    sources.SyntheticFixtures.writeXls(
+      new java.io.File(dir, "nation_a.xls"), "data", part(0))
+    sources.SyntheticFixtures.writeXls(
+      new java.io.File(dir, "nation_b.xls"), "data", part(1),
       password = Some("abc123"))
+    sources.SyntheticFixtures.writeXls(
+      new java.io.File(dir, "nation_c.xls"), "data", part(2),
+      password = Some("abc123"), encryption = "cryptoapi")
+    sources.SyntheticFixtures.writeXls(
+      new java.io.File(dir, "nation_d.xls"), "data", part(3),
+      password = Some("abc123"), encryption = "xor")
     castNation(sources.XlsSource.read(s, new java.io.File(dir, "nation_*.xls").getPath,
       sheetName = Some("data"), password = Some("abc123")))
   }

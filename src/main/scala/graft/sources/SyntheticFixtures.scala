@@ -114,7 +114,8 @@ object SyntheticFixtures {
     * container needs only the regular FAT (the reader handles both).
     */
   def writeXls(f: File, sheetName: String, rows: Seq[Seq[String]],
-               password: Option[String] = None): File = {
+               password: Option[String] = None,
+               encryption: String = "rc4"): File = {
     val bos = new ByteArrayOutputStream()
     def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >>> 8) & 0xff) }
     def w32(v: Long): Unit = { var x = v; (0 until 4).foreach { _ => bos.write((x & 0xff).toInt); x >>= 8 } }
@@ -157,15 +158,30 @@ object SyntheticFixtures {
     System.arraycopy(off, 0, patched, boundsheetAt + 4, 4)
     stream = patched
     password.foreach { pw =>
-      // standard-RC4 encrypt: FILEPASS right after the globals BOF, then
-      // the block-keyed keystream over the whole stream (XlsCrypto)
-      val (fpBody, salt) = XlsCrypto.filePassBody(pw)
+      // FILEPASS right after the globals BOF, then the variant's
+      // whole-stream transform (XlsCrypto): standard RC4, RC4 CryptoAPI
+      // (128- or 40-bit), or XOR obfuscation
+      val (fpBody, encryptFn): (Array[Byte], Array[Byte] => Array[Byte]) =
+        encryption match {
+          case "rc4" =>
+            val (body, salt) = XlsCrypto.filePassBody(pw)
+            (body, XlsCrypto.encryptWorkbookStream(_, pw, salt))
+          case "cryptoapi" | "cryptoapi40" =>
+            val bits = if (encryption == "cryptoapi40") 40 else 128
+            val (body, salt) = XlsCrypto.filePassBodyCryptoApi(pw, bits)
+            (body, XlsCrypto.encryptWorkbookStreamCryptoApi(_, pw, salt, bits))
+          case "xor" =>
+            (XlsCrypto.filePassBodyXor(pw),
+              XlsCrypto.encryptWorkbookStreamXor(_, pw))
+          case other =>
+            throw new IllegalArgumentException(s"unknown xls encryption: $other")
+        }
       val fpRec = le16(0x002F) ++ le16(fpBody.length) ++ fpBody
       val firstEnd = 4 + ((stream(2) & 0xff) | ((stream(3) & 0xff) << 8))
       val spliced = stream.take(firstEnd) ++ fpRec ++ stream.drop(firstEnd)
       System.arraycopy(le32((sheetBof + fpRec.length).toLong), 0, spliced,
         boundsheetAt + fpRec.length + 4, 4)
-      stream = XlsCrypto.encryptWorkbookStream(spliced, pw, salt)
+      stream = encryptFn(spliced)
     }
     if (stream.length < 4096) stream = stream ++ new Array[Byte](4096 - stream.length)
 

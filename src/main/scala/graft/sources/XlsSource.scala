@@ -18,9 +18,9 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * a custom FORMAT with date tokens) convert to ISO strings like the
   * reference's typed Date cells. SST string tables spanning CONTINUE
   * records are handled (including the compressed/wide width switch at
-  * each continuation boundary). Standard-RC4 encrypted workbooks decrypt
-  * via [[XlsCrypto]] given a password; XOR-obfuscated and CryptoAPI
-  * variants are rejected with a clear error.
+  * each continuation boundary). Encrypted workbooks decrypt via
+  * [[XlsCrypto]] given a password — standard RC4, RC4 CryptoAPI
+  * (128/40-bit), and XOR obfuscation ([[XlsXor]]) FILEPASS variants.
   */
 object XlsSource {
 

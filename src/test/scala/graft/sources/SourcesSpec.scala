@@ -272,6 +272,53 @@ class SourcesSpec extends SparkSpec {
     assert(missing.getMessage.contains("password required"))
   }
 
+  test("xls (BIFF8): RC4 CryptoAPI (128- and 40-bit) workbooks round-trip") {
+    for ((enc, pw) <- Seq(("cryptoapi", "capi-pw"), ("cryptoapi40", "old40"))) {
+      val rows = Seq(Seq("name", "qty"), Seq("alpha", "3"),
+        // > 1024 bytes of records forces at least one SHA1 block rekey
+        Seq("j" * 700, "1"), Seq("k" * 700, "2"))
+      val f = new File(SyntheticFixtures.dir("xlsspec"), s"$enc.xls")
+      SyntheticFixtures.writeXls(f, "Capi", rows, password = Some(pw),
+        encryption = enc)
+      val df = XlsSource.read(spark, f.getPath, sheetName = Some("Capi"),
+        password = Some(pw))
+      val got = df.orderBy("name").collect()
+      assert(got.map(_.getString(0)).toSeq == Seq("alpha", "j" * 700, "k" * 700))
+      assert(got.map(_.getString(1)).toSeq == Seq("3", "1", "2"))
+      val wrong = intercept[Exception] {
+        XlsSource.read(spark, f.getPath, password = Some("nope")).collect()
+      }
+      assert(wrong.getMessage.contains("wrong .xls password"))
+    }
+  }
+
+  test("xls (BIFF8): XOR-obfuscated workbook round-trips; derivations are stable") {
+    val rows = Seq(Seq("name", "qty"), Seq("alpha", "3"), Seq("beta", "42"))
+    val f = new File(SyntheticFixtures.dir("xlsspec"), "xor.xls")
+    SyntheticFixtures.writeXls(f, "XorSheet", rows, password = Some("VelvetSweatshop"),
+      encryption = "xor")
+    val df = XlsSource.read(spark, f.getPath, sheetName = Some("XorSheet"),
+      password = Some("VelvetSweatshop"))
+    val got = df.orderBy("name").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("alpha", "beta"))
+    assert(got.map(_.getString(1)).toSeq == Seq("3", "42"))
+    val wrong = intercept[Exception] {
+      XlsSource.read(spark, f.getPath, password = Some("nope")).collect()
+    }
+    assert(wrong.getMessage.contains("wrong .xls password"))
+    // derivation pins: deterministic, password-sensitive, 16-bit range
+    val k = XlsXor.createKey("abc")
+    val v = XlsXor.createVerifier("abc")
+    assert(k == XlsXor.createKey("abc") && v == XlsXor.createVerifier("abc"))
+    assert(k != XlsXor.createKey("abd") || v != XlsXor.createVerifier("abd"))
+    assert((k & ~0xffff) == 0 && (v & ~0xffff) == 0)
+    val arr = XlsXor.createXorArray("abc")
+    assert(arr.length == 16 && arr.toSeq == XlsXor.createXorArray("abc").toSeq)
+    // byte transform is a true inverse pair at every index value
+    for (b <- 0 to 255; key <- Seq(0x00, 0x5A, 0xFF))
+      assert(XlsXor.decryptByte(XlsXor.encryptByte(b, key), key) == b)
+  }
+
   test("xls (BIFF8): date-XF numeric cells convert to ISO strings") {
     // hand-built workbook stream: XF 0 = general, XF 1 = builtin date 14
     val bos = new java.io.ByteArrayOutputStream()
