@@ -1484,6 +1484,63 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q95
+  /** Gopher-style repetition quality signals
+    * ([[functions.TextAnalysis]]): duplicate-line fraction plus
+    * top-/duplicate-bigram fractions, all pure scan-stage Column
+    * expressions (the bigram mode is a linear `aggregate` fold over the
+    * sorted bigram array — no per-doc shuffle, no quadratic rescan).
+    * The fixture injects a repeated boilerplate line into every 4th
+    * page so the line signal separates. Exact integer ratios, one
+    * double division — bit-reproducible in the oracle.
+    */
+  def q95Repetition(s: SparkSession, d: String): DataFrame = {
+    val ta = functions.TextAnalysis
+    val pages = documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit("\nvisit example dot com\n"),
+        when(col("doc_id") % 4 === 0,
+          lit("visit example dot com\nvisit example dot com\n")).otherwise(lit("")),
+        lit("end of page")).as("page"))
+    pages.select(col("doc_id"),
+        size(ta.textLines(col("page"))).cast("long").as("n_lines"),
+        round(ta.duplicateLineFrac(col("page")), 6).as("dup_line_frac"),
+        ta.topBigramCount(col("page")).as("top_bigram_count"),
+        round(ta.topBigramFrac(col("page")), 6).as("top_bigram_frac"),
+        round(ta.duplicateBigramFrac(col("page")), 6).as("dup_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q96
+  /** PII detection + redaction ([[functions.TextAnalysis.redactPii]]):
+    * emails, IPv4 addresses and international phone numbers counted and
+    * replaced with typed placeholders — the standard pre-training
+    * redaction pass, all portable-regex scan-stage work. The fixture
+    * plants deterministic PII in a third/fifth/seventh of the pages;
+    * the redacted text is pinned by md5 so placement is verified, not
+    * just counts.
+    */
+  def q96PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val ta = functions.TextAnalysis
+    val pages = documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 200).cast("string"),
+            lit(".7"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call +49151234"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"))).otherwise(lit("")))
+        .as("page"))
+    pages.select(col("doc_id"),
+        ta.piiCount(col("page"), ta.EmailRe).cast("long").as("n_emails"),
+        ta.piiCount(col("page"), ta.Ipv4Re).cast("long").as("n_ips"),
+        ta.piiCount(col("page"), ta.PhoneRe).cast("long").as("n_phones"),
+        md5(ta.redactPii(col("page"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -1921,6 +1978,8 @@ object SparkEntry {
     "q92_curation_pipeline" -> (q92CurationPipeline _),
     "q93_line_boilerplate" -> (q93LineBoilerplate _),
     "q94_video_frames" -> (q94VideoFrames _),
+    "q95_repetition" -> (q95Repetition _),
+    "q96_pii_redact" -> (q96PiiRedact _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -3095,5 +3154,57 @@ object SparkEntry {
         | CAST((media_id * 53 + frame_idx * 23) % 256 AS DOUBLE) AS mean_g,
         | CAST((media_id * 71 + frame_idx * 5) % 256 AS DOUBLE) AS mean_b
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "q95_repetition" ->
+      s"""WITH pages AS (SELECT doc_id,
+         |  text || chr(10) || 'visit example dot com' || chr(10) ||
+         |  CASE WHEN doc_id % 4 = 0 THEN 'visit example dot com' || chr(10)
+         |    || 'visit example dot com' || chr(10) ELSE '' END ||
+         |  'end of page' AS text
+         | FROM documents),
+         |t AS (SELECT doc_id, text, $SqlToks AS toks FROM pages),
+         |bg AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS g
+         |  FROM t WHERE len(toks) >= 2),
+         |cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS tot,
+         |  count(*) AS dst FROM cnt GROUP BY 1),
+         |ln AS (SELECT doc_id, len(toks) AS n_toks,
+         |  list_filter(list_transform(string_split(text, chr(10)),
+         |    x -> trim(x)), x -> length(x) > 0) AS ls
+         | FROM t)
+         |SELECT ln.doc_id,
+         | CAST(len(ls) AS BIGINT) AS n_lines,
+         | round(CASE WHEN len(ls) = 0 THEN 0.0
+         |   ELSE CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
+         |   END, 6) AS dup_line_frac,
+         | CAST(coalesce(agg.top_c, 0) AS BIGINT) AS top_bigram_count,
+         | round(CASE WHEN n_toks < 2 THEN 0.0
+         |   ELSE CAST(agg.top_c * 2 AS DOUBLE) / n_toks END, 6) AS top_bigram_frac,
+         | round(CASE WHEN n_toks < 2 THEN 0.0
+         |   ELSE 1.0 - CAST(agg.dst AS DOUBLE) / agg.tot END, 6) AS dup_bigram_frac
+         |FROM ln LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q96_pii_redact" ->
+      """WITH pages AS (SELECT doc_id,
+        |  text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+        |    CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' ||
+        |    CAST(doc_id % 200 AS VARCHAR) || '.7' ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' call +49151234' ||
+        |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END AS page
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(page,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(page,
+        |   '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        | CAST(len(regexp_extract_all(page, '\+[0-9]{7,15}')) AS BIGINT) AS n_phones,
+        | md5(regexp_replace(regexp_replace(regexp_replace(page,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |   '\+[0-9]{7,15}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM pages ORDER BY doc_id""".stripMargin,
   )
 }

@@ -91,6 +91,95 @@ object TextAnalysis {
     array_min(transform(sh, s => md5(s)))
   }
 
+  // ------------------------------------------------------- repetition
+  /** Non-empty trimmed lines of the text. */
+  def textLines(c: Column): Column =
+    filter(transform(split(c, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /** Fraction of lines that duplicate another line of the SAME document
+    * — the Gopher-style "duplicate line fraction" repetition signal
+    * (high = listy/boilerplate page). Exact integer ratio, one double
+    * division, so the oracle reproduces it bit-for-bit.
+    */
+  def duplicateLineFrac(c: Column): Column = {
+    val ls = textLines(c)
+    val n = size(ls)
+    when(n === 0, lit(0.0))
+      .otherwise((n - size(array_distinct(ls))).cast("double") / n.cast("double"))
+  }
+
+  /** Word bigrams of the document (shingle order = token order). */
+  def bigrams(c: Column): Column = TextShingles.shingles(tokens(c), 2)
+
+  /** Occurrence count of the MOST FREQUENT bigram — computed as the
+    * longest run in the sorted bigram array by a single linear
+    * `aggregate` fold (no per-row quadratic rescan, no shuffle; pure
+    * scan-stage work like every function here). 0 when the document has
+    * fewer than two tokens.
+    */
+  def topBigramCount(c: Column): Column = {
+    val sorted = array_sort(bigrams(c))
+    val fold = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(tokenCount(c) < 2, lit(0L)).otherwise(fold)
+  }
+
+  /** Fraction of tokens covered by the most frequent bigram
+    * (`2 × top_count / n_tokens` — the token-level analog of Gopher's
+    * top-n-gram character fraction; near 1 = the page repeats one
+    * phrase).
+    */
+  def topBigramFrac(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n < 2, lit(0.0))
+      .otherwise(topBigramCount(c).cast("double") * lit(2.0) / n.cast("double"))
+  }
+
+  /** Fraction of bigram occurrences that are repeats of an earlier
+    * bigram (`1 − distinct/total`).
+    */
+  def duplicateBigramFrac(c: Column): Column = {
+    val bg = bigrams(c)
+    when(tokenCount(c) < 2, lit(0.0))
+      .otherwise((size(bg) - size(array_distinct(bg))).cast("double") /
+        size(bg).cast("double"))
+  }
+
+  // -------------------------------------------------------------- PII
+  /** Match patterns chosen to be portable between Java regex (Spark)
+    * and RE2 (DuckDB/ripgrep): no lookaround, no backreferences.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  /** International-format numbers only (`+` then 7-15 digits) — the
+    * deterministic core; free-form national formats are locale policy,
+    * not engine work.
+    */
+  val PhoneRe = "\\+[0-9]{7,15}"
+
+  def piiCount(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0)))
+
+  /** Replace emails / IPv4 addresses / international phone numbers with
+    * typed placeholder tokens — the standard pre-training redaction
+    * pass. Emails first (so their dotted domains never half-match the
+    * IP pattern on a later pass); placeholders contain no digits, so
+    * passes cannot re-match each other's output.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(EmailRe), lit("<EMAIL>")),
+        lit(Ipv4Re), lit("<IP>")),
+      lit(PhoneRe), lit("<PHONE>"))
+
   /** Corpus-statistics quality scoring — the statistical cousin of the
     * heuristic [[qualityScore]]: every token is weighted by its CORPUS
     * frequency, so documents full of tokens nothing else uses (OCR

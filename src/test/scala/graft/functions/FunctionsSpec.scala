@@ -163,6 +163,44 @@ class FunctionsSpec extends SparkSpec {
     assert(lsh == exact && exact.nonEmpty)
   }
 
+  test("repetition signals: folds match brute force, degenerate docs yield zeros") {
+    val docs = Seq(
+      ("a b a b a b c", 3L),   // "a b" ×3 is the mode
+      ("x", 0L),                // single token: no bigrams
+      ("", 0L),                 // empty
+      ("p q r s", 1L)           // all bigrams distinct
+    ).toDF("text", "expected_top")
+    val got = docs.select(col("expected_top"),
+      TextAnalysis.topBigramCount(col("text")).as("top"),
+      TextAnalysis.duplicateBigramFrac(col("text")).as("dupf")).collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(0), r.toString))
+    // "a b a b a b c": bigrams = [a b, b a, a b, b a, a b, b c] → 6 total,
+    // 3 distinct → dup frac 0.5
+    assert(got(0).getDouble(2) == 0.5)
+    assert(got(3).getDouble(2) == 0.0)
+    val lines = Seq("one\ntwo\n\none\n  ", "solo").toDF("t")
+      .select(TextAnalysis.duplicateLineFrac(col("t"))).collect()
+    assert(lines(0).getDouble(0) == 1.0 / 3.0) // [one,two,one]: 1 dup of 3
+    assert(lines(1).getDouble(0) == 0.0)
+  }
+
+  test("PII redaction replaces every class and passes cannot re-match") {
+    val df = Seq(
+      "mail a.b+c@ex-1.org and 10.20.30.40 then +4915112345678 done"
+    ).toDF("t")
+    val r = df.select(
+      TextAnalysis.piiCount(col("t"), TextAnalysis.EmailRe).as("e"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.Ipv4Re).as("i"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.PhoneRe).as("p"),
+      TextAnalysis.redactPii(col("t")).as("red")).collect()(0)
+    assert(r.getInt(0) == 1 && r.getInt(1) == 1 && r.getInt(2) == 1)
+    assert(r.getString(3) == "mail <EMAIL> and <IP> then <PHONE> done")
+    // an email's dotted domain must not leak a partial <IP> match
+    val domainOnly = Seq("reach me at n1@10.20.30.40.example.com ok").toDF("t")
+      .select(TextAnalysis.redactPii(col("t"))).collect()(0).getString(0)
+    assert(domainOnly == "reach me at <EMAIL> ok")
+  }
+
   test("pair staging modes (DISK_ONLY spill, parquet artifact) match the memory cache") {
     import graft.operators.{Similarity, Staging, TextDedup}
     import org.apache.spark.storage.StorageLevel
