@@ -319,6 +319,26 @@ class SourcesSpec extends SparkSpec {
       assert(XlsXor.decryptByte(XlsXor.encryptByte(b, key), key) == b)
   }
 
+  test("xls encryption variants: randomized rows/passwords round-trip") {
+    // fixed seed — deterministic trials across all four protections,
+    // random-ish passwords (1..15 chars, the XOR limit) and cell mixes
+    val rnd = new scala.util.Random(20260813L)
+    def randCell(): String =
+      if (rnd.nextBoolean()) (1 + rnd.nextInt(9999)).toString
+      else (1 to 1 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    for (enc <- Seq("rc4", "cryptoapi", "cryptoapi40", "xor"); trial <- 1 to 4) {
+      val pw = (1 to 1 + rnd.nextInt(14)).map(_ => ('A' + rnd.nextInt(26)).toChar).mkString
+      val data = (1 to 1 + rnd.nextInt(6)).map(_ => Seq(randCell(), randCell(), randCell()))
+      val rows = Seq(Seq("h1", "h2", "h3")) ++ data
+      val f = new File(SyntheticFixtures.dir("xlsprop"), s"prop_${enc}_$trial.xls")
+      SyntheticFixtures.writeXls(f, "s", rows, password = Some(pw), encryption = enc)
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val (hdr, got) = XlsSource.parseWorkbook(bytes, Some("s"), true, Some(pw))
+      assert(hdr == IndexedSeq("h1", "h2", "h3"), s"$enc/$trial headers")
+      assert(got.map(_.toSeq) == data.map(_.toSeq), s"$enc/$trial rows (pw=$pw)")
+    }
+  }
+
   test("xls (BIFF8): date-XF numeric cells convert to ISO strings") {
     // hand-built workbook stream: XF 0 = general, XF 1 = builtin date 14
     val bos = new java.io.ByteArrayOutputStream()
