@@ -1541,6 +1541,28 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q97
+  /** SEMANTIC dedup clustering — the embedding analog of q67: hyperplane
+    * -LSH near-dup pairs (the q28 scale tier, approximate recall / exact
+    * -cosine precision) become undirected edges and connected components
+    * labels every clustered vector with its duplicate cluster (minimum
+    * vec_id) and cluster size. Same large-star/small-star rounds as the
+    * text tier — O(log n) rounds of hash joins, no driver graph; the
+    * oracle replays the LSH banding in SQL and closes the pairs with a
+    * recursive CTE.
+    */
+  def q97EmbeddingClusters(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val corpus = e.unionAll(e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("label"), col("embedding")))
+    val pairs = operators.Similarity.nearDupPairsLsh(corpus, threshold = 0.99)
+    operators.ConnectedComponents.clusters(pairs, "id1", "id2")
+      .select(col("id").as("vec_id"), col("cluster").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -1980,6 +2002,7 @@ object SparkEntry {
     "q94_video_frames" -> (q94VideoFrames _),
     "q95_repetition" -> (q95Repetition _),
     "q96_pii_redact" -> (q96PiiRedact _),
+    "q97_embedding_clusters" -> (q97EmbeddingClusters _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -2020,6 +2043,40 @@ object SparkEntry {
     */
   private def sqlCosine(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** Hyperplane-LSH candidate pairs + exact cosine over the q28/q97
+    * corpus-with-planted-copies, as a CTE chain ending in `p(id1, id2,
+    * sim)`. The SAME hyperplane literals as
+    * `Similarity.nearDupPairsLsh` — the LSH banding is part of the
+    * operator's portable definition.
+    */
+  private lazy val SqlLshPairs: String = {
+    val bands = 4
+    val w = operators.Similarity.hyperplaneWeights(24, 64)
+    val r = w.length / bands
+    val bitCols = w.indices.map { i =>
+      // Double.toString round-trips exactly; DuckDB parses E-notation
+      val arr = w(i).mkString(", ")
+      s"CASE WHEN list_dot_product(v, [$arr]) > 0 THEN 1 ELSE 0 END AS bit$i"
+    }.mkString(",\n ")
+    val bandCols = (0 until bands).map { b =>
+      (0 until r).map(i => s"bit${b * r + i}*${1 << (r - 1 - i)}").mkString(" + ") +
+        s" AS b$b"
+    }.mkString(", ")
+    s"""c AS (
+       | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       | UNION ALL SELECT vec_id + 1000000 AS vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |bits AS (SELECT vec_id, label, v,
+       | $bitCols
+       | FROM c),
+       |band AS (SELECT vec_id, label, v, $bandCols FROM bits),
+       |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       | FROM band a JOIN band b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+       |p AS (SELECT cand.id1, cand.id2, ${sqlCosine("x.v", "y.v")} AS sim
+       | FROM cand JOIN c x ON x.vec_id = cand.id1 JOIN c y ON y.vec_id = cand.id2)""".stripMargin
+  }
 
   /** DuckDB-equivalent SQL per query (same tables, same aliases, same
     * ORDER BY).
@@ -2362,37 +2419,10 @@ object SparkEntry {
          | FROM scored)
          |SELECT query_id, rank, vec_id AS neighbor_id, round(sim, 6) AS sim
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    "q28_embedding_near_dup" -> {
-      // the SAME hyperplane literals as Similarity.nearDupPairsLsh — the
-      // LSH banding is part of the operator's portable definition
-      val bands = 4
-      val w = operators.Similarity.hyperplaneWeights(24, 64)
-      val r = w.length / bands
-      val bitCols = w.indices.map { i =>
-        // Double.toString round-trips exactly; DuckDB parses E-notation
-        val arr = w(i).mkString(", ")
-        s"CASE WHEN list_dot_product(v, [$arr]) > 0 THEN 1 ELSE 0 END AS bit$i"
-      }.mkString(",\n ")
-      val bandCols = (0 until bands).map { b =>
-        (0 until r).map(i => s"bit${b * r + i}*${1 << (r - 1 - i)}").mkString(" + ") +
-          s" AS b$b"
-      }.mkString(", ")
-      s"""WITH c AS (
-         | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         | UNION ALL SELECT vec_id + 1000000 AS vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings WHERE vec_id % 10 = 0),
-         |bits AS (SELECT vec_id, label, v,
-         | $bitCols
-         | FROM c),
-         |band AS (SELECT vec_id, label, v, $bandCols FROM bits),
-         |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
-         | FROM band a JOIN band b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
-         |p AS (SELECT cand.id1, cand.id2, ${sqlCosine("x.v", "y.v")} AS sim
-         | FROM cand JOIN c x ON x.vec_id = cand.id1 JOIN c y ON y.vec_id = cand.id2)
+    "q28_embedding_near_dup" ->
+      s"""WITH $SqlLshPairs
          |SELECT id1, id2, round(sim, 6) AS sim FROM p
-         |WHERE sim >= 0.99 ORDER BY id1, id2""".stripMargin
-    },
+         |WHERE sim >= 0.99 ORDER BY id1, id2""".stripMargin,
     "q29_multimodal_meta" ->
       """WITH media AS (SELECT doc_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
@@ -3206,5 +3236,18 @@ object SparkEntry {
         |   '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
         |   '\+[0-9]{7,15}', '<PHONE>', 'g')) AS redacted_md5
         |FROM pages ORDER BY doc_id""".stripMargin,
+    "q97_embedding_clusters" ->
+      s"""WITH RECURSIVE $SqlLshPairs,
+         |pair AS (SELECT id1, id2 FROM p WHERE sim >= 0.99),
+         |edge AS (SELECT id1 AS a, id2 AS b FROM pair
+         | UNION SELECT id2 AS a, id1 AS b FROM pair),
+         |reach(src, dst) AS (
+         | SELECT a, a FROM edge
+         | UNION
+         | SELECT r.src, e.b FROM reach r JOIN edge e ON e.a = r.dst),
+         |lab AS (SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT vec_id, cluster_id,
+         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM lab ORDER BY vec_id""".stripMargin,
   )
 }
