@@ -1505,9 +1505,14 @@ object SparkEntry {
     * top-/duplicate-bigram fractions, all pure scan-stage Column
     * expressions (the bigram mode is a linear `aggregate` fold over the
     * sorted bigram array — no per-doc shuffle, no quadratic rescan).
-    * The fixture injects a repeated boilerplate line into every 4th
-    * page so the line signal separates. Exact integer ratios, one
-    * double division — bit-reproducible in the oracle.
+    * Complements q60, which profiles bigrams via explode + two-level
+    * aggregation (a shuffle-keyed shape): the fold here computes the
+    * SAME mode count without leaving the scan stage, so the two queries
+    * cross-check each other in-engine; q95 additionally contributes the
+    * line-duplication and duplicate-bigram signals q60 lacks. The
+    * fixture injects a repeated boilerplate line into every 4th page so
+    * the line signal separates. Exact integer ratios, one double
+    * division — bit-reproducible in the oracle.
     */
   def q95Repetition(s: SparkSession, d: String): DataFrame = {
     val ta = functions.TextAnalysis
