@@ -162,4 +162,38 @@ object StreamingImport {
       onMatches(graft.operators.TextDedup.probeLshIndex(
         batch, idCol, textCol, indexPath, threshold = threshold))
     }
+
+  /** End-to-end STREAMING curation — the streaming analog of the q92
+    * batch flagship, composed from the same building blocks:
+    *
+    *  1. quality gate: the batch pipeline's scan-stage
+    *     [[graft.functions.TextAnalysis.qualityScore]] filter — pure
+    *     per-row work, no state;
+    *  2. cross-batch exact dedup: content fingerprint
+    *     ([[graft.functions.TextAnalysis.fingerprintMd5]]) through the
+    *     keyed-state gate of [[dedupStream]] — the first document with a
+    *     fingerprint passes, every later copy in ANY micro-batch drops
+    *     (state = one boolean per distinct fingerprint);
+    *  3. token accounting: each surviving document carries its token
+    *     count for downstream budget control.
+    *
+    * Returns the surviving stream `(id, text, quality, n_tokens)`.
+    * State scales with distinct content, not stream volume; every
+    * stage is identical to its batch counterpart, so a document set
+    * replayed as a stream yields exactly the batch pipeline's survivors.
+    */
+  def curationStream(docs: DataFrame, idCol: String, textCol: String,
+                     minQuality: Double): org.apache.spark.sql.Dataset[(String, String, Double, Long)] = {
+    val ta = graft.functions.TextAnalysis
+    import docs.sparkSession.implicits._
+    val gated = docs
+      .withColumn("__quality", ta.qualityScore(col(textCol)))
+      .filter(col("__quality") >= minQuality)
+      .select(col(idCol).cast("string"), col(textCol).cast("string"),
+        col("__quality"), ta.tokenCount(col(textCol)).cast("long"),
+        ta.fingerprintMd5(col(textCol)))
+      .as[(String, String, Double, Long, String)]
+    dedupStream[String, (String, String, Double, Long, String)](gated, _._5)
+      .map(r => (r._1, r._2, r._3, r._4))
+  }
 }

@@ -188,6 +188,54 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00.0", "u2", 1L, 8.0)))
   }
 
+  test("streaming curation pipeline equals its batch counterpart") {
+    val dir = SyntheticFixtures.dir(s"curstream_${System.nanoTime()}")
+    // doc set with: a high-quality doc, an exact copy arriving in a LATER
+    // micro-batch (must drop), and a low-quality short doc (must gate)
+    val good = "the quick brown fox jumps over the lazy dog and the cat " +
+      "sat on the mat for a while in the sun of it all"
+    val b1 = SyntheticFixtures.writeText(new File(dir, "b1.csv"),
+      s"id;text\nd1;$good\nd2;!!!")
+    val b2 = SyntheticFixtures.writeText(new File(dir, "b2.csv"),
+      s"id;text\nd3;$good\nd4;$good extended with more words to differ")
+    b1.setLastModified(System.currentTimeMillis() - 60000)
+    b2.setLastModified(System.currentTimeMillis())
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("sep", ";").option("header", "true")
+      .option("maxFilesPerTrigger", "1").csv(dir.getPath)
+    val curated = StreamingImport.curationStream(stream, "id", "text",
+      minQuality = 0.3)
+    val q = curated.toDF("id", "text", "quality", "n_tokens")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cur_out")
+      .option("checkpointLocation", new File(dir, "_cp").getPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT id, n_tokens FROM cur_out")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // d1 passes; d2 gated (quality); d3 = exact copy of d1 in a later
+    // batch → keyed state drops it; d4 differs → passes
+    assert(got.map(_._1).toSeq == Seq("d1", "d4"))
+    // replaying the same set through the BATCH pipeline stages yields the
+    // same survivors: gate on quality, keep first per fingerprint
+    val ta = graft.functions.TextAnalysis
+    val batch = Seq(("d1", good), ("d2", "!!!"), ("d3", good),
+      ("d4", good + " extended with more words to differ"))
+      .toDF("id", "text")
+      .withColumn("q", ta.qualityScore(col("text")))
+      .filter(col("q") >= 0.3)
+      .withColumn("fp", ta.fingerprintMd5(col("text")))
+    val batchKept = graft.operators.Dedup.dropDuplicatesKeepFirst(
+        batch, Seq("fp"), Seq(col("id")))
+      .select("id").collect().map(_.getString(0)).sorted
+    assert(batchKept.toSeq == got.map(_._1).toSeq)
+  }
+
   test("streaming near-dup probe against a standing LSH index") {
     import graft.operators.TextDedup
     val corpus = graft.Tables.documents(spark, sf()).limit(100)
