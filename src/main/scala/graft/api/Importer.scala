@@ -207,6 +207,16 @@ object Importer {
       } else (transformSource(source, targetSchema, cfg), 0L)
     val valid = found - invalid
 
+    // reference commitOnFullSuccessOnly (DbImportWorker.java:1006-1008):
+    // ANY data error rolls the whole import back. Surface it here, BEFORE
+    // the target is touched — the Spark-side analog of that rollback is
+    // simply never starting the write. Errors were already exported above,
+    // so the operator still gets the diagnostic file.
+    if (cfg.completeCommit && invalid > 0)
+      throw new IllegalStateException(
+        s"completeCommit: $invalid invalid row(s) of $found — " +
+          "import aborted, target unchanged")
+
     val createdIndex =
       if (cfg.keyColumns.nonEmpty && cfg.createIndexIfNeeded)
         JdbcSink.withConnection(url)(c =>

@@ -226,6 +226,30 @@ class JdbcSinkSpec extends SparkSpec {
       Seq("invalid value for column_date", "invalid value for column_integer"))
   }
 
+  test("completeCommit + data errors aborts the import with the target unchanged") {
+    // reference testCsvImportErrorDataTypeRollback semantics
+    // (DbImportWorker.java:1006-1008): under commitOnFullSuccessOnly any
+    // invalid row rolls back the ENTIRE import
+    val url = freshDb()
+    JdbcSink.withConnection(url) { c =>
+      JdbcSink.createTable(c, "ecr", StructType(Seq(
+        StructField("column_integer", IntegerType))))
+      val st = c.createStatement()
+      st.executeUpdate("INSERT INTO \"ECR\" (\"COLUMN_INTEGER\") VALUES (7)")
+      st.close()
+    }
+    val src = Seq("1", "not-a-number", "3").toDF("column_integer")
+    val ex = intercept[IllegalStateException] {
+      Importer.importToJdbc(src, url, "ecr",
+        Importer.ImportConfig(errorChannel = true, completeCommit = true))
+    }
+    assert(ex.getMessage.contains("import aborted"))
+    // pre-existing row intact, nothing appended
+    val got = spark.read.format("jdbc").option("url", url).option("dbtable", "ECR")
+      .load().collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(7))
+  }
+
   test("additional insert/update values: DB-evaluated SQL in the merge statements") {
     val url = freshDb()
     JdbcSink.withConnection(url) { c =>
