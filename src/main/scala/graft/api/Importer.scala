@@ -30,6 +30,17 @@ object Importer {
                           updateWithNull: Boolean = true,
                           batchSize: Int = 1000,
                           completeCommit: Boolean = false,
+                          /** Global default date / datetime patterns
+                            * (reference `-dateFormat`/`-dateTimeFormat`):
+                            * tried FIRST for DATE/TIMESTAMP targets whose
+                            * mapping has no explicit pattern.
+                            */
+                          dateFormat: Option[String] = None,
+                          dateTimeFormat: Option[String] = None,
+                          /** Reference `-noSingleMode`: a failed batch
+                            * fails instead of replaying row-by-row.
+                            */
+                          preventSingleFallback: Boolean = false,
                           createTableIfNeeded: Boolean = false,
                           trimValues: Boolean = false,
                           importTz: String = "UTC", dbTz: String = "UTC",
@@ -88,7 +99,8 @@ object Importer {
     }
     val cols: Seq[Column] = mappings.flatMap { m =>
       targetSchema.fields.find(_.name.equalsIgnoreCase(m.dbColumn))
-        .map(f => Mapping.compile(m, f, cfg.importTz, cfg.dbTz))
+        .map(f => Mapping.compile(m, f, cfg.importTz, cfg.dbTz,
+          cfg.dateFormat, cfg.dateTimeFormat))
     }
     require(cols.nonEmpty, "mapping resolved no columns")
     trimmed.select(cols: _*)
@@ -184,7 +196,8 @@ object Importer {
           targetSchema.fields.find(_.name.equalsIgnoreCase(m.dbColumn)).map(f => (m, f)))
         val compiled = resolved.map { case (m, f) =>
           // prefix mapped outputs: raw data columns may share the name
-          Mapping.compile(m, f, cfg.importTz, cfg.dbTz).as(s"__graft_m_${f.name}")
+          Mapping.compile(m, f, cfg.importTz, cfg.dbTz,
+            cfg.dateFormat, cfg.dateTimeFormat).as(s"__graft_m_${f.name}")
         }
         val combined = trimmed.select((trimmed.columns.map(c => col(s"`$c`")) ++ compiled)
           .toIndexedSeq: _*)
@@ -238,7 +251,8 @@ object Importer {
         }
         val stats =
           if (cfg.completeCommit) JdbcSink.appendAtomic(withExtra, url, table, cfg.batchSize)
-          else JdbcSink.appendBatch(withExtra, url, table, cfg.batchSize)
+          else JdbcSink.appendBatch(withExtra, url, table, cfg.batchSize,
+            singleRowFallback = !cfg.preventSingleFallback)
         (stats.inserted, 0L, deleted, 0L)
       } else if (cfg.mergeInDb) {
         // DB-side merge: Spark dedups the staged side, the destination DB

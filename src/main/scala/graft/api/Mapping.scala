@@ -57,10 +57,14 @@ object Mapping {
 
   /** Compile one mapping to a Column expression for the target field,
     * applying the format-info transform pipeline (SURVEY §2.3) and the
-    * final type cast.
+    * final type cast. `dateFormat`/`dateTimeFormat` are the GLOBAL
+    * defaults (reference `-dateFormat`/`-dateTimeFormat`): tried first
+    * when the mapping itself carries no pattern.
     */
   def compile(m: ColumnMapping, target: StructField,
-              importTz: String = "UTC", dbTz: String = "UTC"): Column = {
+              importTz: String = "UTC", dbTz: String = "UTC",
+              dateFormat: Option[String] = None,
+              dateTimeFormat: Option[String] = None): Column = {
     val src = m.dataColumn match {
       case None => lit(null).cast(StringType)
       case Some(dc) => col(s"`$dc`")
@@ -90,10 +94,12 @@ object Mapping {
       case (TimestampType, _) =>
         Transforms.shiftTimezone(
           Transforms.parseTimestampChain(trim(src),
-            Seq("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss", "dd.MM.yyyy HH:mm:ss")),
+            dateTimeFormat.toSeq ++
+              Seq("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss", "dd.MM.yyyy HH:mm:ss")),
           importTz, dbTz)
       case (DateType, _) =>
-        Transforms.parseDateChain(trim(src), Seq("yyyy-MM-dd", "dd.MM.yyyy"))
+        Transforms.parseDateChain(trim(src),
+          dateFormat.toSeq ++ Seq("yyyy-MM-dd", "dd.MM.yyyy"))
       case (BinaryType, "file") =>
         // `file` format info loads path contents sink-side; represented
         // here as the raw path bytes placeholder (loader in JdbcSink).

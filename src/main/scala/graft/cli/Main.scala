@@ -11,14 +11,19 @@ import graft.sources._
   * the reference's main flags. A user of the reference's CLI keeps the
   * same mental model; connection arguments collapse to one JDBC URL.
   *
-  * Flags: -i <mode> -d <dupmode> -k <keys,..> -m <mapping> -create -t
-  * -n <nulltoken> -c -x (sql script) -data (inline) -sep <c> -quote <c>
-  * -noheaders -zippassword <pw> -dp <path> -idtz <tz> -dbtz <tz>
+  * Flags (matched case-insensitively like the reference): -i <mode>
+  * -d <dupmode> -k <keys,..> -m <mapping> -mf <mappingfile> -create -t
+  * -u -n <nulltoken> -c -x (sql script) -data (inline) -s/-sep <c>
+  * -q/-quote <c> -qe <c> -a -r -noescapesequences -noheaders
+  * -nosinglemode -zippassword <pw> -dp <path> -idtz <tz> -dbtz <tz>
+  * -dateformat <f> -datetimeformat <f> -structure <file> -logerrors
+  * -deactivatefk -deactivatetriggers -table <t> -import <f>
+  * -secure -truststore <file> -truststorepassword <pw>
   * -analyse -sp <schemafile> (JSON-schema/XSD pre-pass), plus the
-  * `importblob` mode with -updatesql (single file → BLOB column,
-  * reference DbImport.java:234-235,834) and the `createtruststore`
-  * mode (<host[:port]> <truststoreFile> <password|''> createtruststore,
-  * reference DbImport.java:745-746).
+  * `importblob` mode with -updatesql/-blobfile (single file → BLOB
+  * column, reference DbImport.java:234-235,834) and the
+  * `createtruststore` mode (<host[:port]> <truststoreFile>
+  * <password|''> createtruststore, reference DbImport.java:745-746).
   */
 object Main {
 
@@ -26,6 +31,7 @@ object Main {
                   cfg: Importer.ImportConfig, inline: Boolean = false,
                   sqlScript: Boolean = false, analyse: Boolean = false,
                   sep: String = ";", quote: String = "\"", headers: Boolean = true,
+                  quoteEscape: String = "\"",
                   nullToken: Option[String] = None, zipPassword: Option[String] = None,
                   dataPath: Option[String] = None, schemaFile: Option[String] = None,
                   blobImport: Boolean = false, updateSql: Option[String] = None,
@@ -34,7 +40,23 @@ object Main {
                   sleepSeconds: Int = 0, checkSql: Option[String] = None,
                   createTrustStore: Boolean = false,
                   encoding: String = "UTF-8", verbose: Boolean = false,
-                  logToFile: Boolean = false)
+                  logToFile: Boolean = false,
+                  structureFile: Option[String] = None,
+                  secure: Boolean = false,
+                  trustStorePath: Option[String] = None,
+                  trustStorePassword: Option[String] = None,
+                  deactivateFk: Boolean = false, deactivateTriggers: Boolean = false,
+                  /** Reference CSV-laxness flags, accepted for argv
+                    * compatibility: this reader always null-fills
+                    * underfilled lines and drops surplus fields (a
+                    * permissive superset of `-a`/`-r`), and never
+                    * interprets escape sequences (the
+                    * `-noescapesequences` behavior).
+                    */
+                  allowUnderfilled: Boolean = false,
+                  removeSurplusColumns: Boolean = false,
+                  noEscapeSequences: Boolean = false,
+                  help: Boolean = false, version: Boolean = false)
 
   /** `col=expr; col=expr` additional-values list (reference
     * `-insvalues`/`-updvalues`, DbImport.java:408-427).
@@ -47,12 +69,20 @@ object Main {
     }.toMap
 
   def parseArgs(argv: Array[String]): Args = {
+    // help/version short-circuit BEFORE the positional requirement —
+    // `graft.cli.Main -help` must not demand a URL
+    if (argv.exists(x => Set("-h", "-help", "help").contains(x.toLowerCase)))
+      return Args("", "", "", Importer.ImportConfig(), help = true)
+    if (argv.exists(x => Set("-version", "version").contains(x.toLowerCase)))
+      return Args("", "", "", Importer.ImportConfig(), version = true)
     require(argv.length >= 3, "usage: graft.cli.Main <jdbcUrl> <table> <file> [flags]")
     var a = Args(argv(0), argv(1), argv(2), Importer.ImportConfig())
     var i = 3
     def next(): String = { i += 1; argv(i - 1) }
     while (i < argv.length) {
-      argv(i) match {
+      // the reference matches every flag case-insensitively
+      // (DbImport.java `equalsIgnoreCase` throughout)
+      argv(i).toLowerCase match {
         case "-i" => i += 1; a = a.copy(cfg = a.cfg.copy(mode = next() match {
           case m if m.equalsIgnoreCase("insert") => ImportMode.Insert
           case m if m.equalsIgnoreCase("update") => ImportMode.Update
@@ -82,15 +112,45 @@ object Main {
         case "-x" => i += 1; a = a.copy(sqlScript = true)
         case "-data" => i += 1; a = a.copy(inline = true)
         case "-analyse" => i += 1; a = a.copy(analyse = true)
-        case "-sep" => i += 1; a = a.copy(sep = next())
-        case "-quote" => i += 1; a = a.copy(quote = next())
+        case "-sep" | "-s" => i += 1; a = a.copy(sep = next())
+        case "-quote" | "-q" => i += 1; a = a.copy(quote = next())
+        case "-qe" => i += 1; a = a.copy(quoteEscape = next())
         case "-noheaders" => i += 1; a = a.copy(headers = false)
         case "-zippassword" => i += 1; a = a.copy(zipPassword = Some(next()))
         case "-dp" => i += 1; a = a.copy(dataPath = Some(next()))
         case "-idtz" => i += 1; a = a.copy(cfg = a.cfg.copy(importTz = next()))
         case "-dbtz" => i += 1; a = a.copy(cfg = a.cfg.copy(dbTz = next()))
         case "-nonewindex" => i += 1; a = a.copy(cfg = a.cfg.copy(createIndexIfNeeded = false))
-        case "-batchBlockSize" => i += 1; a = a.copy(cfg = a.cfg.copy(batchSize = next().toInt))
+        case "-batchblocksize" => i += 1; a = a.copy(cfg = a.cfg.copy(batchSize = next().toInt))
+        case "-u" => i += 1; a = a.copy(cfg = a.cfg.copy(updateWithNull = false))
+        case "-a" => i += 1; a = a.copy(allowUnderfilled = true)
+        case "-r" => i += 1; a = a.copy(removeSurplusColumns = true)
+        case "-noescapesequences" => i += 1; a = a.copy(noEscapeSequences = true)
+        case "-nosinglemode" => i += 1
+          a = a.copy(cfg = a.cfg.copy(preventSingleFallback = true))
+        case "-dateformat" => i += 1
+          a = a.copy(cfg = a.cfg.copy(dateFormat = Some(next())))
+        case "-datetimeformat" => i += 1
+          a = a.copy(cfg = a.cfg.copy(dateTimeFormat = Some(next())))
+        case "-mf" => i += 1
+          val f = next()
+          a = a.copy(cfg = a.cfg.copy(mapping = Some(new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)),
+            "UTF-8").trim)))
+        case "-structure" => i += 1; a = a.copy(structureFile = Some(next()))
+        case "-logerrors" => i += 1
+          // reference logErroneousData: erroneous rows export next to the
+          // import file (or CWD for inline data)
+          a = a.copy(cfg = a.cfg.copy(errorChannel = true))
+        case "-deactivatefk" => i += 1; a = a.copy(deactivateFk = true)
+        case "-deactivatetriggers" => i += 1; a = a.copy(deactivateTriggers = true)
+        case "-table" => i += 1; a = a.copy(table = next())
+        case "-import" => i += 1; a = a.copy(importPathOrData = next())
+        case "-blobfile" => i += 1; a = a.copy(importPathOrData = next())
+        case "-secure" => i += 1; a = a.copy(secure = true)
+        case "-truststore" => i += 1; a = a.copy(trustStorePath = Some(next()))
+        case "-truststorepassword" => i += 1
+          a = a.copy(trustStorePassword = Some(next()))
         case "-sp" => i += 1; a = a.copy(schemaFile = Some(next()))
         case "importblob" => i += 1; a = a.copy(blobImport = true)
         case "-updatesql" => i += 1; a = a.copy(updateSql = Some(next()))
@@ -124,6 +184,7 @@ object Main {
       throw new IllegalArgumentException(
         s"SchemaFilePath is not supported for data format: $path")
     val csvOpts = CsvSource.CsvOptions(separator = a.sep, quote = a.quote,
+      escape = a.quoteEscape,
       header = a.headers, nullToken = a.nullToken, trimValues = false,
       encoding = a.encoding)
     val compressed = path.toLowerCase.matches(".*\\.(zip|gz|tgz)$")
@@ -186,7 +247,27 @@ object Main {
     }
   }
 
+  private val Usage =
+    """usage: graft.cli.Main <jdbcUrl> <table> <importFileOrData> [flags]
+      |modes: importblob | connectiontest | createtruststore | -x (SQL script) | -analyse
+      |flags: -i <mode> -d <dupmode> -k <cols> -m <mapping> -mf <file> -create -t -c -u
+      |  -n <null> -data -s|-sep <c> -q|-quote <c> -qe <c> -noheaders -a -r
+      |  -noescapesequences -nosinglemode -batchblocksize <n> -nonewindex
+      |  -dateformat <f> -datetimeformat <f> -idtz <tz> -dbtz <tz> -zippassword <pw>
+      |  -kdbxpassword <pw> -dp <path> -sp <schema> -structure <file> -logerrors
+      |  -deactivatefk -deactivatetriggers -table <t> -import <f> -blobfile <f>
+      |  -updatesql <sql> -secure -truststore <file> -truststorepassword <pw>
+      |  -insvalues <list> -updvalues <list> -iter <n> -sleep <s> -check <sql>
+      |  -e <charset> -v -l""".stripMargin
+
   def run(spark: SparkSession, a: Args): Int = {
+    if (a.help) { println(Usage); return 0 }
+    if (a.version) { println("graft dbimportspark 0.7"); return 0 }
+    // TLS material for secure JDBC connections (reference -secure /
+    // -truststore / -truststorepassword): standard javax.net.ssl props
+    a.trustStorePath.foreach(p => System.setProperty("javax.net.ssl.trustStore", p))
+    a.trustStorePassword.foreach(p =>
+      System.setProperty("javax.net.ssl.trustStorePassword", p))
     if (a.createTrustStore) {
       // reference `createtruststore` mode (DbImport.java:745-746):
       // positionals become <host[:port]> <truststoreFile> <password|''>
@@ -228,10 +309,32 @@ object Main {
       println(s"Executed ${r.executed} statements, ${r.errors.length} errors")
       return if (r.errors.isEmpty) 0 else 1
     }
+    // structure-file pre-pass (reference -structure): CREATE missing
+    // tables / ALTER ADD missing columns before any import runs
+    a.structureFile.foreach { f =>
+      val tables = graft.schema.StructureFile.parse(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8"))
+      val (created, added) = graft.schema.StructureFile.sync(a.url, tables)
+      created.foreach(t => println(s"Created table $t"))
+      added.foreach { case (t, c) => println(s"Added column $t.$c") }
+    }
+    if (a.deactivateFk || a.deactivateTriggers)
+      // vendor-specific DDL toggles; embedded vendors expose none —
+      // the MultiImporter.Hooks API takes explicit SQL for real vendors
+      System.err.println("[graft] -deactivatefk/-deactivatetriggers: no " +
+        "toggle statements for this vendor; proceeding (use hooks for " +
+        "vendor SQL)")
+    // -logerrors without an explicit export path: erroneous rows land
+    // next to the import file (reference logErroneousData behavior)
+    val cfgRun =
+      if (a.cfg.errorChannel && a.cfg.errorExportPath.isEmpty && !a.inline)
+        a.cfg.copy(errorExportPath = Some(a.importPathOrData + ".errors"))
+      else a.cfg
+    val a2 = a.copy(cfg = cfgRun)
     val multi = a.importPathOrData.exists(c => c == '*' || c == '?') && !a.inline
     if (multi) {
       val results = MultiImporter.importGlob(spark, a.importPathOrData, a.url, a.table,
-        a.cfg, (s, f) => readSource(s, a, f))
+        a2.cfg, (s, f) => readSource(s, a2, f))
       results.foreach {
         case MultiImporter.FileResult(f, t, Right(r)) =>
           println(s"$f -> $t: imported ${r.inserted}, updated ${r.updated}")
@@ -268,7 +371,7 @@ object Main {
           if (a.inline) a.importPathOrData.getBytes("UTF-8").length.toLong
           else new java.io.File(a.importPathOrData).length()
         def doImport() = Importer.importToJdbc(src, a.url, a.table,
-          a.cfg.copy(dataAmount = amount))
+          a2.cfg.copy(dataAmount = amount))
         // -v: task-level progress with ETA (reference verbose mode)
         val r = if (a.verbose)
           graft.api.Progress.withProgress(spark, s"import ${a.table}")(doImport())

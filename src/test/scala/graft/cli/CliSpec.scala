@@ -213,6 +213,73 @@ class CliSpec extends SparkSpec {
     JdbcSink.withConnection(url)(c => assert(JdbcSink.countRows(c, "scripted") == 1))
   }
 
+  test("reference argv compatibility: case-insensitive flags, aliases, new flags") {
+    // the reference matches flags with equalsIgnoreCase — so must we
+    val a = Main.parseArgs(Array("jdbc:x", "tbl", "f.csv",
+      "-I", "UPSERT", "-BatchBlockSize", "250", "-S", ",", "-Q", "'",
+      "-qe", "\\", "-U", "-A", "-R", "-NoEscapeSequences", "-NoSingleMode",
+      "-dateFormat", "dd.MM.yyyy", "-dateTimeFormat", "dd.MM.yyyy HH:mm:ss",
+      "-logerrors", "-secure", "-truststore", "/tmp/ts.jks",
+      "-truststorepassword", "tsp", "-deactivatefk", "-deactivatetriggers"))
+    assert(a.cfg.mode == graft.operators.Merge.ImportMode.Upsert)
+    assert(a.cfg.batchSize == 250 && a.sep == "," && a.quote == "'" &&
+      a.quoteEscape == "\\")
+    assert(!a.cfg.updateWithNull && a.allowUnderfilled && a.removeSurplusColumns)
+    assert(a.noEscapeSequences && a.cfg.preventSingleFallback)
+    assert(a.cfg.dateFormat.contains("dd.MM.yyyy") &&
+      a.cfg.dateTimeFormat.contains("dd.MM.yyyy HH:mm:ss"))
+    assert(a.cfg.errorChannel && a.secure &&
+      a.trustStorePath.contains("/tmp/ts.jks") &&
+      a.trustStorePassword.contains("tsp"))
+    assert(a.deactivateFk && a.deactivateTriggers)
+    // -table/-import/-blobfile override the positional slots
+    val b = Main.parseArgs(Array("jdbc:x", "ignored", "ignored",
+      "-table", "real_t", "-import", "/data/real.csv"))
+    assert(b.table == "real_t" && b.importPathOrData == "/data/real.csv")
+    // help short-circuits without demanding positionals
+    assert(Main.parseArgs(Array("-help")).help)
+    assert(Main.run(spark, Main.parseArgs(Array("-h"))) == 0)
+    assert(Main.run(spark, Main.parseArgs(Array("version"))) == 0)
+  }
+
+  test("-mf reads the mapping from a file; -dateformat governs unpatterned DATE parses") {
+    val url = freshDb()
+    JdbcSink.withConnection(url) { c =>
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE \"MFD\" (\"ID\" INTEGER, \"D\" DATE)")
+      st.close()
+    }
+    val mf = SyntheticFixtures.writeText(
+      new File(SyntheticFixtures.dir("climf"), "map.txt"),
+      "id='ident'; d='when'")
+    val csv = SyntheticFixtures.writeText(
+      new File(SyntheticFixtures.dir("climf"), "mf.csv"),
+      "ident;when\n5;31.12.2025")
+    // without -dateformat, "31.12.2025" only parses via the dd.MM.yyyy
+    // fallback; make the global format the FIRST pattern tried
+    val a = Main.parseArgs(Array(url, "mfd", csv.getPath,
+      "-mf", mf.getPath, "-dateformat", "dd.MM.yyyy"))
+    assert(a.cfg.mapping.contains("id='ident'; d='when'"))
+    assert(Main.run(spark, a) == 0)
+    val got = spark.read.format("jdbc").option("url", url).option("dbtable", "MFD")
+      .load().collect()(0)
+    assert(got.getInt(0) == 5 && got.getDate(1).toString == "2025-12-31")
+  }
+
+  test("-structure pre-pass creates missing tables before the import") {
+    val url = freshDb()
+    val sf = SyntheticFixtures.writeText(
+      new File(SyntheticFixtures.dir("clistruct"), "structure.json"),
+      """{ "st_t": { "columns": [
+        |  {"name": "id", "datatype": "Integer"},
+        |  {"name": "v", "datatype": "String", "datasize": 20}]}}""".stripMargin)
+    val csv = SyntheticFixtures.writeText(
+      new File(SyntheticFixtures.dir("clistruct"), "st.csv"), "id;v\n1;x")
+    val a = Main.parseArgs(Array(url, "st_t", csv.getPath, "-structure", sf.getPath))
+    assert(Main.run(spark, a) == 0)
+    JdbcSink.withConnection(url)(c => assert(JdbcSink.countRows(c, "st_t") == 1))
+  }
+
   test("createtruststore captures a TLS endpoint's chain into a JKS file") {
     import java.security.KeyStore
     import javax.net.ssl.{KeyManagerFactory, SSLContext}
