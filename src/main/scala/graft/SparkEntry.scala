@@ -1581,6 +1581,19 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  // ---------------------------------------------------------------- q98
+  /** Distributed BPE merge-rule training (tokenizer building). The
+    * corpus collapses ONCE to a word-frequency table; each of the 8
+    * merge rounds is one narrow map + one hash aggregation + a 1-row
+    * TakeOrdered, so the corpus itself is read a single time and
+    * driver-side state is one rule per round ([[operators.BpeTrainer]]).
+    * Rule order is engine-independent: integer frequencies, ties on
+    * lexicographically smallest (a, b).
+    */
+  def q98BpeMerges(s: SparkSession, d: String): DataFrame =
+    operators.BpeTrainer.train(documents(s, d), "text", merges = 8)
+      .orderBy(col("rank"))
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2021,6 +2034,7 @@ object SparkEntry {
     "q95_repetition" -> (q95Repetition _),
     "q96_pii_redact" -> (q96PiiRedact _),
     "q97_embedding_clusters" -> (q97EmbeddingClusters _),
+    "q98_bpe_merges" -> (q98BpeMerges _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -3267,5 +3281,35 @@ object SparkEntry {
          |SELECT vec_id, cluster_id,
          | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM lab ORDER BY vec_id""".stripMargin,
+
+    "q98_bpe_merges" -> {
+      // 8 BPE merge rounds unrolled as CTE stages: pair-count ->
+      // arg-max -> literal merge, the exact loop BpeTrainer runs.
+      // Integer frequencies and the lexicographic tie-break make the
+      // rule sequence engine-independent.
+      val stages = (0 until 8).map { n =>
+        s"""p$n AS (
+           |  SELECT l[i] AS a, l[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS freq
+           |  FROM (SELECT l, cnt, unnest(generate_series(1, len(l)-1)) AS i
+           |        FROM (SELECT string_split(trim(seq), '  ') AS l, cnt FROM wf$n))
+           |  GROUP BY 1, 2),
+           |b$n AS (SELECT a, b, freq FROM p$n ORDER BY freq DESC, a, b LIMIT 1),
+           |wf${n + 1} AS (
+           |  SELECT replace(seq, ' ' || a || '  ' || b || ' ',
+           |                 ' ' || a || b || ' ') AS seq, cnt
+           |  FROM wf$n, b$n)""".stripMargin
+      }.mkString(",\n")
+      val union = (0 until 8)
+        .map(n => s"SELECT ${n + 1} AS rank, a, b, freq FROM b$n")
+        .mkString(" UNION ALL ")
+      s"""WITH words AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |  FROM documents),
+         |wf0 AS (
+         |  SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS seq, count(*) AS cnt
+         |  FROM words WHERE w <> '' GROUP BY 1),
+         |$stages
+         |SELECT * FROM ($union) ORDER BY rank""".stripMargin
+    },
   )
 }

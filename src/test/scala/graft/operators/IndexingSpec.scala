@@ -157,4 +157,27 @@ class IndexingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(trained === brute)
   }
+
+  test("BPE merge rules match the hand-computed greedy sequence") {
+    // the classic BPE workbook corpus: low*3 lower*2 newest*6 widest*3.
+    // it1 pair counts peak at a 9-9 tie (e,s)/(s,t) -> lexicographic
+    // tie-break picks (e,s); it2 merges (es,t); it3 has a 6-6-6 tie
+    // (e,w)/(n,e)/(w,est) -> (e,w). Hand-derived, engine-independent.
+    val docs = Seq(
+      (1L, "low low lower newest newest newest widest"),
+      (2L, "low lower newest newest newest widest widest")).toDF("doc_id", "text")
+    val got = BpeTrainer.train(docs, "text", merges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1, "e", "s", 9L), (2, "es", "t", 9L), (3, "e", "w", 6L)))
+    // adjacent-occurrence merging: an odd run of the same symbol folds
+    // left-to-right ("aaaaa" -> aa aa a); round 2 ties (aa,a)/(aa,aa)
+    // at 2 and lexicographic order picks (aa,a)
+    val runs = Seq((1L, "aaaaa aaaaa")).toDF("doc_id", "text")
+    val r2 = BpeTrainer.train(runs, "text", merges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(r2.toSeq === Seq((1, "a", "a", 8L), (2, "aa", "a", 2L)))
+    // merge exhaustion stops early instead of erroring
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    assert(BpeTrainer.train(tiny, "text", merges = 5).count() === 1L)
+  }
 }
