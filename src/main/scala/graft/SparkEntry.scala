@@ -1594,6 +1594,20 @@ object SparkEntry {
     operators.BpeTrainer.train(documents(s, d), "text", merges = 8)
       .orderBy(col("rank"))
 
+  // ---------------------------------------------------------------- q99
+  /** PCA covariance over the embedding corpus — the oracle-expressible
+    * face of [[operators.Pca]]: DECIMAL-exact moment sums make the
+    * upper-triangle covariance engine-independent. The 100 TB path is
+    * `Pca.moments` (ONE typed aggregation, d²-sized partials, no
+    * explode/join) — spec-pinned equal to this declarative reference;
+    * eigendecomposition + whitening are dimension-sized driver work,
+    * spec-pinned on their invariants (IndexingSpec).
+    */
+  def q99PcaCovariance(s: SparkSession, d: String): DataFrame =
+    operators.Pca.covarianceExact(
+        embeddings(s, d).select(col("vec_id"), col("embedding")), "embedding")
+      .orderBy(col("i"), col("j"))
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2035,6 +2049,7 @@ object SparkEntry {
     "q96_pii_redact" -> (q96PiiRedact _),
     "q97_embedding_clusters" -> (q97EmbeddingClusters _),
     "q98_bpe_merges" -> (q98BpeMerges _),
+    "q99_pca_covariance" -> (q99PcaCovariance _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -3311,5 +3326,26 @@ object SparkEntry {
          |$stages
          |SELECT * FROM ($union) ORDER BY rank""".stripMargin
     },
+
+    "q99_pca_covariance" ->
+      // DECIMAL(18,10)-quantized inputs; products carry scale 20
+      // exactly in both engines (Spark DECIMAL(37,20), DuckDB (36,20)),
+      // so the moment sums are bit-identical and the final double
+      // arithmetic + round(6) is engine-independent.
+      s"""WITH ex AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |         CAST(unnest(CAST(embedding AS DOUBLE[])) AS DECIMAL(18,10)) AS x
+         |  FROM embeddings),
+         |nn AS (SELECT count(*) AS n FROM embeddings),
+         |s AS (SELECT i, CAST(sum(x) AS DOUBLE) AS sx FROM ex GROUP BY i),
+         |p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS DOUBLE) AS sxy
+         |      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |      GROUP BY 1, 2)
+         |SELECT p.i, p.j, round((sxy - si.sx * sj.sx / nn.n) / nn.n, 6) + 0.0 AS cov
+         |FROM p
+         |JOIN s si ON si.i = p.i
+         |JOIN s sj ON sj.i = p.j
+         |CROSS JOIN nn
+         |ORDER BY p.i, p.j""".stripMargin,
   )
 }

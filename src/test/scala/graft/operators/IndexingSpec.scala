@@ -180,4 +180,59 @@ class IndexingSpec extends SparkSpec {
     val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
     assert(BpeTrainer.train(tiny, "text", merges = 5).count() === 1L)
   }
+
+  test("PCA: one-pass moments equal the exact-decimal covariance; eigen invariants hold") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val d = 64
+    val m = Pca.moments(e, "embedding", d)
+    assert(m.n === e.count())
+    // fast aggregator vs the engine-independent decimal reference
+    val exact = Pca.covarianceExact(e, "embedding", roundTo = 9)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (i <- 0 until d; j <- i until d)
+      assert(math.abs(m.cov(i)(j) - exact((i, j))) < 1e-6,
+        s"cov($i,$j): ${m.cov(i)(j)} vs ${exact((i, j))}")
+    // eigen invariants: C v = lambda v, descending, unit norm, orthogonal
+    val (vals, vecs) = Pca.topComponents(m.cov, k = 4)
+    assert(vals.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    for (c <- 0 until 4) {
+      val v = vecs(c)
+      val cv = Array.tabulate(d)(i => (0 until d).map(j => m.cov(i)(j) * v(j)).sum)
+      for (i <- 0 until d) assert(math.abs(cv(i) - vals(c) * v(i)) < 1e-9)
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+      for (c2 <- c + 1 until 4)
+        assert(math.abs(v.zip(vecs(c2)).map { case (a, b) => a * b }.sum) < 1e-9)
+    }
+    // projected variance per component equals its eigenvalue; whitening
+    // rescales to unit variance
+    val proj = Pca.project(e, "embedding", m.mean, vecs, vals, whiten = false)
+      .select((0 until 4).map(i => col(s"pc${i + 1}")): _*).collect()
+    for (c <- 0 until 4) {
+      val xs = proj.map(_.getDouble(c))
+      val varc = xs.map(x => x * x).sum / xs.length -
+        math.pow(xs.sum / xs.length, 2)
+      assert(math.abs(varc - vals(c)) < 1e-6, s"pc${c + 1} var $varc vs ${vals(c)}")
+    }
+    val white = Pca.project(e, "embedding", m.mean, vecs, vals, whiten = true)
+      .select(col("pc1")).collect().map(_.getDouble(0))
+    val wvar = white.map(x => x * x).sum / white.length -
+      math.pow(white.sum / white.length, 2)
+    assert(math.abs(wvar - 1.0) < 1e-6)
+  }
+
+  test("PCA recovers the plane of synthetic rank-2 data") {
+    // points live on span{e0+e1, e2} (+ mean): top-2 eigenvalues carry
+    // all variance, residual eigenvalues vanish
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      val a = rnd.nextGaussian() * 3; val b = rnd.nextGaussian()
+      (i.toLong, Array(10f + a.toFloat, 10f + a.toFloat, b.toFloat, 5f))
+    }
+    val df = rows.toDF("id", "v")
+    val m = Pca.moments(df, "v", 4)
+    val (vals, _) = Pca.topComponents(m.cov, k = 4)
+    assert(vals(0) > 1.0 && vals(1) > 0.1)
+    assert(math.abs(vals(2)) < 1e-9 && math.abs(vals(3)) < 1e-9)
+  }
 }
