@@ -182,42 +182,48 @@ object Importer {
     val targetSchema = targetLc.schema
 
     val found = source.count()
-    val (mapped, invalid) =
-      if (cfg.errorChannel) {
-        val trimmed = if (cfg.trimValues)
-          source.select(source.columns.map(c => trim(col(s"`$c`")).as(c)).toIndexedSeq: _*)
-        else source
-        val mappings = cfg.mapping.map(Mapping.parseMappingString).getOrElse(
-          Mapping.autoMap(targetSchema.fieldNames.toIndexedSeq, trimmed.columns.toIndexedSeq))
-        // ALL resolved mappings project (a `col=` mapping with no data
-        // column becomes an explicit null, exactly like transformSource
-        // — dropping it would silently change update semantics)
-        val resolved = mappings.flatMap(m =>
-          targetSchema.fields.find(_.name.equalsIgnoreCase(m.dbColumn)).map(f => (m, f)))
-        val compiled = resolved.map { case (m, f) =>
-          // prefix mapped outputs: raw data columns may share the name
-          Mapping.compile(m, f, cfg.importTz, cfg.dbTz,
-            cfg.dateFormat, cfg.dateTimeFormat).as(s"__graft_m_${f.name}")
-        }
-        val combined = trimmed.select((trimmed.columns.map(c => col(s"`$c`")) ++ compiled)
-          .toIndexedSeq: _*)
-        // a non-empty source value that mapped to null failed its parse
-        // (reference: per-value failure marks the row invalid, §2.3)
-        val rules = resolved.flatMap { case (m, f) => m.dataColumn.map(dc =>
-          s"invalid value for ${f.name}" ->
-            (col(s"`$dc`").isNotNull && trim(col(s"`$dc`")) =!= "" &&
-              col(s"__graft_m_${f.name}").isNull))
-        }
-        val v = Validation.validate(combined, rules)
-        cfg.errorExportPath.foreach { p =>
-          Validation.exportErrorsCsv(
-            v.errors.select((trimmed.columns.map(c => col(s"`$c`")) :+
-              col("error_reason")).toIndexedSeq: _*), p)
-        }
-        (v.valid.select(resolved.map { case (_, f) =>
-          col(s"__graft_m_${f.name}").as(f.name) }.toIndexedSeq: _*),
-          v.errors.count())
-      } else (transformSource(source, targetSchema, cfg), 0L)
+    // The reference ALWAYS validates: a value that fails its parse marks
+    // the row invalid and the row is SKIPPED, with the run still exiting
+    // 0 (DbImportTest_Derby.testCsvImportErrorDataType: the 123x456 row
+    // is absent, exit code 0). Inserting a null instead would silently
+    // corrupt the target, so the validation pass is unconditional;
+    // `-logerrors`/errorExportPath only control the side-channel export.
+    val (mapped, invalid) = {
+      val trimmed = if (cfg.trimValues)
+        source.select(source.columns.map(c => trim(col(s"`$c`")).as(c)).toIndexedSeq: _*)
+      else source
+      val mappings = cfg.mapping.map(Mapping.parseMappingString).getOrElse(
+        Mapping.autoMap(targetSchema.fieldNames.toIndexedSeq, trimmed.columns.toIndexedSeq))
+      // ALL resolved mappings project (a `col=` mapping with no data
+      // column becomes an explicit null, exactly like transformSource
+      // — dropping it would silently change update semantics)
+      val resolved = mappings.flatMap(m =>
+        targetSchema.fields.find(_.name.equalsIgnoreCase(m.dbColumn)).map(f => (m, f)))
+      require(resolved.nonEmpty, "mapping resolved no columns")
+      val compiled = resolved.map { case (m, f) =>
+        // prefix mapped outputs: raw data columns may share the name
+        Mapping.compile(m, f, cfg.importTz, cfg.dbTz,
+          cfg.dateFormat, cfg.dateTimeFormat).as(s"__graft_m_${f.name}")
+      }
+      val combined = trimmed.select((trimmed.columns.map(c => col(s"`$c`")) ++ compiled)
+        .toIndexedSeq: _*)
+      // a non-empty source value that mapped to null failed its parse
+      // (reference: per-value failure marks the row invalid, §2.3)
+      val rules = resolved.flatMap { case (m, f) => m.dataColumn.map(dc =>
+        s"invalid value for ${f.name}" ->
+          (col(s"`$dc`").isNotNull && trim(col(s"`$dc`")) =!= "" &&
+            col(s"__graft_m_${f.name}").isNull))
+      }
+      val v = Validation.validate(combined, rules)
+      cfg.errorExportPath.foreach { p =>
+        Validation.exportErrorsCsv(
+          v.errors.select((trimmed.columns.map(c => col(s"`$c`")) :+
+            col("error_reason")).toIndexedSeq: _*), p)
+      }
+      (v.valid.select(resolved.map { case (_, f) =>
+        col(s"__graft_m_${f.name}").as(f.name) }.toIndexedSeq: _*),
+        v.errors.count())
+    }
     val valid = found - invalid
 
     // reference commitOnFullSuccessOnly (DbImportWorker.java:1006-1008):

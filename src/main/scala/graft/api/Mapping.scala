@@ -107,7 +107,10 @@ object Mapping {
       case (BinaryType, _) => Transforms.base64Blob(src)
       case (IntegerType, _) => Transforms.coerceInt(src)
       case (BooleanType, _) => Transforms.interpretBool(src)
-      case (dt, _) => src.cast(dt)
+      // try_cast, not cast: a malformed value must become null (the
+      // validation pass then drops the ROW, reference §2.3) instead of
+      // failing the whole job under ANSI cast semantics
+      case (dt, _) => src.try_cast(dt.sql)
     }
     base.as(target.name)
   }

@@ -46,12 +46,15 @@ object Main {
                   trustStorePath: Option[String] = None,
                   trustStorePassword: Option[String] = None,
                   deactivateFk: Boolean = false, deactivateTriggers: Boolean = false,
-                  /** Reference CSV-laxness flags, accepted for argv
-                    * compatibility: this reader always null-fills
-                    * underfilled lines and drops surplus fields (a
-                    * permissive superset of `-a`/`-r`), and never
-                    * interprets escape sequences (the
-                    * `-noescapesequences` behavior).
+                  /** Reference CSV field-count strictness: by default a
+                    * line whose field count differs from the header's is
+                    * a structure error aborting the import
+                    * (CsvSource.validateStructure). `-a` permits
+                    * underfilled lines (null-filled), `-r` permits
+                    * surplus trailing fields that are all empty. This
+                    * reader never interprets escape sequences (the
+                    * `-noescapesequences` behavior is the default and
+                    * the flag is accepted for compatibility).
                     */
                   allowUnderfilled: Boolean = false,
                   removeSurplusColumns: Boolean = false,
@@ -202,8 +205,13 @@ object Main {
         java.nio.file.Files.write(tmp.toPath, dec)
         tmp.getPath
       } else path
-    if (lower.endsWith(".csv") || lower.endsWith(".txt"))
+    if (lower.endsWith(".csv") || lower.endsWith(".txt")) {
+      // reference field-count strictness: structure errors abort unless
+      // -a / -r relax them (DbImportTest_Derby.testCsvImportErrorStructure)
+      CsvSource.validateStructure(spark, p, csvOpts,
+        a.allowUnderfilled, a.removeSurplusColumns)
       CsvSource.read(spark, p, csvOpts)
+    }
     else if (lower.endsWith(".json")) {
       a.schemaFile.foreach(SchemaValidation.validateJsonSchema(p, _))
       a.dataPath.map(dp => JsonSource.readArrayAt(spark, p, dp))
@@ -357,9 +365,13 @@ object Main {
             YamlSource.readInline(spark, a.importPathOrData)
           else {
             import spark.implicits._
-            CsvSource.readLines(spark.createDataset(a.importPathOrData.split("\n").toSeq),
-              CsvSource.CsvOptions(separator = a.sep, header = a.headers,
-                nullToken = a.nullToken))
+            val csvOpts = CsvSource.CsvOptions(separator = a.sep,
+              quote = a.quote, escape = a.quoteEscape, header = a.headers,
+              nullToken = a.nullToken)
+            val ds = spark.createDataset(a.importPathOrData.split("\n").toSeq)
+            CsvSource.validateStructure(ds, csvOpts,
+              a.allowUnderfilled, a.removeSurplusColumns)
+            CsvSource.readLines(ds, csvOpts)
           }
         } else readSource(spark, a, a.importPathOrData)
       if (a.analyse) {

@@ -266,6 +266,69 @@ class CliSpec extends SparkSpec {
     assert(got.getInt(0) == 5 && got.getDate(1).toString == "2025-12-31")
   }
 
+  test("CSV structure strictness: field-count mismatch aborts; -a/-r relax it") {
+    // reference testCsvImportErrorStructure: a joined line (surplus
+    // non-empty fields) is a structure error -> exit 1, zero rows
+    val url = freshDb()
+    JdbcSink.withConnection(url) { c =>
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE \"STRICT_T\" (\"ID\" INTEGER, \"V\" VARCHAR(30))")
+      st.close()
+    }
+    val dir = SyntheticFixtures.dir("clistrict")
+    val badJoin = SyntheticFixtures.writeText(new File(dir, "joined.csv"),
+      "id;v\n1;x\n2;y3;z\n")
+    intercept[graft.sources.CsvSource.CsvStructureException] {
+      Main.run(spark, Main.parseArgs(Array(url, "strict_t", badJoin.getPath)))
+    }
+    JdbcSink.withConnection(url)(c => assert(JdbcSink.countRows(c, "strict_t") == 0))
+    // underfilled line: error by default, accepted + null-filled with -a
+    val under = SyntheticFixtures.writeText(new File(dir, "under.csv"),
+      "id;v\n1;x\n2\n3;z\n")
+    intercept[graft.sources.CsvSource.CsvStructureException] {
+      Main.run(spark, Main.parseArgs(Array(url, "strict_t", under.getPath)))
+    }
+    assert(Main.run(spark, Main.parseArgs(Array(url, "strict_t", under.getPath, "-a"))) == 0)
+    JdbcSink.withConnection(url)(c => assert(JdbcSink.countRows(c, "strict_t") == 3))
+    // surplus EMPTY trailing fields: error by default, dropped with -r;
+    // surplus NON-empty stays an error even with -r
+    val surplus = SyntheticFixtures.writeText(new File(dir, "surplus.csv"),
+      "id;v\n7;x;;\n")
+    intercept[graft.sources.CsvSource.CsvStructureException] {
+      Main.run(spark, Main.parseArgs(Array(url, "strict_t", surplus.getPath)))
+    }
+    assert(Main.run(spark, Main.parseArgs(Array(url, "strict_t", surplus.getPath, "-r"))) == 0)
+    val surplusFull = SyntheticFixtures.writeText(new File(dir, "surplusfull.csv"),
+      "id;v\n8;x;extra\n")
+    intercept[graft.sources.CsvSource.CsvStructureException] {
+      Main.run(spark, Main.parseArgs(Array(url, "strict_t", surplusFull.getPath, "-r")))
+    }
+    // quoted separators do not count as field boundaries
+    val quoted = SyntheticFixtures.writeText(new File(dir, "quoted.csv"),
+      "id;v\n9;\"a;b\"\n")
+    assert(Main.run(spark, Main.parseArgs(Array(url, "strict_t", quoted.getPath))) == 0)
+  }
+
+  test("data-type errors drop the row and the run still exits 0") {
+    // reference testCsvImportErrorDataType: the unparseable-double row
+    // is skipped, everything else lands, exit code 0 — with NO error
+    // flags given
+    val url = freshDb()
+    JdbcSink.withConnection(url) { c =>
+      val st = c.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE \"DT_T\" (\"ID\" INTEGER, \"D\" DOUBLE)")
+      st.close()
+    }
+    val csv = SyntheticFixtures.writeText(
+      new File(SyntheticFixtures.dir("clidt"), "dt.csv"),
+      "id;d\n121;123.456\n122;123x456\n123;123.456\n")
+    assert(Main.run(spark, Main.parseArgs(Array(url, "dt_t", csv.getPath))) == 0)
+    val got = spark.read.format("jdbc").option("url", url).option("dbtable", "DT_T")
+      .load().collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == Seq(121, 123))
+  }
+
   test("-structure pre-pass creates missing tables before the import") {
     val url = freshDb()
     val sf = SyntheticFixtures.writeText(
