@@ -386,4 +386,69 @@ class PropertiesSpec extends SparkSpec {
       got == expected
     }, 8)
   }
+
+  test("CSV splitLine round-trips randomly quoted fields in any dialect") {
+    // fields may contain the separator, the quote, spaces — the writer
+    // quotes every field and doubles/escapes embedded quotes; splitLine
+    // must recover the original fields exactly
+    val fieldGen = Gen.listOfN(6,
+      Gen.oneOf(Gen.const(';'), Gen.const(','), Gen.const('"'), Gen.const('\''),
+        Gen.const(' '), Gen.alphaNumChar)).map(_.mkString)
+    val rowGen = for {
+      n <- Gen.chooseNum(1, 6)
+      fs <- Gen.listOfN(n, fieldGen)
+    } yield fs
+    val dialects = Seq((';', '"', '"'), (',', '"', '\\'), (';', '\'', '\''))
+    check(Prop.forAllNoShrink(rowGen, Gen.oneOf(dialects)) { (fields, d) =>
+      val (sep, quote, esc) = d
+      val line = fields.map { f =>
+        val body =
+          if (esc == quote) f.replace(quote.toString, s"$quote$quote")
+          else f.replace(quote.toString, s"$esc$quote")
+        s"$quote$body$quote"
+      }.mkString(sep.toString)
+      graft.sources.CsvSource.splitLine(line, sep, quote, esc).toList == fields
+    }, 30)
+  }
+
+  test("distributed BPE equals a sequential in-memory reference") {
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.take(5).mkString)
+    val corpusGen = for {
+      n <- Gen.chooseNum(1, 10)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    check(Prop.forAllNoShrink(corpusGen, Gen.chooseNum(1, 4)) { (text, merges) =>
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val got = BpeTrainer.train(df, "text", merges)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toList
+      // sequential reference: greedy most-frequent adjacent pair, ties
+      // on lexicographically smallest (a, b), left-to-right remerge
+      var wf: Map[List[String], Long] = text.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => w.map(_.toString).toList -> ws.length.toLong }
+      val expected = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+      var done = false
+      for (i <- 1 to merges if !done) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, cnt) <- wf; p <- syms.zip(syms.drop(1)))
+          pairs(p) = pairs.getOrElse(p, 0L) + cnt
+        if (pairs.isEmpty) done = true
+        else {
+          val ((a, b), freq) = pairs.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+          expected += ((i, a, b, freq))
+          wf = wf.toSeq.map { case (syms, cnt) =>
+            val out = scala.collection.mutable.ListBuffer.empty[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+                out += a + b; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            out.toList -> cnt
+          }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+        }
+      }
+      got == expected.toList
+    }, 12)
+  }
 }
