@@ -13,7 +13,8 @@ import graft.sources._
   *
   * Flags (matched case-insensitively like the reference): -i <mode>
   * -d <dupmode> -k <keys,..> -m <mapping> -mf <mappingfile> -create -t
-  * -u -n <nulltoken> -c -x (sql script) -data (inline) -s/-sep <c>
+  * -u -n <nulltoken> -c -x <format> (explicit DataType; SQL = script
+  * worker) -data (inline) -s/-sep <c>
   * -q/-quote <c> -qe <c> -a -r -noescapesequences -noheaders
   * -nosinglemode -zippassword <pw> -dp <path> -idtz <tz> -dbtz <tz>
   * -dateformat <f> -datetimeformat <f> -structure <file> -logerrors
@@ -29,7 +30,13 @@ object Main {
 
   case class Args(url: String, table: String, importPathOrData: String,
                   cfg: Importer.ImportConfig, inline: Boolean = false,
-                  sqlScript: Boolean = false, analyse: Boolean = false,
+                  /** Explicit import format from `-x <format>` (reference
+                    * DataType, DbImport.java:271-279): overrides the
+                    * extension sniff; `-x SQL` selects the SQL-script
+                    * worker.
+                    */
+                  dataType: Option[String] = None,
+                  analyse: Boolean = false,
                   sep: String = ";", quote: String = "\"", headers: Boolean = true,
                   quoteEscape: String = "\"",
                   nullToken: Option[String] = None, zipPassword: Option[String] = None,
@@ -60,6 +67,10 @@ object Main {
                   removeSurplusColumns: Boolean = false,
                   noEscapeSequences: Boolean = false,
                   help: Boolean = false, version: Boolean = false)
+
+  /** Reference DataType enum (DbImportDefinition.java:33-42). */
+  private val DataTypes =
+    Set("CSV", "JSON", "YAML", "XML", "SQL", "EXCEL", "ODS", "VCF", "KDBX")
 
   /** `col=expr; col=expr` additional-values list (reference
     * `-insvalues`/`-updvalues`, DbImport.java:408-427).
@@ -112,7 +123,13 @@ object Main {
         case "-t" => i += 1; a = a.copy(cfg = a.cfg.copy(trimValues = true))
         case "-c" => i += 1; a = a.copy(cfg = a.cfg.copy(completeCommit = true))
         case "-n" => i += 1; a = a.copy(nullToken = Some(next()))
-        case "-x" => i += 1; a = a.copy(sqlScript = true)
+        case "-x" => i += 1
+          // reference: -x <importDataFormat> (CSV/JSON/YAML/XML/SQL/
+          // EXCEL/ODS/VCF/KDBX); -x SQL routes to the SQL-script worker
+          require(i < argv.length, "Missing parameter for import format")
+          val fmt = next().toUpperCase
+          require(DataTypes.contains(fmt), s"Invalid parameter for import format: $fmt")
+          a = a.copy(dataType = Some(fmt))
         case "-data" => i += 1; a = a.copy(inline = true)
         case "-analyse" => i += 1; a = a.copy(analyse = true)
         case "-sep" | "-s" => i += 1; a = a.copy(sep = next())
@@ -205,34 +222,56 @@ object Main {
         java.nio.file.Files.write(tmp.toPath, dec)
         tmp.getPath
       } else path
-    if (lower.endsWith(".csv") || lower.endsWith(".txt")) {
-      // reference field-count strictness: structure errors abort unless
-      // -a / -r relax them (DbImportTest_Derby.testCsvImportErrorStructure)
-      CsvSource.validateStructure(spark, p, csvOpts,
-        a.allowUnderfilled, a.removeSurplusColumns)
-      CsvSource.read(spark, p, csvOpts)
+    // -x <format> overrides the extension sniff (reference
+    // DbImportDefinition.getDataType); without it the extension decides
+    val fmt = a.dataType.filterNot(_ == "SQL").getOrElse {
+      if (lower.endsWith(".csv") || lower.endsWith(".txt")) "CSV"
+      else if (lower.endsWith(".json")) "JSON"
+      else if (lower.endsWith(".yaml") || lower.endsWith(".yml")) "YAML"
+      else if (lower.endsWith(".xml")) "XML"
+      else if (lower.endsWith(".xlsx") || lower.endsWith(".xls")) "EXCEL"
+      else if (lower.endsWith(".ods")) "ODS"
+      else if (lower.endsWith(".vcf")) "VCF"
+      else if (lower.endsWith(".kdbx")) "KDBX"
+      else throw new IllegalArgumentException(s"unsupported format: $path")
     }
-    else if (lower.endsWith(".json")) {
-      a.schemaFile.foreach(SchemaValidation.validateJsonSchema(p, _))
-      a.dataPath.map(dp => JsonSource.readArrayAt(spark, p, dp))
-        .getOrElse(JsonSource.readArray(spark, p))
+    fmt match {
+      case "CSV" =>
+        // reference field-count strictness: structure errors abort unless
+        // -a / -r relax them (DbImportTest_Derby.testCsvImportErrorStructure)
+        CsvSource.validateStructure(spark, p, csvOpts,
+          a.allowUnderfilled, a.removeSurplusColumns)
+        CsvSource.read(spark, p, csvOpts)
+      case "JSON" =>
+        a.schemaFile.foreach(SchemaValidation.validateJsonSchema(p, _))
+        a.dataPath.map(dp => JsonSource.readArrayAt(spark, p, dp))
+          .getOrElse(JsonSource.readArray(spark, p))
+      case "YAML" => YamlSource.read(spark, p)
+      case "XML" =>
+        a.schemaFile.foreach(SchemaValidation.validateXsd(p, _))
+        XmlSource.read(spark, p, a.dataPath, a.nullToken)
+      case "EXCEL" =>
+        // one DataType covers both workbook generations (reference
+        // ExcelDataProvider): OOXML zips start with "PK", BIFF8 with the
+        // CFB magic — sniff when the extension is ambiguous
+        val isXlsx =
+          if (lower.endsWith(".xlsx")) true
+          else if (lower.endsWith(".xls")) false
+          else {
+            val in = new java.io.FileInputStream(p)
+            try { in.read() == 'P' && in.read() == 'K' } finally in.close()
+          }
+        if (isXlsx) XlsxSource.read(spark, p, a.dataPath, a.headers)
+        // -zippassword doubles as the workbook password (one container
+        // password flag, like the reference's zipPassword plumbing)
+        else XlsSource.read(spark, p, a.dataPath, a.headers, a.zipPassword)
+      case "ODS" => OdsSource.read(spark, p, a.dataPath, a.headers)
+      case "VCF" => VcfSource.read(spark, p)
+      case "KDBX" =>
+        KdbxSource.read(spark, p, a.kdbxPassword.getOrElse(
+          throw new IllegalArgumentException(".kdbx import requires -kdbxpassword")))
+      case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
-    else if (lower.endsWith(".yaml") || lower.endsWith(".yml")) YamlSource.read(spark, p)
-    else if (lower.endsWith(".xml")) {
-      a.schemaFile.foreach(SchemaValidation.validateXsd(p, _))
-      XmlSource.read(spark, p, a.dataPath, a.nullToken)
-    }
-    else if (lower.endsWith(".xlsx")) XlsxSource.read(spark, p, a.dataPath, a.headers)
-    else if (lower.endsWith(".xls"))
-      // -zippassword doubles as the workbook password (one container
-      // password flag, like the reference's zipPassword plumbing)
-      XlsSource.read(spark, p, a.dataPath, a.headers, a.zipPassword)
-    else if (lower.endsWith(".ods")) OdsSource.read(spark, p, a.dataPath, a.headers)
-    else if (lower.endsWith(".vcf")) VcfSource.read(spark, p)
-    else if (lower.endsWith(".kdbx"))
-      KdbxSource.read(spark, p, a.kdbxPassword.getOrElse(
-        throw new IllegalArgumentException(".kdbx import requires -kdbxpassword")))
-    else throw new IllegalArgumentException(s"unsupported format: $path")
   }
 
   /** Whole-file bytes for any path Spark can see. A plain local file is
@@ -257,8 +296,9 @@ object Main {
 
   private val Usage =
     """usage: graft.cli.Main <jdbcUrl> <table> <importFileOrData> [flags]
-      |modes: importblob | connectiontest | createtruststore | -x (SQL script) | -analyse
+      |modes: importblob | connectiontest | createtruststore | -x SQL (script worker) | -analyse
       |flags: -i <mode> -d <dupmode> -k <cols> -m <mapping> -mf <file> -create -t -c -u
+      |  -x <CSV|JSON|YAML|XML|SQL|EXCEL|ODS|VCF|KDBX> (explicit format)
       |  -n <null> -data -s|-sep <c> -q|-quote <c> -qe <c> -noheaders -a -r
       |  -noescapesequences -nosinglemode -batchblocksize <n> -nonewindex
       |  -dateformat <f> -datetimeformat <f> -idtz <tz> -dbtz <tz> -zippassword <pw>
@@ -308,7 +348,7 @@ object Main {
       println(s"Updated $n rows")
       return 0
     }
-    if (a.sqlScript) {
+    if (a.dataType.contains("SQL")) {
       val script =
         if (a.inline) a.importPathOrData
         else new String(java.nio.file.Files.readAllBytes(
@@ -357,21 +397,27 @@ object Main {
           // DataProvider.java:150-156): JSON array/object, vCard, YAML
           // sequence, else the CSV dialect
           val t = a.importPathOrData.trim
-          if (t.startsWith("[") || t.startsWith("{"))
-            JsonSource.readInline(spark, a.importPathOrData)
-          else if (t.toUpperCase.startsWith("BEGIN:VCARD"))
-            VcfSource.readInline(spark, a.importPathOrData)
-          else if (t.startsWith("- "))
-            YamlSource.readInline(spark, a.importPathOrData)
-          else {
-            import spark.implicits._
-            val csvOpts = CsvSource.CsvOptions(separator = a.sep,
-              quote = a.quote, escape = a.quoteEscape, header = a.headers,
-              nullToken = a.nullToken)
-            val ds = spark.createDataset(a.importPathOrData.split("\n").toSeq)
-            CsvSource.validateStructure(ds, csvOpts,
-              a.allowUnderfilled, a.removeSurplusColumns)
-            CsvSource.readLines(ds, csvOpts)
+          val fmt = a.dataType.filterNot(_ == "SQL").getOrElse {
+            if (t.startsWith("[") || t.startsWith("{")) "JSON"
+            else if (t.toUpperCase.startsWith("BEGIN:VCARD")) "VCF"
+            else if (t.startsWith("- ")) "YAML"
+            else "CSV"
+          }
+          fmt match {
+            case "JSON" => JsonSource.readInline(spark, a.importPathOrData)
+            case "VCF" => VcfSource.readInline(spark, a.importPathOrData)
+            case "YAML" => YamlSource.readInline(spark, a.importPathOrData)
+            case "CSV" =>
+              import spark.implicits._
+              val csvOpts = CsvSource.CsvOptions(separator = a.sep,
+                quote = a.quote, escape = a.quoteEscape, header = a.headers,
+                nullToken = a.nullToken)
+              val ds = spark.createDataset(a.importPathOrData.split("\n").toSeq)
+              CsvSource.validateStructure(ds, csvOpts,
+                a.allowUnderfilled, a.removeSurplusColumns)
+              CsvSource.readLines(ds, csvOpts)
+            case other => throw new IllegalArgumentException(
+              s"unsupported inline data format: $other")
           }
         } else readSource(spark, a, a.importPathOrData)
       if (a.analyse) {

@@ -208,7 +208,7 @@ class CliSpec extends SparkSpec {
     val url = freshDb()
     val f = SyntheticFixtures.writeText(new File(SyntheticFixtures.dir("clisql"), "s.sql"),
       "CREATE TABLE \"SCRIPTED\" (\"A\" INTEGER); INSERT INTO \"SCRIPTED\" VALUES (42)")
-    val a = Main.parseArgs(Array(url, "-", f.getPath, "-x"))
+    val a = Main.parseArgs(Array(url, "-", f.getPath, "-x", "SQL"))
     assert(Main.run(spark, a) == 0)
     JdbcSink.withConnection(url)(c => assert(JdbcSink.countRows(c, "scripted") == 1))
   }
@@ -264,6 +264,28 @@ class CliSpec extends SparkSpec {
     val got = spark.read.format("jdbc").option("url", url).option("dbtable", "MFD")
       .load().collect()(0)
     assert(got.getInt(0) == 5 && got.getDate(1).toString == "2025-12-31")
+  }
+
+  test("-x <format> forces the DataType regardless of extension") {
+    // reference -x takes the import format (DbImport.java:271-279,
+    // DataType enum); -x JSON must parse a .dat file as JSON
+    val url = freshDb()
+    JdbcSink.withConnection(url) { c =>
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE \"XFMT\" (\"ID\" INTEGER, \"V\" VARCHAR(10))")
+      st.close()
+    }
+    val dat = SyntheticFixtures.writeText(
+      new File(SyntheticFixtures.dir("clixfmt"), "payload.dat"),
+      """[{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]""")
+    assert(Main.run(spark, Main.parseArgs(
+      Array(url, "xfmt", dat.getPath, "-x", "JSON"))) == 0)
+    JdbcSink.withConnection(url)(c => assert(JdbcSink.countRows(c, "XFMT") == 2))
+    // invalid format and missing parameter both reject like the reference
+    intercept[IllegalArgumentException](
+      Main.parseArgs(Array(url, "t", "f", "-x", "BOGUS")))
+    intercept[IllegalArgumentException](
+      Main.parseArgs(Array(url, "t", "f", "-x")))
   }
 
   test("CSV structure strictness: field-count mismatch aborts; -a/-r relax it") {
