@@ -1620,6 +1620,17 @@ object SparkEntry {
     operators.NgramLm.scoreByBigramLm(documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- q101
+  /** Pairwise source-vocabulary overlap (mirror/re-crawl detection
+    * ahead of dedup): one distinct hash agg for the vocabulary, a
+    * token-co-partitioned self-join for intersections (bounded by
+    * #groups² rows per token), tiny cross-joined size pairs so
+    * zero-overlap pairs surface ([[operators.CorpusOverlap]]).
+    */
+  def q101SourceOverlap(s: SparkSession, d: String): DataFrame =
+    operators.CorpusOverlap.vocabularyOverlap(documents(s, d), "source", "text")
+      .orderBy(col("g_a"), col("g_b"))
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2063,6 +2074,7 @@ object SparkEntry {
     "q98_bpe_merges" -> (q98BpeMerges _),
     "q99_pca_covariance" -> (q99PcaCovariance _),
     "q100_ngram_lm" -> (q100NgramLm _),
+    "q101_source_overlap" -> (q101SourceOverlap _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -3386,5 +3398,24 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(sum(lp) AS DOUBLE) + 0.0 AS sum_logp
          |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q101_source_overlap" ->
+      s"""WITH vocab AS (
+         |  SELECT DISTINCT source AS g, unnest($SqlToks) AS w FROM documents),
+         |sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM vocab GROUP BY g),
+         |pairs AS (
+         |  SELECT a.g AS g_a, a.n AS vocab_a, b.g AS g_b, b.n AS vocab_b
+         |  FROM sizes a JOIN sizes b ON a.g < b.g),
+         |inter AS (
+         |  SELECT a.g AS g_a, b.g AS g_b, CAST(count(*) AS BIGINT) AS common
+         |  FROM vocab a JOIN vocab b ON a.w = b.w AND a.g < b.g
+         |  GROUP BY 1, 2)
+         |SELECT p.g_a, p.g_b, p.vocab_a, p.vocab_b,
+         |  coalesce(i.common, 0) AS common,
+         |  round(CAST(coalesce(i.common, 0) AS DOUBLE) /
+         |        CAST(p.vocab_a + p.vocab_b - coalesce(i.common, 0) AS DOUBLE), 6)
+         |    + 0.0 AS jaccard
+         |FROM pairs p LEFT JOIN inter i ON i.g_a = p.g_a AND i.g_b = p.g_b
+         |ORDER BY p.g_a, p.g_b""".stripMargin,
   )
 }

@@ -198,6 +198,19 @@ class IndexingSpec extends SparkSpec {
       size(graft.functions.TextAnalysis.tokens(col("text"))) >= 2).count())
   }
 
+  test("source vocabulary overlap: hand-checked Jaccard incl. a zero-overlap pair") {
+    // s1={a,b,c}, s2={b,c,d} -> common 2, jaccard 2/4; s3={x} overlaps nothing
+    val docs = Seq((1L, "s1", "a b c"), (2L, "s2", "b c d"), (3L, "s3", "x"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusOverlap.vocabularyOverlap(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.size === 3)
+    assert(got(("s1", "s2")) === ((3L, 3L, 2L, 0.5)))
+    assert(got(("s1", "s3")) === ((3L, 1L, 0L, 0.0)))
+    assert(got(("s2", "s3")) === ((3L, 1L, 0L, 0.0)))
+  }
+
   test("PCA: one-pass moments equal the exact-decimal covariance; eigen invariants hold") {
     val e = spark.read.parquet(sf() + "/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
