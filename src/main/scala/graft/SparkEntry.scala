@@ -1631,6 +1631,22 @@ object SparkEntry {
     operators.CorpusOverlap.vocabularyOverlap(documents(s, d), "source", "text")
       .orderBy(col("g_a"), col("g_b"))
 
+  // ---------------------------------------------------------------- q102
+  /** Mutual-kNN clustering over the embedding corpus (SemDeDup-style
+    * density grouping): an edge survives only if each endpoint ranks
+    * the other in its own top-4, stripping hub vectors; connected
+    * components label the mutual graph. The query runs the exact
+    * ground-truth tier (n² scored, WindowGroupLimit-pruned); the LSH
+    * band-bucket tier is the 100 TB path, spec-pinned per-pair to the
+    * exact sims with a measured recall floor ([[operators.KnnGraph]]).
+    */
+  def q102MutualKnn(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    operators.KnnGraph.mutualClusters(
+        operators.KnnGraph.knnEdgesExact(e, "vec_id", "embedding", k = 4))
+      .orderBy(col("vec_id"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2075,6 +2091,7 @@ object SparkEntry {
     "q99_pca_covariance" -> (q99PcaCovariance _),
     "q100_ngram_lm" -> (q100NgramLm _),
     "q101_source_overlap" -> (q101SourceOverlap _),
+    "q102_mutual_knn" -> (q102MutualKnn _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -3417,5 +3434,30 @@ object SparkEntry {
          |    + 0.0 AS jaccard
          |FROM pairs p LEFT JOIN inter i ON i.g_a = p.g_a AND i.g_b = p.g_b
          |ORDER BY p.g_a, p.g_b""".stripMargin,
+
+    "q102_mutual_knn" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+         |        ${sqlCosine("a.v", "b.v")} AS sim
+         |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT qa, qb,
+         |        row_number() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk
+         |      FROM s),
+         |knn AS (SELECT qa, qb FROM r WHERE rk <= 4),
+         |mut AS (SELECT k1.qa AS id1, k1.qb AS id2 FROM knn k1
+         |        JOIN knn k2 ON k1.qa = k2.qb AND k1.qb = k2.qa
+         |        WHERE k1.qa < k1.qb),
+         |edge AS (SELECT id1 AS a, id2 AS b FROM mut
+         |         UNION SELECT id2 AS a, id1 AS b FROM mut),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM edge
+         |  UNION
+         |  SELECT r2.src, e2.b FROM reach r2 JOIN edge e2 ON e2.a = r2.dst),
+         |lab AS (SELECT src AS vec_id, min(dst) AS cluster_id
+         |        FROM reach GROUP BY src)
+         |SELECT vec_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM lab ORDER BY vec_id""".stripMargin,
   )
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** k-nearest-neighbor graph construction + mutual-kNN clustering over
+  * an embedding corpus — the SemDeDup-style density grouping that sits
+  * between pairwise near-dup (q28) and full semantic clustering (q97):
+  * an edge survives only if EACH endpoint ranks the other in its own
+  * top-k, which strips the hub vectors that glue unrelated documents
+  * into one giant component.
+  *
+  * Tiers, mirroring the rest of the similarity family:
+  *  - [[knnEdgesExact]] scores all n² ordered pairs (WindowGroupLimit
+  *    prunes each scan partition to its local top-k before the
+  *    exchange) — the ground-truth tier, and what a SQL oracle can
+  *    express;
+  *  - [[knnEdgesLsh]] searches only hyperplane-LSH band-bucket
+  *    candidates (within the coarse bucket), so the corpus is never
+  *    crossed whole — the 100 TB path; recall is governed by
+  *    planes/bands exactly as in `Similarity.nearDupPairsLsh`.
+  *
+  * [[mutualClusters]] then labels the mutual graph with the
+  * large-star/small-star connected-components operator. Nodes with no
+  * mutual edge (isolated vectors) do not appear — singletons are the
+  * complement, same contract as q97.
+  */
+object KnnGraph {
+
+  private def simOrNull(a: Column, b: Column): Column =
+    Similarity.cosine(a, b)
+
+  /** (query_id, rank, neighbor_id, sim): each vector's exact top-k
+    * neighbors by cosine, self excluded, ties on ascending neighbor id.
+    */
+  def knnEdgesExact(vecs: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val left = vecs.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val right = vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+    val scored = left.crossJoin(right)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", simOrNull(col("__qv"), col("__nv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Approximate kNN edges from hyperplane-LSH band buckets: candidates
+    * are pairs sharing any band key, each side's top-k taken over its
+    * candidate set only. Same output shape as [[knnEdgesExact]];
+    * recall < 1 by construction and falls with neighbor similarity —
+    * hyperplane agreement per plane is `1 - θ/π`, so the defaults
+    * (6 bands × 4 planes) give ~0.99 recall at cosine 0.8 but only
+    * ~0.6 at cosine 0.33 (a near-random corpus, where ANY sublinear
+    * method must trade recall — GraphSpec pins the measured floor).
+    * Unlike the near-dup tier there is no coarse-bucket restriction:
+    * nearest neighbors need not share a label.
+    */
+  def knnEdgesLsh(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+                  numPlanes: Int = 24, bands: Int = 6, dim: Int = 64): DataFrame = {
+    require(k >= 1 && numPlanes % bands == 0,
+      s"k >= 1 and bands ($bands) must divide numPlanes ($numPlanes)")
+    val keyed = vecs
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__bits",
+        Similarity.hyperplaneBits(col("__v"), Similarity.hyperplaneWeights(numPlanes, dim)))
+      .withColumn("__bandkeys",
+        Similarity.packBandKeys(col("__bits"), bands, numPlanes / bands))
+      .drop("__bits")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = keyed.select(col("__id"),
+      posexplode(col("__bandkeys")).as(Seq("__band", "__key")))
+    val cand = exploded.as("a").join(exploded.as("b"),
+        col("a.__band") === col("b.__band") &&
+        col("a.__key") === col("b.__key") && col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").as("query_id"), col("b.__id").as("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(keyed.select(col("__id").as("query_id"), col("__v").as("__qv")), Seq("query_id"))
+      .join(keyed.select(col("__id").as("neighbor_id"), col("__v").as("__nv")), Seq("neighbor_id"))
+      .withColumn("sim", simOrNull(col("__qv"), col("__nv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Mutual-kNN clusters from a directed kNN edge list: keep (a, b) iff
+    * both directions exist, then connected-components label the
+    * undirected mutual graph → (vec_id, cluster_id, cluster_size).
+    */
+  def mutualClusters(edges: DataFrame): DataFrame = {
+    val mutual = edges.as("e1").join(edges.as("e2"),
+        col("e1.query_id") === col("e2.neighbor_id") &&
+        col("e1.neighbor_id") === col("e2.query_id") &&
+        col("e1.query_id") < col("e1.neighbor_id"))
+      .select(col("e1.query_id").as("id1"), col("e1.neighbor_id").as("id2"))
+    ConnectedComponents.clusters(mutual, "id1", "id2")
+      .select(col("id").as("vec_id"), col("cluster").as("cluster_id"),
+        col("cluster_size"))
+  }
+}

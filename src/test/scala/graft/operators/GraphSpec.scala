@@ -33,4 +33,44 @@ class GraphSpec extends SparkSpec {
     // no-inbound nodes sit exactly at (1-d)/N (same double op sequence)
     assert(pr(3L) === (1.0 - 0.85) / 4)
   }
+
+  test("mutual-kNN: one-way edges drop, mutual components label by min id") {
+    import org.apache.spark.sql.functions.col
+    // directed kNN edges: 1<->2 and 3<->4 mutual; 2->3 and 5->1 one-way
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L), (5L, 1L))
+      .toDF("query_id", "neighbor_id")
+    val got = KnnGraph.mutualClusters(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(1L -> ((1L, 2L)), 2L -> ((1L, 2L)),
+      3L -> ((3L, 2L)), 4L -> ((3L, 2L))))
+    // exact kNN on hand vectors: two tight direction groups, k=1
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(0.1f, 1f))).toDF("vec_id", "embedding")
+    val knn = KnnGraph.knnEdgesExact(vecs, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(knn === Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L))
+    val cl = KnnGraph.mutualClusters(
+      KnnGraph.knnEdgesExact(vecs, "vec_id", "embedding", k = 1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("LSH-tier kNN: sims equal the exact tier per pair; recall is usable") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val k = 4
+    val exact = KnnGraph.knnEdgesExact(e, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = KnnGraph.knnEdgesLsh(e, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // any pair both tiers score carries the SAME rounded cosine
+    lsh.foreach { case (pair, sim) =>
+      exact.get(pair).foreach(es => assert(es === sim, s"pair $pair")) }
+    // deterministic hyperplanes -> recall is a fixed number; pin a floor
+    val hit = exact.keys.count(lsh.contains)
+    assert(hit.toDouble / exact.size > 0.3,
+      s"recall ${hit.toDouble / exact.size} too low")
+  }
 }
