@@ -1647,6 +1647,20 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  // ---------------------------------------------------------------- q103
+  /** DSIR importance resampling: score every non-`src0` document under
+    * target-vs-raw hashed n-gram models (target = the `src0` slice) and
+    * keep the top quarter by exact DECIMAL log-weight. The hashed
+    * feature space collapses to a 64-row broadcast table, so the whole
+    * selection is scans + hash aggs + one broadcast join + one
+    * distributed-sort rank — nothing corpus-sized shuffles
+    * ([[operators.Dsir]]).
+    */
+  def q103Dsir(s: SparkSession, d: String): DataFrame =
+    operators.Dsir.importanceResample(documents(s, d), "doc_id", "text",
+        col("source") === "src0", numBuckets = 64, keepFrac = 0.25)
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2092,6 +2106,7 @@ object SparkEntry {
     "q100_ngram_lm" -> (q100NgramLm _),
     "q101_source_overlap" -> (q101SourceOverlap _),
     "q102_mutual_knn" -> (q102MutualKnn _),
+    "q103_dsir" -> (q103Dsir _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -3459,5 +3474,50 @@ object SparkEntry {
          |SELECT vec_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM lab ORDER BY vec_id""".stripMargin,
+
+    "q103_dsir" ->
+      // delta_b is ONE ln of a ratio of exact int64 products, rounded
+      // to 6dp into DECIMAL; weights are DECIMAL sums -> the selection
+      // order (w DESC, doc_id) is total and engine-independent.
+      s"""WITH tok AS (SELECT doc_id, source = 'src0' AS tgt, $SqlToks AS t
+         |            FROM documents),
+         |uni AS (SELECT doc_id, tgt, unnest(t) AS f FROM tok),
+         |big AS (SELECT doc_id, tgt, t[i] || ' ' || t[i+1] AS f
+         |        FROM (SELECT doc_id, tgt, t,
+         |                unnest(generate_series(1, len(t)-1)) AS i
+         |              FROM tok WHERE len(t) >= 2)),
+         |feats AS (SELECT doc_id, tgt,
+         |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 64 AS b
+         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+         |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tc
+         |       FROM feats WHERE tgt GROUP BY b),
+         |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS rc
+         |       FROM feats WHERE NOT tgt GROUP BY b),
+         |tot AS (SELECT
+         |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+         |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS rr
+         |  FROM feats),
+         |d AS (SELECT rc.b,
+         |    CAST(round(ln(CAST((coalesce(tc.tc, 0) + 1) * (rr + 64) AS DOUBLE)
+         |               / CAST((rc.rc + 1) * (tt + 64) AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6)) AS delta
+         |  FROM rc LEFT JOIN tc ON tc.b = rc.b CROSS JOIN tot),
+         |db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+         |       FROM feats WHERE NOT tgt GROUP BY doc_id, b),
+         |sc AS (SELECT db.doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+         |         CAST(sum(c * delta) AS DECIMAL(28,6)) AS w
+         |       FROM db JOIN d ON d.b = db.b GROUP BY db.doc_id),
+         |wa AS (SELECT a.doc_id, coalesce(sc.n_feats, 0) AS n_feats,
+         |         coalesce(sc.w, CAST(0 AS DECIMAL(28,6))) AS w
+         |       FROM (SELECT doc_id FROM tok WHERE NOT tgt) a
+         |       LEFT JOIN sc ON sc.doc_id = a.doc_id),
+         |q AS (SELECT CAST(ceil(count(*) * 0.25) AS BIGINT) AS quota FROM wa),
+         |r AS (SELECT doc_id, n_feats, w,
+         |        row_number() OVER (ORDER BY w DESC, doc_id) AS sel_rank
+         |      FROM wa)
+         |SELECT doc_id, n_feats, CAST(w AS DOUBLE) + 0.0 AS weight,
+         |  CAST(sel_rank AS BIGINT) AS sel_rank,
+         |  sel_rank <= quota AS selected
+         |FROM r CROSS JOIN q ORDER BY doc_id""".stripMargin,
   )
 }

@@ -83,4 +83,37 @@ class SamplingSpec extends SparkSpec {
     // every weighted source is present and under budget + one boundary doc
     assert(got.map(_._2) === Set("s0", "s1", "s2"))
   }
+
+  test("DSIR: target-like docs outrank off-domain docs; rank/quota exact") {
+    import spark.implicits._
+    // target slice is database-themed; raw pool mixes db-themed docs
+    // with fruit-themed ones — DSIR must pull the db-themed ones first
+    val docs = Seq(
+      (0L, "query plan join scan", true),
+      (1L, "join scan filter plan", true),
+      (2L, "query join plan scan filter", false),
+      (3L, "scan plan query join", false),
+      (4L, "apple banana cherry mango", false),
+      (5L, "mango banana apple pear", false),
+      (6L, "plan scan join query filter scan", false),
+      (7L, "pear cherry mango banana apple", false)
+    ).toDF("doc_id", "text", "tgt")
+    val got = Dsir.importanceResample(docs, "doc_id", "text", col("tgt"),
+        numBuckets = 32, keepFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.keySet === Set(2L, 3L, 4L, 5L, 6L, 7L))
+    // sel_rank is a 1..n permutation consistent with (weight desc, id)
+    val byRank = got.toSeq.sortBy(_._2._2)
+    assert(byRank.map(_._2._2) === (1L to 6L))
+    byRank.sliding(2).foreach { case Seq((ia, (wa, _, _)), (ib, (wb, _, _))) =>
+      assert(wa > wb || (wa == wb && ia < ib)) }
+    // quota = ceil(0.5 * 6) = 3, and the db-themed docs are the winners
+    assert(got.filter(_._2._3).keySet === Set(2L, 3L, 6L))
+    got.filterNot(_._2._3).keySet.foreach(id => assert(Set(4L, 5L, 7L)(id)))
+    // db-themed weights strictly above fruit-themed ones
+    val dbMin = Seq(2L, 3L, 6L).map(got(_)._1).min
+    val fruitMax = Seq(4L, 5L, 7L).map(got(_)._1).max
+    assert(dbMin > fruitMax)
+  }
 }
