@@ -1661,6 +1661,24 @@ object SparkEntry {
         col("source") === "src0", numBuckets = 64, keepFrac = 0.25)
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- q104
+  /** Quality-canonical near-dup dedup: the q24/q67 pair set clustered,
+    * but the survivor of each cluster is the HIGHEST-quality member
+    * (ties → smallest id), not the minimum id — the right election when
+    * duplicates differ (the corpus's planted mutants are 3-words-
+    * truncated, so the untruncated original must win its cluster).
+    * Third consumer of the shared PPJoin pair artifact: when q24/q67
+    * already ran, this costs clustering + one broadcast join only
+    * ([[operators.ConnectedComponents.keepBestRepresentatives]]).
+    */
+  def q104CanonicalDedup(s: SparkSession, d: String): DataFrame = {
+    val corpus = dedupCorpus(s, d)
+      .withColumn("quality", graft.functions.TextAnalysis.qualityScore(col("text")))
+    operators.ConnectedComponents.keepBestRepresentatives(
+        corpus, "doc_id", "quality", dedupPairs(s, d), "id1", "id2")
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2107,6 +2125,7 @@ object SparkEntry {
     "q101_source_overlap" -> (q101SourceOverlap _),
     "q102_mutual_knn" -> (q102MutualKnn _),
     "q103_dsir" -> (q103Dsir _),
+    "q104_canonical_dedup" -> (q104CanonicalDedup _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -3519,5 +3538,47 @@ object SparkEntry {
          |  CAST(sel_rank AS BIGINT) AS sel_rank,
          |  sel_rank <= quota AS selected
          |FROM r CROSS JOIN q ORDER BY doc_id""".stripMargin,
+
+    "q104_canonical_dedup" ->
+      // q67's pair closure + q19's exact quality formula; the oracle's
+      // partitioned row_number equals the engine's per-cluster arg-max
+      // because the (quality desc, doc_id) order is total.
+      s"""WITH RECURSIVE $SqlCorpus,
+         |$SqlShingles3,
+         |n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |com AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS common
+         | FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |pair AS (SELECT com.id1, com.id2 FROM com
+         | JOIN n n1 ON n1.doc_id = com.id1 JOIN n n2 ON n2.doc_id = com.id2
+         | WHERE CAST(com.common AS DOUBLE)
+         |   / CAST(n1.n + n2.n - com.common AS DOUBLE) >= 0.6),
+         |edge AS (SELECT id1 AS a, id2 AS b FROM pair
+         | UNION SELECT id2 AS a, id1 AS b FROM pair),
+         |reach(src, dst) AS (
+         | SELECT a, a FROM edge
+         | UNION
+         | SELECT r.src, e.b FROM reach r JOIN edge e ON e.a = r.dst),
+         |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |qual AS (SELECT c.doc_id,
+         | least(CAST(len(t.toks) AS DOUBLE) / 100.0, 1.0) * 0.5
+         | + (1.0 - (CASE WHEN length(c.text) = 0 THEN 0.0
+         |    ELSE CAST(length(c.text) - length(regexp_replace(c.text,
+         |           '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+         |         / CAST(length(c.text) AS DOUBLE) END)) * 0.25
+         | + (CASE WHEN len(t.toks) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(t.toks, x -> x IN
+         |           ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+         |         / CAST(len(t.toks) AS DOUBLE) END) * 0.25 AS quality
+         | FROM corpus c JOIN tok t ON t.doc_id = c.doc_id),
+         |m AS (SELECT q.doc_id, coalesce(l.cluster_id, q.doc_id) AS cluster_id,
+         |        q.quality
+         |      FROM qual q LEFT JOIN lab l ON l.doc_id = q.doc_id),
+         |r AS (SELECT doc_id, cluster_id, quality,
+         |        row_number() OVER (PARTITION BY cluster_id
+         |                           ORDER BY quality DESC, doc_id) AS rk
+         |      FROM m)
+         |SELECT doc_id, cluster_id, quality, rk = 1 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
   )
 }

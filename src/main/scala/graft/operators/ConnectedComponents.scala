@@ -90,6 +90,37 @@ object ConnectedComponents {
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
+  /** Quality-aware survivor election: within every cluster keep the
+    * member with the HIGHEST score (ties → smallest id) instead of the
+    * minimum id — what curation pipelines actually want when duplicates
+    * differ (truncated mirrors, boilerplate-injected re-crawls score
+    * below the clean original). Docs in no cluster keep themselves.
+    *
+    * Returns one row per doc: `(idCol, cluster_id, scoreCol, keep)`,
+    * `cluster_id` the component minimum (the doc's own id for
+    * singletons). Scale shape matches [[keepRepresentatives]]: the
+    * member list and its per-cluster arg-max are pair-derived
+    * (≪ corpus) hash aggregations, and the corpus is scanned once and
+    * left-joined to that small table — never shuffled on its own.
+    */
+  def keepBestRepresentatives(docs: DataFrame, idCol: String, scoreCol: String,
+                              edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val d = docs.select(col(idCol).cast("long").as("__id"), col(scoreCol).as("__score"))
+    val lab = labels(edges, srcCol, dstCol)
+      .select(col("id").as("__id"), col("cluster").as("__cl"))
+    // arg-max over clustered members only: struct max = (score, -id)
+    // lexicographic → highest score, then smallest id
+    val best = d.join(lab, Seq("__id"))
+      .groupBy(col("__cl"))
+      .agg(max_by(col("__id"), struct(col("__score"), -col("__id"))).as("__best"))
+    val bestByMember = lab.join(best, Seq("__cl"))
+    d.join(bestByMember, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__cl"), col("__id")).as("cluster_id"),
+        col("__score").as(scoreCol),
+        coalesce(col("__id") === col("__best"), lit(true)).as("keep"))
+  }
+
   /** Undirected edge list normalized to u < v, deduplicated, self-loops
     * dropped.
     */

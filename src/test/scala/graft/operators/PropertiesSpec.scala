@@ -249,6 +249,23 @@ class PropertiesSpec extends SparkSpec {
     assert(kept == Set(0L, 1L, 2L, 4L, 6L, 7L, 9L))
   }
 
+  test("keepBestRepresentatives elects highest score, ties to smallest id") {
+    // cluster {1,3,5}: 5 has top score; cluster {7,8}: tie -> 7 wins;
+    // singletons 0,2,4,6,9 keep themselves
+    val docs = Seq(0L -> 0.1, 1L -> 0.2, 2L -> 0.3, 3L -> 0.9, 4L -> 0.4,
+      5L -> 0.95, 6L -> 0.5, 7L -> 0.7, 8L -> 0.7, 9L -> 0.6)
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 3L), (3L, 5L), (7L, 8L)).toDF("id1", "id2")
+    val got = ConnectedComponents.keepBestRepresentatives(
+        docs, "doc_id", "score", pairs, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(got === Map(
+      0L -> ((0L, true)), 1L -> ((1L, false)), 2L -> ((2L, true)),
+      3L -> ((1L, false)), 4L -> ((4L, true)), 5L -> ((1L, true)),
+      6L -> ((6L, true)), 7L -> ((7L, true)), 8L -> ((7L, false)),
+      9L -> ((9L, true))))
+  }
+
   test("sequence packing: offsets are the exact prefix sums, spans tile the stream") {
     val gen = Gen.listOfN(40, Gen.chooseNum(0L, 900L))
     check(Prop.forAllNoShrink(gen) { counts =>
