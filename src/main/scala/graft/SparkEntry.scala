@@ -1679,6 +1679,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q105
+  /** Per-source distinct-vocabulary KMV sketch vs exact: the
+    * deterministic, mergeable, SQL-auditable alternative to HLL++ for
+    * 100 TB cardinality profiling ([[operators.Sketches]]). k = 64
+    * bottom hashes per source; `est_distinct` lands within ~1/√k of
+    * exact, and the row publishes both so the error is visible. The
+    * bottom-k window plans as WindowGroupLimit — each partition prunes
+    * to its local k before the exchange.
+    */
+  def q105KmvSketch(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val vals = documents(s, d).select(col("source"),
+      explode(graft.functions.TextAnalysis.tokens(col("text"))).as("w"))
+    val est = operators.Sketches.kmvEstimate(
+      operators.Sketches.kmvSketch(vals, Seq("source"), "w", k), Seq("source"), k)
+    val exact = vals.distinct().groupBy(col("source"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    exact.join(est, Seq("source"))
+      .select(col("source"), col("exact_distinct"), col("n_kept"),
+        col("kth_hash"), col("est_distinct"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2126,6 +2149,7 @@ object SparkEntry {
     "q102_mutual_knn" -> (q102MutualKnn _),
     "q103_dsir" -> (q103Dsir _),
     "q104_canonical_dedup" -> (q104CanonicalDedup _),
+    "q105_kmv_sketch" -> (q105KmvSketch _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -3580,5 +3604,26 @@ object SparkEntry {
          |      FROM m)
          |SELECT doc_id, cluster_id, quality, rk = 1 AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q105_kmv_sketch" ->
+      // (k-1)·2^48 is an exact double (mantissa k-1), so the estimate
+      // is the same three FP ops on both engines.
+      s"""WITH v AS (SELECT DISTINCT source AS g, unnest($SqlToks) AS w
+         |           FROM documents),
+         |h AS (SELECT g, w,
+         |        CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h FROM v),
+         |r AS (SELECT g, h, w,
+         |        row_number() OVER (PARTITION BY g ORDER BY h, w) AS rk
+         |      FROM h),
+         |topk AS (SELECT g, CAST(count(*) AS BIGINT) AS n_kept,
+         |           max(h) AS kth_hash
+         |         FROM r WHERE rk <= 64 GROUP BY g),
+         |ex AS (SELECT g, CAST(count(*) AS BIGINT) AS exact_distinct
+         |       FROM v GROUP BY g)
+         |SELECT ex.g AS source, ex.exact_distinct, topk.n_kept, topk.kth_hash,
+         |  CASE WHEN topk.n_kept < 64 THEN CAST(topk.n_kept AS DOUBLE)
+         |       ELSE 63.0 * 281474976710656.0 / CAST(topk.kth_hash AS DOUBLE)
+         |  END AS est_distinct
+         |FROM ex JOIN topk ON topk.g = ex.g ORDER BY source""".stripMargin,
   )
 }

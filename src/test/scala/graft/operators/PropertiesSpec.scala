@@ -249,6 +249,37 @@ class PropertiesSpec extends SparkSpec {
     assert(kept == Set(0L, 1L, 2L, 4L, 6L, 7L, 9L))
   }
 
+  test("KMV sketch: merge of halves equals sketch of the union") {
+    val k = 16
+    val all = spark.range(0, 4000)
+      .select((col("id") % 4).cast("string").as("g"),
+        concat(lit("v"), (col("id") * 37 % 977).cast("string")).as("w"))
+    val a = all.filter(col("id") % 2 === 0)
+    val b = all.filter(col("id") % 2 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val whole = rows(Sketches.kmvSketch(all, Seq("g"), "w", k))
+    val merged = rows(Sketches.kmvMerge(
+      Sketches.kmvSketch(a, Seq("g"), "w", k),
+      Sketches.kmvSketch(b, Seq("g"), "w", k), Seq("g"), k))
+    assert(merged === whole)
+    // estimate lands near the true distinct count (977 shared values,
+    // std err ~1/sqrt(k-1); generous deterministic bound)
+    val est = Sketches.kmvEstimate(
+        Sketches.kmvSketch(all, Seq("g"), "w", k), Seq("g"), k)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val truth = all.distinct().groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) / n < 0.6, s"g=$g est=${est(g)} n=$n") }
+    // not-full sketches are exact
+    val tiny = Seq(("x", "a"), ("x", "b"), ("x", "a")).toDF("g", "w")
+    val e2 = Sketches.kmvEstimate(
+      Sketches.kmvSketch(tiny, Seq("g"), "w", k), Seq("g"), k).collect()
+    assert(e2.head.getDouble(3) === 2.0)
+  }
+
   test("keepBestRepresentatives elects highest score, ties to smallest id") {
     // cluster {1,3,5}: 5 has top score; cluster {7,8}: tie -> 7 wins;
     // singletons 0,2,4,6,9 keep themselves
