@@ -100,8 +100,9 @@ object ConnectedComponents {
     * `cluster_id` the component minimum (the doc's own id for
     * singletons). Scale shape matches [[keepRepresentatives]]: the
     * member list and its per-cluster arg-max are pair-derived
-    * (≪ corpus) hash aggregations, and the corpus is scanned once and
-    * left-joined to that small table — never shuffled on its own.
+    * (≪ corpus) hash aggregations; the corpus is scanned twice (score
+    * lookup, then the keep join), both scans column-pruned, and never
+    * shuffled on its own.
     */
   def keepBestRepresentatives(docs: DataFrame, idCol: String, scoreCol: String,
                               edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {

@@ -39,9 +39,19 @@ object KnnGraph {
     require(k >= 1, s"k must be >= 1, got $k")
     val left = vecs.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val right = vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+    // score each UNORDERED pair once and mirror: cosine is bit-exactly
+    // symmetric (FP multiply commutes), and the dot products dominate
+    // the n² stage's cost, so this halves the expensive work
+    // (explode of the 2-struct array keeps it ONE pass — a self-union
+    // of the half frame would recompute the cross join per branch)
     val scored = left.crossJoin(right)
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(col("query_id") < col("neighbor_id"))
       .withColumn("sim", simOrNull(col("__qv"), col("__nv")))
+      .select(explode(array(
+        struct(col("query_id"), col("neighbor_id"), col("sim")),
+        struct(col("neighbor_id").as("query_id"),
+          col("query_id").as("neighbor_id"), col("sim")))).as("__e"))
+      .select(col("__e.query_id"), col("__e.neighbor_id"), col("__e.sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

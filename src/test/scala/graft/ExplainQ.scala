@@ -12,7 +12,8 @@ object ExplainQ {
       val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
       df.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("Exchange") || l.contains("Scan parquet") ||
-          l.contains("WholeStageCodegen") || l.contains("Sort "))
+          l.contains("WholeStageCodegen") || l.contains("Sort ") ||
+          l.contains("Window"))
         .foreach(println)
     }
     spark.stop()
