@@ -1702,6 +1702,34 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------- q106
+  /** Per-document token Shannon entropy — the information-theoretic
+    * gibberish/boilerplate signal (a doc that repeats one token has
+    * H = 0; uniformly varied text approaches ln of its vocabulary).
+    * Published as the exact pieces, not the ratio: `sum_clogp` is
+    * `Σ_w c_w · round(ln(c_w/n), 6)` summed in DECIMAL (H = −sum/n),
+    * because a DECIMAL total casts to double losslessly while the
+    * average lands on rounding boundaries. Two hash aggregations,
+    * everything else scan-stage.
+    */
+  def q106TokenEntropy(s: SparkSession, d: String): DataFrame =
+    operators.TextStats.tokenEntropy(documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q107
+  /** Corpus-level PMI collocation discovery: adjacent bigrams scored by
+    * `ln(p12 / (p1·p2))` against the unigram distribution — the
+    * classic phrase-mining signal (high PMI = the pair co-occurs far
+    * above chance). Unigram/bigram counts are hash aggregations with
+    * map-side partials; the totals broadcast as 1-row frames; the
+    * top-50 is a TakeOrdered, never a global window. A min-count floor
+    * of 5 drops the unstable low-frequency tail, and the rounded-PMI /
+    * lexicographic order is total so the cut is deterministic.
+    */
+  def q107PmiCollocations(s: SparkSession, d: String): DataFrame =
+    operators.TextStats.pmiCollocations(documents(s, d), "text",
+      minCount = 5, k = 50)
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2150,6 +2178,8 @@ object SparkEntry {
     "q103_dsir" -> (q103Dsir _),
     "q104_canonical_dedup" -> (q104CanonicalDedup _),
     "q105_kmv_sketch" -> (q105KmvSketch _),
+    "q106_token_entropy" -> (q106TokenEntropy _),
+    "q107_pmi_collocations" -> (q107PmiCollocations _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -3625,5 +3655,46 @@ object SparkEntry {
          |       ELSE 63.0 * 281474976710656.0 / CAST(topk.kth_hash AS DOUBLE)
          |  END AS est_distinct
          |FROM ex JOIN topk ON topk.g = ex.g ORDER BY source""".stripMargin,
+
+    "q106_token_entropy" ->
+      // Σ c·round(ln(c/n),6) summed in DECIMAL — exact; H = −sum/n.
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+         |      FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+         |      GROUP BY doc_id, w),
+         |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |        CAST(count(*) AS BIGINT) AS n_distinct
+         |      FROM c GROUP BY doc_id),
+         |terms AS (SELECT c.doc_id, n.n, n.n_distinct,
+         |    c.c * CAST(round(ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)), 6)
+         |          AS DECIMAL(18,6)) AS t
+         |  FROM c JOIN n ON n.doc_id = c.doc_id)
+         |SELECT doc_id, min(n) AS n_tokens, min(n_distinct) AS n_distinct,
+         |  CAST(sum(t) AS DOUBLE) + 0.0 AS sum_clogp
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q107_pmi_collocations" ->
+      // numerator/denominator products kept in the same left-assoc
+      // order as the Spark expression -> identical doubles; ln rounded
+      // to 6dp absorbs the ≤1-ulp libm difference.
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+         |        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |       FROM (SELECT toks[i] AS w1, toks[i+1] AS w2
+         |             FROM (SELECT toks,
+         |                     unnest(generate_series(1, len(toks)-1)) AS i
+         |                   FROM t WHERE len(toks) >= 2))
+         |       GROUP BY w1, w2),
+         |nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni),
+         |nb AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM bi)
+         |SELECT bi.w1, bi.w2, bi.c12,
+         |  round(ln((CAST(c12 AS DOUBLE) * CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE))
+         |         / (CAST(nb AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6)
+         |    AS pmi
+         |FROM bi JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2
+         |CROSS JOIN nu CROSS JOIN nb
+         |WHERE c12 >= 5
+         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
   )
 }

@@ -434,6 +434,43 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql == "é x")
   }
 
+  test("token entropy: repeated-token doc scores 0; mixed doc exact") {
+    val df = Seq((1L, "a a a a"), (2L, "a a b c"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextStats.tokenEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // zero-token doc produces no row; ln(1) = 0 for the constant doc
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === ((4L, 1L, 0.0)))
+    // doc 2: 2·round(ln(1/2),6) + 1·round(ln(1/4),6)·2 terms
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = (BigDecimal(2) * r6(math.log(0.5)) +
+      BigDecimal(1) * r6(math.log(0.25)) + BigDecimal(1) * r6(math.log(0.25)))
+    assert(got(2L)._1 === 4L && got(2L)._2 === 3L)
+    assert(got(2L)._3 === expected.toDouble)
+  }
+
+  test("PMI collocations: planted phrase tops the list; floor applied") {
+    // "spark shell" always adjacent (planted collocation); "the the"
+    // frequent but independent
+    val rows = (0 until 10).map(i => (i.toLong,
+      "spark shell " + Seq.fill(4)("the noise" + i).mkString(" ") + " the"))
+    val got = graft.operators.TextStats
+      .pmiCollocations(rows.toDF("doc_id", "text"), "text", minCount = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // floor: every surviving pair has c12 >= 5
+    got.foreach(p => assert(p._3 >= 5, p))
+    // the planted pair ranks first and has positive PMI
+    assert((got.head._1, got.head._2) === (("spark", "shell")))
+    assert(got.head._4 > 0)
+    // descending pmi with lexicographic tie-break
+    got.toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._4 > b._4 || (a._4 == b._4 && (a._1, a._2).toString <= (b._1, b._2).toString))
+    case _ => }
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val near = "three four five six seven eight nine ten eleven twelve"
