@@ -1730,6 +1730,23 @@ object SparkEntry {
     operators.TextStats.pmiCollocations(documents(s, d), "text",
       minCount = 5, k = 50)
 
+  // ---------------------------------------------------------------- q108
+  /** LSH-tier recall report: MinHash-LSH banded near-dup pairs at
+    * threshold 0.6 measured against the exact PPJoin tier on the same
+    * corpus ([[operators.PairMetrics.confusion]]). The verify step
+    * makes precision exactly 1 by construction — the row DEMONSTRATES
+    * the tier contract (approximate recall, exact precision) and puts
+    * a measured number on the recall the banding theory predicts
+    * (`1-(1-j³)⁴` ≈ 0.62 at j = 0.6, →1 as j→1; the corpus is mostly
+    * exact copies, so the aggregate lands high). Reuses the shared
+    * PPJoin pair artifact for the exact side.
+    */
+  def q108LshRecall(s: SparkSession, d: String): DataFrame = {
+    val approx = operators.TextDedup.verifiedNearDupPairs(dedupCorpus(s, d),
+      "doc_id", "text", k = 3, numHashes = 12, bands = 4, threshold = 0.6)
+    operators.PairMetrics.confusion(approx, dedupPairs(s, d))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2180,6 +2197,7 @@ object SparkEntry {
     "q105_kmv_sketch" -> (q105KmvSketch _),
     "q106_token_entropy" -> (q106TokenEntropy _),
     "q107_pmi_collocations" -> (q107PmiCollocations _),
+    "q108_lsh_recall" -> (q108LshRecall _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -3696,5 +3714,52 @@ object SparkEntry {
          |CROSS JOIN nu CROSS JOIN nb
          |WHERE c12 >= 5
          |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "q108_lsh_recall" -> {
+      // q23's banding chain at threshold 0.6 vs q24's exact pair set;
+      // "precision" is quoted (DuckDB type keyword)
+      val p = operators.TextDedup.MinhashPrime
+      val sigCols = (0 until 12).map { j =>
+        val (a, b) = operators.TextDedup.minhashParams(j)
+        s"min(($a * hh + $b) % $p) AS s$j"
+      }.mkString(",\n ")
+      def bandExpr(cols: Seq[Int]): String =
+        "md5(" + cols.map(j => s"CAST(s$j AS VARCHAR)").mkString(" || '|' || ") + ")"
+      s"""WITH $SqlCorpus,
+         |$SqlShingles3,
+         |hh0 AS (SELECT doc_id,
+         |  CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) % $p AS hh FROM s),
+         |sig AS (SELECT doc_id, $sigCols FROM hh0 GROUP BY doc_id),
+         |band AS (SELECT doc_id,
+         | ${bandExpr(Seq(0, 1, 2))} AS b0,
+         | ${bandExpr(Seq(3, 4, 5))} AS b1,
+         | ${bandExpr(Seq(6, 7, 8))} AS b2,
+         | ${bandExpr(Seq(9, 10, 11))} AS b3 FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         | FROM band a JOIN band b ON a.doc_id < b.doc_id
+         |  AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+         |n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |com AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS common
+         | FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |jacall AS (SELECT com.id1, com.id2,
+         |  CAST(com.common AS DOUBLE) / CAST(n1.n + n2.n - com.common AS DOUBLE) AS jaccard
+         | FROM com JOIN n n1 ON n1.doc_id = com.id1 JOIN n n2 ON n2.doc_id = com.id2),
+         |exact AS (SELECT id1, id2 FROM jacall WHERE jaccard >= 0.6),
+         |approx AS (SELECT c.id1, c.id2 FROM cand c
+         | JOIN jacall j ON j.id1 = c.id1 AND j.id2 = c.id2
+         | WHERE j.jaccard >= 0.6),
+         |na AS (SELECT CAST(count(*) AS BIGINT) AS n_approx FROM approx),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM
+         |  (SELECT * FROM approx INTERSECT SELECT * FROM exact))
+         |SELECT n_approx, n_exact, n_common,
+         |  CASE WHEN n_approx = 0 THEN 1.0
+         |    ELSE round(CAST(n_common AS DOUBLE) / CAST(n_approx AS DOUBLE), 6)
+         |  END AS "precision",
+         |  CASE WHEN n_exact = 0 THEN 1.0
+         |    ELSE round(CAST(n_common AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+         |  END AS recall
+         |FROM na CROSS JOIN ne CROSS JOIN nc""".stripMargin
+    },
   )
 }

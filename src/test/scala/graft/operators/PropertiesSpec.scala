@@ -280,6 +280,20 @@ class PropertiesSpec extends SparkSpec {
     assert(e2.head.getDouble(3) === 2.0)
   }
 
+  test("PairMetrics.confusion: orientation-normalized counts and ratios") {
+    // approx: 1 true (mirrored orientation), 1 false positive, 1 dup row;
+    // exact: 2 pairs -> precision 1/2, recall 1/2
+    val approx = Seq((2L, 1L), (4L, 9L), (1L, 2L)).toDF("id1", "id2")
+    val exact = Seq((1L, 2L), (5L, 6L)).toDF("id1", "id2")
+    val r = PairMetrics.confusion(approx, exact).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 2L, 1L)))
+    assert(r.getDouble(3) === 0.5 && r.getDouble(4) === 0.5)
+    // empty approximation of an empty truth is perfect
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val e = PairMetrics.confusion(empty, empty).collect()(0)
+    assert(e.getLong(0) === 0L && e.getDouble(3) === 1.0 && e.getDouble(4) === 1.0)
+  }
+
   test("keepBestRepresentatives elects highest score, ties to smallest id") {
     // cluster {1,3,5}: 5 has top score; cluster {7,8}: tie -> 7 wins;
     // singletons 0,2,4,6,9 keep themselves
