@@ -1747,6 +1747,18 @@ object SparkEntry {
     operators.PairMetrics.confusion(approx, dedupPairs(s, d))
   }
 
+  // ---------------------------------------------------------------- q109
+  /** Robust outlier screen: median/MAD per return flag over extended
+    * price, counting rows beyond 3 MAD ([[operators.Outliers]]). The
+    * medians are bit-equal to `percentile_cont` via the exact-quantiles
+    * operator (two range-partitioned sorts), and the cutoff compares
+    * unrounded doubles — the count is engine-exact.
+    */
+  def q109MadOutliers(s: SparkSession, d: String): DataFrame =
+    operators.Outliers.madOutliers(lineitem(s, d), Seq("l_returnflag"),
+        "l_extendedprice", cutoff = 3.0)
+      .orderBy(col("l_returnflag"))
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2198,6 +2210,7 @@ object SparkEntry {
     "q106_token_entropy" -> (q106TokenEntropy _),
     "q107_pmi_collocations" -> (q107PmiCollocations _),
     "q108_lsh_recall" -> (q108LshRecall _),
+    "q109_mad_outliers" -> (q109MadOutliers _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -3761,5 +3774,22 @@ object SparkEntry {
          |  END AS recall
          |FROM na CROSS JOIN ne CROSS JOIN nc""".stripMargin
     },
+
+    "q109_mad_outliers" ->
+      // med/mad are quantile_cont (bit-equal to exactQuantiles); the
+      // 3·mad comparison uses the unrounded values on both engines.
+      """WITH m AS (SELECT l_returnflag AS g,
+        |  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
+        | FROM lineitem GROUP BY 1),
+        |d AS (SELECT m.g, m.med,
+        |  abs(CAST(l_extendedprice AS DOUBLE) - m.med) AS dev
+        | FROM lineitem JOIN m ON m.g = l_returnflag),
+        |md AS (SELECT g, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY g)
+        |SELECT d.g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        | round(min(d.med), 6) AS med, round(min(md.mad), 6) AS mad,
+        | CAST(sum(CASE WHEN d.dev > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_outliers
+        |FROM d JOIN md ON md.g = d.g
+        |GROUP BY d.g ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -294,6 +294,18 @@ class PropertiesSpec extends SparkSpec {
     assert(e.getLong(0) === 0L && e.getDouble(3) === 1.0 && e.getDouble(4) === 1.0)
   }
 
+  test("madOutliers: hand-checked median, MAD, and cutoff count") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 100.0),
+      ("h", 5.0), ("h", 5.0), ("h", 5.0)).toDF("grp", "x")
+    val got = Outliers.madOutliers(df, Seq("grp"), "x", cutoff = 3.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    // g: med 3, devs {2,1,0,1,97} -> mad 1, only 97 > 3
+    assert(got("g") === ((5L, 3.0, 1.0, 1L)))
+    // h: constant group -> mad 0, nothing strictly exceeds 0
+    assert(got("h") === ((3L, 5.0, 0.0, 0L)))
+  }
+
   test("keepBestRepresentatives elects highest score, ties to smallest id") {
     // cluster {1,3,5}: 5 has top score; cluster {7,8}: tie -> 7 wins;
     // singletons 0,2,4,6,9 keep themselves
