@@ -1759,6 +1759,25 @@ object SparkEntry {
         "l_extendedprice", cutoff = 3.0)
       .orderBy(col("l_returnflag"))
 
+  // ---------------------------------------------------------------- q110
+  /** BPE encode under the corpus's own trained merges (the apply side
+    * of q98): 8 rules trained distributed, then every DISTINCT word
+    * encoded once by a chain of codegen'd separator-preserving
+    * replaces, joined back to tokens for per-doc subword accounting
+    * ([[operators.BpeEncoder]]). The corpus text is processed exactly
+    * once (token explode); all per-rule work happens on the
+    * vocabulary-sized frame. The oracle replays training AND encoding
+    * unrolled in SQL.
+    */
+  def q110BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val rules = operators.BpeTrainer.train(docs, "text", merges = 8)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    operators.BpeEncoder.subwordCounts(docs, "doc_id", "text", rules)
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2211,6 +2230,7 @@ object SparkEntry {
     "q107_pmi_collocations" -> (q107PmiCollocations _),
     "q108_lsh_recall" -> (q108LshRecall _),
     "q109_mad_outliers" -> (q109MadOutliers _),
+    "q110_bpe_encode" -> (q110BpeEncode _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -3791,5 +3811,48 @@ object SparkEntry {
         |   AS n_outliers
         |FROM d JOIN md ON md.g = d.g
         |GROUP BY d.g ORDER BY l_returnflag""".stripMargin,
+
+    "q110_bpe_encode" -> {
+      // q98's 8 training rounds, then the encode chain unrolled: each
+      // venc stage applies rule b_n to the distinct-word table exactly
+      // as BpeEncoder's replace chain does.
+      val stages = (0 until 8).map { n =>
+        s"""p$n AS (
+           |  SELECT l[i] AS a, l[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS freq
+           |  FROM (SELECT l, cnt, unnest(generate_series(1, len(l)-1)) AS i
+           |        FROM (SELECT string_split(trim(seq), '  ') AS l, cnt FROM wf$n))
+           |  GROUP BY 1, 2),
+           |b$n AS (SELECT a, b FROM p$n ORDER BY freq DESC, a, b LIMIT 1),
+           |wf${n + 1} AS (
+           |  SELECT replace(seq, ' ' || a || '  ' || b || ' ',
+           |                 ' ' || a || b || ' ') AS seq, cnt
+           |  FROM wf$n, b$n)""".stripMargin
+      }.mkString(",\n")
+      val encStages = (0 until 8).map { n =>
+        s"""venc${n + 1} AS (
+           |  SELECT w, replace(seq, ' ' || a || '  ' || b || ' ',
+           |                    ' ' || a || b || ' ') AS seq
+           |  FROM venc$n, b$n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH dwords AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |  FROM documents),
+         |wf0 AS (
+         |  SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS seq, count(*) AS cnt
+         |  FROM dwords WHERE w <> '' GROUP BY 1),
+         |$stages,
+         |venc0 AS (
+         |  SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS seq
+         |  FROM (SELECT DISTINCT w FROM dwords WHERE w <> '')),
+         |$encStages,
+         |vn AS (SELECT w,
+         |  CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_sub
+         |  FROM venc8)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(vn.n_sub) AS BIGINT) AS n_subwords
+         |FROM dwords JOIN vn ON vn.w = dwords.w
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -306,6 +306,49 @@ class PropertiesSpec extends SparkSpec {
     assert(got("h") === ((3L, 5.0, 0.0, 0L)))
   }
 
+  test("BPE encode: replace chain equals imperative greedy merging") {
+    // independent reference: each rule applied once, left-to-right,
+    // non-overlapping — the Sennrich reference semantics
+    def refEncode(w: String, rules: Seq[(String, String)]): Seq[String] = {
+      var syms = w.map(_.toString).toVector
+      for ((a, b) <- rules) {
+        var i = 0
+        val out = Vector.newBuilder[String]
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val texts = Seq("low lower lowest", "new newer newest west",
+      "aaaa aab abab bbbb", "x yz zzz lowlow")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rules = BpeTrainer.train(docs, "text", merges = 6)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(rules.nonEmpty)
+    val got = BpeEncoder.encodeVocab(docs, "text", rules)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val vocab = texts.flatMap(_.split(" ")).distinct
+    vocab.foreach { w =>
+      val expected = refEncode(w, rules)
+      assert(got(w) === ((expected.length.toLong, expected.mkString(" "))),
+        s"word=$w rules=$rules")
+    }
+    // per-doc accounting: n_words = token count, subwords sum matches
+    val counts = BpeEncoder.subwordCounts(docs, "doc_id", "text", rules)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val ws = t.split(" ").toSeq
+      assert(counts(i.toLong) ===
+        ((ws.length.toLong, ws.map(w => refEncode(w, rules).length.toLong).sum)))
+    }
+  }
+
   test("keepBestRepresentatives elects highest score, ties to smallest id") {
     // cluster {1,3,5}: 5 has top score; cluster {7,8}: tie -> 7 wins;
     // singletons 0,2,4,6,9 keep themselves
