@@ -1778,6 +1778,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q111
+  /** Quality-weighted sampling without replacement: 100 documents drawn
+    * with probability ∝ quality score via deterministic
+    * Efraimidis–Spirakis priorities ([[operators.Sampling
+    * .weightedPrioritySample]]) — the auditable alternative to
+    * rand()-weighted sampling: any engine and any partitioning draws
+    * the SAME sample. Weights clamp at 0.05 so all-punctuation docs
+    * (quality 0) stay drawable.
+    */
+  def q111WeightedSample(s: SparkSession, d: String): DataFrame =
+    operators.Sampling.weightedPrioritySample(
+        documents(s, d).select(col("doc_id"),
+          greatest(graft.functions.TextAnalysis.qualityScore(col("text")),
+            lit(0.05)).as("weight")),
+        "doc_id", "weight", k = 100)
+      .select(col("doc_id"), round(col("weight"), 6).as("weight"),
+        col("lkey"), col("sel_rank"), col("selected"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2231,6 +2250,7 @@ object SparkEntry {
     "q108_lsh_recall" -> (q108LshRecall _),
     "q109_mad_outliers" -> (q109MadOutliers _),
     "q110_bpe_encode" -> (q110BpeEncode _),
+    "q111_weighted_sample" -> (q111WeightedSample _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -3854,5 +3874,31 @@ object SparkEntry {
          |FROM dwords JOIN vn ON vn.w = dwords.w
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    "q111_weighted_sample" ->
+      // lkey = round(ln(u)/w, 6) with u from the id hash and w the
+      // UNROUNDED clamped quality; the published weight rounds after.
+      s"""WITH t AS (SELECT doc_id, text, $SqlToks AS toks FROM documents),
+         |q AS (SELECT doc_id, greatest(
+         |   least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5
+         |   + (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE CAST(length(text) - length(regexp_replace(text,
+         |             '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+         |           / CAST(length(text) AS DOUBLE) END)) * 0.25
+         |   + (CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(toks, x -> x IN
+         |             ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+         |           / CAST(len(toks) AS DOUBLE) END) * 0.25, 0.05) AS w
+         |  FROM t),
+         |k AS (SELECT doc_id, w,
+         |   round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+         |               AS BIGINT) + 1) / 281474976710657.0) / w, 6) AS lkey
+         |  FROM q),
+         |r AS (SELECT doc_id, w, lkey,
+         |        row_number() OVER (ORDER BY lkey DESC, doc_id) AS sel_rank
+         |      FROM k)
+         |SELECT doc_id, round(w, 6) AS weight, lkey,
+         |  CAST(sel_rank AS BIGINT) AS sel_rank, sel_rank <= 100 AS selected
+         |FROM r ORDER BY doc_id""".stripMargin,
   )
 }

@@ -96,4 +96,28 @@ object Sampling {
       .filter(col("tokens_before") < budget)
       .drop("__src", "__base", "__pre", "__tok")
   }
+
+  /** Weighted sampling without replacement, deterministically:
+    * Efraimidis–Spirakis priority sampling with the randomness replaced
+    * by an md5-derived uniform. Each row gets
+    * `lkey = round(ln(u)/w, 6)` with `u = (h48+1)/(2^48+1)` from the
+    * id's hash — the log-space monotone transform of the classic
+    * `u^(1/w)` priority, so ranking by `lkey` desc draws each row with
+    * probability proportional to its weight while staying reproducible
+    * on any engine, run, or partitioning. Returns the input plus
+    * `(lkey, sel_rank, selected)`; `sel_rank` is a distributed-sort
+    * ordinal under the total order (lkey desc, id), `selected` the top
+    * k. Weights must be strictly positive (clamp before calling).
+    */
+  def weightedPrioritySample(df: DataFrame, idCol: String, weightCol: String,
+                             k: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val u = (h + 1).cast("double") / lit(281474976710657.0) // 2^48 + 1
+    Ordinals.withOrderedOrdinal(
+        df.withColumn("lkey", round(log(u) / col(weightCol), 6)),
+        Seq(col("lkey").desc, col(idCol)), "sel_rank")
+      .withColumn("selected", col("sel_rank") <= k)
+  }
 }

@@ -84,6 +84,30 @@ class SamplingSpec extends SparkSpec {
     assert(got.map(_._2) === Set("s0", "s1", "s2"))
   }
 
+  test("weightedPrioritySample matches an independent JVM key derivation") {
+    import spark.implicits._
+    val rows = (0L until 60L).map(i => (i, 0.05 + (i % 7) * 0.15))
+    val got = Sampling.weightedPrioritySample(
+        rows.toDF("id", "w"), "id", "w", k = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // independent reimplementation: md5 -> h48 -> u -> round(ln(u)/w, 6)
+    def lkey(id: Long, w: Double): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val h = d.take(6).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+      val u = (h + 1).toDouble / 281474976710657.0
+      java.math.BigDecimal.valueOf(math.log(u) / w)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    rows.foreach { case (id, w) => assert(got(id)._1 === lkey(id, w), s"id=$id") }
+    val expectedOrder = rows.sortBy { case (id, w) => (-lkey(id, w), id) }.map(_._1)
+    expectedOrder.zipWithIndex.foreach { case (id, i) =>
+      assert(got(id)._2 === i + 1L, s"rank of $id") }
+    assert(got.values.count(_._3) === 10)
+    assert(got.filter(_._2._3).keySet === expectedOrder.take(10).toSet)
+  }
+
   test("DSIR: target-like docs outrank off-domain docs; rank/quota exact") {
     import spark.implicits._
     // target slice is database-themed; raw pool mixes db-themed docs
