@@ -1797,6 +1797,33 @@ object SparkEntry {
         col("lkey"), col("sel_rank"), col("selected"))
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- q112
+  /** Per-user event-transition matrix (first-order Markov estimate):
+    * adjacent (event_type → next event_type) counts under the total
+    * per-user order (ts, event_id), with row-normalized transition
+    * probabilities. The lag window is user-partitioned (hash
+    * partitioning — never global); the matrix itself is
+    * |event_types|²-sized, so the normalizing join broadcasts.
+    */
+  def q112EventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val trans = events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type")).agg(sum(col("n")).as("__tot"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6)
+          .as("prob"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2251,6 +2278,7 @@ object SparkEntry {
     "q109_mad_outliers" -> (q109MadOutliers _),
     "q110_bpe_encode" -> (q110BpeEncode _),
     "q111_weighted_sample" -> (q111WeightedSample _),
+    "q112_event_transitions" -> (q112EventTransitions _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -3900,5 +3928,22 @@ object SparkEntry {
          |SELECT doc_id, round(w, 6) AS weight, lkey,
          |  CAST(sel_rank AS BIGINT) AS sel_rank, sel_rank <= 100 AS selected
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q112_event_transitions" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us FROM events),
+        |l AS (SELECT event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |                         ORDER BY us, event_id) AS next_type
+        | FROM ev),
+        |tr AS (SELECT event_type AS from_type, next_type AS to_type,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM l WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        |        FROM tr GROUP BY from_type)
+        |SELECT tr.from_type, tr.to_type, tr.n,
+        |  round(CAST(tr.n AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6) AS prob
+        |FROM tr JOIN tot ON tot.from_type = tr.from_type
+        |ORDER BY tr.from_type, tr.to_type""".stripMargin,
   )
 }

@@ -349,6 +349,20 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("event transitions: probs row-normalize; counts cover all steps") {
+    val rows = graft.SparkEntry.queries("q112_event_transitions")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // each from-state's probabilities sum to 1 (up to 6-dp rounding)
+    rows.groupBy(_._1).foreach { case (from, ts) =>
+      assert(math.abs(ts.map(_._4).sum - 1.0) < 1e-4, s"from=$from") }
+    // total transitions = Σ_users (n_events − 1)
+    val ev = spark.read.parquet(sf() + "/events.parquet")
+    val expected = ev.groupBy("user_id").count()
+      .agg(org.apache.spark.sql.functions.sum(col("count") - 1)).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum === expected)
+  }
+
   test("keepBestRepresentatives elects highest score, ties to smallest id") {
     // cluster {1,3,5}: 5 has top score; cluster {7,8}: tie -> 7 wins;
     // singletons 0,2,4,6,9 keep themselves
