@@ -440,6 +440,22 @@ object SparkEntry {
     s.read.parquet(dir)
   }
 
+  /** Connected-components labels over [[dedupPairs]], memoized the same
+    * way: q67 (clusters) and q104 (canonical election) consume the SAME
+    * label set, so the O(log n)-round iteration runs once per
+    * (session, sf-dir) and lands in a parquet artifact.
+    */
+  private val labelsArtifacts = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def dedupLabels(s: SparkSession, d: String): DataFrame = {
+    val dir = labelsArtifacts.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_labels_").toString
+      operators.ConnectedComponents.labels(dedupPairs(s, d), "id1", "id2")
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+    s.read.parquet(dir)
+  }
+
   /** Exact n-gram Jaccard pairs via PPJoin-style prefix filtering
     * ([[operators.TextDedup.jaccardPairsPrefix]]) — result-identical to
     * the direct shingle join (spec-pinned), but candidate enumeration is
@@ -1015,13 +1031,11 @@ object SparkEntry {
     * ran, this query costs connected components only, not a second
     * PPJoin pass.
     */
-  def q67DedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = dedupPairs(s, d)
-    operators.ConnectedComponents.clusters(pairs, "id1", "id2")
+  def q67DedupClusters(s: SparkSession, d: String): DataFrame =
+    operators.ConnectedComponents.clustersFromLabels(dedupLabels(s, d))
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
         col("cluster_size"))
       .orderBy(col("doc_id"))
-  }
 
   // ---------------------------------------------------------------- q68
   /** Benchmark decontamination: every corpus document scored by its
@@ -1674,8 +1688,8 @@ object SparkEntry {
   def q104CanonicalDedup(s: SparkSession, d: String): DataFrame = {
     val corpus = dedupCorpus(s, d)
       .withColumn("quality", graft.functions.TextAnalysis.qualityScore(col("text")))
-    operators.ConnectedComponents.keepBestRepresentatives(
-        corpus, "doc_id", "quality", dedupPairs(s, d), "id1", "id2")
+    operators.ConnectedComponents.keepBestFromLabels(
+        corpus, "doc_id", "quality", dedupLabels(s, d))
       .orderBy(col("doc_id"))
   }
 
@@ -1822,6 +1836,29 @@ object SparkEntry {
         round(col("n").cast("double") / col("__tot").cast("double"), 6)
           .as("prob"))
       .orderBy(col("from_type"), col("to_type"))
+  }
+
+  // ---------------------------------------------------------------- q113
+  /** Cross-source duplicate provenance: every verified near-dup pair
+    * attributed to its (source, source) cell — which feeds mirror /
+    * re-crawl diagnosis at the DOCUMENT level (q101 answers it at the
+    * vocabulary level). Fourth consumer of the shared PPJoin pair
+    * artifact; the source lookup is a join against the (doc_id, source)
+    * projection, and the output is |sources|²-bounded.
+    */
+  def q113DupProvenance(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).select(col("doc_id").as("__base"),
+      col("source"))
+    val pairs = dedupPairs(s, d)
+      .select((col("id1") % 1000000).as("__b1"), (col("id2") % 1000000).as("__b2"))
+    pairs
+      .join(src.select(col("__base").as("__b1"), col("source").as("__s1")), Seq("__b1"))
+      .join(src.select(col("__base").as("__b2"), col("source").as("__s2")), Seq("__b2"))
+      .select(least(col("__s1"), col("__s2")).as("src_a"),
+        greatest(col("__s1"), col("__s2")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
   }
 
   // ---------------------------------------------------------------- q56
@@ -2279,6 +2316,7 @@ object SparkEntry {
     "q110_bpe_encode" -> (q110BpeEncode _),
     "q111_weighted_sample" -> (q111WeightedSample _),
     "q112_event_transitions" -> (q112EventTransitions _),
+    "q113_dup_provenance" -> (q113DupProvenance _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -3945,5 +3983,25 @@ object SparkEntry {
         |  round(CAST(tr.n AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6) AS prob
         |FROM tr JOIN tot ON tot.from_type = tr.from_type
         |ORDER BY tr.from_type, tr.to_type""".stripMargin,
+
+    "q113_dup_provenance" ->
+      // q24's exact pair set, attributed to source pairs via the base
+      // doc id (synthetic copies map back with % 1000000)
+      s"""WITH $SqlCorpus,
+         |$SqlShingles3,
+         |n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |com AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS common
+         | FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |pair AS (SELECT com.id1, com.id2 FROM com
+         | JOIN n n1 ON n1.doc_id = com.id1 JOIN n n2 ON n2.doc_id = com.id2
+         | WHERE CAST(com.common AS DOUBLE)
+         |   / CAST(n1.n + n2.n - com.common AS DOUBLE) >= 0.6),
+         |attr AS (SELECT least(d1.source, d2.source) AS src_a,
+         |                greatest(d1.source, d2.source) AS src_b
+         |  FROM pair
+         |  JOIN documents d1 ON d1.doc_id = pair.id1 % 1000000
+         |  JOIN documents d2 ON d2.doc_id = pair.id2 % 1000000)
+         |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM attr GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
   )
 }

@@ -72,11 +72,16 @@ object ConnectedComponents {
   /** Cluster labels plus per-cluster size — the usual dedup report
     * shape. Returns (id, cluster, cluster_size).
     */
-  def clusters(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val lab = labels(edges, srcCol, dstCol)
+  def clusters(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    clustersFromLabels(labels(edges, srcCol, dstCol))
+
+  /** [[clusters]] from an already-computed (id, cluster) label frame —
+    * lets pipeline stages share ONE components pass (e.g. a persisted
+    * label artifact) instead of re-running the iteration per consumer.
+    */
+  def clustersFromLabels(lab: DataFrame): DataFrame =
     lab.join(lab.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size")),
       Seq("cluster"))
-  }
 
   /** Drop every clustered document except its cluster representative
     * (the minimum id): docs minus a broadcast-able anti-join on the
@@ -105,9 +110,16 @@ object ConnectedComponents {
     * shuffled on its own.
     */
   def keepBestRepresentatives(docs: DataFrame, idCol: String, scoreCol: String,
-                              edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+                              edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    keepBestFromLabels(docs, idCol, scoreCol, labels(edges, srcCol, dstCol))
+
+  /** [[keepBestRepresentatives]] from an already-computed (id, cluster)
+    * label frame — shares one components pass across consumers.
+    */
+  def keepBestFromLabels(docs: DataFrame, idCol: String, scoreCol: String,
+                         labelFrame: DataFrame): DataFrame = {
     val d = docs.select(col(idCol).cast("long").as("__id"), col(scoreCol).as("__score"))
-    val lab = labels(edges, srcCol, dstCol)
+    val lab = labelFrame
       .select(col("id").as("__id"), col("cluster").as("__cl"))
     // arg-max over clustered members only: struct max = (score, -id)
     // lexicographic → highest score, then smallest id
