@@ -1861,6 +1861,71 @@ object SparkEntry {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  // ---------------------------------------------------------------- q114
+  /** Exponentially time-decayed engagement score per user: each event
+    * contributes `value · round(exp(−Δdays/7), 6)` against the corpus's
+    * latest timestamp — recency weighting with a one-week half-life-ish
+    * decay, the standard freshness prior of feed/source ranking. The
+    * anchor is the corpus max (a 1-row broadcast); decay factors round
+    * to 6dp and multiply DECIMAL(18,2)-cast values, so the per-user
+    * DECIMAL sums are exact and engine-independent. One scan + one hash
+    * aggregation.
+    */
+  def q114DecayedEngagement(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("value"),
+      expr("ts DIV 1000").as("us"))
+    val anchor = ev.agg(max(col("us")).as("__anchor"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("__w", round(exp(
+        (col("us") - col("__anchor")).cast("double") / lit(86400000000.0 * 7.0)), 6)
+        .cast("decimal(18,6)"))
+      .withColumn("__term", col("value").cast("decimal(18,2)") * col("__w"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("__term")).cast("double") + lit(0.0)).as("decayed_value"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---------------------------------------------------------------- q115
+  /** Weekly cohort retention: users grouped by their first-activity
+    * epoch week, then each later week's active fraction of that cohort —
+    * the classic retention triangle. Weeks are integer epoch-week
+    * indexes (µs DIV week), cohorts a per-user min, the matrix
+    * |weeks|²-bounded; everything is hash aggregation over the
+    * (user, week) distinct frame and the rate is one exact-int division
+    * rounded to 6dp.
+    */
+  def q115CohortRetention(s: SparkSession, d: String): DataFrame = {
+    val uw = events(s, d)
+      .select(col("user_id"), expr("(ts DIV 1000) DIV 604800000000").as("week"))
+      .distinct()
+    val cohorts = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    uw.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("weeks_since"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size").cast("double"), 6)
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("weeks_since"))
+  }
+
+  // ---------------------------------------------------------------- q116
+  /** SimHash near-dup pairs over the dedup corpus: byte-band blocking
+    * with guaranteed recall at Hamming ≤ 3 (pigeonhole over 4 bytes)
+    * and exact bit_count(xor) verification — the cheapest pair tier
+    * (one 32-bit sketch per doc, no shingle sets at join time),
+    * catching the high-similarity core the Jaccard tiers verify more
+    * expensively ([[operators.TextDedup.simhashPairs]]).
+    */
+  def q116SimhashPairs(s: SparkSession, d: String): DataFrame =
+    operators.TextDedup.simhashPairs(dedupCorpus(s, d), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy(col("id1"), col("id2"))
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2317,6 +2382,9 @@ object SparkEntry {
     "q111_weighted_sample" -> (q111WeightedSample _),
     "q112_event_transitions" -> (q112EventTransitions _),
     "q113_dup_provenance" -> (q113DupProvenance _),
+    "q114_decayed_engagement" -> (q114DecayedEngagement _),
+    "q115_cohort_retention" -> (q115CohortRetention _),
+    "q116_simhash_pairs" -> (q116SimhashPairs _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -4003,5 +4071,53 @@ object SparkEntry {
          |  JOIN documents d2 ON d2.doc_id = pair.id2 % 1000000)
          |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
          |FROM attr GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+
+    "q114_decayed_engagement" ->
+      // decay factor rounded to 6dp, times DECIMAL(18,2) values,
+      // summed in DECIMAL — exact totals on both engines.
+      """WITH ev AS (SELECT user_id,
+        |  CAST(value AS DECIMAL(18,2)) AS v,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us FROM events),
+        |a AS (SELECT max(us) AS anchor FROM ev),
+        |t AS (SELECT user_id, v,
+        |  CAST(round(exp(CAST(us - anchor AS DOUBLE) / 604800000000.0), 6)
+        |       AS DECIMAL(18,6)) AS w
+        | FROM ev CROSS JOIN a)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(v * w) AS DOUBLE) + 0.0 AS decayed_value
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q115_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // 604800000000 AS week
+        | FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id),
+        |s AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        |      FROM c GROUP BY cohort_week),
+        |m AS (SELECT c.cohort_week, uw.week - c.cohort_week AS weeks_since,
+        |        CAST(count(*) AS BIGINT) AS n_active
+        |      FROM uw JOIN c ON c.user_id = uw.user_id
+        |      GROUP BY 1, 2)
+        |SELECT m.cohort_week, m.weeks_since, m.n_active, s.cohort_size,
+        |  round(CAST(m.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 6)
+        |    AS retention
+        |FROM m JOIN s ON s.cohort_week = m.cohort_week
+        |ORDER BY m.cohort_week, m.weeks_since""".stripMargin,
+
+    "q116_simhash_pairs" ->
+      // byte-band candidates + exact bit_count(xor) verify; SqlSimhash
+      // mirrors the native expression bit-for-bit (q25's pin)
+      s"""WITH $SqlCorpus,
+         |tok AS (SELECT doc_id, $SqlToks AS toks FROM corpus),
+         |shs AS (SELECT doc_id, CAST($SqlSimhash AS BIGINT) AS sh FROM tok),
+         |banded AS (SELECT doc_id, sh, b, (sh >> (b * 8)) & 255 AS key
+         |  FROM shs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         |    bit_count(xor(a.sh, b.sh)) AS hamming
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3)
+         |SELECT id1, id2, CAST(hamming AS BIGINT) AS hamming
+         |FROM cand ORDER BY id1, id2""".stripMargin,
   )
 }

@@ -332,4 +332,33 @@ object TextDedup {
       when(s > 0, lit(1L << j).cast("long")).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** SimHash near-dup PAIRS — the sketch turned into a dedup tier:
+    * byte-band blocking (the 32-bit sketch split into 4 bytes; by
+    * pigeonhole any pair within Hamming distance 3 agrees on at least
+    * one whole byte, so recall at `maxHamming <= 3` is EXACTLY 1) and
+    * an exact `bit_count(xor)` verify for exact precision. Candidates
+    * are bounded by band-byte collisions (≤ 4·n per hot byte), never
+    * all pairs; one sketch per doc, computed by the native single-pass
+    * expression. Returns (id1, id2, hamming).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"byte-banding guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val sh = docs.select(col(idCol).cast("long").as("__id"),
+      simhash32(col(textCol)).as("__sh"))
+    val banded = sh.select(col("__id"), col("__sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("__sh"), b * 8).bitwiseAND(255L)): _*))
+        .as(Seq("__band", "__key")))
+    banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") &&
+        col("a.__key") === col("b.__key") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
+        bit_count(col("a.__sh").bitwiseXOR(col("b.__sh"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before distinct: shrink first
+      .distinct()
+  }
 }

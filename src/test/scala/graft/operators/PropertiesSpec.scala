@@ -363,6 +363,28 @@ class PropertiesSpec extends SparkSpec {
     assert(rows.map(_._3).sum === expected)
   }
 
+  test("simhashPairs equals brute-force Hamming <= 3 over the sketches") {
+    // near-identical docs (1-token edits) plus unrelated ones
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (0 until 30).map { i =>
+      val t =
+        if (i < 10) base + " tail" + (i % 3)             // tight near-dups
+        else if (i < 20) base.split(" ").drop(i % 4).mkString(" ")
+        else s"совсем other words nr$i unique${i * 7} stuff${i}"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val got = TextDedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sh = docs.select(col("doc_id"), TextDedup.simhash32(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      i <- sh.keys; j <- sh.keys if i < j
+      h = java.lang.Long.bitCount(sh(i) ^ sh(j)) if h <= 3
+    } yield (i, j, h.toLong)).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty) // the construction must actually exercise it
+  }
+
   test("keepBestRepresentatives elects highest score, ties to smallest id") {
     // cluster {1,3,5}: 5 has top score; cluster {7,8}: tie -> 7 wins;
     // singletons 0,2,4,6,9 keep themselves
