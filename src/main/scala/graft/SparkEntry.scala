@@ -1926,6 +1926,82 @@ object SparkEntry {
         maxHamming = 3)
       .orderBy(col("id1"), col("id2"))
 
+  // ---------------------------------------------------------------- q117
+  /** Exact frequent tokens above 0.5% support via the mergeable
+    * Misra–Gries candidate pass + exact recount
+    * ([[operators.HeavyHitters]]): the operator for vocabularies too
+    * large for a full `groupBy(token)` hash table — the summary ships
+    * one ≤ k-entry map per partition, the recount touches only the
+    * ≤ k candidates. k = 799 puts the MG undercount bound (n/800)
+    * strictly under the n/200 threshold, so the output is provably
+    * the exact frequency-threshold set.
+    */
+  def q117HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(
+      explode(graft.functions.TextAnalysis.tokens(col("text"))).as("token"))
+    val n = toks.count()
+    operators.HeavyHitters.frequentItems(toks, "token", k = 799,
+        minCount = math.max(n / 200L, 1L))
+      .select(col("item").as("token"), col("n"))
+      .orderBy(col("token"))
+  }
+
+  // ---------------------------------------------------------------- q118
+  /** Per-user session rollup under a 30-minute inactivity gap
+    * ([[operators.Sessionize]]) — the batch face of q43's streaming
+    * `session_window`, but with stable per-session indexes so raw
+    * events can be joined back to their session. One user-partitioned
+    * shuffle; the lag and running-sum windows never leave it.
+    */
+  def q118Sessions(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_id"),
+      expr("ts DIV 1000").as("us"))
+    operators.Sessionize.sessions(ev, "user_id", "us", "event_id",
+        gap = 1800000000L)
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_ts").as("start_us"), col("end_ts").as("end_us"),
+        col("duration").as("duration_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  // ---------------------------------------------------------------- q119
+  /** Triangle census of the co-purchase part graph (q83's edge
+    * build) via oriented wedge join + closing-edge semi join
+    * ([[operators.Triangles]]) — the clustering-structure companion
+    * to PageRank's centrality: two hash joins, no driver-side graph.
+    */
+  def q119Triangles(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    operators.Triangles.census(edges, "src", "dst")
+  }
+
+  // ---------------------------------------------------------------- q120
+  /** Dense daily activity panel: per-user event counts resampled onto
+    * the corpus calendar with zero-filled gaps — the regularization
+    * step before any per-user time-series model. The calendar span is
+    * a 1-row broadcast; the grid is `users × days` by construction
+    * (explode of a `sequence`), and the fill is one left join against
+    * the per-(user, day) hash aggregate.
+    */
+  def q120Resample(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val counts = ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    grid.join(counts, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2385,6 +2461,10 @@ object SparkEntry {
     "q114_decayed_engagement" -> (q114DecayedEngagement _),
     "q115_cohort_retention" -> (q115CohortRetention _),
     "q116_simhash_pairs" -> (q116SimhashPairs _),
+    "q117_heavy_hitters" -> (q117HeavyHitters _),
+    "q118_sessions" -> (q118Sessions _),
+    "q119_triangles" -> (q119Triangles _),
+    "q120_resample" -> (q120Resample _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -4119,5 +4199,62 @@ object SparkEntry {
          |  WHERE bit_count(xor(a.sh, b.sh)) <= 3)
          |SELECT id1, id2, CAST(hamming AS BIGINT) AS hamming
          |FROM cand ORDER BY id1, id2""".stripMargin,
+
+    "q117_heavy_hitters" ->
+      // exact threshold set: the MG pass only prunes candidates, so
+      // the oracle is a plain HAVING over exact counts
+      s"""WITH tok AS (SELECT unnest($SqlToks) AS token FROM documents)
+         |SELECT token, CAST(count(*) AS BIGINT) AS n
+         |FROM tok GROUP BY token
+         |HAVING count(*) >= (SELECT greatest(count(*) // 200, 1) FROM tok)
+         |ORDER BY token""".stripMargin,
+
+    "q118_sessions" ->
+      // NULL lag (first event per user) falls to the ELSE 1 branch on
+      // both engines; (us, event_id) makes the within-user order total
+      """WITH ev AS (SELECT user_id, event_id,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |         <= 1800000000 THEN 0 ELSE 1 END AS is_new
+        | FROM ev),
+        |g AS (SELECT user_id, us,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        | FROM f)
+        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us,
+        |  max(us) - min(us) AS duration_us
+        |FROM g GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q119_triangles" ->
+      // same lower-to-higher orientation as the operator: each
+      // triangle counted once, at its minimum vertex
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS lo, b.pk AS hi
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |w AS (SELECT ab.hi AS lo, ac.hi AS hi
+        |      FROM e ab JOIN e ac ON ab.lo = ac.lo AND ab.hi < ac.hi)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |    (SELECT lo AS n FROM e UNION SELECT hi FROM e)) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM w
+        |   WHERE EXISTS (SELECT 1 FROM e WHERE e.lo = w.lo AND e.hi = w.hi))
+        |    AS n_triangles""".stripMargin,
+
+    "q120_resample" ->
+      """WITH ev AS (SELECT user_id,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000000 AS day
+        | FROM events),
+        |sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+        |         FROM (SELECT DISTINCT user_id FROM ev) CROSS JOIN sp),
+        |c AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n
+        |      FROM ev GROUP BY user_id, day)
+        |SELECT g.user_id, g.day, coalesce(c.n, CAST(0 AS BIGINT)) AS n_events
+        |FROM grid g LEFT JOIN c ON c.user_id = g.user_id AND c.day = g.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
   )
 }

@@ -385,6 +385,76 @@ class PropertiesSpec extends SparkSpec {
     assert(brute.nonEmpty) // the construction must actually exercise it
   }
 
+  test("Misra-Gries candidates cover all frequent items; recount is exact") {
+    // zipfian-ish stream: few hot tokens, long unique tail
+    val p = Prop.forAll(
+      Gen.listOfN(400, Gen.frequency(
+        (6, Gen.oneOf("hot1", "hot2", "hot3")),
+        (3, Gen.oneOf((0 until 20).map("warm" + _))),
+        (2, Gen.chooseNum(0, 100000).map("tail" + _)))),
+      Gen.chooseNum(1, 8), Gen.chooseNum(3, 40)) { (items, parts, k) =>
+      val df = items.toDF("item").repartition(parts)
+      val n = items.size.toLong
+      val cand = HeavyHitters.mgCandidates(df, "item", k).toSet
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = n / (k + 1L)
+      val mustHave = exact.filter(_._2 > bound).keySet
+      val superset = mustHave.subsetOf(cand)
+      val minCount = bound + 1L
+      val got = HeavyHitters.frequentItems(df, "item", k, minCount)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      superset && got == exact.filter(_._2 >= minCount)
+    }
+    check(p, 12)
+  }
+
+  test("sessionize matches a sequential fold over each user's timeline") {
+    val gap = 100L
+    val p = Prop.forAll(Gen.listOfN(60, for {
+      u <- Gen.chooseNum(0, 4)
+      t <- Gen.chooseNum(0L, 2000L)
+    } yield (u, t))) { raw =>
+      val ev = raw.zipWithIndex.map { case ((u, t), i) => (u.toLong, t, i.toLong) }
+      val got = Sessionize.assign(ev.toDF("user_id", "us", "event_id"),
+          "user_id", "us", "event_id", gap)
+        .select(col("user_id"), col("us"), col("event_id"), col("session_idx"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+      // reference: walk each user's (us, event_id)-sorted events
+      val want = ev.groupBy(_._1).flatMap { case (_, es) =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        var idx = 0L
+        var prev = Long.MinValue
+        sorted.map { e =>
+          if (prev == Long.MinValue || e._2 - prev > gap) idx += 1
+          prev = e._2
+          (e._1, e._2, e._3) -> idx
+        }
+      }.toMap
+      got == want
+    }
+    check(p, 12)
+  }
+
+  test("triangle count matches brute-force enumeration") {
+    val p = Prop.forAll(Gen.listOfN(50, for {
+      a <- Gen.chooseNum(0, 11); b <- Gen.chooseNum(0, 11)
+    } yield (a.toLong, b.toLong))) { raw =>
+      val df = Triangles.census(raw.toDF("src", "dst"), "src", "dst")
+        .collect()(0)
+      val e = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      val nodes = e.flatMap(p => Set(p._1, p._2))
+      val tris = (for {
+        a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+        if e((a, b)) && e((a, c)) && e((b, c))
+      } yield (a, b, c)).size
+      df.getLong(0) == nodes.size.toLong &&
+        df.getLong(1) == e.size.toLong && df.getLong(2) == tris.toLong
+    }
+    check(p, 12)
+  }
+
   test("keepBestRepresentatives elects highest score, ties to smallest id") {
     // cluster {1,3,5}: 5 has top score; cluster {7,8}: tie -> 7 wins;
     // singletons 0,2,4,6,9 keep themselves
