@@ -2002,6 +2002,37 @@ object SparkEntry {
       .orderBy(col("user_id"), col("day"))
   }
 
+  // ---------------------------------------------------------------- q121
+  /** BM25-ranked keyword retrieval over the documents table
+    * ([[operators.InvertedIndex.bm25TopK]]) — the scored companion to
+    * q77's boolean search. Per-term scores are 6dp-rounded and summed
+    * in DECIMAL, so the (score desc, doc_id) top-20 is total and
+    * engine-exact.
+    */
+  def q121Bm25(s: SparkSession, d: String): DataFrame =
+    operators.InvertedIndex.bm25TopK(documents(s, d), "doc_id", "text",
+        Seq("merge", "vector", "stream"), k = 20)
+      .select(col("doc_id"), col("n_terms_hit"), col("score"))
+
+  // ---------------------------------------------------------------- q122
+  /** Semi-structured event payloads: extract the integer `k` field
+    * from the JSON `props` column and aggregate per event type —
+    * the scan-plus-hash-agg shape every event pipeline runs over its
+    * property bags. Extraction is a streaming JSON-path probe
+    * (`get_json_object`), no UDF, no schema inference pass.
+    */
+  def q122JsonProps(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("k")).as("n_distinct_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2465,6 +2496,8 @@ object SparkEntry {
     "q118_sessions" -> (q118Sessions _),
     "q119_triangles" -> (q119Triangles _),
     "q120_resample" -> (q120Resample _),
+    "q121_bm25" -> (q121Bm25 _),
+    "q122_json_props" -> (q122JsonProps _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -4256,5 +4289,42 @@ object SparkEntry {
         |SELECT g.user_id, g.day, coalesce(c.n, CAST(0 AS BIGINT)) AS n_events
         |FROM grid g LEFT JOIN c ON c.user_id = g.user_id AND c.day = g.day
         |ORDER BY g.user_id, g.day""".stripMargin,
+
+    "q121_bm25" ->
+      // same expression tree as the operator: ln rounded to 6dp, each
+      // term score rounded to 6dp and summed in DECIMAL, avg_len a
+      // single double division. DuckDB ln == natural log.
+      s"""WITH tok AS (SELECT doc_id, unnest($SqlToks) AS term FROM documents),
+         |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+         |         FROM tok GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_len
+         |       FROM lens),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |       WHERE term IN ('merge', 'vector', 'stream')
+         |       GROUP BY doc_id, term),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |    CAST(round(
+         |      round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |               (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) *
+         |      (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+         |      (CAST(tf AS DOUBLE) +
+         |       1.2 * (1.0 - 0.75 + 0.75 * CAST(len AS DOUBLE) / avg_len)), 6)
+         |      AS DECIMAL(18,6)) AS ts
+         |  FROM tf JOIN dfq ON dfq.term = tf.term
+         |  JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN st)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+         |  CAST(sum(ts) AS DOUBLE) AS score
+         |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q122_json_props" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

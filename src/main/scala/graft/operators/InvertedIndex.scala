@@ -30,6 +30,53 @@ object InvertedIndex {
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(col("doc_id"))).as("postings"))
 
+  /** BM25-ranked retrieval (Robertson & Walker's Okapi weighting, the
+    * Lucene `+1` idf variant so every weight is positive): top-k
+    * documents for a bag of query terms, scored
+    * `Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))`.
+    *
+    * Engine-determinism discipline: the only libm call (`ln`) is
+    * rounded to 6dp, each per-term score is rounded to 6dp and summed
+    * in DECIMAL, and `avglen` is a SINGLE double division of exact
+    * integers — so any engine reproduces the scores bit-for-bit and
+    * the (score desc, doc_id) ranking is total.
+    *
+    * Scale shape: the corpus tokenizes once; only (doc_id, term) rows
+    * for the ≤ |terms| query terms survive the filter, so the scoring
+    * join touches a sliver of the corpus. Doc lengths and corpus
+    * stats are hash aggregations; df and stats broadcast.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ts = terms.map(_.trim.toLowerCase).distinct
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("len")).cast("double") / count(lit(1)).cast("double"))
+        .as("avg_len"))
+    val tf = toks.filter(col("term").isin(ts: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val termScore = round(
+      round(log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5) + 1.0), 6) *
+      (col("tf").cast("double") * (k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("len").cast("double") / col("avg_len"))), 6)
+    tf.join(broadcast(dfreq), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__ts", termScore.cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("__ts")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Documents containing ALL `terms`, resolved purely from the index.
     * Terms normalize with the build-side tokenizer convention
     * (lowercase + trim) and dedupe — a repeated or differently-cased

@@ -54,6 +54,39 @@ class IndexingSpec extends SparkSpec {
     assert((t.getLong(1), t.getLong(2)) !== ((whole.getLong(1), whole.getLong(2))))
   }
 
+  test("bm25TopK matches a sequential reference scorer") {
+    val docs = Seq(
+      (1L, "merge the merge queue with vector clocks"),
+      (2L, "vector search over a stream of vector embeddings"),
+      (3L, "plain prose with none of the query words"),
+      (4L, "stream stream stream merge"),
+      (5L, "a very long document about merge " + ("filler " * 40).trim))
+      .toDF("doc_id", "text")
+    val terms = Seq("merge", "vector", "stream")
+    val got = InvertedIndex.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // sequential reference with the same rounding discipline
+    val toks = Seq(1L, 2L, 3L, 4L, 5L).map { id =>
+      id -> docs.filter(col("doc_id") === id).collect()(0).getString(1)
+        .trim.toLowerCase.split("\\s+").toSeq
+    }.toMap
+    val n = toks.size.toDouble
+    val avg = toks.values.map(_.size).sum.toDouble / n
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val want = toks.toSeq.map { case (id, ts) =>
+      val hit = terms.filter(t => ts.contains(t))
+      val score = hit.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        val dfr = toks.values.count(_.contains(t)).toDouble
+        val idf = r6(math.log((n - dfr + 0.5) / (dfr + 0.5) + 1.0)).toDouble
+        val len = ts.size.toDouble
+        r6(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len / avg)))
+      }.sum
+      (id, hit.size.toLong, score.toDouble)
+    }.filter(_._2 > 0).sortBy(x => (-x._3, x._1))
+    assert(got.toSeq === want)
+  }
+
   test("inverted-index search equals brute-force containment") {
     val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
     val idx = InvertedIndex.build(docs, "doc_id", "text").cache()
