@@ -2033,6 +2033,71 @@ object SparkEntry {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  // ---------------------------------------------------------------- q123
+  /** SCD Type-2 dimension build from the event change stream: per
+    * user, consecutive runs of the same `event_type` collapse into one
+    * version row with a `[valid_from, valid_to)` interval; the open
+    * version carries the classic 9999-12-31 high date. Lag (change
+    * detection), lead (interval close) and the version ordinal all run
+    * inside one user-partitioned window — a single shuffle, the
+    * warehouse-standard slowly-changing-dimension shape.
+    */
+  def q123Scd2(s: SparkSession, d: String): DataFrame = {
+    val high = 253402300799000000L // 9999-12-31T23:59:59 in epoch-µs
+    val ev = events(s, d).select(col("user_id"), col("event_id"),
+      expr("ts DIV 1000").as("us"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val changes = ev
+      .withColumn("__prev", lag(col("event_type"), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+    val cw = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    changes
+      .withColumn("version_no", row_number().over(cw).cast("long"))
+      .withColumn("valid_to_us",
+        coalesce(lead(col("us"), 1).over(cw), lit(high)))
+      .select(col("user_id"), col("version_no"), col("event_type"),
+        col("us").as("valid_from_us"), col("valid_to_us"))
+      .orderBy(col("user_id"), col("version_no"))
+  }
+
+  // ---------------------------------------------------------------- q124
+  /** Rollup revenue cube over nation × order status: subtotals and the
+    * grand total in one pass (Spark's `rollup` plans a single Expand +
+    * hash aggregation — no per-level re-scan). Group keys coalesce to
+    * 'ALL' and the grouping level is exported explicitly, so the
+    * result is flat, null-free, and totally ordered.
+    */
+  def q124Rollup(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderstatus"))
+      .agg(
+        (grouping(col("n_name")) * 2 + grouping(col("o_orderstatus")))
+          .cast("long").as("lvl"),
+        count(lit(1)).as("n_orders"),
+        (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") + lit(0.0))
+          .as("revenue"))
+      .select(col("lvl"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("lvl"), col("nation"), col("status"))
+
+  // ---------------------------------------------------------------- q125
+  /** Per-user activity matrix: event counts pivoted into one column
+    * per event type (explicit value list, so the plan is a single
+    * hash aggregation of conditional counts — no distinct-values
+    * pre-pass, no second shuffle).
+    */
+  def q125Pivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2498,6 +2563,9 @@ object SparkEntry {
     "q120_resample" -> (q120Resample _),
     "q121_bm25" -> (q121Bm25 _),
     "q122_json_props" -> (q122JsonProps _),
+    "q123_scd2" -> (q123Scd2 _),
+    "q124_rollup" -> (q124Rollup _),
+    "q125_pivot" -> (q125Pivot _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -4326,5 +4394,42 @@ object SparkEntry {
         |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
         |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q123_scd2" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us, event_type
+        | FROM events),
+        |ch AS (SELECT user_id, event_id, us, event_type FROM (
+        |  SELECT user_id, event_id, us, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS prev
+        |  FROM ev) WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version_no,
+        |  event_type, us AS valid_from_us,
+        |  coalesce(lead(us) OVER w, 253402300799000000) AS valid_to_us
+        |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |ORDER BY user_id, version_no""".stripMargin,
+
+    "q124_rollup" ->
+      """SELECT
+        |  CAST(2 * GROUPING(n_name) + GROUPING(o_orderstatus) AS BIGINT) AS lvl,
+        |  coalesce(n_name, 'ALL') AS nation,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 0.0 AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, o_orderstatus)
+        |ORDER BY lvl, nation, status""".stripMargin,
+
+    "q125_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }
