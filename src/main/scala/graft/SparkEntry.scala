@@ -1981,11 +1981,14 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- q120
   /** Dense daily activity panel: per-user event counts resampled onto
-    * the corpus calendar with zero-filled gaps — the regularization
-    * step before any per-user time-series model. The calendar span is
-    * a 1-row broadcast; the grid is `users × days` by construction
-    * (explode of a `sequence`), and the fill is one left join against
-    * the per-(user, day) hash aggregate.
+    * the CORPUS calendar with zero-filled gaps — the regularization
+    * step before any per-user time-series model. Complements q84's
+    * forward-fill regrid, which interpolates each user's OWN span with
+    * last-observation carry; here every user gets the same rectangular
+    * calendar and absent days are true zeros (counts, not levels). The
+    * calendar span is a 1-row broadcast; the grid is `users × days` by
+    * construction (explode of a `sequence`), and the fill is one left
+    * join against the per-(user, day) hash aggregate.
     */
   def q120Resample(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select(col("user_id"),
@@ -2013,25 +2016,6 @@ object SparkEntry {
     operators.InvertedIndex.bm25TopK(documents(s, d), "doc_id", "text",
         Seq("merge", "vector", "stream"), k = 20)
       .select(col("doc_id"), col("n_terms_hit"), col("score"))
-
-  // ---------------------------------------------------------------- q122
-  /** Semi-structured event payloads: extract the integer `k` field
-    * from the JSON `props` column and aggregate per event type —
-    * the scan-plus-hash-agg shape every event pipeline runs over its
-    * property bags. Extraction is a streaming JSON-path probe
-    * (`get_json_object`), no UDF, no schema inference pass.
-    */
-  def q122JsonProps(s: SparkSession, d: String): DataFrame =
-    events(s, d)
-      .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        count_distinct(col("k")).as("n_distinct_k"),
-        sum(col("k")).as("sum_k"),
-        min(col("k")).as("min_k"),
-        max(col("k")).as("max_k"))
-      .orderBy(col("event_type"))
 
   // ---------------------------------------------------------------- q123
   /** SCD Type-2 dimension build from the event change stream: per
@@ -2061,11 +2045,13 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------- q124
-  /** Rollup revenue cube over nation × order status: subtotals and the
-    * grand total in one pass (Spark's `rollup` plans a single Expand +
-    * hash aggregation — no per-level re-scan). Group keys coalesce to
-    * 'ALL' and the grouping level is exported explicitly, so the
-    * result is flat, null-free, and totally ordered.
+  /** Rollup revenue over nation × order status: hierarchical subtotals
+    * and the grand total in one pass (Spark's `rollup` plans a single
+    * Expand + hash aggregation — no per-level re-scan). Complements
+    * q74's full CUBE: rollup emits only the hierarchy's level sets,
+    * and this face additionally exports the `grouping()` level id —
+    * the disambiguator a consumer needs when a real key could collide
+    * with the subtotal placeholder.
     */
   def q124Rollup(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -2562,7 +2548,6 @@ object SparkEntry {
     "q119_triangles" -> (q119Triangles _),
     "q120_resample" -> (q120Resample _),
     "q121_bm25" -> (q121Bm25 _),
-    "q122_json_props" -> (q122JsonProps _),
     "q123_scd2" -> (q123Scd2 _),
     "q124_rollup" -> (q124Rollup _),
     "q125_pivot" -> (q125Pivot _),
@@ -4386,14 +4371,6 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
          |  CAST(sum(ts) AS DOUBLE) AS score
          |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
-
-    "q122_json_props" ->
-      """WITH e AS (SELECT event_type,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
-        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
-        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q123_scd2" ->
       """WITH ev AS (SELECT user_id, event_id,
