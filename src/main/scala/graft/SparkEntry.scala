@@ -2044,46 +2044,6 @@ object SparkEntry {
       .orderBy(col("user_id"), col("version_no"))
   }
 
-  // ---------------------------------------------------------------- q124
-  /** Rollup revenue over nation × order status: hierarchical subtotals
-    * and the grand total in one pass (Spark's `rollup` plans a single
-    * Expand + hash aggregation — no per-level re-scan). Complements
-    * q74's full CUBE: rollup emits only the hierarchy's level sets,
-    * and this face additionally exports the `grouping()` level id —
-    * the disambiguator a consumer needs when a real key could collide
-    * with the subtotal placeholder.
-    */
-  def q124Rollup(s: SparkSession, d: String): DataFrame =
-    orders(s, d)
-      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-      .rollup(col("n_name"), col("o_orderstatus"))
-      .agg(
-        (grouping(col("n_name")) * 2 + grouping(col("o_orderstatus")))
-          .cast("long").as("lvl"),
-        count(lit(1)).as("n_orders"),
-        (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") + lit(0.0))
-          .as("revenue"))
-      .select(col("lvl"),
-        coalesce(col("n_name"), lit("ALL")).as("nation"),
-        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-        col("n_orders"), col("revenue"))
-      .orderBy(col("lvl"), col("nation"), col("status"))
-
-  // ---------------------------------------------------------------- q125
-  /** Per-user activity matrix: event counts pivoted into one column
-    * per event type (explicit value list, so the plan is a single
-    * hash aggregation of conditional counts — no distinct-values
-    * pre-pass, no second shuffle).
-    */
-  def q125Pivot(s: SparkSession, d: String): DataFrame =
-    events(s, d)
-      .groupBy(col("user_id"))
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-      .count()
-      .na.fill(0L)
-      .orderBy(col("user_id"))
-
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2549,8 +2509,6 @@ object SparkEntry {
     "q120_resample" -> (q120Resample _),
     "q121_bm25" -> (q121Bm25 _),
     "q123_scd2" -> (q123Scd2 _),
-    "q124_rollup" -> (q124Rollup _),
-    "q125_pivot" -> (q125Pivot _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -4387,26 +4345,5 @@ object SparkEntry {
         |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
         |ORDER BY user_id, version_no""".stripMargin,
 
-    "q124_rollup" ->
-      """SELECT
-        |  CAST(2 * GROUPING(n_name) + GROUPING(o_orderstatus) AS BIGINT) AS lvl,
-        |  coalesce(n_name, 'ALL') AS nation,
-        |  coalesce(o_orderstatus, 'ALL') AS status,
-        |  CAST(count(*) AS BIGINT) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 0.0 AS revenue
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY ROLLUP(n_name, o_orderstatus)
-        |ORDER BY lvl, nation, status""".stripMargin,
-
-    "q125_pivot" ->
-      """SELECT user_id,
-        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
-        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
-        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
-        |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
-        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }
