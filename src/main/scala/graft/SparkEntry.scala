@@ -2044,6 +2044,47 @@ object SparkEntry {
       .orderBy(col("user_id"), col("version_no"))
   }
 
+  // ---------------------------------------------------------------- q126
+  /** Leakage-safe train/val/test split: assignment hashes the near-dup
+    * CLUSTER id (the shared connected-components labels, singletons
+    * falling back to their own doc_id), so near-duplicate documents can
+    * never straddle a split boundary — the eval-contamination failure
+    * mode of q58's plain per-doc hash split. The output keeps the
+    * per-split census and an explicit audit pair: crossing near-dup
+    * pairs under the cluster split (structurally 0) vs under the naive
+    * doc-hash split (the leakage a per-doc split would have shipped).
+    * Reuses the session pair + label artifacts — no new CC pass.
+    */
+  def q126LeakageSplit(s: SparkSession, d: String): DataFrame = {
+    def bucket(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    def splitOf(c: Column): Column =
+      when(bucket(c) < 80, lit("train"))
+        .when(bucket(c) < 90, lit("val")).otherwise(lit("test"))
+    val lab = dedupLabels(s, d)
+      .select(col("id").as("doc_id"), col("cluster"))
+    val assigned = dedupCorpus(s, d).select(col("doc_id"))
+      .join(lab, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("split", splitOf(col("cluster_id")))
+      .withColumn("doc_split", splitOf(col("doc_id")))
+    val pj = dedupPairs(s, d).select(col("id1"), col("id2"))
+      .join(assigned.select(col("doc_id").as("id1"), col("split").as("s1"),
+        col("doc_split").as("ds1")), "id1")
+      .join(assigned.select(col("doc_id").as("id2"), col("split").as("s2"),
+        col("doc_split").as("ds2")), "id2")
+    val audit = pj.agg(
+      coalesce(sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L)), lit(0L))
+        .as("cross_pairs_cluster_split"),
+      coalesce(sum(when(col("ds1") =!= col("ds2"), 1L).otherwise(0L)), lit(0L))
+        .as("cross_pairs_doc_split"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("cluster_id")).as("n_clusters"))
+      .crossJoin(broadcast(audit))
+      .orderBy(col("split"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2509,6 +2550,7 @@ object SparkEntry {
     "q120_resample" -> (q120Resample _),
     "q121_bm25" -> (q121Bm25 _),
     "q123_scd2" -> (q123Scd2 _),
+    "q126_leakage_split" -> (q126LeakageSplit _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -4329,6 +4371,49 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
          |  CAST(sum(ts) AS DOUBLE) AS score
          |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q126_leakage_split" ->
+      // q67's recursive-closure labels + q58's md5 bucket, composed:
+      // the cluster-keyed split can never separate a near-dup pair
+      s"""WITH RECURSIVE $SqlCorpus,
+         |$SqlShingles3,
+         |n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |com AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS common
+         | FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |pair AS (SELECT com.id1, com.id2 FROM com
+         | JOIN n n1 ON n1.doc_id = com.id1 JOIN n n2 ON n2.doc_id = com.id2
+         | WHERE CAST(com.common AS DOUBLE)
+         |   / CAST(n1.n + n2.n - com.common AS DOUBLE) >= 0.6),
+         |edge AS (SELECT id1 AS a, id2 AS b FROM pair
+         | UNION SELECT id2 AS a, id1 AS b FROM pair),
+         |reach(src, dst) AS (
+         | SELECT a, a FROM edge
+         | UNION
+         | SELECT r.src, e.b FROM reach r JOIN edge e ON e.a = r.dst),
+         |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |fl AS (SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS cluster_id
+         | FROM (SELECT doc_id FROM corpus) c LEFT JOIN lab l ON l.doc_id = c.doc_id),
+         |asg AS (SELECT doc_id, cluster_id,
+         |  CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+         |       WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+         |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS doc_split
+         | FROM fl),
+         |aud AS (SELECT
+         |  CAST(coalesce(sum(CASE WHEN a1.split <> a2.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS cross_pairs_cluster_split,
+         |  CAST(coalesce(sum(CASE WHEN a1.doc_split <> a2.doc_split THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS cross_pairs_doc_split
+         | FROM pair JOIN asg a1 ON a1.doc_id = pair.id1
+         |           JOIN asg a2 ON a2.doc_id = pair.id2)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |  cross_pairs_cluster_split, cross_pairs_doc_split
+         |FROM asg CROSS JOIN aud
+         |GROUP BY split, cross_pairs_cluster_split, cross_pairs_doc_split
+         |ORDER BY split""".stripMargin,
 
     "q123_scd2" ->
       """WITH ev AS (SELECT user_id, event_id,
