@@ -2085,6 +2085,71 @@ object SparkEntry {
       .orderBy(col("split"))
   }
 
+  // ---------------------------------------------------------------- q127
+  /** Hybrid-retrieval fusion: BM25 lexical ranking (q121's scorer) and
+    * brute-force cosine ANN ranking (q26's) combined by reciprocal
+    * rank fusion, `Σ 1/(60+rank)` (Cormack et al., SIGIR'09) — the
+    * standard first stage of a RAG retrieval stack. Fusion consumes
+    * only the two k-sized rank lists (a full-outer join of 50-row
+    * frames), so the corpus cost is exactly the two retrievers'; the
+    * rank-only formula needs no score calibration between the lexical
+    * and vector spaces and is engine-exact (integer ranks, one IEEE
+    * division each). Absent ranks surface as 0, not NULL.
+    */
+  def q127Rrf(s: SparkSession, d: String): DataFrame = {
+    val bm = operators.InvertedIndex.bm25TopK(
+        documents(s, d).filter(col("doc_id") >= 10), "doc_id", "text",
+        Seq("merge", "vector", "stream"), k = 50)
+      // 50-row frame post-limit: the unpartitioned window is bounded
+      .withColumn("rb", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rb"))
+    val q0 = embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val ann = operators.Similarity.bruteForceTopK(q0,
+        embeddings(s, d).filter(col("vec_id") >= 10), k = 50)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("ra"))
+    bm.join(ann, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60.0) + col("rb").cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("ra").cast("double")), lit(0.0)), 9))
+      .select(col("doc_id"), coalesce(col("rb"), lit(0L)).as("bm25_rank"),
+        coalesce(col("ra"), lit(0L)).as("ann_rank"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------- q128
+  /** Market-basket association rules over order baskets: pairwise
+    * support, per-direction confidence, and lift — frequent-itemset
+    * mining's first tier. All metrics publish as EXACT parts-per-
+    * million integers (`1e6·ab DIV a` etc.), so there is zero float
+    * in the result and any engine hashes identically. Basket sizes
+    * are bounded (≤ 7 lines/order), so the pair explosion is linear
+    * in orders; everything else is hash aggregation + broadcast-sized
+    * joins on the item-support table.
+    */
+  def q128AssociationRules(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = li.select(col("ok")).distinct().count()
+    val itemSup = li.groupBy(col("pk")).agg(count(lit(1)).as("sup"))
+    val pairSup = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2)
+    pairSup
+      .join(itemSup.select(col("pk").as("pa"), col("sup").as("sup_a")), "pa")
+      .join(itemSup.select(col("pk").as("pb"), col("sup").as("sup_b")), "pb")
+      .select(col("pa"), col("pb"), col("n_both"), col("sup_a"), col("sup_b"),
+        expr("(1000000 * n_both) DIV sup_a").as("conf_ab_ppm"),
+        expr("(1000000 * n_both) DIV sup_b").as("conf_ba_ppm"),
+        expr(s"($nOrders * n_both * 1000000) DIV (sup_a * sup_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("pa"), col("pb"))
+      .limit(30)
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2551,6 +2616,8 @@ object SparkEntry {
     "q121_bm25" -> (q121Bm25 _),
     "q123_scd2" -> (q123Scd2 _),
     "q126_leakage_split" -> (q126LeakageSplit _),
+    "q127_rrf" -> (q127Rrf _),
+    "q128_association_rules" -> (q128AssociationRules _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -4371,6 +4438,72 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
          |  CAST(sum(ts) AS DOUBLE) AS score
          |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q127_rrf" ->
+      // q121's BM25 CTE (docs >= 10) + q26's cosine rank, fused by
+      // 1/(60+rank); absent ranks coalesce to 0 (never NULL)
+      s"""WITH tok AS (SELECT doc_id, unnest($SqlToks) AS term
+         |             FROM documents WHERE doc_id >= 10),
+         |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+         |         FROM tok GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_len
+         |       FROM lens),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |       WHERE term IN ('merge', 'vector', 'stream')
+         |       GROUP BY doc_id, term),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |    CAST(round(
+         |      round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |               (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) *
+         |      (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+         |      (CAST(tf AS DOUBLE) +
+         |       1.2 * (1.0 - 0.75 + 0.75 * CAST(len AS DOUBLE) / avg_len)), 6)
+         |      AS DECIMAL(18,6)) AS ts
+         |  FROM tf JOIN dfq ON dfq.term = tf.term
+         |  JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN st),
+         |bmtop AS (SELECT doc_id, CAST(sum(ts) AS DOUBLE) AS score
+         |  FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+         |bm AS (SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rb
+         | FROM bmtop),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+         |      FROM embeddings WHERE vec_id >= 10),
+         |annr AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id)
+         |           AS rank
+         |  FROM (SELECT vec_id, ${sqlCosine("qv", "cv")} AS sim FROM q, c)),
+         |ann AS (SELECT vec_id AS doc_id, CAST(rank AS BIGINT) AS ra
+         |        FROM annr WHERE rank <= 50),
+         |f AS (SELECT coalesce(bm.doc_id, ann.doc_id) AS doc_id,
+         |       coalesce(rb, 0) AS bm25_rank, coalesce(ra, 0) AS ann_rank,
+         |       round(coalesce(1.0 / (60.0 + CAST(rb AS DOUBLE)), 0.0) +
+         |             coalesce(1.0 / (60.0 + CAST(ra AS DOUBLE)), 0.0), 9) AS rrf
+         |      FROM bm FULL OUTER JOIN ann ON ann.doc_id = bm.doc_id)
+         |SELECT doc_id, bm25_rank, ann_rank, rrf FROM f
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q128_association_rules" ->
+      // all metrics exact ppm integers (floor division) — no floats
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+        |isup AS (SELECT pk, CAST(count(*) AS BIGINT) AS sup FROM li GROUP BY pk),
+        |psup AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING count(*) >= 2)
+        |SELECT pa, pb, n_both, sa.sup AS sup_a, sb.sup AS sup_b,
+        |  (1000000 * n_both) // sa.sup AS conf_ab_ppm,
+        |  (1000000 * n_both) // sb.sup AS conf_ba_ppm,
+        |  (n.n_orders * n_both * 1000000) // (sa.sup * sb.sup) AS lift_ppm
+        |FROM psup
+        |JOIN isup sa ON sa.pk = pa
+        |JOIN isup sb ON sb.pk = pb
+        |CROSS JOIN n
+        |ORDER BY lift_ppm DESC, pa, pb LIMIT 30""".stripMargin,
 
     "q126_leakage_split" ->
       // q67's recursive-closure labels + q58's md5 bucket, composed:
