@@ -2013,8 +2013,11 @@ object SparkEntry {
     * engine-exact.
     */
   def q121Bm25(s: SparkSession, d: String): DataFrame =
-    operators.InvertedIndex.bm25TopK(documents(s, d), "doc_id", "text",
-        Seq("merge", "vector", "stream"), k = 20)
+    // single test file → one input split; spread the CPU-bound
+    // tokenize (real corpora get this from file splits)
+    operators.InvertedIndex.bm25TopK(
+        documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", Seq("merge", "vector", "stream"), k = 20)
       .select(col("doc_id"), col("n_terms_hit"), col("score"))
 
   // ---------------------------------------------------------------- q123
@@ -2098,8 +2101,9 @@ object SparkEntry {
     */
   def q127Rrf(s: SparkSession, d: String): DataFrame = {
     val bm = operators.InvertedIndex.bm25TopK(
-        documents(s, d).filter(col("doc_id") >= 10), "doc_id", "text",
-        Seq("merge", "vector", "stream"), k = 50)
+        documents(s, d).filter(col("doc_id") >= 10)
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", Seq("merge", "vector", "stream"), k = 50)
       // 50-row frame post-limit: the unpartitioned window is bounded
       .withColumn("rb", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed triangle counting over an undirected graph — the
@@ -12,14 +12,12 @@ import org.apache.spark.sql.functions._
   * closing edge (b→c) exists via a semi join. Every triangle is
   * counted exactly once, at its minimum vertex.
   *
-  * Scale shape: two hash joins on node keys — no global structure,
-  * no driver-side graph. The wedge fan-out is Σ deg(v)² over oriented
-  * degrees; for skew-heavy graphs the classic refinement is to orient
-  * by (degree, id) instead of id, which caps oriented out-degree at
-  * O(√m) — the id orientation is kept here because the oracle must
-  * reproduce the SAME orientation in portable SQL and the co-purchase
-  * graphs this feeds are degree-bounded by construction (≤ 7 parts
-  * per order).
+  * Scale shape: hash joins on node keys — no global structure, no
+  * driver-side graph. Orientation is by (degree, id) rank, which caps
+  * oriented out-degree at O(√m) and therefore the wedge fan-out at
+  * O(m^1.5) even on skewed graphs (the paper's bound); the triangle
+  * COUNT is orientation-independent, so a portable oracle may verify
+  * with the simpler id orientation and must agree.
   */
 object Triangles {
 
@@ -39,13 +37,37 @@ object Triangles {
     */
   def census(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = canonicalEdges(edges, srcCol, dstCol)
-    val wedges = e.as("ab").join(e.as("ac"),
-        col("ab.lo") === col("ac.lo") && col("ab.hi") < col("ac.hi"))
-      .select(col("ab.hi").as("lo"), col("ac.hi").as("hi"))
-    val tris = wedges.join(e, Seq("lo", "hi"), "left_semi")
-    val nodes = e.select(col("lo").as("n"))
-      .unionAll(e.select(col("hi").as("n"))).distinct()
-    nodes.agg(count(lit(1)).as("n_nodes"))
+    val deg = e.select(col("lo").as("n"))
+      .unionAll(e.select(col("hi").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // orient each edge toward the (degree, id)-larger endpoint: every
+    // triangle then has exactly ONE vertex with both out-edges, and
+    // oriented out-degree is O(sqrt m), bounding the wedge join
+    val o = e
+      .join(deg.select(col("n").as("lo"), col("deg").as("dl")), "lo")
+      .join(deg.select(col("n").as("hi"), col("deg").as("dh")), "hi")
+      .select(
+        when(col("dl") < col("dh") ||
+            (col("dl") === col("dh") && col("lo") < col("hi")),
+          col("lo")).otherwise(col("hi")).as("u"),
+        when(col("dl") < col("dh") ||
+            (col("dl") === col("dh") && col("lo") < col("hi")),
+          col("hi")).otherwise(col("lo")).as("v"))
+    // closing-edge lookup on a single packed long: one-word hash keys,
+    // and the ~|E|-row build side stays AQE-broadcastable far longer
+    // than a two-column struct. Packing needs ids in [0, 2^32) — the
+    // assert_true fails fast (codegen'd scan-stage check) if not.
+    def packed(a: Column, b: Column): Column = {
+      val ok = a >= 0 && b >= 0 && a < (1L << 32) && b < (1L << 32)
+      when(assert_true(ok, lit("Triangles.census: node ids must fit 32 bits"))
+        .isNull, shiftleft(a, 32).bitwiseOR(b))
+    }
+    val wedges = o.as("ab").join(o.as("ac"),
+        col("ab.u") === col("ac.u") && col("ab.v") < col("ac.v"))
+      .select(packed(col("ab.v"), col("ac.v")).as("ek"))
+    val tris = wedges.join(
+      e.select(packed(col("lo"), col("hi")).as("ek")), Seq("ek"), "left_semi")
+    deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
       .crossJoin(broadcast(tris.agg(count(lit(1)).as("n_triangles"))))
   }
