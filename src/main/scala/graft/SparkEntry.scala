@@ -2154,6 +2154,72 @@ object SparkEntry {
       .limit(30)
   }
 
+  // ---------------------------------------------------------------- q129
+  /** Gini concentration of user activity — how unequally events spread
+    * across users, the inequality metric of traffic/engagement audits.
+    * Uses the sorted-rank identity `G = (2·Σ i·x_i − (n+1)·Σx) /
+    * (n·Σx)` with ranks from the range-partitioned distributed sort
+    * (q12's ordinal machinery — no global window), published as an
+    * EXACT floor-divided ppm integer: every term is integer
+    * arithmetic, so the result is engine-identical by construction.
+    * Rank ties among equal counts cannot change the sum (equal x_i
+    * commute), so any total tie-break yields the same Gini.
+    */
+  def q129Gini(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    val ranked = operators.Ordinals.withOrderedOrdinal(
+      counts, Seq(col("x"), col("user_id")), "i")
+    ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("n").as("n_users"), col("sx").as("n_events"),
+        expr("((2 * six - (n + 1) * sx) * 1000000) DIV (n * sx)")
+          .as("gini_ppm"))
+  }
+
+  // ---------------------------------------------------------------- q130
+  /** A/B experiment readout: users hash-assigned to two arms (q58's
+    * md5 discipline — content-keyed, reproducible on any engine), then
+    * per-arm mean/variance of event value and the Welch t statistic.
+    * Sums and sums-of-squares accumulate in DECIMAL (exact, order-
+    * independent); each published double is one fixed expression tree
+    * over those exact sums, rounded at 6dp — the q63 correlation
+    * discipline applied to experiment analysis.
+    */
+  def q130AbTest(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("value"))
+      .withColumn("arm",
+        when(conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, lit("A")).otherwise(lit("B")))
+      .withColumn("v", col("value").cast("decimal(18,2)"))
+    val arms = ev.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ss"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("s").as("s_a"), col("ss").as("ss_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n").as("n_b"), col("s").as("s_b"), col("ss").as("ss_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("mean_a", col("s_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("mean_b", col("s_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("var_a",
+        (col("ss_a").cast("double") -
+          col("s_a").cast("double") * col("s_a").cast("double") /
+            col("n_a").cast("double")) / (col("n_a").cast("double") - 1.0))
+      .withColumn("var_b",
+        (col("ss_b").cast("double") -
+          col("s_b").cast("double") * col("s_b").cast("double") /
+            col("n_b").cast("double")) / (col("n_b").cast("double") - 1.0))
+      .select(col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("mean_a"),
+        round(col("mean_b"), 6).as("mean_b"),
+        round(col("var_a"), 6).as("var_a"),
+        round(col("var_b"), 6).as("var_b"),
+        round((col("mean_a") - col("mean_b")) /
+          sqrt(col("var_a") / col("n_a").cast("double") +
+               col("var_b") / col("n_b").cast("double")), 6).as("t_welch"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2622,6 +2688,8 @@ object SparkEntry {
     "q126_leakage_split" -> (q126LeakageSplit _),
     "q127_rrf" -> (q127Rrf _),
     "q128_association_rules" -> (q128AssociationRules _),
+    "q129_gini" -> (q129Gini _),
+    "q130_ab_test" -> (q130AbTest _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -4508,6 +4576,46 @@ object SparkEntry {
         |JOIN isup sb ON sb.pk = pb
         |CROSS JOIN n
         |ORDER BY lift_ppm DESC, pa, pb LIMIT 30""".stripMargin,
+
+    "q129_gini" ->
+      // every term integer; the one division is floor DIV — no floats
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+        |           FROM events GROUP BY user_id),
+        |r AS (SELECT x,
+        |  CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(x) AS BIGINT) AS n_events,
+        |  CAST(((2 * CAST(sum(i * x) AS BIGINT)
+        |         - (CAST(count(*) AS BIGINT) + 1) * CAST(sum(x) AS BIGINT))
+        |        * 1000000)
+        |    // (CAST(count(*) AS BIGINT) * CAST(sum(x) AS BIGINT)) AS BIGINT)
+        |    AS gini_ppm
+        |FROM r""".stripMargin,
+
+    "q130_ab_test" ->
+      // DECIMAL-exact sums; each double is one fixed tree, rounded 6dp
+      """WITH ev AS (SELECT
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |         AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |  CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |         sum(v) AS s, sum(v * v) AS ss FROM ev GROUP BY arm),
+        |a AS (SELECT n AS n_a, s AS s_a, ss AS ss_a FROM arms WHERE arm = 'A'),
+        |b AS (SELECT n AS n_b, s AS s_b, ss AS ss_b FROM arms WHERE arm = 'B'),
+        |x AS (SELECT n_a, n_b,
+        |  CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+        |  CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+        |  (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+        |     / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS var_a,
+        |  (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+        |     / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS var_b
+        | FROM a CROSS JOIN b)
+        |SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+        |  round(var_a, 6) AS var_a, round(var_b, 6) AS var_b,
+        |  round((mean_a - mean_b) /
+        |    sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)), 6)
+        |    AS t_welch
+        |FROM x""".stripMargin,
 
     "q126_leakage_split" ->
       // q67's recursive-closure labels + q58's md5 bucket, composed:

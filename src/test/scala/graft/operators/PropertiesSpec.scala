@@ -455,6 +455,44 @@ class PropertiesSpec extends SparkSpec {
     check(p, 12)
   }
 
+  test("SCD2 version build matches a sequential per-user fold") {
+    // random per-user attribute streams with heavy ties/repeats
+    val p = Prop.forAll(Gen.listOfN(60, for {
+      u <- Gen.chooseNum(0, 3)
+      t <- Gen.chooseNum(0L, 50L)
+      a <- Gen.oneOf("x", "y", "z")
+    } yield (u, t, a))) { raw =>
+      val high = 999999L
+      val ev = raw.zipWithIndex.map { case ((u, t, a), i) =>
+        (u.toLong, i.toLong, t, a) }
+      val df = ev.toDF("user_id", "event_id", "us", "event_type")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val got = df.withColumn("__p", lag(col("event_type"), 1).over(w))
+        .filter(col("__p").isNull || col("__p") =!= col("event_type"))
+        .withColumn("version_no", row_number().over(w).cast("long"))
+        .withColumn("valid_to", coalesce(lead(col("us"), 1).over(w), lit(high)))
+        .select(col("user_id"), col("version_no"), col("event_type"),
+          col("us"), col("valid_to"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val want = ev.groupBy(_._1).flatMap { case (_, es) =>
+        val sorted = es.sortBy(e => (e._3, e._2))
+        val changes = sorted.foldLeft(List.empty[(Long, Long, Long, String)]) {
+          case (acc, e) =>
+            if (acc.headOption.exists(_._4 == e._4)) acc
+            else (e._1, e._2, e._3, e._4) :: acc
+        }.reverse
+        changes.zipWithIndex.map { case (c, i) =>
+          val to = changes.lift(i + 1).map(_._3).getOrElse(high)
+          (c._1, (i + 1).toLong, c._4, c._3, to)
+        }
+      }.toSet
+      got == want
+    }
+    check(p, 12)
+  }
+
   test("keepBestRepresentatives elects highest score, ties to smallest id") {
     // cluster {1,3,5}: 5 has top score; cluster {7,8}: tie -> 7 wins;
     // singletons 0,2,4,6,9 keep themselves
