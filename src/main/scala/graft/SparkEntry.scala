@@ -2220,6 +2220,101 @@ object SparkEntry {
                col("var_b") / col("n_b").cast("double")), 6).as("t_welch"))
   }
 
+  // ---------------------------------------------------------------- q131
+  /** Kaplan–Meier churn survival over user lifetimes: duration = first
+    * to last event in whole days; users still active in the last 7
+    * days of the corpus are right-censored (their lifetime is a lower
+    * bound, exactly the estimator's reason to exist). At each distinct
+    * duration the at-risk count comes from prefix sums over the
+    * duration-distinct frame (≤ |users| rows — the one unpartitioned
+    * window here is aggregation-sized, not corpus-sized), and the
+    * survival product uses the q100 log discipline: per-factor
+    * `round(ln(1−d/n), 6)` summed in DECIMAL, exponentiated once —
+    * engine-exact, with an explicit zero once a stratum exhausts its
+    * risk set.
+    */
+  def q131Survival(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = events(s, d).select(col("user_id"), expr("ts DIV 1000").as("us"))
+    val anchor = ev.agg(max(col("us")).as("end_us"))
+    val life = ev.groupBy(col("user_id"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+      .crossJoin(broadcast(anchor))
+      .select(expr(s"(last_us - first_us) DIV $dayUs").as("t"),
+        (col("end_us") - col("last_us") < lit(7L * dayUs)).as("censored"))
+    val strata = life.groupBy(col("t"))
+      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    strata
+      .crossJoin(broadcast(life.agg(count(lit(1)).as("n_total"))))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("alive", min(when(col("d") < col("n_risk"), 1L).otherwise(0L))
+        .over(w))
+      .withColumn("logterm",
+        when(col("d") < col("n_risk"),
+          round(log(lit(1.0) - col("d").cast("double") /
+            col("n_risk").cast("double")), 6).cast("decimal(18,6)"))
+          .otherwise(lit(null)))
+      .withColumn("surv",
+        when(col("alive") === 1L,
+          round(exp(sum(col("logterm")).over(w).cast("double")), 6))
+          .otherwise(lit(0.0)))
+      .select(col("t").as("t_days"), col("n_risk"), col("d"), col("c"),
+        col("surv"))
+      .orderBy(col("t_days"))
+  }
+
+  // ---------------------------------------------------------------- q132
+  /** Retrieval-quality evaluation of the IVF ANN index against the
+    * exact-cosine ground truth: per query, recall@10, MRR, and nDCG@10
+    * with binary relevance — the eval harness every vector-index
+    * deployment runs before trading exactness for speed. All
+    * discount terms are `round(1/log2(rank+1), 6)` summed in DECIMAL
+    * (the one libm call rounded, q100 discipline); ranks are exact
+    * integers from both retrievers' total orderings. IDCG comes from
+    * the truth list through the SAME rounded formula, so the ratio is
+    * engine-exact.
+    */
+  def q132RetrievalEval(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val truth = operators.Similarity.bruteForceTopK(queries, corpus, k = 10)
+      .select(col("query_id"), col("rank").as("t_rank"),
+        col("neighbor_id"))
+    val sys = operators.Similarity.ivfTopK(queries, corpus, k = 10, nprobe = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val disc = round(lit(1.0) / log2(col("rank").cast("double") + 1.0), 6)
+      .cast("decimal(18,6)")
+    val judged = sys.join(truth.withColumn("rel", lit(1L))
+        .select(col("query_id"), col("neighbor_id"), col("rel")),
+        Seq("query_id", "neighbor_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val perQuery = judged.groupBy(col("query_id"))
+      .agg(sum(col("rel")).as("n_hits"),
+        min(when(col("rel") === 1L, col("rank"))).as("first_rel"),
+        sum(when(col("rel") === 1L, disc).otherwise(lit(0.0).cast("decimal(18,6)")))
+          .as("dcg"))
+    val idcg = truth
+      .withColumn("dt", round(lit(1.0) / log2(col("t_rank").cast("double") + 1.0), 6)
+        .cast("decimal(18,6)"))
+      .groupBy(col("query_id")).agg(sum(col("dt")).as("idcg"))
+    perQuery.join(idcg, "query_id")
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / 10.0, 6).as("recall_at_10"),
+        coalesce(round(lit(1.0) / col("first_rel").cast("double"), 6), lit(0.0))
+          .as("mrr"),
+        round(col("dcg").cast("double") / col("idcg").cast("double"), 6)
+          .as("ndcg_at_10"))
+      .orderBy(col("query_id"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2690,6 +2785,8 @@ object SparkEntry {
     "q128_association_rules" -> (q128AssociationRules _),
     "q129_gini" -> (q129Gini _),
     "q130_ab_test" -> (q130AbTest _),
+    "q131_survival" -> (q131Survival _),
+    "q132_retrieval_eval" -> (q132RetrievalEval _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -4576,6 +4673,88 @@ object SparkEntry {
         |JOIN isup sb ON sb.pk = pb
         |CROSS JOIN n
         |ORDER BY lift_ppm DESC, pa, pb LIMIT 30""".stripMargin,
+
+    "q131_survival" ->
+      // KM product via round(ln(1-d/n),6) DECIMAL sums, exp once;
+      // explicit 0 after a stratum exhausts its risk set
+      """WITH ev AS (SELECT user_id,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us FROM events),
+        |a AS (SELECT max(us) AS end_us FROM ev),
+        |life AS (SELECT (max(us) - min(us)) // 86400000000 AS t,
+        |  (SELECT end_us FROM a) - max(us) < 604800000000 AS censored
+        | FROM ev GROUP BY user_id),
+        |st AS (SELECT t,
+        |  CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+        |  CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c
+        | FROM life GROUP BY t),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM life),
+        |r AS (SELECT t, d, c,
+        |  n_total - CAST(coalesce(sum(d + c) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS n_risk
+        | FROM st CROSS JOIN tot),
+        |r2 AS (SELECT t, d, c, n_risk,
+        |  CAST(min(CASE WHEN d < n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS alive,
+        |  sum(CASE WHEN d < n_risk THEN
+        |      CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) ELSE NULL END)
+        |    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS ls
+        | FROM r)
+        |SELECT t AS t_days, n_risk, d, c,
+        |  CASE WHEN alive = 1 THEN round(exp(CAST(ls AS DOUBLE)), 6)
+        |       ELSE 0.0 END AS surv
+        |FROM r2 ORDER BY t_days""".stripMargin,
+
+    "q132_retrieval_eval" ->
+      // q27's IVF SQL at k=10 judged against the exact top-10; all
+      // log2 discounts rounded to 6dp and summed in DECIMAL
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id >= 10),
+         |ex AS (SELECT label, generate_subscripts(cv, 1) AS dim, unnest(cv) AS x FROM c),
+         |cm AS (SELECT label, dim,
+         |  CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+         | FROM ex GROUP BY label, dim),
+         |cent AS (SELECT label, list(m ORDER BY dim) AS centroid FROM cm GROUP BY label),
+         |probe AS (SELECT query_id, qv, label FROM (
+         |  SELECT q.query_id, q.qv, cent.label,
+         |   row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${sqlCosine("q.qv", "cent.centroid")} DESC, cent.label) AS crank
+         |  FROM q, cent) WHERE crank <= 3),
+         |scored AS (SELECT p.query_id, c.vec_id, ${sqlCosine("p.qv", "c.cv")} AS sim
+         | FROM probe p JOIN c ON c.label = p.label),
+         |sysr AS (SELECT query_id, vec_id AS neighbor_id, rank FROM (
+         |  SELECT query_id, vec_id,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored) WHERE rank <= 10),
+         |ts AS (SELECT q.query_id, c.vec_id, ${sqlCosine("q.qv", "c.cv")} AS sim
+         |  FROM q, c),
+         |truth AS (SELECT query_id, vec_id AS neighbor_id, t_rank FROM (
+         |  SELECT query_id, vec_id,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS t_rank
+         |  FROM ts) WHERE t_rank <= 10),
+         |judged AS (SELECT s.query_id, s.rank,
+         |  CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
+         | FROM sysr s LEFT JOIN truth t
+         |   ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id),
+         |pq AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_hits,
+         |  min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+         |  sum(CASE WHEN rel = 1 THEN
+         |      CAST(round(1.0 / log2(CAST(rank AS DOUBLE) + 1.0), 6) AS DECIMAL(18,6))
+         |    ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS dcg
+         | FROM judged GROUP BY query_id),
+         |ic AS (SELECT query_id,
+         |  sum(CAST(round(1.0 / log2(CAST(t_rank AS DOUBLE) + 1.0), 6)
+         |    AS DECIMAL(18,6))) AS idcg
+         | FROM truth GROUP BY query_id)
+         |SELECT pq.query_id, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / 10.0, 6) AS recall_at_10,
+         |  coalesce(round(1.0 / CAST(first_rel AS DOUBLE), 6), 0.0) AS mrr,
+         |  round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg_at_10
+         |FROM pq JOIN ic ON ic.query_id = pq.query_id
+         |ORDER BY pq.query_id""".stripMargin,
 
     "q129_gini" ->
       // every term integer; the one division is floor DIV — no floats
