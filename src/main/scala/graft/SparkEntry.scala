@@ -2315,6 +2315,58 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  // ---------------------------------------------------------------- q133
+  /** Population-stability-index drift monitor: the event-value
+    * distribution of the first corpus week (baseline) vs everything
+    * after, over baseline-decile bins — the standard model-input drift
+    * check of ML monitoring. Bin edges are the EXACT distributed
+    * quantiles rounded to 6dp on both engines (so binning compares
+    * identical doubles); bin membership is a broadcast 9-edge array
+    * probe in the scan stage; proportions are Laplace-smoothed exact
+    * rationals so no bin can zero out the log; each PSI term rounds
+    * its one `ln` at 6dp and the total sums those terms in DECIMAL.
+    */
+  def q133PsiDrift(s: SparkSession, d: String): DataFrame = {
+    val weekUs = 7L * 86400000000L
+    val ev = events(s, d).select(expr("ts DIV 1000").as("us"), col("value"))
+    val t0 = ev.agg(min(col("us")).as("t0"))
+    val tagged = ev.crossJoin(broadcast(t0))
+      .withColumn("period",
+        when(col("us") < col("t0") + lit(weekUs), lit("A")).otherwise(lit("B")))
+      .select(col("period"), col("value"))
+    val edges = operators.Quantiles.exactQuantiles(
+        tagged.filter(col("period") === "A"), Seq.empty, "value",
+        (1 to 9).map(_ / 10.0))
+      .agg(sort_array(collect_list(round(col("quantile"), 6))).as("edges"))
+    val counts = tagged.crossJoin(broadcast(edges))
+      .withColumn("bin",
+        expr("size(filter(edges, e -> value > e))").cast("long"))
+      .groupBy(col("period"), col("bin")).agg(count(lit(1)).as("n"))
+    val joined = s.range(0, 10).select(col("id").as("bin"))
+      .join(counts.filter(col("period") === "A")
+        .select(col("bin"), col("n").as("n_a")), Seq("bin"), "left")
+      .join(counts.filter(col("period") === "B")
+        .select(col("bin"), col("n").as("n_b")), Seq("bin"), "left")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+    val terms = joined
+      .crossJoin(broadcast(joined.agg(sum(col("n_a")).as("ta"),
+        sum(col("n_b")).as("tb"))))
+      .withColumn("pa",
+        (col("n_a") + 1L).cast("double") / (col("ta") + 10L).cast("double"))
+      .withColumn("pb",
+        (col("n_b") + 1L).cast("double") / (col("tb") + 10L).cast("double"))
+      .withColumn("psi_term", round((col("pb") - col("pa")) *
+        round(log(col("pb") / col("pa")), 6), 6))
+    terms
+      .crossJoin(broadcast(terms.agg(
+        (sum(col("psi_term").cast("decimal(18,6)")).cast("double") + lit(0.0))
+          .as("psi_total"))))
+      .select(col("bin"), col("n_a"), col("n_b"), col("psi_term"),
+        col("psi_total"))
+      .orderBy(col("bin"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2787,6 +2839,7 @@ object SparkEntry {
     "q130_ab_test" -> (q130AbTest _),
     "q131_survival" -> (q131Survival _),
     "q132_retrieval_eval" -> (q132RetrievalEval _),
+    "q133_psi_drift" -> (q133PsiDrift _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -4673,6 +4726,44 @@ object SparkEntry {
         |JOIN isup sb ON sb.pk = pb
         |CROSS JOIN n
         |ORDER BY lift_ppm DESC, pa, pb LIMIT 30""".stripMargin,
+
+    "q133_psi_drift" ->
+      // edges = round(quantile, 6) on BOTH engines → identical bin
+      // boundaries; smoothed proportions; ln rounded per term
+      """WITH ev AS (SELECT
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us, value
+        | FROM events),
+        |t0 AS (SELECT min(us) AS t0 FROM ev),
+        |tagged AS (SELECT
+        |  CASE WHEN us < t0 + 604800000000 THEN 'A' ELSE 'B' END AS period,
+        |  value FROM ev CROSS JOIN t0),
+        |ed AS (SELECT list_transform(
+        |    quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    x -> round(x, 6)) AS edges
+        |  FROM tagged WHERE period = 'A'),
+        |binned AS (SELECT period,
+        |  CAST(len(list_filter(edges, e -> value > e)) AS BIGINT) AS bin
+        | FROM tagged CROSS JOIN ed),
+        |counts AS (SELECT period, bin, CAST(count(*) AS BIGINT) AS n
+        |           FROM binned GROUP BY period, bin),
+        |bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        |j AS (SELECT b.bin, coalesce(a.n, CAST(0 AS BIGINT)) AS n_a,
+        |        coalesce(bb.n, CAST(0 AS BIGINT)) AS n_b
+        |      FROM bins b
+        |      LEFT JOIN counts a ON a.period = 'A' AND a.bin = b.bin
+        |      LEFT JOIN counts bb ON bb.period = 'B' AND bb.bin = b.bin),
+        |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |        CAST(sum(n_b) AS BIGINT) AS tb FROM j),
+        |terms AS (SELECT bin, n_a, n_b,
+        |  CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE) AS pa,
+        |  CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE) AS pb
+        | FROM j CROSS JOIN tot),
+        |t2 AS (SELECT bin, n_a, n_b,
+        |  round((pb - pa) * round(ln(pb / pa), 6), 6) AS psi_term FROM terms),
+        |tt AS (SELECT CAST(sum(CAST(psi_term AS DECIMAL(18,6))) AS DOUBLE) + 0.0
+        |         AS psi_total FROM t2)
+        |SELECT bin, n_a, n_b, psi_term, psi_total FROM t2 CROSS JOIN tt
+        |ORDER BY bin""".stripMargin,
 
     "q131_survival" ->
       // KM product via round(ln(1-d/n),6) DECIMAL sums, exp once;

@@ -54,7 +54,9 @@ object Quantiles {
       broadcast(targets.as("t")),
       // null-safe key equality: a NULL group key is a group like any
       // other to the percentile built-in, and === would drop it here
-      groupCols.map(g => col("r." + g) <=> col("t." + g)).reduce(_ && _) &&
+      // (folded over lit(true) so the ungrouped, whole-table case works)
+      groupCols.map(g => col("r." + g) <=> col("t." + g))
+        .foldLeft(lit(true))(_ && _) &&
         (col("r.__rn") - col("t.__base") === col("t.__lo") ||
          col("r.__rn") - col("t.__base") === col("t.__hi")))
     joined
