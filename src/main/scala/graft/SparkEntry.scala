@@ -1941,7 +1941,7 @@ object SparkEntry {
       explode(graft.functions.TextAnalysis.tokens(col("text"))).as("token"))
     val n = toks.count()
     operators.HeavyHitters.frequentItems(toks, "token", k = 799,
-        minCount = math.max(n / 200L, 1L))
+        minCount = math.max(n / 200L, 1L), totalHint = Some(n))
       .select(col("item").as("token"), col("n"))
       .orderBy(col("token"))
   }
@@ -2037,11 +2037,10 @@ object SparkEntry {
     val changes = ev
       .withColumn("__prev", lag(col("event_type"), 1).over(w))
       .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
-    val cw = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     changes
-      .withColumn("version_no", row_number().over(cw).cast("long"))
+      .withColumn("version_no", row_number().over(w).cast("long"))
       .withColumn("valid_to_us",
-        coalesce(lead(col("us"), 1).over(cw), lit(high)))
+        coalesce(lead(col("us"), 1).over(w), lit(high)))
       .select(col("user_id"), col("version_no"), col("event_type"),
         col("us").as("valid_from_us"), col("valid_to_us"))
       .orderBy(col("user_id"), col("version_no"))
@@ -2071,6 +2070,10 @@ object SparkEntry {
       .withColumn("cluster_id", coalesce(col("cluster"), col("doc_id")))
       .withColumn("split", splitOf(col("cluster_id")))
       .withColumn("doc_split", splitOf(col("doc_id")))
+      // consumed three times below (two pair-join sides + the census);
+      // checkpoint the slim 4-column frame instead of recomputing the
+      // corpus-derived subtree per consumer
+      .localCheckpoint(true)
     val pj = dedupPairs(s, d).select(col("id1"), col("id2"))
       .join(assigned.select(col("doc_id").as("id1"), col("split").as("s1"),
         col("doc_split").as("ds1")), "id1")
@@ -2149,7 +2152,11 @@ object SparkEntry {
       .select(col("pa"), col("pb"), col("n_both"), col("sup_a"), col("sup_b"),
         expr("(1000000 * n_both) DIV sup_a").as("conf_ab_ppm"),
         expr("(1000000 * n_both) DIV sup_b").as("conf_ba_ppm"),
-        expr(s"($nOrders * n_both * 1000000) DIV (sup_a * sup_b)").as("lift_ppm"))
+        // lift's n·ab·1e6 numerator overflows BIGINT at warehouse order
+        // counts — DECIMAL(38,0) keeps the floor division exact
+        expr(s"CAST((CAST($nOrders AS DECIMAL(38,0)) * n_both * 1000000)" +
+          " div (CAST(sup_a AS DECIMAL(38,0)) * sup_b) AS BIGINT)")
+          .as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("pa"), col("pb"))
       .limit(30)
   }
@@ -2173,8 +2180,13 @@ object SparkEntry {
     ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("i") * col("x")).as("six"))
       .select(col("n").as("n_users"), col("sx").as("n_events"),
-        expr("((2 * six - (n + 1) * sx) * 1000000) DIV (n * sx)")
-          .as("gini_ppm"))
+        // DECIMAL(38,0) arithmetic: the *1e6 numerator would overflow
+        // BIGINT near ~3e5 users x 100 events; `div` on decimals keeps
+        // the floor-division exactness
+        expr("CAST(((CAST(six AS DECIMAL(38,0)) * 2" +
+          " - (CAST(n AS DECIMAL(38,0)) + 1) * CAST(sx AS DECIMAL(38,0)))" +
+          " * 1000000) div (CAST(n AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)))" +
+          " AS BIGINT)").as("gini_ppm"))
   }
 
   // ---------------------------------------------------------------- q130
@@ -4720,7 +4732,8 @@ object SparkEntry {
         |SELECT pa, pb, n_both, sa.sup AS sup_a, sb.sup AS sup_b,
         |  (1000000 * n_both) // sa.sup AS conf_ab_ppm,
         |  (1000000 * n_both) // sb.sup AS conf_ba_ppm,
-        |  (n.n_orders * n_both * 1000000) // (sa.sup * sb.sup) AS lift_ppm
+        |  CAST((CAST(n.n_orders AS HUGEINT) * n_both * 1000000)
+        |    // (CAST(sa.sup AS HUGEINT) * sb.sup) AS BIGINT) AS lift_ppm
         |FROM psup
         |JOIN isup sa ON sa.pk = pa
         |JOIN isup sb ON sb.pk = pb
@@ -4855,11 +4868,8 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i FROM c)
         |SELECT CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(sum(x) AS BIGINT) AS n_events,
-        |  CAST(((2 * CAST(sum(i * x) AS BIGINT)
-        |         - (CAST(count(*) AS BIGINT) + 1) * CAST(sum(x) AS BIGINT))
-        |        * 1000000)
-        |    // (CAST(count(*) AS BIGINT) * CAST(sum(x) AS BIGINT)) AS BIGINT)
-        |    AS gini_ppm
+        |  CAST(((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000)
+        |    // (count(*) * sum(x)) AS BIGINT) AS gini_ppm
         |FROM r""".stripMargin,
 
     "q130_ab_test" ->

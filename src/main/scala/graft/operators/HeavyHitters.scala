@@ -77,11 +77,13 @@ object HeavyHitters {
   /** Items whose EXACT frequency is ≥ `minCount`, with their exact
     * counts — `(item, n)`. Correct (no false negatives) whenever
     * `minCount > n/(k+1)`; a fail-fast guards the bound so a
-    * mis-sized k can never silently drop a frequent item.
+    * mis-sized k can never silently drop a frequent item. Pass
+    * `totalHint` when the stream length is already known — it saves a
+    * full count pass over the items (the guard trusts it).
     */
   def frequentItems(items: DataFrame, itemCol: String, k: Int,
-                    minCount: Long): DataFrame = {
-    val n = items.count()
+                    minCount: Long, totalHint: Option[Long] = None): DataFrame = {
+    val n = totalHint.getOrElse(items.count())
     require(minCount > n / (k + 1L),
       s"minCount $minCount is within the MG undercount bound n/(k+1) = " +
         s"${n / (k + 1L)} — raise minCount or k")

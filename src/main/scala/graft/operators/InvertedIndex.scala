@@ -50,14 +50,20 @@ object InvertedIndex {
                terms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val ts = terms.map(_.trim.toLowerCase).distinct
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("term"))
-    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    // ONE tokenize pass and one shuffle: tokens group by (doc, query
+    // term-or-null); the null bucket carries every non-query token, so
+    // doc lengths and per-term tfs both derive from this tiny frame
+    val grouped = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"),
+        when(col("term").isin(ts: _*), col("term")).as("qterm"))
+      .agg(count(lit(1)).as("n"))
+    val lens = grouped.groupBy(col("doc_id")).agg(sum(col("n")).as("len"))
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       (sum(col("len")).cast("double") / count(lit(1)).cast("double"))
         .as("avg_len"))
-    val tf = toks.filter(col("term").isin(ts: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = grouped.filter(col("qterm").isNotNull)
+      .select(col("doc_id"), col("qterm").as("term"), col("n").as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val termScore = round(
       round(log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /

@@ -26,9 +26,12 @@ object Triangles {
     */
   def canonicalEdges(edges: DataFrame, srcCol: String,
                      dstCol: String): DataFrame =
+    // long-normalized up front: packed() below shifts by 32, and on an
+    // IntegerType column shiftleft(_, 32) is a silent no-op (Java masks
+    // the shift amount), which would collide keys instead of packing
     edges.select(
-        least(col(srcCol), col(dstCol)).as("lo"),
-        greatest(col(srcCol), col(dstCol)).as("hi"))
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("lo"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .distinct()
 

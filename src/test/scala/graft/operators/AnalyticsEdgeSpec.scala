@@ -79,6 +79,14 @@ class AnalyticsEdgeSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 3L, 1L)))
   }
 
+  test("triangles: IntegerType ids pack without collisions") {
+    // open wedge (1-2, 1-3), ints: the pre-fix packed key degraded to
+    // bitwise OR on int columns (2|3 == 1|2 == 3), faking a triangle
+    val wedge = Seq((1, 2), (1, 3)).toDF("src", "dst")
+    val r = Triangles.census(wedge, "src", "dst").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 2L, 0L)))
+  }
+
   test("bm25TopK: absent terms yield empty; k caps the result") {
     val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"))
       .toDF("doc_id", "text")
