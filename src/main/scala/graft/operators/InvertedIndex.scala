@@ -53,11 +53,16 @@ object InvertedIndex {
     // ONE tokenize pass and one shuffle: tokens group by (doc, query
     // term-or-null); the null bucket carries every non-query token, so
     // doc lengths and per-term tfs both derive from this tiny frame
+    // cached: four consumers (lens, stats, tf, df) would otherwise
+    // each re-run the tokenize — the frame is ≤ |terms|+1 rows per
+    // doc, far smaller than the corpus it summarizes, so caching it
+    // trades trivial memory for three whole-corpus scans
     val grouped = docs.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"),
         when(col("term").isin(ts: _*), col("term")).as("qterm"))
       .agg(count(lit(1)).as("n"))
+      .cache()
     val lens = grouped.groupBy(col("doc_id")).agg(sum(col("n")).as("len"))
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       (sum(col("len")).cast("double") / count(lit(1)).cast("double"))
