@@ -1649,15 +1649,18 @@ object SparkEntry {
   /** Mutual-kNN clustering over the embedding corpus (SemDeDup-style
     * density grouping): an edge survives only if each endpoint ranks
     * the other in its own top-4, stripping hub vectors; connected
-    * components label the mutual graph. The query runs the exact
-    * ground-truth tier (n² scored, WindowGroupLimit-pruned); the LSH
-    * band-bucket tier is the 100 TB path, spec-pinned per-pair to the
-    * exact sims with a measured recall floor ([[operators.KnnGraph]]).
+    * components label the mutual graph. The query runs the LSH
+    * band-bucket tier — the 100 TB path: candidates are pairs sharing
+    * any hyperplane band key, so the corpus is never crossed whole and
+    * the oracle replays the same deterministic banding in SQL. The
+    * exact n² tier remains the spec ground truth (GraphSpec pins
+    * per-pair sim identity and the recall floor)
+    * ([[operators.KnnGraph]]).
     */
   def q102MutualKnn(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
     operators.KnnGraph.mutualClusters(
-        operators.KnnGraph.knnEdgesExact(e, "vec_id", "embedding", k = 4))
+        operators.KnnGraph.knnEdgesLsh(e, "vec_id", "embedding", k = 4))
       .orderBy(col("vec_id"))
   }
 
@@ -2899,10 +2902,15 @@ object SparkEntry {
     * `Similarity.nearDupPairsLsh` — the LSH banding is part of the
     * operator's portable definition.
     */
-  private lazy val SqlLshPairs: String = {
-    val bands = 4
-    val w = operators.Similarity.hyperplaneWeights(24, 64)
-    val r = w.length / bands
+  /** Hyperplane bit + band-key SQL column lists for a (planes, bands)
+    * LSH config — the SAME `hyperplaneWeights` literals as the Spark
+    * tiers, so the banding is part of the operator's portable
+    * definition. Returns (bitCols, bandCols) for `bit0..bitN` /
+    * `b0..bB` projections.
+    */
+  private def sqlBandCols(numPlanes: Int, bands: Int): (String, String) = {
+    val w = operators.Similarity.hyperplaneWeights(numPlanes, 64)
+    val r = numPlanes / bands
     val bitCols = w.indices.map { i =>
       // Double.toString round-trips exactly; DuckDB parses E-notation
       val arr = w(i).mkString(", ")
@@ -2912,6 +2920,12 @@ object SparkEntry {
       (0 until r).map(i => s"bit${b * r + i}*${1 << (r - 1 - i)}").mkString(" + ") +
         s" AS b$b"
     }.mkString(", ")
+    (bitCols, bandCols)
+  }
+
+  private lazy val SqlLshPairs: String = {
+    val bands = 4
+    val (bitCols, bandCols) = sqlBandCols(24, bands)
     s"""c AS (
        | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        | UNION ALL SELECT vec_id + 1000000 AS vec_id, label, CAST(embedding AS DOUBLE[]) AS v
@@ -4195,12 +4209,27 @@ object SparkEntry {
          |FROM pairs p LEFT JOIN inter i ON i.g_a = p.g_a AND i.g_b = p.g_b
          |ORDER BY p.g_a, p.g_b""".stripMargin,
 
-    "q102_mutual_knn" ->
+    "q102_mutual_knn" -> {
+      // replay knnEdgesLsh's banding: 24 planes, 6 bands x 4 bits,
+      // candidates = pairs sharing ANY band key (equi-join on the
+      // exploded (band_idx, key) rows — the same join the Spark plan
+      // runs), then each side's top-4 over its candidate set only.
+      val (bitCols, bandCols) = sqlBandCols(24, 6)
       s"""WITH RECURSIVE e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |s AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
-         |        ${sqlCosine("a.v", "b.v")} AS sim
-         |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |bits AS (SELECT vec_id, v,
+         | $bitCols
+         | FROM e),
+         |band AS (SELECT vec_id, $bandCols FROM bits),
+         |eb AS (SELECT vec_id, generate_subscripts(bk, 1) AS band_idx,
+         |        unnest(bk) AS bkey
+         |       FROM (SELECT vec_id, [b0, b1, b2, b3, b4, b5] AS bk FROM band)),
+         |cand AS (SELECT DISTINCT a.vec_id AS qa, b.vec_id AS qb
+         |         FROM eb a JOIN eb b ON a.band_idx = b.band_idx
+         |          AND a.bkey = b.bkey AND a.vec_id <> b.vec_id),
+         |s AS (SELECT cand.qa, cand.qb, ${sqlCosine("x.v", "y.v")} AS sim
+         |      FROM cand JOIN e x ON x.vec_id = cand.qa
+         |                JOIN e y ON y.vec_id = cand.qb),
          |r AS (SELECT qa, qb,
          |        row_number() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk
          |      FROM s),
@@ -4218,7 +4247,8 @@ object SparkEntry {
          |        FROM reach GROUP BY src)
          |SELECT vec_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-         |FROM lab ORDER BY vec_id""".stripMargin,
+         |FROM lab ORDER BY vec_id""".stripMargin
+    },
 
     "q103_dsir" ->
       // delta_b is ONE ln of a ratio of exact int64 products, rounded

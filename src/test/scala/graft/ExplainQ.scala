@@ -10,11 +10,15 @@ object ExplainQ {
     for (q <- args) {
       println(s"===== $q")
       val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
-      df.queryExecution.executedPlan.toString.linesIterator
+      val plan = df.queryExecution.executedPlan.toString
+      plan.linesIterator
         .filter(l => l.contains("Exchange") || l.contains("Scan parquet") ||
           l.contains("WholeStageCodegen") || l.contains("Sort ") ||
           l.contains("Window"))
         .foreach(println)
+      if (plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin"))
+        println(s"!!! $q plan contains a cartesian/nested-loop join")
     }
     spark.stop()
   }
