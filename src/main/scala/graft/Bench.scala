@@ -1,6 +1,52 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Compact machine-read result line under a hard length budget: the
+    * harness keeps only a ~2000-char stdout TAIL, so the line printed
+    * LAST must fit whole. Most-expensive-first ordering means anything
+    * sacrificed to the budget is the cheap tail: first values below
+    * 0.5 s drop to 1 decimal and an EMPTY errors literal is omitted;
+    * if the line still overflows, the cheapest query entries are
+    * dropped and counted in a `"dropped":N` field. Pure function so the
+    * budget policy is unit-testable at synthetic query counts.
+    */
+  def compactLine(ordered: Seq[(String, Double)],
+                  failures: Seq[(String, String)],
+                  total: Double, sfDir: String,
+                  budget: Int = 1900): String = {
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\x00-\\x1f]", " ") + "\""
+    def dp(v: Double, scale: Int) =
+      BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+    // qNN prefix keys; artifact_* entries keep their full (distinct) name
+    def short(n: String) =
+      if (n.startsWith("artifact")) n else n.takeWhile(_ != '_')
+    val shortOk = ordered.map(x => short(x._1)).distinct.size == ordered.size
+    def render(trim1dp: Boolean, dropN: Int): String = {
+      val kept = ordered.dropRight(dropN)
+      val qs = kept.map { case (k, v) =>
+        val scale = if (trim1dp && v < 0.5) 1 else 2
+        "\"" + (if (shortOk) short(k) else k) + "\":" + dp(v, scale)
+      }.mkString("{", ",", "}")
+      val errs =
+        if (failures.isEmpty && (trim1dp || dropN > 0)) ""
+        else ",\"errors\":" + failures.map { case (k, v) =>
+          jstr(k) + ":" + jstr(v.take(60))
+        }.mkString("{", ",", "}")
+      val dropped = if (dropN > 0) s""","dropped":$dropN""" else ""
+      s"""{"metric":"total","value":${dp(total, 2)},"unit":"sec","queries":$qs$errs$dropped,"sf":"$sfDir"}"""
+    }
+    val full = render(trim1dp = false, dropN = 0)
+    if (full.length <= budget) return full
+    val trimmed = render(trim1dp = true, dropN = 0)
+    if (trimmed.length <= budget) return trimmed
+    // drop cheapest entries until it fits (binary-search-free: counts
+    // are small and render is cheap)
+    (1 until ordered.size).iterator.map(n => render(trim1dp = true, n))
+      .find(_.length <= budget)
+      .getOrElse(render(trim1dp = true, ordered.size - 1))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,13 +65,9 @@ object Bench {
     // optional comma-separated name filter for profiling single queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    def timed(name: String)(run: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
-      // noop sink: forces full evaluation of every output column
-      // (a bare count() would let Catalyst prune the projections)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try run
       catch { case e: Throwable =>
         // a failed query must be VISIBLE: record it in the JSON line and
         // on stderr — a swallowed failure reads as a fast success
@@ -39,13 +81,30 @@ object Bench {
       // next query's execution memory — each entry measures cold
       spark.catalog.clearCache()
       name -> dt
-    }.toMap
+    }
+    // shared artifacts are generated BEFORE the timed query loop and
+    // billed as their own entries, so the one-time pair/label/edge
+    // builds stop inflating whichever consumer runs first and per-query
+    // numbers stay attributable round over round. A filtered (ONLY)
+    // profiling run skips unlisted artifacts — the consumer then pays
+    // generation inline, which is what a standalone run costs anyway.
+    val artResults = SparkEntry.artifacts
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, force) => timed(name)(force(spark, sfDir)) }
+    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        // noop sink: forces full evaluation of every output column
+        // (a bare count() would let Catalyst prune the projections)
+        timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      }
+    val results = artResults ++ queryResults
     // most-expensive first: if a fixed-size log tail truncates the map,
     // the cheap queries drop off, not the ones worth reading
-    val ordered = results.toSeq.sortBy(-_._2)
+    val ordered = results.sortBy(-_._2)
     val qs = ordered.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     // blank out quotes, backslashes and ALL control chars — any of them
     // raw inside the machine-read result line would break its JSON
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\x00-\\x1f]", " ") + "\""
@@ -55,18 +114,8 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     // compact duplicate printed LAST: the harness keeps only a ~2000-char
     // stdout tail, which used to cut the line's head (losing "total" and
-    // a third of the timings). Short keys (the qNN prefix) + 2-dp values
-    // keep ~94 queries inside the tail budget.
-    def dp2(v: Double) =
-      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    def short(n: String) = n.takeWhile(_ != '_')
-    val shortOk = ordered.map(x => short(x._1)).distinct.size == ordered.size
-    val qsC = ordered.map { case (k, v) =>
-      "\"" + (if (shortOk) short(k) else k) + "\":" + dp2(v)
-    }.mkString("{", ",", "}")
-    val errsC = failures.map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${dp2(total)},"unit":"sec","queries":$qsC,"errors":$errsC,"sf":"$sfDir"}""")
+    // a third of the timings) — see [[compactLine]] for the budget policy
+    println(compactLine(ordered, failures.toSeq, total, sfDir))
     spark.stop()
   }
 }

@@ -419,42 +419,84 @@ object SparkEntry {
       .orderBy(col("id1"), col("id2"))
 
   // ---------------------------------------------------------------- q24
-  /** One PPJoin pass shared by q24 (pairs) and q67 (clusters): the pair
-    * set is computed once per (session, sf-dir) and materialized as a
-    * parquet artifact ([[operators.Staging.Artifact]] pattern); the
-    * second consumer reads the artifact instead of re-running shingle →
-    * prefix → verify over the corpus. At pipeline scale this is the
-    * difference between one PPJoin pass and two — a real 100 TB run
-    * would point the artifact at durable storage instead of a driver
-    * temp dir.
+  /** Session-scoped parquet artifact registry for pipeline intermediates
+    * shared by several queries ([[operators.Staging.Artifact]] pattern):
+    * whichever consumer runs first pays the generation pass, the rest
+    * read parquet. A real 100 TB run would point the artifacts at
+    * durable storage instead of driver temp dirs.
+    *
+    * Lifecycle contract: entries key on the session's
+    * `applicationId:startTime` (stable for the session's life, never
+    * reused — `identityHashCode` could be, after a GC) plus the sf dir.
+    * Temp dirs are deleted when their owning session's context stops
+    * (SparkListener `onApplicationEnd`) and, as a backstop for sessions
+    * still live at exit, by a JVM shutdown hook — long-lived
+    * multi-session JVMs (the test suite) therefore do not accumulate
+    * dirs.
     */
-  private val pairsArtifacts = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def dedupPairs(s: SparkSession, d: String): DataFrame = {
-    val dir = pairsArtifacts.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_pairs_").toString
-      operators.TextDedup.jaccardPairsPrefix(dedupCorpus(s, d), "doc_id", "text",
-          k = 3, threshold = 0.6)
-        .write.mode("overwrite").parquet(tmp)
-      tmp
-    })
-    s.read.parquet(dir)
+  private object SessionArtifacts {
+    private val dirs = scala.collection.concurrent.TrieMap.empty[String, String]
+    private val hooked = scala.collection.concurrent.TrieMap.empty[String, Unit]
+    private def rmTree(p: String): Unit = {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(p)
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.values.foreach(d => scala.util.Try(rmTree(d)))))
+    private def sessionKey(s: SparkSession): String =
+      s"${s.sparkContext.applicationId}:${s.sparkContext.startTime}"
+    private def evict(sk: String): Unit =
+      dirs.keys.filter(_.startsWith(sk + ":")).foreach { k =>
+        dirs.remove(k).foreach(d => scala.util.Try(rmTree(d)))
+      }
+    def getOrBuild(name: String, s: SparkSession, d: String)
+                  (build: => DataFrame): DataFrame = {
+      val sk = sessionKey(s)
+      hooked.getOrElseUpdate(sk, {
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              evict(sk)
+          })
+      })
+      val dir = dirs.getOrElseUpdate(s"$sk:$d:$name", {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_${name}_").toString
+        build.write.mode("overwrite").parquet(tmp)
+        tmp
+      })
+      s.read.parquet(dir)
+    }
   }
+
+  /** One PPJoin pass shared by q24 (pairs), q67/q104/q113 (via labels),
+    * and q126: the verified pair set is computed once per
+    * (session, sf-dir); the other consumers read the artifact instead of
+    * re-running shingle → prefix → verify over the corpus. At pipeline
+    * scale this is the difference between one PPJoin pass and N.
+    */
+  private def dedupPairs(s: SparkSession, d: String): DataFrame =
+    SessionArtifacts.getOrBuild("pairs", s, d) {
+      operators.TextDedup.jaccardPairsPrefix(dedupCorpus(s, d), "doc_id", "text",
+        k = 3, threshold = 0.6)
+    }
 
   /** Connected-components labels over [[dedupPairs]], memoized the same
     * way: q67 (clusters) and q104 (canonical election) consume the SAME
     * label set, so the O(log n)-round iteration runs once per
     * (session, sf-dir) and lands in a parquet artifact.
     */
-  private val labelsArtifacts = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def dedupLabels(s: SparkSession, d: String): DataFrame = {
-    val dir = labelsArtifacts.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_labels_").toString
+  private def dedupLabels(s: SparkSession, d: String): DataFrame =
+    SessionArtifacts.getOrBuild("labels", s, d) {
       operators.ConnectedComponents.labels(dedupPairs(s, d), "id1", "id2")
-        .write.mode("overwrite").parquet(tmp)
-      tmp
-    })
-    s.read.parquet(dir)
-  }
+    }
 
   /** Exact n-gram Jaccard pairs via PPJoin-style prefix filtering
     * ([[operators.TextDedup.jaccardPairsPrefix]]) — result-identical to
@@ -518,20 +560,33 @@ object SparkEntry {
     * second consumer reads the artifact instead of re-hashing and
     * re-verifying the corpus.
     */
-  private val embedPairsArtifacts = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def embedPairs(s: SparkSession, d: String): DataFrame = {
-    val dir = embedPairsArtifacts.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
+  private def embedPairs(s: SparkSession, d: String): DataFrame =
+    SessionArtifacts.getOrBuild("epairs", s, d) {
       val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
         .repartition(s.sparkContext.defaultParallelism)
       val corpus = e.unionAll(e.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000).as("vec_id"), col("label"), col("embedding")))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_epairs_").toString
       operators.Similarity.nearDupPairsLsh(corpus, threshold = 0.99)
-        .write.mode("overwrite").parquet(tmp)
-      tmp
-    })
-    s.read.parquet(dir)
-  }
+    }
+
+  /** One co-purchase pair build shared by q83 (PageRank), q119
+    * (triangles), and q128 (association rules): the distinct
+    * (order, part) self-join — the expensive O(Σ basket²) pass — is
+    * grouped to `(pa, pb, n_both)` with `pa < pb` once per
+    * (session, sf-dir). q128 reads the support counts directly; the
+    * graph queries project the unique undirected pair set (PageRank
+    * mirrors it into both orientations — identical to its internal
+    * DISTINCT of the raw directed join).
+    */
+  private def copurchasePairs(s: SparkSession, d: String): DataFrame =
+    SessionArtifacts.getOrBuild("edges", s, d) {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("n_both"))
+    }
 
   // ---------------------------------------------------------------- q29
   /** Multimodal binary-column plumbing: opaque payloads + typed metadata
@@ -1307,11 +1362,12 @@ object SparkEntry {
     * agrees on the boundary.
     */
   def q83PageRank(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    // mirror the shared undirected pair artifact into both orientations:
+    // the rows are unique (pa, pb) with pa < pb, so this IS the distinct
+    // directed edge set the raw =!= self-join produced
+    val p = copurchasePairs(s, d)
+    val edges = p.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(p.select(col("pb").as("src"), col("pa").as("dst")))
     operators.PageRank.ranks(edges, "src", "dst", iters = 3)
       .withColumn("prr", round(col("pr"), 6))
       .orderBy(col("prr").desc, col("node"))
@@ -1974,11 +2030,8 @@ object SparkEntry {
     * to PageRank's centrality: two hash joins, no driver-side graph.
     */
   def q119Triangles(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    val edges = copurchasePairs(s, d)
+      .select(col("pa").as("src"), col("pb").as("dst"))
     operators.Triangles.census(edges, "src", "dst")
   }
 
@@ -2144,11 +2197,9 @@ object SparkEntry {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     val nOrders = li.select(col("ok")).distinct().count()
     val itemSup = li.groupBy(col("pk")).agg(count(lit(1)).as("sup"))
-    val pairSup = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-      .agg(count(lit(1)).as("n_both"))
-      .filter(col("n_both") >= 2)
+    // pair support comes straight off the shared co-purchase artifact —
+    // the O(Σ basket²) self-join is paid once per session, not here
+    val pairSup = copurchasePairs(s, d).filter(col("n_both") >= 2)
     pairSup
       .join(itemSup.select(col("pk").as("pa"), col("sup").as("sup_a")), "pa")
       .join(itemSup.select(col("pk").as("pb"), col("sup").as("sup_b")), "pb")
@@ -2722,6 +2773,21 @@ object SparkEntry {
   }
 
   // ------------------------------------------------------------------
+
+  /** Shared per-session artifacts in dependency order (labels reads
+    * pairs). Bench pre-materializes these before its timed query loop
+    * and bills each as its own `artifact_*` entry, so the one-time
+    * generation cost stops landing on whichever consumer query happens
+    * to run first (q104 absorbed the whole PPJoin pass in round 7) and
+    * per-query numbers stay attributable round over round. Forcing one
+    * is just invoking the memoized builder — consumers then read
+    * parquet.
+    */
+  def artifacts: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "artifact_pairs" -> ((s, d) => { dedupPairs(s, d); () }),
+    "artifact_labels" -> ((s, d) => { dedupLabels(s, d); () }),
+    "artifact_epairs" -> ((s, d) => { embedPairs(s, d); () }),
+    "artifact_edges" -> ((s, d) => { copurchasePairs(s, d); () }))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
