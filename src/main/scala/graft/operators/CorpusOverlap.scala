@@ -21,6 +21,12 @@ object CorpusOverlap {
 
   /** (g_a, g_b, vocab_a, vocab_b, common, jaccard) for every unordered
     * group pair with g_a < g_b; jaccard rounded to 6 decimals.
+    *
+    * Retention: the per-group vocab frame stays persisted after the
+    * result is consumed (it feeds three lazily-evaluated branches, so
+    * the operator cannot unpersist it itself) — long-lived sessions
+    * reclaim it with `spark.catalog.clearCache()` (Bench does, between
+    * every query).
     */
   def vocabularyOverlap(docs: DataFrame, groupCol: String,
                         textCol: String): DataFrame = {

@@ -48,21 +48,24 @@ object InvertedIndex {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               staging: Staging.Mode = Staging.Memory): DataFrame = {
     val ts = terms.map(_.trim.toLowerCase).distinct
     // ONE tokenize pass and one shuffle: tokens group by (doc, query
     // term-or-null); the null bucket carries every non-query token, so
     // doc lengths and per-term tfs both derive from this tiny frame
-    // cached: four consumers (lens, stats, tf, df) would otherwise
+    // staged: four consumers (lens, stats, tf, df) would otherwise
     // each re-run the tokenize — the frame is ≤ |terms|+1 rows per
-    // doc, far smaller than the corpus it summarizes, so caching it
-    // trades trivial memory for three whole-corpus scans
-    val grouped = docs.select(col(idCol).as("doc_id"),
+    // doc, far smaller than the corpus it summarizes, so staging it
+    // trades trivial storage for three whole-corpus scans. Same
+    // election as TextDedup/Similarity: Memory by default,
+    // Spill(DISK_ONLY)/Artifact for corpus-scale runs.
+    val grouped = Staging.stage(docs.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"),
         when(col("term").isin(ts: _*), col("term")).as("qterm"))
-      .agg(count(lit(1)).as("n"))
-      .cache()
+      .agg(count(lit(1)).as("n")),
+      staging, "bm25_grouped")
     val lens = grouped.groupBy(col("doc_id")).agg(sum(col("n")).as("len"))
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       (sum(col("len")).cast("double") / count(lit(1)).cast("double"))

@@ -70,6 +70,10 @@ object KnnGraph {
     * method must trade recall — GraphSpec pins the measured floor).
     * Unlike the near-dup tier there is no coarse-bucket restriction:
     * nearest neighbors need not share a label.
+    *
+    * Retention: the keyed corpus frame stays persisted after the result
+    * is consumed (three lazy consumers — candidates and both scoring
+    * joins); callers reclaim via `spark.catalog.clearCache()`.
     */
   def knnEdgesLsh(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
                   numPlanes: Int = 24, bands: Int = 6, dim: Int = 64): DataFrame = {
