@@ -2089,16 +2089,9 @@ object SparkEntry {
     val high = 253402300799000000L // 9999-12-31T23:59:59 in epoch-µs
     val ev = events(s, d).select(col("user_id"), col("event_id"),
       expr("ts DIV 1000").as("us"), col("event_type"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    val changes = ev
-      .withColumn("__prev", lag(col("event_type"), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
-    changes
-      .withColumn("version_no", row_number().over(w).cast("long"))
-      .withColumn("valid_to_us",
-        coalesce(lead(col("us"), 1).over(w), lit(high)))
+    operators.Scd2.versions(ev, "user_id", "us", "event_id", "event_type", high)
       .select(col("user_id"), col("version_no"), col("event_type"),
-        col("us").as("valid_from_us"), col("valid_to_us"))
+        col("valid_from").as("valid_from_us"), col("valid_to").as("valid_to_us"))
       .orderBy(col("user_id"), col("version_no"))
   }
 

@@ -712,4 +712,70 @@ class PropertiesSpec extends SparkSpec {
       got == expected.toList
     }, 12)
   }
+
+  // random event streams for the two window operators most sensitive to
+  // tie-break order: few users, a tight ts range (collisions likely, so
+  // the tie column actually decides), a unique tie ordinal per row
+  private val streamGen: Gen[List[(Int, Long, Long, String)]] =
+    Gen.listOfN(40, for {
+      u <- Gen.chooseNum(0, 3)
+      ts <- Gen.chooseNum(0L, 50L)
+      a <- Gen.oneOf("x", "y", "z")
+    } yield (u, ts, a)).map(_.zipWithIndex.map { case ((u, ts, a), i) =>
+      (u, ts, i.toLong, a)
+    })
+
+  test("sessions equals a per-user in-memory fold of the gap rule") {
+    val gap = 5L
+    check(Prop.forAllNoShrink(streamGen) { data =>
+      val df = data.toDF("user_id", "ts", "tie", "attr")
+      val got = Sessionize.sessions(df, "user_id", "ts", "tie", gap)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val expected = data.groupBy(_._1).flatMap { case (u, rows) =>
+        val sorted = rows.sortBy(r => (r._2, r._3))
+        // fold: session index bumps when the inactivity gap is exceeded
+        val idx = sorted.foldLeft(List.empty[(Long, Long)]) { case (acc, r) =>
+          val i = acc.headOption match {
+            case Some((prevTs, prevIdx)) =>
+              if (r._2 - prevTs <= gap) prevIdx else prevIdx + 1
+            case None => 1L
+          }
+          (r._2, i) :: acc
+        }.reverse.map(_._2)
+        sorted.zip(idx).groupBy(_._2).map { case (i, ss) =>
+          val ts = ss.map(_._1._2)
+          (u, i, ss.size.toLong, ts.min, ts.max, ts.max - ts.min)
+        }
+      }.toSet
+      got == expected
+    }, 10)
+  }
+
+  test("scd2 versions equal a per-key in-memory run-length collapse") {
+    val high = 999L
+    check(Prop.forAllNoShrink(streamGen) { data =>
+      val df = data.toDF("user_id", "ts", "tie", "attr")
+      val got = Scd2.versions(df, "user_id", "ts", "tie", "attr", high)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3),
+          r.getLong(4))).toSet
+      val expected = data.groupBy(_._1).flatMap { case (u, rows) =>
+        val sorted = rows.sortBy(r => (r._2, r._3))
+        // collapse consecutive equal attrs into runs, keep each run's
+        // first ts; close each interval at the next run's start
+        val runs = sorted.foldLeft(List.empty[(String, Long)]) {
+          case (acc, r) =>
+            if (acc.headOption.exists(_._1 == r._4)) acc
+            else (r._4, r._2) :: acc
+        }.reverse
+        runs.zipWithIndex.map { case ((attr, from), i) =>
+          val to = if (i + 1 < runs.size) runs(i + 1)._2 else high
+          (u, (i + 1).toLong, attr, from, to)
+        }
+      }.toSet
+      got == expected
+    }, 10)
+  }
 }
