@@ -84,10 +84,14 @@ object Main {
 
   def parseArgs(argv: Array[String]): Args = {
     // help/version short-circuit BEFORE the positional requirement —
-    // `graft.cli.Main -help` must not demand a URL
-    if (argv.exists(x => Set("-h", "-help", "help").contains(x.toLowerCase)))
+    // `graft.cli.Main -help` must not demand a URL. Only the FIRST
+    // token qualifies here (plus flag-position tokens in the loop
+    // below): a blanket argv scan would let a flag VALUE or a file
+    // literally named "help" silently turn an import into help output
+    val first = argv.headOption.map(_.toLowerCase)
+    if (first.exists(Set("-h", "-help", "help").contains))
       return Args("", "", "", Importer.ImportConfig(), help = true)
-    if (argv.exists(x => Set("-version", "version").contains(x.toLowerCase)))
+    if (first.exists(Set("-version", "version").contains))
       return Args("", "", "", Importer.ImportConfig(), version = true)
     require(argv.length >= 3, "usage: graft.cli.Main <jdbcUrl> <table> <file> [flags]")
     var a = Args(argv(0), argv(1), argv(2), Importer.ImportConfig())
@@ -187,6 +191,10 @@ object Main {
         case "-iter" => i += 1; a = a.copy(iterations = next().toInt)
         case "-sleep" => i += 1; a = a.copy(sleepSeconds = next().toInt)
         case "-check" => i += 1; a = a.copy(checkSql = Some(next()))
+        // help/version in FLAG position (after the positionals) — flag
+        // VALUES never reach this match (next() consumes them above)
+        case "-h" | "-help" | "help" => return a.copy(help = true)
+        case "-version" | "version" => return a.copy(version = true)
         case other => throw new IllegalArgumentException(s"Invalid parameter: $other")
       }
     }

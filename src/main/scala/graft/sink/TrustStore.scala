@@ -17,13 +17,15 @@ object TrustStore {
   /** `hostAndPort` may carry an explicit `host:port`; otherwise
     * `defaultPort` (the reference passes 443). A null/empty password
     * stores the keystore with an empty password, like the reference.
+    *
+    * IPv6: a bare v6 literal (`::1`, `2001:db8::1`) is taken WHOLE as
+    * the host — a suffix only counts as a port when it is all digits
+    * and the rest of the string has no other colon; the bracketed
+    * `[v6]:port` syntax addresses a v6 host with an explicit port.
     */
   def createTrustStoreFile(hostAndPort: String, defaultPort: Int,
                            file: File, password: Array[Char]): Unit = {
-    val (host, port) = hostAndPort.lastIndexOf(':') match {
-      case -1 => (hostAndPort, defaultPort)
-      case ix => (hostAndPort.substring(0, ix), hostAndPort.substring(ix + 1).toInt)
-    }
+    val (host, port) = splitHostPort(hostAndPort, defaultPort)
     val chain = fetchServerChain(host, port)
     require(chain.nonEmpty, s"no certificates presented by $host:$port")
     val ks = KeyStore.getInstance("JKS")
@@ -35,6 +37,35 @@ object TrustStore {
     val out = new FileOutputStream(file)
     try ks.store(out, if (password == null) Array.emptyCharArray else password)
     finally out.close()
+  }
+
+  /** (host, port) from the endpoint spec — see Scaladoc on
+    * [[createTrustStoreFile]] for the IPv6 rules.
+    */
+  private[sink] def splitHostPort(spec: String, defaultPort: Int): (String, Int) = {
+    if (spec.startsWith("[")) {
+      // bracketed v6: [addr] or [addr]:port
+      val close = spec.indexOf(']')
+      require(close > 0, s"unclosed '[' in endpoint: $spec")
+      val host = spec.substring(1, close)
+      val rest = spec.substring(close + 1)
+      if (rest.isEmpty) (host, defaultPort)
+      else {
+        require(rest.startsWith(":") && rest.drop(1).forall(_.isDigit) &&
+          rest.length > 1, s"invalid port suffix in endpoint: $spec")
+        (host, rest.drop(1).toInt)
+      }
+    } else spec.lastIndexOf(':') match {
+      case -1 => (spec, defaultPort)
+      case ix =>
+        val suffix = spec.substring(ix + 1)
+        // only a digits-only suffix after the ONLY colon is a port —
+        // anything else (::1, 2001:db8::1) is a bare v6 literal
+        if (suffix.nonEmpty && suffix.forall(_.isDigit) &&
+            spec.indexOf(':') == ix)
+          (spec.substring(0, ix), suffix.toInt)
+        else (spec, defaultPort)
+    }
   }
 
   /** One TLS handshake with a chain-RECORDING trust manager. The capture

@@ -48,7 +48,6 @@ object OdsSource {
     var cellValue: String = null
     var cellRepeat = 1
     var rowRepeat = 1
-    var pendingEmpty = 0L
     var inP = false
     val p = new StringBuilder
     def attr(name: String): Option[String] =
@@ -92,28 +91,21 @@ object OdsSource {
           (0 until math.min(cellRepeat, 4096)).foreach(_ => cur += v)
           cellValue = null
         case "table-row" if cur != null =>
-          // rows-repeated compresses identical consecutive rows. Empty
-          // repeats are BUFFERED, not expanded eagerly: trailing grid
-          // filler carries repeat counts in the millions and must
-          // collapse, but a blank-row run BETWEEN data blocks is real
-          // grid content, so it flushes (capped) once a later non-empty
-          // row proves it wasn't trailing.
+          // rows-repeated compresses identical consecutive rows. Fully
+          // blank rows are skipped outright (same semantics as blank
+          // CSV lines — and trailing grid filler carries repeat counts
+          // in the millions, which must never expand); non-blank rows
+          // expand with a sanity cap.
           val row = cur.toIndexedSeq
-          if (row.forall(x => x == null || x.isEmpty))
-            pendingEmpty = math.min(pendingEmpty + math.min(rowRepeat, 65536).toLong, 65536L)
-          else {
-            (0L until pendingEmpty).foreach(_ => rows += IndexedSeq.empty)
-            pendingEmpty = 0L
+          if (!row.forall(x => x == null || x.isEmpty))
             (0 until math.min(rowRepeat, 65536)).foreach(_ => rows += row)
-          }
           cur = null; rowRepeat = 1
         case "table" => inWantedTable = false
         case _ =>
       }
       case _ =>
     } finally r.close()
-    // fully blank rows (incl. the buffered mid-sheet runs) are skipped
-    // from the import — same semantics as blank CSV lines
+    // trim trailing/leading blank padding cells per row
     val trimmed = rows.reverse
       .dropWhile(r => r.forall(x => x == null || x.isEmpty)).reverse
       .map(_.reverse.dropWhile(x => x == null || x.isEmpty).reverse.toIndexedSeq)

@@ -240,6 +240,15 @@ class CliSpec extends SparkSpec {
     assert(Main.parseArgs(Array("-help")).help)
     assert(Main.run(spark, Main.parseArgs(Array("-h"))) == 0)
     assert(Main.run(spark, Main.parseArgs(Array("version"))) == 0)
+    // ...but ONLY in first or flag position: a flag VALUE or positional
+    // literally named "help"/"version" must not hijack the import
+    val h = Main.parseArgs(Array("jdbc:x", "t", "data.csv", "-n", "help"))
+    assert(!h.help && h.nullToken.contains("help"))
+    val v = Main.parseArgs(Array("jdbc:x", "version", "help.csv"))
+    assert(!v.help && !v.version && v.table == "version")
+    // trailing flag-position help still works, positionals preserved
+    val t = Main.parseArgs(Array("jdbc:x", "t", "data.csv", "-help"))
+    assert(t.help && t.table == "t")
   }
 
   test("-mf reads the mapping from a file; -dateformat governs unpatterned DATE parses") {
@@ -418,4 +427,5 @@ class CliSpec extends SparkSpec {
       assert(cert.getSubjectX500Principal.getName.contains("CN=localhost"))
     } finally server.close()
   }
+
 }

@@ -431,4 +431,18 @@ class JdbcSinkSpec extends SparkSpec {
         l.startsWith("spec-import:") && l.contains("ETA")))
     }
   }
+
+  test("createtruststore endpoint parse: IPv6 literals are not split at their last colon") {
+    import TrustStore.splitHostPort
+    assert(splitHostPort("db.example.com", 443) === (("db.example.com", 443)))
+    assert(splitHostPort("db.example.com:5432", 443) === (("db.example.com", 5432)))
+    // bare v6 literals: the whole string is the host
+    assert(splitHostPort("::1", 443) === (("::1", 443)))
+    assert(splitHostPort("2001:db8::1", 443) === (("2001:db8::1", 443)))
+    // bracketed v6 with and without an explicit port
+    assert(splitHostPort("[::1]:9042", 443) === (("::1", 9042)))
+    assert(splitHostPort("[2001:db8::1]", 443) === (("2001:db8::1", 443)))
+    intercept[IllegalArgumentException](splitHostPort("[::1]:x", 443))
+    intercept[IllegalArgumentException](splitHostPort("[::1", 443))
+  }
 }
