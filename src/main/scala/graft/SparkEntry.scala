@@ -2426,6 +2426,61 @@ object SparkEntry {
       .orderBy(col("bin"))
   }
 
+  // ---------------------------------------------------------------- q134
+  /** Label-propagation community detection over the co-purchase part
+    * graph ([[operators.LabelPropagation]]) — the community layer
+    * between connected components (q67: pure reachability) and
+    * PageRank (q83: centrality): 5 synchronous rounds, ties to the
+    * smallest label, over the SAME shared pair artifact as
+    * q83/q119/q128, so the edge build costs nothing here.
+    */
+  def q134Communities(s: SparkSession, d: String): DataFrame =
+    operators.LabelPropagation.communities(
+        copurchasePairs(s, d).select(col("pa").as("src"), col("pb").as("dst")),
+        "src", "dst", rounds = 5)
+      .orderBy(col("node"))
+
+  // ---------------------------------------------------------------- q135
+  /** Rolling-window anomaly flags over each user's event-value stream:
+    * an event is anomalous when it sits more than 3 sigma from the
+    * mean of the user's previous 8 events — the standard streaming
+    * outlier gate, evaluated batch-side. EXACT arithmetic throughout:
+    * values become integer cents in the scan stage, the rolling
+    * mean/variance live as integer sums, and the 3-sigma test is the
+    * cross-multiplied integer comparison `(n·v − s)² > 9·(n·q − s²)`
+    * — zero floats, so any engine flags the identical rows
+    * ([[operators.RollingAnomaly]]). The output is the anomalies only.
+    */
+  def q135RollingAnomaly(s: SparkSession, d: String): DataFrame =
+    operators.RollingAnomaly.anomalies(
+        events(s, d).select(col("user_id"), col("event_id"),
+          expr("ts DIV 1000").as("us"), col("value"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("vc")),
+        "user_id", "us", "event_id", "vc")
+      .select(col("user_id"), col("event_id"), col("us"), col("value"),
+        col("window_n"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+
+  // ---------------------------------------------------------------- q136
+  /** Offline CUSUM changepoint detection per user: the event index
+    * where the cumulative deviation from the user's overall mean value
+    * peaks — the classic single-changepoint location statistic
+    * (max_k |Σ_{i≤k} (x_i − x̄)|). EXACT: deviations are
+    * cross-multiplied by the user's event count (`n·Σvc − k·S` in
+    * integer cents), so the argmax compares exact integers and ties
+    * break to the earliest event identically on any engine
+    * ([[operators.Changepoint]]).
+    */
+  def q136Changepoint(s: SparkSession, d: String): DataFrame =
+    operators.Changepoint.cusumPeak(
+        events(s, d).select(col("user_id"), col("event_id"),
+          expr("ts DIV 1000").as("us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("vc")),
+        "user_id", "us", "event_id", "vc")
+      .select(col("user_id"), col("cp_tie").as("cp_event_id"),
+        col("cp_index"), col("cusum_abs"), col("n_rows").as("n_events"))
+      .orderBy(col("user_id"))
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2914,6 +2969,9 @@ object SparkEntry {
     "q131_survival" -> (q131Survival _),
     "q132_retrieval_eval" -> (q132RetrievalEval _),
     "q133_psi_drift" -> (q133PsiDrift _),
+    "q134_communities" -> (q134Communities _),
+    "q135_rolling_anomaly" -> (q135RollingAnomaly _),
+    "q136_changepoint" -> (q136Changepoint _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -4866,6 +4924,76 @@ object SparkEntry {
         |         AS psi_total FROM t2)
         |SELECT bin, n_a, n_b, psi_term, psi_total FROM t2 CROSS JOIN tt
         |ORDER BY bin""".stripMargin,
+
+    "q134_communities" -> {
+      // replay 5 synchronous LPA rounds: each round joins the previous
+      // labeling onto the mirrored edge list, counts neighbor labels,
+      // and takes (count desc, label asc) per node — the operator's
+      // min(struct) arg-max expressed as a window rank
+      val rounds = (1 to 5).map { r =>
+        s"""g$r AS (SELECT e.src AS node, l.label, count(*) AS c
+           |  FROM e JOIN l${r - 1} l ON l.node = e.dst GROUP BY 1, 2),
+           |l$r AS (SELECT node, label FROM (
+           |  SELECT node, label,
+           |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
+           |  FROM g$r) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+         |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |$rounds,
+         |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+         |       FROM l5 GROUP BY label)
+         |SELECT l.node, l.label AS community, sz.community_size
+         |FROM l5 l JOIN sz ON sz.label = l.label
+         |ORDER BY l.node""".stripMargin
+    },
+
+    "q135_rolling_anomaly" ->
+      // integer-cents arithmetic end to end: the 3-sigma test is the
+      // cross-multiplied comparison (n·v − s)² > 9·(n·q − s²), exact
+      // in BIGINT/HUGEINT — no float ever enters the flag
+      """WITH ev AS (SELECT user_id, event_id,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us, value,
+        |  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |w AS (SELECT user_id, event_id, us, value, vc,
+        |  count(*) OVER win AS n,
+        |  sum(vc) OVER win AS sv,
+        |  sum(vc * vc) OVER win AS qv
+        | FROM ev
+        | WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |   ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, us, value, CAST(n AS BIGINT) AS window_n
+        |FROM w
+        |WHERE n >= 4
+        |  AND (n*vc - sv)*(n*vc - sv) > 9*(n*qv - sv*sv)
+        |ORDER BY user_id, us, event_id""".stripMargin,
+
+    "q136_changepoint" ->
+      // scaled cusum n·run_k − k·S in integer cents; argmax on the
+      // exact statistic, ties to the earliest (us, event_id)
+      """WITH ev AS (SELECT user_id, event_id,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |r AS (SELECT user_id, event_id, us, vc,
+        |  count(*) OVER win AS k, sum(vc) OVER win AS run
+        | FROM ev
+        | WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT user_id, max(k) AS n_events, sum(vc) AS s_total
+        |      FROM r GROUP BY user_id),
+        |c AS (SELECT r.user_id, r.event_id, r.us, r.k, t.n_events,
+        |        abs(t.n_events * r.run - r.k * t.s_total) AS acusum
+        |      FROM r JOIN t USING (user_id) WHERE r.k < t.n_events),
+        |m AS (SELECT user_id, event_id, k, acusum, n_events,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY acusum DESC, us, event_id) AS rk
+        |      FROM c)
+        |SELECT user_id, event_id AS cp_event_id, CAST(k AS BIGINT) AS cp_index,
+        |  CAST(acusum AS BIGINT) AS cusum_abs, CAST(n_events AS BIGINT) AS n_events
+        |FROM m WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
     "q131_survival" ->
       // KM product via round(ln(1-d/n),6) DECIMAL sums, exp once;

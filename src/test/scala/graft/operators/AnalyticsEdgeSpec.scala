@@ -95,4 +95,50 @@ class AnalyticsEdgeSpec extends SparkSpec {
     assert(InvertedIndex.bm25TopK(docs, "doc_id", "text",
       Seq("beta"), 1).count() === 1L)
   }
+
+  test("rolling anomaly: constant stream silent, spike flagged, zero-variance deviation flagged") {
+    // user 1: constant — never anomalous (nv = s exactly);
+    // user 2: steady 100s then a 200 spike at t=9 (window var 0 → ANY
+    //         deviation flags), then back to steady;
+    // the first minWindow rows can never flag (too few predecessors)
+    val rows = (1 to 10).map(t => (1L, t.toLong, t.toLong, 100L)) ++
+      (1 to 10).map(t => (2L, t.toLong, t.toLong, if (t == 9) 200L else 100L))
+    val df = rows.toDF("user_id", "ts", "tie", "vc")
+    val got = RollingAnomaly.anomalies(df, "user_id", "ts", "tie", "vc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((2L, 9L)))
+  }
+
+  test("rolling anomaly: mild wobble inside 3 sigma stays silent") {
+    // alternating 100/102: sigma = 1 around mean 101; a 102 is 1 sigma
+    val rows = (1 to 12).map(t =>
+      (1L, t.toLong, t.toLong, if (t % 2 == 0) 102L else 100L))
+    val got = RollingAnomaly.anomalies(rows.toDF("user_id", "ts", "tie", "vc"),
+      "user_id", "ts", "tie", "vc").count()
+    assert(got === 0L)
+  }
+
+  test("changepoint: level shift located at the last pre-shift row; singles absent") {
+    // user 1: 10 rows of 100 then 10 rows of 200 — the scaled cusum
+    // |n·prefix_k − k·S| peaks exactly at k = 10 (the boundary);
+    // user 2: single row — no proper prefix, absent from the output
+    val rows = (1 to 20).map(t =>
+      (1L, t.toLong, t.toLong, if (t <= 10) 100L else 200L)) :+
+      (2L, 1L, 1L, 500L)
+    val got = Changepoint.cusumPeak(rows.toDF("user_id", "ts", "tie", "vc"),
+        "user_id", "ts", "tie", "vc")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // at k=10: |20·1000 − 10·3000| = 10000, the maximum
+    assert(got === Map(1L -> ((10L, 10L, 10000L, 20L))))
+  }
+
+  test("changepoint: constant series ties break to the earliest row") {
+    val rows = (1 to 5).map(t => (1L, t.toLong, t.toLong, 7L))
+    val got = Changepoint.cusumPeak(rows.toDF("user_id", "ts", "tie", "vc"),
+        "user_id", "ts", "tie", "vc").collect()
+    assert(got.length === 1)
+    // every prefix cusum is 0 → argmax ties → earliest (k = 1)
+    assert(got(0).getLong(2) === 1L && got(0).getLong(3) === 0L)
+  }
 }

@@ -73,4 +73,18 @@ class GraphSpec extends SparkSpec {
     assert(hit.toDouble / exact.size > 0.3,
       s"recall ${hit.toDouble / exact.size} too low")
   }
+
+  test("label propagation: two cliques over a bridge resolve to two communities") {
+    import spark.implicits._
+    // 4-cliques {1..4} and {5..8} joined by the single bridge 4-5: each
+    // clique floods to its own min label; the bridge is outvoted
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) ++
+      Seq((4L, 5L))).toDF("src", "dst")
+    val got = LabelPropagation.communities(edges, "src", "dst", rounds = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(n => got(n) === ((1L, 4L))))
+    assert(Seq(5L, 6L, 7L, 8L).forall(n => got(n) === ((5L, 4L))))
+  }
 }

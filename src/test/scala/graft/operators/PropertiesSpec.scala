@@ -753,6 +753,31 @@ class PropertiesSpec extends SparkSpec {
     }, 10)
   }
 
+  test("label propagation equals an in-memory synchronous simulation") {
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(25, for {
+        a <- Gen.chooseNum(0L, 11L)
+        b <- Gen.chooseNum(0L, 11L) if a != b
+      } yield (math.min(a, b), math.max(a, b))).map(_.distinct)
+    check(Prop.forAllNoShrink(edgeGen) { edges =>
+      edges.isEmpty || {
+        val df = edges.toDF("src", "dst")
+        val got = LabelPropagation.communities(df, "src", "dst", rounds = 4)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // reference: synchronous rounds, most-frequent neighbor label,
+        // ties to the smallest label
+        val adj = (edges ++ edges.map(_.swap)).distinct
+          .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+        var lab = adj.keys.map(n => n -> n).toMap
+        for (_ <- 1 to 4) lab = adj.map { case (n, nbrs) =>
+          val counts = nbrs.groupBy(lab).map { case (l, xs) => l -> xs.size }
+          n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+        got == lab
+      }
+    }, 10)
+  }
+
   test("scd2 versions equal a per-key in-memory run-length collapse") {
     val high = 999L
     check(Prop.forAllNoShrink(streamGen) { data =>
