@@ -35,8 +35,11 @@ object Changepoint {
     val run = events
       .withColumn("__k", count(lit(1)).over(wRun))
       .withColumn("__run", sum(col(valueCol)).over(wRun))
-    val tot = run.groupBy(col(keyCol))
-      .agg(max(col("__k")).as("__n"), sum(col(valueCol)).as("__tot"))
+    // totals straight off the raw frame — deriving them from `run`
+    // would make Spark re-sort the whole window subtree for the agg
+    // branch (plans don't share unreferenced subtrees)
+    val tot = events.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__tot"))
     run.join(tot, Seq(keyCol))
       .filter(col("__k") < col("__n"))
       .withColumn("__ac",
