@@ -196,4 +196,49 @@ object StreamingImport {
     dedupStream[String, (String, String, Double, Long, String)](gated, _._5)
       .map(r => (r._1, r._2, r._3, r._4))
   }
+
+  /** Streaming face of the batch rolling-anomaly gate
+    * ([[graft.operators.RollingAnomaly]]): per-key state is the ring of
+    * the last `window` integer values, and each arriving event is
+    * flagged with the SAME cross-multiplied integer test
+    * `(n·v − s)² > k²·(n·q − s²)` — so a stream replayed in order
+    * yields exactly the batch operator's flags (spec-pinned). Within a
+    * micro-batch, a key's rows process in `(ts, tie)` order; ACROSS
+    * batches, arrival order stands in for event order — the same
+    * concession every keyed-state operator here makes (late events
+    * score against the state as of their arrival).
+    *
+    * Emits `(key, ts, tie, value, window_n)` for flagged events only.
+    * State is `window` longs per active key — bounded, independent of
+    * stream volume.
+    */
+  def anomalyStream(events: org.apache.spark.sql.Dataset[(Long, Long, Long, Long)],
+                    window: Int = 8, minWindow: Int = 4,
+                    sigmas: Int = 3): org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long)] = {
+    require(window >= minWindow && minWindow >= 2,
+      s"need window >= minWindow >= 2, got ($window, $minWindow)")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val sig2 = sigmas.toLong * sigmas
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[List[Long], (Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[List[Long]]) =>
+          var ring = state.getOption.getOrElse(Nil) // newest value last
+          val out = List.newBuilder[(Long, Long, Long, Long, Long)]
+          for ((_, ts, tie, v) <- rows.toSeq.sortBy(r => (r._2, r._3))) {
+            val n = ring.size.toLong
+            if (n >= minWindow) {
+              val s = ring.sum
+              val q = ring.iterator.map(x => x * x).sum
+              if ((n * v - s) * (n * v - s) > sig2 * (n * q - s * s))
+                out += ((key, ts, tie, v, n))
+            }
+            ring = (ring :+ v).takeRight(window)
+          }
+          state.update(ring)
+          out.result().iterator
+      }
+  }
 }

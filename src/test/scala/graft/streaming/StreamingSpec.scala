@@ -48,6 +48,51 @@ class StreamingSpec extends SparkSpec {
       Seq(1 -> "a", 2 -> "B2", 3 -> "c"))
   }
 
+  test("streaming anomaly gate equals the batch operator on an in-order replay") {
+    import graft.operators.RollingAnomaly
+    val dir = SyntheticFixtures.dir(s"anom_${System.nanoTime()}")
+    // user 1: steady 100s with a 250 spike at t=7 and a 300 spike at
+    // t=12 (t=12's window still holds the 250, raising sigma — 300
+    // clears 3 sigma, 250 would not) — split across two micro-batches
+    // in ts order; user 2: too few rows to ever flag
+    val rows = (1 to 12).map(t => (1L, t.toLong, t.toLong,
+      if (t == 7) 250L else if (t == 12) 300L else 100L)) ++
+      Seq((2L, 1L, 1L, 100L), (2L, 2L, 2L, 900L))
+    val (b1, b2) = rows.partition(_._2 <= 8)
+    def csv(rs: Seq[(Long, Long, Long, Long)]) =
+      "k;ts;tie;v\n" + rs.map(r => s"${r._1};${r._2};${r._3};${r._4}").mkString("\n")
+    val f1 = SyntheticFixtures.writeText(new File(dir, "b1.csv"), csv(b1))
+    val f2 = SyntheticFixtures.writeText(new File(dir, "b2.csv"), csv(b2))
+    f1.setLastModified(System.currentTimeMillis() - 60000)
+    f2.setLastModified(System.currentTimeMillis())
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", LongType), StructField("tie", LongType),
+      StructField("v", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("sep", ";").option("header", "true")
+      .option("maxFilesPerTrigger", "1").csv(dir.getPath)
+      .as[(Long, Long, Long, Long)]
+    val q = StreamingImport.anomalyStream(stream)
+      .toDF("k", "ts", "tie", "v", "window_n")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_out")
+      .option("checkpointLocation", new File(dir, "_cp").getPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT k, ts, tie, v, window_n FROM anom_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(x => (x._1, x._2))
+    // the batch operator on the same rows must produce the same flags —
+    // the streaming state gate IS the batch window, replayed in order
+    val batch = RollingAnomaly.anomalies(
+        rows.toDF("k", "ts", "tie", "v"), "k", "ts", "tie", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(x => (x._1, x._2))
+    assert(got.nonEmpty && got.toSeq === batch.toSeq)
+    // sanity: exactly the two spikes flag
+    assert(got.map(x => (x._1, x._2)).toSeq === Seq((1L, 7L), (1L, 12L)))
+  }
+
   test("stateful streaming dedup: first occurrence passes, later batches drop") {
     val dir = SyntheticFixtures.dir(s"ddstream_${System.nanoTime()}")
     // two files + maxFilesPerTrigger=1 → two sequential micro-batches in
