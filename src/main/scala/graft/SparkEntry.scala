@@ -2481,6 +2481,127 @@ object SparkEntry {
         col("cp_index"), col("cusum_abs"), col("n_rows").as("n_events"))
       .orderBy(col("user_id"))
 
+  // ---------------------------------------------------------------- q137
+  /** Purged temporal train/val/test split over the event stream: rank
+    * cutoffs at 70% / 85% of the `(us, event_id)` order (integer rank
+    * arithmetic — `ceil(p·n)` as `(p·n + q−1) div q`, so the boundary
+    * is a concrete event, not an interpolated float), with a one-day
+    * EMBARGO around each boundary whose rows join no split — the
+    * time-series leakage guard (features computed over trailing
+    * windows straddle a naive boundary; the embargo absorbs that
+    * lookback). The companion to q58's hash split (content-IID) and
+    * q126's cluster split (near-dup-safe): this one is safe against
+    * TEMPORAL leakage. Ranks come from the range-partitioned
+    * distributed sort (q12's ordinal machinery — no global window);
+    * cutoffs broadcast as 1-row frames; labeling is scan-stage.
+    */
+  def q137PurgedSplit(s: SparkSession, d: String): DataFrame = {
+    val embargoUs = 86400000000L
+    val ev = events(s, d).select(col("event_id"), expr("ts DIV 1000").as("us"))
+    val ranked = operators.Ordinals.withOrderedOrdinal(
+      ev, Seq(col("us"), col("event_id")), "i")
+    val n = ranked.agg(count(lit(1)).as("c"))
+    def cutAt(num: Int, den: Int) =
+      broadcast(ranked.crossJoin(broadcast(n))
+        .filter(col("i") <= expr(s"($num * c + ${den - 1}) div $den"))
+        .agg(max(col("us")).as("cut")))
+    val c1 = cutAt(7, 10).select(col("cut").as("cut1"))
+    val c2 = cutAt(17, 20).select(col("cut").as("cut2"))
+    ev.crossJoin(broadcast(c1)).crossJoin(broadcast(c2))
+      .withColumn("split",
+        when(abs(col("us") - col("cut1")) <= embargoUs ||
+             abs(col("us") - col("cut2")) <= embargoUs, lit("embargo"))
+          .when(col("us") < col("cut1"), lit("train"))
+          .when(col("us") < col("cut2"), lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), min(col("us")).as("min_us"),
+        max(col("us")).as("max_us"))
+      .orderBy(col("split"))
+  }
+
+  // ---------------------------------------------------------------- q138
+  /** Leave-one-out target encoding of customer nation against order
+    * value — the feature-engineering staple for high-cardinality
+    * categoricals, in its leakage-safe form (each row's own target is
+    * excluded from its category mean) plus the m-estimate smoothed
+    * variant (m = 10 pseudo-observations of the global mean). EXACT:
+    * targets become integer cents, and both encodings publish as
+    * floor divisions of cross-multiplied integer sums in
+    * DECIMAL(38,0) — `(n_all·(S_g − x) + m·S_all) div
+    * (n_all·(n_g − 1 + m))` — so every encoded value is
+    * engine-identical. One hash aggregation per level of grouping;
+    * the category and global stats broadcast back.
+    */
+  def q138TargetEncode(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).join(customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey").as("nation"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x_cents"))
+    val g = o.groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x_cents")).as("s_g"))
+    val t = o.agg(count(lit(1)).as("n_all"), sum(col("x_cents")).as("s_all"))
+    o.join(broadcast(g), Seq("nation"))
+      .crossJoin(broadcast(t))
+      .select(col("o_orderkey"), col("nation"), col("x_cents"),
+        when(col("n_g") > 1, expr(
+          "CAST((CAST(s_g AS DECIMAL(38,0)) - x_cents) div (n_g - 1) AS BIGINT)"))
+          .as("loo_cents"),
+        expr("CAST((CAST(n_all AS DECIMAL(38,0)) * (s_g - x_cents)" +
+          " + 10 * CAST(s_all AS DECIMAL(38,0)))" +
+          " div (CAST(n_all AS DECIMAL(38,0)) * (n_g - 1 + 10)) AS BIGINT)")
+          .as("loo_smooth_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ---------------------------------------------------------------- q139
+  /** Lexical hard-negative candidate mining for retrieval training:
+    * each query document's top-3 TF terms (ties alphabetical) form a
+    * query, and the batch BM25 ranker
+    * ([[operators.InvertedIndex.bm25TopKBatch]] — ONE corpus tokenize
+    * for all queries) returns each query's 10 highest-scoring OTHER
+    * documents: lexically close non-copies, exactly the negatives
+    * contrastive training wants. Self-exclusion re-ranks inside the
+    * ≤11-row per-query frame (bounded window).
+    */
+  def q139HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+    val qtf = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("tf").desc, col("term"))
+    val qterms = qtf.withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 3).select(col("query_id"), col("term"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    operators.InvertedIndex.bm25TopKBatch(docs, "doc_id", "text",
+        qterms, "query_id", "term", k = 11)
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_terms_hit"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- q140
+  /** Per-node local clustering coefficient of the co-purchase graph
+    * ([[operators.Triangles.perNodeCensus]]) — the node-level
+    * companion to q119's global census: how close each part's
+    * neighborhood is to a clique, as an exact ppm integer. Reuses the
+    * shared co-purchase pair artifact; triangles enumerate once at
+    * their orientation apex and credit all three corners via a
+    * 3-struct explode + hash count.
+    */
+  def q140ClusteringCoeff(s: SparkSession, d: String): DataFrame =
+    operators.Triangles.perNodeCensus(
+        copurchasePairs(s, d).select(col("pa").as("src"), col("pb").as("dst")),
+        "src", "dst")
+      .orderBy(col("node"))
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -2972,6 +3093,10 @@ object SparkEntry {
     "q134_communities" -> (q134Communities _),
     "q135_rolling_anomaly" -> (q135RollingAnomaly _),
     "q136_changepoint" -> (q136Changepoint _),
+    "q137_purged_split" -> (q137PurgedSplit _),
+    "q138_target_encode" -> (q138TargetEncode _),
+    "q139_hard_negatives" -> (q139HardNegatives _),
+    "q140_clustering_coeff" -> (q140ClusteringCoeff _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -4994,6 +5119,115 @@ object SparkEntry {
         |SELECT user_id, event_id AS cp_event_id, CAST(k AS BIGINT) AS cp_index,
         |  CAST(acusum AS BIGINT) AS cusum_abs, CAST(n_events AS BIGINT) AS n_events
         |FROM m WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "q137_purged_split" ->
+      // ceil(p·n) as exact integer rank arithmetic; a global
+      // row_number stands in for the distributed ordinal (rank-equal)
+      """WITH ev AS (SELECT event_id,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us FROM events),
+        |n AS (SELECT count(*) AS c FROM ev),
+        |r AS (SELECT us, row_number() OVER (ORDER BY us, event_id) AS i FROM ev),
+        |c1 AS (SELECT max(us) AS cut1 FROM r CROSS JOIN n
+        |       WHERE i <= (7 * c + 9) // 10),
+        |c2 AS (SELECT max(us) AS cut2 FROM r CROSS JOIN n
+        |       WHERE i <= (17 * c + 19) // 20)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n,
+        |  min(us) AS min_us, max(us) AS max_us
+        |FROM (SELECT us,
+        |  CASE WHEN abs(us - cut1) <= 86400000000
+        |         OR abs(us - cut2) <= 86400000000 THEN 'embargo'
+        |       WHEN us < cut1 THEN 'train'
+        |       WHEN us < cut2 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM ev CROSS JOIN c1 CROSS JOIN c2)
+        |GROUP BY split ORDER BY split""".stripMargin,
+
+    "q138_target_encode" ->
+      // floor divisions of cross-multiplied integer sums — DuckDB's
+      // HUGEINT sum() keeps every product exact, mirroring the Spark
+      // DECIMAL(38,0) div
+      """WITH o AS (SELECT o_orderkey, c_nationkey AS nation,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS x_cents
+        | FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_g,
+        |        sum(x_cents) AS s_g FROM o GROUP BY nation),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+        |        sum(x_cents) AS s_all FROM o)
+        |SELECT o.o_orderkey, o.nation, o.x_cents,
+        |  CAST(CASE WHEN g.n_g > 1
+        |    THEN (g.s_g - o.x_cents) // (g.n_g - 1) END AS BIGINT) AS loo_cents,
+        |  CAST((t.n_all * (g.s_g - o.x_cents) + 10 * t.s_all)
+        |    // (t.n_all * (g.n_g - 1 + 10)) AS BIGINT) AS loo_smooth_cents
+        |FROM o JOIN g USING (nation) CROSS JOIN t
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q139_hard_negatives" ->
+      // per-query top-3 TF terms, then the q121 BM25 expression tree
+      // joined through the query-term list; self excluded, top-10
+      s"""WITH tok AS (SELECT doc_id, unnest($SqlToks) AS term FROM documents),
+         |qt AS (SELECT doc_id AS query_id, term FROM (
+         |  SELECT doc_id, term, count(*) AS tf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY count(*) DESC, term) AS rk
+         |  FROM tok WHERE doc_id < 5 GROUP BY doc_id, term) WHERE rk <= 3),
+         |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+         |         FROM tok GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_len
+         |       FROM lens),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |       WHERE term IN (SELECT term FROM qt)
+         |       GROUP BY doc_id, term),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |    CAST(round(
+         |      round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |               (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) *
+         |      (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+         |      (CAST(tf AS DOUBLE) +
+         |       1.2 * (1.0 - 0.75 + 0.75 * CAST(len AS DOUBLE) / avg_len)), 6)
+         |      AS DECIMAL(18,6)) AS ts
+         |  FROM tf JOIN dfq ON dfq.term = tf.term
+         |  JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN st),
+         |qs AS (SELECT qt.query_id, sc.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_terms_hit,
+         |    CAST(sum(sc.ts) AS DOUBLE) AS score
+         |  FROM sc JOIN qt ON qt.term = sc.term
+         |  WHERE sc.doc_id <> qt.query_id
+         |  GROUP BY qt.query_id, sc.doc_id),
+         |rk AS (SELECT query_id, doc_id, n_terms_hit, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |  FROM qs)
+         |SELECT query_id, rank, doc_id, n_terms_hit, score
+         |FROM rk WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q140_clustering_coeff" ->
+      // unoriented wedge join (apex = min id) — per-triangle corner
+      // credit is orientation-independent, so it must agree with the
+      // operator's degree-oriented enumeration
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS lo, b.pk AS hi
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |w AS (SELECT ab.lo AS u, ab.hi AS v, ac.hi AS wv
+        |      FROM e ab JOIN e ac ON ab.lo = ac.lo AND ab.hi < ac.hi),
+        |t AS (SELECT u, v, wv FROM w
+        |      WHERE EXISTS (SELECT 1 FROM e WHERE e.lo = w.v AND e.hi = w.wv)),
+        |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+        |        SELECT u AS node FROM t
+        |        UNION ALL SELECT v FROM t
+        |        UNION ALL SELECT wv FROM t) GROUP BY node),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |        SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)
+        |        GROUP BY node)
+        |SELECT d.node, d.deg, coalesce(pn.tri, CAST(0 AS BIGINT)) AS n_triangles,
+        |  CASE WHEN d.deg >= 2 THEN CAST(
+        |    (2000000 * coalesce(pn.tri, 0)) // (d.deg * (d.deg - 1)) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END AS clustering_ppm
+        |FROM deg d LEFT JOIN pn ON pn.node = d.node
+        |ORDER BY d.node""".stripMargin,
 
     "q131_survival" ->
       // KM product via round(ln(1-d/n),6) DECIMAL sums, exp once;

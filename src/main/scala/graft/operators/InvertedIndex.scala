@@ -91,6 +91,68 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** Batch multi-query BM25: top-k documents PER QUERY for a frame of
+    * `(query_id, term)` rows — the shape retrieval training-data
+    * pipelines need (mining per-query candidates for thousands of
+    * queries at once), where calling [[bm25TopK]] per query would
+    * re-tokenize the corpus per query. Same scoring discipline as
+    * [[bm25TopK]] (6dp-rounded ln, 6dp term scores summed in DECIMAL,
+    * single-division avglen); df is a per-term corpus property, shared
+    * across queries.
+    *
+    * Scale shape: ONE tokenize pass; the (doc, term-or-null) grouped
+    * frame stages once (same `Staging` election) and only rows whose
+    * term appears in SOME query survive into scoring (broadcast mark
+    * join against the distinct query vocabulary); the per-query fan-out
+    * is the (query_id, term) → (doc, term) join, proportional to
+    * matched postings, and top-k is a per-query WindowGroupLimit.
+    */
+  def bm25TopKBatch(docs: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, queryIdCol: String, termCol: String,
+                    k: Int, k1: Double = 1.2, b: Double = 0.75,
+                    staging: Staging.Mode = Staging.Memory): DataFrame = {
+    val qt = queries.select(col(queryIdCol).as("query_id"),
+      lower(trim(col(termCol))).as("term")).distinct()
+    val vocab = broadcast(qt.select(col("term")).distinct()
+      .withColumn("__is_q", lit(1)))
+    val grouped = Staging.stage(docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .join(vocab, Seq("term"), "left")
+      .groupBy(col("doc_id"),
+        when(col("__is_q") === 1, col("term")).as("qterm"))
+      .agg(count(lit(1)).as("n")),
+      staging, "bm25_batch_grouped")
+    val lens = grouped.groupBy(col("doc_id")).agg(sum(col("n")).as("len"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("len")).cast("double") / count(lit(1)).cast("double"))
+        .as("avg_len"))
+    val tf = grouped.filter(col("qterm").isNotNull)
+      .select(col("doc_id"), col("qterm").as("term"), col("n").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val termScore = round(
+      round(log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5) + 1.0), 6) *
+      (col("tf").cast("double") * (k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("len").cast("double") / col("avg_len"))), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(dfreq), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__ts", termScore.cast("decimal(18,6)"))
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("__ts")).cast("double").as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_terms_hit"), col("score"))
+  }
+
   /** Documents containing ALL `terms`, resolved purely from the index.
     * Terms normalize with the build-side tokenizer convention
     * (lowercase + trim) and dedupe — a repeated or differently-cased

@@ -74,4 +74,55 @@ object Triangles {
       .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
       .crossJoin(broadcast(tris.agg(count(lit(1)).as("n_triangles"))))
   }
+
+  /** Per-node triangle participation and local clustering coefficient:
+    * `(node, deg, n_triangles, clustering_ppm)` for every node, where
+    * `clustering_ppm = ⌊2·T·10⁶ / (deg·(deg−1))⌋` (Watts–Strogatz
+    * local coefficient as an exact parts-per-million integer; 0 for
+    * degree < 2). Same oriented wedge join as [[census]] — each
+    * triangle is ENUMERATED once at its orientation apex (an inner
+    * join on the packed closing-edge key instead of the count's semi
+    * join), then credited to all three corners through one 3-struct
+    * explode and counted in a hash aggregation. The ppm division runs
+    * in DECIMAL(38,0) so warehouse-scale degrees cannot overflow the
+    * 10⁶-scaled numerator.
+    */
+  def perNodeCensus(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val deg = e.select(col("lo").as("n"))
+      .unionAll(e.select(col("hi").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val o = e
+      .join(deg.select(col("n").as("lo"), col("deg").as("dl")), "lo")
+      .join(deg.select(col("n").as("hi"), col("deg").as("dh")), "hi")
+      .select(
+        when(col("dl") < col("dh") ||
+            (col("dl") === col("dh") && col("lo") < col("hi")),
+          col("lo")).otherwise(col("hi")).as("u"),
+        when(col("dl") < col("dh") ||
+            (col("dl") === col("dh") && col("lo") < col("hi")),
+          col("hi")).otherwise(col("lo")).as("v"))
+    def packed(a: Column, b: Column): Column = {
+      val ok = a >= 0 && b >= 0 && a < (1L << 32) && b < (1L << 32)
+      when(assert_true(ok, lit("Triangles.perNodeCensus: node ids must fit 32 bits"))
+        .isNull, shiftleft(a, 32).bitwiseOR(b))
+    }
+    val wedges = o.as("ab").join(o.as("ac"),
+        col("ab.u") === col("ac.u") && col("ab.v") < col("ac.v"))
+      .select(col("ab.u").as("u"), col("ab.v").as("v"), col("ac.v").as("w"),
+        packed(col("ab.v"), col("ac.v")).as("ek"))
+    val tris = wedges.join(
+        e.select(packed(col("lo"), col("hi")).as("ek")), Seq("ek"), "left_semi")
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("n").as("node"), col("deg"))
+      .join(tris, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("clustering_ppm",
+        when(col("deg") >= 2,
+          expr("CAST((CAST(2000000 AS DECIMAL(38,0)) * n_triangles)" +
+            " div (CAST(deg AS DECIMAL(38,0)) * (deg - 1)) AS BIGINT)"))
+          .otherwise(lit(0L)))
+  }
 }

@@ -133,6 +133,54 @@ class AnalyticsEdgeSpec extends SparkSpec {
     assert(got === Map(1L -> ((10L, 10L, 10000L, 20L))))
   }
 
+  test("per-node triangle census: clique + pendant coefficients, 3x corner credit") {
+    // 4-clique {1..4} plus pendant 5 hanging off node 4: clique nodes
+    // 1-3 sit in 3 triangles over deg 3 (coefficient 1.0); node 4 has
+    // deg 4 with the same 3 triangles (2·3/(4·3) = 0.5); pendant deg 1
+    val edges = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+      .toSeq :+ (4L, 5L)
+    val got = Triangles.perNodeCensus(edges.toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) === ((3L, 3L, 1000000L)))
+    assert(got(2L) === ((3L, 3L, 1000000L)))
+    assert(got(3L) === ((3L, 3L, 1000000L)))
+    assert(got(4L) === ((4L, 3L, 500000L)))
+    assert(got(5L) === ((1L, 0L, 0L)))
+    // corner-credit invariant vs the global census: Σ per-node = 3·T
+    val total = Triangles.census(edges.toDF("src", "dst"), "src", "dst")
+      .collect()(0).getLong(2)
+    assert(got.values.map(_._2).sum === 3 * total)
+  }
+
+  test("bm25TopKBatch equals per-query bm25TopK on the same term sets") {
+    val docs = Seq(
+      (1L, "merge the merge queue with vector clocks"),
+      (2L, "vector search over a stream of vector embeddings"),
+      (3L, "plain prose with none of the query words"),
+      (4L, "stream stream stream merge"),
+      (5L, "a very long document about merge " + ("filler " * 40).trim))
+      .toDF("doc_id", "text")
+    val querySets = Map(10L -> Seq("merge", "vector"),
+      11L -> Seq("stream"), 12L -> Seq("nosuchterm"))
+    val qterms = querySets.toSeq
+      .flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "term")
+    val batch = InvertedIndex.bm25TopKBatch(docs, "doc_id", "text",
+        qterms, "query_id", "term", k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val single = querySets.toSeq.flatMap { case (q, ts) =>
+      InvertedIndex.bm25TopK(docs, "doc_id", "text", ts, k = 10)
+        .collect().zipWithIndex
+        .map { case (r, i) =>
+          (q, i + 1L) -> (r.getLong(0), r.getLong(1), r.getDouble(2)) }
+    }.toMap
+    assert(batch === single)
+    spark.catalog.clearCache()
+  }
+
   test("changepoint: constant series ties break to the earliest row") {
     val rows = (1 to 5).map(t => (1L, t.toLong, t.toLong, 7L))
     val got = Changepoint.cusumPeak(rows.toDF("user_id", "ts", "tie", "vc"),
