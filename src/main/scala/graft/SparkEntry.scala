@@ -2501,13 +2501,14 @@ object SparkEntry {
     val ranked = operators.Ordinals.withOrderedOrdinal(
       ev, Seq(col("us"), col("event_id")), "i")
     val n = ranked.agg(count(lit(1)).as("c"))
-    def cutAt(num: Int, den: Int) =
-      broadcast(ranked.crossJoin(broadcast(n))
-        .filter(col("i") <= expr(s"($num * c + ${den - 1}) div $den"))
-        .agg(max(col("us")).as("cut")))
-    val c1 = cutAt(7, 10).select(col("cut").as("cut1"))
-    val c2 = cutAt(17, 20).select(col("cut").as("cut2"))
-    ev.crossJoin(broadcast(c1)).crossJoin(broadcast(c2))
+    // both cutoffs in ONE pass over the ordinal (the ordinal's range
+    // sort is the query's only fact-table shuffle — don't pay it twice)
+    val cuts = broadcast(ranked.crossJoin(broadcast(n))
+      .agg(max(when(col("i") <= expr("(7 * c + 9) div 10"), col("us")))
+        .as("cut1"),
+        max(when(col("i") <= expr("(17 * c + 19) div 20"), col("us")))
+          .as("cut2")))
+    ev.crossJoin(cuts)
       .withColumn("split",
         when(abs(col("us") - col("cut1")) <= embargoUs ||
              abs(col("us") - col("cut2")) <= embargoUs, lit("embargo"))

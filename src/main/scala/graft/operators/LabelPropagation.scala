@@ -36,7 +36,10 @@ object LabelPropagation {
   def communities(edges: DataFrame, srcCol: String, dstCol: String,
                   rounds: Int = 5): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // self-loops dropped: a node voting for its own label would damp
+    // every update toward the identity labeling
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
     // mirror once, checkpoint: every round joins labels onto THIS frame
     val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

@@ -34,11 +34,17 @@ object RollingAnomaly {
       s"need window >= minWindow >= 2, got ($window, $minWindow)")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(tieCol)).rowsBetween(-window, -1)
-    val v = col(valueCol)
+    // fail fast (codegen'd scan-stage check) instead of silently
+    // overflowing the squared deviation: |v| ≤ 1.5e8 keeps
+    // (n·v − s)² ≤ (2·w·1.5e8)² inside a long at the default window
+    val guard = abs(col(valueCol)) <= 150000000L
+    val v = when(assert_true(guard,
+      lit(s"RollingAnomaly: |$valueCol| must be <= 1.5e8")).isNull,
+      col(valueCol))
     events
       .withColumn("window_n", count(lit(1)).over(w))
-      .withColumn("__s", sum(v).over(w))
-      .withColumn("__q", sum(v * v).over(w))
+      .withColumn("__s", sum(col(valueCol)).over(w))
+      .withColumn("__q", sum(col(valueCol) * col(valueCol)).over(w))
       .filter(col("window_n") >= minWindow &&
         (col("window_n") * v - col("__s")) * (col("window_n") * v - col("__s")) >
           lit(sigmas.toLong * sigmas) *
