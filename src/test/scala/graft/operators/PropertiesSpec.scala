@@ -778,6 +778,64 @@ class PropertiesSpec extends SparkSpec {
     }, 10)
   }
 
+  private val valueStreamGen: Gen[List[(Int, Long, Long, Long)]] =
+    Gen.listOfN(30, for {
+      u <- Gen.chooseNum(0, 2)
+      ts <- Gen.chooseNum(0L, 40L)
+      v <- Gen.chooseNum(-500L, 500L)
+    } yield (u, ts, v)).map(_.zipWithIndex.map { case ((u, ts, v), i) =>
+      (u, ts, i.toLong, v)
+    })
+
+  test("rolling anomaly equals a brute-force trailing-window scan") {
+    check(Prop.forAllNoShrink(valueStreamGen) { data =>
+      val df = data.toDF("user_id", "ts", "tie", "vc")
+      val got = RollingAnomaly.anomalies(df, "user_id", "ts", "tie", "vc")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = data.groupBy(_._1).flatMap { case (u, rows) =>
+        val sorted = rows.sortBy(r => (r._2, r._3))
+        sorted.indices.flatMap { i =>
+          val win = sorted.slice(math.max(0, i - 8), i).map(_._4)
+          val n = win.size.toLong
+          val (s, q) = (win.sum, win.map(x => x * x).sum)
+          val v = sorted(i)._4
+          if (n >= 4 && (n * v - s) * (n * v - s) > 9 * (n * q - s * s))
+            Some((u, sorted(i)._2, sorted(i)._3))
+          else None
+        }
+      }.toSet
+      got == expected
+    }, 10)
+  }
+
+  test("changepoint equals a brute-force prefix argmax") {
+    check(Prop.forAllNoShrink(valueStreamGen) { data =>
+      val df = data.toDF("user_id", "ts", "tie", "vc")
+      val got = Changepoint.cusumPeak(df, "user_id", "ts", "tie", "vc")
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val expected = data.groupBy(_._1).flatMap { case (u, rows) =>
+        val sorted = rows.sortBy(r => (r._2, r._3))
+        val nTot = sorted.size.toLong
+        val sTot = sorted.map(_._4).sum
+        if (nTot < 2) None
+        else {
+          val stats = sorted.inits.toSeq.reverse.tail.init // proper prefixes
+            .map { p =>
+              val k = p.size.toLong
+              (p.last, k, math.abs(nTot * p.map(_._4).sum - k * sTot))
+            }
+          // argmax, ties to earliest (ts, tie)
+          val best = stats.maxBy { case (last, _, ac) =>
+            (ac, -last._2, -last._3)
+          }
+          Some(u -> ((best._1._3, best._2, best._3)))
+        }
+      }
+      got == expected
+    }, 10)
+  }
+
   test("scd2 versions equal a per-key in-memory run-length collapse") {
     val high = 999L
     check(Prop.forAllNoShrink(streamGen) { data =>
