@@ -2603,6 +2603,34 @@ object SparkEntry {
         "src", "dst")
       .orderBy(col("node"))
 
+  // ---------------------------------------------------------------- q141
+  /** Audio silence-span detection (VAD-lite) — the speech-curation
+    * step between raw audio and training segments: burst-pattern WAVs
+    * (alternating square-wave and true-zero bursts, one per selected
+    * supplier) are REALLY decoded ([[operators.Multimodal
+    * .audioFrameEnergy]], JDK PCM reader), cut into 160-sample
+    * analysis frames with exact integer energies, and maximal silent
+    * runs become spans via the gaps-and-islands window
+    * ([[operators.Multimodal.silenceSpans]]). The oracle predicts the
+    * spans analytically from the burst geometry — the decode itself is
+    * the thing under test.
+    */
+  def q141SilenceSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import operators.Multimodal
+    val recs = supplier(s, d).select(col("s_suppkey"))
+      .filter(col("s_suppkey") % 3 === 0)
+      .as[Long].map { k =>
+        Multimodal.MediaRecord(k, "audio", Multimodal.burstWav(
+          sampleRate = 8000, amplitude = (1000 + k * 31 % 20000).toInt,
+          nSamples = (4000 + k % 50 * 100).toInt,
+          burstLen = (400 + k % 5 * 80).toInt))
+      }
+    Multimodal.silenceSpans(
+        Multimodal.audioFrameEnergy(recs, frameSamples = 160), threshold = 0L)
+      .orderBy(col("media_id"), col("span_idx"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -3098,6 +3126,7 @@ object SparkEntry {
     "q138_target_encode" -> (q138TargetEncode _),
     "q139_hard_negatives" -> (q139HardNegatives _),
     "q140_clustering_coeff" -> (q140ClusteringCoeff _),
+    "q141_silence_spans" -> (q141SilenceSpans _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -5204,6 +5233,37 @@ object SparkEntry {
          |SELECT query_id, rank, doc_id, n_terms_hit, score
          |FROM rk WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    "q141_silence_spans" ->
+      // burst geometry replayed analytically: a 160-sample frame is
+      // silent iff its first and last samples fall in the SAME burst
+      // and that burst index is odd (bursts alternate active/silent);
+      // spans are the standard gaps-and-islands rewrite
+      """WITH m AS (SELECT s_suppkey AS media_id,
+        |    4000 + s_suppkey % 50 * 100 AS n_samples,
+        |    400 + s_suppkey % 5 * 80 AS blen
+        |  FROM supplier WHERE s_suppkey % 3 = 0),
+        |f AS (SELECT media_id, blen, n_samples,
+        |    unnest(generate_series(0, (n_samples + 159) // 160 - 1)) AS frame_idx
+        |  FROM m),
+        |fl AS (SELECT media_id, frame_idx,
+        |    (160 * frame_idx) // blen AS s0,
+        |    (least(160 * frame_idx + 160, n_samples) - 1) // blen AS s1
+        |  FROM f),
+        |sil AS (SELECT media_id, frame_idx FROM fl
+        |        WHERE s0 = s1 AND s0 % 2 = 1),
+        |isl AS (SELECT media_id, frame_idx,
+        |    frame_idx - row_number() OVER (PARTITION BY media_id
+        |      ORDER BY frame_idx) AS grp
+        |  FROM sil),
+        |sp AS (SELECT media_id, min(frame_idx) AS start_frame,
+        |    max(frame_idx) AS end_frame, CAST(count(*) AS BIGINT) AS n_frames
+        |  FROM isl GROUP BY media_id, grp)
+        |SELECT media_id,
+        |  CAST(row_number() OVER (PARTITION BY media_id ORDER BY start_frame)
+        |    AS BIGINT) AS span_idx,
+        |  start_frame, end_frame, n_frames
+        |FROM sp ORDER BY media_id, span_idx""".stripMargin,
 
     "q140_clustering_coeff" ->
       // unoriented wedge join (apex = min id) — per-triangle corner

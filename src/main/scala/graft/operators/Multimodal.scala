@@ -206,6 +206,108 @@ object Multimodal {
     bb.array()
   }
 
+  /** One fixed-length analysis frame of decoded PCM: exact integer
+    * energy (sum of squared 16-bit sample units — ≤ 2^30 per sample, so
+    * a long holds any frame under ~2^33 samples).
+    */
+  case class AudioFrame(media_id: Long, frame_idx: Long, n_samples: Long,
+                        sum_sq: Long)
+
+  /** REAL per-frame energy extraction: decode the PCM payload (same JDK
+    * reader as [[decodeAudio]]) and emit one row per `frameSamples`-long
+    * analysis frame (the tail frame may be short). The silence gate
+    * downstream ([[silenceSpans]]) is then pure declarative work — the
+    * mapPartitions boundary ends at the frame table, exactly like
+    * [[videoFrames]]' decode/declare split.
+    */
+  def audioFrameEnergy(ds: Dataset[MediaRecord],
+                       frameSamples: Int): Dataset[AudioFrame] = {
+    require(frameSamples >= 1, s"frameSamples must be >= 1, got $frameSamples")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
+          val data = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(data).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val frames = scala.collection.mutable.ArrayBuffer.empty[AudioFrame]
+          var idx = 0L
+          while (bb.remaining() >= 2) {
+            var n = 0L
+            var sq = 0L
+            while (n < frameSamples && bb.remaining() >= 2) {
+              val s = bb.getShort.toLong
+              sq += s * s
+              n += 1
+            }
+            frames += AudioFrame(r.media_id, idx, n, sq)
+            idx += 1
+          }
+          frames
+        } finally in.close()
+      } catch { case _: Exception => Nil }
+    })
+  }
+
+  /** Silence spans from per-frame energies: maximal runs of consecutive
+    * frames with `sum_sq <= threshold` →
+    * `(media_id, span_idx, start_frame, end_frame, n_frames)` — the
+    * voice-activity-detection shape speech curation needs (strip or
+    * segment on silence). Gaps-and-islands: `frame_idx − row_number`
+    * is constant exactly per run, so one media-partitioned window plus
+    * a hash aggregation finds every span — no self-join, no iteration.
+    */
+  def silenceSpans(frames: Dataset[AudioFrame], threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRun = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val wSpan = Window.partitionBy(col("media_id")).orderBy(col("start_frame"))
+    frames.toDF()
+      .filter(col("sum_sq") <= threshold)
+      .withColumn("__grp",
+        col("frame_idx") - row_number().over(wRun))
+      .groupBy(col("media_id"), col("__grp"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+      .withColumn("span_idx", row_number().over(wSpan).cast("long"))
+      .select(col("media_id"), col("span_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"))
+  }
+
+  /** Deterministic 16-bit mono PCM WAV with alternating ACTIVE/SILENT
+    * bursts of `burstLen` samples (active bursts are the
+    * [[squareWav]] square wave, silent bursts are true zeros) — the
+    * fixture for silence detection: which analysis frames are silent
+    * is a closed-form function of (burstLen, frame length), so an
+    * external oracle predicts the spans analytically while the
+    * operator decodes the real bytes.
+    */
+  def burstWav(sampleRate: Int, amplitude: Int, nSamples: Int,
+               burstLen: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      val silent = (i / burstLen) % 2 == 1
+      bb.putShort(
+        if (silent) 0.toShort
+        else (if (i % 2 == 0) amplitude else -amplitude).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Frame sampling plumbing for video-like payloads: emit every
     * `stride`-th frame index up to `n_frames` (the decode stub's frame
     * count), as (media_id, frame_idx) — the shape a real frame extractor

@@ -372,6 +372,26 @@ class FunctionsSpec extends SparkSpec {
     assert(feats(1) == AudioFeatures(2L, 16000, 1, 800L, 123.0))
   }
 
+  test("multimodal silence spans: burst WAV decodes to the exact span layout") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal._
+    // 1600 samples, 400-sample bursts (active/silent/active/silent),
+    // 160-sample frames: frames 0-9, burst boundaries at frames 2.5/5/7.5
+    // → fully-silent frames {3,4} and {8,9} (2.5 and 7.5 straddle)
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, "audio", Multimodal.burstWav(8000, 5000, 1600, 400)),
+      MediaRecord(2L, "audio", Multimodal.squareWav(8000, 777, 800)), // no silence
+      MediaRecord(3L, "audio", "junk".getBytes("UTF-8"))))
+    val frames = Multimodal.audioFrameEnergy(ds, frameSamples = 160)
+    val got = Multimodal.silenceSpans(frames, threshold = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(x => (x._1, x._2))
+    assert(got.toSeq === Seq((1L, 1L, 3L, 4L, 2L), (1L, 2L, 8L, 9L, 2L)))
+    // frame energies themselves: active frames carry A² per sample
+    val f0 = frames.collect().filter(f => f.media_id == 1L).minBy(_.frame_idx)
+    assert(f0.n_samples === 160L && f0.sum_sq === 160L * 5000L * 5000L)
+  }
+
   test("multimodal real video decode: AVI roundtrip via the RIFF walker") {
     import graft.operators.Multimodal
     import graft.operators.Multimodal._
