@@ -2631,6 +2631,39 @@ object SparkEntry {
       .orderBy(col("media_id"), col("span_idx"))
   }
 
+  // ---------------------------------------------------------------- q142
+  /** Perceptual image dedup via difference-hash — the image analog of
+    * q25's SimHash: deterministic block-gradient PNGs (one per
+    * selected part; keys pair up as `(10j, 10j+5)` where the odd
+    * member is a uniform +1 brightness shift of the even one) are
+    * REALLY decoded and box-filtered to a 9×8 luminance grid with
+    * exact integer cell sums ([[operators.Multimodal.imageDHashes]]),
+    * and duplicate pairs surface through a hash-equality self-join —
+    * O(n) shuffle on the 64-bit hash, never a pixel-space n² compare.
+    * The planted shift changes every byte (md5 differs) but no
+    * adjacent-cell comparison, so only the perceptual hash finds the
+    * pair; the oracle replays the cell formula and bit-packing in SQL.
+    */
+  def q142ImageDhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import operators.Multimodal
+    val recs = part(s, d).select(col("p_partkey"))
+      .filter(col("p_partkey") % 5 === 0)
+      .as[Long].map { k =>
+        Multimodal.MediaRecord(k, "image",
+          Multimodal.gridPng(seed = k - k % 10, delta = ((k % 10) / 5).toInt))
+      }
+    val hashes = Multimodal.imageDHashes(recs).toDF()
+      .select(col("media_id"), col("hash_hi"), col("hash_lo"))
+    hashes.as("a").join(hashes.as("b"),
+        col("a.hash_hi") === col("b.hash_hi") &&
+          col("a.hash_lo") === col("b.hash_lo") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.hash_hi").as("hash_hi"), col("a.hash_lo").as("hash_lo"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -3127,6 +3160,7 @@ object SparkEntry {
     "q139_hard_negatives" -> (q139HardNegatives _),
     "q140_clustering_coeff" -> (q140ClusteringCoeff _),
     "q141_silence_spans" -> (q141SilenceSpans _),
+    "q142_image_dhash" -> (q142ImageDhash _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -5264,6 +5298,39 @@ object SparkEntry {
         |    AS BIGINT) AS span_idx,
         |  start_frame, end_frame, n_frames
         |FROM sp ORDER BY media_id, span_idx""".stripMargin,
+
+    "q142_image_dhash" ->
+      // every hash bit replayed from the fixture's cell formula: the
+      // planted +1 shift cancels out of all adjacent-cell comparisons,
+      // so hashing the shared seed reproduces both pair members' dHash
+      """WITH keys AS (SELECT p_partkey AS k, p_partkey - p_partkey % 10 AS kb
+        |  FROM part WHERE p_partkey % 5 = 0),
+        |g AS (SELECT DISTINCT kb FROM keys),
+        |cells AS (SELECT kb, gx, gy
+        |  FROM g CROSS JOIN range(9) t1(gx) CROSS JOIN range(8) t2(gy)),
+        |vals AS (SELECT kb, gx, gy,
+        |    (kb*31 + gx*17 + gy*29 + gx*gy*7
+        |     + (kb % 251)*gx*13 + (kb % 241)*gy*11) % 255 AS v
+        |  FROM cells),
+        |bits AS (SELECT a.kb, a.gy*8 + a.gx AS i,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM vals a JOIN vals b
+        |    ON b.kb = a.kb AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |hs AS (SELECT kb,
+        |    CAST(SUM(CASE WHEN i >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT)
+        |      AS hash_hi,
+        |    CAST(SUM(CASE WHEN i < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+        |      AS hash_lo
+        |  FROM bits GROUP BY kb),
+        |h AS (SELECT keys.k, hs.hash_hi, hs.hash_lo
+        |  FROM keys JOIN hs ON hs.kb = keys.kb)
+        |SELECT a.k AS id_a, b.k AS id_b, a.hash_hi, a.hash_lo
+        |FROM h a JOIN h b
+        |  ON a.hash_hi = b.hash_hi AND a.hash_lo = b.hash_lo AND a.k < b.k
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q140_clustering_coeff" ->
       // unoriented wedge join (apex = min id) — per-triangle corner

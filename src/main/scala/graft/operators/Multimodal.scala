@@ -141,6 +141,121 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Perceptual difference-hash of a decoded image, split into two
+    * unsigned-32-bit halves so the 64 bits survive engines without
+    * unsigned integers.
+    */
+  case class ImageHash(media_id: Long, width: Int, height: Int,
+                       hash_hi: Long, hash_lo: Long)
+
+  /** REAL perceptual dHash: decode via ImageIO, box-filter down to a
+    * `gw`×`gh` luminance grid with EXACT integer cell sums (sum of
+    * r+g+b over the cell's pixel block — no float average, so two
+    * engines agree bit-for-bit), then one bit per horizontally
+    * adjacent cell pair: `bit(gx,gy) = 1` iff the right cell's sum is
+    * strictly greater. Bit index `i = gy*(gw-1)+gx`; bits ≥ 32 land in
+    * `hash_hi`. Raw-sum comparison equals the textbook mean comparison
+    * when `width % gw == 0 && height % gh == 0` (equal cell areas) —
+    * the intended use is hashing [[resizeImages]] output or fixtures
+    * built on a multiple of the grid. A uniform brightness shift
+    * leaves every comparison unchanged, which is exactly the
+    * invariance a byte-level hash (md5) lacks.
+    */
+  def dHash(bytes: Array[Byte], gw: Int = 9, gh: Int = 8): Option[ImageHash] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null || img.getWidth < gw || img.getHeight < gh) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val sums = Array.ofDim[Long](gh, gw)
+      var gy = 0
+      while (gy < gh) {
+        val y0 = gy * h / gh; val y1 = (gy + 1) * h / gh
+        var gx = 0
+        while (gx < gw) {
+          val x0 = gx * w / gw; val x1 = (gx + 1) * w / gw
+          var s = 0L; var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val p = img.getRGB(x, y)
+              s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          sums(gy)(gx) = s
+          gx += 1
+        }
+        gy += 1
+      }
+      var hi = 0L; var lo = 0L
+      var yy = 0
+      while (yy < gh) {
+        var xx = 0
+        while (xx < gw - 1) {
+          if (sums(yy)(xx + 1) > sums(yy)(xx)) {
+            val i = yy * (gw - 1) + xx
+            if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+          }
+          xx += 1
+        }
+        yy += 1
+      }
+      Some(ImageHash(0L, w, h, hi, lo))
+    }
+  }
+
+  /** Batch perceptual hashing — partition-preserving like
+    * [[imageFeatures]]; undecodable or sub-grid payloads drop.
+    */
+  def imageDHashes(ds: Dataset[MediaRecord],
+                   gw: Int = 9, gh: Int = 8): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r =>
+      dHash(r.payload, gw, gh).map(_.copy(media_id = r.media_id))))
+  }
+
+  /** Deterministic block-gradient PNG fixture: a `gw`×`gh` grid of
+    * `cell`×`cell` constant-gray blocks with
+    * `v(gx,gy) = (seed*31 + gx*17 + gy*29 + gx*gy*7 + (seed%251)*gx*13
+    * + (seed%241)*gy*11) % 255 + delta` (gray = all three channels;
+    * the cross terms over the coprime moduli 255/251/241 give each
+    * seed below their ~1.5e7 lcm a unique per-cell signature, so
+    * distinct seeds get distinct hash bit patterns rather than a
+    * shared gradient signature with period 255). Lossless
+    * encode on a multiple of the dHash grid, so [[dHash]]'s cell sums
+    * recover `48·v` exactly and an external oracle can replay every
+    * hash bit from the seed formula. `delta ∈ {0,1}` plants a
+    * near-duplicate: different bytes (md5 differs) but an identical
+    * dHash, since a uniform shift preserves all adjacent-cell
+    * comparisons.
+    */
+  def gridPng(seed: Long, delta: Int, gw: Int = 9, gh: Int = 8,
+              cell: Int = 4): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(gw * cell, gh * cell,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        val v = ((seed * 31 + gx * 17 + gy * 29 + gx * gy * 7 +
+          (seed % 251) * gx * 13 + (seed % 241) * gy * 11) % 255 + delta).toInt
+        val rgb = (v << 16) | (v << 8) | v
+        var y = gy * cell
+        while (y < (gy + 1) * cell) {
+          var x = gx * cell
+          while (x < (gx + 1) * cell) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Decoded audio features (PCM WAV): real format + signal stats. */
   case class AudioFeatures(media_id: Long, sample_rate: Int, channels: Int,
                            n_samples: Long, rms: Double)

@@ -359,6 +359,37 @@ class FunctionsSpec extends SparkSpec {
       resized(1).mean_b == 30.0)
   }
 
+  test("multimodal perceptual dHash: shift-invariant, formula-exact, discriminating") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal._
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, "image", Multimodal.gridPng(seed = 70L, delta = 0)),
+      MediaRecord(2L, "image", Multimodal.gridPng(seed = 70L, delta = 1)),
+      MediaRecord(3L, "image", Multimodal.gridPng(seed = 71L, delta = 0)),
+      MediaRecord(4L, "image", "not an image".getBytes("UTF-8"))))
+    val hs = Multimodal.imageDHashes(ds).collect().sortBy(_.media_id)
+    assert(hs.map(_.media_id).toSeq == Seq(1L, 2L, 3L)) // undecodable drops
+    // +1 brightness shift: every byte differs, the perceptual hash doesn't
+    assert(!java.util.Arrays.equals(
+      Multimodal.gridPng(70L, 0), Multimodal.gridPng(70L, 1)))
+    assert((hs(0).hash_hi, hs(0).hash_lo) == (hs(1).hash_hi, hs(1).hash_lo))
+    // a different seed hashes differently
+    assert((hs(0).hash_hi, hs(0).hash_lo) != (hs(2).hash_hi, hs(2).hash_lo))
+    // every bit agrees with the fixture formula replayed independently
+    def v(kb: Long, gx: Int, gy: Int): Long =
+      (kb * 31 + gx * 17 + gy * 29 + gx * gy * 7 +
+        (kb % 251) * gx * 13 + (kb % 241) * gy * 11) % 255
+    var hi = 0L; var lo = 0L
+    for (gy <- 0 until 8; gx <- 0 until 8)
+      if (v(70L, gx + 1, gy) > v(70L, gx, gy)) {
+        val i = gy * 8 + gx
+        if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+      }
+    assert((hs(0).hash_hi, hs(0).hash_lo) == (hi, lo))
+    // grid geometry survives the decode
+    assert(hs(0).width == 36 && hs(0).height == 32)
+  }
+
   test("multimodal real audio decode: WAV roundtrip via javax.sound") {
     import graft.operators.Multimodal
     import graft.operators.Multimodal._
