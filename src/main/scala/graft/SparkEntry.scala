@@ -2664,6 +2664,45 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ---------------------------------------------------------------- q143
+  /** Blocked edit-distance record linkage ([[operators.FuzzyJoin
+    * .blockedLevenshtein]]): customer-name near-matches within a
+    * nation block, Levenshtein ≤ 2. The n² fuzzy compare becomes
+    * per-block candidate pairs pruned by a length band before the
+    * codegen'd threshold-form `levenshtein` runs — the classic
+    * blocking+verify entity-resolution shape. Edit distance is an
+    * exact integer (Wagner–Fischer on both engines), so the oracle is
+    * a plain SQL replay.
+    */
+  def q143FuzzyBlocking(s: SparkSession, d: String): DataFrame =
+    operators.FuzzyJoin.blockedLevenshtein(
+        customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+          col("c_name")),
+        "c_custkey", "c_name", Seq("c_nationkey"), maxDist = 2)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---------------------------------------------------------------- q144
+  /** Bounded-depth BFS reachability ([[operators.Bfs.reachable]]) over
+    * the (≥2-support) co-purchase graph: exact shortest-hop distance
+    * from the `p_partkey % 500 = 0` seed set, 3 hops out. Frontier
+    * iteration — one hash join + distinct + visited anti join per hop,
+    * work proportional to frontier-incident edges (never to paths).
+    * The oracle unrolls the three hops as explicit level CTEs with
+    * NOT-IN visited pruning — bit-equal min-hop semantics, no
+    * recursion needed at fixed depth. Fifth consumer of the shared
+    * co-purchase edge artifact.
+    */
+  def q144BfsReach(s: SparkSession, d: String): DataFrame = {
+    val e = copurchasePairs(s, d).filter(col("n_both") >= 2)
+      .select(col("pa"), col("pb"))
+    val seeds = part(s, d).filter(col("p_partkey") % 500 === 0)
+      .select(col("p_partkey"))
+    operators.Bfs.reachable(e, "pa", "pb", seeds, maxHops = 3)
+      .select(col("node"), col("hop").cast("long").as("hop"))
+      .orderBy(col("node"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -3161,6 +3200,8 @@ object SparkEntry {
     "q140_clustering_coeff" -> (q140ClusteringCoeff _),
     "q141_silence_spans" -> (q141SilenceSpans _),
     "q142_image_dhash" -> (q142ImageDhash _),
+    "q143_fuzzy_blocking" -> (q143FuzzyBlocking _),
+    "q144_bfs_reach" -> (q144BfsReach _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -5533,6 +5574,49 @@ object SparkEntry {
         |  coalesce(lead(us) OVER w, 253402300799000000) AS valid_to_us
         |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
         |ORDER BY user_id, version_no""".stripMargin,
+
+    "q143_fuzzy_blocking" ->
+      // edit distance is exact Wagner–Fischer on both engines; the
+      // blocking key + length band are pure pruning, so the plain
+      // block-join replay is value-identical
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q144_bfs_reach" ->
+      // fixed-depth BFS unrolled as one level CTE per hop with
+      // NOT-IN visited pruning — min-hop semantics are exact at
+      // depth 3, no recursion needed
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |sup AS (SELECT a.pk AS pa, b.pk AS pb
+        |        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |        GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+        |adj AS (SELECT pa AS u, pb AS v FROM sup
+        |        UNION SELECT pb, pa FROM sup),
+        |l0 AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS node
+        |       FROM part WHERE p_partkey % 500 = 0),
+        |l1 AS (SELECT DISTINCT CAST(adj.v AS BIGINT) AS node
+        |       FROM adj JOIN l0 ON adj.u = l0.node
+        |       WHERE adj.v NOT IN (SELECT node FROM l0)),
+        |l2 AS (SELECT DISTINCT CAST(adj.v AS BIGINT) AS node
+        |       FROM adj JOIN l1 ON adj.u = l1.node
+        |       WHERE adj.v NOT IN (SELECT node FROM l0)
+        |         AND adj.v NOT IN (SELECT node FROM l1)),
+        |l3 AS (SELECT DISTINCT CAST(adj.v AS BIGINT) AS node
+        |       FROM adj JOIN l2 ON adj.u = l2.node
+        |       WHERE adj.v NOT IN (SELECT node FROM l0)
+        |         AND adj.v NOT IN (SELECT node FROM l1)
+        |         AND adj.v NOT IN (SELECT node FROM l2))
+        |SELECT node, hop FROM (
+        |  SELECT node, CAST(0 AS BIGINT) AS hop FROM l0
+        |  UNION ALL SELECT node, CAST(1 AS BIGINT) FROM l1
+        |  UNION ALL SELECT node, CAST(2 AS BIGINT) FROM l2
+        |  UNION ALL SELECT node, CAST(3 AS BIGINT) FROM l3)
+        |ORDER BY node""".stripMargin,
 
   )
 }

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loading helpers for the driver-generated TPC-H-ish
   * test data (see TESTDATA.md). Every `SparkEntry.queries` entry reads
@@ -10,6 +12,26 @@ object Tables {
   def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Every consumer treats `events.ts` as epoch NANOSECONDS in a BIGINT
+    * (the shape TIMESTAMP(NANOS) parquet takes under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`). Driver-regenerated
+    * data may instead carry µs-precision TIMESTAMP/TIMESTAMP_NTZ —
+    * normalize those back to the ns-long contract here (sessions pin
+    * UTC, so the NTZ→instant reading is unambiguous). `unix_micros` is
+    * exact integer arithmetic — no float rounding on the path.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType =>
+        df.withColumn("ts", expr("unix_micros(ts) * CAST(1000 AS BIGINT)"))
+      case TimestampNTZType =>
+        df.withColumn("ts",
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)"))
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts type: $other")
+    }
+
   def region(s: SparkSession, d: String): DataFrame = tbl(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = tbl(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = tbl(s, d, "customer")
@@ -17,7 +39,8 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = tbl(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = tbl(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = tbl(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = tbl(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(tbl(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
 }

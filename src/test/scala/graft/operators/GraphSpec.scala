@@ -87,4 +87,36 @@ class GraphSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L, 4L).forall(n => got(n) === ((1L, 4L))))
     assert(Seq(5L, 6L, 7L, 8L).forall(n => got(n) === ((5L, 4L))))
   }
+
+  test("BFS: hop = exact shortest distance; diamond takes the min path") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus shortcut 1-6-4 (diamond): node 4 is 2 hops
+    // via 6, NOT 3 hops via the path; 9-10 is a disconnected island
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 6L),
+      (6L, 4L), (9L, 10L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Bfs.reachable(edges, "src", "dst", seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 6L -> 1, 3L -> 2, 4L -> 2, 5L -> 3))
+  }
+
+  test("BFS: undirected expansion, multi-seed min, hop-0 stop, empty frontier") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst") // 1-2-3 undirected
+    // reverse-direction reach: seed 3 sees 2 then 1 through reversed edges
+    val fromThree = Bfs.reachable(edges, "src", "dst", Seq(3L).toDF("n"),
+        maxHops = 2).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fromThree === Map(3L -> 0, 2L -> 1, 1L -> 2))
+    // two seeds: every node keeps the MIN hop over seeds
+    val multi = Bfs.reachable(edges, "src", "dst", Seq(1L, 3L).toDF("n"),
+        maxHops = 2).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(multi === Map(1L -> 0, 3L -> 0, 2L -> 1))
+    // maxHops = 0 returns just the seed set
+    assert(Bfs.reachable(edges, "src", "dst", Seq(1L).toDF("n"), 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq === Seq((1L, 0)))
+    // isolated seed: frontier empties before maxHops — terminates early
+    val iso = Bfs.reachable(edges, "src", "dst", Seq(42L).toDF("n"), 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(iso === Seq((42L, 0)))
+  }
 }
