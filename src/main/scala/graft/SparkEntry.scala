@@ -2703,6 +2703,56 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  // ---------------------------------------------------------------- q145
+  /** Ordered conversion funnel ([[operators.Funnel.stageCounts]]):
+    * view → click → purchase with a strict AFTER constraint per user.
+    * Each stage is one user-key hash join against the shrinking
+    * reached-set plus one min hash-agg; conversion is exact-integer
+    * ppm. The oracle unrolls the stages as min-aggregation CTEs —
+    * same strict-inequality semantics (driver events are µs-unique
+    * per user, checked at all three scales).
+    */
+  def q145Funnel(s: SparkSession, d: String): DataFrame =
+    operators.Funnel.stageCounts(events(s, d), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))
+      .select(col("stage_idx").cast("long").as("stage_idx"), col("stage"),
+        col("n_users"), col("conv_ppm"))
+      .orderBy(col("stage_idx"))
+
+  // ---------------------------------------------------------------- q146
+  /** Per-user time-weighted average of the event value
+    * ([[operators.TimeWeighted.twa]]): each value is weighted by how
+    * long it stayed current (µs gap to the user's next event), so
+    * burst sampling doesn't dominate the mean. One user-partitioned
+    * window + one hash agg; the value×duration sum accumulates in
+    * exact DECIMAL, with a single deterministic double division at
+    * the end.
+    */
+  def q146Twa(s: SparkSession, d: String): DataFrame =
+    operators.TimeWeighted.twa(
+        events(s, d).withColumn("us", expr("ts DIV 1000")), // ns → µs exact
+        "user_id", "us", "value")
+      .select(col("k").as("user_id"), col("n_events"), col("span_us"),
+        col("twa"))
+      .orderBy(col("user_id"))
+
+  // ---------------------------------------------------------------- q147
+  /** Distinctive vocabulary per language ([[operators.Keyness
+    * .topDistinctive]]): Monroe et al. smoothed log-odds z-scores of
+    * each term in one lang's documents vs the rest of the corpus, top
+    * 8 per lang. One (lang, term) hash agg + vocabulary-sized joins;
+    * doubles are confined to one codegen'd projection and rounded to
+    * 6 dp before ranking, so both engines rank identically.
+    */
+  def q147Keyness(s: SparkSession, d: String): DataFrame =
+    operators.Keyness.topDistinctive(
+        documents(s, d).withColumn("toks",
+          functions.TextAnalysis.tokens(col("text"))),
+        "lang", "toks", k = 8)
+      .select(col("grp").as("lang"), col("rank"), col("term"),
+        col("y_g"), col("y_rest"), col("z"))
+      .orderBy(col("lang"), col("rank"))
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -3202,6 +3252,9 @@ object SparkEntry {
     "q142_image_dhash" -> (q142ImageDhash _),
     "q143_fuzzy_blocking" -> (q143FuzzyBlocking _),
     "q144_bfs_reach" -> (q144BfsReach _),
+    "q145_funnel" -> (q145Funnel _),
+    "q146_twa" -> (q146Twa _),
+    "q147_keyness" -> (q147Keyness _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -5617,6 +5670,70 @@ object SparkEntry {
         |  UNION ALL SELECT node, CAST(2 AS BIGINT) FROM l2
         |  UNION ALL SELECT node, CAST(3 AS BIGINT) FROM l3)
         |ORDER BY node""".stripMargin,
+
+    "q145_funnel" ->
+      // stage k = min-agg over events strictly after the user's
+      // stage-(k-1) time; conversion is exact integer ppm (ordering
+      // is unit-invariant, so µs here vs ns in Spark is immaterial)
+      """WITH ev AS (SELECT user_id AS u, event_type AS t,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+        |  FROM events),
+        |s0 AS (SELECT u, min(us) AS ts FROM ev WHERE t = 'view' GROUP BY u),
+        |s1 AS (SELECT ev.u, min(ev.us) AS ts FROM ev JOIN s0 ON ev.u = s0.u
+        |       WHERE ev.t = 'click' AND ev.us > s0.ts GROUP BY ev.u),
+        |s2 AS (SELECT ev.u, min(ev.us) AS ts FROM ev JOIN s1 ON ev.u = s1.u
+        |       WHERE ev.t = 'purchase' AND ev.us > s1.ts GROUP BY ev.u),
+        |c AS (SELECT 0 AS i, 'view' AS stage, (SELECT count(*) FROM s0) AS n
+        |  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2))
+        |SELECT CAST(i AS BIGINT) AS stage_idx, stage,
+        |  CAST(n AS BIGINT) AS n_users,
+        |  CAST(CASE WHEN i = 0 THEN 1000000
+        |       WHEN lag(n) OVER (ORDER BY i) = 0 THEN 0
+        |       ELSE n * 1000000 // lag(n) OVER (ORDER BY i) END AS BIGINT)
+        |    AS conv_ppm
+        |FROM c ORDER BY stage_idx""".stripMargin,
+
+    "q146_twa" ->
+      // value×duration accumulates in exact DECIMAL on both engines;
+      // the one double division at the end is IEEE-deterministic
+      """WITH ev AS (SELECT user_id AS u,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+        |    CAST(value AS DECIMAL(9,2)) AS v FROM events),
+        |d AS (SELECT u, us, v,
+        |    lead(us) OVER (PARTITION BY u ORDER BY us) - us AS dur FROM ev),
+        |f AS (SELECT * FROM d WHERE dur IS NOT NULL)
+        |SELECT u AS user_id, CAST(count(*) + 1 AS BIGINT) AS n_events,
+        |  CAST(sum(dur) AS BIGINT) AS span_us,
+        |  round(CAST(sum(v * CAST(dur AS DECIMAL(18,0))) AS DOUBLE)
+        |    / CAST(sum(dur) AS DOUBLE), 6) AS twa
+        |FROM f GROUP BY u ORDER BY user_id""".stripMargin,
+
+    "q147_keyness" ->
+      // +0.5-smoothed log-odds z from four exact integer counts;
+      // round to 6dp BEFORE ranking so both engines order identically
+      s"""WITH tok AS (SELECT lang, unnest($SqlToks) AS term FROM documents),
+        |cnt AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS y_g
+        |        FROM tok GROUP BY lang, term),
+        |gt AS (SELECT lang, CAST(sum(y_g) AS BIGINT) AS n_g
+        |       FROM cnt GROUP BY lang),
+        |tt AS (SELECT term, CAST(sum(y_g) AS BIGINT) AS y_all
+        |       FROM cnt GROUP BY term),
+        |tot AS (SELECT CAST(sum(y_g) AS BIGINT) AS n_all FROM cnt),
+        |sc AS (SELECT cnt.lang, cnt.term, cnt.y_g,
+        |    tt.y_all - cnt.y_g AS y_rest, gt.n_g,
+        |    tot.n_all - gt.n_g AS n_rest
+        |  FROM cnt JOIN gt USING (lang) JOIN tt USING (term) CROSS JOIN tot),
+        |z AS (SELECT lang, term, y_g, y_rest,
+        |    round((ln((y_g + 0.5) / (n_g - y_g + 0.5))
+        |         - ln((y_rest + 0.5) / (n_rest - y_rest + 0.5)))
+        |      / sqrt(1.0 / (y_g + 0.5) + 1.0 / (y_rest + 0.5)), 6) AS z
+        |  FROM sc),
+        |rk AS (SELECT lang, CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY z DESC, term) AS BIGINT) AS rank,
+        |    term, y_g, y_rest, z FROM z)
+        |SELECT lang, rank, term, y_g, y_rest, z FROM rk
+        |WHERE rank <= 8 ORDER BY lang, rank""".stripMargin,
 
   )
 }

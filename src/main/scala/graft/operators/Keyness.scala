@@ -27,7 +27,10 @@ object Keyness {
     * group (ties broken by term), where `z` is the +0.5-smoothed
     * log-odds-ratio z-score of the term in `group` vs all other
     * groups, rounded to 6 dp. `tokensCol` must be an array of term
-    * strings.
+    * strings. Terms are scored only in groups where they OCCUR (the
+    * sparse frame — a dense group×vocabulary cross would shuffle
+    * |groups|·|vocab| rows for scores that can never rank in a top-k
+    * of distinctive-POSITIVE terms; absent terms have z < 0).
     */
   def topDistinctive(docs: DataFrame, groupCol: String, tokensCol: String,
                      k: Int): DataFrame = {

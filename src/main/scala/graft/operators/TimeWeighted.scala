@@ -42,7 +42,10 @@ object TimeWeighted {
       .groupBy("k")
       .agg((count(lit(1)) + 1).as("n_events"), // +1: the dropped last event
         sum(col("dur")).cast("long").as("span_us"),
-        (sum(col("v") * col("dur")).cast("double") /
-          sum(col("dur")).cast("double")).as("twa"))
+        // the Σv·dur integer exceeds 2^53 for long-lived keys, so the
+        // decimal→double cast rounds; 6dp absorbs the engine-specific
+        // last-ULP of that conversion (values are O(100), µs-weighted)
+        round(sum(col("v") * col("dur")).cast("double") /
+          sum(col("dur")).cast("double"), 6).as("twa"))
   }
 }
