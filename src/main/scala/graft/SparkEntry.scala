@@ -2753,6 +2753,98 @@ object SparkEntry {
         col("y_g"), col("y_rest"), col("z"))
       .orderBy(col("lang"), col("rank"))
 
+  // ---------------------------------------------------------------- q148
+  /** Fixed-budget k-core peeling ([[operators.KCore.peelRounds]]) of
+    * the (≥2-support) co-purchase graph: 12 rounds of "drop nodes with
+    * < 3 surviving neighbors". A FIXED round budget makes the result a
+    * closed-form function of the input (idempotent once converged —
+    * 12 ≥ the peel depth at every test scale), so the oracle replays
+    * the rounds as unrolled CTEs; the fixpoint variant
+    * ([[operators.KCore.kCore]]) is spec-pinned against brute force.
+    * Sixth consumer of the shared co-purchase edge artifact.
+    */
+  def q148KcorePeel(s: SparkSession, d: String): DataFrame =
+    operators.KCore.peelRounds(
+        copurchasePairs(s, d).filter(col("n_both") >= 2)
+          .select(col("pa"), col("pb")),
+        "pa", "pb", k = 3, rounds = 12)
+      .select(col("node"), col("deg"))
+      .orderBy(col("node"))
+
+  // ---------------------------------------------------------------- q149
+  /** Shot-boundary detection over REAL video decode
+    * ([[operators.Multimodal.sceneSegments]]): deterministic
+    * uncompressed AVIs (solid frames whose colors jitter by ±1 within
+    * a "shot" and jump at shot changes) are decoded by the RIFF
+    * walker, and scenes segmented where the L1 frame-difference
+    * exceeds 30. Decode is partition-preserving mapPartitions; the
+    * segmentation is one media-partitioned window + one hash agg. The
+    * oracle predicts every frame color analytically from the fixture
+    * formula (lossless frames ⇒ exact integer means).
+    */
+  def q149SceneChange(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import operators.Multimodal
+    val recs = supplier(s, d).select(col("s_suppkey"))
+      .filter(col("s_suppkey") % 5 === 1)
+      .as[Long].map { k =>
+        val n = (12 + k % 7).toInt
+        val shot = (3 + k % 3).toInt
+        val colors = (0 until n).map { f =>
+          val sIdx = f / shot
+          (((k * 37 + sIdx * 89) % 254 + f % 2).toInt,
+            ((k * 53 + sIdx * 131) % 254 + f % 2).toInt,
+            ((k * 71 + sIdx * 17) % 254 + f % 2).toInt)
+        }
+        Multimodal.MediaRecord(k, "video", Multimodal.solidAvi(32, 24, 10, colors))
+      }
+    Multimodal.sceneSegments(Multimodal.videoFrameFeatures(recs, stride = 1),
+        threshold = 30)
+      .orderBy(col("media_id"), col("scene_idx"))
+  }
+
+  // ---------------------------------------------------------------- q150
+  /** HyperLogLog cardinality sketch ([[operators.Sketches
+    * .hllRegisters]]/[[operators.Sketches.hllEstimate]], p = 6) of
+    * per-source token vocabularies, alongside the exact count — the
+    * mergeable-register companion to q105's KMV bottom-k. Registers
+    * are exact content-keyed integers (same md5-48 line), merged by
+    * per-bucket max with map-side combining; the harmonic sum is an
+    * exact BIGINT (`Σ 2^(49−rho)`), so only the final three IEEE ops
+    * are float.
+    */
+  def q150HllSketch(s: SparkSession, d: String): DataFrame = {
+    import operators.Sketches
+    val toks = documents(s, d).select(col("source"),
+      explode(functions.TextAnalysis.tokens(col("text"))).as("tok"))
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(toks, Seq("source"), "tok", p = 6),
+      Seq("source"), p = 6)
+    val exact = toks.select(col("source"), col("tok")).distinct()
+      .groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+    est.join(exact, "source")
+      .select(col("source"), col("n_zero"), col("s_scaled"),
+        col("est_distinct"), col("exact_distinct"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------- q151
+  /** Equal-frequency WoE binning ([[operators.WoeBinning.woeBins]]):
+    * decile bins of `l_extendedprice` under a total order, scored
+    * against the `l_returnflag = 'R'` target. Bin membership is pure
+    * integer rank arithmetic ((rn−1)·10 DIV n — no interpolated edge
+    * values cross engines); the rank is the range-partitioned
+    * distributed sort the exact-quantile operator uses.
+    */
+  def q151WoeBinning(s: SparkSession, d: String): DataFrame =
+    operators.WoeBinning.woeBins(
+        lineitem(s, d), "l_extendedprice", col("l_returnflag") === "R",
+        Seq(col("l_extendedprice").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc, col("l_partkey").asc,
+          col("l_suppkey").asc),
+        nBins = 10)
+      .orderBy(col("bin"))
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -3255,6 +3347,10 @@ object SparkEntry {
     "q145_funnel" -> (q145Funnel _),
     "q146_twa" -> (q146Twa _),
     "q147_keyness" -> (q147Keyness _),
+    "q148_kcore_peel" -> (q148KcorePeel _),
+    "q149_scene_change" -> (q149SceneChange _),
+    "q150_hll_sketch" -> (q150HllSketch _),
+    "q151_woe_binning" -> (q151WoeBinning _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -5735,5 +5831,118 @@ object SparkEntry {
         |SELECT lang, rank, term, y_g, y_rest, z FROM rk
         |WHERE rank <= 8 ORDER BY lang, rank""".stripMargin,
 
+    // fixed-budget peel: 12 unrolled rounds, each "keep nodes with >= 3
+    // surviving neighbors, restrict edges to kept endpoints"
+    "q148_kcore_peel" -> kcorePeelSql(rounds = 12, k = 3),
+
+    "q149_scene_change" ->
+      // frame colors replayed from the fixture formula (solid lossless
+      // frames => decoded means ARE the colors); cuts + gaps-islands
+      """WITH m AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier
+        |           WHERE s_suppkey % 5 = 1),
+        |f AS (SELECT k, unnest(generate_series(0,
+        |        CAST(12 + k % 7 AS INT) - 1)) AS fi FROM m),
+        |c AS (SELECT k AS media_id, fi AS frame_idx,
+        |    (k * 37 + (fi // (3 + k % 3)) * 89) % 254 + fi % 2 AS r,
+        |    (k * 53 + (fi // (3 + k % 3)) * 131) % 254 + fi % 2 AS g,
+        |    (k * 71 + (fi // (3 + k % 3)) * 17) % 254 + fi % 2 AS b
+        |  FROM f),
+        |d AS (SELECT media_id, frame_idx,
+        |    abs(r - lag(r) OVER w) + abs(g - lag(g) OVER w)
+        |      + abs(b - lag(b) OVER w) AS delta
+        |  FROM c WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+        |sc AS (SELECT media_id, frame_idx,
+        |    sum(CASE WHEN delta IS NULL OR delta > 30 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY media_id ORDER BY frame_idx) AS scene_idx
+        |  FROM d)
+        |SELECT media_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+        |  CAST(min(frame_idx) AS BIGINT) AS start_frame,
+        |  CAST(max(frame_idx) AS BIGINT) AS end_frame,
+        |  CAST(count(*) AS BIGINT) AS n_frames
+        |FROM sc GROUP BY media_id, scene_idx
+        |ORDER BY media_id, scene_idx""".stripMargin,
+
+    "q150_hll_sketch" ->
+      // registers replayed bit-for-bit on the md5-48 line; the harmonic
+      // sum is the exact integer sum of 2^(49-rho); constants fold
+      // left-assoc identically in both engines
+      s"""WITH v AS (SELECT source AS g, unnest($SqlToks) AS w FROM documents),
+         |h AS (SELECT g, w,
+         |        CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h FROM v),
+         |r AS (SELECT g, h % 64 AS bucket,
+         |    CASE WHEN h // 64 = 0 THEN 43
+         |         ELSE 43 - length(bin(h // 64)) END AS rho
+         |  FROM h),
+         |reg AS (SELECT g, bucket, max(rho) AS rho FROM r GROUP BY g, bucket),
+         |s AS (SELECT g, CAST(count(*) AS BIGINT) AS nb,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(49 - rho AS INT)) AS BIGINT)
+         |      AS sp
+         |  FROM reg GROUP BY g),
+         |e AS (SELECT g, CAST(64 - nb AS BIGINT) AS n_zero,
+         |    sp + CAST(64 - nb AS BIGINT) * CAST(562949953421312 AS BIGINT)
+         |      AS s_scaled FROM s),
+         |est AS (SELECT g, n_zero, CAST(s_scaled AS BIGINT) AS s_scaled,
+         |    CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+         |      * CAST(562949953421312 AS DOUBLE) / CAST(s_scaled AS DOUBLE)
+         |      AS raw FROM e),
+         |ex AS (SELECT g, CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct
+         |       FROM v GROUP BY g)
+         |SELECT est.g AS source, CAST(n_zero AS BIGINT) AS n_zero, s_scaled,
+         |  round(CASE WHEN raw <= 160.0 AND n_zero > 0
+         |    THEN 64.0 * ln(64.0 / CAST(n_zero AS DOUBLE)) ELSE raw END, 6)
+         |    AS est_distinct,
+         |  ex.exact_distinct
+         |FROM est JOIN ex ON ex.g = est.g ORDER BY source""".stripMargin,
+
+    "q151_woe_binning" ->
+      // bin membership is integer rank arithmetic under the same total
+      // order — no quantile interpolation crosses engines
+      """WITH rk AS (SELECT l_extendedprice AS v, l_returnflag = 'R' AS bad,
+        |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+        |      l_linenumber, l_partkey, l_suppkey) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM lineitem),
+        |b AS (SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS bin, v, bad FROM rk),
+        |agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |    min(v) AS lo, max(v) AS hi
+        |  FROM b GROUP BY bin),
+        |tot AS (SELECT CAST(sum(n_bad) AS BIGINT) AS tb,
+        |    CAST(sum(n_rows - n_bad) AS BIGINT) AS tg FROM agg),
+        |sc AS (SELECT bin, n_rows, n_bad, n_rows - n_bad AS n_good, lo, hi,
+        |    (CAST(n_rows - n_bad AS DOUBLE) + 0.5) / CAST(tg AS DOUBLE) AS pg,
+        |    (CAST(n_bad AS DOUBLE) + 0.5) / CAST(tb AS DOUBLE) AS pb
+        |  FROM agg CROSS JOIN tot)
+        |SELECT bin, n_rows, n_bad, n_good, lo, hi,
+        |  round(ln(pg / pb), 6) AS woe,
+        |  round((pg - pb) * round(ln(pg / pb), 6), 6) AS iv
+        |FROM sc ORDER BY bin""".stripMargin,
+
   )
+
+  /** Unrolled fixed-budget k-core peel oracle over the ≥2-support
+    * co-purchase graph (see q148): round i keeps nodes with ≥ k
+    * surviving neighbors and restricts the edge set to kept endpoints.
+    */
+  private def kcorePeelSql(rounds: Int, k: Int): String = {
+    // each e_{i-1} is referenced twice (k_i and e_i) — MATERIALIZED
+    // stops the reference tree from re-expanding to the base scan
+    val peels = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT u FROM e${i - 1} GROUP BY u
+        HAVING count(*) >= $k),
+e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+        JOIN k$i a ON e.u = a.u JOIN k$i b ON e.v = b.u)"""
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+sup AS (SELECT a.pk AS pa, b.pk AS pb
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+e0 AS MATERIALIZED (SELECT CAST(pa AS BIGINT) AS u, CAST(pb AS BIGINT) AS v
+       FROM sup
+       UNION SELECT CAST(pb AS BIGINT), CAST(pa AS BIGINT) FROM sup),
+$peels
+SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+FROM e$rounds GROUP BY u ORDER BY node"""
+  }
 }

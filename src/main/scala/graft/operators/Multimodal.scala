@@ -523,6 +523,38 @@ object Multimodal {
       decodeVideoFrames(r.payload, stride).map(_.copy(media_id = r.media_id))))
   }
 
+  /** Shot/scene segmentation from per-frame channel means: a cut is a
+    * frame whose L1 color distance to the PREVIOUS frame exceeds
+    * `threshold` (the classic frame-difference shot detector); scenes
+    * are the runs between cuts →
+    * `(media_id, scene_idx, start_frame, end_frame, n_frames)`.
+    * Same declarative shape as [[silenceSpans]]: the deltas are one
+    * media-partitioned `lag` window, the segmentation one running sum
+    * over the cut flags — no self-join, no iteration, and the decode
+    * stays in the partition-preserving frame stage upstream.
+    */
+  def sceneSegments(frames: Dataset[VideoFrame], threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    // solid/lossless fixtures make means exact ints; for real footage
+    // the long cast just coarsens the metric by < 1 L1 unit per channel
+    def ch(c: String) = col(c).cast("long")
+    frames.toDF()
+      .withColumn("__d",
+        abs(ch("mean_r") - lag(ch("mean_r"), 1).over(w)) +
+          abs(ch("mean_g") - lag(ch("mean_g"), 1).over(w)) +
+          abs(ch("mean_b") - lag(ch("mean_b"), 1).over(w)))
+      .withColumn("__cut",
+        when(col("__d").isNull || col("__d") > threshold, 1L).otherwise(0L))
+      .withColumn("scene_idx", sum(col("__cut")).over(w))
+      .groupBy(col("media_id"), col("scene_idx"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+      .select(col("media_id"), col("scene_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"))
+  }
+
   /** Deterministic uncompressed-AVI fixture: solid-color BI_RGB frames —
     * lossless, so each frame's decoded channel means equal the
     * constructed color EXACTLY (an external oracle predicts decode

@@ -83,4 +83,72 @@ object Sketches {
       .select(groupCols.map(col) :+ col("rk").cast("long").as("rk") :+
         col("h") :+ col("v"): _*)
   }
+
+  // ------------------------------------------------------------- HLL
+
+  /** HyperLogLog registers (Flajolet et al., AofA'07) on the same
+    * 48-bit md5 line as [[hash48]]: bucket = low p bits, rho = 1 +
+    * leading zeros of the remaining 48−p bits. Registers are exact
+    * integers and content-keyed, so the sketch is deterministic across
+    * runs, partitionings and engines, and MERGEABLE by per-bucket max
+    * (associative+commutative — partition partials combine in any
+    * order; map-side combining does exactly that here). Returns the
+    * sparse register table `(groupCols..., bucket, rho)` — absent
+    * buckets are rho 0.
+    */
+  def hllRegisters(values: DataFrame, groupCols: Seq[String],
+                   valueCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    values
+      .select(groupCols.map(col) :+ col(valueCol).as("v"): _*)
+      .withColumn("__h", hash48(col("v")))
+      .withColumn("bucket", pmod(col("__h"), lit(m.toLong)))
+      .withColumn("__w", expr(s"__h DIV $m")) // the remaining 48−p bits
+      // bitlength via bin(): rho = (48−p) − bitlen(w) + 1; w = 0 → 49−p
+      .withColumn("rho",
+        when(col("__w") === 0, lit(49 - p))
+          .otherwise(lit(49 - p) - length(bin(col("__w")))))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rho")).cast("long").as("rho"))
+  }
+
+  /** Cardinality estimate from HLL registers. The harmonic-mean sum
+    * `Σ 2^−rho` is computed as the EXACT integer `Σ 2^(49−rho)`
+    * (common denominator 2^49; at most (m−1)·2^49 + 2^48 < 2^63 for
+    * p ≤ 14, so it fits BIGINT) — order-independent, unlike a float
+    * sum of powers that spans more than 52 bits. One double conversion + three IEEE ops
+    * give the raw estimate; the standard linear-counting branch covers
+    * the small range. Returns
+    * `(groupCols..., n_zero, s_scaled, est_distinct)` with the
+    * estimate rounded to 6 dp.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+                  p: Int): DataFrame = {
+    require(p >= 4 && p <= 14, s"estimate supports p in [4,14], got $p")
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    registers.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__nb"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - rho AS INT))"))
+          .as("__sp"))
+      .withColumn("n_zero", lit(m.toLong) - col("__nb"))
+      .withColumn("s_scaled", // absent buckets: rho 0 → 2^(49−0)
+        col("__sp") + col("n_zero") * lit(562949953421312L))
+      .withColumn("__raw",
+        lit(alpha) * lit((m.toLong * m).toDouble) * lit(562949953421312.0) /
+          col("s_scaled").cast("double"))
+      .withColumn("est_distinct", round(
+        when(col("__raw") <= lit(2.5 * m) && col("n_zero") > 0,
+          lit(m.toDouble) *
+            log(lit(m.toDouble) / col("n_zero").cast("double")))
+          .otherwise(col("__raw")), 6))
+      .select(groupCols.map(col) :+ col("n_zero") :+ col("s_scaled") :+
+        col("est_distinct"): _*)
+  }
 }

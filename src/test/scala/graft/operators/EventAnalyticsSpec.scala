@@ -86,4 +86,32 @@ class EventAnalyticsSpec extends SparkSpec {
       .toMap
     assert(math.abs(all(("a", "common")) + all(("b", "common"))) < 2e-6)
   }
+
+  test("scene segments: cuts at L1 jumps, jitter below threshold ignored") {
+    import Multimodal.VideoFrame
+    // frames: two stable shots with ±1 jitter, a hard cut at frame 3
+    val frames = Seq(
+      VideoFrame(7L, 0, 4, 4, 100, 100, 100),
+      VideoFrame(7L, 1, 4, 4, 101, 100, 99), // L1=3: same shot
+      VideoFrame(7L, 2, 4, 4, 100, 100, 100),
+      VideoFrame(7L, 3, 4, 4, 10, 200, 100), // L1=190: cut
+      VideoFrame(7L, 4, 4, 4, 11, 200, 100),
+      VideoFrame(9L, 0, 4, 4, 5, 5, 5)       // second media: one scene
+    ).toDS()
+    val got = Multimodal.sceneSegments(frames, threshold = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set((7L, 1L, 0L, 2L, 3L), (7L, 2L, 3L, 4L, 2L),
+      (9L, 1L, 0L, 0L, 1L)))
+  }
+
+  test("scene segments survive a REAL AVI decode round-trip") {
+    val colors = Seq((10, 10, 10), (11, 10, 10), (200, 50, 50), (201, 50, 50))
+    val rec = Seq(Multimodal.MediaRecord(3L, "video",
+      Multimodal.solidAvi(16, 8, 10, colors))).toDS()
+    val got = Multimodal.sceneSegments(
+        Multimodal.videoFrameFeatures(rec, stride = 1), threshold = 30)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((1L, 0L, 1L), (2L, 2L, 3L)))
+  }
 }

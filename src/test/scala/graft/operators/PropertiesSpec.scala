@@ -861,4 +861,98 @@ class PropertiesSpec extends SparkSpec {
       got == expected
     }, 10)
   }
+
+  test("k-core fixpoint equals in-memory peeling on random graphs") {
+    val edgeGen = Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 20L))
+    val graphGen = Gen.zip(Gen.listOfN(40, edgeGen), Gen.chooseNum(2, 4))
+    check(Prop.forAllNoShrink(graphGen) { case (edges, k) =>
+      val got = KCore.kCore(edges.toDF("a", "b"), "a", "b", k)
+        .as[(Long, Long)].collect().toMap
+      // reference: iterate deletion over an adjacency-set model
+      val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      edges.foreach { case (a, b) =>
+        if (a != b) {
+          adj(a) = adj.getOrElse(a, Set.empty) + b
+          adj(b) = adj.getOrElse(b, Set.empty) + a
+        }
+      }
+      var changed = true
+      while (changed) {
+        val bad = adj.collect { case (n, nb) if nb.size < k => n }.toSet
+        changed = bad.nonEmpty
+        bad.foreach { n => adj.remove(n) }
+        adj.keys.toList.foreach(n => adj(n) = adj(n) -- bad)
+      }
+      got == adj.map { case (n, nb) => n -> nb.size.toLong }.toMap
+    }, 8)
+  }
+
+  test("k-core peelRounds is idempotent past convergence and matches kCore") {
+    // 4-clique + pendant chain: the chain peels off in 2 rounds
+    val edges = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)) ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val fix = rows(KCore.kCore(edges, "a", "b", k = 3))
+    assert(fix === Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    assert(rows(KCore.peelRounds(edges, "a", "b", k = 3, rounds = 2)) === fix)
+    assert(rows(KCore.peelRounds(edges, "a", "b", k = 3, rounds = 9)) === fix)
+    // zero rounds = raw degrees
+    assert(rows(KCore.peelRounds(edges, "a", "b", k = 3, rounds = 0)) ===
+      Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 4L), (5L, 2L), (6L, 1L)))
+  }
+
+  test("HLL registers: merge-by-max equals registers of the union; " +
+    "estimate tracks truth") {
+    val p = 6
+    val all = spark.range(0, 3000)
+      .select((col("id") % 2).cast("string").as("g"),
+        concat(lit("t"), (col("id") * 13 % 1409).cast("string")).as("w"))
+    val a = all.filter(col("id") % 3 === 0)
+    val b = all.filter(col("id") % 3 =!= 0)
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, Seq("g"), "w", p)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val whole = regs(all)
+    val ra = regs(a); val rb = regs(b)
+    val merged = (ra.keySet ++ rb.keySet).map(k =>
+      k -> math.max(ra.getOrElse(k, 0L), rb.getOrElse(k, 0L))).toMap
+    assert(merged === whole)
+    // estimate within HLL's expected error envelope (1.04/sqrt(64) ≈ 13%;
+    // deterministic fixture, generous 3σ bound)
+    val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(all, Seq("g"), "w", p), Seq("g"), p)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val truth = all.distinct().groupBy("g").agg(countDistinct("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) / n < 0.4, s"g=$g est=${est(g)} n=$n") }
+    // small range exercises the linear-counting branch and stays close
+    val tiny = (0 until 12).map(i => ("x", s"v$i")).toDF("g", "w")
+    val e2 = Sketches.hllEstimate(
+        Sketches.hllRegisters(tiny, Seq("g"), "w", p), Seq("g"), p)
+      .collect().head
+    assert(e2.getLong(1) > 0L) // zeros present → LC branch
+    assert(math.abs(e2.getDouble(3) - 12.0) < 4.0)
+  }
+
+  test("WoE binning: equals a single-box reference on a skewed fixture") {
+    // 20 rows, two value plateaus; bad concentrated in the high plateau
+    val df = (1 to 20).map { i =>
+      (i.toLong, if (i <= 10) 1.0 else 2.0, i > 14)
+    }.toDF("id", "v", "bad")
+    val got = WoeBinning.woeBins(df, "v", col("bad"),
+        Seq(col("v").asc, col("id").asc), nBins = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(6))).toList.sortBy(_._1)
+    // ranks 1..20 → 4 bins of 5; bads are ids 15..20 → bins 2 (1 bad) and 3 (5 bads)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) ===
+      List((0L, 5L, 0L, 5L), (1L, 5L, 0L, 5L), (2L, 5L, 1L, 4L),
+        (3L, 5L, 5L, 0L)))
+    val woe = (good: Long, bad: Long) =>
+      BigDecimal(math.log(((good + 0.5) / 14.0) / ((bad + 0.5) / 6.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._5) === List(woe(5, 0), woe(5, 0), woe(4, 1), woe(0, 5)))
+  }
 }
