@@ -2845,6 +2845,121 @@ object SparkEntry {
         nBins = 10)
       .orderBy(col("bin"))
 
+  // ---------------------------------------------------------------- q152
+  /** Degree assortativity ([[operators.GraphStats
+    * .degreeAssortativity]]) of the co-purchase graph — the
+    * hub-to-hub mixing scalar. One degree hash-agg + two node-key
+    * joins + one exact-DECIMAL moment aggregation; only the final
+    * Pearson division is float. Seventh consumer of the shared edge
+    * artifact.
+    */
+  def q152Assortativity(s: SparkSession, d: String): DataFrame =
+    operators.GraphStats.degreeAssortativity(
+      copurchasePairs(s, d).select(col("pa"), col("pb")), "pa", "pb")
+
+  // ---------------------------------------------------------------- q153
+  /** Mann–Whitney U rank-sum test ([[operators.MannWhitney.uTest]]):
+    * purchase vs click event values, midranks with tie correction.
+    * Ranking runs over the distinct-VALUE frame (one value-keyed hash
+    * agg + a bounded window over ~56k distinct 2-dp values), never
+    * over raw rows; rank mass stays exact in half-integers (×2
+    * BIGINTs) and the normal approximation runs once on one row.
+    */
+  def q153MannWhitney(s: SparkSession, d: String): DataFrame =
+    operators.MannWhitney.uTest(
+      events(s, d).filter(col("event_type").isin("click", "purchase")),
+      "value", col("event_type") === "purchase")
+
+  // ---------------------------------------------------------------- q154
+  /** Hamming-tolerant perceptual dedup ([[operators.Multimodal
+    * .nearDupDHashPairs]]): dHash near-dups within distance 2 via the
+    * 4-band multi-index join — the scale path for "almost identical
+    * image" discovery (q142's exact-equality join misses single-bit
+    * mutants). The fixture plants a single-cell brightness bump per
+    * pair (≤ 2 hash bits flip, structurally); real PNG decode on both
+    * members; the oracle replays every hash bit AND the brute-force
+    * Hamming join from the cell formula — by pigeonhole the banded
+    * candidate set equals brute force at distance ≤ 3.
+    */
+  def q154DhashHamming(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import operators.Multimodal
+    val recs = part(s, d).select(col("p_partkey"))
+      .filter(col("p_partkey") % 5 === 2)
+      .as[Long].map { k =>
+        val kb = k - k % 10 // pair members: k%10 = 2 (base) and 7 (mutant)
+        if (k % 10 == 2)
+          Multimodal.MediaRecord(k, "image", Multimodal.gridPng(kb, 0))
+        else
+          Multimodal.MediaRecord(k, "image", Multimodal.gridPng(kb, 0,
+            bumpGx = ((kb / 10) % 9).toInt, bumpGy = ((kb / 10) % 8).toInt,
+            bumpDelta = 120))
+      }
+    Multimodal.nearDupDHashPairs(
+        Multimodal.imageDHashes(recs).toDF()
+          .select(col("media_id"), col("hash_hi"), col("hash_lo")),
+        maxHamming = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---------------------------------------------------------------- q155
+  /** Sorted-neighborhood linkage ([[operators.FuzzyJoin
+    * .sortedNeighborhood]]): customers ranked by (name, key), pairs
+    * within 3 rank positions verified at Levenshtein ≤ 2 — the
+    * boundary-straddling complement to q143's hard blocking.
+    * Candidates are O(n·window) by construction (rank-band join on
+    * the ordinal line); the rank itself is the range-partitioned
+    * distributed sort.
+    */
+  def q155SortedNeighborhood(s: SparkSession, d: String): DataFrame =
+    operators.FuzzyJoin.sortedNeighborhood(
+        customer(s, d), "c_custkey", "c_name",
+        Seq(col("c_name").asc, col("c_custkey").asc),
+        window = 3, maxDist = 2)
+      .select(col("id_a"), col("id_b"), col("gap"),
+        col("dist").cast("long").as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---------------------------------------------------------------- q156
+  /** Count-min sketch ([[operators.Sketches.cmsSketch]]/[[operators
+    * .Sketches.cmsQuery]], 4×256): token frequencies sketched into
+    * 1024 exact BIGINT counters (mergeable by cell-wise addition —
+    * the map-side combine IS the merge), then point-queried for the
+    * 25 most frequent tokens and compared to exact counts. CMS is
+    * integer end to end — the overestimate column is exact on both
+    * engines.
+    */
+  def q156CmsSketch(s: SparkSession, d: String): DataFrame = {
+    import operators.Sketches
+    val toks = documents(s, d).select(
+      explode(functions.TextAnalysis.tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    val probes = exact
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(25)
+    val sketch = Sketches.cmsSketch(toks, "tok", depth = 4, width = 256)
+    Sketches.cmsQuery(sketch, probes.select("tok"), "tok",
+        depth = 4, width = 256)
+      .join(probes, "tok")
+      .select(col("tok"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("tok"))
+  }
+
+  // ---------------------------------------------------------------- q157
+  /** Per-user engagement trend ([[operators.Regression.olsPerKey]]):
+    * value regressed on the user's seconds-offset timeline — ~1500
+    * independent OLS fits in ONE key-partitioned moment aggregation
+    * (five exact DECIMAL moments, closed-form ratios, no iteration).
+    * The x offset is exact integer seconds ((ts − min ts) DIV 1e9 on
+    * the ns line ≡ µs DIV 1e6 on the oracle's).
+    */
+  def q157UserTrend(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("__x",
+      expr("(ts - min(ts) OVER (PARTITION BY user_id)) DIV 1000000000"))
+    operators.Regression.olsPerKey(ev, "user_id", "__x", "value")
+      .orderBy(col("user_id"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -3351,6 +3466,12 @@ object SparkEntry {
     "q149_scene_change" -> (q149SceneChange _),
     "q150_hll_sketch" -> (q150HllSketch _),
     "q151_woe_binning" -> (q151WoeBinning _),
+    "q152_assortativity" -> (q152Assortativity _),
+    "q153_mann_whitney" -> (q153MannWhitney _),
+    "q154_dhash_hamming" -> (q154DhashHamming _),
+    "q155_sorted_neighborhood" -> (q155SortedNeighborhood _),
+    "q156_cms_sketch" -> (q156CmsSketch _),
+    "q157_user_trend" -> (q157UserTrend _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -5917,6 +6038,153 @@ object SparkEntry {
         |  round(ln(pg / pb), 6) AS woe,
         |  round((pg - pb) * round(ln(pg / pb), 6), 6) AS iv
         |FROM sc ORDER BY bin""".stripMargin,
+
+    "q152_assortativity" ->
+      // Pearson over end-point degrees from four exact integer moments
+      // (x/y marginals coincide with both orientations present)
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |sup AS (SELECT a.pk AS pa, b.pk AS pb
+        |        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |        GROUP BY a.pk, b.pk),
+        |e AS (SELECT CAST(pa AS BIGINT) AS u, CAST(pb AS BIGINT) AS v FROM sup
+        |      UNION SELECT CAST(pb AS BIGINT), CAST(pa AS BIGINT) FROM sup),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u),
+        |p AS (SELECT da.d AS du, db.d AS dv FROM e
+        |      JOIN deg da ON da.u = e.u JOIN deg db ON db.u = e.v),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+        |    CAST(sum(du) AS BIGINT) AS sx,
+        |    CAST(sum(du * dv) AS BIGINT) AS sxy,
+        |    CAST(sum(du * du) AS BIGINT) AS sxx FROM p),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT n_nodes, m2 // 2 AS n_edges,
+        |  CASE WHEN m2 * sxx - sx * sx = 0 THEN NULL
+        |    ELSE round(CAST(m2 * sxy - sx * sx AS DOUBLE)
+        |      / CAST(m2 * sxx - sx * sx AS DOUBLE), 6) END AS assortativity
+        |FROM m CROSS JOIN n""".stripMargin,
+
+    "q153_mann_whitney" ->
+      // midranks over the distinct-value frame, kept exact as x2
+      // integers; the one-row normal approximation mirrors the Spark
+      // float-op order term for term
+      """WITH ev AS (SELECT value AS v, event_type = 'purchase' AS a
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |    AND value IS NOT NULL),
+        |pv AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ta
+        |  FROM ev GROUP BY v),
+        |rk AS (SELECT v, t, ta,
+        |    CAST(coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below FROM pv),
+        |m AS (SELECT CAST(sum(ta) AS BIGINT) AS n_a,
+        |    CAST(sum(t - ta) AS BIGINT) AS n_b,
+        |    CAST(sum(ta * (2 * below + t + 1)) AS BIGINT) AS r_a_x2,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM rk)
+        |SELECT n_a, n_b, r_a_x2 - n_a * (n_a + 1) AS u_a_x2,
+        |  round(CAST(r_a_x2 - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+        |    / (CAST(2 AS DOUBLE) * sqrt(
+        |        CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12 AS DOUBLE)
+        |          * (CAST(n_a + n_b + 1 AS DOUBLE)
+        |            - CAST(tie3 AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE)
+        |              * CAST(n_a + n_b - 1 AS DOUBLE))))), 6) AS z
+        |FROM m""".stripMargin,
+
+    "q154_dhash_hamming" ->
+      // hash bits replayed from the cell formula WITH the single-cell
+      // bump; brute-force Hamming join — by pigeonhole the 4-band
+      // multi-index candidate set is lossless at distance <= 3
+      """WITH keys AS (SELECT CAST(p_partkey AS BIGINT) AS k,
+        |    CAST(p_partkey - p_partkey % 10 AS BIGINT) AS kb
+        |  FROM part WHERE p_partkey % 5 = 2),
+        |cells AS (SELECT k, kb, gx, gy, k % 10 = 7 AS mut
+        |  FROM keys CROSS JOIN range(9) t1(gx) CROSS JOIN range(8) t2(gy)),
+        |vals AS (SELECT k, gx, gy,
+        |    (kb*31 + gx*17 + gy*29 + gx*gy*7
+        |     + (kb % 251)*gx*13 + (kb % 241)*gy*11
+        |     + CASE WHEN mut AND gx = (kb // 10) % 9 AND gy = (kb // 10) % 8
+        |            THEN 120 ELSE 0 END) % 255 AS v
+        |  FROM cells),
+        |bits AS (SELECT a.k, a.gy*8 + a.gx AS i,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM vals a JOIN vals b
+        |    ON b.k = a.k AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |h AS (SELECT k,
+        |    CAST(SUM(CASE WHEN i >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT)
+        |      AS hi,
+        |    CAST(SUM(CASE WHEN i < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY k)
+        |SELECT a.k AS id_a, b.k AS id_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+        |    AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.k < b.k
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q155_sorted_neighborhood" ->
+      // rank-window candidates + bounded-Levenshtein verify; the rank
+      // line replay is a plain row_number under the same total order
+      """WITH rk AS (SELECT c_custkey AS id, c_name AS nm,
+        |    CAST(row_number() OVER (ORDER BY c_name, c_custkey) AS BIGINT)
+        |      AS rn
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b, b.rn - a.rn AS gap,
+        |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM rk a JOIN rk b ON b.rn - a.rn BETWEEN 1 AND 3
+        |WHERE levenshtein(a.nm, b.nm) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q156_cms_sketch" ->
+      // integer end to end: counters on the md5-48 line, point query =
+      // min over depth rows; probes = top-25 exact frequencies
+      s"""WITH toks AS (SELECT unnest($SqlToks) AS tok FROM documents),
+         |exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+         |          FROM toks GROUP BY tok),
+         |probes AS (SELECT tok, exact_cnt FROM exact
+         |           ORDER BY exact_cnt DESC, tok LIMIT 25),
+         |cells AS (SELECT j AS row_idx,
+         |    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 12))
+         |      AS BIGINT) % 256 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM toks CROSS JOIN range(4) t(j) GROUP BY 1, 2),
+         |pq AS (SELECT p.tok, p.exact_cnt,
+         |    CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+         |  FROM probes p CROSS JOIN range(4) t(j)
+         |  LEFT JOIN cells c ON c.row_idx = t.j AND c.bucket =
+         |    CAST(('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' || p.tok),
+         |      1, 12)) AS BIGINT) % 256
+         |  GROUP BY p.tok, p.exact_cnt)
+         |SELECT tok, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+         |FROM pq ORDER BY tok""".stripMargin,
+
+    "q157_user_trend" ->
+      // five exact DECIMAL moments per user; closed-form ratios with
+      // one double division each, rounded 6dp
+      """WITH ev AS (SELECT user_id,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+        |    CAST(value AS DECIMAL(9,2)) AS y FROM events),
+        |o AS (SELECT user_id,
+        |    (us - min(us) OVER (PARTITION BY user_id)) // 1000000 AS x, y
+        |  FROM ev),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS DECIMAL(19,2)) AS sy,
+        |    CAST(sum(y * CAST(x AS DECIMAL(12,0))) AS DECIMAL(31,2)) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM o GROUP BY user_id),
+        |f AS (SELECT user_id, n, sx, sy, sxy, sxx,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS den FROM m
+        |  WHERE n >= 2)
+        |SELECT user_id, n,
+        |  round(CAST(CAST(n AS DECIMAL(4,0)) * sxy
+        |      - CAST(sx AS DECIMAL(16,0)) * sy AS DOUBLE)
+        |    / den, 6) + 0.0 AS slope,
+        |  round(CAST(CAST(sy AS DECIMAL(10,2)) * sxx
+        |      - CAST(sx AS DECIMAL(16,0)) * CAST(sxy AS DECIMAL(19,2))
+        |      AS DOUBLE) / den, 6) + 0.0 AS intercept
+        |FROM f WHERE den <> 0 ORDER BY user_id""".stripMargin,
 
   )
 

@@ -56,4 +56,35 @@ object FuzzyJoin {
       .select(col(s"a_$idCol").as("id_a"), col(s"b_$idCol").as("id_b"),
         col("a___t").as("text_a"), col("b___t").as("text_b"), col("dist"))
   }
+
+  /** Sorted-neighborhood record linkage (Hernández & Stolfo,
+    * SIGMOD'95): rank records by a fuzzy-clustering sort key, compare
+    * only pairs within `window` rank positions, verify with bounded
+    * Levenshtein. The complement to [[blockedLevenshtein]]'s hard
+    * blocking — near-matches that STRADDLE a block boundary (the
+    * classic blocking failure) are still adjacent in sort order. The
+    * rank is [[Ordinals.withOrderedOrdinal]] (range-partitioned
+    * distributed sort, no global window); the rank-band pairing is
+    * [[TemporalJoins.bandedRangeJoin]] on the rank line — candidate
+    * count is exactly `window` per record, O(n·window) total, never
+    * n². Returns `(id_a, id_b, gap, dist)` with `id_a` the lower-RANK
+    * member.
+    */
+  def sortedNeighborhood(df: DataFrame, idCol: String, textCol: String,
+                         sortCols: Seq[org.apache.spark.sql.Column],
+                         window: Int, maxDist: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val ranked = Ordinals.withOrderedOrdinal(df, sortCols, name = "__rn")
+      .select(col(idCol).as("__id"), col(textCol).as("__t"), col("__rn"))
+    val a = ranked.select(col("__id").as("id_a"), col("__t").as("ta"),
+      col("__rn").as("ra"))
+    val b = ranked.select(col("__id").as("id_b"), col("__t").as("tb"),
+      col("__rn").as("rb"))
+    TemporalJoins.bandedRangeJoin(a, b, keys = Seq.empty,
+        leftTs = "ra", rightTs = "rb", lower = 1L, upper = window.toLong)
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), (col("rb") - col("ra")).as("gap"),
+        col("dist"))
+  }
 }

@@ -215,6 +215,46 @@ object Multimodal {
       dHash(r.payload, gw, gh).map(_.copy(media_id = r.media_id))))
   }
 
+  /** Near-duplicate image pairs within Hamming distance `maxHamming`
+    * of the 64-bit dHash, via the multi-index (pigeonhole) trick
+    * (Norouzi et al., "Fast search in Hamming space with multi-index
+    * hashing", CVPR'12): split the hash into 4 disjoint 16-bit bands —
+    * any pair within distance ≤ 3 agrees EXACTLY on at least one band,
+    * so candidates come from 4 equi-joins on band values (hash
+    * shuffles, O(n) each plus true-collision fan-out) and the full
+    * 64-bit popcount only runs on candidates. Exact recall by
+    * pigeonhole for `maxHamming ≤ 3` — never an n² Hamming scan.
+    * Input must carry `media_id, hash_hi, hash_lo` (two 32-bit
+    * halves); returns `(id_a, id_b, hamming)`.
+    */
+  def nearDupDHashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band multi-index guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val mask = lit(0xFFFFL)
+    val banded = hashes.select(col("media_id"), col("hash_hi"), col("hash_lo"))
+      .withColumn("__band", explode(array(
+        struct(lit(0).as("bi"), col("hash_lo").bitwiseAND(mask).as("bv")),
+        struct(lit(1).as("bi"),
+          shiftright(col("hash_lo"), 16).bitwiseAND(mask).as("bv")),
+        struct(lit(2).as("bi"), col("hash_hi").bitwiseAND(mask).as("bv")),
+        struct(lit(3).as("bi"),
+          shiftright(col("hash_hi"), 16).bitwiseAND(mask).as("bv")))))
+      .select(col("media_id"), col("hash_hi"), col("hash_lo"),
+        col("__band.bi").as("bi"), col("__band.bv").as("bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.hash_hi").as("ha"), col("a.hash_lo").as("la"),
+        col("b.hash_hi").as("hb"), col("b.hash_lo").as("lb"))
+      .distinct() // a pair may collide on several bands
+      .withColumn("hamming",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Deterministic block-gradient PNG fixture: a `gw`×`gh` grid of
     * `cell`×`cell` constant-gray blocks with
     * `v(gx,gy) = (seed*31 + gx*17 + gy*29 + gx*gy*7 + (seed%251)*gx*13
@@ -231,15 +271,21 @@ object Multimodal {
     * comparisons.
     */
   def gridPng(seed: Long, delta: Int, gw: Int = 9, gh: Int = 8,
-              cell: Int = 4): Array[Byte] = {
+              cell: Int = 4, bumpGx: Int = -1, bumpGy: Int = -1,
+              bumpDelta: Int = 0): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(gw * cell, gh * cell,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var gy = 0
     while (gy < gh) {
       var gx = 0
       while (gx < gw) {
+        // the optional single-cell bump (inside the mod, before the
+        // uniform delta) perturbs at most the 2 adjacent-cell
+        // comparisons of that cell: a controlled small-Hamming mutant
+        val bump = if (gx == bumpGx && gy == bumpGy) bumpDelta else 0
         val v = ((seed * 31 + gx * 17 + gy * 29 + gx * gy * 7 +
-          (seed % 251) * gx * 13 + (seed % 241) * gy * 11) % 255 + delta).toInt
+          (seed % 251) * gx * 13 + (seed % 241) * gy * 11 + bump) % 255
+          + delta).toInt
         val rgb = (v << 16) | (v << 8) | v
         var y = gy * cell
         while (y < (gy + 1) * cell) {

@@ -151,4 +151,48 @@ object Sketches {
       .select(groupCols.map(col) :+ col("n_zero") :+ col("s_scaled") :+
         col("est_distinct"): _*)
   }
+
+  // ------------------------------------------------------------- CMS
+
+  /** Count-min sketch (Cormode & Muthukrishnan, J.Alg. 2005): `depth`
+    * hash rows × `width` counters; a value's count lands in one bucket
+    * per row, a point query reads the MINIMUM over its `depth`
+    * buckets — always an overestimate, never under. Counters are exact
+    * BIGINTs on the md5 line (content-keyed ⇒ deterministic across
+    * engines/partitionings) and the sketch is MERGEABLE by plain
+    * cell-wise addition — which is exactly what the map-side partial
+    * aggregation does here. Returns the sparse counter table
+    * `(row_idx, bucket, cnt)`; absent cells are 0.
+    */
+  def cmsSketch(values: DataFrame, valueCol: String, depth: Int,
+                width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad cms shape ($depth × $width)")
+    values.select(col(valueCol).cast("string").as("v"))
+      .withColumn("row_idx",
+        explode(array((0 until depth).map(j => lit(j.toLong)): _*)))
+      .withColumn("bucket",
+        pmod(hash48(concat(col("row_idx"), lit(":"), col("v"))),
+          lit(width.toLong)))
+      .groupBy("row_idx", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point queries against a [[cmsSketch]]: for each probe value the
+    * exact-integer CMS estimate `min_j cnt[j][h_j(v)]` (0 when any
+    * probed cell is empty). One broadcast-sized join per probe set —
+    * the sketch is depth×width rows regardless of corpus size.
+    */
+  def cmsQuery(sketch: DataFrame, probes: DataFrame, valueCol: String,
+               depth: Int, width: Int): DataFrame = {
+    val keyed = probes.select(col(valueCol).cast("string").as("v")).distinct()
+      .withColumn("row_idx",
+        explode(array((0 until depth).map(j => lit(j.toLong)): _*)))
+      .withColumn("bucket",
+        pmod(hash48(concat(col("row_idx"), lit(":"), col("v"))),
+          lit(width.toLong)))
+    keyed.join(sketch, Seq("row_idx", "bucket"), "left")
+      .groupBy("v")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+      .select(col("v").as(valueCol), col("cms_est"))
+  }
 }

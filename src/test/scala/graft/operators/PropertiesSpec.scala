@@ -937,6 +937,97 @@ class PropertiesSpec extends SparkSpec {
     assert(math.abs(e2.getDouble(3) - 12.0) < 4.0)
   }
 
+  test("CMS sketch: point estimates never undercount; exact when no collision") {
+    val toks = spark.range(0, 2000)
+      .select(concat(lit("w"), (col("id") % 97).cast("string")).as("w"))
+    val sketch = Sketches.cmsSketch(toks, "w", depth = 4, width = 256)
+    val probes = toks.distinct()
+    val est = Sketches.cmsQuery(sketch, probes, "w", depth = 4, width = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = toks.groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (w, n) =>
+      assert(est(w) >= n, s"$w undercounted: ${est(w)} < $n") }
+    // unseen probe can only report collision mass, never negative
+    val phantom = Seq("never-seen-token").toDF("w")
+    val e0 = Sketches.cmsQuery(sketch, phantom, "w", 4, 256).collect().head
+    assert(e0.getLong(1) >= 0L)
+  }
+
+  test("CMS sketch merges by cell-wise addition") {
+    val all = spark.range(0, 1200)
+      .select(concat(lit("t"), (col("id") % 53).cast("string")).as("w"))
+    val a = all.filter(col("id") % 2 === 0)
+    val b = all.filter(col("id") % 2 =!= 0)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cells(Sketches.cmsSketch(all, "w", 4, 64))
+    val ca = cells(Sketches.cmsSketch(a, "w", 4, 64))
+    val cb = cells(Sketches.cmsSketch(b, "w", 4, 64))
+    val merged = (ca.keySet ++ cb.keySet).map(k =>
+      k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))).toMap
+    assert(merged === whole)
+  }
+
+  test("grouped OLS recovers planted lines exactly") {
+    // y = 3 + 2x for key 1; y = 10 - 0.5x for key 2; key 3 vertical
+    // (one x) drops; key 4 single point drops
+    val rows =
+      (0 until 5).map(x => (1L, x.toLong, 3.0 + 2.0 * x)) ++
+        (0 until 4).map(x => (2L, (x * 2).toLong, 10.0 - 1.0 * x)) ++
+        Seq((3L, 7L, 1.0), (3L, 7L, 9.0), (4L, 0L, 5.0))
+    val got = Regression.olsPerKey(rows.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === ((5L, 2.0, 3.0)))
+    assert(got(2L) === ((4L, -0.5, 10.0))) // x steps by 2, y by −1
+  }
+
+  test("Mann-Whitney: hand-computed tied example") {
+    // A = {1,2,2}, B = {2,3}: midranks 1, 3, 3, 3, 5
+    // R_A = 7, U_A = 7 - 6 = 1; ties: one group of 3 -> tie3 = 24
+    val df = Seq((1.0, true), (2.0, true), (2.0, true), (2.0, false),
+      (3.0, false)).toDF("v", "a")
+    val r = MannWhitney.uTest(df, "v", col("a")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 2L, 2L))) // 2·U_A
+    // z = (U - n_a·n_b/2)/sqrt(var): U=1, mu=3, var = (6/12)·(6 − 24/20) = 2.4
+    val z = (1.0 - 3.0) / math.sqrt(3.0 * 2.0 / 12.0 * (6.0 - 24.0 / 20.0))
+    assert(math.abs(r.getDouble(3) - BigDecimal(z).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("assortativity: star is maximally disassortative, kite positive-ish") {
+    // star K1,3: every edge joins deg-3 hub to deg-1 leaf -> r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val r1 = GraphStats.degreeAssortativity(star, "a", "b").collect().head
+    assert((r1.getLong(0), r1.getLong(1)) === ((4L, 3L)))
+    assert(r1.getDouble(2) === -1.0)
+    // cycle: all degrees equal -> zero variance -> NULL (documented)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    assert(GraphStats.degreeAssortativity(cyc, "a", "b").collect().head
+      .isNullAt(2))
+  }
+
+  test("dHash Hamming multi-index equals brute force at distance <= 3") {
+    val edgeGen = Gen.listOfN(24,
+      Gen.zip(Gen.chooseNum(0L, 0xFFFFFFFFL), Gen.chooseNum(0L, 0xFFFFFFFFL)))
+    check(Prop.forAllNoShrink(edgeGen) { hs =>
+      val df = hs.zipWithIndex
+        .map { case ((hi, lo), i) => (i.toLong, hi, lo) }
+        .toDF("media_id", "hash_hi", "hash_lo")
+      val got = Multimodal.nearDupDHashPairs(df, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val brute = (for {
+        ((h1, l1), i) <- hs.zipWithIndex; ((h2, l2), j) <- hs.zipWithIndex
+        if i < j
+        d = java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)
+        if d <= 3
+      } yield (i.toLong, j.toLong, d.toLong)).toSet
+      got == brute
+    }, 6)
+  }
+
   test("WoE binning: equals a single-box reference on a skewed fixture") {
     // 20 rows, two value plateaus; bad concentrated in the high plateau
     val df = (1 to 20).map { i =>
