@@ -46,8 +46,18 @@ object KCore {
                  k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 0, s"need k >= 1, rounds >= 0")
     var adj = undirected(edges, srcCol, dstCol).localCheckpoint(eager = true)
-    for (_ <- 1 to rounds)
+    var round = 0
+    var n = adj.count() // cheap on the checkpointed frame
+    // a converged (or empty) set peels to itself, so stopping early is
+    // EXACTLY the fixed-round result — without burning no-op jobs
+    var stable = n == 0L
+    while (round < rounds && !stable) {
+      round += 1
       adj = peelOnce(adj, k).localCheckpoint(eager = true)
+      val n2 = adj.count() // edge count stable <=> no node dropped
+      stable = n2 == n || n2 == 0L
+      n = n2
+    }
     adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }
 
