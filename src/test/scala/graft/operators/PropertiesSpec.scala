@@ -937,6 +937,65 @@ class PropertiesSpec extends SparkSpec {
     assert(math.abs(e2.getDouble(3) - 12.0) < 4.0)
   }
 
+  test("funnel stage counts equal an in-memory per-user scan") {
+    val evGen = Gen.listOfN(60, for {
+      u <- Gen.chooseNum(1L, 8L)
+      t <- Gen.oneOf("view", "click", "purchase", "other")
+      ts <- Gen.chooseNum(0L, 40L)
+    } yield (u, t, ts))
+    val stages = Seq("view", "click", "purchase")
+    check(Prop.forAllNoShrink(evGen) { evs =>
+      // dedup (u,ts) so the strict-> semantics aren't tie-dependent
+      val clean = evs.groupBy(e => (e._1, e._3)).map(_._2.head).toList
+      val got = Funnel.stageCounts(clean.toDF("u", "t", "ts"),
+          "u", "t", "ts", stages)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val expected = stages.indices.map { i =>
+        i -> clean.groupBy(_._1).count { case (_, rows) =>
+          val sorted = rows.sortBy(_._3)
+          // walk stages left to right, each must appear strictly later
+          var last = Long.MinValue
+          stages.take(i + 1).forall { st =>
+            sorted.find(e => e._2 == st && e._3 > last) match {
+              case Some(e) => last = e._3; true
+              case None => false
+            }
+          }
+        }.toLong
+      }.toMap
+      got == expected
+    }, 8)
+  }
+
+  test("TWA equals an in-memory fold on random streams") {
+    val gen = Gen.listOfN(40, for {
+      k <- Gen.chooseNum(1L, 5L)
+      ts <- Gen.chooseNum(0L, 500L)
+      v <- Gen.chooseNum(0, 9999).map(_ / 100.0)
+    } yield (k, ts, v))
+    check(Prop.forAllNoShrink(gen) { rows0 =>
+      val rows = rows0.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val got = TimeWeighted.twa(rows.toDF("k", "us", "v"), "k", "us", "v")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toMap
+      val expected = rows.groupBy(_._1).collect {
+        case (k, es) if es.size >= 2 =>
+          val s = es.sortBy(_._2)
+          val durs = s.zip(s.tail).map { case (a, b) => (b._2 - a._2, a._3) }
+          val span = durs.map(_._1).sum
+          val num = durs.map { case (d, v) => BigDecimal(v).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP) * d }.sum
+          k -> ((s.size.toLong, span,
+            BigDecimal(num.toDouble / span.toDouble).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      got.keySet == expected.keySet && got.keySet.forall { k =>
+        got(k)._1 == expected(k)._1 && got(k)._2 == expected(k)._2 &&
+          math.abs(got(k)._3 - expected(k)._3) < 1e-9
+      }
+    }, 8)
+  }
+
   test("CMS sketch: point estimates never undercount; exact when no collision") {
     val toks = spark.range(0, 2000)
       .select(concat(lit("w"), (col("id") % 97).cast("string")).as("w"))
