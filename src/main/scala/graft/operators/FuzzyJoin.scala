@@ -42,7 +42,12 @@ object FuzzyJoin {
     val base = df.select(
       (col(idCol) +: blockCols.map(col)) :+
         col(textCol).as("__t") :+ length(col(textCol)).as("__len"): _*)
-    val a = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    // the verify stage's CPU is O(pairs), not O(rows): a small single
+    // file input scans as 1-2 partitions and would serialize the whole
+    // pair expansion — spread the STREAM side round-robin so every core
+    // verifies its share (broadcast side reaches all tasks regardless)
+    val spread = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val a = spread.columns.foldLeft(spread)((d, c) => d.withColumnRenamed(c, s"a_$c"))
     val b = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"b_$c"))
     val blockEq = blockCols.map(c => col(s"a_$c") === col(s"b_$c"))
       .reduce(_ && _)
