@@ -2960,6 +2960,59 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------------------------- q158
+  /** Trimmed mean ([[operators.Quantiles.trimmedMean]]): per-flag 5%
+    * two-sided truncated mean of `l_extendedprice` — the robust
+    * location estimate outlier-heavy feeds need. Rank cutoffs are
+    * exact integer ppm arithmetic on the range-partitioned ordinal;
+    * the core sum is DECIMAL; one float division per group.
+    */
+  def q158TrimmedMean(s: SparkSession, d: String): DataFrame =
+    operators.Quantiles.trimmedMean(lineitem(s, d), Seq("l_returnflag"),
+        "l_extendedprice", trimPpm = 50000,
+        tieBreak = Seq(col("l_orderkey").asc, col("l_linenumber").asc,
+          col("l_partkey").asc, col("l_suppkey").asc))
+      .orderBy(col("l_returnflag"))
+
+  // ---------------------------------------------------------------- q159
+  /** Benford first-digit audit ([[operators.Benford.firstDigitAudit]])
+    * of order totals per order status — the forensic ingest gate.
+    * One (group, digit) hash agg + a 9-row-per-group dense frame; χ²
+    * terms are 6-dp DECIMALs so the sum is order-independent.
+    */
+  def q159Benford(s: SparkSession, d: String): DataFrame =
+    operators.Benford.firstDigitAudit(orders(s, d), Seq("o_orderstatus"),
+        "o_totalprice")
+      .orderBy(col("o_orderstatus"), col("digit"))
+
+  // ---------------------------------------------------------------- q160
+  /** Jaro–Winkler linkage on the native expression
+    * ([[graft.plans.JaroWinklerExpr]] — Spark has no built-in; a UDF
+    * would box every pair): within-nation candidate pairs scored in a
+    * tight primitive loop, kept at rounded jw ≥ 0.985 (≈ one edit or
+    * one adjacent transposition on these names). The threshold is
+    * applied to the ROUNDED score on both engines so ULP noise cannot
+    * flip membership; DuckDB's `jaro_winkler_similarity` is the
+    * oracle (byte-identical semantics, probed: integer-halved
+    * transpositions, 0.7 boost gate, prefix cap 4, empty ⇒ 0).
+    */
+  def q160JaroWinkler(s: SparkSession, d: String): DataFrame = {
+    val base = customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+      col("c_name"))
+    // CPU is O(pairs): spread the stream side (single-file scan) first
+    val a = base.repartition(s.sparkContext.defaultParallelism)
+      .select(col("c_custkey").as("id_a"), col("c_nationkey").as("na"),
+        col("c_name").as("name_a"))
+    val b = base.select(col("c_custkey").as("id_b"),
+      col("c_nationkey").as("nb"), col("c_name").as("name_b"))
+    a.join(b, col("na") === col("nb") && col("id_a") < col("id_b"))
+      .withColumn("jw", round(graft.plans.JaroWinklerExpr.jaroWinkler(
+        col("name_a"), col("name_b")), 6))
+      .filter(col("jw") >= 0.985)
+      .select(col("id_a"), col("id_b"), col("jw"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -3472,6 +3525,9 @@ object SparkEntry {
     "q155_sorted_neighborhood" -> (q155SortedNeighborhood _),
     "q156_cms_sketch" -> (q156CmsSketch _),
     "q157_user_trend" -> (q157UserTrend _),
+    "q158_trimmed_mean" -> (q158TrimmedMean _),
+    "q159_benford" -> (q159Benford _),
+    "q160_jaro_winkler" -> (q160JaroWinkler _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -6185,6 +6241,61 @@ object SparkEntry {
         |      - CAST(sx AS DECIMAL(16,0)) * CAST(sxy AS DECIMAL(19,2))
         |      AS DOUBLE) / den, 6) + 0.0 AS intercept
         |FROM f WHERE den <> 0 ORDER BY user_id""".stripMargin,
+
+    "q158_trimmed_mean" ->
+      // rank cutoffs are exact ppm integer arithmetic; core sum in
+      // DECIMAL; one float division per group
+      """WITH rk AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+        |        l_partkey, l_suppkey) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |c AS (SELECT g, v, rn, n, n * 50000 // 1000000 AS cut FROM rk),
+        |f AS (SELECT * FROM c WHERE rn > cut AND rn <= n - cut)
+        |SELECT g AS l_returnflag, CAST(min(n) AS BIGINT) AS n_values,
+        |  CAST(min(cut) AS BIGINT) AS n_trimmed_each,
+        |  round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS trimmed_mean
+        |FROM f GROUP BY g ORDER BY l_returnflag""".stripMargin,
+
+    "q159_benford" ->
+      // 6-dp DECIMAL chi-square terms -> order-independent sum; digit
+      // from the exact integer part's first character
+      """WITH b AS (SELECT o_orderstatus AS g,
+        |    CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+        |      1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |obs AS (SELECT g, digit, CAST(count(*) AS BIGINT) AS n_obs
+        |        FROM b GROUP BY g, digit),
+        |dense AS (SELECT gg.g, d.digit,
+        |    CAST(coalesce(obs.n_obs, 0) AS BIGINT) AS n_obs
+        |  FROM (SELECT DISTINCT g FROM obs) gg
+        |  CROSS JOIN range(1, 10) d(digit)
+        |  LEFT JOIN obs ON obs.g = gg.g AND obs.digit = d.digit),
+        |p AS (SELECT g, CAST(digit AS INT) AS digit, n_obs,
+        |    log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS pp FROM dense),
+        |s AS (SELECT g, CAST(sum(n_obs) AS BIGINT) AS n FROM p GROUP BY g),
+        |t AS (SELECT p.g, p.digit, p.n_obs,
+        |    CAST(round(pp * 1e6) AS BIGINT) AS expected_ppm,
+        |    CAST(round((CAST(p.n_obs AS DOUBLE) - CAST(s.n AS DOUBLE) * pp)
+        |        * (CAST(p.n_obs AS DOUBLE) - CAST(s.n AS DOUBLE) * pp)
+        |        / (CAST(s.n AS DOUBLE) * pp), 6) AS DECIMAL(18,6)) AS term
+        |  FROM p JOIN s ON s.g = p.g),
+        |c AS (SELECT g, CAST(sum(term) AS DOUBLE) + 0.0 AS chi2
+        |      FROM t GROUP BY g)
+        |SELECT t.g AS o_orderstatus, t.digit, t.n_obs, t.expected_ppm, c.chi2
+        |FROM t JOIN c ON c.g = t.g ORDER BY o_orderstatus, digit""".stripMargin,
+
+    "q160_jaro_winkler" ->
+      // DuckDB's jaro_winkler_similarity IS the oracle for the native
+      // expression; both sides threshold the ROUNDED score
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.985
+        |ORDER BY id_a, id_b""".stripMargin,
 
   )
 

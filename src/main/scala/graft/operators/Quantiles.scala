@@ -81,4 +81,37 @@ object Quantiles {
           .as("quantile"),
         col("n_values"))): _*)
   }
+
+  /** Trimmed (truncated) mean per group — the robust-location
+    * estimator: drop the lowest and highest `trimPpm` millionths BY
+    * RANK and average the core. Same scale shape as
+    * [[exactQuantiles]]: one range-partitioned ordinal sort, a tiny
+    * per-group size frame broadcast back, then a hash aggregation —
+    * the cut ranks are pure integer arithmetic (`n·trimPpm DIV 1e6`),
+    * the core sum accumulates in DECIMAL(18,2), and the single mean
+    * division is float, rounded 6 dp. Returns
+    * `(groupCols..., n_values, n_trimmed_each, trimmed_mean)`.
+    */
+  def trimmedMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  trimPpm: Long, tieBreak: Seq[Column]): DataFrame = {
+    require(trimPpm >= 0 && trimPpm < 500000,
+      s"trim must be in [0, 0.5) as ppm, got $trimPpm")
+    val gCols: Seq[Column] = groupCols.map(col)
+    val ranked = Ordinals.withOrderedOrdinal(
+        df.filter(col(valueCol).isNotNull),
+        (gCols :+ col(valueCol).asc) ++ tieBreak, name = "__rn")
+      .select((gCols :+ col(valueCol).as("__val") :+ col("__rn")): _*)
+      .localCheckpoint(true)
+    val sizes = ranked.groupBy(gCols: _*)
+      .agg(min(col("__rn")).as("__base"), count(lit(1)).as("n_values"))
+      .withColumn("__cut", expr(s"n_values * ${trimPpm}L DIV 1000000L"))
+    ranked.join(broadcast(sizes), groupCols)
+      .filter(col("__rn") - col("__base") + 1 > col("__cut") &&
+        col("__rn") - col("__base") + 1 <= col("n_values") - col("__cut"))
+      .groupBy((gCols :+ col("n_values") :+ col("__cut")): _*)
+      .agg(round(sum(col("__val").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("trimmed_mean"))
+      .select((gCols :+ col("n_values") :+
+        col("__cut").as("n_trimmed_each") :+ col("trimmed_mean")): _*)
+  }
 }

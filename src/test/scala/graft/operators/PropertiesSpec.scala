@@ -1087,6 +1087,68 @@ class PropertiesSpec extends SparkSpec {
     }, 6)
   }
 
+  test("JaroWinkler matches DuckDB's probed values bit-for-bit-ish") {
+    import graft.plans.JaroWinklerExpr.similarity
+    def jw(a: String, b: String) = similarity(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    // literals probed from duckdb jaro_winkler_similarity on 2026-08-13
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),     // transposition + boost
+      ("dixon", "dicksonx", 0.8133333333333332),    // prefix 2 boost
+      ("jellyfish", "smellyfish", 0.8962962962962964), // no common prefix
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0), ("a", "", 0.0), ("", "", 0.0), // empty => 0
+      ("duane", "dwayne", 0.8400000000000001),
+      ("Customer#000000001", "Customer#000000010", 0.9888888888888889), // prefix cap 4
+      ("ab", "ba", 0.0), ("x", "y", 0.0),           // window 0: no matches
+      ("abcdefgh", "abzzzzzz", 0.5),                // jaro <= 0.7: NO boost
+      ("abcdef", "bcadef", 0.9444444444444445)      // odd t2 halves by INT division
+    )
+    cases.foreach { case (a, b, want) =>
+      assert(math.abs(jw(a, b) - want) < 1e-12, s"jw($a,$b)") }
+    // symmetry
+    cases.foreach { case (a, b, _) => assert(jw(a, b) === jw(b, a)) }
+  }
+
+  test("trimmed mean drops exactly the cut ranks and averages the core") {
+    // group g: values 1..20 with one huge outlier replacing 20
+    val rows = ((1 to 19).map(v => ("g", v.toDouble, v.toLong)) :+
+      ("g", 100000.0, 20L)) ++ (1 to 3).map(v => ("h", v.toDouble, v.toLong))
+    val df = rows.toDF("k", "v", "id")
+    val got = Quantiles.trimmedMean(df, Seq("k"), "v", trimPpm = 100000,
+        tieBreak = Seq(col("id").asc))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // g: n=20, cut=2 -> keep ranks 3..18 = values 3..18, mean 10.5
+    assert(got("g") === ((20L, 2L, 10.5)))
+    // h: n=3, cut=0 -> plain mean 2.0
+    assert(got("h") === ((3L, 0L, 2.0)))
+  }
+
+  test("Benford audit: uniform-digit fixture has the right chi2 shape") {
+    // 90 values, first digits uniform 1..9 (10 each)
+    val rows = for (d <- 1 to 9; i <- 0 until 10)
+      yield ("s", d * 100.0 + i)
+    val got = Benford.firstDigitAudit(rows.toDF("g", "v"), Seq("g"), "v")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.length === 9)
+    assert(got.forall(_._2 == 10L)) // 10 observations per digit
+    assert(got.map(_._1).sorted.toSeq === (1 to 9))
+    // expected ppm must sum to ~1e6 (Benford masses)
+    val ppm = got.map(_._3).sum
+    assert(ppm >= 999998L && ppm <= 1000002L)
+    // chi2 identical on every row, equals the 6dp-term sum
+    val chi2 = got.map(_._4).distinct
+    assert(chi2.length === 1)
+    val n = 90.0
+    val expect = (1 to 9).map { d =>
+      val p = math.log10(1.0 + 1.0 / d)
+      val t = (10.0 - n * p) * (10.0 - n * p) / (n * p)
+      BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(math.abs(chi2.head - expect) < 1e-9)
+  }
+
   test("WoE binning: equals a single-box reference on a skewed fixture") {
     // 20 rows, two value plateaus; bad concentrated in the high plateau
     val df = (1 to 20).map { i =>
