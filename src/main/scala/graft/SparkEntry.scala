@@ -3013,6 +3013,29 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ---------------------------------------------------------------- q161
+  /** Personalized PageRank ([[operators.PageRank.personalizedRanks]])
+    * from the `p_partkey % 300 = 0` anchor set over the co-purchase
+    * graph — "related items from these anchors". Same one-join +
+    * one-agg iteration as q83 with a seed restart vector; eighth
+    * consumer of the shared edge artifact. The oracle unrolls the
+    * three iterations exactly like q83's, with the seed-mass restart
+    * in place of the uniform base.
+    */
+  def q161PersonalizedPr(s: SparkSession, d: String): DataFrame = {
+    val p = copurchasePairs(s, d)
+    val edges = p.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(p.select(col("pb").as("src"), col("pa").as("dst")))
+    val seeds = part(s, d).filter(col("p_partkey") % 300 === 0)
+      .select(col("p_partkey").as("node"))
+    operators.PageRank.personalizedRanks(edges, "src", "dst", seeds, iters = 3)
+      .withColumn("prr", round(col("pr"), 6))
+      .filter(col("prr") > 0.0) // untouched nodes are exact zeros
+      .orderBy(col("prr").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("part"), col("prr").as("pr"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -3528,6 +3551,7 @@ object SparkEntry {
     "q158_trimmed_mean" -> (q158TrimmedMean _),
     "q159_benford" -> (q159Benford _),
     "q160_jaro_winkler" -> (q160JaroWinkler _),
+    "q161_personalized_pr" -> (q161PersonalizedPr _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -6296,6 +6320,47 @@ object SparkEntry {
         |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         |WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.985
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q161_personalized_pr" ->
+      // q83's unroll with a seed-restart vector; float noise absorbed
+      // by round(pr,6) exactly as there
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |sd AS (SELECT node FROM nodes WHERE node % 300 = 0),
+        |sk AS (SELECT count(*) AS k FROM sd),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |rv AS (SELECT nodes.node,
+        |    CASE WHEN sd.node IS NULL THEN CAST(0 AS DOUBLE)
+        |         ELSE CAST(1 AS DOUBLE) / sk.k END AS rm
+        |  FROM nodes CROSS JOIN sk LEFT JOIN sd ON sd.node = nodes.node),
+        |r0 AS (SELECT node, rm AS pr FROM rv),
+        |c1 AS (SELECT e.dst AS node, sum(r0.pr / od.outdeg) AS s
+        |  FROM e JOIN r0 ON r0.node = e.src JOIN od ON od.src = e.src
+        |  GROUP BY e.dst),
+        |r1 AS (SELECT rv.node,
+        |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * rv.rm
+        |   + CAST(0.85 AS DOUBLE) * coalesce(c1.s, CAST(0 AS DOUBLE)) AS pr
+        | FROM rv LEFT JOIN c1 ON c1.node = rv.node),
+        |c2 AS (SELECT e.dst AS node, sum(r1.pr / od.outdeg) AS s
+        |  FROM e JOIN r1 ON r1.node = e.src JOIN od ON od.src = e.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT rv.node,
+        |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * rv.rm
+        |   + CAST(0.85 AS DOUBLE) * coalesce(c2.s, CAST(0 AS DOUBLE)) AS pr
+        | FROM rv LEFT JOIN c2 ON c2.node = rv.node),
+        |c3 AS (SELECT e.dst AS node, sum(r2.pr / od.outdeg) AS s
+        |  FROM e JOIN r2 ON r2.node = e.src JOIN od ON od.src = e.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT rv.node,
+        |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * rv.rm
+        |   + CAST(0.85 AS DOUBLE) * coalesce(c3.s, CAST(0 AS DOUBLE)) AS pr
+        | FROM rv LEFT JOIN c3 ON c3.node = rv.node)
+        |SELECT node AS part, round(pr, 6) AS pr FROM r3
+        |WHERE round(pr, 6) > 0
+        |ORDER BY round(pr, 6) DESC, node LIMIT 20""".stripMargin,
 
   )
 

@@ -52,4 +52,49 @@ object PageRank {
     }
     p
   }
+
+  /** Personalized (topic-sensitive) PageRank (Haveliwala, WWW'02;
+    * Page et al.'s restart vector): random-walk-with-restart mass
+    * concentrated on a SEED set — the "related items from these
+    * anchors" primitive behind recommendation expansion and
+    * contamination-spread scoring. Identical per-iteration shape to
+    * [[ranks]] (one node-key join + one hash agg over the
+    * outdeg-folded edge list); the only change is the restart vector:
+    * `(1−d)·r(node) + d·Σ_in pr/outdeg` with `r` = 1/|seeds∩nodes|
+    * on seeds, 0 elsewhere. Seeds outside the graph carry no mass.
+    */
+  def personalizedRanks(edges: DataFrame, srcCol: String, dstCol: String,
+                        seeds: DataFrame, iters: Int = 3,
+                        damping: Double = 0.85): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+    val seed = nodes.join(
+        seeds.select(col(seeds.columns.head).cast("long").as("node")).distinct(),
+        Seq("node"), "left_semi")
+      .localCheckpoint(true)
+    val k = seed.count()
+    require(k > 0, "no seed intersects the graph")
+    val restart = nodes.join(seed.withColumn("__s", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__s").isNotNull, lit(1.0 / k)).otherwise(lit(0.0)).as("rm"))
+      .localCheckpoint(true)
+    val e = e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+        Seq("src"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var p = restart.select(col("node"), col("rm").as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(p.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+      p = restart.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("rm") +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+    }
+    p
+  }
 }

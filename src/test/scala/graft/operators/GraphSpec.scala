@@ -88,6 +88,29 @@ class GraphSpec extends SparkSpec {
     assert(Seq(5L, 6L, 7L, 8L).forall(n => got(n) === ((5L, 4L))))
   }
 
+  test("personalized PageRank: seed mass propagates hop by hop on a path") {
+    import spark.implicits._
+    // directed path 1→2→3, seed {1}: closed-form mass per iteration
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = PageRank.personalizedRanks(edges, "src", "dst",
+        Seq(1L).toDF("node"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 0.15) < 1e-12)
+    assert(math.abs(got(2L) - 0.85 * 0.15) < 1e-12)
+    assert(math.abs(got(3L) - 0.85 * 0.85 * 0.15) < 1e-12)
+  }
+
+  test("personalized PageRank with all-node seeds equals uniform PageRank") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val uni = PageRank.ranks(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val per = PageRank.personalizedRanks(edges, "src", "dst",
+        Seq(1L, 2L, 3L).toDF("node"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    uni.foreach { case (n, pr) => assert(math.abs(per(n) - pr) < 1e-12, s"node $n") }
+  }
+
   test("BFS: hop = exact shortest distance; diamond takes the min path") {
     import spark.implicits._
     // path 1-2-3-4-5 plus shortcut 1-6-4 (diamond): node 4 is 2 hops
