@@ -241,4 +241,27 @@ object StreamingImport {
           out.result().iterator
       }
   }
+
+  /** Streaming count-min sketch: the SAME (row_idx, bucket) counter
+    * aggregation as [[graft.operators.Sketches.cmsSketch]], run as an
+    * incremental streaming aggregation — Structured Streaming's state
+    * store does the cell-wise merge that makes CMS mergeable, so the
+    * maintained counters equal the batch sketch of everything ever
+    * streamed (spec-pinned batch parity). Read with
+    * `outputMode(Complete)` into a memory sink, or `Update` to emit
+    * only touched cells per micro-batch.
+    */
+  def cmsStream(values: DataFrame, valueCol: String, depth: Int,
+                width: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(depth >= 1 && width >= 2, s"bad cms shape ($depth × $width)")
+    values.select(col(valueCol).cast("string").as("v"))
+      .withColumn("row_idx",
+        explode(array((0 until depth).map(j => lit(j.toLong)): _*)))
+      .withColumn("bucket",
+        pmod(graft.operators.Sketches.hash48(
+          concat(col("row_idx"), lit(":"), col("v"))), lit(width.toLong)))
+      .groupBy("row_idx", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -281,6 +281,34 @@ class StreamingSpec extends SparkSpec {
     assert(batchKept.toSeq == got.map(_._1).toSeq)
   }
 
+  test("streaming CMS counters equal the batch sketch of all batches") {
+    val dir = SyntheticFixtures.dir(s"cmsstream_${System.nanoTime()}")
+    val b1 = SyntheticFixtures.writeText(new File(dir, "b1.csv"),
+      "tok\n" + (0 until 50).map(i => s"w${i % 7}").mkString("\n"))
+    val b2 = SyntheticFixtures.writeText(new File(dir, "b2.csv"),
+      "tok\n" + (0 until 30).map(i => s"w${i % 11}").mkString("\n"))
+    b1.setLastModified(System.currentTimeMillis() - 60000)
+    b2.setLastModified(System.currentTimeMillis())
+    val schema = StructType(Seq(StructField("tok", StringType)))
+    val stream = spark.readStream.schema(schema).option("header", "true")
+      .option("maxFilesPerTrigger", "1").csv(dir.getPath)
+    val q = StreamingImport.cmsStream(stream, "tok", depth = 4, width = 32)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out")
+      .option("checkpointLocation", new File(dir, "_cp").getPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT row_idx, bucket, cnt FROM cms_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the state store's incremental merge must equal one batch sketch
+    // over the union of all micro-batches
+    val all = ((0 until 50).map(i => s"w${i % 7}") ++
+      (0 until 30).map(i => s"w${i % 11}")).toDF("tok")
+    val batch = graft.operators.Sketches.cmsSketch(all, "tok", 4, 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+  }
+
   test("streaming near-dup probe against a standing LSH index") {
     import graft.operators.TextDedup
     val corpus = graft.Tables.documents(spark, sf()).limit(100)
