@@ -3036,6 +3036,26 @@ object SparkEntry {
       .select(col("node").as("part"), col("prr").as("pr"))
   }
 
+  // ---------------------------------------------------------------- q162
+  /** Flesch reading-ease scoring ([[functions.TextAnalysis
+    * .fleschReadingEase]]): the classic readability quality signal
+    * over exact integer word/sentence/syllable-heuristic counts —
+    * pure scan-stage Column expressions (regexp runs + one clamped
+    * fold), no shuffle beyond the final sort. One fixed FP formula
+    * per doc, rounded 6 dp.
+    */
+  def q162Readability(s: SparkSession, d: String): DataFrame = {
+    val ta = functions.TextAnalysis
+    documents(s, d)
+      .select(col("doc_id"),
+        ta.tokenCount(col("text")).cast("long").as("n_words"),
+        ta.syllableCount(col("text")).cast("long").as("n_syllables"),
+        ta.sentenceCount(col("text")).cast("long").as("n_sentences"),
+        round(ta.fleschReadingEase(col("text")), 6).as("reading_ease"))
+      .filter(col("n_words") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -3552,6 +3572,7 @@ object SparkEntry {
     "q159_benford" -> (q159Benford _),
     "q160_jaro_winkler" -> (q160JaroWinkler _),
     "q161_personalized_pr" -> (q161PersonalizedPr _),
+    "q162_readability" -> (q162Readability _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -6361,6 +6382,26 @@ object SparkEntry {
         |SELECT node AS part, round(pr, 6) AS pr FROM r3
         |WHERE round(pr, 6) > 0
         |ORDER BY round(pr, 6) DESC, node LIMIT 20""".stripMargin,
+
+    "q162_readability" ->
+      // same greedy vowel-run heuristic, per-token >= 1 clamp, and the
+      // fixed Flesch formula over exact integer counts
+      s"""WITH t AS (SELECT doc_id, text, $SqlToks AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(toks, w ->
+         |      greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+         |      AS BIGINT) AS n_syllables,
+         |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+         |      AS BIGINT) AS n_sentences
+         |  FROM t)
+         |SELECT doc_id, n_words, n_syllables, n_sentences,
+         |  round(CAST(206.835 AS DOUBLE)
+         |    - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE)
+         |        / CAST(n_sentences AS DOUBLE))
+         |    - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE)
+         |        / CAST(n_words AS DOUBLE)), 6) AS reading_ease
+         |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
 
   )
 

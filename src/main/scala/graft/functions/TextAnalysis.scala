@@ -54,6 +54,35 @@ object TextAnalysis {
       (lit(1.0) - punctRatio(c)) * lit(0.25) +
       stopwordRatio(c) * lit(0.25)
 
+  /** Heuristic syllable count: vowel-group runs per token, clamped to
+    * ≥ 1 per token (the standard Flesch approximation — exact
+    * linguistics needs a dictionary; the heuristic is deterministic
+    * and engine-portable: greedy non-overlapping regex runs count the
+    * same everywhere). Integer end to end.
+    */
+  def syllableCount(c: Column): Column =
+    aggregate(
+      transform(tokens(c), t =>
+        greatest(lit(1), size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))))),
+      lit(0), (acc, x) => acc + x)
+
+  /** Sentence-terminator runs, clamped to ≥ 1 (a fragment is one
+    * sentence to the Flesch formula).
+    */
+  def sentenceCount(c: Column): Column =
+    greatest(lit(1), size(regexp_extract_all(c, lit("[.!?]+"), lit(0))))
+
+  /** Flesch reading ease (Flesch 1948): `206.835 − 1.015·(W/S) −
+    * 84.6·(Syl/W)` from the three exact integer counts; single fixed
+    * FP expression, rounded by the caller.
+    */
+  def fleschReadingEase(c: Column): Column =
+    lit(206.835) -
+      lit(1.015) * (tokenCount(c).cast("double") /
+        sentenceCount(c).cast("double")) -
+      lit(84.6) * (syllableCount(c).cast("double") /
+        tokenCount(c).cast("double"))
+
   /** Marker-word sets per language for the n-gram language-ID heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
