@@ -2931,11 +2931,18 @@ object SparkEntry {
     */
   def q156CmsSketch(s: SparkSession, d: String): DataFrame = {
     import operators.Sketches
-    val toks = documents(s, d).select(
-      explode(functions.TextAnalysis.tokens(col("text"))).as("tok"))
+    // the token frame feeds THREE consumers (sketch, exact counts,
+    // probe ranking) — materialize the tokenization once instead of
+    // re-splitting the corpus per DAG branch; spread the single-file
+    // scan first (real corpora get that from file splits)
+    val toks = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(explode(functions.TextAnalysis.tokens(col("text"))).as("tok"))
+      .localCheckpoint(true)
     val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
     val probes = exact
       .orderBy(col("exact_cnt").desc, col("tok")).limit(25)
+      .localCheckpoint(true) // 25 rows, referenced twice
     val sketch = Sketches.cmsSketch(toks, "tok", depth = 4, width = 256)
     Sketches.cmsQuery(sketch, probes.select("tok"), "tok",
         depth = 4, width = 256)
@@ -6238,15 +6245,16 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q156_cms_sketch" ->
-      // integer end to end: counters on the md5-48 line, point query =
-      // min over depth rows; probes = top-25 exact frequencies
+      // integer end to end: the depth row-hashes are disjoint 8-hex
+      // (32-bit) slices of ONE md5 per value; point query = min over
+      // depth rows; probes = top-25 exact frequencies
       s"""WITH toks AS (SELECT unnest($SqlToks) AS tok FROM documents),
          |exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
          |          FROM toks GROUP BY tok),
          |probes AS (SELECT tok, exact_cnt FROM exact
          |           ORDER BY exact_cnt DESC, tok LIMIT 25),
          |cells AS (SELECT j AS row_idx,
-         |    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 12))
+         |    CAST(('0x' || substr(md5(tok), 1 + 8 * CAST(j AS INT), 8))
          |      AS BIGINT) % 256 AS bucket,
          |    CAST(count(*) AS BIGINT) AS cnt
          |  FROM toks CROSS JOIN range(4) t(j) GROUP BY 1, 2),
@@ -6254,8 +6262,8 @@ object SparkEntry {
          |    CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
          |  FROM probes p CROSS JOIN range(4) t(j)
          |  LEFT JOIN cells c ON c.row_idx = t.j AND c.bucket =
-         |    CAST(('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' || p.tok),
-         |      1, 12)) AS BIGINT) % 256
+         |    CAST(('0x' || substr(md5(p.tok), 1 + 8 * CAST(t.j AS INT), 8))
+         |      AS BIGINT) % 256
          |  GROUP BY p.tok, p.exact_cnt)
          |SELECT tok, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
          |FROM pq ORDER BY tok""".stripMargin,

@@ -164,16 +164,27 @@ object Sketches {
     * aggregation does here. Returns the sparse counter table
     * `(row_idx, bucket, cnt)`; absent cells are 0.
     */
+  /** The `depth` row-hash buckets of one value: disjoint 8-hex-char
+    * (32-bit) slices of a SINGLE md5 — one digest per value instead of
+    * one per (row, value), the standard multi-hash derivation (cf.
+    * Kirsch–Mitzenmacher). depth ≤ 4 fits md5's 32 hex chars.
+    */
+  private def cmsBuckets(v: Column, depth: Int, width: Int): Column = {
+    val h = md5(v)
+    array((0 until depth).map { j =>
+      pmod(conv(substring(h, 1 + 8 * j, 8), 16, 10).cast("long"),
+        lit(width.toLong))
+    }: _*)
+  }
+
   def cmsSketch(values: DataFrame, valueCol: String, depth: Int,
                 width: Int): DataFrame = {
-    require(depth >= 1 && width >= 2, s"bad cms shape ($depth × $width)")
+    require(depth >= 1 && depth <= 4 && width >= 2,
+      s"bad cms shape ($depth × $width) — depth ≤ 4 (md5 slices)")
     values.select(col(valueCol).cast("string").as("v"))
-      .withColumn("row_idx",
-        explode(array((0 until depth).map(j => lit(j.toLong)): _*)))
-      .withColumn("bucket",
-        pmod(hash48(concat(col("row_idx"), lit(":"), col("v"))),
-          lit(width.toLong)))
-      .groupBy("row_idx", "bucket")
+      .select(posexplode(cmsBuckets(col("v"), depth, width))
+        .as(Seq("row_idx", "bucket")))
+      .groupBy(col("row_idx").cast("long").as("row_idx"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -185,11 +196,9 @@ object Sketches {
   def cmsQuery(sketch: DataFrame, probes: DataFrame, valueCol: String,
                depth: Int, width: Int): DataFrame = {
     val keyed = probes.select(col(valueCol).cast("string").as("v")).distinct()
-      .withColumn("row_idx",
-        explode(array((0 until depth).map(j => lit(j.toLong)): _*)))
-      .withColumn("bucket",
-        pmod(hash48(concat(col("row_idx"), lit(":"), col("v"))),
-          lit(width.toLong)))
+      .select(col("v"), posexplode(cmsBuckets(col("v"), depth, width))
+        .as(Seq("row_idx", "bucket")))
+      .withColumn("row_idx", col("row_idx").cast("long"))
     keyed.join(sketch, Seq("row_idx", "bucket"), "left")
       .groupBy("v")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))

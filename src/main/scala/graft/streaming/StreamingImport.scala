@@ -252,16 +252,6 @@ object StreamingImport {
     * only touched cells per micro-batch.
     */
   def cmsStream(values: DataFrame, valueCol: String, depth: Int,
-                width: Int): DataFrame = {
-    import org.apache.spark.sql.functions._
-    require(depth >= 1 && width >= 2, s"bad cms shape ($depth × $width)")
-    values.select(col(valueCol).cast("string").as("v"))
-      .withColumn("row_idx",
-        explode(array((0 until depth).map(j => lit(j.toLong)): _*)))
-      .withColumn("bucket",
-        pmod(graft.operators.Sketches.hash48(
-          concat(col("row_idx"), lit(":"), col("v"))), lit(width.toLong)))
-      .groupBy("row_idx", "bucket")
-      .agg(count(lit(1)).as("cnt"))
-  }
+                width: Int): DataFrame =
+    graft.operators.Sketches.cmsSketch(values, valueCol, depth, width)
 }
