@@ -3063,6 +3063,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q163
+  /** Two-sample Kolmogorov–Smirnov drift test ([[operators.KsTest
+    * .ksTwoSample]]): purchase vs click value distributions. The
+    * supremum runs on exact BIGINT ECDF numerators (`|c_A·n_B −
+    * c_B·n_A|`) over the distinct-value frame — no float until the
+    * one published ratio; the argmax value is the deterministic
+    * tie-broken supremum location.
+    */
+  def q163KsTest(s: SparkSession, d: String): DataFrame =
+    operators.KsTest.ksTwoSample(
+      events(s, d).filter(col("event_type").isin("click", "purchase")),
+      "value", col("event_type") === "purchase")
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -3580,6 +3593,7 @@ object SparkEntry {
     "q160_jaro_winkler" -> (q160JaroWinkler _),
     "q161_personalized_pr" -> (q161PersonalizedPr _),
     "q162_readability" -> (q162Readability _),
+    "q163_ks_test" -> (q163KsTest _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -6410,6 +6424,32 @@ object SparkEntry {
          |    - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE)
          |        / CAST(n_words AS DOUBLE)), 6) AS reading_ease
          |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+
+    "q163_ks_test" ->
+      // exact integer ECDF numerators; one float ratio at the end;
+      // argmax tie-broken to the smallest value
+      """WITH ev AS (SELECT value AS v, event_type = 'purchase' AS a
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |    AND value IS NOT NULL),
+        |pv AS (SELECT v,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM ev GROUP BY v),
+        |cum AS (SELECT v,
+        |    CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cumb
+        |  FROM pv),
+        |tot AS (SELECT max(cuma) AS n_a, max(cumb) AS n_b FROM cum),
+        |d AS (SELECT cum.v, tot.n_a, tot.n_b,
+        |    abs(cuma * tot.n_b - cumb * tot.n_a) AS dnum
+        |  FROM cum CROSS JOIN tot)
+        |SELECT n_a, n_b, dnum AS d_num,
+        |  round(CAST(dnum AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_d,
+        |  v AS at_value
+        |FROM d ORDER BY dnum DESC, v ASC LIMIT 1""".stripMargin,
 
   )
 

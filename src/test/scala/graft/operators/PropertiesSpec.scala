@@ -1043,6 +1043,27 @@ class PropertiesSpec extends SparkSpec {
     assert(got(2L) === ((4L, -0.5, 10.0))) // x steps by 2, y by −1
   }
 
+  test("KS two-sample: equals brute-force ECDF sweep on random samples") {
+    val gen = Gen.zip(
+      Gen.listOfN(30, Gen.chooseNum(0, 20).map(_.toDouble)),
+      Gen.listOfN(25, Gen.chooseNum(5, 25).map(_.toDouble)))
+      .suchThat { case (a, b) => a.nonEmpty && b.nonEmpty }
+    check(Prop.forAllNoShrink(gen) { case (as, bs) =>
+      val df = (as.map((_, true)) ++ bs.map((_, false))).toDF("v", "a")
+      val r = KsTest.ksTwoSample(df, "v", col("a")).collect().head
+      val (na, nb) = (as.size.toLong, bs.size.toLong)
+      val values = (as ++ bs).distinct.sorted
+      val brute = values.map { v =>
+        val ca = as.count(_ <= v).toLong; val cb = bs.count(_ <= v).toLong
+        (math.abs(ca * nb - cb * na), v)
+      }
+      val dmax = brute.map(_._1).max
+      val atV = brute.filter(_._1 == dmax).map(_._2).min
+      r.getLong(0) == na && r.getLong(1) == nb && r.getLong(2) == dmax &&
+        r.getDouble(4) == atV
+    }, 10)
+  }
+
   test("Mann-Whitney: hand-computed tied example") {
     // A = {1,2,2}, B = {2,3}: midranks 1, 3, 3, 3, 5
     // R_A = 7, U_A = 7 - 6 = 1; ties: one group of 3 -> tie3 = 24
