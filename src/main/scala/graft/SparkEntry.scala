@@ -3076,6 +3076,50 @@ object SparkEntry {
       events(s, d).filter(col("event_type").isin("click", "purchase")),
       "value", col("event_type") === "purchase")
 
+  // ---------------------------------------------------------------- q164
+  /** Sliding-window document chunking for retrieval/RAG pipelines
+    * ([[functions.TextAnalysis.tokens]] + `sequence`/`slice`): 40-token
+    * chunks at stride 30 (10-token overlap). Pure scan-stage
+    * expressions — the chunk grid is `sequence(0, n−1, stride)` and
+    * each chunk one 1-based `slice`; chunk_idx = start DIV stride is
+    * exact integer arithmetic shared with the oracle. No shuffle
+    * beyond the output sort; at 100 TB chunking is embarrassingly
+    * parallel scan work.
+    */
+  def q164Chunking(s: SparkSession, d: String): DataFrame = {
+    val size40 = 40; val stride = 30
+    documents(s, d)
+      .withColumn("toks", functions.TextAnalysis.tokens(col("text")))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("start",
+        explode(sequence(lit(0), col("n") - 1, lit(stride))))
+      .select(col("doc_id"),
+        expr(s"start DIV $stride").as("chunk_idx"),
+        size(slice(col("toks"), col("start") + 1, lit(size40)))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(size40)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  // ---------------------------------------------------------------- q165
+  /** Asymmetric shingle containment ([[operators.TextDedup
+    * .containmentPairs]]): each prefix-dropped mutant against its
+    * origin doc — the quote/excerpt signal Jaccard misses (Broder's
+    * resemblance-vs-containment split). Pair-list-driven: shingle
+    * sets are semi-joined to the candidates BEFORE the intersection
+    * join, so cost scales with pairs, not the corpus. Integer end to
+    * end (ppm ratios).
+    */
+  def q165Containment(s: SparkSession, d: String): DataFrame = {
+    val pairs = documents(s, d).filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000).as("id1"), col("doc_id").as("id2"))
+    operators.TextDedup.containmentPairs(dedupCorpus(s, d), "doc_id",
+        "text", pairs)
+      .orderBy(col("id1"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -3594,6 +3638,8 @@ object SparkEntry {
     "q161_personalized_pr" -> (q161PersonalizedPr _),
     "q162_readability" -> (q162Readability _),
     "q163_ks_test" -> (q163KsTest _),
+    "q164_chunking" -> (q164Chunking _),
+    "q165_containment" -> (q165Containment _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -6450,6 +6496,45 @@ object SparkEntry {
         |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_d,
         |  v AS at_value
         |FROM d ORDER BY dnum DESC, v ASC LIMIT 1""".stripMargin,
+
+    "q164_chunking" ->
+      // same 1-based slices over the same token list; chunk_idx =
+      // start DIV stride is shared integer arithmetic
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+         |      FROM t WHERE len(toks) > 0),
+         |st AS (SELECT doc_id, toks, n,
+         |    unnest(generate_series(0, CAST(n - 1 AS INT), 30)) AS start
+         |  FROM n)
+         |SELECT doc_id, CAST(start // 30 AS BIGINT) AS chunk_idx,
+         |  CAST(len(list_slice(toks, CAST(start + 1 AS INT),
+         |    CAST(least(start + 40, n) AS INT))) AS BIGINT) AS n_tokens,
+         |  array_to_string(list_slice(toks, CAST(start + 1 AS INT),
+         |    CAST(least(start + 40, n) AS INT)), ' ') AS chunk_text
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q165_containment" ->
+      // distinct-shingle intersection restricted to the mutant→origin
+      // pair list; exact integer ppm ratios
+      s"""WITH $SqlCorpus,
+         |$SqlShingles3,
+         |pr AS (SELECT doc_id + 2000000 AS id1, doc_id AS id2
+         |       FROM documents WHERE doc_id % 7 = 0),
+         |ids AS (SELECT id1 AS id FROM pr UNION SELECT id2 FROM pr),
+         |shp AS (SELECT s.doc_id AS id, s.sh FROM s JOIN ids
+         |        ON ids.id = s.doc_id),
+         |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM shp GROUP BY id),
+         |iv AS (SELECT pr.id1, pr.id2, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM pr JOIN shp a ON a.id = pr.id1
+         |          JOIN shp b ON b.id = pr.id2 AND b.sh = a.sh
+         |  GROUP BY pr.id1, pr.id2)
+         |SELECT pr.id1, pr.id2, s1.n AS n1, s2.n AS n2,
+         |  CAST(coalesce(iv.n_common, 0) AS BIGINT) AS n_common,
+         |  coalesce(iv.n_common, 0) * 1000000 // s1.n AS c12_ppm,
+         |  coalesce(iv.n_common, 0) * 1000000 // s2.n AS c21_ppm
+         |FROM pr LEFT JOIN iv ON iv.id1 = pr.id1 AND iv.id2 = pr.id2
+         |JOIN sz s1 ON s1.id = pr.id1 JOIN sz s2 ON s2.id = pr.id2
+         |ORDER BY pr.id1""".stripMargin,
 
   )
 

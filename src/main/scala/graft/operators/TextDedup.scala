@@ -138,6 +138,42 @@ object TextDedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Asymmetric shingle containment over a GIVEN pair list —
+    * `C(A→B) = |A∩B| / |A|`, the quote/excerpt detector Jaccard
+    * misses (a paragraph lifted into a much longer doc has high
+    * containment but low Jaccard; cf. Broder 1997's resemblance vs
+    * containment split). Shingle sets are restricted to the paired
+    * docs via a semi join BEFORE the intersection equi-join, so cost
+    * scales with the candidate pairs (from any blocking/LSH stage),
+    * never the corpus cross product. Everything is exact integers:
+    * returns `(id1, id2, n1, n2, n_common, c12_ppm, c21_ppm)` with
+    * ppm = `|∩|·1e6 DIV |side|`.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       pairs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextShingles.shingles(
+          TextAnalysis.tokens(col(textCol)), k))).as("sh"))
+    val ids = pairs.select(col("id1").as("id"))
+      .unionAll(pairs.select(col("id2").as("id"))).distinct()
+    val shp = sh.join(ids, Seq("id"), "left_semi").localCheckpoint(true)
+    val sizes = shp.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(shp.select(col("id").as("id1"), col("sh")), Seq("id1"))
+      .join(shp.select(col("id").as("id2"), col("sh")), Seq("id2", "sh"),
+        "left_semi")
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(inter, Seq("id1", "id2"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .withColumn("c12_ppm", expr("n_common * 1000000L DIV n1"))
+      .withColumn("c21_ppm", expr("n_common * 1000000L DIV n2"))
+      .select(col("id1"), col("id2"), col("n1"), col("n2"),
+        col("n_common"), col("c12_ppm"), col("c21_ppm"))
+  }
+
   /** Exact all-pairs Jaccard ≥ threshold via PREFIX FILTERING (the
     * PPJoin family of all-pairs similarity joins): under any global
     * shingle order, two sets with Jaccard ≥ t must share at least one
