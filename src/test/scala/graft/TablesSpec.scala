@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Pins the `Tables.events` timestamp contract: whatever shape the
+  * driver's generator writes (ns-BIGINT under nanosAsLong, µs
+  * TIMESTAMP, or µs TIMESTAMP_NTZ), consumers see epoch-ns BIGINTs.
+  */
+class TablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def roundTrip(writer: org.apache.spark.sql.DataFrame): Long = {
+    val dir = Files.createTempDirectory("tablesspec").toFile
+    val sub = new java.io.File(dir, "events.parquet")
+    writer.write.mode("overwrite").parquet(sub.getPath)
+    val got = Tables.events(spark, dir.getPath)
+    assert(got.schema("ts").dataType ===
+      org.apache.spark.sql.types.LongType)
+    got.select(col("ts")).collect().head.getLong(0)
+  }
+
+  private val usEpoch = 1704067200000000L // 2024-01-01T00:00:00Z in µs
+
+  test("BIGINT ts (ns) passes through untouched") {
+    val ns = usEpoch * 1000 + 123 // sub-µs survives the long path
+    assert(roundTrip(Seq((1L, ns)).toDF("event_id", "ts")) === ns)
+  }
+
+  test("TIMESTAMP ts (µs) converts to exact epoch ns") {
+    val df = Seq((1L, new java.sql.Timestamp(usEpoch / 1000)))
+      .toDF("event_id", "ts")
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 MICROSECOND"))
+    assert(roundTrip(df) === (usEpoch + 1) * 1000)
+  }
+
+  test("TIMESTAMP_NTZ ts (µs) reads as UTC instant ns") {
+    val df = Seq((1L, usEpoch)).toDF("event_id", "us")
+      .withColumn("ts", expr("make_timestamp_ntz(2024, 1, 1, 0, 0, 0)"))
+      .select(col("event_id"), col("ts"))
+    assert(roundTrip(df) === usEpoch * 1000)
+  }
+}
