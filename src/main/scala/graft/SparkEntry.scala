@@ -3120,6 +3120,26 @@ object SparkEntry {
       .orderBy(col("id1"))
   }
 
+  // ---------------------------------------------------------------- q166
+  /** Histogram-sketch quantiles ([[operators.Sketches.histSketch]] /
+    * [[operators.Sketches.histQuantiles]]): the mergeable scale path
+    * beside q48's exact sort (bin counts ADD across
+    * partitions/days — the map-side combine is the merge; error ≤ one
+    * bin width by construction). Prices become exact integer cents via
+    * the DECIMAL cast; target ranks, cumulative walk and within-bin
+    * interpolation are integer end to end — no float anywhere.
+    */
+  def q166HistQuantiles(s: SparkSession, d: String): DataFrame = {
+    import operators.Sketches
+    val cents = lineitem(s, d).select(
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    val sketch = Sketches.histSketch(cents, "cents", binWidth = 100000L)
+    Sketches.histQuantiles(sketch, binWidth = 100000L,
+        qPpm = Seq(500000L, 900000L, 990000L))
+      .orderBy(col("q_ppm"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -3640,6 +3660,7 @@ object SparkEntry {
     "q163_ks_test" -> (q163KsTest _),
     "q164_chunking" -> (q164Chunking _),
     "q165_containment" -> (q165Containment _),
+    "q166_hist_quantiles" -> (q166HistQuantiles _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -6535,6 +6556,33 @@ object SparkEntry {
          |FROM pr LEFT JOIN iv ON iv.id1 = pr.id1 AND iv.id2 = pr.id2
          |JOIN sz s1 ON s1.id = pr.id1 JOIN sz s2 ON s2.id = pr.id2
          |ORDER BY pr.id1""".stripMargin,
+
+    "q166_hist_quantiles" ->
+      // integer end to end: exact cents, ceil-rank targets in ppm,
+      // cumulative bin walk, integer within-bin interpolation
+      """WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS cents FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |h AS (SELECT cents // 100000 AS bin, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM c GROUP BY 1),
+        |cum AS (SELECT bin, cnt,
+        |    CAST(sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+        |  FROM h),
+        |tot AS (SELECT max(cum) AS n_values FROM cum),
+        |t AS (SELECT CAST(q AS BIGINT) AS q_ppm, tot.n_values,
+        |    (tot.n_values * q + 999999) // 1000000 AS target_rank
+        |  FROM tot CROSS JOIN (VALUES (500000), (900000), (990000)) v(q))
+        |SELECT t.q_ppm, t.n_values, CAST(t.target_rank AS BIGINT)
+        |    AS target_rank, cum.bin,
+        |  CAST(cum.bin * 100000
+        |    + ((t.target_rank - cum.prev) * 100000) // cum.cnt AS BIGINT)
+        |    AS est
+        |FROM t JOIN cum ON cum.cum >= t.target_rank
+        |  AND cum.prev < t.target_rank
+        |ORDER BY q_ppm""".stripMargin,
 
   )
 

@@ -193,6 +193,54 @@ object Sketches {
     * probed cell is empty). One broadcast-sized join per probe set —
     * the sketch is depth×width rows regardless of corpus size.
     */
+  // ------------------------------------------------------ histogram
+
+  /** Fixed-width integer histogram sketch — the simplest MERGEABLE
+    * quantile summary (bin counts add; error bounded by the bin width
+    * by construction, unlike GK/t-digest whose merge rules are
+    * implementation-defined). `valueCol` must already be exact
+    * integers (e.g. cents via a DECIMAL cast). Returns `(bin, cnt)`.
+    */
+  def histSketch(values: DataFrame, valueCol: String,
+                 binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"bin width must be >= 1, got $binWidth")
+    values.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(expr(s"v DIV ${binWidth}L").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Type-1 (ceil-rank) quantile estimates from a histogram sketch —
+    * INTEGER end to end: target rank `t = ⌈q·n⌉` via ppm arithmetic,
+    * the answer bin is the first with cumulative count ≥ t, and the
+    * within-bin position interpolates in exact integer division. The
+    * estimate is within one `binWidth` of the true type-1 quantile by
+    * construction. The cumulative walk runs on the bin frame (bounded
+    * by the value range / binWidth, never by rows). Returns
+    * `(q_ppm, n_values, target_rank, bin, est)`.
+    */
+  def histQuantiles(sketch: DataFrame, binWidth: Long,
+                    qPpm: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qPpm.nonEmpty && qPpm.forall(q => q > 0 && q <= 1000000),
+      s"quantiles must be ppm in (0, 1e6], got $qPpm")
+    val w = Window.orderBy("bin") // bin frame: bounded by range/width
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("prev", coalesce(lag("cum", 1).over(w), lit(0L)))
+    val tot = cum.agg(max(col("cum")).as("n_values"))
+    val targets = tot.withColumn("q_ppm",
+        explode(array(qPpm.map(lit): _*)))
+      .withColumn("target_rank",
+        expr("(n_values * q_ppm + 999999L) DIV 1000000L"))
+    targets.join(cum, col("cum") >= col("target_rank") &&
+        col("prev") < col("target_rank"))
+      .select(col("q_ppm"), col("n_values"), col("target_rank"), col("bin"),
+        (col("bin") * lit(binWidth) +
+          expr(s"((target_rank - prev) * ${binWidth}L) DIV cnt"))
+          .as("est"))
+  }
+
   def cmsQuery(sketch: DataFrame, probes: DataFrame, valueCol: String,
                depth: Int, width: Int): DataFrame = {
     val keyed = probes.select(col(valueCol).cast("string").as("v")).distinct()

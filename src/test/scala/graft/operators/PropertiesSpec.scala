@@ -1108,6 +1108,34 @@ class PropertiesSpec extends SparkSpec {
     }, 6)
   }
 
+  test("histogram sketch: merges by addition; estimates within one bin width") {
+    val gen = Gen.listOfN(80, Gen.chooseNum(0L, 5000L))
+      .suchThat(_.nonEmpty)
+    val width = 100L
+    check(Prop.forAllNoShrink(gen) { vs =>
+      val df = vs.toDF("v")
+      val whole = Sketches.histSketch(df, "v", width)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (a, b) = vs.zipWithIndex.partition(_._2 % 2 == 0)
+      def cells(xs: List[Long]) = Sketches.histSketch(xs.toDF("v"), "v", width)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ca = cells(a.map(_._1)); val cb = cells(b.map(_._1))
+      val merged = (ca.keySet ++ cb.keySet).map(k =>
+        k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))).toMap
+      val ests = Sketches.histQuantiles(
+          Sketches.histSketch(df, "v", width), width,
+          Seq(250000L, 500000L, 900000L))
+        .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+      val sorted = vs.sorted
+      val okBound = Seq(250000L, 500000L, 900000L).forall { q =>
+        val t = ((vs.size.toLong * q + 999999L) / 1000000L).toInt // ceil rank
+        val truth = sorted(t - 1)
+        math.abs(ests(q) - truth) <= width
+      }
+      merged == whole && okBound
+    }, 10)
+  }
+
   test("JaroWinkler matches DuckDB's probed values bit-for-bit-ish") {
     import graft.plans.JaroWinklerExpr.similarity
     def jw(a: String, b: String) = similarity(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
