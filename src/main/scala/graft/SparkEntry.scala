@@ -3140,6 +3140,80 @@ object SparkEntry {
       .orderBy(col("q_ppm"))
   }
 
+  // ---------------------------------------------------------------- q167
+  /** Cross-source duplication matrix: the verified near-dup pair set
+    * (shared [[dedupPairs]] artifact — ninth consumer) rolled up by
+    * the SOURCE pair it straddles, orientation-normalized. The
+    * operational "which feeds duplicate each other" report every
+    * multi-source corpus needs before sampling weights are set.
+    * Two broadcast-sized joins over the pair list — cost is O(pairs).
+    */
+  def q167DupSourceMatrix(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    val idSrc = dedupPairs(s, d).select(col("id1").as("id"))
+      .unionAll(dedupPairs(s, d).select(col("id2").as("id"))).distinct()
+      .withColumn("base", pmod(col("id"), lit(1000000L)))
+      .join(src, col("base") === col("doc_id"))
+      .select(col("id"), col("source"))
+    dedupPairs(s, d)
+      .join(idSrc.select(col("id").as("id1"), col("source").as("sa")), Seq("id1"))
+      .join(idSrc.select(col("id").as("id2"), col("source").as("sb")), Seq("id2"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  // ---------------------------------------------------------------- q168
+  /** Quantile normalization ([[operators.Quantiles
+    * .normalizeToReference]]): returned-flag line prices mapped onto
+    * the 'N'-flag distribution — the batch-effect corrector. Pure
+    * integer rank mapping (`⌈r·n_ref/n⌉`, type-1), two ordinal sorts
+    * + one rank-index hash join; no interpolation to disagree on
+    * across engines.
+    */
+  def q168QuantileNormalize(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val a = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_extendedprice"))
+    val ref = li.filter(col("l_returnflag") === "N")
+      .select(col("l_extendedprice"))
+    operators.Quantiles.normalizeToReference(a,
+        Seq(col("l_extendedprice").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc, col("l_partkey").asc,
+          col("l_suppkey").asc),
+        ref, "l_extendedprice")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"))
+  }
+
+  // ---------------------------------------------------------------- q169
+  /** Last-touch revenue attribution ([[operators.TemporalJoins
+    * .asofJoin]]): every purchase is attributed to the user's latest
+    * prior click/view (or 'direct' when none) and revenue rolled up
+    * per channel. The as-of join is the union-window formulation —
+    * one user-partitioned shuffle, no per-row probing; revenue sums
+    * in DECIMAL.
+    */
+  def q169Attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts").as("touch_ts"),
+        col("event_type").as("touch_type"))
+    operators.TemporalJoins.asofJoin(purchases, touches, Seq("user_id"),
+        "ts", "touch_ts", Seq("touch_type"))
+      .withColumn("channel", coalesce(col("touch_type"), lit("direct")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("v")).cast("double").as("revenue"))
+      .orderBy(col("channel"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -3661,6 +3735,9 @@ object SparkEntry {
     "q164_chunking" -> (q164Chunking _),
     "q165_containment" -> (q165Containment _),
     "q166_hist_quantiles" -> (q166HistQuantiles _),
+    "q167_dup_source_matrix" -> (q167DupSourceMatrix _),
+    "q168_quantile_normalize" -> (q168QuantileNormalize _),
+    "q169_attribution" -> (q169Attribution _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -6583,6 +6660,68 @@ object SparkEntry {
         |FROM t JOIN cum ON cum.cum >= t.target_rank
         |  AND cum.prev < t.target_rank
         |ORDER BY q_ppm""".stripMargin,
+
+    "q167_dup_source_matrix" ->
+      // the q24 PPJoin pair replay rolled up by orientation-normalized
+      // source pair (synthetic ids map to their base doc's source)
+      s"""WITH $SqlCorpus,
+         |$SqlShingles3,
+         |n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |com AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS common
+         | FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         | GROUP BY 1, 2),
+         |jac AS (SELECT com.id1, com.id2,
+         |  CAST(com.common AS DOUBLE) / CAST(n1.n + n2.n - com.common
+         |    AS DOUBLE) AS jaccard
+         | FROM com JOIN n n1 ON n1.doc_id = com.id1
+         |          JOIN n n2 ON n2.doc_id = com.id2),
+         |pairs AS (SELECT id1, id2 FROM jac WHERE jaccard >= 0.6),
+         |m AS (SELECT least(da.source, db.source) AS source_a,
+         |    greatest(da.source, db.source) AS source_b
+         |  FROM pairs p
+         |  JOIN documents da ON da.doc_id = p.id1 % 1000000
+         |  JOIN documents db ON db.doc_id = p.id2 % 1000000)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM m GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    "q168_quantile_normalize" ->
+      // pure integer rank mapping: r -> ref value at ceil(r*n_ref/n)
+      """WITH a AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    l_extendedprice,
+        |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+        |      l_linenumber, l_partkey, l_suppkey) AS ra
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |b AS (SELECT l_extendedprice AS vref,
+        |    row_number() OVER (ORDER BY l_extendedprice) AS rb
+        |  FROM lineitem WHERE l_returnflag = 'N'),
+        |na AS (SELECT count(*) AS n FROM a),
+        |nb AS (SELECT count(*) AS n FROM b)
+        |SELECT a.l_orderkey, a.l_linenumber, a.l_partkey, a.l_suppkey,
+        |  a.l_extendedprice, b.vref AS v_norm
+        |FROM a CROSS JOIN na CROSS JOIN nb
+        |JOIN b ON b.rb = (a.ra * nb.n + na.n - 1) // na.n
+        |ORDER BY a.l_orderkey, a.l_linenumber, a.l_partkey,
+        |  a.l_suppkey""".stripMargin,
+
+    "q169_attribution" ->
+      // as-of attribution replayed as the union-window last_value;
+      // revenue sums in DECIMAL, one double cast at the end
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |u AS (SELECT user_id, us, 1 AS side, v,
+        |    CAST(NULL AS VARCHAR) AS tt FROM ev WHERE event_type = 'purchase'
+        |  UNION ALL SELECT user_id, us, 0, CAST(NULL AS DECIMAL(18,2)),
+        |    event_type FROM ev WHERE event_type IN ('click', 'view')),
+        |w AS (SELECT user_id, us, side, v,
+        |    last_value(tt IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY us, side ROWS UNBOUNDED PRECEDING) AS tt
+        |  FROM u)
+        |SELECT coalesce(tt, 'direct') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(v) AS DOUBLE) AS revenue
+        |FROM w WHERE side = 1 GROUP BY 1 ORDER BY channel""".stripMargin,
 
   )
 

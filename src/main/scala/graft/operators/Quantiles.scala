@@ -92,6 +92,35 @@ object Quantiles {
     * division is float, rounded 6 dp. Returns
     * `(groupCols..., n_values, n_trimmed_each, trimmed_mean)`.
     */
+  /** Quantile normalization onto a reference distribution — the
+    * batch-effect / domain-shift corrector (Bolstad et al. 2003 for
+    * microarrays; the same transform recalibrates model-score columns
+    * across sources): each row keeps its RANK but takes the reference
+    * group's value at the proportionally-mapped rank
+    * (`⌈r·n_ref/n⌉` — exact integer arithmetic, type-1 semantics, no
+    * interpolation to disagree on). Both rankings are
+    * range-partitioned ordinal sorts; the mapping is one hash join on
+    * the rank index. Returns `df`'s columns + `v_norm`.
+    */
+  def normalizeToReference(df: DataFrame, order: Seq[Column],
+                           ref: DataFrame, refValueCol: String): DataFrame = {
+    val outCols = df.columns.toSeq
+    val a = Ordinals.withOrderedOrdinal(df, order, name = "__ra")
+    // reference tie order is immaterial: equal values occupy adjacent
+    // ranks and map to the same v_norm whichever order they land in
+    val b = Ordinals.withOrderedOrdinal(
+        ref.select(col(refValueCol).as("__vref")),
+        Seq(col("__vref").asc), name = "__rb")
+      .select(col("__rb"), col("__vref"))
+      .localCheckpoint(true)
+    val na = a.count()
+    val nb = b.count()
+    require(na > 0 && nb > 0, "both distributions must be non-empty")
+    a.withColumn("__target", expr(s"(__ra * ${nb}L + ${na}L - 1L) DIV ${na}L"))
+      .join(b, col("__target") === col("__rb"))
+      .select(outCols.map(col) :+ col("__vref").as("v_norm"): _*)
+  }
+
   def trimmedMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   trimPpm: Long, tieBreak: Seq[Column]): DataFrame = {
     require(trimPpm >= 0 && trimPpm < 500000,

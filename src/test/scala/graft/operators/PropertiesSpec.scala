@@ -1108,6 +1108,25 @@ class PropertiesSpec extends SparkSpec {
     }, 6)
   }
 
+  test("quantile normalization: rank-preserving map onto the reference") {
+    // 4 rows map onto an 8-row reference: rank r -> ref[ceil(r*8/4)]
+    val a = Seq((1L, 10.0), (2L, 50.0), (3L, 20.0), (4L, 90.0)).toDF("id", "v")
+    val ref = Seq(100.0, 101.0, 102.0, 103.0, 104.0, 105.0, 106.0, 107.0)
+      .toDF("v")
+    val got = Quantiles.normalizeToReference(a,
+        Seq(col("v").asc, col("id").asc), ref, "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // sorted a: 10(id1),20(id3),50(id2),90(id4) -> ranks 1..4 ->
+    // targets 2,4,6,8 -> 101,103,105,107
+    assert(got === Map(1L -> 101.0, 3L -> 103.0, 2L -> 105.0, 4L -> 107.0))
+    // equal sizes: the map is exactly the reference order statistics
+    val same = Quantiles.normalizeToReference(a,
+        Seq(col("v").asc, col("id").asc),
+        Seq(7.0, 5.0, 6.0, 8.0).toDF("v"), "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(same === Map(1L -> 5.0, 3L -> 6.0, 2L -> 7.0, 4L -> 8.0))
+  }
+
   test("histogram sketch: merges by addition; estimates within one bin width") {
     val gen = Gen.listOfN(80, Gen.chooseNum(0L, 5000L))
       .suchThat(_.nonEmpty)
