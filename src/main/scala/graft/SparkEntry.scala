@@ -3214,6 +3214,43 @@ object SparkEntry {
       .orderBy(col("channel"))
   }
 
+  // ---------------------------------------------------------------- q170
+  /** Zipf's-law fit per language: the log-log rank–frequency slope
+    * over each lang's top-100 tokens (Zipf 1949; slope ≈ −1 for
+    * natural text — a cheap "does this corpus look like language"
+    * audit). Ranks are a lang-partitioned WindowGroupLimit over the
+    * vocabulary frame; the regression runs on 6-dp-rounded lns held
+    * in DECIMAL (order-independent sums, q106's discipline) with the
+    * OLS closed form evaluated once per lang.
+    */
+  def q170ZipfFit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents(s, d)
+      .select(col("lang"),
+        explode(functions.TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy("lang").orderBy(col("freq").desc, col("tok"))
+    val terms = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 100) // WindowGroupLimit prunes map-side
+      .withColumn("x", round(log(col("rk").cast("double")), 6)
+        .cast("decimal(8,6)"))
+      .withColumn("y", round(log(col("freq").cast("double")), 6)
+        .cast("decimal(8,6)"))
+    terms.groupBy("lang")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).cast("decimal(12,6)").as("sx"),
+        sum(col("y")).cast("decimal(12,6)").as("sy"),
+        sum(col("x") * col("y")).cast("decimal(20,12)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(20,12)").as("sxx"))
+      .withColumn("zipf_slope", round(
+        (col("n_terms").cast("decimal(3,0)") * col("sxy") -
+          col("sx") * col("sy")).cast("double") /
+          (col("n_terms").cast("decimal(3,0)") * col("sxx") -
+            col("sx") * col("sx")).cast("double"), 6) + lit(0.0))
+      .select(col("lang"), col("n_terms"), col("zipf_slope"))
+      .orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------- q56
   /** Corpus text normalization (NFC + control-char strip + whitespace
     * collapse) as a native single-pass expression
@@ -3738,6 +3775,7 @@ object SparkEntry {
     "q167_dup_source_matrix" -> (q167DupSourceMatrix _),
     "q168_quantile_normalize" -> (q168QuantileNormalize _),
     "q169_attribution" -> (q169Attribution _),
+    "q170_zipf_fit" -> (q170ZipfFit _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -6722,6 +6760,31 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_purchases,
         |  CAST(sum(v) AS DOUBLE) AS revenue
         |FROM w WHERE side = 1 GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "q170_zipf_fit" ->
+      // 6dp-rounded lns in DECIMAL (order-independent sums), OLS
+      // closed form with the same cast ladder as the Spark side
+      s"""WITH tok AS (SELECT lang, unnest($SqlToks) AS tok FROM documents),
+         |cnt AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS freq
+         |        FROM tok GROUP BY lang, tok),
+         |rk AS (SELECT lang, freq, row_number() OVER (PARTITION BY lang
+         |      ORDER BY freq DESC, tok) AS rk FROM cnt),
+         |t AS (SELECT lang,
+         |    CAST(round(ln(CAST(rk AS DOUBLE)), 6) AS DECIMAL(8,6)) AS x,
+         |    CAST(round(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(8,6)) AS y
+         |  FROM rk WHERE rk <= 100),
+         |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum(x) AS DECIMAL(12,6)) AS sx,
+         |    CAST(sum(y) AS DECIMAL(12,6)) AS sy,
+         |    CAST(sum(x * y) AS DECIMAL(20,12)) AS sxy,
+         |    CAST(sum(x * x) AS DECIMAL(20,12)) AS sxx
+         |  FROM t GROUP BY lang)
+         |SELECT lang, n_terms,
+         |  round(CAST(CAST(n_terms AS DECIMAL(3,0)) * sxy - sx * sy
+         |      AS DOUBLE)
+         |    / CAST(CAST(n_terms AS DECIMAL(3,0)) * sxx - sx * sx
+         |      AS DOUBLE), 6) + 0.0 AS zipf_slope
+         |FROM m ORDER BY lang""".stripMargin,
 
   )
 
