@@ -3214,6 +3214,17 @@ object SparkEntry {
       .orderBy(col("channel"))
   }
 
+  // ---------------------------------------------------------------- q171
+  /** Power-law degree-tail exponent ([[operators.GraphStats
+    * .powerLawAlpha]], Newman's MLE, dmin = 10) of the co-purchase
+    * graph — tenth consumer of the shared edge artifact. 6-dp DECIMAL
+    * ln sums; one float row.
+    */
+  def q171PowerLaw(s: SparkSession, d: String): DataFrame =
+    operators.GraphStats.powerLawAlpha(
+      copurchasePairs(s, d).select(col("pa"), col("pb")), "pa", "pb",
+      dmin = 10L)
+
   // ---------------------------------------------------------------- q170
   /** Zipf's-law fit per language: the log-log rank–frequency slope
     * over each lang's top-100 tokens (Zipf 1949; slope ≈ −1 for
@@ -3776,6 +3787,7 @@ object SparkEntry {
     "q168_quantile_normalize" -> (q168QuantileNormalize _),
     "q169_attribution" -> (q169Attribution _),
     "q170_zipf_fit" -> (q170ZipfFit _),
+    "q171_power_law" -> (q171PowerLaw _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -6785,6 +6797,25 @@ object SparkEntry {
          |    / CAST(CAST(n_terms AS DECIMAL(3,0)) * sxx - sx * sx
          |      AS DOUBLE), 6) + 0.0 AS zipf_slope
          |FROM m ORDER BY lang""".stripMargin,
+
+    "q171_power_law" ->
+      // Newman MLE over the degree tail; 6dp DECIMAL ln sums
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |sup AS (SELECT a.pk AS pa, b.pk AS pb
+        |        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |        GROUP BY a.pk, b.pk),
+        |e AS (SELECT CAST(pa AS BIGINT) AS u, CAST(pb AS BIGINT) AS v
+        |      FROM sup
+        |      UNION SELECT CAST(pb AS BIGINT), CAST(pa AS BIGINT) FROM sup),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u),
+        |tail AS (SELECT d FROM deg WHERE d >= 10)
+        |SELECT CAST(count(*) AS BIGINT) AS n_tail, CAST(10 AS BIGINT) AS dmin,
+        |  round(CAST(1 AS DOUBLE) + CAST(count(*) AS DOUBLE)
+        |    / CAST(sum(CAST(round(ln(CAST(d AS DOUBLE)
+        |        / CAST(9.5 AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |    AS alpha
+        |FROM tail""".stripMargin,
 
   )
 

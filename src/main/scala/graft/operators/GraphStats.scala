@@ -58,4 +58,34 @@ object GraphStats {
           .otherwise(round(col("__num") / col("__den"), 6))
           .as("assortativity"))
   }
+
+  /** Power-law tail exponent of the degree distribution (Newman 2005,
+    * "Power laws, Pareto distributions and Zipf's law", eq. 5 — the
+    * Hill/MLE estimator): `α = 1 + n / Σ ln(d / (dmin − 0.5))` over
+    * nodes with degree ≥ dmin. The scale-free-ness audit for graph
+    * corpora (α ∈ [2,3] is the small-world signature; α far outside
+    * means the graph generator or join is broken).
+    *
+    * One degree hash-agg + one aggregation; the ln terms are rounded
+    * to 6 dp and summed in DECIMAL (order-independent, the q106
+    * discipline), so both engines see the identical sum; α is one
+    * float expression on one row, rounded 6 dp.
+    */
+  def powerLawAlpha(edges: DataFrame, srcCol: String, dstCol: String,
+                    dmin: Long): DataFrame = {
+    require(dmin >= 1, s"dmin must be >= 1, got $dmin")
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    e.groupBy("u").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= dmin)
+      .agg(count(lit(1)).as("n_tail"),
+        sum(round(log(col("d").cast("double") / lit(dmin - 0.5)), 6)
+          .cast("decimal(18,6)")).as("__s"))
+      .select(col("n_tail"), lit(dmin).as("dmin"),
+        round(lit(1.0) + col("n_tail").cast("double") /
+          col("__s").cast("double"), 6).as("alpha"))
+  }
 }
