@@ -64,6 +64,31 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.get((6L, 7L)).forall(_ <= 2))
   }
 
+  test("sorted neighborhood: rank-window pairs match brute force; " +
+    "boundary-straddling matches survive") {
+    // names sort so that near-identical pairs sit adjacent even though
+    // their blocks (blk) differ — the case hard blocking loses
+    val df = Seq(
+      (1L, 0, "anna maria"), (2L, 1, "anna marla"), // adjacent in sort
+      (3L, 0, "benny zed"), (4L, 1, "benny zeds"),
+      (5L, 0, "zz outlier")
+    ).toDF("id", "blk", "name")
+    val got = FuzzyJoin.sortedNeighborhood(df, "id", "name",
+        Seq(col("name").asc, col("id").asc), window = 2, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    // sort order: anna maria(1), anna marla(2), benny zed(3),
+    // benny zeds(4), zz outlier(5); window 2 pairs each rank with the
+    // next two; only dist<=2 survive
+    assert(got === Set((1L, 2L, 1L, 1), (3L, 4L, 1L, 1)))
+    // the cross-block pair (1,2) was found — hard blocking on blk
+    // would have missed it
+    val blocked = FuzzyJoin.blockedLevenshtein(df, "id", "name",
+        Seq("blk"), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!blocked.contains((1L, 2L)))
+  }
+
   test("composite blocking key requires ALL parts equal") {
     val df = Seq((1L, 0, 0, "aaa"), (2L, 0, 1, "aaa"), (3L, 0, 0, "aab"))
       .toDF("id", "b1", "b2", "name")
