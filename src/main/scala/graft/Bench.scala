@@ -14,10 +14,19 @@ object Bench {
   def compactLine(ordered: Seq[(String, Double)],
                   failures: Seq[(String, String)],
                   total: Double, sfDir: String,
-                  budget: Int = 1900): String = {
+                  budget: Int = 1900,
+                  cal: Seq[Double] = Nil,
+                  load: Seq[Double] = Nil): String = {
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\x00-\\x1f]", " ") + "\""
     def dp(v: Double, scale: Int) =
       BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+    // environment-calibration fields (start/end probe secs + loadavg):
+    // tiny and never sacrificed — they are what lets a reader normalize
+    // cross-round environmental swings instead of re-litigating them
+    def arr(vs: Seq[Double], scale: Int) =
+      vs.map(dp(_, scale)).mkString("[", ",", "]")
+    val calF = if (cal.isEmpty) "" else s""","cal":${arr(cal, 3)}"""
+    val loadF = if (load.isEmpty) "" else s""","load":${arr(load, 2)}"""
     // qNN prefix keys; artifact_* entries keep their full (distinct) name
     def short(n: String) =
       if (n.startsWith("artifact")) n else n.takeWhile(_ != '_')
@@ -34,7 +43,7 @@ object Bench {
           jstr(k) + ":" + jstr(v.take(60))
         }.mkString("{", ",", "}")
       val dropped = if (dropN > 0) s""","dropped":$dropN""" else ""
-      s"""{"metric":"total","value":${dp(total, 2)},"unit":"sec","queries":$qs$errs$dropped,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${dp(total, 2)},"unit":"sec","queries":$qs$errs$dropped$calF$loadF,"sf":"$sfDir"}"""
     }
     val full = render(trim1dp = false, dropN = 0)
     if (full.length <= budget) return full
@@ -62,6 +71,24 @@ object Bench {
     // so the first measured query doesn't carry startup cost
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // environment calibration: a fixed CPU-bound probe (median of 3
+    // timed 5e7-row range sums across all threads) plus /proc/loadavg,
+    // sampled at start AND end — byte-identical plans have shown ~1.7×
+    // whole-run swings between driver and builder runs of the same
+    // tree, so the line carries the signal needed to normalize them
+    def loadavg(): Double = scala.util.Try(
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble).getOrElse(-1.0)
+    def calProbe(): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(50000000L).selectExpr("sum(id)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1)
+    }
+    val loadStart = loadavg()
+    val calStart = calProbe()
     // optional comma-separated name filter for profiling single queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -78,7 +105,10 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // operators cache intermediates (minhash signatures, PPJoin
       // prefixes); drop them so one query's storage doesn't squeeze the
-      // next query's execution memory — each entry measures cold
+      // next query's execution memory — each entry measures cold.
+      // releaseAll first so the Retained registry doesn't accumulate
+      // stale frame handles across the run
+      operators.Retained.releaseAll(spark)
       spark.catalog.clearCache()
       name -> dt
     }
@@ -110,12 +140,15 @@ object Bench {
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\x00-\\x1f]", " ") + "\""
     val errs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    val calEnd = calProbe()
+    val loadEnd = loadavg()
     // full-precision, full-name record for humans / logs
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"cal":[$calStart,$calEnd],"load":[$loadStart,$loadEnd],"sf":"$sfDir"}""")
     // compact duplicate printed LAST: the harness keeps only a ~2000-char
     // stdout tail, which used to cut the line's head (losing "total" and
     // a third of the timings) — see [[compactLine]] for the budget policy
-    println(compactLine(ordered, failures.toSeq, total, sfDir))
+    println(compactLine(ordered, failures.toSeq, total, sfDir,
+      cal = Seq(calStart, calEnd), load = Seq(loadStart, loadEnd)))
     spark.stop()
   }
 }

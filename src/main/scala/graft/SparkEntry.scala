@@ -419,24 +419,37 @@ object SparkEntry {
       .orderBy(col("id1"), col("id2"))
 
   // ---------------------------------------------------------------- q24
-  /** Session-scoped parquet artifact registry for pipeline intermediates
+  /** CONTENT-ADDRESSED parquet artifact store for pipeline intermediates
     * shared by several queries ([[operators.Staging.Artifact]] pattern):
-    * whichever consumer runs first pays the generation pass, the rest
-    * read parquet. A real 100 TB run would point the artifacts at
-    * durable storage instead of driver temp dirs.
+    * whichever consumer runs first pays the generation pass, everyone
+    * else — including LATER SESSIONS — reads parquet.
     *
-    * Lifecycle contract: entries key on the session's
-    * `applicationId:startTime` (stable for the session's life, never
-    * reused — `identityHashCode` could be, after a GC) plus the sf dir.
-    * Temp dirs are deleted when their owning session's context stops
-    * (SparkListener `onApplicationEnd`) and, as a backstop for sessions
-    * still live at exit, by a JVM shutdown hook — long-lived
-    * multi-session JVMs (the test suite) therefore do not accumulate
-    * dirs.
+    * Addressing: an artifact lives at
+    * `<cacheRoot>/<md5(sf-dir inputs + builder version)>/<name>` where
+    * the key hashes every input parquet file's (name, size, mtime)
+    * plus [[BuilderVersion]]. A changed corpus or changed builder code
+    * therefore changes the key — the stale artifact is simply never
+    * addressed again (invalidation by construction, spec-pinned); a
+    * back-to-back rerun on the same corpus re-reads day-1 artifacts at
+    * ~0 cost — the incremental-pipeline shape a 100 TB curation run
+    * needs (day-2 dedup must not rebuild day-1 pairs).
+    *
+    * Lifecycle: cached artifacts are durable by default (reuse across
+    * sessions is the point); `GRAFT_ARTIFACT_CLEANUP=1` opts INTO
+    * deleting this JVM's cache root at shutdown (the old
+    * always-delete behavior). Completeness is judged by parquet's
+    * `_SUCCESS` marker; builds write to a temp sibling and move into
+    * place atomically, so a crashed build can never be mistaken for a
+    * finished artifact. Setting `GRAFT_ARTIFACT_CACHE` (env) or
+    * `graft.artifact.cache` (sys-prop, spec hook) relocates the root;
+    * a real 100 TB run points it at durable shared storage.
     */
-  private object SessionArtifacts {
-    private val dirs = scala.collection.concurrent.TrieMap.empty[String, String]
-    private val hooked = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private[graft] object SessionArtifacts {
+    /** Bump when any artifact BUILDER's semantics change — part of the
+      * content address, so old cached artifacts die with the old code.
+      */
+    val BuilderVersion = "r9-1"
+    private val buildLock = new Object
     private def rmTree(p: String): Unit = {
       import java.nio.file.{Files, Paths}
       import scala.jdk.CollectionConverters._
@@ -448,31 +461,56 @@ object SparkEntry {
         finally walk.close()
       }
     }
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      dirs.values.foreach(d => scala.util.Try(rmTree(d)))))
-    private def sessionKey(s: SparkSession): String =
-      s"${s.sparkContext.applicationId}:${s.sparkContext.startTime}"
-    private def evict(sk: String): Unit =
-      dirs.keys.filter(_.startsWith(sk + ":")).foreach { k =>
-        dirs.remove(k).foreach(d => scala.util.Try(rmTree(d)))
-      }
+    def cacheRoot: String =
+      sys.props.get("graft.artifact.cache")
+        .orElse(sys.env.get("GRAFT_ARTIFACT_CACHE"))
+        .getOrElse(sys.props("java.io.tmpdir") + "/graft-artifact-cache")
+    if (sys.env.get("GRAFT_ARTIFACT_CLEANUP").contains("1"))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        scala.util.Try(rmTree(cacheRoot))))
+    /** md5 over the sf dir's input parquet stats + builder version:
+      * coarse (ANY table change re-keys every artifact) but exactly as
+      * strong as the invalidation contract needs — false rebuilds cost
+      * one generation pass; a false HIT would be silent wrong data.
+      */
+    def contentKey(d: String): String = {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val dir = Paths.get(d)
+      val stats =
+        if (!Files.isDirectory(dir)) s"missing:$d"
+        else {
+          val ls = Files.list(dir)
+          try ls.iterator().asScala.toSeq
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .sortBy(_.getFileName.toString)
+            .map(p => s"${p.getFileName}:${Files.size(p)}:" +
+              s"${Files.getLastModifiedTime(p).toMillis}")
+            .mkString("|")
+          finally ls.close()
+        }
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d|$stats|$BuilderVersion".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+    }
     def getOrBuild(name: String, s: SparkSession, d: String)
                   (build: => DataFrame): DataFrame = {
-      val sk = sessionKey(s)
-      hooked.getOrElseUpdate(sk, {
-        s.sparkContext.addSparkListener(
-          new org.apache.spark.scheduler.SparkListener {
-            override def onApplicationEnd(
-                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-              evict(sk)
-          })
-      })
-      val dir = dirs.getOrElseUpdate(s"$sk:$d:$name", {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft_${name}_").toString
-        build.write.mode("overwrite").parquet(tmp)
-        tmp
-      })
-      s.read.parquet(dir)
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dir = Paths.get(cacheRoot, contentKey(d), name)
+      if (!Files.exists(dir.resolve("_SUCCESS"))) buildLock.synchronized {
+        if (!Files.exists(dir.resolve("_SUCCESS"))) {
+          Files.createDirectories(dir.getParent)
+          val tmp = dir.getParent.resolve(s".tmp_${name}_${System.nanoTime()}")
+          build.write.mode("overwrite").parquet(tmp.toString)
+          try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+          catch { // lost a cross-JVM race: the winner's artifact is equivalent
+            case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.FileSystemException
+              if Files.exists(dir.resolve("_SUCCESS")) => rmTree(tmp.toString)
+          }
+        }
+      }
+      s.read.parquet(dir.toString)
     }
   }
 
@@ -3225,6 +3263,49 @@ object SparkEntry {
       copurchasePairs(s, d).select(col("pa"), col("pb")), "pa", "pb",
       dmin = 10L)
 
+  // ---------------------------------------------------------------- q172
+  /** JDBC sink round-trip — the ONE layer with no oracle-backed row
+    * until now: a real import through [[api.Importer.importToJdbc]]
+    * into embedded Derby (auto-create + completeCommit `appendAtomic`
+    * staging on the first pass, then a keyed Upsert MERGE on a delta),
+    * read back through the JDBC source. The oracle replays the merge
+    * relationally (FULL JOIN + coalesce, delta wins). `bal` stays an
+    * untouched IEEE double both ways (×2 is exact), so the hash
+    * compare covers value fidelity through the sink, not just shape.
+    * The tiny collect is the TABLE (≤ 60 rows read back from Derby),
+    * never corpus data — it lets the in-memory database be dropped
+    * eagerly instead of leaking per call.
+    */
+  def q172JdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.api.Importer
+    val url = s"jdbc:derby:memory:graftq172_${System.nanoTime()};create=true"
+    val base = customer(s, d).filter(col("c_custkey") <= 50)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"))
+    Importer.importToJdbc(base, url, "q172_target",
+      Importer.ImportConfig(mode = ImportMode.Insert,
+        keyColumns = Seq("id"), createTableIfNeeded = true,
+        completeCommit = true))
+    val delta = customer(s, d)
+      .filter(col("c_custkey") >= 26 && col("c_custkey") <= 60)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        (col("c_acctbal") * 2).as("bal"))
+    Importer.importToJdbc(delta, url, "q172_target",
+      Importer.ImportConfig(mode = ImportMode.Upsert,
+        keyColumns = Seq("id")))
+    val back = s.read.format("jdbc").option("url", url)
+      .option("dbtable", "q172_target")
+      .option("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver").load()
+    val rows = back.select(col("ID").cast("long").as("id"),
+        col("NAME").as("name"), col("BAL").cast("double").as("bal"))
+      .collect().toSeq
+    scala.util.Try(java.sql.DriverManager.getConnection(
+      url.replace(";create=true", ";drop=true")))
+    import s.implicits._
+    rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toDF("id", "name", "bal").orderBy(col("id"))
+  }
+
   // ---------------------------------------------------------------- q170
   /** Zipf's-law fit per language: the log-log rank–frequency slope
     * over each lang's top-100 tokens (Zipf 1949; slope ≈ −1 for
@@ -3788,6 +3869,7 @@ object SparkEntry {
     "q169_attribution" -> (q169Attribution _),
     "q170_zipf_fit" -> (q170ZipfFit _),
     "q171_power_law" -> (q171PowerLaw _),
+    "q172_jdbc_roundtrip" -> (q172JdbcRoundtrip _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -5146,7 +5228,9 @@ object SparkEntry {
       // replay knnEdgesLsh's banding: 24 planes, 6 bands x 4 bits,
       // candidates = pairs sharing ANY band key (equi-join on the
       // exploded (band_idx, key) rows — the same join the Spark plan
-      // runs), then each side's top-4 over its candidate set only.
+      // runs) AFTER dropping band buckets wider than the hot-bucket
+      // cap (8192 — never binds at this sf, replayed for structural
+      // parity), then each side's top-4 over its candidate set only.
       val (bitCols, bandCols) = sqlBandCols(24, 6)
       s"""WITH RECURSIVE e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -5157,8 +5241,12 @@ object SparkEntry {
          |eb AS (SELECT vec_id, generate_subscripts(bk, 1) AS band_idx,
          |        unnest(bk) AS bkey
          |       FROM (SELECT vec_id, [b0, b1, b2, b3, b4, b5] AS bk FROM band)),
+         |ebw AS (SELECT band_idx, bkey FROM eb
+         |        GROUP BY band_idx, bkey HAVING count(*) <= 8192),
+         |ebc AS (SELECT eb.vec_id, eb.band_idx, eb.bkey
+         |        FROM eb JOIN ebw USING (band_idx, bkey)),
          |cand AS (SELECT DISTINCT a.vec_id AS qa, b.vec_id AS qb
-         |         FROM eb a JOIN eb b ON a.band_idx = b.band_idx
+         |         FROM ebc a JOIN ebc b ON a.band_idx = b.band_idx
          |          AND a.bkey = b.bkey AND a.vec_id <> b.vec_id),
          |s AS (SELECT cand.qa, cand.qb, ${sqlCosine("x.v", "y.v")} AS sim
          |      FROM cand JOIN e x ON x.vec_id = cand.qa
@@ -6816,6 +6904,22 @@ object SparkEntry {
         |        / CAST(9.5 AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE), 6)
         |    AS alpha
         |FROM tail""".stripMargin,
+
+    "q172_jdbc_roundtrip" ->
+      // replay the sink merge relationally: base insert (keys <= 50),
+      // then a keyed upsert of the delta (26..60, bal doubled — exact
+      // in IEEE) — delta wins on overlap, new delta keys insert
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal
+        |  FROM customer WHERE c_custkey <= 50),
+        |delta AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_acctbal * 2 AS bal
+        |  FROM customer WHERE c_custkey BETWEEN 26 AND 60)
+        |SELECT coalesce(d.id, b.id) AS id,
+        |  coalesce(d.name, b.name) AS name,
+        |  coalesce(d.bal, b.bal) AS bal
+        |FROM base b FULL JOIN delta d ON b.id = d.id
+        |ORDER BY 1""".stripMargin,
 
   )
 

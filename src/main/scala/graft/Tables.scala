@@ -19,6 +19,17 @@ object Tables {
     * normalize those back to the ns-long contract here (sessions pin
     * UTC, so the NTZ→instant reading is unambiguous). `unix_micros` is
     * exact integer arithmetic — no float rounding on the path.
+    *
+    * µs-ALIGNMENT CONTRACT: `ts` values are required to be µs-aligned
+    * (ns % 1000 == 0). The LongType path passes values through
+    * untouched — TablesSpec pins that sub-µs residues SURVIVE (they
+    * are data, not noise, and truncating here would silently alter
+    * them) — but oracle parity for µs-granular arithmetic (q146's
+    * `ts DIV 1000`, q157's `DIV 1000000000` offsets) holds only for
+    * aligned inputs, because DuckDB reads the same parquet as
+    * TIMESTAMP and truncates each value to µs BEFORE differencing.
+    * The driver's generator emits µs-aligned ns; true-ns data would
+    * need its own oracle treatment, not silent truncation.
     */
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {

@@ -24,17 +24,17 @@ object CorpusOverlap {
     *
     * Retention: the per-group vocab frame stays persisted after the
     * result is consumed (it feeds three lazily-evaluated branches, so
-    * the operator cannot unpersist it itself) — long-lived sessions
-    * reclaim it with `spark.catalog.clearCache()` (Bench does, between
-    * every query).
+    * the operator cannot unpersist it itself). It is registered with
+    * [[Retained]] — callers release via `Retained.releaseAll(spark)`
+    * after their consuming action (Verify/Bench do, per query).
     */
   def vocabularyOverlap(docs: DataFrame, groupCol: String,
                         textCol: String): DataFrame = {
-    val vocab = docs
+    val vocab = Retained.track(docs
       .select(col(groupCol).as("__g"),
         explode(graft.functions.TextAnalysis.tokens(col(textCol))).as("__w"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = vocab.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
     val pairs = sizes.select(col("__g").as("g_a"), col("__n").as("vocab_a"))
       .join(sizes.select(col("__g").as("g_b"), col("__n").as("vocab_b")),

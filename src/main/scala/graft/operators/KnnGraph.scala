@@ -71,25 +71,52 @@ object KnnGraph {
     * Unlike the near-dup tier there is no coarse-bucket restriction:
     * nearest neighbors need not share a label.
     *
+    * `maxBucketWidth` is the skew guard the text tier has in
+    * `maxShingleDocFreq`: a band bucket wider than the cap is dropped
+    * BEFORE the candidate self-join, because a degenerate corpus
+    * (mass-duplicate or all-zero vectors — routine in raw crawl
+    * embeddings) would otherwise go quadratic inside that one bucket
+    * (width w → w² candidate rows). The recall effect is confined to
+    * the degenerate mass itself: identical vectors share EVERY band
+    * key, so when their bucket is dropped in all bands they lose their
+    * intra-mass edges (they are exact duplicates — the exact-dedup
+    * tier's job, not kNN's), while vectors in healthy buckets keep
+    * every candidate they had. GraphSpec pins both halves on a planted
+    * hot bucket. The default (8192) never binds at bench scale
+    * (2 000 vectors / 16 keys per band ≈ 125 wide) and bounds any one
+    * bucket's join fan-out at 8192² ≈ 6.7e7 — executor-sized — at any
+    * corpus scale.
+    *
     * Retention: the keyed corpus frame stays persisted after the result
     * is consumed (three lazy consumers — candidates and both scoring
-    * joins); callers reclaim via `spark.catalog.clearCache()`.
+    * joins); registered with [[Retained]] — callers release via
+    * `Retained.releaseAll(spark)` after their consuming action.
     */
   def knnEdgesLsh(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-                  numPlanes: Int = 24, bands: Int = 6, dim: Int = 64): DataFrame = {
+                  numPlanes: Int = 24, bands: Int = 6, dim: Int = 64,
+                  maxBucketWidth: Long = 8192): DataFrame = {
     require(k >= 1 && numPlanes % bands == 0,
       s"k >= 1 and bands ($bands) must divide numPlanes ($numPlanes)")
-    val keyed = vecs
+    require(maxBucketWidth >= 2, s"maxBucketWidth must be >= 2, got $maxBucketWidth")
+    val keyed = Retained.track(vecs
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__bits",
         Similarity.hyperplaneBits(col("__v"), Similarity.hyperplaneWeights(numPlanes, dim)))
       .withColumn("__bandkeys",
         Similarity.packBandKeys(col("__bits"), bands, numPlanes / bands))
       .drop("__bits")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val exploded = keyed.select(col("__id"),
       posexplode(col("__bandkeys")).as(Seq("__band", "__key")))
-    val cand = exploded.as("a").join(exploded.as("b"),
+    // hot-bucket guard: count each (band, key) bucket and keep only
+    // buckets at-or-under the cap; the width frame is #buckets-sized
+    // (≪ corpus) so the semi-join broadcasts
+    val okBuckets = exploded.groupBy(col("__band"), col("__key"))
+      .agg(count(lit(1)).as("__w"))
+      .filter(col("__w") <= maxBucketWidth)
+      .select(col("__band"), col("__key"))
+    val capped = exploded.join(broadcast(okBuckets), Seq("__band", "__key"))
+    val cand = capped.as("a").join(capped.as("b"),
         col("a.__band") === col("b.__band") &&
         col("a.__key") === col("b.__key") && col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("query_id"), col("b.__id").as("neighbor_id"))

@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * the final published ratio.
   *
   * Scale shape: one value-keyed hash aggregation (map-side combining)
-  * collapses rows to the distinct-value frame, then one bounded
-  * window builds both cumulative counts (same distinct-value-frame
-  * concession as the U test), and the argmax is a tiny top-1 sort.
+  * collapses rows to the distinct-value frame, then the cumulative
+  * counts come from the distributed two-pass prefix sum
+  * ([[Ordinals.withOrderedPrefixSum]] — range-partitioned sort +
+  * per-partition offsets, NO single-partition window, so a
+  * high-cardinality value column cannot serialize this stage), and
+  * the argmax is a tiny top-1 sort.
   */
 object KsTest {
 
@@ -25,18 +28,19 @@ object KsTest {
     * supremum (deterministic tie-break).
     */
   def ksTwoSample(df: DataFrame, valueCol: String, isA: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perValue = df
       .select(col(valueCol).as("v"), isA.cast("boolean").as("a"))
       .filter(col("v").isNotNull)
       .groupBy("v")
       .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
         sum(when(col("a"), 0L).otherwise(1L)).as("cb"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = perValue
-      .withColumn("cuma", sum(col("ca")).over(w))
-      .withColumn("cumb", sum(col("cb")).over(w))
+    // exclusive prefix per side (distributed; v is distinct so the sort
+    // order is total) -> inclusive cumulative = prefix + own count
+    val cum = Ordinals.withOrderedPrefixSum(
+        Ordinals.withOrderedPrefixSum(perValue, Seq(col("v")), "ca", "__pa"),
+        Seq(col("v")), "cb", "__pb")
+      .withColumn("cuma", col("__pa") + col("ca"))
+      .withColumn("cumb", col("__pb") + col("cb"))
     val tot = cum.agg(max(col("cuma")).as("n_a"), max(col("cumb")).as("n_b"))
     cum.crossJoin(broadcast(tot)) // 1-row totals anchor
       .withColumn("dnum", abs(col("cuma") * col("n_b") -

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: ranks come from ONE value-keyed hash aggregation plus
   * a prefix over the per-value counts — because tied observations all
   * take the SAME midrank, ranking needs only the distinct-value count
-  * frame (bounded by |distinct values|, not |rows|), ordered by a
-  * bounded window over that frame. All rank mass is exact in halves
+  * frame (bounded by |distinct values|, not |rows|), and the prefix is
+  * the distributed two-pass [[Ordinals.withOrderedPrefixSum]] (no
+  * single-partition window — a high-cardinality value column cannot
+  * serialize this stage). All rank mass is exact in halves
   * (midrank = (lo + hi)/2 — accumulated as 2·midrank BIGINTs); the
   * normal approximation's float ops run once, on one row, rounded
   * 6 dp.
@@ -26,18 +28,16 @@ object MannWhitney {
     * approximation of (U_A − μ)/σ, rounded 6 dp.
     */
   def uTest(df: DataFrame, valueCol: String, isA: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perValue = df
       .select(col(valueCol).as("v"), isA.cast("boolean").as("a"))
       .filter(col("v").isNotNull)
       .groupBy("v")
       .agg(count(lit(1)).as("t"), // tie-group size
         sum(when(col("a"), 1L).otherwise(0L)).as("ta"))
-    // distinct-value frame: bounded window is fine here (|values| rows,
-    // same concession class as q131's duration-distinct frame)
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = perValue
-      .withColumn("below", coalesce(sum(col("t")).over(w), lit(0L)))
+    // "below" = exclusive prefix of tie-group sizes — exactly the
+    // distributed two-pass prefix sum's contract (v is distinct)
+    val ranked = Ordinals.withOrderedPrefixSum(
+        perValue, Seq(col("v")), "t", "below")
       // midrank = below + (t+1)/2; keep ×2 to stay integer: 2·below+t+1
       .withColumn("mid2", lit(2L) * col("below") + col("t") + 1L)
     ranked.agg(

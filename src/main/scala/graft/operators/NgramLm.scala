@@ -48,10 +48,12 @@ object NgramLm {
       .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
     // the model is |bigram vocab|-sized (≪ corpus); persist it so the
     // scoring join and the context roll-up don't each re-scan the
-    // corpus (MEMORY_AND_DISK: spills, never fails). Retained after the
-    // result is consumed — callers reclaim via catalog.clearCache()
-    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus (MEMORY_AND_DISK: spills, never fails). Registered with
+    // Retained — callers release via Retained.releaseAll(spark) after
+    // the consuming action
+    val counts = Retained.track(
+      bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ctx = counts.groupBy(col("w1")).agg(sum(col("c12")).as("ctx1"))
     bi.join(counts, Seq("w1", "w2"))
       .join(ctx, Seq("w1"))

@@ -60,6 +60,11 @@ object Regression {
         (col("sy").cast("decimal(10,2)") * col("sxx").cast("decimal(19,0)") -
           col("sx").cast("decimal(16,0)") * col("sxy").cast("decimal(19,2)"))
           .cast("double") / col("__den"), 6) + lit(0.0))
+      // overflow in the bounding down-casts yields NULL slope/intercept
+      // (not an error, under non-ANSI decimal); drop those rows so the
+      // "row drops visibly" contract above holds literally — emitting a
+      // (k, n, null, null) row would read as a fit
+      .filter(col("slope").isNotNull && col("intercept").isNotNull)
       .select(col("k").as(keyCol), col("n"), col("slope"), col("intercept"))
   }
 }

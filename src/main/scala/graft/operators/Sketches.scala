@@ -216,18 +216,22 @@ object Sketches {
     * within-bin position interpolates in exact integer division. The
     * estimate is within one `binWidth` of the true type-1 quantile by
     * construction. The cumulative walk runs on the bin frame (bounded
-    * by the value range / binWidth, never by rows). Returns
+    * by the value range / binWidth, never by rows) via the distributed
+    * two-pass prefix sum ([[Ordinals.withOrderedPrefixSum]]) — no
+    * single-partition window, so even a fine-grained binWidth over a
+    * wide value range cannot serialize this stage. Returns
     * `(q_ppm, n_values, target_rank, bin, est)`.
     */
   def histQuantiles(sketch: DataFrame, binWidth: Long,
                     qPpm: Seq[Long]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(qPpm.nonEmpty && qPpm.forall(q => q > 0 && q <= 1000000),
       s"quantiles must be ppm in (0, 1e6], got $qPpm")
-    val w = Window.orderBy("bin") // bin frame: bounded by range/width
-    val cum = sketch
-      .withColumn("cum", sum(col("cnt")).over(w))
-      .withColumn("prev", coalesce(lag("cum", 1).over(w), lit(0L)))
+    // "prev" = exclusive prefix of bin counts (bin is distinct);
+    // inclusive cumulative = prev + own count
+    val cum = Ordinals.withOrderedPrefixSum(
+        sketch.withColumn("cnt", col("cnt").cast("long")),
+        Seq(col("bin")), "cnt", "prev")
+      .withColumn("cum", col("prev") + col("cnt"))
     val tot = cum.agg(max(col("cum")).as("n_values"))
     val targets = tot.withColumn("q_ppm",
         explode(array(qPpm.map(lit): _*)))

@@ -36,10 +36,14 @@ object Staging {
     */
   final case class Artifact(dir: String) extends Mode
 
-  /** Materialize `df` under `mode`; downstream reads the returned frame. */
+  /** Materialize `df` under `mode`; downstream reads the returned frame.
+    * Memory/Spill stagings are registered with [[Retained]] so callers
+    * can release them via `Retained.releaseAll(spark)` once the result
+    * is consumed (Artifact needs no release — parquet, not cache).
+    */
   def stage(df: DataFrame, mode: Mode, name: String): DataFrame = mode match {
-    case Memory => df.cache()
-    case Spill(level) => df.persist(level)
+    case Memory => Retained.track(df.cache())
+    case Spill(level) => Retained.track(df.persist(level))
     case Artifact(dir) =>
       val path = s"$dir/$name"
       df.write.mode("overwrite").parquet(path)

@@ -86,6 +86,11 @@ object JaroWinklerExpr {
       i += 1
     }
     val md = m.toDouble
+    // `t2 / 2` is deliberate INTEGER division: an odd out-of-order
+    // count floors (2 transposition-halves → 1, 3 → 1), matching
+    // DuckDB's jaro_winkler_similarity bit-for-bit (probe-pinned in
+    // FuzzyJoinSpec) rather than the textbook 0.5-granular
+    // half-transposition count — a deliberate oracle-compat choice
     val jaro = (md / la + md / lb + (md - t2 / 2) / md) / 3.0
     if (jaro <= 0.7) jaro
     else {

@@ -254,4 +254,56 @@ object StreamingImport {
   def cmsStream(values: DataFrame, valueCol: String, depth: Int,
                 width: Int): DataFrame =
     graft.operators.Sketches.cmsSketch(values, valueCol, depth, width)
+
+  /** Streaming HLL registers: the SAME bucket/max-rho aggregation as
+    * [[graft.operators.Sketches.hllRegisters]], run incrementally —
+    * per-bucket `max` is exactly the HLL merge, so the state store
+    * maintains the registers of everything ever streamed (spec-pinned
+    * batch parity; feed the complete-mode table to
+    * `Sketches.hllEstimate` at read time).
+    */
+  def hllStream(values: DataFrame, groupCols: Seq[String], valueCol: String,
+                p: Int): DataFrame =
+    graft.operators.Sketches.hllRegisters(values, groupCols, valueCol, p)
+
+  /** Streaming histogram sketch: the SAME bin/count aggregation as
+    * [[graft.operators.Sketches.histSketch]] — per-bin counts sum,
+    * which IS the histogram merge, so the complete-mode table equals
+    * the batch sketch of the whole stream (spec-pinned; feed to
+    * `Sketches.histQuantiles` at read time).
+    */
+  def histStream(values: DataFrame, valueCol: String,
+                 binWidth: Long): DataFrame =
+    graft.operators.Sketches.histSketch(values, valueCol, binWidth)
+
+  /** Streaming KMV sketch via `foreachBatch`: KMV's bottom-k needs a
+    * rank (no streaming-native aggregation), so each micro-batch's
+    * batch sketch merges into a STANDING sketch with the spec-pinned
+    * [[graft.operators.Sketches.kmvMerge]] law — the standing state is
+    * ≤ k rows per group (sketch-sized, never stream-sized), collected
+    * locally between batches to keep the lineage flat. `onUpdate`
+    * receives the merged sketch after every batch; the final callback
+    * value equals `kmvSketch` of the union of all batches (spec-pinned
+    * batch parity).
+    */
+  def kmvStream(values: DataFrame, groupCols: Seq[String], valueCol: String,
+                k: Int,
+                onUpdate: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    @volatile var standing: Option[DataFrame] = None
+    values.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val bs = graft.operators.Sketches.kmvSketch(batch, groupCols, valueCol, k)
+        val merged = standing match {
+          case Some(s) => graft.operators.Sketches.kmvMerge(s, bs, groupCols, k)
+          case None    => bs
+        }
+        // k-sized per group: localize to cut lineage growth across batches
+        val rows = merged.collect().toSeq
+        val flat = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), merged.schema)
+        standing = Some(flat)
+        onUpdate(flat)
+    }
+  }
 }

@@ -48,6 +48,19 @@ class BenchLineSpec extends AnyFunSuite {
     assert(j.get("errors").size() === 1)
   }
 
+  test("cal/load calibration fields render and survive the budget squeeze") {
+    val line = Bench.compactLine(synth(200), Nil, 321.0, "/x/sf0.1",
+      cal = Seq(0.123, 0.456), load = Seq(1.5, 4.25))
+    assert(line.length <= 1900)
+    val j = parse(line)
+    assert(j.get("cal").size() === 2)
+    assert(j.get("cal").get(0).asDouble() === 0.123)
+    assert(j.get("load").get(1).asDouble() === 4.25)
+    // absent when not supplied (old-line compatibility)
+    val bare = parse(Bench.compactLine(synth(5), Nil, 1.0, "/x/sf0.1"))
+    assert(!bare.has("cal") && !bare.has("load"))
+  }
+
   test("artifact entries keep distinct full names in short-key mode") {
     val entries = (synth(10) ++ Seq("artifact_pairs" -> 9.0,
       "artifact_labels" -> 3.0, "artifact_epairs" -> 2.0,

@@ -74,6 +74,46 @@ class GraphSpec extends SparkSpec {
       s"recall ${hit.toDouble / exact.size} too low")
   }
 
+  test("LSH-tier kNN: hot band buckets are capped — a planted duplicate " +
+       "mass cannot go quadratic, healthy pairs keep their edges") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    // 400 IDENTICAL vectors (a mass-duplicate crawl artifact): they share
+    // every band key, so without the cap ONE bucket yields 400² candidates
+    val mass = vec()
+    val massRows = (1000L until 1400L).map(id => (id, mass.clone()))
+    // 10 tight healthy pairs in distinct directions
+    val pairRows = (0 until 10).flatMap { p =>
+      val v = vec()
+      val w = v.clone(); w(0) += 0.01f
+      Seq((p * 2L, v), (p * 2L + 1, w))
+    }
+    val vecs = (massRows ++ pairRows).toDF("vec_id", "embedding")
+    val capped = KnnGraph.knnEdgesLsh(vecs, "vec_id", "embedding", k = 2,
+        maxBucketWidth = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // every mass bucket is wider than the cap in every band -> the mass
+    // contributes NO candidates at all (its edges are exact-dedup's job)
+    assert(!capped.exists { case (q, n) => q >= 1000L || n >= 1000L },
+      "duplicate mass must be excluded by the bucket cap")
+    // healthy pairs survive: each member still finds its partner unless
+    // EVERY one of its 6 band buckets collided with the mass key (none
+    // do, with these deterministic hyperplanes)
+    val found = (0 until 10).count(p =>
+      capped.contains((p * 2L, p * 2L + 1)) &&
+      capped.contains((p * 2L + 1, p * 2L)))
+    assert(found >= 8, s"only $found of 10 healthy pairs kept their edge")
+    // sanity: with the cap lifted the mass edges DO appear (so the cap,
+    // not the banding, is what removed them above)
+    val uncapped = KnnGraph.knnEdgesLsh(vecs, "vec_id", "embedding", k = 2,
+        maxBucketWidth = 1000000)
+      .filter(col("query_id") >= 1000L).limit(1).count()
+    assert(uncapped === 1L)
+    Retained.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
   test("label propagation: two cliques over a bridge resolve to two communities") {
     import spark.implicits._
     // 4-cliques {1..4} and {5..8} joined by the single bridge 4-5: each

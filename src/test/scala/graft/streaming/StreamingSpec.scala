@@ -309,6 +309,100 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming HLL registers equal the batch sketch of all batches") {
+    val dir = SyntheticFixtures.dir(s"hllstream_${System.nanoTime()}")
+    val b1 = SyntheticFixtures.writeText(new File(dir, "b1.csv"),
+      "tok\n" + (0 until 60).map(i => s"u$i").mkString("\n"))
+    val b2 = SyntheticFixtures.writeText(new File(dir, "b2.csv"),
+      "tok\n" + (40 until 90).map(i => s"u$i").mkString("\n"))
+    b1.setLastModified(System.currentTimeMillis() - 60000)
+    b2.setLastModified(System.currentTimeMillis())
+    val schema = StructType(Seq(StructField("tok", StringType)))
+    val stream = spark.readStream.schema(schema).option("header", "true")
+      .option("maxFilesPerTrigger", "1").csv(dir.getPath)
+    val q = StreamingImport.hllStream(stream, Nil, "tok", p = 6)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out")
+      .option("checkpointLocation", new File(dir, "_cp").getPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT bucket, rho FROM hll_out")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-bucket max in the state store IS the HLL merge
+    val all = ((0 until 60) ++ (40 until 90)).map(i => s"u$i").toDF("tok")
+    val batch = graft.operators.Sketches.hllRegisters(all, Nil, "tok", 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    // and the estimate built from the streamed registers matches too
+    val estS = graft.operators.Sketches.hllEstimate(
+      spark.sql("SELECT bucket, rho FROM hll_out"), Nil, 6)
+      .collect().head.getDouble(2)
+    val estB = graft.operators.Sketches.hllEstimate(
+      graft.operators.Sketches.hllRegisters(all, Nil, "tok", 6), Nil, 6)
+      .collect().head.getDouble(2)
+    assert(estS === estB)
+  }
+
+  test("streaming histogram bins equal the batch sketch; quantiles match") {
+    val dir = SyntheticFixtures.dir(s"histstream_${System.nanoTime()}")
+    val b1 = SyntheticFixtures.writeText(new File(dir, "b1.csv"),
+      "v\n" + (0 until 80).map(i => (i * 7) % 200).mkString("\n"))
+    val b2 = SyntheticFixtures.writeText(new File(dir, "b2.csv"),
+      "v\n" + (0 until 50).map(i => (i * 13) % 300).mkString("\n"))
+    b1.setLastModified(System.currentTimeMillis() - 60000)
+    b2.setLastModified(System.currentTimeMillis())
+    val schema = StructType(Seq(StructField("v", LongType)))
+    val stream = spark.readStream.schema(schema).option("header", "true")
+      .option("maxFilesPerTrigger", "1").csv(dir.getPath)
+    val q = StreamingImport.histStream(stream, "v", binWidth = 25L)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hist_out")
+      .option("checkpointLocation", new File(dir, "_cp").getPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT bin, cnt FROM hist_out")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = ((0 until 80).map(i => (i * 7) % 200) ++
+      (0 until 50).map(i => (i * 13) % 300)).map(_.toLong).toDF("v")
+    val batch = graft.operators.Sketches.histSketch(all, "v", 25L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    val qs = graft.operators.Sketches.histQuantiles(
+        spark.sql("SELECT bin, cnt FROM hist_out"), 25L, Seq(500000L))
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    val qb = graft.operators.Sketches.histQuantiles(
+        graft.operators.Sketches.histSketch(all, "v", 25L), 25L, Seq(500000L))
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(qs.toSeq === qb.toSeq)
+  }
+
+  test("streaming KMV merge equals the batch sketch of all batches") {
+    val dir = SyntheticFixtures.dir(s"kmvstream_${System.nanoTime()}")
+    val b1 = SyntheticFixtures.writeText(new File(dir, "b1.csv"),
+      "tok\n" + (0 until 70).map(i => s"v${i % 40}").mkString("\n"))
+    val b2 = SyntheticFixtures.writeText(new File(dir, "b2.csv"),
+      "tok\n" + (0 until 60).map(i => s"v${20 + i % 45}").mkString("\n"))
+    b1.setLastModified(System.currentTimeMillis() - 60000)
+    b2.setLastModified(System.currentTimeMillis())
+    val schema = StructType(Seq(StructField("tok", StringType)))
+    val stream = spark.readStream.schema(schema).option("header", "true")
+      .option("maxFilesPerTrigger", "1").csv(dir.getPath)
+    @volatile var last = Seq.empty[(Long, Long, String)]
+    val q = StreamingImport.kmvStream(stream, Nil, "tok", k = 16,
+        onUpdate = s => last = s.select("rk", "h", "v")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", new File(dir, "_cp").getPath)
+      .start()
+    q.awaitTermination(120000)
+    val all = ((0 until 70).map(i => s"v${i % 40}") ++
+      (0 until 60).map(i => s"v${20 + i % 45}")).toDF("tok")
+    val batch = graft.operators.Sketches.kmvSketch(all, Nil, "tok", 16)
+      .select("rk", "h", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(last.sortBy(_._1) === batch.sortBy(_._1))
+  }
+
   test("streaming near-dup probe against a standing LSH index") {
     import graft.operators.TextDedup
     val corpus = graft.Tables.documents(spark, sf()).limit(100)
