@@ -3682,6 +3682,95 @@ object SparkEntry {
       .orderBy(col("bucket_mod"))
   }
 
+  // ---------------------------------------------------------------- q173
+  /** Adamic–Adar link prediction over the ≥2-support co-purchase
+    * graph ([[operators.LinkPrediction.adamicAdarTopK]]) — the
+    * "which absent edge is most likely" top-50. Eleventh consumer of
+    * the shared edge artifact; wedge join bounded by the hub cap
+    * (principled for AA: hubs carry the smallest 1/ln weight).
+    */
+  def q173AdamicAdar(s: SparkSession, d: String): DataFrame =
+    operators.LinkPrediction.adamicAdarTopK(
+      copurchasePairs(s, d).filter(col("n_both") >= 2)
+        .select(col("pa"), col("pb")), "pa", "pb",
+      maxWedgeDegree = 10000, topK = 50)
+      .select(col("u"), col("v"), col("n_common"),
+        col("aa_score").cast("double").as("aa_score"))
+
+  // ---------------------------------------------------------------- q174
+  /** Item-item cosine collaborative filtering ("bought X also bought
+    * Y", [[operators.LinkPrediction.itemCosineTopK]]): per-item top-3
+    * neighbors by co-occurrence cosine. The expensive basket self-join
+    * is the shared edge artifact; this stage is two broadcast-size
+    * joins + a WindowGroupLimit over pre-aggregated counts.
+    */
+  def q174ItemCosine(s: SparkSession, d: String): DataFrame = {
+    val ic = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .groupBy(col("pk").as("item")).agg(count(lit(1)).as("n"))
+    operators.LinkPrediction.itemCosineTopK(
+        copurchasePairs(s, d), ic, topKPerItem = 3, minBoth = 2)
+      .orderBy(col("item"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------- q175
+  /** HITS hubs-and-authorities over the bipartite customer→part
+    * purchase graph ([[operators.LinkPrediction.hitsTopAuthorities]]),
+    * 2 L1-normalized rounds, top-20 authorities — the query-vs-catalog
+    * asymmetry PageRank (q83) can't express; oracle unrolls the
+    * rounds with the same 6-dp DECIMAL discipline.
+    */
+  def q175Hits(s: SparkSession, d: String): DataFrame =
+    operators.LinkPrediction.hitsTopAuthorities(
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("p")),
+      "u", "p", rounds = 2, topK = 20)
+
+  // ---------------------------------------------------------------- q176
+  /** Chi-square independence of `lang` × `source` on documents
+    * ([[operators.Contingency.chiSquareIndependence]]) plus Cramér's V
+    * — the categorical-association audit (a crawl where language
+    * depends strongly on source is fine; a LABEL that depends on
+    * source is leakage). Full-grid zero cells included; 6-dp DECIMAL
+    * term sums.
+    */
+  def q176ChiSquare(s: SparkSession, d: String): DataFrame =
+    operators.Contingency.chiSquareIndependence(
+      documents(s, d), "lang", "source")
+
+  // ---------------------------------------------------------------- q177
+  /** Per-event-type Spearman rank correlation of value vs time
+    * ([[operators.Spearman.correlation]]) — the monotone-drift screen
+    * (is `value` trending within each event type?). Midranks from the
+    * distinct-value frame + distributed two-pass prefix sum; exact
+    * 2·rank integers; one float op per group.
+    */
+  def q177Spearman(s: SparkSession, d: String): DataFrame =
+    operators.Spearman.correlation(events(s, d), "event_type", "value", "ts")
+      .select(col("group").as("event_type"), col("n"), col("rho"))
+      .orderBy(col("event_type"))
+
+  // ---------------------------------------------------------------- q178
+  /** Exact dyadic EWMA (α = 1/2, trailing 8) of per-user event value
+    * cents ordered by (ts, event_id) ([[operators.Ewma.dyadicEwma]]):
+    * power-of-two weights make the smoothed series exact integer
+    * arithmetic — bit-portable, unlike recursive float EWMA. Users
+    * < 100 keep the output row count bounded.
+    */
+  def q178Ewma(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).filter(col("user_id") < 100)
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000").as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("__ord", struct(col("us"), col("event_id")))
+    operators.Ewma.dyadicEwma(ev, "user_id", "__ord", "cents", window = 8)
+      .select(col("user_id"), col("event_id"), col("us"), col("cents"),
+        col("ewma"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -3870,6 +3959,12 @@ object SparkEntry {
     "q170_zipf_fit" -> (q170ZipfFit _),
     "q171_power_law" -> (q171PowerLaw _),
     "q172_jdbc_roundtrip" -> (q172JdbcRoundtrip _),
+    "q173_adamic_adar" -> (q173AdamicAdar _),
+    "q174_item_cosine" -> (q174ItemCosine _),
+    "q175_hits" -> (q175Hits _),
+    "q176_chi_square" -> (q176ChiSquare _),
+    "q177_spearman" -> (q177Spearman _),
+    "q178_ewma" -> (q178Ewma _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -6921,7 +7016,168 @@ object SparkEntry {
         |FROM base b FULL JOIN delta d ON b.id = d.id
         |ORDER BY 1""".stripMargin,
 
+    "q173_adamic_adar" ->
+      // wedge join through the shared neighbor over the >=2-support
+      // co-purchase graph; 1/ln(deg) weights rounded 6dp, summed in
+      // DECIMAL; existing edges anti-joined away; hub cap replayed
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |sup AS (SELECT a.pk AS pa, b.pk AS pb FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT CAST(pa AS BIGINT) AS lo, CAST(pb AS BIGINT) AS hi FROM sup),
+        |m AS (SELECT lo AS u, hi AS v FROM e UNION ALL SELECT hi, lo FROM e),
+        |deg AS (SELECT u AS w, count(*) AS deg FROM m GROUP BY u),
+        |centers AS (SELECT w,
+        |  CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 6) AS DECIMAL(8,6)) AS aa_w
+        | FROM deg WHERE deg <= 10000),
+        |adj AS MATERIALIZED (SELECT m.v AS w, m.u AS n, c.aa_w
+        |  FROM m JOIN centers c ON c.w = m.v),
+        |wedges AS (SELECT a.n AS u, b.n AS v, a.aa_w
+        |  FROM adj a JOIN adj b ON a.w = b.w AND a.n < b.n),
+        |scored AS (SELECT u, v, count(*) AS n_common,
+        |  CAST(sum(aa_w) AS DECIMAL(18,6)) AS aa_score
+        | FROM wedges GROUP BY u, v),
+        |nonedge AS (SELECT s.* FROM scored s
+        |  LEFT JOIN e ON e.lo = s.u AND e.hi = s.v WHERE e.lo IS NULL)
+        |SELECT u, v, n_common, CAST(aa_score AS DOUBLE) AS aa_score
+        |FROM nonedge ORDER BY aa_score DESC, u, v LIMIT 50""".stripMargin,
+
+    "q174_item_cosine" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pc AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_both FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |ic AS (SELECT pk AS item, count(*) AS n FROM li GROUP BY pk),
+        |p AS (SELECT * FROM pc WHERE n_both >= 2),
+        |bo AS (SELECT pa AS item, pb AS other, n_both FROM p
+        |  UNION ALL SELECT pb, pa, n_both FROM p),
+        |scored AS (SELECT b.item, b.other, b.n_both,
+        |  round(CAST(b.n_both AS DOUBLE) / sqrt(CAST(na.n * nb.n AS DOUBLE)), 6) AS cos
+        | FROM bo b JOIN ic na ON na.item = b.item JOIN ic nb ON nb.item = b.other),
+        |rk AS (SELECT *, row_number() OVER
+        |  (PARTITION BY item ORDER BY cos DESC, other) AS rk FROM scored)
+        |SELECT item, other, n_both, cos, CAST(rk AS INT) AS rk
+        |FROM rk WHERE rk <= 3 ORDER BY item, rk""".stripMargin,
+
+    "q175_hits" ->
+      // two unrolled HITS rounds; every normalized score is
+      // round(raw/sum, 6) in DECIMAL so the replay is exact
+      """WITH e AS MATERIALIZED (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u,
+        |  CAST(l_partkey AS BIGINT) AS p
+        | FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |h0 AS (SELECT u, CAST(1 AS DECIMAL(18,6)) AS h
+        |  FROM (SELECT DISTINCT u FROM e)),
+        |a1r AS (SELECT p, CAST(sum(h) AS DECIMAL(28,6)) AS raw
+        |  FROM e JOIN h0 USING (u) GROUP BY p),
+        |a1 AS (SELECT p, CAST(round(CAST(raw AS DOUBLE) /
+        |  (SELECT CAST(sum(raw) AS DOUBLE) FROM a1r), 6) AS DECIMAL(10,6)) AS a
+        | FROM a1r),
+        |h1r AS (SELECT u, CAST(sum(a) AS DECIMAL(28,6)) AS raw
+        |  FROM e JOIN a1 USING (p) GROUP BY u),
+        |h1 AS (SELECT u, CAST(round(CAST(raw AS DOUBLE) /
+        |  (SELECT CAST(sum(raw) AS DOUBLE) FROM h1r), 6) AS DECIMAL(10,6)) AS h
+        | FROM h1r),
+        |a2r AS (SELECT p, CAST(sum(h) AS DECIMAL(28,6)) AS raw
+        |  FROM e JOIN h1 USING (u) GROUP BY p),
+        |a2 AS (SELECT p, CAST(round(CAST(raw AS DOUBLE) /
+        |  (SELECT CAST(sum(raw) AS DOUBLE) FROM a2r), 6) AS DECIMAL(10,6)) AS a
+        | FROM a2r)
+        |SELECT p AS item, CAST(a AS DOUBLE) AS auth
+        |FROM a2 ORDER BY auth DESC, item LIMIT 20""".stripMargin,
+
+    "q176_chi_square" ->
+      // full |A|x|B| grid including zero cells; per-cell term
+      // (o*n - r*c)^2 / (n*r*c) with exact integer operands, rounded
+      // 6dp, summed in DECIMAL
+      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |  count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b FROM cells),
+        |grid AS (SELECT rt.a, ct.b, rt.r, ct.c, coalesce(cells.o, 0) AS o
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+        |terms AS (SELECT t.n, t.n_a, t.n_b,
+        |  CAST(round(CAST(CAST(g.o * t.n - g.r * g.c AS DECIMAL(19,0)) *
+        |      CAST(g.o * t.n - g.r * g.c AS DECIMAL(19,0)) AS DOUBLE) /
+        |    CAST(t.n * g.r * g.c AS DOUBLE), 6) AS DECIMAL(18,6)) AS term
+        | FROM grid g CROSS JOIN tot t),
+        |agg AS (SELECT n, n_a, n_b, CAST(sum(term) AS DECIMAL(28,6)) AS chi2d
+        |  FROM terms GROUP BY 1, 2, 3)
+        |SELECT n, n_a, n_b, CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+        |  CAST(chi2d AS DOUBLE) AS chi2,
+        |  CASE WHEN least(n_a, n_b) <= 1 THEN NULL
+        |    ELSE round(sqrt(CAST(chi2d AS DOUBLE) /
+        |      CAST(n * (least(n_a, n_b) - 1) AS DOUBLE)), 6) END AS cramers_v
+        |FROM agg""".stripMargin,
+
+    "q177_spearman" ->
+      // midranks (x2, exact integers) from the distinct-value frames;
+      // Pearson over ranks with DECIMAL(19,0)x(19,0) cross-products
+      """WITH base AS (SELECT event_type AS g, value AS x,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y
+        | FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |xv AS (SELECT g, x, count(*) AS t FROM base GROUP BY 1, 2),
+        |xr AS (SELECT g, x, 2 * coalesce(sum(t) OVER
+        |  (PARTITION BY g ORDER BY x
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+        |  AS mx2 FROM xv),
+        |yv AS (SELECT g, y, count(*) AS t FROM base GROUP BY 1, 2),
+        |yr AS (SELECT g, y, 2 * coalesce(sum(t) OVER
+        |  (PARTITION BY g ORDER BY y
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+        |  AS my2 FROM yv),
+        |rk AS (SELECT b.g, xr.mx2, yr.my2 FROM base b
+        |  JOIN xr ON xr.g = b.g AND xr.x = b.x
+        |  JOIN yr ON yr.g = b.g AND yr.y = b.y),
+        |m AS (SELECT g, count(*) AS n, sum(mx2) AS sx, sum(my2) AS sy,
+        |  sum(mx2 * my2) AS sxy, sum(mx2 * mx2) AS sxx,
+        |  sum(my2 * my2) AS syy FROM rk GROUP BY g),
+        |f AS (SELECT g, n,
+        |  CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0)) -
+        |    CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS num,
+        |  CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0)) -
+        |    CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS vx,
+        |  CAST(n AS DECIMAL(19,0)) * CAST(syy AS DECIMAL(19,0)) -
+        |    CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS vy
+        | FROM m)
+        |SELECT g AS event_type, n,
+        |  CASE WHEN vx = 0 OR vy = 0 THEN NULL
+        |    ELSE round(CAST(num AS DOUBLE) /
+        |      sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6) END AS rho
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    "q178_ewma" -> ewmaSql(8),
+
   )
+
+  /** Unrolled dyadic-EWMA oracle (see q178 / [[operators.Ewma]]):
+    * `window` lag terms with power-of-two weights, truncated weights
+    * renormalized by the Σ actually present — exact integer num/den,
+    * one rounded divide per row.
+    */
+  private def ewmaSql(w: Int): String = {
+    val num = (0 until w).map { i =>
+      val wt = 1L << (w - 1 - i)
+      if (i == 0) s"cents * $wt"
+      else s"coalesce(lag(cents, $i) OVER win * $wt, 0)"
+    }.mkString(" + ")
+    val den = (0 until w).map { i =>
+      val wt = 1L << (w - 1 - i)
+      if (i == 0) s"$wt"
+      else s"CASE WHEN lag(cents, $i) OVER win IS NOT NULL THEN $wt ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH ev AS (SELECT user_id, event_id,
+    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+   FROM events WHERE user_id < 100)
+SELECT user_id, event_id, us, cents,
+  round(CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 6) AS ewma
+FROM ev
+WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id)
+ORDER BY user_id, us, event_id"""
+  }
 
   /** Unrolled fixed-budget k-core peel oracle over the ≥2-support
     * co-purchase graph (see q148): round i keeps nodes with ≥ k

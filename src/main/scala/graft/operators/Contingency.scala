@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Chi-square test of independence over a two-way contingency table,
+  * plus Cramér's V effect size — the categorical-drift / association
+  * audit (is `lang` independent of `source`? did the label mix shift
+  * between snapshots?).
+  *
+  * Scale shape: ONE hash aggregation over the raw rows builds the
+  * `(a, b, o)` cell frame (bounded by |A|·|B| cells, not |rows|);
+  * marginals are two more hash aggs over the CELL frame; the χ²
+  * terms are evaluated per cell and summed. No window, no collect.
+  *
+  * Exactness: the per-cell term is algebraically
+  * `(o − e)²/e = (o·n − r·c)² / (n·r·c)` — numerator and denominator
+  * are exact BIGINT/DECIMAL products of counts, so the only float op
+  * per cell is one division, rounded 6 dp and summed in DECIMAL
+  * (order-independent, portable across engines).
+  */
+object Contingency {
+
+  /** One row: `(n, n_a, n_b, dof, chi2, cramers_v)` for the `aCol` ×
+    * `bCol` table. `cramers_v = sqrt(χ² / (n·min(|A|−1,|B|−1)))`,
+    * NULL when either dimension is constant (dof = 0).
+    */
+  def chiSquareIndependence(df: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("a").agg(sum(col("o")).as("r"))
+    val colTot = cells.groupBy("b").agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      count_distinct(col("a")).as("n_a"),
+      count_distinct(col("b")).as("n_b"))
+    // the FULL |A|×|B| grid, not just observed cells: a zero cell still
+    // contributes (0−e)²/e = r·c/n² ... scaled below — dropping zeros
+    // understates χ² exactly where association is strongest
+    val grid = rowTot.crossJoin(colTot)
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    // every χ² term (o·n − r·c)²/(n·r·c): integer numerator/denominator,
+    // one float divide per CELL, 6-dp rounded, summed in DECIMAL
+    val terms = grid
+      .crossJoin(broadcast(tot))
+      .withColumn("__d",
+        (col("o") * col("n") - col("r") * col("c")).cast("decimal(19,0)"))
+      .withColumn("term", round(
+        (col("__d") * col("__d")).cast("double") /
+          (col("n") * col("r") * col("c")).cast("double"), 6)
+        .cast("decimal(18,6)"))
+    terms.groupBy("n", "n_a", "n_b")
+      .agg(sum(col("term")).cast("decimal(28,6)").as("chi2d"))
+      .withColumn("dof",
+        ((col("n_a") - 1L) * (col("n_b") - 1L)).cast("long"))
+      .withColumn("chi2", col("chi2d").cast("double"))
+      .withColumn("cramers_v",
+        when(least(col("n_a"), col("n_b")) <= 1L, lit(null).cast("double"))
+          .otherwise(round(sqrt(col("chi2d").cast("double") /
+            (col("n") * (least(col("n_a"), col("n_b")) - 1L)).cast("double")),
+            6)))
+      .select(col("n"), col("n_a"), col("n_b"), col("dof"),
+        col("chi2"), col("cramers_v"))
+  }
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Neighborhood-based link prediction and item-item similarity over an
+  * undirected graph — the classic recommender/graph-completion pair:
+  *
+  *  - Adamic–Adar (Adamic & Adar 2003, "Friends and neighbors on the
+  *    web"): score(u,v) = Σ_{w ∈ Γ(u)∩Γ(v)} 1/ln(deg w). The standard
+  *    "which absent edge is most likely" baseline; also the workhorse
+  *    feature for dedup-graph densification (two near-dup clusters
+  *    that share many neighbors probably belong together).
+  *  - Item-item cosine collaborative filtering (Sarwar et al. WWW'01):
+  *    score(a,b) = n_both / √(n_a · n_b) over co-occurrence counts —
+  *    the "customers who bought X also bought Y" face.
+  *
+  * Scale shape: everything is node-keyed hash joins and hash aggs —
+  * no driver-side graph, no cartesian stage. The common-neighbor
+  * enumeration is the wedge join through the shared neighbor w, which
+  * costs O(Σ_w deg(w)²); a hub cap (`maxWedgeDegree`) bounds that the
+  * same way TextDedup's `maxShingleDocFreq` bounds hot shingles. The
+  * cap is principled for Adamic–Adar specifically: a hub's weight is
+  * 1/ln(deg) — the score mass it contributes is the smallest in the
+  * sum — so dropping mega-hubs trades negligible score for removing
+  * the quadratic term (documented recall effect, spec-pinned).
+  */
+object LinkPrediction {
+
+  /** Top-k non-edges ranked by Adamic–Adar score:
+    * `(u, v, n_common, aa_score)` with u < v, existing edges excluded.
+    *
+    * Weights are `round(1/ln(deg w), 6)` held in DECIMAL so the
+    * score is an order-independent exact sum (both engines agree
+    * bit-for-bit); ties break on (u, v).
+    */
+  def adamicAdarTopK(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxWedgeDegree: Int = 10000,
+                     topK: Int = 50): DataFrame = {
+    val e = Triangles.canonicalEdges(edges, srcCol, dstCol)
+    val m = e.select(col("lo").as("u"), col("hi").as("v"))
+      .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+    val deg = m.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
+    // wedge centers: every w contributes deg(w)² wedge rows — cap the
+    // hubs (their 1/ln weight is the smallest term in any score)
+    val centers = deg.filter(col("deg") <= maxWedgeDegree)
+      .withColumn("aa_w",
+        round(lit(1.0) / log(col("deg").cast("double")), 6)
+          .cast("decimal(8,6)"))
+    val adj = m.select(col("v").as("w"), col("u").as("n"))
+      .join(centers, Seq("w"))
+    val wedges = adj.as("a").join(adj.as("b"),
+        col("a.w") === col("b.w") && col("a.n") < col("b.n"))
+      .select(col("a.n").as("u"), col("b.n").as("v"), col("a.aa_w").as("aa_w"))
+    val scored = wedges.groupBy("u", "v")
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("aa_w")).cast("decimal(18,6)").as("aa_score"))
+      // link PREDICTION: only absent edges are candidates
+      .join(e.select(col("lo").as("u"), col("hi").as("v")),
+        Seq("u", "v"), "left_anti")
+    scored.orderBy(col("aa_score").desc, col("u"), col("v")).limit(topK)
+  }
+
+  /** Item-item cosine top-k: for each item, its `topKPerItem` nearest
+    * neighbors by co-occurrence cosine. Inputs are pre-aggregated —
+    * `pairCounts(pa, pb, n_both)` with pa < pb (one co-occurrence
+    * self-join paid upstream, shareable as an artifact) and
+    * `itemCounts(item, n)` — so this stage is two broadcast-size hash
+    * joins plus a WindowGroupLimit; it never touches the raw baskets.
+    *
+    * `cos = round(n_both / sqrt(n_a·n_b), 6)`: integer product under
+    * the sqrt (exact in double to 2^52), one IEEE sqrt + divide —
+    * engine-portable at 6 dp.
+    */
+  def itemCosineTopK(pairCounts: DataFrame, itemCounts: DataFrame,
+                     topKPerItem: Int = 3, minBoth: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = pairCounts.filter(col("n_both") >= minBoth)
+    // mirror so every item sees its full neighbor list
+    val both = p.select(col("pa").as("item"), col("pb").as("other"), col("n_both"))
+      .unionAll(p.select(col("pb").as("item"), col("pa").as("other"), col("n_both")))
+    val scored = both
+      .join(itemCounts.select(col("item"), col("n").as("na")), Seq("item"))
+      .join(itemCounts.select(col("item").as("other"), col("n").as("nb")),
+        Seq("other"))
+      .withColumn("cos", round(col("n_both").cast("double") /
+        sqrt((col("na") * col("nb")).cast("double")), 6))
+    val w = Window.partitionBy("item")
+      .orderBy(col("cos").desc, col("other"))
+    scored.withColumn("rk", row_number().over(w)) // WindowGroupLimit prunes
+      .filter(col("rk") <= topKPerItem)
+      .select(col("item"), col("other"), col("n_both"), col("cos"),
+        col("rk").cast("int").as("rk"))
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a bipartite
+    * user→item graph: `rounds` synchronous iterations of
+    * auth(p) = Σ hub(u), hub(u) = Σ auth(p), each half-round
+    * L1-normalized. Per round: two node-keyed hash joins + two hash
+    * aggs — PageRank's cost shape, but with two mutually recursive
+    * score vectors (the query-vs-catalog asymmetry PageRank can't
+    * express).
+    *
+    * Normalized scores are rounded to 6 dp and summed in DECIMAL
+    * (the q106 discipline) so every intermediate is order-independent
+    * and the unrolled SQL replay agrees exactly. Returns the top-k
+    * authorities `(item, auth)`.
+    */
+  def hitsTopAuthorities(userItem: DataFrame, userCol: String,
+                         itemCol: String, rounds: Int = 2,
+                         topK: Int = 20): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = userItem.select(col(userCol).cast("long").as("u"),
+      col(itemCol).cast("long").as("p")).distinct()
+    var hub = e.select(col("u")).distinct()
+      .withColumn("h", lit(BigDecimal(1)).cast("decimal(18,6)"))
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val araw = e.join(hub, Seq("u"))
+        .groupBy("p").agg(sum(col("h")).cast("decimal(28,6)").as("raw"))
+      auth = normalized(araw, "p", "a")
+      val hraw = e.join(auth, Seq("p"))
+        .groupBy("u").agg(sum(col("a")).cast("decimal(28,6)").as("raw"))
+      hub = normalized(hraw, "u", "h")
+    }
+    auth.select(col("p").as("item"), col("a").cast("double").as("auth"))
+      .orderBy(col("auth").desc, col("item")).limit(topK)
+  }
+
+  /** L1-normalize `raw` over all rows: round(raw/Σraw, 6) as DECIMAL.
+    * The Σ is a broadcast one-row frame, not a window — no single-
+    * partition stage.
+    */
+  private def normalized(raw: DataFrame, keyCol: String,
+                         outCol: String): DataFrame =
+    raw.crossJoin(broadcast(
+        raw.agg(sum(col("raw")).cast("decimal(28,6)").as("tot"))))
+      .select(col(keyCol),
+        round(col("raw").cast("double") / col("tot").cast("double"), 6)
+          .cast("decimal(10,6)").as(outCol))
+}

@@ -182,4 +182,58 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(iso === Seq((42L, 0)))
   }
+
+  test("Adamic–Adar: path wedges score 1/ln2; existing edges excluded") {
+    // path 1-2-3-4: the only common-neighbor pairs are (1,3) via 2 and
+    // (2,4) via 3, each a single wedge through a degree-2 center
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = LinkPrediction.adamicAdarTopK(edges, "src", "dst")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDecimal(3).doubleValue()))).toMap
+    assert(got === Map((1L, 3L) -> ((1L, 1.442695)),
+      (2L, 4L) -> ((1L, 1.442695))))
+    // triangle 5-6-7: every candidate pair IS an edge — nothing predicted
+    val tri = Seq((5L, 6L), (6L, 7L), (5L, 7L)).toDF("src", "dst")
+    assert(LinkPrediction.adamicAdarTopK(tri, "src", "dst").count() === 0)
+  }
+
+  test("Adamic–Adar hub cap: hub wedges drop, healthy wedges survive") {
+    // hub 100 connects 1..5 (deg 5); separate path 10-11-12 (deg-2 center)
+    val hub = (1L to 5L).map(i => (100L, i))
+    val edges = (hub ++ Seq((10L, 11L), (11L, 12L))).toDF("src", "dst")
+    val capped = LinkPrediction
+      .adamicAdarTopK(edges, "src", "dst", maxWedgeDegree = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all C(5,2)=10 pairs through the hub are gone; (10,12) survives
+    assert(capped === Set((10L, 12L)))
+    val uncapped = LinkPrediction.adamicAdarTopK(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size === 11 && uncapped.contains((1L, 2L)))
+  }
+
+  test("item cosine: counts normalize; minBoth filters; per-item top-k") {
+    val pairs = Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 3L))
+      .toDF("pa", "pb", "n_both")
+    val counts = Seq((1L, 4L), (2L, 4L), (3L, 9L)).toDF("item", "n")
+    val got = LinkPrediction.itemCosineTopK(pairs, counts, topKPerItem = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(3), r.getInt(4)))).toMap
+    // (1,3) has n_both=1 < minBoth=2: dropped both directions
+    assert(!got.contains((1L, 3L)) && !got.contains((3L, 1L)))
+    // cos(1,2) = 2/sqrt(16) = 0.5; cos(2,3) = 3/sqrt(36) = 0.5
+    assert(got((1L, 2L)) === ((0.5, 1)) && got((2L, 1L)) === ((0.5, 1)))
+    assert(got((2L, 3L)) === ((0.5, 2))) // rank 2 for item 2: ties? no —
+    // item 2 neighbors: 1 (0.5) and 3 (0.5); tie breaks on other id
+    assert(got((3L, 2L)) === ((0.5, 1)))
+  }
+
+  test("HITS: two-round hand fixpoint on a 2x2 bipartite graph") {
+    // u1 -> {10, 11}, u2 -> {10}
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("u", "p")
+    val got = LinkPrediction.hitsTopAuthorities(e, "u", "p", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // a1 = (2/3, 1/3) -> (0.666667, 0.333333); h1 = (0.6, 0.4);
+    // a2 raw = (1.0, 0.6), S = 1.6 -> (0.625, 0.375)
+    assert(got === Map(10L -> 0.625, 11L -> 0.375))
+  }
 }

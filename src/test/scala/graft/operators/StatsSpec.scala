@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Pins [[Contingency]], [[Spearman]] and [[Ewma]] against hand
+  * computations and sequential folds.
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chi-square: independent table scores 0, perfect association V=1") {
+    // perfectly independent 2x2: every cell 10
+    val ind = (Seq.fill(10)(("A", "1")) ++ Seq.fill(10)(("A", "2")) ++
+      Seq.fill(10)(("B", "1")) ++ Seq.fill(10)(("B", "2"))).toDF("x", "y")
+    val r1 = Contingency.chiSquareIndependence(ind, "x", "y").collect()(0)
+    assert(r1.getLong(0) === 40L && r1.getLong(3) === 1L)
+    assert(r1.getDouble(4) === 0.0 && r1.getDouble(5) === 0.0)
+    // perfect association incl. ZERO cells: (A,1):10 and (B,2):10 only.
+    // chi2 = n = 20 exactly; V = sqrt(20/20) = 1. Dropping the zero
+    // cells would halve chi2 — this pins the full-grid fix.
+    val dep = (Seq.fill(10)(("A", "1")) ++ Seq.fill(10)(("B", "2")))
+      .toDF("x", "y")
+    val r2 = Contingency.chiSquareIndependence(dep, "x", "y").collect()(0)
+    assert(r2.getDouble(4) === 20.0 && r2.getDouble(5) === 1.0)
+    // constant column: dof 0, V null
+    val const = Seq(("A", "1"), ("A", "2")).toDF("x", "y")
+    val r3 = Contingency.chiSquareIndependence(const, "x", "y").collect()(0)
+    assert(r3.getLong(3) === 0L && r3.isNullAt(5))
+  }
+
+  test("spearman: monotone=1, reversed=-1, ties midranked, constant null") {
+    val df = Seq(
+      // g1: perfectly monotone
+      ("g1", 1.0, 10L), ("g1", 2.0, 20L), ("g1", 3.0, 30L),
+      // g2: perfectly reversed
+      ("g2", 1.0, 30L), ("g2", 2.0, 20L), ("g2", 3.0, 10L),
+      // g3: tied x pair [1,1,2] vs y [5,7,9] -> rho = 6/sqrt(48)
+      ("g3", 1.0, 5L), ("g3", 1.0, 7L), ("g3", 2.0, 9L),
+      // g4: constant x -> null
+      ("g4", 7.0, 1L), ("g4", 7.0, 2L)).toDF("g", "x", "y")
+    val got = Spearman.correlation(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got("g1") === Some(1.0))
+    assert(got("g2") === Some(-1.0))
+    assert(got("g3") === Some(0.866025)) // 6/sqrt(48) rounded 6dp
+    assert(got("g4") === None)
+  }
+
+  test("spearman ranks are per-group (global prefix base subtracted)") {
+    // identical data in two groups must give identical rho even though
+    // the global (g, v) prefix differs between them
+    val df = Seq(("a", 1.0, 3L), ("a", 2.0, 1L), ("a", 3.0, 2L),
+      ("b", 1.0, 3L), ("b", 2.0, 1L), ("b", 3.0, 2L)).toDF("g", "x", "y")
+    val got = Spearman.correlation(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("a") === got("b") && got("a") === -0.5)
+  }
+
+  test("dyadic EWMA equals the sequential fold; head truncation exact") {
+    val df = Seq((1L, 1L, 100L), (1L, 2L, 200L), (1L, 3L, 400L),
+      (2L, 1L, 50L)).toDF("k", "o", "cents")
+    val got = Ewma.dyadicEwma(df, "k", "o", "cents", window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // w=3 weights (current->oldest) 4,2,1
+    assert(got((1L, 1L)) === 100.0) // only itself: 4*100/4
+    assert(got((1L, 2L)) === 166.666667) // (4*200+2*100)/6 rounded 6dp
+    assert(got((1L, 3L)) === (4 * 400 + 2 * 200 + 1 * 100.0) / 7)
+    assert(got((2L, 1L)) === 50.0) // cross-key isolation
+    // window slides: a 4th row drops the 1st
+    val df2 = (df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq :+ (1L, 4L, 800L)).toDF("k", "o", "cents")
+    val g2 = Ewma.dyadicEwma(df2, "k", "o", "cents", window = 3)
+      .filter(col("o") === 4).collect()(0).getDouble(3)
+    assert(g2 === (4 * 800 + 2 * 400 + 1 * 200.0) / 7)
+  }
+}

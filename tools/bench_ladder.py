@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Scale-factor ladder for the most expensive bench entries (dev tool).
+
+Runs graft.Bench at sf0.001 / sf0.01 / sf0.1 restricted (SPARK_GRAFT_ONLY)
+to the top-cost entries, each run against a FRESH artifact cache so the
+artifact_* lines measure a real build, and fits a per-entry scaling
+exponent: alpha in t ~ sf^alpha, from the sf0.01 -> sf0.1 decade (the
+sf0.001 point sits on the fixed per-query overhead floor, so it is
+reported but not fitted). alpha <= ~1.1 is linear-ish; >> 1 flags a
+scale-killer empirically rather than by plan reading.
+
+Writes BENCH_ladder.json. Usage: tools/bench_ladder.py [cpus]
+"""
+import json, math, os, subprocess, sys, tempfile, time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SFS = ["0.001", "0.01", "0.1"]
+ENTRIES = [
+    "artifact_pairs", "artifact_labels", "artifact_epairs",
+    "artifact_edges",
+    "q102_mutual_knn", "q108_lsh_recall", "q110_bpe_encode",
+    "q116_simhash_pairs", "q117_heavy_hitters", "q119_triangles",
+    "q134_communities", "q140_clustering_coeff", "q142_image_dhash",
+]
+
+ADD_OPENS = [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+]
+
+
+def run_sf(sf: str, cpus: str):
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = f"/root/testdata/sf{sf}"
+    env["SPARK_GRAFT_CPUS"] = cpus
+    env["SPARK_GRAFT_ONLY"] = ",".join(ENTRIES)
+    # fresh cache root per (ladder, sf): artifact entries must measure a
+    # real build, not a cross-session cache read
+    env["GRAFT_ARTIFACT_CACHE"] = tempfile.mkdtemp(prefix=f"ladder-sf{sf}-")
+    cmd = ["java"]
+    for p in ADD_OPENS:
+        cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
+    cmd += ["-Xmx48g", "-Dderby.stream.error.file=/tmp/derby-ladder.log",
+            "-cp", f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*",
+            "graft.Bench"]
+    t0 = time.time()
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         cwd=REPO, timeout=3600)
+    wall = time.time() - t0
+    line = [l for l in out.stdout.splitlines()
+            if l.startswith('{"metric"')][0]
+    rec = json.loads(line)
+    print(f"sf{sf}: total={rec['value']:.1f}s wall={wall:.0f}s "
+          f"cal={rec.get('cal')} load={rec.get('load')}", flush=True)
+    return rec
+
+
+def main():
+    cpus = sys.argv[1] if len(sys.argv) > 1 else "32"
+    runs = {sf: run_sf(sf, cpus) for sf in SFS}
+    table = {}
+    for e in ENTRIES:
+        ts = {sf: runs[sf]["queries"].get(e) for sf in SFS}
+        alpha = None
+        if ts["0.01"] and ts["0.1"] and ts["0.01"] > 0:
+            alpha = round(math.log(ts["0.1"] / ts["0.01"]) / math.log(10), 2)
+        table[e] = {"t": ts, "alpha_01_to_1": alpha}
+    out = {
+        "entries": table,
+        "cal": {sf: runs[sf].get("cal") for sf in SFS},
+        "load": {sf: runs[sf].get("load") for sf in SFS},
+        "note": ("alpha fitted on the sf0.01->sf0.1 decade; sf0.001 "
+                 "times sit on the per-query scheduling overhead floor. "
+                 "alpha<=1.1 linear-ish, >1.5 flags super-linear."),
+    }
+    with open(f"{REPO}/BENCH_ladder.json", "w") as f:
+        json.dump(out, f, indent=1)
+    for e, r in sorted(table.items(), key=lambda kv: -(kv[1]["t"]["0.1"] or 0)):
+        ts = r["t"]
+        print(f"{e:28s} {ts['0.001'] or 0:7.2f} {ts['0.01'] or 0:7.2f} "
+              f"{ts['0.1'] or 0:7.2f}  alpha={r['alpha_01_to_1']}")
+
+
+if __name__ == "__main__":
+    main()
