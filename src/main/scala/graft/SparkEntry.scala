@@ -3771,6 +3771,80 @@ object SparkEntry {
       .orderBy(col("user_id"), col("us"), col("event_id"))
   }
 
+  // ---------------------------------------------------------------- q179
+  /** TextRank keyword extraction per language
+    * ([[operators.TextRank.keywords]]): PageRank over the token
+    * adjacency graph, 2 rounds, top-10 — structural keywords, not
+    * merely frequent tokens. Edge weights from ONE explode + hash agg;
+    * per round one edge-keyed join + one hash agg.
+    */
+  def q179TextRank(s: SparkSession, d: String): DataFrame =
+    operators.TextRank.keywords(
+        documents(s, d).select(col("lang"),
+          functions.TextAnalysis.tokens(col("text")).as("toks")),
+        "lang", "toks", rounds = 2, minEdgeCount = 3, topK = 10)
+      .select(col("group").as("lang"), col("token"), col("rank_score"),
+        col("rk"))
+      .orderBy(col("lang"), col("rk"))
+
+  // ---------------------------------------------------------------- q180
+  /** Keyword-in-context (KWIC) concordance: every occurrence of the
+    * probe terms with ±3 tokens of context — the corpus-inspection
+    * primitive behind "show me how this token is actually used"
+    * (quality triage, sense disambiguation). Pure scan-stage token
+    * arithmetic: posexplode + slice, no join, no window.
+    */
+  def q180Kwic(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("merge", "vector", "window")
+    val t = documents(s, d).select(col("doc_id"),
+      functions.TextAnalysis.tokens(col("text")).as("toks"))
+    t.select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("p0", "term")))
+      .filter(col("term").isin(terms: _*))
+      .withColumn("pos", col("p0") + 1) // 1-based like the SQL slice
+      .withColumn("__s", greatest(lit(1), col("pos") - 3))
+      .withColumn("__e", least(col("pos") + 3, size(col("toks"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term"),
+        concat_ws(" ", slice(col("toks"), col("__s"),
+          col("__e") - col("__s") + 1)).as("context"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  // ---------------------------------------------------------------- q181
+  /** Bounded Bellman–Ford shortest paths
+    * ([[operators.Sssp.boundedShortestPaths]]) on the ≥2-support
+    * co-purchase graph, edge cost `round(1/n_both, 6)` (strong ties =
+    * short), seeds = part ids ≤ 50, 4 relaxation rounds — the weighted
+    * complement of q144's hop-count BFS. DECIMAL distances end to end.
+    */
+  def q181Sssp(s: SparkSession, d: String): DataFrame = {
+    val sup = copurchasePairs(s, d).filter(col("n_both") >= 2)
+    val half = sup.select(col("pa").cast("long").as("u"),
+      col("pb").cast("long").as("v"),
+      round(lit(1.0) / col("n_both").cast("double"), 6)
+        .cast("decimal(12,6)").as("w"))
+    val e = half.unionAll(half.select(col("v").as("u"), col("u").as("v"),
+      col("w")))
+    val seeds = e.select(col("u")).filter(col("u") <= 50).distinct()
+    operators.Sssp.boundedShortestPaths(e, "u", "v", "w", seeds, rounds = 4)
+      .select(col("node"), col("dist").cast("double").as("dist"))
+      .orderBy(col("node"))
+  }
+
+  // ---------------------------------------------------------------- q182
+  /** Cohen's kappa between the n-gram language-ID heuristic (q20) and
+    * the gold `lang` column ([[operators.Contingency.cohenKappa]]) —
+    * the chance-corrected classifier-agreement readout (raw accuracy
+    * flatters any skewed label mix). Integer-exact through κ's
+    * cleared-denominator form; one float divide.
+    */
+  def q182Kappa(s: SparkSession, d: String): DataFrame =
+    operators.Contingency.cohenKappa(
+      documents(s, d).select(
+        functions.TextAnalysis.langId(col("text")).as("pred"),
+        col("lang")),
+      "pred", "lang")
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -3965,6 +4039,10 @@ object SparkEntry {
     "q176_chi_square" -> (q176ChiSquare _),
     "q177_spearman" -> (q177Spearman _),
     "q178_ewma" -> (q178Ewma _),
+    "q179_textrank" -> (q179TextRank _),
+    "q180_kwic" -> (q180Kwic _),
+    "q181_sssp" -> (q181Sssp _),
+    "q182_kappa" -> (q182Kappa _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -7150,7 +7228,130 @@ object SparkEntry {
 
     "q178_ewma" -> ewmaSql(8),
 
+    "q179_textrank" -> textRankSql(2),
+
+    "q180_kwic" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |x AS (SELECT doc_id, toks,
+         |  unnest(generate_series(1, len(toks))) AS p FROM t),
+         |hits AS (SELECT doc_id, p, toks[p] AS term,
+         |  array_to_string(toks[greatest(1, p - 3):least(p + 3, len(toks))],
+         |    ' ') AS context
+         | FROM x WHERE toks[p] IN ('merge', 'vector', 'window'))
+         |SELECT doc_id, CAST(p AS BIGINT) AS pos, term, context
+         |FROM hits ORDER BY doc_id, pos""".stripMargin,
+
+    "q181_sssp" -> ssspSql(4),
+
+    "q182_kappa" ->
+      // replay the lang-ID argmax (q20's fragment), then kappa in its
+      // cleared-denominator integer form; one float divide per stat
+      s"""WITH t AS (SELECT lang, $SqlToks AS toks FROM documents),
+         |sc AS (SELECT lang,
+         | len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de,
+         | len(list_filter(toks, x -> x IN ('the','a','is','of','and','to','in','it'))) AS s_en,
+         | len(list_filter(toks, x -> x IN ('el','la','y','es','de','que','un','en'))) AS s_es,
+         | len(list_filter(toks, x -> x IN ('le','la','et','est','les','des','un','une'))) AS s_fr
+         | FROM t),
+         |lab AS (SELECT lang AS b,
+         | CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |      WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr THEN 'es'
+         |      WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es THEN 'fr'
+         |      ELSE 'und' END AS a
+         | FROM sc WHERE lang IS NOT NULL),
+         |cells AS (SELECT a, b, count(*) AS o FROM lab GROUP BY 1, 2),
+         |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a),
+         |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b),
+         |pe AS (SELECT CAST(coalesce(sum(CAST(r * c AS DECIMAL(19,0))), 0)
+         |    AS DECIMAL(19,0)) AS rc
+         |  FROM rt JOIN ct ON rt.a = ct.b),
+         |ag AS (SELECT CAST(coalesce(sum(o), 0) AS BIGINT) AS d
+         |  FROM cells WHERE a = b),
+         |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+         |SELECT n, d AS n_agree,
+         | round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+         | round(CAST(rc AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS pe,
+         | CASE WHEN CAST(n * n AS DECIMAL(19,0)) = rc THEN NULL
+         |   ELSE round(CAST(CAST(n AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))
+         |       - rc AS DOUBLE) /
+         |     CAST(CAST(n * n AS DECIMAL(19,0)) - rc AS DOUBLE), 6) END AS kappa
+         |FROM tot CROSS JOIN ag CROSS JOIN pe""".stripMargin,
+
   )
+
+  /** Unrolled per-language TextRank oracle (see q179 /
+    * [[operators.TextRank]]): weighted PageRank rounds in INTEGER
+    * micro-units — every rounding is (2a+b) DIV (2b), so no float
+    * exists until the final display division (iterated 6-dp float
+    * rounding diverges across engines at .5-ulp boundaries).
+    */
+  private def textRankSql(rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT m.lang, m.v,
+    CAST(sum((2 * p.pr * m.w + st.wu) // (2 * st.wu)) AS BIGINT) AS cs
+  FROM m JOIN st ON st.lang = m.lang AND st.u = m.u
+  JOIN pr${i - 1} p ON p.lang = m.lang AND p.u = m.u GROUP BY 1, 2),
+pr$i AS (SELECT st.lang, st.u,
+    (300000 + n) // (2 * n) + (34 * coalesce(cs, 0) + 20) // 40 AS pr
+  FROM st JOIN ng USING (lang)
+  LEFT JOIN c$i ON c$i.lang = st.lang AND c$i.v = st.u)"""
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT lang, $SqlToks AS toks FROM documents),
+p AS (SELECT lang, unnest(list_transform(generate_series(1, len(toks) - 1),
+    i -> [toks[i], toks[i + 1]])) AS pr
+  FROM tok WHERE len(toks) >= 2),
+pares AS (SELECT lang, pr[1] AS wa, pr[2] AS wb FROM p WHERE pr[1] <> pr[2]),
+ed AS (SELECT lang, least(wa, wb) AS a, greatest(wa, wb) AS b,
+    count(*) AS w
+  FROM pares GROUP BY 1, 2, 3 HAVING count(*) >= 3),
+m AS MATERIALIZED (SELECT lang, a AS u, b AS v, w FROM ed
+  UNION ALL SELECT lang, b, a, w FROM ed),
+st AS MATERIALIZED (SELECT lang, u, sum(w) AS wu FROM m GROUP BY 1, 2),
+ng AS (SELECT lang, count(*) AS n FROM st GROUP BY lang),
+pr0 AS (SELECT st.lang, st.u, (2000000 + n) // (2 * n) AS pr
+  FROM st JOIN ng USING (lang)),
+$iters,
+rk AS (SELECT lang, u, pr, row_number() OVER
+  (PARTITION BY lang ORDER BY pr DESC, u) AS rk FROM pr$rounds)
+SELECT lang, u AS token,
+  CAST(pr AS DOUBLE) / CAST(1000000 AS DOUBLE) AS rank_score,
+  CAST(rk AS INT) AS rk
+FROM rk WHERE rk <= 10 ORDER BY lang, rk"""
+  }
+
+  /** Unrolled bounded Bellman–Ford oracle (see q181 /
+    * [[operators.Sssp]]): round i takes the per-node min over the
+    * previous distances and all one-edge relaxations. DECIMAL(12,6)
+    * distances end to end.
+    */
+  private def ssspSql(rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT e.v AS node,
+    min(CAST(d.dist + e.w AS DECIMAL(12,6))) AS dist
+  FROM d${i - 1} d JOIN e ON e.u = d.node GROUP BY e.v),
+d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM
+  (SELECT node, dist FROM d${i - 1} UNION ALL SELECT node, dist FROM c$i)
+  GROUP BY node)"""
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+    FROM lineitem),
+sup AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_both
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+e AS MATERIALIZED (SELECT CAST(pa AS BIGINT) AS u, CAST(pb AS BIGINT) AS v,
+    CAST(round(CAST(1 AS DOUBLE) / CAST(n_both AS DOUBLE), 6)
+      AS DECIMAL(12,6)) AS w
+  FROM sup
+  UNION ALL SELECT CAST(pb AS BIGINT), CAST(pa AS BIGINT),
+    CAST(round(CAST(1 AS DOUBLE) / CAST(n_both AS DOUBLE), 6)
+      AS DECIMAL(12,6))
+  FROM sup),
+d0 AS (SELECT DISTINCT u AS node, CAST(0 AS DECIMAL(12,6)) AS dist
+  FROM e WHERE u <= 50),
+$iters
+SELECT node, CAST(dist AS DOUBLE) AS dist FROM d$rounds ORDER BY node"""
+  }
 
   /** Unrolled dyadic-EWMA oracle (see q178 / [[operators.Ewma]]):
     * `window` lag terms with power-of-two weights, truncated weights

@@ -64,4 +64,47 @@ object Contingency {
       .select(col("n"), col("n_a"), col("n_b"), col("dof"),
         col("chi2"), col("cramers_v"))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two
+    * categorical labelings of the same rows (classifier vs gold,
+    * annotator vs annotator): κ = (p_o − p_e)/(1 − p_e). Cleared of
+    * denominators, κ = (n·D − Σ_k r_k·c_k) / (n² − Σ_k r_k·c_k) with
+    * D = Σ diagonal — ALL-integer numerator and denominator, so the
+    * only float op is one division, rounded 6 dp.
+    *
+    * Scale shape: one hash agg to cells, two cell-frame aggs for the
+    * marginals, one broadcast join on the label key. Returns one row
+    * `(n, n_agree, po, pe, kappa)`; κ NULL when p_e = 1 (both sides
+    * constant and equal — agreement is undefined, not perfect).
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("a").agg(sum(col("o")).as("r"))
+    val colTot = cells.groupBy("b").agg(sum(col("o")).as("c"))
+    // Σ r_k·c_k joins the marginals on the LABEL (categories present on
+    // either side contribute only when present on both)
+    val pe = rowTot.join(colTot, col("a") === col("b"))
+      .agg(coalesce(sum((col("r") * col("c")).cast("decimal(19,0)")),
+        lit(0).cast("decimal(19,0)")).as("rc"))
+    val agree = cells.filter(col("a") === col("b"))
+      .agg(coalesce(sum(col("o")), lit(0L)).as("d"))
+    cells.agg(sum(col("o")).as("n"))
+      .crossJoin(broadcast(agree)).crossJoin(broadcast(pe))
+      .withColumn("po", round(col("d").cast("double") / col("n").cast("double"), 6))
+      .withColumn("pe", round(col("rc").cast("double") /
+        (col("n") * col("n")).cast("double"), 6))
+      .withColumn("kappa",
+        // (19,0)×(19,0) → (38,0): inside BOTH engines' decimal cap
+        when((col("n") * col("n")).cast("decimal(19,0)") === col("rc"),
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("n").cast("decimal(19,0)") * col("d").cast("decimal(19,0)") -
+              col("rc")).cast("double") /
+              ((col("n") * col("n")).cast("decimal(19,0)") - col("rc"))
+                .cast("double"), 6)))
+      .select(col("n"), col("d").as("n_agree"), col("po"), col("pe"),
+        col("kappa"))
+  }
 }

@@ -227,6 +227,41 @@ class GraphSpec extends SparkSpec {
     assert(got((3L, 2L)) === ((0.5, 1)))
   }
 
+  test("bounded SSSP: min path beats fewer-hop costlier path; rounds cap") {
+    import org.apache.spark.sql.functions.col
+    // 1 -> 2 (0.5) -> 3 (0.5) total 1.0 vs direct 1 -> 3 (1.5):
+    // the 2-hop path must win; node 4 is 3 hops out (cost 1.5)
+    val e = Seq((1L, 2L, "0.5"), (2L, 3L, "0.5"), (1L, 3L, "1.5"),
+        (3L, 4L, "0.5")).toDF("u", "v", "w")
+      .select(col("u"), col("v"), col("w").cast("decimal(12,6)").as("w"))
+    val seeds = Seq(1L).toDF("n")
+    val got = Sssp.boundedShortestPaths(e, "u", "v", "w", seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(got === Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0, 4L -> 1.5))
+    // 1 round: only direct edges relax — 3 gets the expensive edge
+    val one = Sssp.boundedShortestPaths(e, "u", "v", "w", seeds, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(one === Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.5))
+  }
+
+  test("TextRank: a bridging token outranks frequent-but-peripheral ones") {
+    import org.apache.spark.sql.functions.col
+    // 'hub' is adjacent to a, b, c repeatedly; 'tail' only to a
+    val docs = Seq.fill(4)(("g", Seq("a", "hub", "b", "hub", "c", "a", "tail")))
+      .toDF("g", "toks")
+    val got = TextRank.keywords(docs, "g", "toks", rounds = 2,
+        minEdgeCount = 3, topK = 10)
+      .collect().map(r => r.getString(1) -> r.getInt(3)).toMap
+    assert(got("hub") === 1) // the connective center ranks first
+    assert(got.contains("a") && got.contains("b") && got.contains("c"))
+    // edges below minEdgeCount drop: 'tail'-'a' appears 4 times (>=3,
+    // kept); raise the floor and the tail node vanishes
+    val strict = TextRank.keywords(docs, "g", "toks", rounds = 2,
+        minEdgeCount = 5, topK = 10)
+      .collect().map(_.getString(1)).toSet
+    assert(!strict.contains("tail"))
+  }
+
   test("HITS: two-round hand fixpoint on a 2x2 bipartite graph") {
     // u1 -> {10, 11}, u2 -> {10}
     val e = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("u", "p")

@@ -58,6 +58,25 @@ class StatsSpec extends SparkSpec {
     assert(got("a") === got("b") && got("a") === -0.5)
   }
 
+  test("cohen kappa: identity=1, skew-corrected, constant-equal null") {
+    // perfect agreement
+    val same = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    val r1 = Contingency.cohenKappa(same, "a", "b").collect()(0)
+    assert(r1.getDouble(2) === 1.0 && r1.getDouble(4) === 1.0)
+    // hand case: n=10, diag=7; rows a:(6,4), cols b:(5,5)
+    // cells: (x,x)=4,(x,y)=2,(y,y)=3,(y,x)=1 -> po=0.7
+    // pe = (6*5 + 4*5)/100 = 0.5 -> kappa = (7*10-50)/(100-50) = 0.4
+    val df = (Seq.fill(4)(("x", "x")) ++ Seq.fill(2)(("x", "y")) ++
+      Seq.fill(3)(("y", "y")) ++ Seq.fill(1)(("y", "x"))).toDF("a", "b")
+    val r2 = Contingency.cohenKappa(df, "a", "b").collect()(0)
+    assert(r2.getLong(0) === 10L && r2.getLong(1) === 7L)
+    assert(r2.getDouble(2) === 0.7 && r2.getDouble(3) === 0.5)
+    assert(r2.getDouble(4) === 0.4)
+    // both sides the same constant: pe = 1, kappa undefined -> null
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Contingency.cohenKappa(const, "a", "b").collect()(0).isNullAt(4))
+  }
+
   test("dyadic EWMA equals the sequential fold; head truncation exact") {
     val df = Seq((1L, 1L, 100L), (1L, 2L, 200L), (1L, 3L, 400L),
       (2L, 1L, 50L)).toDF("k", "o", "cents")
