@@ -3845,6 +3845,68 @@ object SparkEntry {
         col("lang")),
       "pred", "lang")
 
+  // ---------------------------------------------------------------- q183
+  /** Per-event-type skewness / excess kurtosis from exact integer
+    * power sums ([[operators.Moments.shape]]) — the tail-shape drift
+    * audit mean/variance monitoring misses. One hash agg; closed
+    * forms run once per group on exact sums.
+    */
+  def q183Moments(s: SparkSession, d: String): DataFrame =
+    operators.Moments.shape(
+        events(s, d).select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")),
+        "event_type", "cents")
+      .withColumnRenamed("group", "event_type")
+      .orderBy(col("event_type"))
+
+  // ---------------------------------------------------------------- q184
+  /** Per-source language-diversity indices: Shannon entropy (6-dp
+    * DECIMAL term sums) and Gini–Simpson as an exact ppm integer —
+    * the mix-health audit for a multi-source corpus (a "diverse"
+    * source that is 99% one language is a labeling bug or a crawl
+    * trap). Two hash aggs over the (source, lang) cell frame.
+    */
+  def q184Diversity(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d).groupBy("source", "lang")
+      .agg(count(lit(1)).as("nl"))
+    val tot = cells.groupBy("source")
+      .agg(sum(col("nl")).as("n"), count(lit(1)).as("k"),
+        sum(col("nl") * col("nl")).as("sl2"))
+    cells.join(tot, Seq("source"))
+      .withColumn("term",
+        round(-(col("nl").cast("double") / col("n").cast("double")) *
+          log(col("nl").cast("double") / col("n").cast("double")), 6)
+          .cast("decimal(10,6)"))
+      .groupBy(col("source"), col("n").as("n_docs"), col("k").as("n_langs"),
+        col("sl2"))
+      .agg(sum(col("term")).cast("decimal(18,6)").as("sh"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("sh").cast("double").as("shannon"),
+        expr("1000000 - (sl2 * 1000000) DIV (n_docs * n_docs)")
+          .as("simpson_ppm"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------- q185
+  /** Partition-balance audit: rows per md5-derived bucket (the
+    * engine-portable stand-in for a 32-way hash partitioning) plus
+    * the max-over-average ratio in exact ppm — the pre-flight skew
+    * check before keying a 100 TB shuffle on a candidate column.
+    */
+  def q185PartitionBalance(s: SparkSession, d: String): DataFrame = {
+    val b = documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 32)
+      .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+    b.agg(sum(col("n_rows")).as("n"),
+        count(lit(1)).as("n_buckets"),
+        min(col("n_rows")).as("min_rows"),
+        max(col("n_rows")).as("max_rows"))
+      .select(col("n"), col("n_buckets"), col("min_rows"), col("max_rows"),
+        expr("(max_rows * n_buckets * 1000000) DIV n").as("max_over_avg_ppm"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -4043,6 +4105,9 @@ object SparkEntry {
     "q180_kwic" -> (q180Kwic _),
     "q181_sssp" -> (q181Sssp _),
     "q182_kappa" -> (q182Kappa _),
+    "q183_moments" -> (q183Moments _),
+    "q184_diversity" -> (q184Diversity _),
+    "q185_partition_balance" -> (q185PartitionBalance _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -7277,6 +7342,75 @@ object SparkEntry {
          |       - rc AS DOUBLE) /
          |     CAST(CAST(n * n AS DECIMAL(19,0)) - rc AS DOUBLE), 6) END AS kappa
          |FROM tot CROSS JOIN ag CROSS JOIN pe""".stripMargin,
+
+    "q183_moments" ->
+      // exact integer power sums S1..S4 (DECIMAL sized under both
+      // engines' 38-digit multiply cap), closed forms in DOUBLE with
+      // the identical expression tree; m2*sqrt(m2) instead of
+      // pow(m2,1.5) (sqrt is correctly-rounded, pow is libm-dependent)
+      """WITH ev AS (SELECT event_type AS g,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+        |cc AS (SELECT g, c, CAST(CAST(c AS DECIMAL(10,0)) *
+        |    CAST(c AS DECIMAL(10,0)) AS DECIMAL(19,0)) AS c2
+        |  FROM ev),
+        |s AS (SELECT g, count(*) AS n,
+        |  CAST(sum(CAST(c AS DECIMAL(10,0))) AS DECIMAL(16,0)) AS s1,
+        |  CAST(sum(c2) AS DECIMAL(22,0)) AS s2,
+        |  CAST(sum(CAST(c2 * CAST(c AS DECIMAL(10,0)) AS DECIMAL(29,0)))
+        |    AS DECIMAL(28,0)) AS s3,
+        |  CAST(sum(c2 * c2) AS DECIMAL(34,0)) AS s4
+        | FROM cc GROUP BY g),
+        |m AS (SELECT g, n, s1, s2, s3, s4,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu FROM s),
+        |mm AS (SELECT g, n, mu,
+        |  CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mu * mu AS m2,
+        |  CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) -
+        |    CAST(3 AS DOUBLE) * mu * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) +
+        |    CAST(2 AS DOUBLE) * mu * mu * mu AS m3,
+        |  CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) -
+        |    CAST(4 AS DOUBLE) * mu * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) +
+        |    CAST(6 AS DOUBLE) * mu * mu *
+        |      (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) -
+        |    CAST(3 AS DOUBLE) * mu * mu * mu * mu AS m4
+        | FROM m)
+        |SELECT g AS event_type, n, round(mu, 6) AS mean, round(m2, 6) AS m2,
+        | CASE WHEN m2 <= CAST(0 AS DOUBLE) THEN NULL
+        |   ELSE round(m3 / (m2 * sqrt(m2)), 6) + CAST(0 AS DOUBLE)
+        |   END AS skewness,
+        | CASE WHEN m2 <= CAST(0 AS DOUBLE) THEN NULL
+        |   ELSE round(m4 / (m2 * m2) - CAST(3 AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+        |   END AS kurtosis_excess
+        |FROM mm ORDER BY event_type""".stripMargin,
+
+    "q184_diversity" ->
+      """WITH cells AS (SELECT source, lang, count(*) AS nl
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(nl) AS BIGINT) AS n,
+        |  count(*) AS k, CAST(sum(nl * nl) AS BIGINT) AS sl2
+        | FROM cells GROUP BY source),
+        |terms AS (SELECT c.source, t.n AS n_docs, t.k AS n_langs, t.sl2,
+        |  CAST(round(-(CAST(nl AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln(CAST(nl AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |    AS DECIMAL(10,6)) AS term
+        | FROM cells c JOIN tot t ON t.source = c.source)
+        |SELECT source, n_docs, n_langs,
+        | CAST(CAST(sum(term) AS DECIMAL(18,6)) AS DOUBLE) AS shannon,
+        | 1000000 - (sl2 * 1000000) // (n_docs * n_docs) AS simpson_ppm
+        |FROM terms GROUP BY source, n_docs, n_langs, sl2
+        |ORDER BY source""".stripMargin,
+
+    "q185_partition_balance" ->
+      """WITH b AS (SELECT
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 32 AS bucket, count(*) AS n_rows
+        | FROM documents GROUP BY 1)
+        |SELECT CAST(sum(n_rows) AS BIGINT) AS n,
+        | count(*) AS n_buckets,
+        | CAST(min(n_rows) AS BIGINT) AS min_rows,
+        | CAST(max(n_rows) AS BIGINT) AS max_rows,
+        | CAST(max(n_rows) * count(*) * 1000000 AS BIGINT)
+        |   // CAST(sum(n_rows) AS BIGINT) AS max_over_avg_ppm
+        |FROM b""".stripMargin,
 
   )
 

@@ -56,12 +56,15 @@ object Moments {
     sums
       .withColumn("mean", round(mu, 6))
       .withColumn("m2", round(m2, 6))
+      // m2·sqrt(m2), NOT pow(m2, 1.5): sqrt is IEEE correctly-rounded
+      // everywhere, pow is libm-dependent (JVM vs C disagree by ulps);
+      // + 0.0 folds a −0.0 rounding into +0.0 on both engines
       .withColumn("skewness",
         when(m2 <= 0.0, lit(null).cast("double"))
-          .otherwise(round(m3 / pow(m2, 1.5), 6)))
+          .otherwise(round(m3 / (m2 * sqrt(m2)), 6) + lit(0.0)))
       .withColumn("kurtosis_excess",
         when(m2 <= 0.0, lit(null).cast("double"))
-          .otherwise(round(m4 / (m2 * m2) - lit(3.0), 6)))
+          .otherwise(round(m4 / (m2 * m2) - lit(3.0), 6) + lit(0.0)))
       .select(col("group"), col("n"), col("mean"), col("m2"),
         col("skewness"), col("kurtosis_excess"))
   }

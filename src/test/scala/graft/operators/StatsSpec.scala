@@ -77,6 +77,25 @@ class StatsSpec extends SparkSpec {
     assert(Contingency.cohenKappa(const, "a", "b").collect()(0).isNullAt(4))
   }
 
+  test("moments: two-point kurtosis -2, hand skew, constant null, guard") {
+    val df = Seq(("a", 0L), ("a", 100L), ("b", 0L), ("b", 0L), ("b", 300L),
+      ("c", 7L), ("c", 7L)).toDF("g", "cents")
+    val got = Moments.shape(df, "g", "cents").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // symmetric pair: skew 0 (not -0.0), kurtosis exactly -2
+    assert(got("a").getDouble(4) === 0.0 && got("a").getDouble(5) === -2.0)
+    assert(1.0 / got("a").getDouble(4) > 0) // +0.0, the -0.0 fold works
+    // [0,0,300]: m2=2e4, m3=2e6 -> skew = 1/sqrt(2) rounded
+    assert(got("b").getDouble(4) === 0.707107)
+    // constant group: shape stats undefined
+    assert(got("c").isNullAt(4) && got("c").isNullAt(5))
+    // out-of-contract magnitude fails fast, not silently
+    val big = Seq(("x", 1000000L)).toDF("g", "cents")
+    intercept[Exception] {
+      Moments.shape(big, "g", "cents").collect()
+    }
+  }
+
   test("dyadic EWMA equals the sequential fold; head truncation exact") {
     val df = Seq((1L, 1L, 100L), (1L, 2L, 200L), (1L, 3L, 400L),
       (2L, 1L, 50L)).toDF("k", "o", "cents")
