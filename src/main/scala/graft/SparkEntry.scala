@@ -3907,6 +3907,64 @@ object SparkEntry {
         expr("(max_rows * n_buckets * 1000000) DIV n").as("max_over_avg_ppm"))
   }
 
+  // ---------------------------------------------------------------- q186
+  /** Simplified silhouette per embedding label
+    * ([[operators.Silhouette.byLabelCentroids]]) — the cluster-quality
+    * readout at O(n·k·d) (centroid-based, the form that scales; the
+    * exact pairwise silhouette is O(n²·d)). DECIMAL components and
+    * squared distances; sqrt + ratio are the only float ops.
+    */
+  def q186Silhouette(s: SparkSession, d: String): DataFrame =
+    operators.Silhouette.byLabelCentroids(
+        embeddings(s, d), "vec_id", "label", "embedding")
+      .orderBy(col("label"))
+
+  // ---------------------------------------------------------------- q187
+  /** JL signed-projection retrieval eval: project embeddings to 16
+    * dims ([[operators.RandomProjection.projectSigned]]), run top-10
+    * by projected cosine, and measure recall@10 against the exact
+    * top-10 (q26's brute-force face) — the dimension-reduction
+    * quality gate before committing a 100 TB corpus to a cheaper
+    * index. Exact-integer recall in ppm.
+    */
+  def q187JlRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d)
+    val proj = operators.RandomProjection.projectSigned(
+      e, "vec_id", "embedding", outDims = 16)
+    val n2 = proj.groupBy("id")
+      .agg(sum((col("p") * col("p")).cast("decimal(34,12)"))
+        .cast("decimal(38,12)").as("n2"))
+    val pq = proj.filter(col("id") < 10)
+    val pc = proj.filter(col("id") >= 10)
+    val dot = pq.as("q").join(pc.as("c"), col("q.pdim") === col("c.pdim"))
+      .groupBy(col("q.id").as("query_id"), col("c.id").as("cand_id"))
+      .agg(sum((col("q.p") * col("c.p")).cast("decimal(34,12)"))
+        .cast("decimal(38,12)").as("dot"))
+    val cosf = dot
+      .join(n2.select(col("id").as("query_id"), col("n2").as("nq")), Seq("query_id"))
+      .join(n2.select(col("id").as("cand_id"), col("n2").as("nc")), Seq("cand_id"))
+      .filter(col("nq").cast("double") > 0.0 && col("nc").cast("double") > 0.0)
+      .withColumn("cosp", round(col("dot").cast("double") /
+        (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))), 6))
+    val wA = Window.partitionBy("query_id").orderBy(col("cosp").desc, col("cand_id"))
+    val approx = cosf.withColumn("rk", row_number().over(wA))
+      .filter(col("rk") <= 10).select(col("query_id"), col("cand_id"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = operators.Similarity
+      .bruteForceTopK(queries, e.filter(col("vec_id") >= 10), k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(approx,
+        approx("query_id") === exact("query_id") &&
+          approx("cand_id") === exact("neighbor_id"), "left")
+      .groupBy(exact("query_id").as("query_id"))
+      .agg(count(col("cand_id")).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit") * 100000).as("recall_ppm"))
+      .orderBy(col("query_id"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -4108,6 +4166,8 @@ object SparkEntry {
     "q183_moments" -> (q183Moments _),
     "q184_diversity" -> (q184Diversity _),
     "q185_partition_balance" -> (q185PartitionBalance _),
+    "q186_silhouette" -> (q186Silhouette _),
+    "q187_jl_recall" -> (q187JlRecall _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -7411,6 +7471,89 @@ object SparkEntry {
         | CAST(max(n_rows) * count(*) * 1000000 AS BIGINT)
         |   // CAST(sum(n_rows) AS BIGINT) AS max_over_avg_ppm
         |FROM b""".stripMargin,
+
+    "q186_silhouette" ->
+      // centroid-based silhouette: 6dp-quantized components, DECIMAL
+      // centroids and squared distances; sqrt/ratio float, 6dp
+      """WITH ex AS (SELECT vec_id AS vid, label AS own,
+        |  generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+        |  CAST(unnest(CAST(embedding AS DOUBLE[])) AS DECIMAL(12,6)) AS xd
+        | FROM embeddings),
+        |cent AS (SELECT own AS clabel, dim, count(*) AS nc,
+        |  CAST(sum(xd) AS DECIMAL(30,6)) AS sx
+        | FROM ex GROUP BY 1, 2),
+        |c2 AS (SELECT clabel, dim,
+        |  CAST(round(CAST(sx AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+        |    AS DECIMAL(12,6)) AS c
+        | FROM cent),
+        |dd AS (SELECT e.vid, e.own, c2.clabel,
+        |  CAST(sum(CAST((e.xd - c2.c) * (e.xd - c2.c) AS DECIMAL(27,12)))
+        |    AS DECIMAL(32,12)) AS d2
+        | FROM ex e JOIN c2 ON c2.dim = e.dim GROUP BY 1, 2, 3),
+        |ab AS (SELECT vid, own,
+        |  max(CASE WHEN clabel = own THEN d2 END) AS a2,
+        |  min(CASE WHEN clabel <> own THEN d2 END) AS b2
+        | FROM dd GROUP BY 1, 2),
+        |sil AS (SELECT vid, own,
+        |  CASE WHEN b2 IS NULL THEN NULL
+        |    WHEN greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE)))
+        |      = CAST(0 AS DOUBLE) THEN CAST(0 AS DECIMAL(10,6))
+        |    ELSE CAST(round((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+        |      / greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))), 6)
+        |      AS DECIMAL(10,6)) END AS s
+        | FROM ab)
+        |SELECT own AS label, count(s) AS n_vecs,
+        | round(CAST(CAST(sum(s) AS DECIMAL(18,6)) AS DOUBLE)
+        |   / CAST(count(s) AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+        |   AS mean_silhouette
+        |FROM sil GROUP BY own ORDER BY label""".stripMargin,
+
+    "q187_jl_recall" ->
+      // signed JL projection (md5-parity signs over 1-based dims),
+      // top-10 by projected cosine vs the exact top-10, recall in ppm
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id >= 10),
+         |ex AS (SELECT vec_id AS id,
+         |  generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS indim,
+         |  CAST(unnest(CAST(embedding AS DOUBLE[])) AS DECIMAL(12,6)) AS xd
+         | FROM embeddings),
+         |pd AS (SELECT unnest(generate_series(1, 16)) AS pdim),
+         |sg AS (SELECT id, pdim,
+         |  CASE WHEN CAST(('0x' || substr(md5(CAST(pdim AS VARCHAR) || ':' ||
+         |      CAST(indim AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+         |    THEN xd ELSE -xd END AS t
+         | FROM ex CROSS JOIN pd),
+         |pr AS MATERIALIZED (SELECT id, pdim, CAST(sum(t) AS DECIMAL(14,6)) AS p
+         |  FROM sg GROUP BY 1, 2),
+         |n2 AS (SELECT id, CAST(sum(CAST(p * p AS DECIMAL(34,12)))
+         |    AS DECIMAL(38,12)) AS n2
+         |  FROM pr GROUP BY id),
+         |dt AS (SELECT a.id AS query_id, b.id AS cand_id,
+         |  CAST(sum(CAST(a.p * b.p AS DECIMAL(34,12))) AS DECIMAL(38,12)) AS dot
+         | FROM pr a JOIN pr b USING (pdim)
+         | WHERE a.id < 10 AND b.id >= 10 GROUP BY 1, 2),
+         |cosf AS (SELECT query_id, cand_id,
+         |  round(CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+         |    AS cosp
+         | FROM dt JOIN n2 na ON na.id = dt.query_id
+         | JOIN n2 nb ON nb.id = dt.cand_id
+         | WHERE CAST(na.n2 AS DOUBLE) > 0 AND CAST(nb.n2 AS DOUBLE) > 0),
+         |ar AS (SELECT query_id, cand_id FROM (SELECT query_id, cand_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosp DESC, cand_id) AS rk FROM cosf) WHERE rk <= 10),
+         |scored AS (SELECT query_id, vec_id, ${sqlCosine("qv", "cv")} AS sim
+         |  FROM q, c),
+         |er AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, vec_id) AS rk FROM scored) WHERE rk <= 10)
+         |SELECT e.query_id, CAST(count(a.cand_id) AS BIGINT) AS n_hit,
+         | CAST(count(a.cand_id) * 100000 AS BIGINT) AS recall_ppm
+         |FROM er e LEFT JOIN ar a
+         |  ON a.query_id = e.query_id AND a.cand_id = e.vec_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
   )
 
