@@ -3965,6 +3965,66 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  // ---------------------------------------------------------------- q188
+  /** Declarative data-quality constraint audit
+    * ([[operators.Constraints.audit]]): NOT NULL / UNIQUE / range /
+    * domain / referential integrity over the star schema in one
+    * report — the pre-promotion gate a pipeline runs before a
+    * snapshot goes live. Each per-row check is one scan-stage
+    * aggregation; referential checks are key-only anti joins.
+    */
+  def q188ConstraintAudit(s: SparkSession, d: String): DataFrame = {
+    import operators.Constraints._
+    val c = customer(s, d)
+    val o = orders(s, d)
+    val l = lineitem(s, d)
+    audit(Seq(
+      Check("customer_custkey_not_null", "customer",
+        notNull(c, "c_custkey")),
+      Check("customer_custkey_unique", "customer",
+        unique(c, Seq("c_custkey"))),
+      Check("customer_acctbal_range", "customer",
+        inRange(c, "c_acctbal", lit(-1000.0), lit(10000.0))),
+      Check("customer_mktsegment_domain", "customer",
+        inSet(c, "c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+          "HOUSEHOLD", "MACHINERY"))),
+      Check("orders_custkey_ref_customer", "orders",
+        refIntegrity(o, "o_custkey", c, "c_custkey")),
+      Check("lineitem_orderkey_ref_orders", "lineitem",
+        refIntegrity(l, "l_orderkey", o, "o_orderkey")),
+      Check("orders_totalprice_range", "orders",
+        inRange(o, "o_totalprice", lit(1.0), lit(1000000.0)))))
+  }
+
+  // ---------------------------------------------------------------- q189
+  /** Apriori level-3: frequent triple itemsets grown from the ≥5-
+    * support pair frame (twelfth consumer of the shared edge
+    * artifact) — candidate triples only extend already-frequent
+    * pairs, the pruning that makes level-k mining feasible at scale.
+    * Exact integer supports; top-20. Thresholds (pair ≥ 2,
+    * triple ≥ 2): a support-1 "itemset" is raw enumeration, not
+    * mining — at sf0.1 the synthetic baskets never repeat a triple,
+    * so the empty result there is the honest answer (the sf0.01
+    * gate returns rows).
+    */
+  def q189TripleItemsets(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val fp = copurchasePairs(s, d).filter(col("n_both") >= 2)
+      .select(col("pa"), col("pb"))
+    val pairOrders = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.ok").as("ok"), col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .join(fp, Seq("pa", "pb")) // Apriori prune BEFORE the 3rd expansion
+    val triples = pairOrders.join(li.as("c"),
+        col("c.ok") === pairOrders("ok") && col("c.pk") > col("pb"))
+      .groupBy(col("pa"), col("pb"), col("c.pk").as("pc"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+    triples.orderBy(col("support").desc, col("pa"), col("pb"), col("pc"))
+      .limit(20)
+  }
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -4168,6 +4228,8 @@ object SparkEntry {
     "q185_partition_balance" -> (q185PartitionBalance _),
     "q186_silhouette" -> (q186Silhouette _),
     "q187_jl_recall" -> (q187JlRecall _),
+    "q188_constraint_audit" -> (q188ConstraintAudit _),
+    "q189_triple_itemsets" -> (q189TripleItemsets _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -7554,6 +7616,61 @@ object SparkEntry {
          |FROM er e LEFT JOIN ar a
          |  ON a.query_id = e.query_id AND a.cand_id = e.vec_id
          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+
+    "q188_constraint_audit" ->
+      """WITH r AS (
+        | SELECT 'customer_custkey_not_null' AS constraint_name,
+        |  'customer' AS table_name, count(*) AS n_checked,
+        |  CAST(coalesce(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_violations FROM customer
+        | UNION ALL
+        | SELECT 'customer_custkey_unique', 'customer',
+        |  CAST(sum(n) AS BIGINT), CAST(sum(n - 1) AS BIGINT)
+        | FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey)
+        | UNION ALL
+        | SELECT 'customer_acctbal_range', 'customer', count(*),
+        |  CAST(coalesce(sum(CASE WHEN c_acctbal IS NOT NULL AND
+        |    (c_acctbal < -1000.0 OR c_acctbal > 10000.0) THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) FROM customer
+        | UNION ALL
+        | SELECT 'customer_mktsegment_domain', 'customer', count(*),
+        |  CAST(coalesce(sum(CASE WHEN c_mktsegment IS NOT NULL AND
+        |    c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE',
+        |      'HOUSEHOLD','MACHINERY') THEN 1 ELSE 0 END), 0) AS BIGINT)
+        | FROM customer
+        | UNION ALL
+        | SELECT 'orders_custkey_ref_customer', 'orders',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        | UNION ALL
+        | SELECT 'lineitem_orderkey_ref_orders', 'lineitem',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        | UNION ALL
+        | SELECT 'orders_totalprice_range', 'orders', count(*),
+        |  CAST(coalesce(sum(CASE WHEN o_totalprice IS NOT NULL AND
+        |    (o_totalprice < 1.0 OR o_totalprice > 1000000.0) THEN 1 ELSE 0
+        |    END), 0) AS BIGINT) FROM orders)
+        |SELECT constraint_name, table_name, n_checked, n_violations,
+        | n_violations = 0 AS passed
+        |FROM r ORDER BY constraint_name""".stripMargin,
+
+    "q189_triple_itemsets" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |fp AS (SELECT a.pk AS pa, b.pk AS pb FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |po AS (SELECT a.ok, a.pk AS pa, b.pk AS pb FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  JOIN fp ON fp.pa = a.pk AND fp.pb = b.pk),
+        |tr AS (SELECT po.pa, po.pb, c.pk AS pc, count(*) AS support
+        |  FROM po JOIN li c ON c.ok = po.ok AND c.pk > po.pb
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+        |SELECT pa, pb, pc, support FROM tr
+        |ORDER BY support DESC, pa, pb, pc LIMIT 20""".stripMargin,
 
   )
 

@@ -306,4 +306,26 @@ object StreamingImport {
         onUpdate(flat)
     }
   }
+
+  /** Streaming heavy hitters: each micro-batch collapses to a k-slot
+    * Misra–Gries summary IN the executors
+    * ([[graft.operators.HeavyHitters.mgSummary]] — only ≤ k counters
+    * ever reach the driver), then folds into a standing summary with
+    * the mergeable-summaries merge ([[HeavyHitters.mgMerge]]). The
+    * standing state is sketch-sized forever; the classic MG guarantee
+    * holds for the whole stream (any item with true count >
+    * n_total/(k+1) is present; counters undercount by at most that) —
+    * spec-pinned against exact counts of the unioned batches.
+    */
+  def heavyHittersStream(items: DataFrame, itemCol: String, k: Int,
+                         onUpdate: Map[String, Long] => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    @volatile var standing: Map[String, Long] = Map.empty
+    items.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val bs = graft.operators.HeavyHitters.mgSummary(batch, itemCol, k)
+        standing = graft.operators.HeavyHitters.mgMerge(standing, bs, k)
+        onUpdate(standing)
+    }
+  }
 }

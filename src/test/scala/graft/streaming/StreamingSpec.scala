@@ -403,6 +403,38 @@ class StreamingSpec extends SparkSpec {
     assert(last.sortBy(_._1) === batch.sortBy(_._1))
   }
 
+  test("streaming heavy hitters keep the MG guarantee over all batches") {
+    val dir = SyntheticFixtures.dir(s"hhstream_${System.nanoTime()}")
+    // planted heavy item 'hot' (90 of 290 rows) across two batches,
+    // plus a long tail of near-unique items
+    val b1rows = Seq.fill(50)("hot") ++ (0 until 100).map(i => s"t$i")
+    val b2rows = Seq.fill(40)("hot") ++ (0 until 100).map(i => s"u$i")
+    val b1 = SyntheticFixtures.writeText(new File(dir, "b1.csv"),
+      "tok\n" + b1rows.mkString("\n"))
+    val b2 = SyntheticFixtures.writeText(new File(dir, "b2.csv"),
+      "tok\n" + b2rows.mkString("\n"))
+    b1.setLastModified(System.currentTimeMillis() - 60000)
+    b2.setLastModified(System.currentTimeMillis())
+    val schema = StructType(Seq(StructField("tok", StringType)))
+    val stream = spark.readStream.schema(schema).option("header", "true")
+      .option("maxFilesPerTrigger", "1").csv(dir.getPath)
+    @volatile var last = Map.empty[String, Long]
+    val k = 8
+    val q = StreamingImport.heavyHittersStream(stream, "tok", k,
+        onUpdate = m => last = m)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", new File(dir, "_cp").getPath)
+      .start()
+    q.awaitTermination(120000)
+    val n = (b1rows ++ b2rows).size.toLong
+    val trueHot = 90L
+    // guarantee: hot (count > n/(k+1) = 32) survives both merges, its
+    // counter undercounts by at most n/(k+1), never overcounts
+    assert(last.contains("hot"))
+    assert(last("hot") <= trueHot && last("hot") >= trueHot - n / (k + 1L))
+    assert(last.size <= k) // standing state stays sketch-sized
+  }
+
   test("streaming near-dup probe against a standing LSH index") {
     import graft.operators.TextDedup
     val corpus = graft.Tables.documents(spark, sf()).limit(100)
