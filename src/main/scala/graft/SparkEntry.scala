@@ -4025,6 +4025,121 @@ object SparkEntry {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------- q190
+  /** Signup→purchase conversion-delay quantiles by signup weekday —
+    * time-to-event percentiles over exact integer-µs delays; the
+    * funnel-latency readout q80's fixed-window conversion rate can't
+    * give. Type-1 DISCRETE quantiles (value at rank ceil(q·n)), not
+    * interpolated: at 1e11-µs magnitudes a double's ulp (~3e-5)
+    * exceeds 6-dp rounding, so interpolation arithmetic diverges
+    * across engines in the last ulp — rank selection is pure integer
+    * work (the one float op, ceil(q·n), is the same IEEE multiply on
+    * both sides). Ranks via the distributed ordinal; no window.
+    */
+  def q190ConversionDelay(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val sign = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("sts"))
+    val first = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+      .join(sign, Seq("user_id")).filter(col("pts") >= col("sts"))
+      .groupBy(col("user_id"), col("sts")).agg(min(col("pts")).as("pts"))
+    val delays = first.select(
+      expr("((sts DIV 86400000000000) + 4) % 7").as("wd"), // 1970-01-01=Thu
+      expr("(pts - sts) DIV 1000").as("delay_us"))
+    val ranked = operators.Ordinals.withOrderedOrdinal(delays,
+      Seq(col("wd"), col("delay_us")), "__rn")
+    val base = ranked.groupBy("wd")
+      .agg(min(col("__rn")).as("b"), count(lit(1)).as("n"))
+    val targets = base.withColumn("q",
+        explode(array(lit(0.5), lit(0.9), lit(0.99))))
+      .withColumn("r", ceil(col("q") * col("n")).cast("long"))
+    ranked.as("rk").join(broadcast(targets.as("t")),
+        col("rk.wd") === col("t.wd") &&
+          col("rk.__rn") - col("t.b") + 1 === col("t.r"))
+      .groupBy(col("t.wd").as("wd"))
+      .agg(max(when(col("q") === 0.5, col("delay_us"))).as("p50_us"),
+        max(when(col("q") === 0.9, col("delay_us"))).as("p90_us"),
+        max(when(col("q") === 0.99, col("delay_us"))).as("p99_us"),
+        max(col("n")).as("n"))
+      .orderBy(col("wd"))
+  }
+
+  // ---------------------------------------------------------------- q191
+  /** Label-noise screen via kNN disagreement (Confident-Learning-
+    * style): each probe vector's label vs the majority label of its 5
+    * exact nearest neighbors — embeddings whose neighborhood outvotes
+    * their label are mislabeling candidates. Broadcast probe set; the
+    * corpus is never shuffled.
+    */
+  def q191LabelNoise(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 200)
+    val nn = operators.Similarity.bruteForceTopK(
+      probes.select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec")),
+      e.filter(col("vec_id") >= 200), k = 5)
+    val votes = nn.join(e.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), Seq("neighbor_id"))
+      .groupBy("query_id", "nl").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("nl"))
+    val maj = votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("nl").as("majority_label"),
+        col("c").as("n_votes"))
+    probes.select(col("vec_id").as("query_id"), col("label").as("own_label"))
+      .join(maj, Seq("query_id"))
+      .withColumn("mismatch", col("own_label") =!= col("majority_label"))
+      .orderBy(col("query_id"))
+  }
+
+  // ---------------------------------------------------------------- q192
+  /** Sequence-length bucketing audit: docs assigned to power-of-two
+    * token buckets, padding waste per bucket in exact ppm — the
+    * batch-packing efficiency readout that sizes a training run's
+    * bucket boundaries (complements q69's offset packing). Pure
+    * scan-stage CASE; one hash agg.
+    */
+  def q192LengthBuckets(s: SparkSession, d: String): DataFrame = {
+    val n = size(functions.TextAnalysis.tokens(col("text")))
+    val bucket = when(n <= 16, 16).when(n <= 32, 32).when(n <= 64, 64)
+      .when(n <= 128, 128).when(n <= 256, 256).when(n <= 512, 512)
+      .otherwise(1024)
+    documents(s, d)
+      .select(col("doc_id"), n.cast("long").as("n_tok"),
+        bucket.cast("long").as("bucket"))
+      .filter(col("n_tok") <= 1024) // over-cap docs would TRUNCATE, not pad
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("bucket") - col("n_tok")).as("n_padding"))
+      .withColumn("waste_ppm",
+        expr("(n_padding * 1000000) DIV (bucket * n_docs)"))
+      .orderBy(col("bucket"))
+  }
+
+  // ---------------------------------------------------------------- q193
+  /** Per-source duplication involvement: the fraction of each source's
+    * docs that sit in at least one verified near-dup pair (13th
+    * consumer of the shared PPJoin pair artifact) — the crawl-trap
+    * detector (a source whose docs are mostly near-dups of something
+    * is a mirror or a template farm). Exact ppm.
+    */
+  def q193SourceDupRate(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    val dupDocs = dedupPairs(s, d).select(col("id1").as("id"))
+      .unionAll(dedupPairs(s, d).select(col("id2").as("id")))
+      .select(pmod(col("id"), lit(1000000L)).as("doc_id")).distinct()
+    val perSrc = src.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val dupPerSrc = dupDocs.join(src, Seq("doc_id"))
+      .groupBy("source").agg(count(lit(1)).as("n_dup"))
+    perSrc.join(dupPerSrc, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_involved"),
+        expr("(coalesce(n_dup, 0) * 1000000) DIV n_docs").as("dup_ppm"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -4230,6 +4345,10 @@ object SparkEntry {
     "q187_jl_recall" -> (q187JlRecall _),
     "q188_constraint_audit" -> (q188ConstraintAudit _),
     "q189_triple_itemsets" -> (q189TripleItemsets _),
+    "q190_conversion_delay" -> (q190ConversionDelay _),
+    "q191_label_noise" -> (q191LabelNoise _),
+    "q192_length_buckets" -> (q192LengthBuckets _),
+    "q193_source_dup_rate" -> (q193SourceDupRate _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -7671,6 +7790,94 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
         |SELECT pa, pb, pc, support FROM tr
         |ORDER BY support DESC, pa, pb, pc LIMIT 20""".stripMargin,
+
+    "q190_conversion_delay" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us FROM events),
+        |sg AS (SELECT user_id, min(us) AS sus FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |fp AS (SELECT p.user_id, sg.sus, min(p.us) AS pus FROM ev p
+        |  JOIN sg ON sg.user_id = p.user_id AND p.us >= sg.sus
+        |  WHERE p.event_type = 'purchase' GROUP BY 1, 2),
+        |dl AS (SELECT ((sus // 86400000000) + 4) % 7 AS wd,
+        |  pus - sus AS delay_us FROM fp),
+        |rk AS (SELECT wd, delay_us,
+        |  row_number() OVER (PARTITION BY wd ORDER BY delay_us) AS r FROM dl),
+        |nn AS (SELECT wd, count(*) AS n FROM dl GROUP BY wd),
+        |tt AS (SELECT wd, n, q, CAST(ceil(q * n) AS BIGINT) AS r FROM
+        |  (SELECT wd, n, unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |    CAST(0.99 AS DOUBLE)]) AS q FROM nn)),
+        |pick AS (SELECT tt.wd, tt.n, tt.q, rk.delay_us FROM tt
+        |  JOIN rk ON rk.wd = tt.wd AND rk.r = tt.r)
+        |SELECT wd,
+        | CAST(max(CASE WHEN q = 0.5 THEN delay_us END) AS BIGINT) AS p50_us,
+        | CAST(max(CASE WHEN q = 0.9 THEN delay_us END) AS BIGINT) AS p90_us,
+        | CAST(max(CASE WHEN q = 0.99 THEN delay_us END) AS BIGINT) AS p99_us,
+        | CAST(max(n) AS BIGINT) AS n
+        |FROM pick GROUP BY wd ORDER BY wd""".stripMargin,
+
+    "q191_label_noise" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS own_label,
+         |  CAST(embedding AS DOUBLE[]) AS qv
+         | FROM embeddings WHERE vec_id < 200),
+         |c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id >= 200),
+         |scored AS (SELECT query_id, vec_id, label AS nl,
+         |  ${sqlCosine("qv", "cv")} AS sim FROM q, c),
+         |nn AS (SELECT query_id, nl FROM (SELECT query_id, nl,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, vec_id) AS rk FROM scored) WHERE rk <= 5),
+         |votes AS (SELECT query_id, nl, count(*) AS c
+         |  FROM nn GROUP BY 1, 2),
+         |maj AS (SELECT query_id, nl AS majority_label, c AS n_votes
+         |  FROM (SELECT query_id, nl, c, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY c DESC, nl) AS rk FROM votes)
+         |  WHERE rk = 1)
+         |SELECT q.query_id, q.own_label, m.majority_label,
+         | CAST(m.n_votes AS BIGINT) AS n_votes,
+         | q.own_label <> m.majority_label AS mismatch
+         |FROM q JOIN maj m ON m.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin,
+
+    "q192_length_buckets" ->
+      s"""WITH t AS (SELECT doc_id, len($SqlToks) AS n_tok FROM documents),
+         |b AS (SELECT doc_id, n_tok,
+         |  CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+         |    WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+         |    WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+         |    ELSE 1024 END AS bucket
+         | FROM t WHERE n_tok <= 1024)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+         | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         | CAST(sum(bucket - n_tok) AS BIGINT) AS n_padding,
+         | CAST(sum(bucket - n_tok) * 1000000 AS BIGINT)
+         |   // CAST(bucket * count(*) AS BIGINT) AS waste_ppm
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q193_source_dup_rate" ->
+      s"""WITH $SqlCorpus,
+         |$SqlShingles3,
+         |n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |com AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS common
+         | FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         | GROUP BY 1, 2),
+         |jac AS (SELECT com.id1, com.id2,
+         |  CAST(com.common AS DOUBLE) / CAST(n1.n + n2.n - com.common
+         |    AS DOUBLE) AS jaccard
+         | FROM com JOIN n n1 ON n1.doc_id = com.id1
+         |          JOIN n n2 ON n2.doc_id = com.id2),
+         |pairs AS (SELECT id1, id2 FROM jac WHERE jaccard >= 0.6),
+         |ids AS (SELECT DISTINCT id % 1000000 AS doc_id FROM
+         |  (SELECT id1 AS id FROM pairs UNION ALL SELECT id2 FROM pairs)),
+         |per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         |dup AS (SELECT d.source, count(*) AS n_dup FROM ids
+         |  JOIN documents d ON d.doc_id = ids.doc_id GROUP BY 1)
+         |SELECT p.source, p.n_docs,
+         | CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup_involved,
+         | CAST(coalesce(dup.n_dup, 0) * 1000000 AS BIGINT)
+         |   // CAST(p.n_docs AS BIGINT) AS dup_ppm
+         |FROM per p LEFT JOIN dup ON dup.source = p.source
+         |ORDER BY p.source""".stripMargin,
 
   )
 
