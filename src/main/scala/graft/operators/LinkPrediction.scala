@@ -110,8 +110,14 @@ object LinkPrediction {
                          itemCol: String, rounds: Int = 2,
                          topK: Int = 20): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e = userItem.select(col(userCol).cast("long").as("u"),
-      col(itemCol).cast("long").as("p")).distinct()
+    import org.apache.spark.storage.StorageLevel
+    // every round (and each round's normalization) re-walks e's
+    // lineage — persist the distinct edge list once; released by the
+    // session's Retained.releaseAll
+    val e = Retained.track(
+      userItem.select(col(userCol).cast("long").as("u"),
+        col(itemCol).cast("long").as("p")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
     var hub = e.select(col("u")).distinct()
       .withColumn("h", lit(BigDecimal(1)).cast("decimal(18,6)"))
     var auth: DataFrame = null
@@ -129,13 +135,18 @@ object LinkPrediction {
 
   /** L1-normalize `raw` over all rows: round(raw/Σraw, 6) as DECIMAL.
     * The Σ is a broadcast one-row frame, not a window — no single-
-    * partition stage.
+    * partition stage. `raw` feeds BOTH the Σ and the per-row divide,
+    * so it is persisted (node-sized, released via Retained) — without
+    * it every normalization re-runs the half-round's join+agg twice.
     */
   private def normalized(raw: DataFrame, keyCol: String,
-                         outCol: String): DataFrame =
-    raw.crossJoin(broadcast(
-        raw.agg(sum(col("raw")).cast("decimal(28,6)").as("tot"))))
+                         outCol: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val r = Retained.track(raw.persist(StorageLevel.MEMORY_AND_DISK))
+    r.crossJoin(broadcast(
+        r.agg(sum(col("raw")).cast("decimal(28,6)").as("tot"))))
       .select(col(keyCol),
         round(col("raw").cast("double") / col("tot").cast("double"), 6)
           .cast("decimal(10,6)").as(outCol))
+  }
 }

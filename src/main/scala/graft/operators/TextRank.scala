@@ -53,9 +53,18 @@ object TextRank {
         greatest(col("wa"), col("wb")).as("b"))
       .groupBy("g", "a", "b").agg(count(lit(1)).as("w"))
       .filter(col("w") >= minEdgeCount)
-    val m = edges.select(col("g"), col("a").as("u"), col("b").as("v"), col("w"))
-      .unionAll(edges.select(col("g"), col("b").as("u"), col("a").as("v"), col("w")))
-    val strength = m.groupBy("g", "u").agg(sum(col("w")).as("wu"))
+    // each iteration joins m and strength — persist both once (the
+    // corpus explode + edge agg would otherwise re-run per round);
+    // released by the session's Retained.releaseAll
+    import org.apache.spark.storage.StorageLevel
+    val m = Retained.track(
+      edges.select(col("g"), col("a").as("u"), col("b").as("v"), col("w"))
+        .unionAll(edges.select(col("g"), col("b").as("u"), col("a").as("v"),
+          col("w")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val strength = Retained.track(
+      m.groupBy("g", "u").agg(sum(col("w")).as("wu"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val nPerG = strength.groupBy("g").agg(count(lit(1)).as("n"))
     // micro-unit start: round(1e6/n) as an integer half-up division
     var pr = strength.join(nPerG, Seq("g"))
