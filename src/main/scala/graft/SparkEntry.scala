@@ -4140,6 +4140,180 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------- q194
+  /** Inter-arrival burstiness per event type (Goh & Barabási 2008:
+    * B = (σ−μ)/(σ+μ) over inter-event gaps; 0 = Poisson, →1 = bursty,
+    * →−1 = periodic) — the traffic-shape audit distinguishing human
+    * sessions from synthetic feeds. Gaps per (user, type) stream via
+    * one partitioned lag; moments are exact DECIMAL power sums; one
+    * float closed form per type.
+    */
+  def q194Burstiness(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("us"), col("event_id"))
+    val gaps = events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts DIV 1000").as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("gap").cast("decimal(19,0)")).cast("decimal(20,0)").as("s1"),
+        // (19,0) operands force the int128 decimal class in BOTH
+        // engines — DuckDB's width-18 int64 fast path overflows on
+        // multi-day gaps squared
+        sum((col("gap").cast("decimal(19,0)") *
+          col("gap").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .cast("decimal(34,0)").as("s2"))
+      .withColumn("__mu", col("s1").cast("double") / col("n").cast("double"))
+      .withColumn("__sd", sqrt(col("s2").cast("double") /
+        col("n").cast("double") - col("__mu") * col("__mu")))
+      .select(col("event_type"), col("n"),
+        // exact integer mean: at 1e11-µs magnitudes round(x,6) sits
+        // below the double ulp and diverges across engines
+        expr("CAST(s1 AS BIGINT) DIV n").as("mean_gap_us"),
+        when(col("__sd") + col("__mu") === 0.0, lit(null).cast("double"))
+          .otherwise(round((col("__sd") - col("__mu")) /
+            (col("__sd") + col("__mu")), 6) + lit(0.0)).as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
+  // ---------------------------------------------------------------- q195
+  /** Near-dup cluster-size histogram (14th consumer of the shared
+    * pair/label artifacts): how much of the corpus sits in pairs,
+    * triangles, bigger mirror farms — the shape that decides whether
+    * keep-one dedup or domain blocking is the right response.
+    */
+  def q195ClusterHistogram(s: SparkSession, d: String): DataFrame =
+    operators.ConnectedComponents.clustersFromLabels(dedupLabels(s, d))
+      .groupBy("cluster_size")
+      .agg(count_distinct(col("cluster")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
+  // ---------------------------------------------------------------- q196
+  /** Embedding hygiene gate: per label, zero/near-zero/oversized
+    * vector counts from DECIMAL-exact squared norms (the 6-dp
+    * component quantization q186 uses) — degenerate vectors poison
+    * cosine retrieval silently, so they get counted before any index
+    * is built. One explode + two hash aggs.
+    */
+  def q196VectorHygiene(s: SparkSession, d: String): DataFrame = {
+    val n2 = embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xd", col("x").cast("double").cast("decimal(12,6)"))
+      .groupBy("vec_id", "label")
+      .agg(sum((col("xd") * col("xd")).cast("decimal(27,12)"))
+        .cast("decimal(32,12)").as("n2"))
+    n2.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n2") === 0, 1L).otherwise(0L)).as("n_zero"),
+        // exact DECIMAL thresholds — a double-literal compare would
+        // promote n2 to double and wobble at the boundary
+        sum(when(col("n2") > 0 &&
+            col("n2") < expr("CAST(0.01 AS DECIMAL(32,12))"), 1L)
+          .otherwise(0L)).as("n_tiny"),
+        sum(when(col("n2") > expr("CAST(100 AS DECIMAL(32,12))"), 1L)
+          .otherwise(0L)).as("n_oversized"))
+      .orderBy(col("label"))
+  }
+
+  // ---------------------------------------------------------------- q197
+  /** Quality-decile × duplication cross-signal: docs ranked into
+    * deciles by the q19 quality score (distributed ordinal, no global
+    * window), each decile's near-dup involvement in exact ppm — the
+    * "is low-quality text also the duplicated text" readout that
+    * decides whether dedup subsumes quality filtering. 15th pair-
+    * artifact consumer.
+    */
+  def q197QualityDupDeciles(s: SparkSession, d: String): DataFrame = {
+    val scored = documents(s, d).select(col("doc_id"),
+      functions.TextAnalysis.qualityScore(col("text")).as("q"))
+    val ranked = operators.Ordinals.withOrderedOrdinal(scored,
+      Seq(col("q"), col("doc_id")), "__rn")
+    val n = ranked.count() // one scalar action; decile arithmetic is DIV
+    val dec = ranked.withColumn("decile",
+      expr(s"((__rn - 1) * 10) DIV $n + 1"))
+    val dupDocs = dedupPairs(s, d).select(col("id1").as("id"))
+      .unionAll(dedupPairs(s, d).select(col("id2").as("id")))
+      .select(pmod(col("id"), lit(1000000L)).as("doc_id")).distinct()
+      .withColumn("dup", lit(1L))
+    dec.join(dupDocs, Seq("doc_id"), "left")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+      .withColumn("dup_ppm", expr("(n_dup * 1000000) DIV n_docs"))
+      .orderBy(col("decile"))
+  }
+
+  // ---------------------------------------------------------------- q198
+  /** Purchase-weekday seasonality: chi-square independence of part ×
+    * order-weekday over the top-10 parts (one
+    * [[operators.Contingency.chiSquareIndependence]] call) — "do the
+    * popular items sell on different days?". Weekday from portable
+    * epoch-day arithmetic (both engines' dayofweek conventions
+    * differ); top-10 by distinct order count, ties on part id.
+    */
+  def q198Seasonality(s: SparkSession, d: String): DataFrame = {
+    val rows = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .join(orders(s, d).select(col("o_orderkey").as("ok"),
+        ((datediff(col("o_orderdate"), lit("1970-01-01")) + 4) % 7)
+          .cast("long").as("wd")), Seq("ok"))
+    val top = rows.groupBy("pk").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pk")).limit(10).select(col("pk"))
+    operators.Contingency.chiSquareIndependence(
+      rows.join(broadcast(top), Seq("pk")), "pk", "wd")
+  }
+
+  // ---------------------------------------------------------------- q199
+  /** Out-of-vocabulary rate per source against the global top-1000
+    * vocabulary — the cheap domain-shift screen (a source whose token
+    * mass falls outside the corpus head is jargon, another language,
+    * or garbage). Vocabulary = one hash agg + TakeOrdered; rates are
+    * exact ppm integers.
+    */
+  def q199OovRate(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(col("source"),
+      explode(functions.TextAnalysis.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(1000)
+      .select(col("tok"), lit(1).as("iv"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("(n_oov * 1000000) DIV n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------- q200
+  /** One-row corpus datacard: the summary block a dataset release
+    * ships with — sizes, language/source spread, token budget,
+    * near-dup involvement — every figure an exact integer, composed
+    * from the shared pair artifact plus two scans.
+    */
+  def q200Datacard(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(functions.TextAnalysis.tokenCount(col("text")).cast("long"))
+        .as("n_tokens"),
+      count_distinct(col("lang")).as("n_langs"),
+      count_distinct(col("source")).as("n_sources"))
+    val dup = dedupPairs(s, d).select(col("id1").as("id"))
+      .unionAll(dedupPairs(s, d).select(col("id2").as("id")))
+      .select(pmod(col("id"), lit(1000000L)).as("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_dup_docs"))
+    base.crossJoin(broadcast(dup))
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_sources"), col("n_dup_docs"),
+        expr("(n_dup_docs * 1000000) DIV n_docs").as("dup_ppm"),
+        expr("(n_tokens * 1000) DIV n_docs").as("mean_tokens_permille"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -4349,6 +4523,13 @@ object SparkEntry {
     "q191_label_noise" -> (q191LabelNoise _),
     "q192_length_buckets" -> (q192LengthBuckets _),
     "q193_source_dup_rate" -> (q193SourceDupRate _),
+    "q194_burstiness" -> (q194Burstiness _),
+    "q195_cluster_histogram" -> (q195ClusterHistogram _),
+    "q196_vector_hygiene" -> (q196VectorHygiene _),
+    "q197_quality_dup_deciles" -> (q197QualityDupDeciles _),
+    "q198_seasonality" -> (q198Seasonality _),
+    "q199_oov_rate" -> (q199OovRate _),
+    "q200_datacard" -> (q200Datacard _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -7878,6 +8059,186 @@ object SparkEntry {
          |   // CAST(p.n_docs AS BIGINT) AS dup_ppm
          |FROM per p LEFT JOIN dup ON dup.source = p.source
          |ORDER BY p.source""".stripMargin,
+
+    "q194_burstiness" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us FROM events),
+        |g AS (SELECT event_type, us - lag(us) OVER
+        |  (PARTITION BY user_id, event_type ORDER BY us, event_id) AS gap
+        | FROM ev),
+        |f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+        |m AS (SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(gap AS DECIMAL(19,0))) AS DECIMAL(20,0)) AS s1,
+        |  CAST(sum(CAST(CAST(gap AS DECIMAL(19,0)) *
+        |    CAST(gap AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+        |    AS DECIMAL(34,0)) AS s2
+        | FROM f GROUP BY 1),
+        |x AS (SELECT event_type, n, s1,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |  sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+        |    (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS sd
+        | FROM m)
+        |SELECT event_type, n, CAST(s1 AS BIGINT) // n AS mean_gap_us,
+        | CASE WHEN sd + mu = CAST(0 AS DOUBLE) THEN NULL
+        |   ELSE round((sd - mu) / (sd + mu), 6) + CAST(0 AS DOUBLE)
+        |   END AS burstiness
+        |FROM x ORDER BY event_type""".stripMargin,
+
+    "q195_cluster_histogram" ->
+      s"""WITH RECURSIVE $SqlCorpus,
+         |$SqlShingles3,
+         |n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |com AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS common
+         | FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |pair AS (SELECT com.id1, com.id2 FROM com
+         | JOIN n n1 ON n1.doc_id = com.id1 JOIN n n2 ON n2.doc_id = com.id2
+         | WHERE CAST(com.common AS DOUBLE)
+         |   / CAST(n1.n + n2.n - com.common AS DOUBLE) >= 0.6),
+         |edge AS (SELECT id1 AS a, id2 AS b FROM pair
+         | UNION SELECT id2 AS a, id1 AS b FROM pair),
+         |reach(src, dst) AS (
+         | SELECT a, a FROM edge
+         | UNION
+         | SELECT r.src, e.b FROM reach r JOIN edge e ON e.a = r.dst),
+         |lab AS (SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src),
+         |cl AS (SELECT cluster, count(*) AS sz FROM lab GROUP BY 1)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size, count(*) AS n_clusters,
+         | CAST(sum(sz) AS BIGINT) AS n_docs
+         |FROM cl GROUP BY sz ORDER BY cluster_size""".stripMargin,
+
+    "q196_vector_hygiene" ->
+      """WITH ex AS (SELECT vec_id, label,
+        |  CAST(unnest(CAST(embedding AS DOUBLE[])) AS DECIMAL(12,6)) AS xd
+        | FROM embeddings),
+        |n2 AS (SELECT vec_id, label,
+        |  CAST(sum(CAST(xd * xd AS DECIMAL(27,12))) AS DECIMAL(32,12)) AS n2
+        | FROM ex GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vecs,
+        | CAST(coalesce(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END), 0)
+        |   AS BIGINT) AS n_zero,
+        | CAST(coalesce(sum(CASE WHEN n2 > 0 AND
+        |   n2 < CAST(0.01 AS DECIMAL(32,12)) THEN 1 ELSE 0 END), 0)
+        |   AS BIGINT) AS n_tiny,
+        | CAST(coalesce(sum(CASE WHEN n2 > CAST(100 AS DECIMAL(32,12))
+        |   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_oversized
+        |FROM n2 GROUP BY label ORDER BY label""".stripMargin,
+
+    "q197_quality_dup_deciles" ->
+      s"""WITH t AS (SELECT doc_id, text, $SqlToks AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) - length(regexp_replace(text,
+         |    '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS n_punct,
+         |  CAST(len(list_filter(toks, x -> x IN
+         |    ('the','a','of','and','to','in','is','it','for','on')))
+         |    AS BIGINT) AS n_stop,
+         |  length(text) AS n_chars
+         | FROM t),
+         |qs AS (SELECT doc_id,
+         |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+         |  + (1.0 - (CASE WHEN n_chars = 0 THEN 0.0
+         |            ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+         |            END)) * 0.25
+         |  + (CASE WHEN n_tokens = 0 THEN 0.0
+         |     ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |     END) * 0.25 AS q
+         | FROM m),
+         |rk AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY q, doc_id) AS rn FROM qs),
+         |nn AS (SELECT count(*) AS n FROM qs),
+         |dec AS (SELECT doc_id, ((rn - 1) * 10) // n + 1 AS decile
+         |  FROM rk CROSS JOIN nn),
+         |$SqlCorpus,
+         |$SqlShingles3,
+         |sn AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |com AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS common
+         | FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT id1, id2 FROM com
+         | JOIN sn n1 ON n1.doc_id = com.id1 JOIN sn n2 ON n2.doc_id = com.id2
+         | WHERE CAST(com.common AS DOUBLE)
+         |   / CAST(n1.n + n2.n - com.common AS DOUBLE) >= 0.6),
+         |dup AS (SELECT DISTINCT id % 1000000 AS doc_id FROM
+         |  (SELECT id1 AS id FROM pairs UNION ALL SELECT id2 FROM pairs))
+         |SELECT CAST(dec.decile AS BIGINT) AS decile, count(*) AS n_docs,
+         | CAST(coalesce(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0
+         |   END), 0) AS BIGINT) AS n_dup,
+         | CAST(coalesce(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0
+         |   END), 0) * 1000000 AS BIGINT) // CAST(count(*) AS BIGINT)
+         |   AS dup_ppm
+         |FROM dec LEFT JOIN dup ON dup.doc_id = dec.doc_id
+         |GROUP BY dec.decile ORDER BY decile""".stripMargin,
+
+    "q198_seasonality" ->
+      // part x weekday chi-square over the top-10 parts; weekday from
+      // epoch-day arithmetic (engine dayofweek conventions differ);
+      // full-grid zero cells per the q176 operator contract
+      """WITH rows0 AS (SELECT DISTINCT l.l_orderkey AS ok,
+        |  l.l_partkey AS pk FROM lineitem l),
+        |rws AS (SELECT r.pk,
+        |  ((CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' + 4) % 7) AS wd
+        | FROM rows0 r JOIN orders o ON o.o_orderkey = r.ok),
+        |top AS (SELECT pk FROM (SELECT pk, count(*) AS n FROM rws
+        |  GROUP BY pk ORDER BY n DESC, pk LIMIT 10)),
+        |f AS (SELECT CAST(rws.pk AS BIGINT) AS a, wd AS b FROM rws
+        |  JOIN top ON top.pk = rws.pk),
+        |cells AS (SELECT a, b, count(*) AS o FROM f GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |  count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b FROM cells),
+        |grid AS (SELECT rt.a, ct.b, rt.r, ct.c, coalesce(cells.o, 0) AS o
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+        |terms AS (SELECT t.n, t.n_a, t.n_b,
+        |  CAST(round(CAST(CAST(g.o * t.n - g.r * g.c AS DECIMAL(19,0)) *
+        |      CAST(g.o * t.n - g.r * g.c AS DECIMAL(19,0)) AS DOUBLE) /
+        |    CAST(t.n * g.r * g.c AS DOUBLE), 6) AS DECIMAL(18,6)) AS term
+        | FROM grid g CROSS JOIN tot t),
+        |agg AS (SELECT n, n_a, n_b, CAST(sum(term) AS DECIMAL(28,6)) AS chi2d
+        |  FROM terms GROUP BY 1, 2, 3)
+        |SELECT n, n_a, n_b, CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+        |  CAST(chi2d AS DOUBLE) AS chi2,
+        |  CASE WHEN least(n_a, n_b) <= 1 THEN NULL
+        |    ELSE round(sqrt(CAST(chi2d AS DOUBLE) /
+        |      CAST(n * (least(n_a, n_b) - 1) AS DOUBLE)), 6) END AS cramers_v
+        |FROM agg""".stripMargin,
+
+    "q199_oov_rate" ->
+      s"""WITH toks AS (SELECT source, unnest($SqlToks) AS tok FROM documents),
+         |vocab AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM toks
+         |  GROUP BY tok ORDER BY n DESC, tok LIMIT 1000))
+         |SELECT source, count(*) AS n_tokens,
+         | CAST(coalesce(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END), 0)
+         |   AS BIGINT) AS n_oov,
+         | CAST(coalesce(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END), 0)
+         |   * 1000000 AS BIGINT) // CAST(count(*) AS BIGINT) AS oov_ppm
+         |FROM toks LEFT JOIN vocab v ON v.tok = toks.tok
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q200_datacard" ->
+      s"""WITH base AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(len($SqlToks)) AS BIGINT) AS n_bpe,
+         |  count(DISTINCT lang) AS n_langs,
+         |  count(DISTINCT source) AS n_sources FROM documents),
+         |$SqlCorpus,
+         |$SqlShingles3,
+         |sn AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |com AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS common
+         | FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT id1, id2 FROM com
+         | JOIN sn n1 ON n1.doc_id = com.id1 JOIN sn n2 ON n2.doc_id = com.id2
+         | WHERE CAST(com.common AS DOUBLE)
+         |   / CAST(n1.n + n2.n - com.common AS DOUBLE) >= 0.6),
+         |dup AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_docs FROM
+         |  (SELECT DISTINCT id % 1000000 FROM
+         |    (SELECT id1 AS id FROM pairs UNION ALL SELECT id2 FROM pairs)))
+         |SELECT n_docs, n_bpe AS n_tokens, n_langs, n_sources, n_dup_docs,
+         | CAST(n_dup_docs * 1000000 AS BIGINT) // CAST(n_docs AS BIGINT)
+         |   AS dup_ppm,
+         | CAST(n_bpe * 1000 AS BIGINT) // CAST(n_docs AS BIGINT)
+         |   AS mean_tokens_permille
+         |FROM base CROSS JOIN dup""".stripMargin,
 
   )
 
