@@ -307,6 +307,42 @@ object StreamingImport {
     }
   }
 
+  /** Streaming ordered funnel: per-user state is one long per stage
+    * (the first qualifying time, −1 = unreached) — a few words per
+    * user, never the event history. A stage-k event advances the
+    * funnel only when stage k−1 was already reached strictly earlier,
+    * exactly [[graft.operators.Funnel.stageTimes]]'s order constraint;
+    * with in-timestamp-order arrival (watermark discipline) the fold
+    * is spec-pinned identical to the batch operator over the unioned
+    * batches. Emits `(user, stage_idx, ts)` once per newly-reached
+    * stage (Append mode).
+    */
+  def funnelStream(events: org.apache.spark.sql.Dataset[(Long, String, Long)],
+                   stages: Seq[String])
+      : org.apache.spark.sql.Dataset[(Long, Int, Long)] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (Long, Int, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (u: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[Array[Long]]) =>
+          val st = state.getOption.getOrElse(Array.fill(stages.length)(-1L))
+          val out = List.newBuilder[(Long, Int, Long)]
+          for ((_, t, ts) <- rows.toSeq.sortBy(_._3)) {
+            val i = stages.indexOf(t)
+            if (i >= 0 && st(i) < 0 &&
+                (i == 0 || (st(i - 1) >= 0 && ts > st(i - 1)))) {
+              st(i) = ts
+              out += ((u, i, ts))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming heavy hitters: each micro-batch collapses to a k-slot
     * Misra–Gries summary IN the executors
     * ([[graft.operators.HeavyHitters.mgSummary]] — only ≤ k counters

@@ -403,6 +403,45 @@ class StreamingSpec extends SparkSpec {
     assert(last.sortBy(_._1) === batch.sortBy(_._1))
   }
 
+  test("streaming funnel stage times equal the batch fold") {
+    val dir = SyntheticFixtures.dir(s"funnelstream_${System.nanoTime()}")
+    // u1 completes A->B->C across the batch boundary; u2 does B before
+    // A (B must NOT count); u3 stalls at A
+    val b1rows = Seq((1L, "A", 10L), (1L, "B", 20L), (2L, "B", 5L),
+      (2L, "A", 15L), (3L, "A", 30L))
+    val b2rows = Seq((1L, "C", 40L), (2L, "B", 50L), (3L, "A", 60L))
+    def csv(rows: Seq[(Long, String, Long)]) =
+      "u;t;ts\n" + rows.map(r => s"${r._1};${r._2};${r._3}").mkString("\n")
+    val b1 = SyntheticFixtures.writeText(new File(dir, "b1.csv"), csv(b1rows))
+    val b2 = SyntheticFixtures.writeText(new File(dir, "b2.csv"), csv(b2rows))
+    b1.setLastModified(System.currentTimeMillis() - 60000)
+    b2.setLastModified(System.currentTimeMillis())
+    val schema = StructType(Seq(StructField("u", LongType),
+      StructField("t", StringType), StructField("ts", LongType)))
+    val stream = spark.readStream.schema(schema).option("header", "true")
+      .option("sep", ";").option("maxFilesPerTrigger", "1").csv(dir.getPath)
+      .as[(Long, String, Long)]
+    val got = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    val q = StreamingImport.funnelStream(stream, Seq("A", "B", "C"))
+      .writeStream.outputMode("append").foreachBatch {
+        (b: org.apache.spark.sql.Dataset[(Long, Int, Long)], _: Long) =>
+          got.synchronized { got ++= b.collect() }; ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", new File(dir, "_cp").getPath)
+      .start()
+    q.awaitTermination(120000)
+    val batch = graft.operators.Funnel.stageTimes(
+        (b1rows ++ b2rows).toDF("u", "t", "ts"), "u", "t", "ts",
+        Seq("A", "B", "C"))
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    assert(got.toSet === batch)
+    // sanity of the scenario itself: u1 full funnel, u2 B-after-A at
+    // 50 (the ts-5 B ignored), u3 A only
+    assert(batch === Set((1L, 0, 10L), (1L, 1, 20L), (1L, 2, 40L),
+      (2L, 0, 15L), (2L, 1, 50L), (3L, 0, 30L)))
+  }
+
   test("streaming heavy hitters keep the MG guarantee over all batches") {
     val dir = SyntheticFixtures.dir(s"hhstream_${System.nanoTime()}")
     // planted heavy item 'hot' (90 of 290 rows) across two batches,
