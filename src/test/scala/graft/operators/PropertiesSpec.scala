@@ -1235,4 +1235,131 @@ class PropertiesSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.map(_._5) === List(woe(5, 0), woe(5, 0), woe(4, 1), woe(0, 5)))
   }
+
+  /** Spark `round(double, 6)`: HALF_UP on the shortest-repr BigDecimal. */
+  private def r6(d: Double): Double =
+    BigDecimal(java.math.BigDecimal.valueOf(d))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("Adamic–Adar equals an in-memory reference on random graphs") {
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L)))
+    check(Prop.forAllNoShrink(edgeGen) { es0 =>
+      val canon = es0.filter(e => e._1 != e._2)
+        .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+      if (canon.isEmpty) Prop.passed
+      else {
+        val adj = canon.flatMap(e => Seq(e, e.swap))
+          .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+        def w(n: Long) =
+          BigDecimal(java.math.BigDecimal.valueOf(1.0 / math.log(adj(n).size)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        val ref = (for {
+          u <- adj.keys; v <- adj.keys
+          if u < v && !adj(u).contains(v)
+          commons = adj(u).intersect(adj(v)) if commons.nonEmpty
+        } yield (u, v) -> ((commons.size.toLong,
+          commons.toSeq.map(w).sum))).toMap
+        val got = LinkPrediction
+          .adamicAdarTopK(canon.toDF("src", "dst"), "src", "dst",
+            topK = 10000)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+            ((r.getLong(2), BigDecimal(r.getDecimal(3))))).toMap
+        Prop(got.keySet == ref.keySet &&
+          ref.forall { case (k, (n, s)) =>
+            got(k)._1 == n && got(k)._2.compare(s) == 0 })
+      }
+    }, 25)
+  }
+
+  test("bounded SSSP equals an in-memory synchronous Bellman–Ford") {
+    val ws = Seq("0.25", "0.5", "1.0", "1.5").map(BigDecimal(_))
+    val edgeGen = Gen.listOfN(20, for {
+      u <- Gen.chooseNum(1L, 8L); v <- Gen.chooseNum(1L, 8L)
+      w <- Gen.oneOf(ws)
+    } yield (u, v, w))
+    check(Prop.forAllNoShrink(edgeGen) { es =>
+      val seeds = Seq(1L, 2L)
+      val rounds = 3
+      // synchronous relaxation: every round uses LAST round's frontier
+      var ref = seeds.map(_ -> BigDecimal(0)).toMap
+      for (_ <- 1 to rounds) {
+        val relaxed = es.flatMap { case (u, v, w) =>
+          ref.get(u).map(d => v -> (d + w)) }
+        ref = (ref.toSeq ++ relaxed).groupMapReduce(_._1)(_._2)(_ min _)
+      }
+      val e = es.map { case (u, v, w) => (u, v, w.toString) }
+        .toDF("u", "v", "w")
+        .select(col("u"), col("v"), col("w").cast("decimal(12,6)").as("w"))
+      val got = Sssp.boundedShortestPaths(e, "u", "v", "w",
+          seeds.toDF("n"), rounds)
+        .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+      Prop(got.keySet == ref.keySet &&
+        ref.forall { case (k, d) => got(k).compare(d) == 0 })
+    }, 25)
+  }
+
+  test("Spearman equals an in-memory midrank Pearson on tied data") {
+    val rowGen = for {
+      g <- Gen.oneOf("a", "b"); x <- Gen.chooseNum(0, 5)
+      y <- Gen.chooseNum(0L, 5L)
+    } yield (g, x.toDouble, y)
+    check(Prop.forAllNoShrink(Gen.listOfN(30, rowGen)) { rows =>
+      def mid2(vs: Seq[Double]): Map[Double, Long] = {
+        val sorted = vs.groupBy(identity).view.mapValues(_.size.toLong)
+          .toSeq.sortBy(_._1)
+        var below = 0L
+        sorted.map { case (v, t) =>
+          val m = 2 * below + t + 1; below += t; v -> m }.toMap
+      }
+      val expect = rows.groupBy(_._1).map { case (g, rs) =>
+        val mx = mid2(rs.map(_._2))
+        val myv = mid2(rs.map(_._3.toDouble))
+        val pts = rs.map(r => (mx(r._2), myv(r._3.toDouble)))
+        val n = BigInt(pts.size)
+        val sx = pts.map(p => BigInt(p._1)).sum
+        val sy = pts.map(p => BigInt(p._2)).sum
+        val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+        val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+        val syy = pts.map(p => BigInt(p._2) * p._2).sum
+        val num = n * sxy - sx * sy
+        val vx = n * sxx - sx * sx
+        val vy = n * syy - sy * sy
+        g -> (if (vx == 0 || vy == 0) None
+          else Some(r6(num.toDouble /
+            math.sqrt(vx.toDouble * vy.toDouble))))
+      }
+      val got = Spearman.correlation(rows.toDF("g", "x", "y"), "g", "x", "y")
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      Prop(got == expect)
+    }, 25)
+  }
+
+  test("moments equal the in-memory closed form on random cents") {
+    val rowGen = Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(-500L, 500L))
+    check(Prop.forAllNoShrink(Gen.listOfN(25, rowGen)) { rows =>
+      val expect = rows.groupBy(_._1).map { case (g, rs) =>
+        val cs = rs.map(_._2)
+        val n = cs.size.toDouble
+        val s1 = cs.map(BigInt(_)).sum.toDouble
+        val s2 = cs.map(c => BigInt(c) * c).sum.toDouble
+        val s3 = cs.map(c => BigInt(c) * c * c).sum.toDouble
+        val s4 = cs.map(c => (BigInt(c) * c) * (BigInt(c) * c)).sum.toDouble
+        val mu = s1 / n
+        val m2 = s2 / n - mu * mu
+        val m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+        val m4 = s4 / n - 4.0 * mu * (s3 / n) + 6.0 * mu * mu * (s2 / n) -
+          3.0 * mu * mu * mu * mu
+        g -> (if (m2 <= 0.0) (r6(mu), r6(m2), None, None)
+          else (r6(mu), r6(m2), Some(r6(m3 / (m2 * math.sqrt(m2))) + 0.0),
+            Some(r6(m4 / (m2 * m2) - 3.0) + 0.0)))
+      }
+      val got = Moments.shape(rows.toDF("g", "cents"), "g", "cents")
+        .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+      Prop(got == expect)
+    }, 25)
+  }
 }
