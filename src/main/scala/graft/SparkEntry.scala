@@ -4314,6 +4314,83 @@ object SparkEntry {
         expr("(n_tokens * 1000) DIV n_docs").as("mean_tokens_permille"))
   }
 
+  // ---------------------------------------------------------------- q201
+  /** Right-to-be-forgotten cascade audit: a forget-list of customers
+    * (c_custkey % 97 == 0) propagated through orders and lineitem by
+    * key-only anti joins — the per-table survivor/removed counts a
+    * GDPR deletion run must report before committing. Anti joins
+    * carry only the key column; the cascade is two hops (customer →
+    * orders → lineitem), never a multi-way join.
+    */
+  def q201ForgetCascade(s: SparkSession, d: String): DataFrame = {
+    val forget = customer(s, d).filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("k"))
+    val c = customer(s, d)
+    val o = orders(s, d)
+    val l = lineitem(s, d)
+    val oKeep = o.join(forget, o("o_custkey") === forget("k"), "left_anti")
+    val okKeep = oKeep.select(col("o_orderkey").as("k2"))
+    val lKeep = l.join(okKeep, l("l_orderkey") === okKeep("k2"), "left_semi")
+    def row(name: String, total: DataFrame, kept: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("n_total")).crossJoin(
+        broadcast(kept.agg(count(lit(1)).as("n_kept"))))
+        .select(lit(name).as("table_name"), col("n_total"), col("n_kept"),
+          (col("n_total") - col("n_kept")).as("n_removed"))
+    row("customer", c,
+        c.join(forget, c("c_custkey") === forget("k"), "left_anti"))
+      .unionAll(row("orders", o, oKeep))
+      .unionAll(row("lineitem", l, lKeep))
+      .orderBy(col("table_name"))
+  }
+
+  // ---------------------------------------------------------------- q202
+  /** Top user journeys: the 20 most common 3-event type sequences
+    * (consecutive by time within a user) — the product-analytics
+    * "what do people actually do" readout behind funnel design. Two
+    * leads in ONE user-partitioned window pass; exact counts.
+    */
+  def q202JourneyTrigrams(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("us"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+        col("t3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------- q203
+  /** Transition dwell times: for each (from → to) consecutive event-
+    * type pair, the exact integer-µs mean and max gap — q112's
+    * transition PROBABILITIES with the time dimension added (how long
+    * do users sit between steps). One lead window; DIV means.
+    */
+  def q203TransitionDwell(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("us"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("us2", lead(col("us"), 1).over(w))
+      .filter(col("t2").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("t2").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("us2") - col("us")).cast("decimal(19,0)"))
+          .cast("decimal(20,0)").as("gap_sum"),
+        max(col("us2") - col("us")).as("max_gap_us"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("CAST(gap_sum AS BIGINT) DIV n").as("mean_gap_us"),
+        col("max_gap_us"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -4530,6 +4607,9 @@ object SparkEntry {
     "q198_seasonality" -> (q198Seasonality _),
     "q199_oov_rate" -> (q199OovRate _),
     "q200_datacard" -> (q200Datacard _),
+    "q201_forget_cascade" -> (q201ForgetCascade _),
+    "q202_journey_trigrams" -> (q202JourneyTrigrams _),
+    "q203_transition_dwell" -> (q203TransitionDwell _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -8239,6 +8319,54 @@ object SparkEntry {
          | CAST(n_bpe * 1000 AS BIGINT) // CAST(n_docs AS BIGINT)
          |   AS mean_tokens_permille
          |FROM base CROSS JOIN dup""".stripMargin,
+
+    "q201_forget_cascade" ->
+      """WITH f AS (SELECT c_custkey AS k FROM customer
+        |  WHERE c_custkey % 97 = 0),
+        |ck AS (SELECT count(*) AS n FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM f WHERE f.k = c.c_custkey)),
+        |ok AS (SELECT count(*) AS n FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM f WHERE f.k = o.o_custkey)),
+        |okeys AS (SELECT o_orderkey FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM f WHERE f.k = o.o_custkey)),
+        |lk AS (SELECT count(*) AS n FROM lineitem l
+        |  WHERE EXISTS (SELECT 1 FROM okeys WHERE o_orderkey = l.l_orderkey)),
+        |r AS (
+        | SELECT 'customer' AS table_name,
+        |  (SELECT count(*) FROM customer) AS n_total,
+        |  (SELECT n FROM ck) AS n_kept
+        | UNION ALL SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+        |  (SELECT n FROM lk)
+        | UNION ALL SELECT 'orders', (SELECT count(*) FROM orders),
+        |  (SELECT n FROM ok))
+        |SELECT table_name, n_total, n_kept, n_total - n_kept AS n_removed
+        |FROM r ORDER BY table_name""".stripMargin,
+
+    "q202_journey_trigrams" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us FROM events),
+        |j AS (SELECT event_type AS step1,
+        |  lead(event_type, 1) OVER w AS step2,
+        |  lead(event_type, 2) OVER w AS step3
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT step1, step2, step3, count(*) AS n
+        |FROM j WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin,
+
+    "q203_transition_dwell" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us FROM events),
+        |j AS (SELECT event_type AS from_type,
+        |  lead(event_type, 1) OVER w AS to_type,
+        |  lead(us, 1) OVER w - us AS gap
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT from_type, to_type, count(*) AS n,
+        | CAST(CAST(sum(CAST(gap AS DECIMAL(19,0))) AS BIGINT)
+        |   AS BIGINT) // count(*) AS mean_gap_us,
+        | CAST(max(gap) AS BIGINT) AS max_gap_us
+        |FROM j WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
   )
 
