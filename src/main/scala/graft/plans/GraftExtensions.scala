@@ -15,6 +15,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions.intArg
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // optimizer rule: bounded levenshtein predicates -> banded DP form
+    e.injectOptimizerRule(_ => LevenshteinThresholdRule)
     e.injectFunction((
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32Expr].getName, "simhash32"),
