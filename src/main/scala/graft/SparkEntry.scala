@@ -4391,6 +4391,29 @@ object SparkEntry {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  // ---------------------------------------------------------------- q204
+  /** The NATIVE as-of join ([[graft.plans.AsofJoinExec]] — custom
+    * logical node + planner strategy + sort-merge physical operator)
+    * on q44's exact query, against the same DuckDB `ASOF LEFT JOIN`
+    * oracle: the whole-operator Catalyst extension path verified
+    * end-to-end. One merge pass over co-clustered (key, time)-sorted
+    * children — no union, no window, no second materialization of the
+    * probe side.
+    */
+  def q204AsofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .agg(max(col("value")).as("view_value"))
+    graft.plans.AsofJoinNative.asof(clicks, views,
+        Seq("user_id"), Seq("v_user"), "ts", "v_ts")
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(col("view_value"), 6).as("view_value"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -4610,6 +4633,7 @@ object SparkEntry {
     "q201_forget_cascade" -> (q201ForgetCascade _),
     "q202_journey_trigrams" -> (q202JourneyTrigrams _),
     "q203_transition_dwell" -> (q203TransitionDwell _),
+    "q204_asof_native" -> (q204AsofNative _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -8367,6 +8391,19 @@ object SparkEntry {
         | CAST(max(gap) AS BIGINT) AS max_gap_us
         |FROM j WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    "q204_asof_native" ->
+      // same oracle as q44: DuckDB's native ASOF LEFT JOIN — here it
+      // verifies the custom AsofJoinExec physical operator
+      """WITH clicks AS (SELECT user_id, event_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (SELECT user_id, ts, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT c.user_id, c.event_id, c.value,
+        | round(v.view_value, 6) AS view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
 
   )
 

@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // optimizer rule: bounded levenshtein predicates -> banded DP form
     e.injectOptimizerRule(_ => LevenshteinThresholdRule)
+    // planner strategy: the native sort-merge as-of join exec
+    e.injectPlannerStrategy(_ => AsofJoinStrategy)
     e.injectFunction((
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32Expr].getName, "simhash32"),

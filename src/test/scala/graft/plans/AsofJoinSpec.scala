@@ -1,0 +1,85 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+import org.scalacheck.{Gen, Prop}
+
+/** Pins the native [[AsofJoinExec]]: plan shape (one merge pass, no
+  * union/window), result equality with the declarative
+  * [[graft.operators.TemporalJoins.asofJoin]] face, and an in-memory
+  * reference on randomized data.
+  */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int): Unit = {
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(n).withWorkers(1), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("hand case: latest at-or-before wins; same-instant visible; no-match null") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"),
+      (2L, 50L, "d"), (3L, 7L, "e")).toDF("k", "lt", "lv")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (2L, 60L, "r60"))
+      .toDF("rk", "rt", "rv")
+    val got = AsofJoinNative.asof(left, right, Seq("k"), Seq("rk"),
+        "lt", "rt")
+      .select(col("k"), col("lt"), col("lv"), col("rv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getString(3)))).toMap
+    assert(got === Map(
+      (1L, 10L) -> Some("r10"), // same-instant right IS visible
+      (1L, 20L) -> Some("r15"), // latest at-or-before
+      (1L, 5L) -> None, // before any right row
+      (2L, 50L) -> None, // right exists but only later
+      (3L, 7L) -> None)) // key absent on the right
+  }
+
+  test("plan: AsofJoinExec with sorted co-clustered children, no window/union") {
+    val left = (1 to 100).map(i => (i.toLong % 7, i.toLong * 3, i))
+      .toDF("k", "lt", "lv")
+    val right = (1 to 50).map(i => (i.toLong % 7, i.toLong * 5, s"v$i"))
+      .toDF("rk", "rt", "rv")
+    val q = AsofJoinNative.asof(left, right, Seq("k"), Seq("rk"), "lt", "rt")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"exec node missing:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Union"),
+      s"declarative fallback shape leaked into:\n$plan")
+    // the merge output is usable downstream (agg over the join result)
+    assert(q.groupBy(col("k")).count().collect().map(_.getLong(1)).sum === 100)
+  }
+
+  test("random data: equals the declarative face and an in-memory model") {
+    val leftGen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 3L),
+      Gen.chooseNum(0L, 25L)))
+    val rightGen = Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 3L),
+      Gen.chooseNum(0L, 25L)))
+    check(Prop.forAllNoShrink(Gen.zip(leftGen, rightGen)) {
+      case (ls0, rs0) =>
+        val ls = ls0.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        // unique (key, time) on the right — the as-of contract
+        val rs = rs0.distinct.map { case (k, t) => (k, t, s"v${k}_$t") }
+        val left = ls.toDF("k", "lt", "lid")
+        val right = rs.toDF("rk", "rt", "rv")
+        val native = AsofJoinNative
+          .asof(left, right, Seq("k"), Seq("rk"), "lt", "rt")
+          .select(col("lid"), col("rv"))
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+        val model = ls.map { case (k, lt, lid) =>
+          val cand = rs.filter(r => r._1 == k && r._2 <= lt)
+          lid -> (if (cand.isEmpty) None
+            else Some(cand.maxBy(_._2)._3))
+        }.toMap
+        val declarative = graft.operators.TemporalJoins
+          .asofJoin(left, right.withColumnRenamed("rk", "k"), Seq("k"),
+            "lt", "rt", Seq("rv"))
+          .select(col("lid"), col("rv"))
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+        Prop(native == model && declarative == model)
+    }, 20)
+  }
+}
