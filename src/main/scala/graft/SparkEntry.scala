@@ -4414,6 +4414,64 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  // ---------------------------------------------------------------- q205
+  /** Watermark sizing audit: per event type, how far out-of-order the
+    * stream actually arrives — lateness = running max(event time in
+    * arrival order) − event time. The number that SIZES a streaming
+    * job's `withWatermark` delay: too small drops the tail, too large
+    * holds state. Arrival order = event_id (the generator's ingest
+    * sequence); exact integer µs. On the synthetic feed the answer is
+    * all-zeros — the generator emits in timestamp order — which is
+    * the audit PASSING (watermark delay 0 suffices), not a gap: the
+    * machinery is what the oracle verifies, and real ingest is where
+    * the numbers go nonzero.
+    */
+  def q205WatermarkSizing(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("event_type"), col("event_id"),
+        expr("ts DIV 1000").as("us"))
+      .withColumn("late", greatest(max(col("us")).over(w) - col("us"), lit(0L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late")).as("max_late_us"),
+        sum(col("late").cast("decimal(19,0)")).cast("decimal(20,0)")
+          .as("__ls"))
+      .select(col("event_type"), col("n"), col("n_late"),
+        col("max_late_us"),
+        expr("CAST(__ls AS BIGINT) DIV n").as("mean_late_us"))
+      .orderBy(col("event_type"))
+  }
+
+  // ---------------------------------------------------------------- q206
+  /** Dedup survivorship audit: after the quality-canonical election
+    * (q104), no two SURVIVORS may still be near-dups of each other —
+    * the self-validation a dedup pass ships with its output. One
+    * semi-join of the pair artifact against the survivor set from
+    * both ends; the invariant holds exactly when n_residual_pairs = 0
+    * (pairs are intra-cluster by construction and each cluster keeps
+    * one member). 16th consumer of the shared artifacts.
+    */
+  def q206SurvivorAudit(s: SparkSession, d: String): DataFrame = {
+    val survivors = operators.ConnectedComponents
+      .keepBestFromLabels(
+        dedupCorpus(s, d).withColumn("quality",
+          functions.TextAnalysis.qualityScore(col("text"))),
+        "doc_id", "quality", dedupLabels(s, d))
+      .filter(col("keep"))
+      .select(col("doc_id").as("sid"))
+    val pairs = dedupPairs(s, d)
+    val residual = pairs
+      .join(survivors.select(col("sid").as("id1")), Seq("id1"), "left_semi")
+      .join(survivors.select(col("sid").as("id2")), Seq("id2"), "left_semi")
+    survivors.agg(count(lit(1)).as("n_survivors"))
+      .crossJoin(broadcast(residual.agg(count(lit(1)).as("n_residual_pairs"))))
+      .withColumn("invariant_holds", col("n_residual_pairs") === 0L)
+  }
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -4634,6 +4692,8 @@ object SparkEntry {
     "q202_journey_trigrams" -> (q202JourneyTrigrams _),
     "q203_transition_dwell" -> (q203TransitionDwell _),
     "q204_asof_native" -> (q204AsofNative _),
+    "q205_watermark_sizing" -> (q205WatermarkSizing _),
+    "q206_survivor_audit" -> (q206SurvivorAudit _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -8404,6 +8464,69 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q205_watermark_sizing" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us FROM events),
+        |l AS (SELECT event_type,
+        |  greatest(max(us) OVER (PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us, 0)
+        |    AS late
+        | FROM ev)
+        |SELECT event_type, count(*) AS n,
+        | CAST(coalesce(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END), 0)
+        |   AS BIGINT) AS n_late,
+        | CAST(max(late) AS BIGINT) AS max_late_us,
+        | CAST(CAST(sum(CAST(late AS DECIMAL(19,0))) AS BIGINT) AS BIGINT)
+        |   // count(*) AS mean_late_us
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q206_survivor_audit" ->
+      // q104's survivor election replayed, then the pair set
+      // semi-checked from both ends: intra-cluster pairs keep one
+      // member, so zero residual pairs is the exact invariant
+      s"""WITH RECURSIVE $SqlCorpus,
+         |$SqlShingles3,
+         |n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |com AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS common
+         | FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |pair AS (SELECT com.id1, com.id2 FROM com
+         | JOIN n n1 ON n1.doc_id = com.id1 JOIN n n2 ON n2.doc_id = com.id2
+         | WHERE CAST(com.common AS DOUBLE)
+         |   / CAST(n1.n + n2.n - com.common AS DOUBLE) >= 0.6),
+         |edge AS (SELECT id1 AS a, id2 AS b FROM pair
+         | UNION SELECT id2 AS a, id1 AS b FROM pair),
+         |reach(src, dst) AS (
+         | SELECT a, a FROM edge
+         | UNION
+         | SELECT r.src, e.b FROM reach r JOIN edge e ON e.a = r.dst),
+         |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |qual AS (SELECT c.doc_id,
+         | least(CAST(len(t.toks) AS DOUBLE) / 100.0, 1.0) * 0.5
+         | + (1.0 - (CASE WHEN length(c.text) = 0 THEN 0.0
+         |    ELSE CAST(length(c.text) - length(regexp_replace(c.text,
+         |           '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+         |         / CAST(length(c.text) AS DOUBLE) END)) * 0.25
+         | + (CASE WHEN len(t.toks) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(t.toks, x -> x IN
+         |           ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+         |         / CAST(len(t.toks) AS DOUBLE) END) * 0.25 AS quality
+         | FROM corpus c JOIN tok t ON t.doc_id = c.doc_id),
+         |m AS (SELECT q.doc_id, coalesce(l.cluster_id, q.doc_id) AS cluster_id,
+         |        q.quality
+         |      FROM qual q LEFT JOIN lab l ON l.doc_id = q.doc_id),
+         |surv AS (SELECT doc_id FROM (SELECT doc_id,
+         |        row_number() OVER (PARTITION BY cluster_id
+         |                           ORDER BY quality DESC, doc_id) AS rk
+         |      FROM m) WHERE rk = 1),
+         |resid AS (SELECT count(*) AS n_residual_pairs FROM pair
+         |  WHERE EXISTS (SELECT 1 FROM surv WHERE doc_id = pair.id1)
+         |    AND EXISTS (SELECT 1 FROM surv WHERE doc_id = pair.id2))
+         |SELECT (SELECT count(*) FROM surv) AS n_survivors,
+         | CAST(n_residual_pairs AS BIGINT) AS n_residual_pairs,
+         | n_residual_pairs = 0 AS invariant_holds
+         |FROM resid""".stripMargin,
 
   )
 
