@@ -32,11 +32,18 @@ object Ewma {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCol).orderBy(orderCol)
     def weight(i: Int): Long = 1L << (window - 1 - i)
+    // the lag-0 (current-row) term deliberately does NOT coalesce: a
+    // NULL current value propagates to a NULL ewma (no smoothed value
+    // for a missing observation), matching the SQL oracle's bare
+    // `cents * w` i=0 term; only ABSENT history (lags) coalesces to 0
     val num: Column = (0 until window).map { i =>
-      coalesce(lag(col(centsCol), i).over(w) * lit(weight(i)), lit(0L))
+      if (i == 0) col(centsCol) * lit(weight(i))
+      else coalesce(lag(col(centsCol), i).over(w) * lit(weight(i)), lit(0L))
     }.reduce(_ + _)
     val den: Column = (0 until window).map { i =>
-      when(lag(col(centsCol), i).over(w).isNotNull, lit(weight(i)))
+      if (i == 0) lit(weight(i)) // mirrors the oracle; num is already
+        // NULL when the current value is, so the bare weight is safe
+      else when(lag(col(centsCol), i).over(w).isNotNull, lit(weight(i)))
         .otherwise(lit(0L))
     }.reduce(_ + _)
     df.withColumn("ewma", round(num.cast("double") / den.cast("double"), 6))

@@ -33,25 +33,28 @@ object Spearman {
     val ry = midranks2(base, "y", "my2")
     val ranked = base
       .join(rx, Seq("g", "x")).join(ry, Seq("g", "y"))
-    // moments of the exact 2·midrank integers. Per-row products and
-    // their sums fit BIGINT up to n ≈ 2^31 rows per group (documented
-    // bound); the final cross-products run at DECIMAL(19,0)×(19,0) →
-    // (38,0) so BOTH engines stay inside the 38-digit cap (DuckDB
-    // rejects wider multiplies outright rather than rounding)
+    // moments of the exact 2·midrank integers. mx2/my2 reach 2n, so the
+    // per-row products reach 4n² and their group sums 4n³ — BIGINT would
+    // silently wrap at n ≈ 1.3e6 rows per group. All products and sums
+    // therefore run in DECIMAL: (19,0)×(19,0) caps at Spark's 38-digit
+    // DECIMAL (scale 0, no precision loss), exact through the final
+    // n·sxy − sx·sy cross-products (≤ 4n⁴) for n ≤ ~1.2e9 rows per
+    // group; past that the 38-digit cap turns rho NULL (loud), never
+    // silently wrong
+    def cd(c: Column) = c.cast("decimal(19,0)")
     val m = ranked.groupBy("g").agg(
       count(lit(1)).as("n"),
-      sum(col("mx2")).as("sx"),
-      sum(col("my2")).as("sy"),
-      sum(col("mx2") * col("my2")).as("sxy"),
-      sum(col("mx2") * col("mx2")).as("sxx"),
-      sum(col("my2") * col("my2")).as("syy"))
-    def cd(c: Column) = c.cast("decimal(19,0)")
+      sum(cd(col("mx2"))).as("sx"),
+      sum(cd(col("my2"))).as("sy"),
+      sum(cd(col("mx2")) * cd(col("my2"))).as("sxy"),
+      sum(cd(col("mx2")) * cd(col("mx2"))).as("sxx"),
+      sum(cd(col("my2")) * cd(col("my2"))).as("syy"))
     m.withColumn("__num",
-        cd(col("n")) * cd(col("sxy")) - cd(col("sx")) * cd(col("sy")))
+        cd(col("n")) * col("sxy") - col("sx") * col("sy"))
       .withColumn("__vx",
-        cd(col("n")) * cd(col("sxx")) - cd(col("sx")) * cd(col("sx")))
+        cd(col("n")) * col("sxx") - col("sx") * col("sx"))
       .withColumn("__vy",
-        cd(col("n")) * cd(col("syy")) - cd(col("sy")) * cd(col("sy")))
+        cd(col("n")) * col("syy") - col("sy") * col("sy"))
       .select(col("g").as("group"), col("n"),
         when(col("__vx") === 0 || col("__vy") === 0,
             lit(null).cast("double"))

@@ -77,35 +77,68 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     val lTime = leftTime
     val rTime = rightTime
     val nRight = rOut.size
+    val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
       val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
-      val outProj = UnsafeProjection.create(output, lOut ++ rOut)
+      // bind against the nullability-widened OUTPUT schema (as Spark's
+      // outer joins do): binding against lOut ++ rOut keeps right-side
+      // columns non-nullable when the child schema says so, and the
+      // generated writer then skips null checks — unmatched left rows
+      // would emit 0/false instead of NULL
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val keyOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
         .createNaturalAscendingOrdering(lKeys.map(_.dataType))
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
-      var heldRow: InternalRow = null
-      var heldKey: InternalRow = null
+      // held = latest admissible right row; copied out of the iterator's
+      // reused buffer via copyFrom (buffer reuse, no per-row allocation
+      // once grown)
+      var heldRow: org.apache.spark.sql.catalyst.expressions.UnsafeRow = null
+      var heldKey: org.apache.spark.sql.catalyst.expressions.UnsafeRow = null
+      def hold(row: InternalRow): Unit = row match {
+        case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+          if (heldRow == null) heldRow = u.copy() else heldRow.copyFrom(u)
+          val k = rKeyProj(heldRow)
+          if (heldKey == null) heldKey = k.copy() else heldKey.copyFrom(k)
+        case other => // defensive: non-Unsafe child output (not expected
+          // after the required SortExec, which emits UnsafeRows)
+          heldRow = UnsafeProjection.create(rOut, rOut)(other).copy()
+          heldKey = rKeyProj(heldRow).copy()
+      }
       lIter.map { lRow =>
         val lk = lKeyProj(lRow)
-        val lt = lTimeProj(lRow).getLong(0)
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val c = keyOrd.compare(rKeyProj(rBuf.head), lk)
-          if (c < 0 || (c == 0 && rTimeProj(rBuf.head).getLong(0) <= lt)) {
-            val r = rBuf.next().copy()
-            heldRow = r
-            heldKey = rKeyProj(heldRow).copy()
-          } else advance = false
+        val lTimeRow = lTimeProj(lRow)
+        // SQL join-equality semantics (and DuckDB ASOF): NULL keys and
+        // NULL times never match — a null-keyed/timed left row emits the
+        // null-extended output without touching the right cursor
+        if (lk.anyNull || lTimeRow.isNullAt(0)) {
+          outProj(joined(lRow, nullRight))
+        } else {
+          val lt = lTimeRow.getLong(0)
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val rk = rKeyProj(rBuf.head)
+            if (rk.anyNull) rBuf.next() // null right keys never match
+            else {
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0) rBuf.next() // before this key group: discard
+              else if (c == 0) {
+                val rTimeRow = rTimeProj(rBuf.head)
+                if (rTimeRow.isNullAt(0)) rBuf.next() // null time: no match
+                else if (rTimeRow.getLong(0) <= lt) hold(rBuf.next())
+                else advance = false
+              } else advance = false
+            }
+          }
+          val rightSide: InternalRow =
+            if (heldRow != null && keyOrd.compare(heldKey, lk) == 0) heldRow
+            else nullRight
+          outProj(joined(lRow, rightSide))
         }
-        val rightSide =
-          if (heldRow != null && keyOrd.compare(heldKey, lk) == 0) heldRow
-          else nullRight
-        outProj(joined(lRow, rightSide))
       }
     }
   }

@@ -352,16 +352,30 @@ object StreamingImport {
     * holds for the whole stream (any item with true count >
     * n_total/(k+1) is present; counters undercount by at most that) —
     * spec-pinned against exact counts of the unioned batches.
+    *
+    * Delivery contract: foreachBatch is at-least-once, so a retried
+    * batch would be merged twice and break the never-overcounts bound;
+    * merges are therefore keyed by batchId and already-seen ids are
+    * skipped (idempotent under same-run retries). The standing summary
+    * lives in driver memory for the lifetime of ONE run: after a
+    * checkpoint RESTART it starts empty while completed batches are not
+    * replayed, so the whole-stream guarantee covers a single
+    * uninterrupted run — persist `onUpdate` output externally if the
+    * summary must survive restarts.
     */
   def heavyHittersStream(items: DataFrame, itemCol: String, k: Int,
                          onUpdate: Map[String, Long] => Unit)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     @volatile var standing: Map[String, Long] = Map.empty
+    val merged = scala.collection.mutable.HashSet.empty[Long]
     items.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        val bs = graft.operators.HeavyHitters.mgSummary(batch, itemCol, k)
-        standing = graft.operators.HeavyHitters.mgMerge(standing, bs, k)
-        onUpdate(standing)
+      (batch: DataFrame, batchId: Long) =>
+        val fresh = merged.synchronized { merged.add(batchId) }
+        if (fresh) {
+          val bs = graft.operators.HeavyHitters.mgSummary(batch, itemCol, k)
+          standing = graft.operators.HeavyHitters.mgMerge(standing, bs, k)
+          onUpdate(standing)
+        }
     }
   }
 }

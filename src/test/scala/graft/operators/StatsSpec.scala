@@ -113,4 +113,21 @@ class StatsSpec extends SparkSpec {
       .filter(col("o") === 4).collect()(0).getDouble(3)
     assert(g2 === (4 * 800 + 2 * 400 + 1 * 200.0) / 7)
   }
+
+  test("dyadic EWMA: NULL current value yields NULL ewma; history still counts") {
+    // matches the SQL oracle's bare `cents * w` i=0 term: a missing
+    // observation has no smoothed value of its own; as HISTORY it is
+    // skipped (the NULL lag coalesces to 0 and its weight leaves the
+    // denominator), so later rows renormalize over what is present.
+    val df = Seq[(Long, Long, java.lang.Long)](
+      (1L, 1L, 100L), (1L, 2L, null), (1L, 3L, 400L))
+      .toDF("k", "o", "cents")
+    val got = Ewma.dyadicEwma(df, "k", "o", "cents", window = 3)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(1L) === Some(100.0))
+    assert(got(2L) === None) // NULL current -> NULL ewma (oracle parity)
+    // row 3: current 400 (w=4) + lag1 NULL (skipped) + lag2 100 (w=1)
+    assert(got(3L) === Some((4 * 400 + 1 * 100.0) / 5))
+  }
 }

@@ -51,6 +51,42 @@ class AsofJoinSpec extends SparkSpec {
     assert(q.groupBy(col("k")).count().collect().map(_.getLong(1)).sum === 100)
   }
 
+  test("non-nullable right columns are NULL on no-match rows") {
+    // Seq.toDF longs are NON-nullable — binding the output projection
+    // against the children's raw schema would skip null checks and emit
+    // 0 instead of NULL on unmatched left rows (the ADVICE r9 high bug)
+    val left = Seq((1L, 5L), (2L, 50L)).toDF("k", "lt")
+    val right = Seq((1L, 10L, 7L), (2L, 40L, 9L)).toDF("rk", "rt", "rv")
+    assert(!right.schema("rv").nullable, "fixture must be non-nullable")
+    val got = AsofJoinNative.asof(left, right, Seq("k"), Seq("rk"),
+        "lt", "rt")
+      .select(col("k"), col("rv"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === Map(
+      1L -> None, // no right row at-or-before: NULL, not 0
+      2L -> Some(9L)))
+  }
+
+  test("NULL keys and NULL times never match (SQL join equality)") {
+    val left = Seq[(java.lang.Long, java.lang.Long, String)](
+      (null, 10L, "lnullk"), (1L, null, "lnullt"), (1L, 20L, "lok"))
+      .toDF("k", "lt", "lv")
+    val right = Seq[(java.lang.Long, java.lang.Long, String)](
+      (null, 5L, "rnullk"), // null right key: never a match, even vs null left key
+      (1L, null, "rnullt"), // null right time: never a match
+      (1L, 15L, "r15")).toDF("rk", "rt", "rv")
+    val got = AsofJoinNative.asof(left, right, Seq("k"), Seq("rk"),
+        "lt", "rt")
+      .select(col("lv"), col("rv"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(got === Map(
+      "lnullk" -> None, // null left key matches nothing
+      "lnullt" -> None, // null left time matches nothing
+      "lok" -> Some("r15")))
+  }
+
   test("random data: equals the declarative face and an in-memory model") {
     val leftGen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 3L),
       Gen.chooseNum(0L, 25L)))
