@@ -17,6 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // optimizer rule: bounded levenshtein predicates -> banded DP form
     e.injectOptimizerRule(_ => LevenshteinThresholdRule)
+    // optimizer rule: keyless bounded time-band joins -> banded
+    // equi-join (kills the BroadcastNestedLoopJoin fallback)
+    e.injectOptimizerRule(_ => RangeJoinBandingRule)
     // planner strategy: the native sort-merge as-of join exec
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
     e.injectFunction((

@@ -1,0 +1,118 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.{Gen, Prop}
+
+/** Pins [[RangeJoinBandingRule]]: a keyless bounded time-band join
+  * plans WITHOUT BroadcastNestedLoopJoin/CartesianProduct (banded
+  * equi-join + residual instead), results are identical to the raw
+  * predicate — including negative timestamps (floor-division banding)
+  * and NULLs — and the rule stays away from joins that already have an
+  * equi key. Registered through `experimental.extraOptimizations`
+  * (same reasoning as LevenshteinRuleSpec: the shared test JVM).
+  */
+class RangeJoinBandingRuleSpec extends SparkSpec {
+
+  private lazy val s = {
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinBandingRule))
+      spark.experimental.extraOptimizations ++= Seq(RangeJoinBandingRule)
+    spark
+  }
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("BETWEEN band: no nested-loop join, banded equi-join instead, exact rows") {
+    val sp = s; import sp.implicits._
+    // negative ts included: truncating `div` would mis-band these
+    val left = Seq((1L, -13L), (2L, -2L), (3L, 0L), (4L, 7L), (5L, 23L))
+      .toDF("lid", "lt")
+    val right = Seq((10L, -20L), (11L, -5L), (12L, 3L), (13L, 25L))
+      .toDF("rid", "rt")
+    val q = left.join(right,
+      $"lt" >= $"rt" - 10L && $"lt" <= $"rt" + 5L)
+    val plan = physical(q)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"quadratic join survived the rewrite:\n$plan")
+    assert(plan.contains("Generate") || plan.contains("explode"),
+      s"band replication missing:\n$plan")
+    val got = q.select($"lid", $"rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (lid, lt) <- Seq((1L, -13L), (2L, -2L), (3L, 0L), (4L, 7L), (5L, 23L))
+      (rid, rt) <- Seq((10L, -20L), (11L, -5L), (12L, 3L), (13L, 25L))
+      if lt >= rt - 10L && lt <= rt + 5L
+    } yield (lid, rid)).toSet
+    assert(got === want)
+  }
+
+  test("strict/reversed forms fire; NULL times drop on both paths") {
+    val sp = s; import sp.implicits._
+    val left = Seq[(Long, java.lang.Long)]((1L, 4L), (2L, null), (3L, 90L))
+      .toDF("lid", "lt")
+    val right = Seq[(Long, java.lang.Long)]((10L, 6L), (11L, null), (12L, 85L))
+      .toDF("rid", "rt")
+    // rt - 3 < lt AND rt > lt - 7  ⇔  rt − lt ∈ [−6, 3]  (strict→±1)
+    val q = left.join(right, $"rt" - 3L < $"lt" && $"rt" > $"lt" - 7L)
+    val plan = physical(q)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"no rewrite for strict forms:\n$plan")
+    val got = q.select($"lid", $"rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (3L, 12L))) // null rows match nothing
+  }
+
+  test("single-side `rt - lt` form fires too") {
+    val sp = s; import sp.implicits._
+    val l = Seq((1L, 4L)).toDF("lid", "lt")
+    val r = Seq((9L, 6L)).toDF("rid", "rt")
+    val q = l.join(r, $"rt" - $"lt" >= -3L && $"rt" - $"lt" <= 5L)
+    assert(physical(q).contains("__graft_band"),
+      s"did not fire:\n${physical(q)}")
+    assert(q.count() === 1L)
+  }
+
+  test("joins with an equi key are left alone") {
+    val sp = s; import sp.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("k", "lt", "lv")
+    val right = Seq((1L, 12L, 200L)).toDF("rk", "rt", "rv")
+    val q = left.join(right,
+      $"k" === $"rk" && $"rt" >= $"lt" - 5L && $"rt" <= $"lt" + 5L)
+    assert(!physical(q).contains("__graft_band"),
+      s"rule fired despite equi key:\n${physical(q)}")
+    assert(q.count() === 1L)
+  }
+
+  test("random data: banded result identical to the raw predicate") {
+    val sp = s; import sp.implicits._
+    def check(p: Prop, n: Int): Unit = {
+      val r = org.scalacheck.Test.check(
+        org.scalacheck.Test.Parameters.default
+          .withMinSuccessfulTests(n).withWorkers(1), p)
+      assert(r.passed, r.status.toString)
+    }
+    val tsGen = Gen.chooseNum(-40L, 40L)
+    val boundsGen = for {
+      a <- Gen.chooseNum(-12L, 12L); b <- Gen.chooseNum(-12L, 12L)
+    } yield (math.min(a, b), math.max(a, b))
+    check(Prop.forAllNoShrink(
+      Gen.zip(Gen.listOfN(30, tsGen), Gen.listOfN(20, tsGen), boundsGen)) {
+      case (ls, rs, (lo, hi)) =>
+        val left = ls.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("lid", "lt")
+        val right = rs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("rid", "rt")
+        val q = left.join(right, $"rt" - $"lt" >= lo && $"rt" - $"lt" <= hi)
+        val got = q.select($"lid", $"rid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = (for {
+          (lt, li) <- ls.zipWithIndex
+          (rt, ri) <- rs.zipWithIndex
+          if rt - lt >= lo && rt - lt <= hi
+        } yield (li.toLong, ri.toLong)).toSet
+        Prop(got == want)
+    }, 15)
+  }
+}
