@@ -31,10 +31,43 @@ object TemporalJoins {
     * timestamp wins, matching `l.ts >= r.ts` semantics). `right` must be
     * unique per (keys, rightTs) — pre-aggregate if not, or the carried
     * values are nondeterministic (same contract as any as-of join).
+    *
+    * Default dispatch: LongType (epoch) timestamps take the NATIVE
+    * sort-merge exec ([[graft.plans.AsofJoinExec]] — one merge pass
+    * over co-clustered sorted children, half the shuffled volume of the
+    * windowed plan and measurably faster at sf0.1); any other timestamp
+    * type falls back to [[asofJoinWindowed]]. Both faces are
+    * result-identical (AsofJoinSpec property pin).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    if (left.schema(leftTs).dataType == LongType &&
+        right.schema(rightTs).dataType == LongType) {
+      // rename the right side into a reserved namespace so the native
+      // node's no-collision contract holds for any input names
+      val rKeys = keys.map(k => s"__asof_r_$k")
+      val r2 = right.select(
+        keys.map(k => col(k).as(s"__asof_r_$k")) ++
+          (col(rightTs).as("__asof_r_ts") +:
+            rightVals.map(v => col(v).as(s"__asof_r_$v"))): _*)
+      graft.plans.AsofJoinNative
+        .asof(left, r2, keys, rKeys, leftTs, "__asof_r_ts")
+        .select(left.columns.toSeq.map(col) ++
+          rightVals.map(v => col(s"__asof_r_$v").as(v)): _*)
+    } else asofJoinWindowed(left, right, keys, leftTs, rightTs, rightVals)
+  }
+
+  /** The declarative formulation of [[asofJoin]] — union both sides,
+    * per-key `last(ignoreNulls)` running window, filter the right rows
+    * back out. Works for ANY orderable timestamp type; kept as the
+    * non-Long fallback and as the independent cross-check face the
+    * specs compare the native exec against.
+    */
+  def asofJoinWindowed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String,
+                       rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     // one struct column carries all right-side values through the window
     val r = right.select(

@@ -110,7 +110,7 @@ class AsofJoinSpec extends SparkSpec {
             else Some(cand.maxBy(_._2)._3))
         }.toMap
         val declarative = graft.operators.TemporalJoins
-          .asofJoin(left, right.withColumnRenamed("rk", "k"), Seq("k"),
+          .asofJoinWindowed(left, right.withColumnRenamed("rk", "k"), Seq("k"),
             "lt", "rt", Seq("rv"))
           .select(col("lid"), col("rv"))
           .collect().map(r => r.getLong(0) ->
