@@ -121,13 +121,27 @@ object Bench {
     val artResults = SparkEntry.artifacts
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, force) => timed(name)(force(spark, sfDir)) }
-    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1)
+    // min-of-N passes (default 2): per-query numbers on a shared box
+    // swing 3-5× with transient load, which round-over-round reads as
+    // phantom regressions. The min across passes is the query's cost on
+    // the machine at its best — reproducible within ~1.3× back-to-back,
+    // which one-pass numbers are not. Artifacts stay single-pass (their
+    // entry bills the one-time BUILD; a second pass would just time the
+    // warm cache read). SPARK_GRAFT_PASSES=1 restores one-pass profiling.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    val queryNames = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val passTimes: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
+      queryNames.map { case (name, fn) =>
         // noop sink: forces full evaluation of every output column
         // (a bare count() would let Catalyst prune the projections)
         timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
       }
+    }
+    val passMaps = passTimes.map(_.toMap)
+    val queryResults = queryNames.map { case (name, _) =>
+      name -> passMaps.map(_(name)).min
+    }
     val results = artResults ++ queryResults
     // most-expensive first: if a fixed-size log tail truncates the map,
     // the cheap queries drop off, not the ones worth reading
