@@ -425,14 +425,18 @@ object SparkEntry {
     * else — including LATER SESSIONS — reads parquet.
     *
     * Addressing: an artifact lives at
-    * `<cacheRoot>/<md5(sf-dir inputs + builder version)>/<name>` where
-    * the key hashes every input parquet file's (name, size, mtime)
-    * plus [[BuilderVersion]]. A changed corpus or changed builder code
-    * therefore changes the key — the stale artifact is simply never
-    * addressed again (invalidation by construction, spec-pinned); a
-    * back-to-back rerun on the same corpus re-reads day-1 artifacts at
-    * ~0 cost — the incremental-pipeline shape a 100 TB curation run
-    * needs (day-2 dedup must not rebuild day-1 pairs).
+    * `<cacheRoot>/<md5(sf-dir inputs)>/<name>-v<builderVersion(name)>`
+    * where the input key hashes every input parquet file's
+    * (name, size, mtime) and the builder version is PER ARTIFACT
+    * ([[BuilderVersions]]): editing one builder re-keys exactly that
+    * artifact — the other entries stay warm (spec-pinned; a GLOBAL
+    * version would silently rebuild all four on any operator edit).
+    * A changed corpus or changed builder code therefore changes the
+    * address — the stale artifact is simply never addressed again
+    * (invalidation by construction); a back-to-back rerun on the same
+    * corpus re-reads day-1 artifacts at ~0 cost — the
+    * incremental-pipeline shape a 100 TB curation run needs (day-2
+    * dedup must not rebuild day-1 pairs).
     *
     * Lifecycle: cached artifacts are durable by default (reuse across
     * sessions is the point); `GRAFT_ARTIFACT_CLEANUP=1` opts INTO
@@ -445,10 +449,21 @@ object SparkEntry {
     * a real 100 TB run points it at durable shared storage.
     */
   private[graft] object SessionArtifacts {
-    /** Bump when any artifact BUILDER's semantics change — part of the
-      * content address, so old cached artifacts die with the old code.
+    /** Per-artifact builder versions: bump an entry when THAT builder's
+      * semantics change — only its artifact re-keys; the rest stay
+      * warm. (History: every builder was last touched at or before the
+      * round-9 `knnEdgesLsh` hot-bucket cap; the r10 schema switch
+      * itself re-keys everything once via the new directory layout.)
       */
-    val BuilderVersion = "r9-1"
+    val BuilderVersions: Map[String, String] = Map(
+      "pairs" -> "r9-1", "labels" -> "r9-1",
+      "epairs" -> "r9-1", "edges" -> "r9-1").withDefaultValue("r10-1")
+    /** Effective version — `graft.artifact.version.<name>` (sys-prop)
+      * overrides for specs that pin the one-artifact-rebuild contract.
+      */
+    def builderVersion(name: String): String =
+      sys.props.getOrElse(s"graft.artifact.version.$name",
+        BuilderVersions(name))
     private val buildLock = new Object
     private def rmTree(p: String): Unit = {
       import java.nio.file.{Files, Paths}
@@ -468,10 +483,11 @@ object SparkEntry {
     if (sys.env.get("GRAFT_ARTIFACT_CLEANUP").contains("1"))
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         scala.util.Try(rmTree(cacheRoot))))
-    /** md5 over the sf dir's input parquet stats + builder version:
-      * coarse (ANY table change re-keys every artifact) but exactly as
-      * strong as the invalidation contract needs — false rebuilds cost
-      * one generation pass; a false HIT would be silent wrong data.
+    /** md5 over the sf dir's input parquet stats (inputs ONLY — builder
+      * versions live in the per-artifact directory name): coarse (ANY
+      * table change re-keys every artifact) but exactly as strong as
+      * the invalidation contract needs — false rebuilds cost one
+      * generation pass; a false HIT would be silent wrong data.
       */
     def contentKey(d: String): String = {
       import java.nio.file.{Files, Paths}
@@ -490,13 +506,14 @@ object SparkEntry {
           finally ls.close()
         }
       java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$d|$stats|$BuilderVersion".getBytes("UTF-8"))
+        .digest(s"$d|$stats".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)
     }
     def getOrBuild(name: String, s: SparkSession, d: String)
                   (build: => DataFrame): DataFrame = {
       import java.nio.file.{Files, Paths, StandardCopyOption}
-      val dir = Paths.get(cacheRoot, contentKey(d), name)
+      val dir = Paths.get(cacheRoot, contentKey(d),
+        s"$name-v${builderVersion(name)}")
       if (!Files.exists(dir.resolve("_SUCCESS"))) buildLock.synchronized {
         if (!Files.exists(dir.resolve("_SUCCESS"))) {
           Files.createDirectories(dir.getParent)
@@ -4472,6 +4489,47 @@ object SparkEntry {
       .withColumn("invariant_holds", col("n_residual_pairs") === 0L)
   }
 
+  // ---------------------------------------------------------------- q207
+  /** Streaming windowed stats drained through the REAL Structured
+    * Streaming engine and hash-compared against the batch oracle —
+    * until now streaming was verified only by self-parity pins; this
+    * row makes the `StreamingImport.windowedEventStats` path (micro-
+    * batch execution, state store, watermark plumbing) answer to
+    * DuckDB exactly like every batch operator. The events table is
+    * staged to parquet, replayed as a multi-micro-batch file stream
+    * (maxFilesPerTrigger), windowed+watermarked, and the memory sink's
+    * COMPLETE-mode output (complete, not append: the trailing window
+    * would otherwise be withheld waiting for a watermark that never
+    * advances past end-of-stream) is returned as a batch frame.
+    * Value sums run in DECIMAL pre-aggregation for engine-portable
+    * doubles (FP sum order differs between engines).
+    */
+  def q207StreamWindows(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q207-")
+    val src = tmp.resolve("src").toString
+    events(s, d)
+      .select(timestamp_micros(expr("ts DIV 1000")).as("ts_utc"),
+        col("event_type"),
+        col("value").cast("decimal(18,6)").as("value"))
+      .repartition(8).write.mode("overwrite").parquet(src)
+    val stream = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    val agg = streaming.StreamingImport.windowedEventStats(
+      stream, "ts_utc", "1 hour", "10 minutes", Seq("event_type"))
+    // unique sink/checkpoint per invocation: Bench's min-of-N protocol
+    // reruns every query in one session
+    val sink = s"q207_sink_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(sink)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .select(col("window_start"), col("event_type"), col("n"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -4694,6 +4752,7 @@ object SparkEntry {
     "q204_asof_native" -> (q204AsofNative _),
     "q205_watermark_sizing" -> (q205WatermarkSizing _),
     "q206_survivor_audit" -> (q206SurvivorAudit _),
+    "q207_stream_windows" -> (q207StreamWindows _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -8527,6 +8586,15 @@ object SparkEntry {
          | CAST(n_residual_pairs AS BIGINT) AS n_residual_pairs,
          | n_residual_pairs = 0 AS invariant_holds
          |FROM resid""".stripMargin,
+
+    "q207_stream_windows" ->
+      // the q37 batch oracle — here the Spark side actually executes
+      // the Structured Streaming engine (micro-batches + state store)
+      // and drains its complete-mode output to a batch frame
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
   )
 

@@ -51,4 +51,35 @@ class ArtifactCacheSpec extends SparkSpec {
       assert(SparkEntry.SessionArtifacts.contentKey(data.toString) !== k2)
     } finally sys.props.remove("graft.artifact.cache")
   }
+
+  test("bumping ONE artifact's builder version rebuilds only that artifact") {
+    val cache = Files.createTempDirectory("graft-artcache2-")
+    sys.props("graft.artifact.cache") = cache.toString
+    try {
+      val data = Files.createTempDirectory("graft-artdata2-")
+      Seq((1L, "a"), (2L, "b")).toDF("id", "t").coalesce(1)
+        .write.mode("overwrite").parquet(data.resolve("documents.parquet").toString)
+      var buildsA = 0
+      var buildsB = 0
+      def getA() = SparkEntry.SessionArtifacts.getOrBuild("arta", spark,
+        data.toString) { buildsA += 1
+          spark.read.parquet(data.resolve("documents.parquet").toString) }
+      def getB() = SparkEntry.SessionArtifacts.getOrBuild("artb", spark,
+        data.toString) { buildsB += 1
+          spark.read.parquet(data.resolve("documents.parquet").toString) }
+      assert(getA().count() === 2L && getB().count() === 2L)
+      assert(buildsA === 1 && buildsB === 1)
+      // bump ONLY arta's builder version: arta rebuilds, artb stays warm
+      sys.props("graft.artifact.version.arta") = "spec-bump-1"
+      try {
+        assert(getA().count() === 2L && getB().count() === 2L)
+        assert(buildsA === 2, "bumped artifact must rebuild")
+        assert(buildsB === 1, "un-bumped artifact must stay warm")
+      } finally sys.props.remove("graft.artifact.version.arta")
+      // back on the original version, the ORIGINAL arta artifact is
+      // still addressed (and still warm) — versions are addresses, not
+      // overwrites
+      assert(getA().count() === 2L && buildsA === 2)
+    } finally sys.props.remove("graft.artifact.cache")
+  }
 }
