@@ -36,32 +36,78 @@ object LabelPropagation {
   def communities(edges: DataFrame, srcCol: String, dstCol: String,
                   rounds: Int = 5): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    // self-loops dropped: a node voting for its own label would damp
-    // every update toward the identity labeling
+    val e = mirroredEdges(edges, srcCol, dstCol)
+    var labels = initialLabels(e)
+    for (_ <- 1 to rounds) labels = propagateOnce(e, labels)
+    withSizes(labels)
+  }
+
+  /** Fixpoint face for API callers: identical semantics per round, but
+    * stops as soon as a round changes NO label (one O(nodes) count — a
+    * 1-row driver witness per round, the k-core early-exit discipline)
+    * instead of always paying `maxRounds` edge joins. `maxRounds` still
+    * caps the loop because synchronous LPA can 2-cycle on bipartite
+    * structures and never converge. Once converged, the labeling equals
+    * [[communities]] at any round count ≥ the convergence round
+    * (property-pinned in GraphSpec) — the fixed-round face stays the
+    * measured/oracle query precisely because its cost is replayable.
+    */
+  def communitiesConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                           maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val e = mirroredEdges(edges, srcCol, dstCol)
+    var labels = initialLabels(e)
+    var round = 0
+    var changed = 1L
+    while (round < maxRounds && changed > 0L) {
+      val next = propagateOnce(e, labels)
+      changed = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      round += 1
+    }
+    withSizes(labels)
+  }
+
+  /** Self-loops dropped (a node voting for its own label would damp
+    * every update toward the identity labeling); mirrored once and
+    * checkpointed — every round joins labels onto THIS frame.
+    */
+  private def mirroredEdges(edges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame = {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-    // mirror once, checkpoint: every round joins labels onto THIS frame
-    val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+    e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .repartition(col("dst"))
       .localCheckpoint(true)
-    var labels = e.select(col("src").as("node")).distinct()
+  }
+
+  private def initialLabels(e: DataFrame): DataFrame =
+    e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      // node <- arg-max over neighbor-label counts; min(struct(-count,
-      // label)) is ONE hash aggregation (count desc then label asc),
-      // where a row_number window would shuffle-sort per node
-      labels = e.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
-        .groupBy(col("src").as("node"), col("label"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("node"))
-        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
-        .select(col("node"), col("m.label").as("label"))
-        .localCheckpoint(true)
-    }
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+
+  /** One synchronous round: node <- arg-max over neighbor-label counts;
+    * min(struct(-count, label)) is ONE hash aggregation (count desc
+    * then label asc), where a row_number window would shuffle-sort per
+    * node.
+    */
+  private def propagateOnce(e: DataFrame, labels: DataFrame): DataFrame =
+    e.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+      .groupBy(col("src").as("node"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("node"))
+      .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+      .select(col("node"), col("m.label").as("label"))
+      .localCheckpoint(true)
+
+  private def withSizes(labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("community_size"))
     labels.join(sizes, Seq("label"))
-      .select(col("node"), col("label").as("community"), col("community_size"))
+      .select(col("node"), col("label").as("community"),
+        col("community_size"))
   }
 }
