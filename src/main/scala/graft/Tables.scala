@@ -30,10 +30,35 @@ object Tables {
     * TIMESTAMP and truncates each value to µs BEFORE differencing.
     * The driver's generator emits µs-aligned ns; true-ns data would
     * need its own oracle treatment, not silent truncation.
+    *
+    * `GRAFT_STRICT_TS=1` (env; `graft.strict.ts=1` sys-prop for specs)
+    * opts into ENFORCING the alignment contract at ingest: the
+    * LongType path scans for a sub-µs residue (`pmod(ts,1000) != 0`)
+    * once per (JVM, source dir) and fails loudly on the first offender
+    * — true-ns data then dies here with a named contract instead of
+    * diverging 1-unit from the oracle deep inside q146/q157.
     */
+  private val strictTsChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def strictTs: Boolean =
+    sys.env.get("GRAFT_STRICT_TS").contains("1") ||
+      sys.props.get("graft.strict.ts").contains("1")
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
-      case LongType => df
+      case LongType =>
+        val key = df.queryExecution.analyzed
+          .collectLeaves().map(_.toString).mkString("|")
+        // memo only AFTER a clean pass — a failed check must keep
+        // failing on retry, not vanish into the memo
+        if (strictTs && !strictTsChecked.contains(key)) {
+          val bad = df.filter(expr("pmod(ts, 1000) != 0")).limit(1).collect()
+          if (bad.nonEmpty) throw new IllegalStateException(
+            "events.ts violates the µs-alignment contract (ns % 1000 != 0; " +
+              s"first offender: ${bad.head}) — true-ns data needs its own " +
+              "oracle treatment, see Tables.normalizeTs")
+          strictTsChecked.add(key)
+        }
+        df
       case TimestampType =>
         df.withColumn("ts", expr("unix_micros(ts) * CAST(1000 AS BIGINT)"))
       case TimestampNTZType =>

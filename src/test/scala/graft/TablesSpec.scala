@@ -41,4 +41,19 @@ class TablesSpec extends SparkSpec {
       .select(col("event_id"), col("ts"))
     assert(roundTrip(df) === usEpoch * 1000)
   }
+
+  test("GRAFT_STRICT_TS: planted sub-µs residue fails loudly at ingest") {
+    sys.props("graft.strict.ts") = "1"
+    try {
+      // aligned data passes under the flag
+      assert(roundTrip(Seq((1L, usEpoch * 1000)).toDF("event_id", "ts"))
+        === usEpoch * 1000)
+      // a true-ns residue dies at ingest with the contract named —
+      // instead of diverging 1 unit from the µs-truncating oracle
+      val e = intercept[IllegalStateException] {
+        roundTrip(Seq((1L, usEpoch * 1000 + 123)).toDF("event_id", "ts"))
+      }
+      assert(e.getMessage.contains("µs-alignment contract"))
+    } finally sys.props.remove("graft.strict.ts")
+  }
 }
