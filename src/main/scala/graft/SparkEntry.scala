@@ -4530,6 +4530,175 @@ object SparkEntry {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q208
+  /** PII masking + format audit over customer ([[functions.PiiMask]]):
+    * phones masked to `**-***-***-1234` (digits starred, last 4 kept),
+    * anchored format validation, email-shaped-substring counts in the
+    * comment. The GDPR-export transform a curation pipeline applies
+    * before handing a table downstream; every expression is RE2-safe
+    * (no lookarounds) so the DuckDB oracle replays it bit-for-bit.
+    */
+  def q208PiiMask(s: SparkSession, d: String): DataFrame = {
+    // the synthetic customer table carries no phone/comment — derive
+    // deterministic fixtures (every 10th phone corrupted so BOTH
+    // validity outcomes occur; 0/1/2 planted emails by custkey mod 3)
+    // with engine-portable scalar SQL the oracle replays verbatim;
+    // the operator under test is the PiiMask expression set
+    val ph = concat(
+      lpad(col("c_nationkey").cast("string"), 2, "0"), lit("-"),
+      lpad((col("c_custkey") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("c_custkey") * 7 % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("c_custkey") * 13 % 10000).cast("string"), 4, "0"))
+    val phone = when(col("c_custkey") % 10 === 0, concat(ph, lit("x")))
+      .otherwise(ph)
+    val ck = col("c_custkey").cast("string")
+    val comment = when(col("c_custkey") % 3 === 0,
+        concat(lit("reach u"), ck, lit("@example.com or x"),
+          ck, lit("@test.org")))
+      .when(col("c_custkey") % 3 === 1, lit("no contact info"))
+      .otherwise(concat(lit("mail: a"), ck, lit("@mail.net")))
+    customer(s, d).filter(col("c_custkey") <= 1000)
+      .select(col("c_custkey"), phone.as("__ph"), comment.as("__cm"))
+      .select(col("c_custkey"),
+        functions.PiiMask.maskDigitsKeepLast(col("__ph"), 4)
+          .as("masked_phone"),
+        functions.PiiMask.phoneFormatValid(col("__ph")).as("phone_valid"),
+        functions.PiiMask.emailCount(col("__cm")).cast("long")
+          .as("n_emails"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------- q209
+  /** Within-document trigram repetition
+    * ([[operators.TextStats.trigramRepetition]]) — the redundancy
+    * signal quality filters cut on: looping generations and template
+    * spam repeat word-trigrams, natural prose mostly does not.
+    */
+  def q209TrigramRepetition(s: SparkSession, d: String): DataFrame =
+    operators.TextStats.trigramRepetition(documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q210
+  /** Streaming cross-batch keyed dedup drained through the REAL
+    * engine: events replayed as a multi-micro-batch file stream
+    * through [[streaming.StreamingImport.dedupStream]]
+    * (`flatMapGroupsWithState`, one boolean per key in the state
+    * store), then the surviving KEY SET is hash-compared against
+    * DuckDB's `SELECT DISTINCT`. Which event survives per key is
+    * arrival-order dependent (partition scheduling), so the oracle
+    * checks the order-invariant contract: exactly one row per key,
+    * no key lost or invented across micro-batches.
+    */
+  def q210StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q210-")
+    val src = tmp.resolve("src").toString
+    events(s, d).select(col("user_id"), col("event_id"))
+      .repartition(8).write.mode("overwrite").parquet(src)
+    import s.implicits._
+    val stream = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+      .select(col("user_id").as("_1"), col("event_id").as("_2"))
+      .as[(Long, Long)]
+    val dedup = streaming.StreamingImport
+      .dedupStream[Long, (Long, Long)](stream, _._1)
+      .toDF("user_id", "event_id")
+    val sink = s"q210_sink_${System.nanoTime()}"
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName(sink)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).select(col("user_id")).orderBy(col("user_id"))
+  }
+
+  // ---------------------------------------------------------------- q211
+  /** Streaming SESSION windows drained through the real engine — the
+    * q43 gaps-and-islands oracle replayed against
+    * [[streaming.StreamingImport.sessionEventStats]] running in
+    * micro-batches (session-merging state store): inactivity-gap
+    * sessions must come out identical whether computed in batch or
+    * accumulated incrementally across triggers. Complete output mode
+    * for the same end-of-stream reason as q207.
+    */
+  def q211StreamSessions(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q211-")
+    val src = tmp.resolve("src").toString
+    events(s, d)
+      .select(timestamp_micros(expr("ts DIV 1000")).as("ts_utc"),
+        col("user_id"),
+        col("value").cast("decimal(18,6)").as("value"))
+      .repartition(8).write.mode("overwrite").parquet(src)
+    val stream = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    // session windows filter watermark-late input even in complete
+    // mode (unlike plain windowed aggs), and a parquet REPLAY arrives
+    // in file order, not time order — the watermark must exceed the
+    // replay's max disorder, which for a historical table is its full
+    // span. (That is the documented operator contract, not a dodge:
+    // q205 is the audit that SIZES this number for live streams.)
+    val agg = streaming.StreamingImport.sessionEventStats(
+      stream, "ts_utc", "30 minutes", "730 days", Seq("user_id"))
+    val sink = s"q211_sink_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(sink)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .select(col("session_start"), col("user_id"), col("n"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  // ---------------------------------------------------------------- q212
+  /** APPEND-mode streaming windows — the third streaming engine
+    * contract after q207 (complete-mode aggregation state) and q211
+    * (session merging): append emits a window ONLY once the watermark
+    * passes its end and then never revisits it, so the drained output
+    * must equal the batch aggregation RESTRICTED to windows with
+    * `window_end <= max(event time)` (delay 0) — the trailing window
+    * stays withheld forever. To make watermark progression
+    * deterministic the replay is staged month-by-month (one file per
+    * month, strictly increasing mtimes, one file per trigger): months
+    * are time-disjoint, so the watermark carried from batch N−1 never
+    * classifies a batch-N row late, with zero delay and no span-sized
+    * watermark crutch.
+    */
+  def q212StreamAppend(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q212-")
+    val src = tmp.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    val ev = events(s, d)
+      .select(timestamp_micros(expr("ts DIV 1000")).as("ts_utc"),
+        col("event_type"),
+        col("value").cast("decimal(18,6)").as("value"))
+    val months = ev.select(date_trunc("month", col("ts_utc")).as("m"))
+      .distinct().orderBy(col("m"))
+      .collect().map(_.getTimestamp(0)) // bounded: one row per month
+    months.zipWithIndex.foreach { case (m, i) =>
+      ev.filter(date_trunc("month", col("ts_utc")) === lit(m))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(src.resolve(f"m$i%03d").toString)
+      Thread.sleep(25) // strictly increasing mtimes drive file order
+    }
+    val schema = s.read.parquet(src.resolve("m000").toString).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString + "/m*")
+    val agg = streaming.StreamingImport.windowedEventStats(
+      stream, "ts_utc", "1 hour", "0 seconds", Seq("event_type"))
+    val sink = s"q212_sink_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(sink)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .select(col("window_start"), col("event_type"), col("n"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -4753,6 +4922,11 @@ object SparkEntry {
     "q205_watermark_sizing" -> (q205WatermarkSizing _),
     "q206_survivor_audit" -> (q206SurvivorAudit _),
     "q207_stream_windows" -> (q207StreamWindows _),
+    "q208_pii_mask" -> (q208PiiMask _),
+    "q209_trigram_repetition" -> (q209TrigramRepetition _),
+    "q210_stream_dedup" -> (q210StreamDedup _),
+    "q211_stream_sessions" -> (q211StreamSessions _),
+    "q212_stream_append" -> (q212StreamAppend _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -8595,6 +8769,84 @@ object SparkEntry {
         | event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q208_pii_mask" ->
+      // fixtures derived identically on both engines (see q208PiiMask);
+      // the assertion is the PiiMask mask/validate/count expression set
+      """WITH base AS (SELECT c_custkey,
+        |  lpad(CAST(c_nationkey AS VARCHAR), 2, '0') || '-' ||
+        |  lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |  lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |  lpad(CAST(c_custkey * 13 % 10000 AS VARCHAR), 4, '0') AS ph0
+        | FROM customer WHERE c_custkey <= 1000),
+        |fix AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 10 = 0 THEN ph0 || 'x' ELSE ph0 END AS ph,
+        |  CASE WHEN c_custkey % 3 = 0 THEN 'reach u'
+        |         || CAST(c_custkey AS VARCHAR) || '@example.com or x'
+        |         || CAST(c_custkey AS VARCHAR) || '@test.org'
+        |       WHEN c_custkey % 3 = 1 THEN 'no contact info'
+        |       ELSE 'mail: a' || CAST(c_custkey AS VARCHAR) || '@mail.net'
+        |  END AS cm
+        | FROM base)
+        |SELECT c_custkey,
+        | CASE WHEN ph IS NULL THEN NULL
+        |      WHEN length(ph) <= 4 THEN ph
+        |      ELSE regexp_replace(substr(ph, 1, length(ph) - 4),
+        |             '[0-9]', '*', 'g')
+        |           || substr(ph, length(ph) - 3, 4) END AS masked_phone,
+        | regexp_matches(ph, '^[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}$')
+        |   AS phone_valid,
+        | CAST(len(regexp_split_to_array(cm,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1
+        |   AS BIGINT) AS n_emails
+        |FROM fix ORDER BY c_custkey""".stripMargin,
+
+    "q209_trigram_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |tg AS (SELECT doc_id,
+         |  unnest(list_transform(generate_series(1, len(toks) - 2),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tri
+         | FROM t WHERE len(toks) >= 3),
+         |c AS (SELECT doc_id, tri, count(*) AS c FROM tg GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+         | count(*) AS n_distinct,
+         | round(CAST(1 AS DOUBLE) - CAST(count(*) AS DOUBLE)
+         |   / CAST(sum(c) AS DOUBLE), 6) AS repetition_ratio
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q210_stream_dedup" ->
+      // the order-invariant contract of the streaming keyed dedup:
+      // exactly one surviving row per key, no key lost or invented
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+
+    "q211_stream_sessions" ->
+      // q43's gaps-and-islands oracle vs the streaming session-window
+      // state store (sessions must merge identically across triggers)
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+        |m AS (SELECT user_id, t, value,
+        |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |       OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM e),
+        |g AS (SELECT user_id, t, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS grp
+        | FROM m)
+        |SELECT min(t) AS session_start, user_id, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin,
+
+    "q212_stream_append" ->
+      // append-mode emission contract: exactly the windows whose END
+      // the final watermark (max event time, delay 0) passed
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value
+        |  FROM events)
+        |SELECT time_bucket(INTERVAL 1 HOUR, t) AS window_start,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM e
+        |GROUP BY 1, 2
+        |HAVING window_start + INTERVAL 1 HOUR <= (SELECT max(t) FROM e)
+        |ORDER BY window_start, event_type""".stripMargin,
 
   )
 

@@ -65,4 +65,30 @@ object TextStats {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Per-document WITHIN-doc repetition — the token-trigram redundancy
+    * signal quality filters cut on (looping generations and template
+    * spam repeat trigrams; natural prose mostly does not):
+    * `(idCol, n_trigrams, n_distinct, repetition_ratio)` with
+    * `repetition_ratio = round(1 − distinct/total, 6)`. Docs with
+    * fewer than 3 tokens produce no row. Two chained hash aggs
+    * (per-(doc, trigram) counts, then per-doc) — no window, no
+    * countDistinct shuffle beyond the same two exchanges.
+    */
+  def trigramRepetition(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+        graft.functions.TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 3)
+    val tri = toks.select(col(idCol), explode(expr(
+        "transform(sequence(0, size(__t)-3), i -> concat_ws(' ', __t[i], __t[i+1], __t[i+2]))"))
+        .as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+    tri.groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_trigrams"),
+        count(lit(1)).as("n_distinct"))
+      .withColumn("repetition_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_trigrams").cast("double"), 6))
+  }
 }

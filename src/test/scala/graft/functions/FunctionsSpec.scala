@@ -532,4 +532,45 @@ class FunctionsSpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect()
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
+
+  test("PiiMask: digits star out except the kept tail; format + email audit") {
+    import graft.functions.PiiMask
+    val df = Seq(
+      ("25-989-741-2988", "mail a@b.org and c.d+x@e-f.co today"),
+      ("bad-123", "no addresses here"),
+      (null, null))
+      .toDF("phone", "cm")
+      .select(
+        PiiMask.maskDigitsKeepLast(col("phone"), 4).as("m"),
+        PiiMask.phoneFormatValid(col("phone")).as("v"),
+        PiiMask.emailCount(col("cm")).as("n"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) === "**-***-***-2988")
+    assert(rows(0).getBoolean(1) === true)
+    assert(rows(0).getInt(2) === 2)
+    assert(rows(1).getString(0) === "bad-123") // only DIGITS mask; the
+      // kept 4-char tail ("-123") passes verbatim by design
+    assert(rows(1).getBoolean(1) === false)
+    assert(rows(1).getInt(2) === 0)
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1) && rows(2).getInt(2) === 0)
+  }
+
+  test("trigram repetition: looped text scores high, varied text zero") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"), // trigrams: 7 total, aba/bca variants — repeated
+      (2L, "one two three four five"), // all distinct
+      (3L, "x y")) // < 3 tokens: no row
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextStats
+      .trigramRepetition(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: trigrams at offsets 0..6 = [abc bca cab abc bca cab abc]
+    // → 7 total, 3 distinct → ratio 1 - 3/7
+    assert(got(1L) === ((7L, 3L,
+      BigDecimal(1.0 - 3.0 / 7.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)))
+    assert(got(2L) === ((3L, 3L, 0.0)))
+    assert(!got.contains(3L))
+  }
 }
