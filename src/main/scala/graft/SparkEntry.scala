@@ -4699,6 +4699,95 @@ object SparkEntry {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q213
+  /** STREAM-STREAM interval join drained through the real engine —
+    * the two-sided join state store, the last big streaming path
+    * without an oracle row: clicks and views replayed as two file
+    * streams, inner-joined on user with `view_ts ∈ [click_ts ± 5min]`
+    * ([[streaming.StreamingImport.intervalJoinStreams]]), pairs
+    * drained and THEN aggregated in batch to per-click nearby-view
+    * counts — the q45 shape. An inner stream-stream join emits each
+    * matching pair exactly once regardless of arrival interleaving
+    * (watermark only bounds state retention, sized here to the replay
+    * span), so the drained pair SET is deterministic even though the
+    * replay order is not. Users < 300 keep the drained pair table
+    * driver-memory-sized.
+    */
+  def q213StreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q213-")
+    val ev = events(s, d).filter(col("user_id") < 300)
+      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_utc").as("c_ts"))
+      .repartition(4).write.mode("overwrite")
+      .parquet(tmp.resolve("clicks").toString)
+    ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts_utc").as("v_ts"))
+      .repartition(4).write.mode("overwrite")
+      .parquet(tmp.resolve("views").toString)
+    def rd(name: String) = s.readStream
+      .schema(s.read.parquet(tmp.resolve(name).toString).schema)
+      .option("maxFilesPerTrigger", "2").parquet(tmp.resolve(name).toString)
+    val joined = streaming.StreamingImport.intervalJoinStreams(
+      rd("clicks"), rd("views"), "user_id", "v_user", "c_ts", "v_ts",
+      delay = "730 days", lowerBoundS = -300L, upperBoundS = 300L)
+    val sink = s"q213_sink_${System.nanoTime()}"
+    val q = joined.select(col("user_id"), col("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(count(lit(1)).as("n_views_nearby"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- q214
+  /** The STREAMING IMPORT flagship drained against an oracle: monthly
+    * per-user aggregates staged as one file per month (strictly
+    * increasing mtimes, one file per trigger — the q212 discipline)
+    * and folded through [[streaming.StreamingImport.mergeEachBatch]]
+    * (`foreachBatch` + the full importMerge matrix, Upsert ×
+    * UpdateAllJoin) into a running target. Each batch carries at most
+    * one row per key, so the cross-batch semantics under test — later
+    * months overwrite, unseen users insert — are deterministic: the
+    * final target is every user's LATEST month row, which DuckDB
+    * replays as an argmax-by-month join.
+    */
+  def q214StreamUpsert(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q214-")
+    val src = tmp.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    val monthly = events(s, d)
+      .withColumn("m", date_trunc("month",
+        timestamp_micros(expr("ts DIV 1000"))))
+      .groupBy(col("user_id"), col("m"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
+    val months = monthly.select(col("m")).distinct().orderBy(col("m"))
+      .collect().map(_.getTimestamp(0)) // bounded: one row per month
+    months.zipWithIndex.foreach { case (m, i) =>
+      monthly.filter(col("m") === lit(m)).coalesce(1)
+        .write.mode("overwrite").parquet(src.resolve(f"m$i%03d").toString)
+      Thread.sleep(25)
+    }
+    val schema = s.read.parquet(src.resolve("m000").toString).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString + "/m*")
+    var target = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val w = streaming.StreamingImport.mergeEachBatch(stream,
+      keys = Seq("user_id"),
+      loadTarget = () => target,
+      saveTarget = merged => { target = merged.localCheckpoint(true) })
+    val q = w.option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    target.orderBy(col("user_id"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -4927,6 +5016,8 @@ object SparkEntry {
     "q210_stream_dedup" -> (q210StreamDedup _),
     "q211_stream_sessions" -> (q211StreamSessions _),
     "q212_stream_append" -> (q212StreamAppend _),
+    "q213_stream_interval_join" -> (q213StreamIntervalJoin _),
+    "q214_stream_upsert" -> (q214StreamUpsert _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -8847,6 +8938,36 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING window_start + INTERVAL 1 HOUR <= (SELECT max(t) FROM e)
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "q213_stream_interval_join" ->
+      // the q45 shape via the two-sided stream-stream join state store:
+      // per-click count of same-user views within +/- 5 minutes
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |  CAST(ts AS TIMESTAMP) AS t FROM events WHERE user_id < 300),
+        |clicks AS (SELECT user_id, event_id, t FROM ev
+        |  WHERE event_type = 'click'),
+        |views AS (SELECT user_id AS v_user, t AS v_t FROM ev
+        |  WHERE event_type = 'view')
+        |SELECT c.user_id, c.event_id, count(*) AS n_views_nearby
+        |FROM clicks c JOIN views v
+        |  ON v.v_user = c.user_id
+        | AND v.v_t >= c.t - INTERVAL 5 MINUTE
+        | AND v.v_t <= c.t + INTERVAL 5 MINUTE
+        |GROUP BY c.user_id, c.event_id
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q214_stream_upsert" ->
+      // cross-batch upsert: the final target is each user's LATEST
+      // month row (later batches overwrite, unseen users insert)
+      """WITH ev AS (SELECT user_id,
+        |  date_trunc('month', CAST(ts AS TIMESTAMP)) AS m,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        | FROM events GROUP BY 1, 2),
+        |last AS (SELECT user_id, max(m) AS m FROM ev GROUP BY user_id)
+        |SELECT ev.user_id, ev.m, ev.n_events, ev.sum_value
+        |FROM ev JOIN last ON last.user_id = ev.user_id AND last.m = ev.m
+        |ORDER BY ev.user_id""".stripMargin,
 
   )
 
