@@ -4788,6 +4788,31 @@ object SparkEntry {
     target.orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------------------------- q215
+  /** Mutual information (nats) between document language and source
+    * ([[operators.Contingency.mutualInformation]]) — the
+    * feature-association screen in comparable units ("how much does
+    * knowing the source tell you about the language"), complementing
+    * q176's chi-square on the same table.
+    */
+  def q215MutualInfo(s: SparkSession, d: String): DataFrame =
+    operators.Contingency.mutualInformation(documents(s, d), "lang", "source")
+
+  // ---------------------------------------------------------------- q216
+  /** Daily cohort retention over the event stream
+    * ([[operators.Retention.cohortRetention]]): users cohorted by
+    * first-activity DAY (epoch-day integers — the synthetic feed spans
+    * ~one month, so daily periods give a real curve where monthly
+    * would collapse to one cell), survivors counted per
+    * days-since-cohort, retention as exact integer ppm.
+    */
+  def q216CohortRetention(s: SparkSession, d: String): DataFrame =
+    operators.Retention.cohortRetention(
+        events(s, d).withColumn("period",
+          expr("ts DIV 86400000000000")), // exact epoch-day from ns
+        "user_id", "period")
+      .orderBy(col("cohort"), col("k"))
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -5018,6 +5043,8 @@ object SparkEntry {
     "q212_stream_append" -> (q212StreamAppend _),
     "q213_stream_interval_join" -> (q213StreamIntervalJoin _),
     "q214_stream_upsert" -> (q214StreamUpsert _),
+    "q215_mutual_info" -> (q215MutualInfo _),
+    "q216_cohort_retention" -> (q216CohortRetention _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -8968,6 +8995,44 @@ object SparkEntry {
         |SELECT ev.user_id, ev.m, ev.n_events, ev.sum_value
         |FROM ev JOIN last ON last.user_id = ev.user_id AND last.m = ev.m
         |ORDER BY ev.user_id""".stripMargin,
+
+    "q215_mutual_info" ->
+      // observed cells only (zero cells contribute 0 to MI); per-cell
+      // c*round(ln(c*n/(r*cc)),6) summed in DECIMAL
+      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |  count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b FROM cells),
+        |terms AS (SELECT t.n, t.n_a, t.n_b,
+        |  CAST(cells.o * CAST(round(ln(CAST(cells.o * t.n AS DOUBLE) /
+        |      CAST(rt.r * ct.c AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |    AS DECIMAL(28,6)) AS term
+        | FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot t),
+        |agg AS (SELECT n, n_a, n_b, CAST(sum(term) AS DECIMAL(28,6)) AS s
+        |  FROM terms GROUP BY 1, 2, 3)
+        |SELECT n, n_a, n_b, CAST(s AS DOUBLE) AS sum_cmi,
+        | round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mi
+        |FROM agg""".stripMargin,
+
+    "q216_cohort_retention" ->
+      // first-activity DAY cohorts (epoch days); exact integer ppm
+      """WITH ev AS (SELECT user_id,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS p
+        | FROM events),
+        |f AS (SELECT user_id, min(p) AS cohort FROM ev GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, p FROM ev),
+        |cnt AS (SELECT f.cohort, act.p - f.cohort AS k,
+        |  count(*) AS n_active
+        | FROM act JOIN f ON f.user_id = act.user_id GROUP BY 1, 2),
+        |sz AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY cohort)
+        |SELECT cnt.cohort, cnt.k, cnt.n_active, sz.cohort_size,
+        | CAST(cnt.n_active * 1000000 // sz.cohort_size AS BIGINT)
+        |   AS retention_ppm
+        |FROM cnt JOIN sz ON sz.cohort = cnt.cohort
+        |ORDER BY cnt.cohort, cnt.k""".stripMargin,
 
   )
 

@@ -107,4 +107,40 @@ object Contingency {
       .select(col("n"), col("d").as("n_agree"), col("po"), col("pe"),
         col("kappa"))
   }
+
+  /** Mutual information (nats) between two categorical columns — the
+    * feature-association screen that, unlike χ², is directly
+    * comparable across tables as "bits of shared information". Same
+    * cell/marginal shape as [[chiSquareIndependence]]; zero cells
+    * contribute 0 (lim p→0 of p·ln is 0), so only OBSERVED cells
+    * enter. Per-cell term `c_ab · round(ln(c_ab·n / (r·c)), 6)` —
+    * exact integer ratio inside one rounded ln, summed in DECIMAL
+    * (order-independent, engine-portable; the tokenEntropy doctrine).
+    * Returns one row `(n, n_a, n_b, sum_cmi, mi)` where
+    * `mi = round(sum_cmi / n, 6)` and `sum_cmi = Σ c·ln-term` is the
+    * exact published sum.
+    */
+  def mutualInformation(df: DataFrame, aCol: String,
+                        bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("a").agg(sum(col("o")).as("r"))
+    val colTot = cells.groupBy("b").agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      count_distinct(col("a")).as("n_a"),
+      count_distinct(col("b")).as("n_b"))
+    cells.join(rowTot, Seq("a")).join(colTot, Seq("b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__t", (col("o") * round(log(
+        (col("o") * col("n")).cast("double") /
+          (col("r") * col("c")).cast("double")), 6).cast("decimal(18,6)"))
+        .cast("decimal(28,6)"))
+      .groupBy("n", "n_a", "n_b")
+      .agg(sum(col("__t")).cast("decimal(28,6)").as("__s"))
+      .select(col("n"), col("n_a"), col("n_b"),
+        col("__s").cast("double").as("sum_cmi"),
+        round(col("__s").cast("double") / col("n").cast("double"), 6)
+          .as("mi"))
+  }
 }

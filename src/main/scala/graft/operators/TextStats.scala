@@ -77,9 +77,14 @@ object TextStats {
     */
   def trigramRepetition(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
+    // partition the COMPACT doc rows by id BEFORE the explode: both
+    // downstream groupBys cluster on (id, …) ⊇ (id), so they run
+    // exchange-free — one doc-sized shuffle instead of two
+    // trigram-sized ones
     val toks = docs.select(col(idCol),
         graft.functions.TextAnalysis.tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= 3)
+      .repartition(col(idCol))
     val tri = toks.select(col(idCol), explode(expr(
         "transform(sequence(0, size(__t)-3), i -> concat_ws(' ', __t[i], __t[i+1], __t[i+2]))"))
         .as("__g"))

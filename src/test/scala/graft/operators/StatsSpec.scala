@@ -29,6 +29,34 @@ class StatsSpec extends SparkSpec {
     assert(r3.getLong(3) === 0L && r3.isNullAt(5))
   }
 
+  test("mutual information: independent=0, perfect association=ln 2") {
+    val ind = (Seq.fill(10)(("A", "1")) ++ Seq.fill(10)(("A", "2")) ++
+      Seq.fill(10)(("B", "1")) ++ Seq.fill(10)(("B", "2"))).toDF("x", "y")
+    val r1 = Contingency.mutualInformation(ind, "x", "y").collect()(0)
+    assert(r1.getLong(0) === 40L && r1.getDouble(4) === 0.0)
+    // deterministic 2x2: y = f(x) exactly — MI = H(x) = ln 2
+    val dep = (Seq.fill(10)(("A", "1")) ++ Seq.fill(10)(("B", "2")))
+      .toDF("x", "y")
+    val r2 = Contingency.mutualInformation(dep, "x", "y").collect()(0)
+    assert(math.abs(r2.getDouble(4) - math.log(2)) < 1e-5)
+  }
+
+  test("cohort retention: hand-computed two-cohort curve, exact ppm") {
+    // users 1,2,3 first active day 0; user 4 first active day 1.
+    // day 0: {1,2,3}; day 1: {1,2,4}; day 2: {1,4}
+    val df = Seq((1L, 0L), (2L, 0L), (3L, 0L), (1L, 1L), (2L, 1L),
+      (4L, 1L), (1L, 2L), (4L, 2L), (1L, 2L)).toDF("u", "p")
+    val got = Retention.cohortRetention(df, "u", "p")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got((0L, 0L)) === ((3L, 3L, 1000000L)))
+    assert(got((0L, 1L)) === ((2L, 3L, 666666L))) // exact integer DIV
+    assert(got((0L, 2L)) === ((1L, 3L, 333333L)))
+    assert(got((1L, 0L)) === ((1L, 1L, 1000000L)))
+    assert(got((1L, 1L)) === ((1L, 1L, 1000000L)))
+    assert(got.size === 5)
+  }
+
   test("spearman: monotone=1, reversed=-1, ties midranked, constant null") {
     val df = Seq(
       // g1: perfectly monotone

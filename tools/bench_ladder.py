@@ -21,6 +21,9 @@ ENTRIES = [
     "q102_mutual_knn", "q108_lsh_recall", "q110_bpe_encode",
     "q116_simhash_pairs", "q117_heavy_hitters", "q119_triangles",
     "q134_communities", "q140_clustering_coeff", "q142_image_dhash",
+    # round-10 streaming-engine drains: state-store cost must scale
+    # linearly with the replayed volume too
+    "q207_stream_windows", "q211_stream_sessions",
 ]
 
 ADD_OPENS = [
