@@ -4813,6 +4813,17 @@ object SparkEntry {
         "user_id", "period")
       .orderBy(col("cohort"), col("k"))
 
+  // ---------------------------------------------------------------- q217
+  /** Corpus-order novelty curve
+    * ([[operators.TextStats.firstSeenNovelty]]): per document, the
+    * exact count and ppm of its distinct trigrams appearing for the
+    * first time in id order — the diminishing-returns signal of
+    * adding more same-source data, and the aggregate dual of dedup.
+    */
+  def q217Novelty(s: SparkSession, d: String): DataFrame =
+    operators.TextStats.firstSeenNovelty(documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -5045,6 +5056,7 @@ object SparkEntry {
     "q214_stream_upsert" -> (q214StreamUpsert _),
     "q215_mutual_info" -> (q215MutualInfo _),
     "q216_cohort_retention" -> (q216CohortRetention _),
+    "q217_novelty" -> (q217Novelty _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -9033,6 +9045,23 @@ object SparkEntry {
         |   AS retention_ppm
         |FROM cnt JOIN sz ON sz.cohort = cnt.cohort
         |ORDER BY cnt.cohort, cnt.k""".stripMargin,
+
+    "q217_novelty" ->
+      // distinct (doc, trigram); first bearer per trigram type by min
+      // doc_id; novel = types this doc bears first; exact integer ppm
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |tg AS (SELECT DISTINCT doc_id,
+         |  unnest(list_transform(generate_series(1, len(toks) - 2),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tri
+         | FROM t WHERE len(toks) >= 3),
+         |fst AS (SELECT tri, min(doc_id) AS first_doc FROM tg GROUP BY tri)
+         |SELECT tg.doc_id, count(*) AS n_tri_types,
+         | CAST(coalesce(sum(CASE WHEN fst.first_doc = tg.doc_id
+         |   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_novel,
+         | CAST(sum(CASE WHEN fst.first_doc = tg.doc_id THEN 1 ELSE 0 END)
+         |   * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+         |FROM tg JOIN fst ON fst.tri = tg.tri
+         |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin,
 
   )
 

@@ -66,6 +66,38 @@ object TextStats {
       .limit(k)
   }
 
+  /** Corpus-order novelty — per document, how many of its distinct
+    * token trigrams appear for the FIRST time in the corpus (by id
+    * order): the diminishing-returns curve of adding more data from
+    * the same source, and the dual of dedup (a doc whose novelty is
+    * ~0 is information the corpus already has even if no single pair
+    * crosses a near-dup threshold). Published as exact integers +
+    * ppm (integer division — no float ratio).
+    *
+    * Scale shape: distinct (doc, trigram) pairs, one min-agg per
+    * trigram type (first bearer), one equi-join back, one per-doc
+    * agg — no window, no self-join; cost is O(trigram occurrences).
+    */
+  def firstSeenNovelty(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+        graft.functions.TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 3)
+    val tri = toks.select(col(idCol), explode(expr(
+        "transform(sequence(0, size(__t)-3), i -> concat_ws(' ', __t[i], __t[i+1], __t[i+2]))"))
+        .as("__g"))
+      .distinct()
+    val firstDoc = tri.groupBy(col("__g"))
+      .agg(min(col(idCol)).as("__first"))
+    tri.join(firstDoc, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tri_types"),
+        sum(when(col(idCol) === col("__first"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ppm",
+        expr("n_novel * 1000000 DIV n_tri_types"))
+  }
+
   /** Per-document WITHIN-doc repetition — the token-trigram redundancy
     * signal quality filters cut on (looping generations and template
     * spam repeat trigrams; natural prose mostly does not):

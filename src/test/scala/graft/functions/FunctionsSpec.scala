@@ -555,6 +555,21 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(2).isNullAt(0) && rows(2).isNullAt(1) && rows(2).getInt(2) === 0)
   }
 
+  test("first-seen novelty: later docs lose credit for repeated trigrams") {
+    val df = Seq(
+      (1L, "a b c d"), // trigrams {a b c, b c d} — both first-seen
+      (2L, "a b c x"), // {a b c (seen), b c x (novel)} → 1/2
+      (3L, "a b c d")) // both seen → 0
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextStats
+      .firstSeenNovelty(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === ((2L, 2L, 1000000L)))
+    assert(got(2L) === ((2L, 1L, 500000L)))
+    assert(got(3L) === ((2L, 0L, 0L)))
+  }
+
   test("trigram repetition: looped text scores high, varied text zero") {
     val df = Seq(
       (1L, "a b c a b c a b c"), // trigrams: 7 total, aba/bca variants — repeated
