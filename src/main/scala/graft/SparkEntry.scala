@@ -4824,6 +4824,27 @@ object SparkEntry {
     operators.TextStats.firstSeenNovelty(documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- q218
+  /** k-truss peel over the FULL co-purchase graph
+    * ([[operators.KTruss.peelRounds]]) — the edge-strength sibling of
+    * q148's k-core: surviving edges must each close ≥ k−2 triangles
+    * inside the surviving subgraph. The full graph (not the
+    * ≥2-support slice): every order's basket is a clique, so basket
+    * edges carry support ≥ |basket|−2 and k = 7 selects the ≥7-item
+    * co-purchase cores at every scale (the ≥2-support slice loses its
+    * triangles as the part pool grows with SF; k = 5 would keep ~75%
+    * of the graph and triple the peel cost for no extra semantics).
+    * Fixed 2 rounds for oracle replay (unrolled CTEs, the
+    * kcorePeelSql discipline) — round 1 pays the full-graph support
+    * pass, the survivors are small. Seventh consumer of the shared
+    * co-purchase edge artifact.
+    */
+  def q218KtrussPeel(s: SparkSession, d: String): DataFrame =
+    operators.KTruss.peelRounds(
+        copurchasePairs(s, d).select(col("pa"), col("pb")),
+        "pa", "pb", k = 7, rounds = 2)
+      .orderBy(col("lo"), col("hi"))
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -5057,6 +5078,7 @@ object SparkEntry {
     "q215_mutual_info" -> (q215MutualInfo _),
     "q216_cohort_retention" -> (q216CohortRetention _),
     "q217_novelty" -> (q217Novelty _),
+    "q218_ktruss_peel" -> (q218KtrussPeel _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -7546,6 +7568,7 @@ object SparkEntry {
     // fixed-budget peel: 12 unrolled rounds, each "keep nodes with >= 3
     // surviving neighbors, restrict edges to kept endpoints"
     "q148_kcore_peel" -> kcorePeelSql(rounds = 12, k = 3),
+    "q218_ktruss_peel" -> kTrussSql(rounds = 2, k = 7),
 
     "q149_scene_change" ->
       // frame colors replayed from the fixture formula (solid lossless
@@ -9189,5 +9212,47 @@ e0 AS MATERIALIZED (SELECT CAST(pa AS BIGINT) AS u, CAST(pb AS BIGINT) AS v
 $peels
 SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
 FROM e$rounds GROUP BY u ORDER BY node"""
+  }
+
+  /** Unrolled k-truss peel oracle over the ≥2-support co-purchase
+    * graph (see q218 / [[operators.KTruss]]): per round, triangles by
+    * id-ordered triple enumeration (support is orientation-
+    * independent, so the oracle may use the simple orientation),
+    * per-edge support by a 3-way UNION ALL + count, edges below
+    * k−2 dropped. MATERIALIZED throughout — every e_i is referenced
+    * by three triangle legs AND the filter.
+    */
+  private def kTrussSql(rounds: Int, k: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      s"""tr$i AS MATERIALIZED (SELECT a.lo AS x, a.hi AS y, b.hi AS z
+  FROM e${i - 1} a JOIN e${i - 1} b ON b.lo = a.lo AND b.hi > a.hi
+  JOIN e${i - 1} c ON c.lo = a.hi AND c.hi = b.hi),
+s$i AS MATERIALIZED (SELECT lo, hi, count(*) AS s FROM (
+  SELECT x AS lo, y AS hi FROM tr$i
+  UNION ALL SELECT x AS lo, z AS hi FROM tr$i
+  UNION ALL SELECT y AS lo, z AS hi FROM tr$i) GROUP BY 1, 2),
+e$i AS MATERIALIZED (SELECT e.lo, e.hi FROM e${i - 1} e
+  LEFT JOIN s$i ON s$i.lo = e.lo AND s$i.hi = e.hi
+  WHERE coalesce(s$i.s, 0) >= ${k - 2})"""
+    }.mkString(",\n")
+    val f = rounds + 1
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+sup AS (SELECT a.pk AS pa, b.pk AS pb
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk),
+e0 AS MATERIALIZED (SELECT CAST(pa AS BIGINT) AS lo, CAST(pb AS BIGINT) AS hi
+       FROM sup),
+$peels,
+tr$f AS MATERIALIZED (SELECT a.lo AS x, a.hi AS y, b.hi AS z
+  FROM e$rounds a JOIN e$rounds b ON b.lo = a.lo AND b.hi > a.hi
+  JOIN e$rounds c ON c.lo = a.hi AND c.hi = b.hi),
+s$f AS MATERIALIZED (SELECT lo, hi, count(*) AS s FROM (
+  SELECT x AS lo, y AS hi FROM tr$f
+  UNION ALL SELECT x AS lo, z AS hi FROM tr$f
+  UNION ALL SELECT y AS lo, z AS hi FROM tr$f) GROUP BY 1, 2)
+SELECT e.lo, e.hi, CAST(coalesce(s$f.s, 0) AS BIGINT) AS support
+FROM e$rounds e LEFT JOIN s$f ON s$f.lo = e.lo AND s$f.hi = e.hi
+ORDER BY e.lo, e.hi"""
   }
 }

@@ -128,6 +128,31 @@ class GraphSpec extends SparkSpec {
     assert(Seq(5L, 6L, 7L, 8L).forall(n => got(n) === ((5L, 4L))))
   }
 
+  test("k-truss: clique survives, pendant triangle and bridges peel away") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    // K5 on {1..5} (every edge closes 3 triangles), a pendant triangle
+    // {10,11,12} (support 1 each), a bridge 5-10 (support 0)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L, 5L)) ++
+      clique(Seq(10L, 11L, 12L)) ++ Seq((5L, 10L))).toDF("src", "dst")
+    val got = KTruss.peelRounds(edges, "src", "dst", k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // exactly the K5's 10 edges survive, each still closing 3 triangles
+    assert(got.keySet === clique(Seq(1L, 2L, 3L, 4L, 5L)).toSet)
+    assert(got.values.toSet === Set(3L))
+    // cascade pin: K4 {20..23} plus one extra edge 23-24-22 triangle —
+    // at k=4 the {22,23,24} triangle peels in round 1, and K4 edges
+    // keep support 2 ≥ k−2, so the 6 K4 edges survive round 2 intact
+    val edges2 = (clique(Seq(20L, 21L, 22L, 23L)) ++
+      Seq((23L, 24L), (22L, 24L))).toDF("src", "dst")
+    val got2 = KTruss.peelRounds(edges2, "src", "dst", k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 === clique(Seq(20L, 21L, 22L, 23L)).toSet)
+    Retained.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
   test("label propagation: fixpoint face equals fixed-round once converged") {
     import spark.implicits._
     def clique(ids: Seq[Long]) =
