@@ -24,6 +24,8 @@ ENTRIES = [
     # round-10 streaming-engine drains: state-store cost must scale
     # linearly with the replayed volume too
     "q207_stream_windows", "q211_stream_sessions",
+    # round-10 top-cost algorithmic addition
+    "q218_ktruss_peel",
 ]
 
 ADD_OPENS = [
