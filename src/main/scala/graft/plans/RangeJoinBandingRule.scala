@@ -42,9 +42,14 @@ object RangeJoinBandingRule extends Rule[LogicalPlan] with PredicateHelper {
                           lower: Option[Long], upper: Option[Long])
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(_, _, Inner, Some(cond), _)
+    case j @ Join(l, r, Inner, Some(cond), _)
         if !cond.references.exists(_.name.startsWith("__graft_band")) &&
-          cond.deterministic =>
+          cond.deterministic &&
+          // stream-stream joins have their own state-store execution
+          // and watermark bookkeeping — a Generate/band rewrite there
+          // would detach the time columns the engine tracks; leave
+          // streaming plans to intervalJoinStreams
+          !l.isStreaming && !r.isStreaming =>
       rewrite(j).getOrElse(j)
   }
 

@@ -85,6 +85,22 @@ class RangeJoinBandingRuleSpec extends SparkSpec {
     assert(q.count() === 1L)
   }
 
+  test("streaming joins are left alone (state-store execution owns them)") {
+    val sp = s; import sp.implicits._
+    val left = sp.readStream.format("rate").option("rowsPerSecond", "1")
+      .load().select($"value".as("lt"), $"value".as("lid"))
+    val right = sp.readStream.format("rate").option("rowsPerSecond", "1")
+      .load().select($"value".as("rt"), $"value".as("rid"))
+    val q = left.join(right, $"rt" - $"lt" >= -3L && $"rt" - $"lt" <= 5L)
+    // batch execution of a streaming plan is rejected upstream, so
+    // apply the rule DIRECTLY to the analyzed streaming plan — it must
+    // be the identity there
+    val analyzed = q.queryExecution.analyzed
+    val rewritten = RangeJoinBandingRule(analyzed)
+    assert(rewritten eq analyzed,
+      s"rule fired on a stream-stream join:\n$rewritten")
+  }
+
   test("random data: banded result identical to the raw predicate") {
     val sp = s; import sp.implicits._
     def check(p: Prop, n: Int): Unit = {
