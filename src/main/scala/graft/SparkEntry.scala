@@ -4845,6 +4845,41 @@ object SparkEntry {
         "pa", "pb", k = 7, rounds = 2)
       .orderBy(col("lo"), col("hi"))
 
+  // ---------------------------------------------------------------- q219
+  /** FORWARD as-of join ([[operators.TemporalJoins.asofJoinForward]]):
+    * every click gains the same user's EARLIEST view value at-or-after
+    * it — the "next event" lookup, time-negated onto the native
+    * backward sort-merge exec. Oracle: DuckDB's native forward ASOF
+    * (`c.ts <= v.ts`).
+    */
+  def q219AsofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .agg(max(col("value")).as("view_value"))
+    operators.TemporalJoins.asofJoinForward(clicks,
+        views.withColumnRenamed("v_user", "user_id"), Seq("user_id"),
+        leftTs = "ts", rightTs = "v_ts", rightVals = Seq("view_value"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(col("view_value"), 6).as("view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- q220
+  /** IDF-weighted Jaccard near-dup pairs over the planted-dup corpus
+    * ([[operators.TextDedup.weightedJaccardPairs]]): rare shared
+    * content dominates, ubiquitous boilerplate shingles score ~0 —
+    * the dedup refinement plain Jaccard lacks. Integer milli-weights
+    * (one rounded ln per shingle type), exact BIGINT weight sums, one
+    * rounded divide per pair.
+    */
+  def q220WeightedJaccard(s: SparkSession, d: String): DataFrame =
+    operators.TextDedup.weightedJaccardPairs(
+        dedupCorpus(s, d), "doc_id", "text", k = 3, threshold = 0.25)
+      .orderBy(col("id1"), col("id2"))
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -5079,6 +5114,8 @@ object SparkEntry {
     "q216_cohort_retention" -> (q216CohortRetention _),
     "q217_novelty" -> (q217Novelty _),
     "q218_ktruss_peel" -> (q218KtrussPeel _),
+    "q219_asof_forward" -> (q219AsofForward _),
+    "q220_weighted_jaccard" -> (q220WeightedJaccard _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -7569,6 +7606,17 @@ object SparkEntry {
     // surviving neighbors, restrict edges to kept endpoints"
     "q148_kcore_peel" -> kcorePeelSql(rounds = 12, k = 3),
     "q218_ktruss_peel" -> kTrussSql(rounds = 2, k = 7),
+    "q219_asof_forward" ->
+      // DuckDB native FORWARD ASOF: earliest view at-or-after the click
+      """WITH clicks AS (SELECT user_id, event_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (SELECT user_id, ts, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT c.user_id, c.event_id, c.value,
+        | round(v.view_value, 6) AS view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts <= v.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     "q149_scene_change" ->
       // frame colors replayed from the fixture formula (solid lossless
@@ -9017,6 +9065,35 @@ object SparkEntry {
         | AND v.v_t <= c.t + INTERVAL 5 MINUTE
         |GROUP BY c.user_id, c.event_id
         |ORDER BY c.event_id""".stripMargin,
+
+    "q220_weighted_jaccard" ->
+      // integer milli IDF weights (one rounded ln per shingle type),
+      // exact BIGINT weight sums, rounded divide per pair
+      s"""WITH $SqlCorpus,
+         |$SqlShingles3,
+         |nn AS (SELECT count(DISTINCT doc_id) AS n FROM corpus),
+         |wt AS (SELECT sh, count(*) AS df FROM s GROUP BY sh
+         |  HAVING count(*) <= 1000),
+         |w AS (SELECT wt.sh,
+         |  CAST(round(ln(CAST(nn.n AS DOUBLE) / CAST(wt.df AS DOUBLE))
+         |    * 1000) AS BIGINT) AS w
+         | FROM wt CROSS JOIN nn),
+         |ws AS (SELECT s.doc_id, s.sh, w.w FROM s JOIN w USING (sh)),
+         |tot AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS tw
+         |  FROM ws GROUP BY doc_id),
+         |com AS (SELECT x.doc_id AS id1, y.doc_id AS id2,
+         |  CAST(sum(x.w) AS BIGINT) AS cw
+         | FROM ws x JOIN ws y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         | GROUP BY 1, 2)
+         |SELECT com.id1, com.id2, com.cw,
+         | round(CAST(com.cw AS DOUBLE) /
+         |   CAST(t1.tw + t2.tw - com.cw AS DOUBLE), 6) AS wjaccard
+         |FROM com JOIN tot t1 ON t1.doc_id = com.id1
+         |JOIN tot t2 ON t2.doc_id = com.id2
+         |WHERE t1.tw + t2.tw - com.cw > 0
+         |  AND round(CAST(com.cw AS DOUBLE) /
+         |   CAST(t1.tw + t2.tw - com.cw AS DOUBLE), 6) >= 0.25
+         |ORDER BY com.id1, com.id2""".stripMargin,
 
     "q214_stream_upsert" ->
       // cross-batch upsert: the final target is each user's LATEST

@@ -59,6 +59,29 @@ object TemporalJoins {
     } else asofJoinWindowed(left, right, keys, leftTs, rightTs, rightVals)
   }
 
+  /** FORWARD as-of join: the EARLIEST right row at-or-after each left
+    * timestamp per key (ties: a same-instant right row matches) — the
+    * "next event" lookup (next maintenance after a failure, next
+    * quote after an order). Implemented by time negation over the
+    * backward [[asofJoin]]: t ↦ −t reverses the order, so the latest
+    * at-or-before in negated time IS the earliest at-or-after in real
+    * time — LongType inputs therefore ride the native sort-merge exec
+    * unchanged. Negation is exact for |t| < 2^63 (epoch domain).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    require(left.schema(leftTs).dataType == LongType &&
+      right.schema(rightTs).dataType == LongType,
+      "asofJoinForward needs LongType (epoch) timestamps")
+    val l = left.withColumn("__asof_neg", -col(leftTs))
+    val r = right.withColumn("__asof_negr", -col(rightTs))
+      .drop(rightTs)
+    asofJoin(l, r, keys, "__asof_neg", "__asof_negr", rightVals)
+      .drop("__asof_neg")
+  }
+
   /** The declarative formulation of [[asofJoin]] — union both sides,
     * per-key `last(ignoreNulls)` running window, filter the right rows
     * back out. Works for ANY orderable timestamp type; kept as the

@@ -138,6 +138,56 @@ object TextDedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** IDF-WEIGHTED Jaccard near-dup pairs — the dedup refinement that
+    * stops boilerplate from manufacturing matches: each distinct
+    * shingle carries integer milli-weight `round(ln(N/df)·1000)`
+    * (N = corpus docs, df = shingle doc-frequency), so two docs
+    * sharing only ubiquitous header/footer shingles score ~0 while
+    * shared RARE content dominates. Weighted Jaccard =
+    * Σ_{common} w / (W_a + W_b − Σ_{common} w), with all weight sums
+    * exact BIGINTs (one rounded ln per shingle TYPE — the engine-
+    * portable doctrine) and one float divide per pair, 6-dp rounded.
+    *
+    * Scale shape: identical to [[jaccardPairs]]'s exact tier (shingle
+    * equi-self-join bounded by `maxShingleDocFreq`, which here also
+    * bounds the weight floor) — the verify tier; candidate
+    * generation at 100 TB still belongs to MinHash-LSH or the PPJoin
+    * prefix filter upstream.
+    */
+  def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, threshold: Double = 0.25,
+                           maxShingleDocFreq: Long = 1000): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextShingles.shingles(
+          TextAnalysis.tokens(col(textCol)), k))).as("sh"))
+    val n = docs.select(col(idCol)).distinct().count()
+    val weights = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDocFreq)
+      .withColumn("w", round(log(lit(n.toDouble) / col("df").cast("double")) * 1000)
+        .cast("long"))
+    val wsh = sh.join(weights.select("sh", "w"), Seq("sh"))
+    val totals = wsh.groupBy(col("id")).agg(sum(col("w")).as("tw"))
+    val common = wsh.as("x").join(wsh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
+      .agg(sum(col("x.w")).as("cw"))
+    common
+      .join(totals.withColumnRenamed("id", "id1")
+        .withColumnRenamed("tw", "tw1"), Seq("id1"))
+      .join(totals.withColumnRenamed("id", "id2")
+        .withColumnRenamed("tw", "tw2"), Seq("id2"))
+      // zero union weight (every shared AND solo shingle at df = N,
+      // weight 0) would divide 0/0 into NaN — and NaN compares GREATER
+      // than every threshold in both engines, silently passing the
+      // filter; such pairs share only corpus-wide boilerplate, which
+      // is exactly a non-match
+      .filter(col("tw1") + col("tw2") - col("cw") > 0)
+      .withColumn("wjaccard", round(col("cw").cast("double") /
+        (col("tw1") + col("tw2") - col("cw")).cast("double"), 6))
+      .filter(col("wjaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("cw"), col("wjaccard"))
+  }
+
   /** Asymmetric shingle containment over a GIVEN pair list —
     * `C(A→B) = |A∩B| / |A|`, the quote/excerpt detector Jaccard
     * misses (a paragraph lifted into a much longer doc has high

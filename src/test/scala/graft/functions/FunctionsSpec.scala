@@ -555,6 +555,26 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(2).isNullAt(0) && rows(2).isNullAt(1) && rows(2).getInt(2) === 0)
   }
 
+  test("weighted Jaccard: rare shared content scores, boilerplate does not") {
+    // all four docs carry the boilerplate shingle (df=4, weight 0);
+    // docs 3 and 4 additionally share rare content
+    val df = Seq(
+      (1L, "b1 b2 b3"), (2L, "b1 b2 b3"),
+      (3L, "r1 r2 r3 b1 b2 b3 z3"), (4L, "r1 r2 r3 b1 b2 b3 z4"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextDedup
+      .weightedJaccardPairs(df, "doc_id", "text", k = 3, threshold = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    // (1,2) share ONLY weight-0 boilerplate: zero union weight, no NaN
+    // row emitted; (3,4) share the rare prefix shingles
+    assert(!got.contains((1L, 2L)))
+    assert(got.contains((3L, 4L)) && got((3L, 4L)) > 0.25)
+    // boilerplate-only overlap between a short and a long doc: the
+    // (1,3) pair's common weight is 0 -> drops below any threshold
+    assert(!got.contains((1L, 3L)))
+  }
+
   test("first-seen novelty: later docs lose credit for repeated trigrams") {
     val df = Seq(
       (1L, "a b c d"), // trigrams {a b c, b c d} — both first-seen

@@ -87,6 +87,30 @@ class AsofJoinSpec extends SparkSpec {
       "lok" -> Some("r15")))
   }
 
+  test("forward as-of: earliest at-or-after via time negation, random pin") {
+    val leftGen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 3L),
+      Gen.chooseNum(0L, 25L)))
+    val rightGen = Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 3L),
+      Gen.chooseNum(0L, 25L)))
+    check(Prop.forAllNoShrink(Gen.zip(leftGen, rightGen)) {
+      case (ls0, rs0) =>
+        val ls = ls0.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        val rs = rs0.distinct.map { case (k, t) => (k, t, s"v${k}_$t") }
+        val left = ls.toDF("k", "lt", "lid")
+        val right = rs.toDF("k", "rt", "rv")
+        val got = graft.operators.TemporalJoins
+          .asofJoinForward(left, right, Seq("k"), "lt", "rt", Seq("rv"))
+          .select(col("lid"), col("rv"))
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+        val model = ls.map { case (k, lt, lid) =>
+          val cand = rs.filter(r => r._1 == k && r._2 >= lt)
+          lid -> (if (cand.isEmpty) None else Some(cand.minBy(_._2)._3))
+        }.toMap
+        Prop(got == model)
+    }, 15)
+  }
+
   test("random data: equals the declarative face and an in-memory model") {
     val leftGen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 3L),
       Gen.chooseNum(0L, 25L)))
