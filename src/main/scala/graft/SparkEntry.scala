@@ -4880,6 +4880,51 @@ object SparkEntry {
         dedupCorpus(s, d), "doc_id", "text", k = 3, threshold = 0.25)
       .orderBy(col("id1"), col("id2"))
 
+  // ---------------------------------------------------------------- q221
+  /** NEAREST as-of join ([[operators.TemporalJoins.asofJoinNearest]]):
+    * every click gains the temporally CLOSEST same-user view value in
+    * either direction (ties backward) — two native as-of passes in
+    * one pipeline, no self-join. Oracle: both DuckDB ASOF directions
+    * + the same closest-pick CASE.
+    */
+  def q221AsofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .agg(max(col("value")).as("view_value"))
+    operators.TemporalJoins.asofJoinNearest(clicks,
+        views.withColumnRenamed("v_user", "user_id"), Seq("user_id"),
+        leftTs = "ts", rightTs = "v_ts", rightVals = Seq("view_value"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(col("view_value"), 6).as("view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- q222
+  /** Cross-source duplication matrix: near-dup pairs from the shared
+    * PPJoin artifact mapped to their base documents' sources (synthetic
+    * +1M/+2M copies fold onto their originals), counted per unordered
+    * source pair — WHICH corpora duplicate EACH OTHER, the governance
+    * view q193's per-source rate cannot give. 17th pair-artifact
+    * consumer; two broadcast-sized joins and one hash agg.
+    */
+  def q222SourceDupMatrix(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    dedupPairs(s, d)
+      .select((col("id1") % 1000000L).as("b1"),
+        (col("id2") % 1000000L).as("b2"))
+      .join(src.select(col("doc_id").as("b1"), col("source").as("s1")),
+        Seq("b1"))
+      .join(src.select(col("doc_id").as("b2"), col("source").as("s2")),
+        Seq("b2"))
+      .groupBy(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -5116,6 +5161,8 @@ object SparkEntry {
     "q218_ktruss_peel" -> (q218KtrussPeel _),
     "q219_asof_forward" -> (q219AsofForward _),
     "q220_weighted_jaccard" -> (q220WeightedJaccard _),
+    "q221_asof_nearest" -> (q221AsofNearest _),
+    "q222_source_dup_matrix" -> (q222SourceDupMatrix _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -9094,6 +9141,50 @@ object SparkEntry {
          |  AND round(CAST(com.cw AS DOUBLE) /
          |   CAST(t1.tw + t2.tw - com.cw AS DOUBLE), 6) >= 0.25
          |ORDER BY com.id1, com.id2""".stripMargin,
+
+    "q221_asof_nearest" ->
+      // both ASOF directions + the closest-pick CASE (ties backward);
+      // interval comparison == the Spark side's ns-long comparison
+      // because ts is microsecond-aligned on both engines
+      """WITH clicks AS (SELECT user_id, event_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (SELECT user_id, ts, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, ts),
+        |b AS (SELECT c.user_id, c.event_id, c.ts, c.value,
+        |   v.view_value AS bv, v.ts AS bt
+        | FROM clicks c ASOF LEFT JOIN views v
+        |   ON c.user_id = v.user_id AND c.ts >= v.ts),
+        |f AS (SELECT c.event_id, v.view_value AS fv, v.ts AS ft
+        | FROM clicks c ASOF LEFT JOIN views v
+        |   ON c.user_id = v.user_id AND c.ts <= v.ts)
+        |SELECT b.user_id, b.event_id, b.value,
+        | round(CASE WHEN f.fv IS NULL THEN b.bv
+        |       WHEN b.bv IS NULL THEN f.fv
+        |       WHEN (b.ts - b.bt) <= (f.ft - b.ts) THEN b.bv
+        |       ELSE f.fv END, 6) AS view_value
+        |FROM b JOIN f ON f.event_id = b.event_id
+        |ORDER BY b.event_id""".stripMargin,
+
+    "q222_source_dup_matrix" ->
+      // the q24/q206 pair SQL, base ids folded (+1M/+2M copies ->
+      // originals), mapped to sources, counted per unordered pair
+      s"""WITH $SqlCorpus,
+         |$SqlShingles3,
+         |n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |com AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS common
+         | FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         | GROUP BY 1, 2),
+         |pair AS (SELECT com.id1, com.id2 FROM com
+         | JOIN n n1 ON n1.doc_id = com.id1 JOIN n n2 ON n2.doc_id = com.id2
+         | WHERE CAST(com.common AS DOUBLE)
+         |   / CAST(n1.n + n2.n - com.common AS DOUBLE) >= 0.6),
+         |m AS (SELECT id1 % 1000000 AS b1, id2 % 1000000 AS b2 FROM pair),
+         |j AS (SELECT least(d1.source, d2.source) AS source_a,
+         |   greatest(d1.source, d2.source) AS source_b
+         | FROM m JOIN documents d1 ON d1.doc_id = m.b1
+         | JOIN documents d2 ON d2.doc_id = m.b2)
+         |SELECT source_a, source_b, count(*) AS n_pairs FROM j
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
 
     "q214_stream_upsert" ->
       // cross-batch upsert: the final target is each user's LATEST

@@ -82,6 +82,45 @@ object TemporalJoins {
       .drop("__asof_neg")
   }
 
+  /** NEAREST as-of join: the temporally CLOSEST right row per key in
+    * either direction, ties to the at-or-before match — the sensor-
+    * alignment join (match each reading to the nearest calibration,
+    * whichever side it falls on). Composed as one pipeline: the
+    * backward pass decorates the left frame, the forward pass runs
+    * OVER the decorated frame (no self-join, no row-identity
+    * requirement on the left), then one scan picks the closer match
+    * per row. Cost: exactly two native as-of passes.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    require(left.schema(leftTs).dataType == LongType &&
+      right.schema(rightTs).dataType == LongType,
+      "asofJoinNearest needs LongType (epoch) timestamps")
+    require(!rightVals.contains(rightTs),
+      "rightVals must not repeat the time column (it is carried anyway)")
+    val vals = rightVals :+ rightTs
+    def pfx(p: String, v: String) = s"__near_${p}_$v"
+    // each direction carries ONE struct of (vals + matched ts) through
+    // the join, so the picker below can compare distances field-wise
+    def renamed(p: String) =
+      right.select((keys.map(col) :+ col(rightTs).as(pfx(p, "ts")) :+
+        struct(vals.map(col): _*).as(pfx(p, "v"))): _*)
+    val b = asofJoin(left, renamed("b"), keys, leftTs, pfx("b", "ts"),
+      Seq(pfx("b", "v")))
+    val bf = asofJoinForward(b, renamed("f"), keys, leftTs, pfx("f", "ts"),
+      Seq(pfx("f", "v")))
+    val bt = col(pfx("b", "v")).getField(rightTs)
+    val ft = col(pfx("f", "v")).getField(rightTs)
+    val pickB = col(pfx("f", "v")).isNull ||
+      (col(pfx("b", "v")).isNotNull &&
+        (col(leftTs) - bt) <= (ft - col(leftTs))) // ties: backward
+    val chosen = when(pickB, col(pfx("b", "v"))).otherwise(col(pfx("f", "v")))
+    bf.select(left.columns.toSeq.map(col) ++
+      rightVals.map(v => chosen.getField(v).as(v)): _*)
+  }
+
   /** The declarative formulation of [[asofJoin]] — union both sides,
     * per-key `last(ignoreNulls)` running window, filter the right rows
     * back out. Works for ANY orderable timestamp type; kept as the

@@ -111,6 +111,37 @@ class AsofJoinSpec extends SparkSpec {
     }, 15)
   }
 
+  test("nearest as-of: closest match either direction, ties backward") {
+    val leftGen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 3L),
+      Gen.chooseNum(0L, 25L)))
+    val rightGen = Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 3L),
+      Gen.chooseNum(0L, 25L)))
+    check(Prop.forAllNoShrink(Gen.zip(leftGen, rightGen)) {
+      case (ls0, rs0) =>
+        val ls = ls0.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        val rs = rs0.distinct.map { case (k, t) => (k, t, s"v${k}_$t") }
+        val left = ls.toDF("k", "lt", "lid")
+        val right = rs.toDF("k", "rt", "rv")
+        val got = graft.operators.TemporalJoins
+          .asofJoinNearest(left, right, Seq("k"), "lt", "rt", Seq("rv"))
+          .select(col("lid"), col("rv"))
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+        val model = ls.map { case (k, lt, lid) =>
+          val cand = rs.filter(_._1 == k)
+          lid -> (if (cand.isEmpty) None else {
+            // min |Δ|, ties to the at-or-before side, then its max rt
+            // (backward = latest at-or-before; forward = earliest after)
+            val best = cand.minBy(r =>
+              (math.abs(r._2 - lt), if (r._2 <= lt) 0 else 1,
+                if (r._2 <= lt) -r._2 else r._2))
+            Some(best._3)
+          })
+        }.toMap
+        Prop(got == model)
+    }, 15)
+  }
+
   test("random data: equals the declarative face and an in-memory model") {
     val leftGen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 3L),
       Gen.chooseNum(0L, 25L)))
