@@ -4925,6 +4925,42 @@ object SparkEntry {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  // ---------------------------------------------------------------- q223
+  /** Conditional entropy of event transitions H(next | current) —
+    * how PREDICTABLE the next event type is given the current one
+    * (0 = deterministic journeys, ln|types| = memoryless), the
+    * one-number sequence-structure summary over q203's transition
+    * frame. Per-pair term `c_ab · round(ln(c_ab / c_a·), 6)` summed
+    * in DECIMAL (rounded-ln doctrine), H = −sum / T published 6 dp
+    * alongside the exact pieces.
+    */
+  def q223TransitionEntropy(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val pairs = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("us"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .filter(col("t2").isNotNull)
+      .groupBy(col("event_type").as("a"), col("t2").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val fromTot = pairs.groupBy(col("a")).agg(sum(col("c")).as("ca"))
+    val tot = pairs.agg(sum(col("c")).as("t"), count(lit(1)).as("n_pairs"))
+    pairs.join(fromTot, Seq("a"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__t", (col("c") * round(log(
+        col("c").cast("double") / col("ca").cast("double")), 6)
+        .cast("decimal(18,6)")).cast("decimal(28,6)"))
+      .groupBy(col("t"), col("n_pairs"))
+      .agg(sum(col("__t")).cast("decimal(28,6)").as("__s"))
+      .select(col("t").as("n_transitions"), col("n_pairs"),
+        col("__s").cast("double").as("sum_clogp"),
+        // + 0.0: a fully deterministic corpus sums to 0 and -0.0 hashes
+        // differently from 0.0 in the checker
+        round(-col("__s").cast("double") / col("t").cast("double") + 0.0, 6)
+          .as("cond_entropy"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -5163,6 +5199,7 @@ object SparkEntry {
     "q220_weighted_jaccard" -> (q220WeightedJaccard _),
     "q221_asof_nearest" -> (q221AsofNearest _),
     "q222_source_dup_matrix" -> (q222SourceDupMatrix _),
+    "q223_transition_entropy" -> (q223TransitionEntropy _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -9185,6 +9222,31 @@ object SparkEntry {
          | JOIN documents d2 ON d2.doc_id = m.b2)
          |SELECT source_a, source_b, count(*) AS n_pairs FROM j
          |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
+    "q223_transition_entropy" ->
+      // q203's transition frame; per-pair c*round(ln(c/ca),6) summed
+      // in DECIMAL; H = -sum/T
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us FROM events),
+        |tr AS (SELECT event_type AS a,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS b
+        | FROM ev),
+        |p AS (SELECT a, b, count(*) AS c FROM tr WHERE b IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ft AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM p GROUP BY a),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS n_pairs
+        |  FROM p),
+        |terms AS (SELECT tot.t, tot.n_pairs,
+        |  CAST(p.c * CAST(round(ln(CAST(p.c AS DOUBLE)
+        |      / CAST(ft.ca AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |    AS DECIMAL(28,6)) AS term
+        | FROM p JOIN ft USING (a) CROSS JOIN tot),
+        |agg AS (SELECT t, n_pairs, CAST(sum(term) AS DECIMAL(28,6)) AS s
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT t AS n_transitions, n_pairs, CAST(s AS DOUBLE) AS sum_clogp,
+        | round(-CAST(s AS DOUBLE) / CAST(t AS DOUBLE) + 0.0, 6) AS cond_entropy
+        |FROM agg""".stripMargin,
 
     "q214_stream_upsert" ->
       // cross-batch upsert: the final target is each user's LATEST
