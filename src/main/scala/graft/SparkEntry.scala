@@ -4961,6 +4961,20 @@ object SparkEntry {
           .as("cond_entropy"))
   }
 
+  // ---------------------------------------------------------------- q224
+  /** Per-label embedding-centroid cosine matrix
+    * ([[operators.Similarity.labelCentroidCosines]]) — the drift
+    * monitor between labeled sub-populations; the group size cancels,
+    * so only exact DECIMAL component sums cross the wire and one
+    * sqrt+divide per pair closes it.
+    */
+  def q224CentroidDrift(s: SparkSession, d: String): DataFrame =
+    operators.Similarity.labelCentroidCosines(
+        embeddings(s, d), "label", "embedding")
+      .select(col("ga").as("label_a"), col("gb").as("label_b"),
+        col("centroid_cosine"))
+      .orderBy(col("label_a"), col("label_b"))
+
   // ------------------------------------------------------------------
 
   /** Shared per-session artifacts in dependency order (labels reads
@@ -5200,6 +5214,7 @@ object SparkEntry {
     "q221_asof_nearest" -> (q221AsofNearest _),
     "q222_source_dup_matrix" -> (q222SourceDupMatrix _),
     "q223_transition_entropy" -> (q223TransitionEntropy _),
+    "q224_centroid_drift" -> (q224CentroidDrift _),
   )
 
   // --- shared DuckDB SQL fragments for the LLM-pipeline oracles -------
@@ -9247,6 +9262,27 @@ object SparkEntry {
         |SELECT t AS n_transitions, n_pairs, CAST(s AS DOUBLE) AS sum_clogp,
         | round(-CAST(s AS DOUBLE) / CAST(t AS DOUBLE) + 0.0, 6) AS cond_entropy
         |FROM agg""".stripMargin,
+
+    "q224_centroid_drift" ->
+      // q99's DECIMAL(18,10) quantization; n cancels out of the
+      // centroid cosine, so only exact component sums are needed
+      s"""WITH ex AS (
+         |  SELECT label AS g, generate_subscripts(embedding, 1) - 1 AS i,
+         |         CAST(unnest(CAST(embedding AS DOUBLE[])) AS DECIMAL(18,10)) AS x
+         |  FROM embeddings),
+         |s AS (SELECT g, i, CAST(sum(x) AS DECIMAL(18,10)) AS sx
+         |      FROM ex GROUP BY g, i),
+         |nrm AS (SELECT g, CAST(sum(sx * sx) AS DECIMAL(38,20)) AS nrm
+         |      FROM s GROUP BY g),
+         |dots AS (SELECT a.g AS ga, b.g AS gb,
+         |    CAST(sum(a.sx * b.sx) AS DECIMAL(38,20)) AS dot
+         |  FROM s a JOIN s b ON a.i = b.i AND a.g < b.g GROUP BY 1, 2)
+         |SELECT d.ga AS label_a, d.gb AS label_b,
+         | round(CAST(d.dot AS DOUBLE) /
+         |   sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
+         |   AS centroid_cosine
+         |FROM dots d JOIN nrm na ON na.g = d.ga JOIN nrm nb ON nb.g = d.gb
+         |ORDER BY label_a, label_b""".stripMargin,
 
     "q214_stream_upsert" ->
       // cross-batch upsert: the final target is each user's LATEST

@@ -283,4 +283,40 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
   }
+
+  /** Pairwise cosine between per-group embedding CENTROIDS — the
+    * embedding-drift monitor (did source X's vectors move away from
+    * source Y's after a re-embed? are two labels' populations
+    * converging?). The group count `n` cancels out of
+    * cos(Σa/n_a, Σb/n_b), so centroids are never materialized: the
+    * three cross-dim sums (Σ sxa·sxb, Σ sxa², Σ sxb²) run on
+    * DECIMAL(18,10)-quantized component sums — exact and
+    * order-independent in both engines (the q99 PCA casting
+    * discipline) — and ONE sqrt+divide per group pair closes it,
+    * rounded 6 dp. Cost: one explode + two hash aggs + a
+    * groups×dims self-join (groups are few; dims bounded).
+    */
+  def labelCentroidCosines(df: DataFrame, groupCol: String,
+                           vecCol: String): DataFrame = {
+    val ex = df.select(col(groupCol).as("g"),
+        posexplode(col(vecCol)).as(Seq("i", "xf")))
+      .select(col("g"), col("i"),
+        col("xf").cast("double").cast("decimal(18,10)").as("x"))
+    // per-(group, dim) component sums, re-quantized to (18,10) so the
+    // cross products below stay inside 38 digits on BOTH engines
+    val s = ex.groupBy(col("g"), col("i"))
+      .agg(sum(col("x")).cast("decimal(18,10)").as("sx"))
+    val norms = s.groupBy(col("g"))
+      .agg(sum(col("sx") * col("sx")).cast("decimal(38,20)").as("nrm"))
+    s.as("a").join(s.as("b"),
+        col("a.i") === col("b.i") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("ga"), col("b.g").as("gb"))
+      .agg(sum(col("a.sx") * col("b.sx")).cast("decimal(38,20)").as("dot"))
+      .join(norms.select(col("g").as("ga"), col("nrm").as("na")), Seq("ga"))
+      .join(norms.select(col("g").as("gb"), col("nrm").as("nb")), Seq("gb"))
+      .select(col("ga"), col("gb"),
+        round(col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")), 6)
+          .as("centroid_cosine"))
+  }
 }
