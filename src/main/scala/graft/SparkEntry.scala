@@ -9480,8 +9480,10 @@ SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
 FROM e$rounds GROUP BY u ORDER BY node"""
   }
 
-  /** Unrolled k-truss peel oracle over the ≥2-support co-purchase
-    * graph (see q218 / [[operators.KTruss]]): per round, triangles by
+  /** Unrolled k-truss peel oracle over the FULL co-purchase graph —
+    * no ≥2-support slice; the `sup` CTE has no HAVING, matching q218's
+    * Spark side over the full `edges` artifact (see q218 /
+    * [[operators.KTruss]]): per round, triangles by
     * id-ordered triple enumeration (support is orientation-
     * independent, so the oracle may use the simple orientation),
     * per-edge support by a 3-way UNION ALL + count, edges below

@@ -37,10 +37,13 @@ object PiiMask {
   def phoneFormatValid(c: Column): Column =
     c.rlike("^[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}$")
 
-  /** Count of email-shaped substrings in free text (RE2-safe pattern;
-    * zero on NULL).
+  /** Count of email-shaped substrings in free text (RE2-safe pattern).
+    * NULL input yields NULL — the SQL-conventional propagation, chosen
+    * deliberately so the natural DuckDB/Trino replica
+    * (`len(regexp_split_to_array(c, pat)) - 1`, which is NULL on NULL)
+    * stays bit-identical without a coalesce on either side; callers
+    * wanting zero-on-NULL coalesce at the use site.
     */
   def emailCount(c: Column): Column =
-    when(c.isNull, lit(0))
-      .otherwise(size(split(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")) - 1)
+    size(split(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")) - 1
 }

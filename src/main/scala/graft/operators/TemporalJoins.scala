@@ -35,14 +35,22 @@ object TemporalJoins {
     * Default dispatch: LongType (epoch) timestamps take the NATIVE
     * sort-merge exec ([[graft.plans.AsofJoinExec]] — one merge pass
     * over co-clustered sorted children, half the shuffled volume of the
-    * windowed plan and measurably faster at sf0.1); any other timestamp
-    * type falls back to [[asofJoinWindowed]]. Both faces are
-    * result-identical (AsofJoinSpec property pin).
+    * windowed plan and measurably faster at sf0.1); TIMESTAMP and DATE
+    * columns normalize to their epoch longs (`unix_micros` /
+    * `unix_date` — no-op reads of the physical value) and take the SAME
+    * native exec, so the analyst-default types are not second-class;
+    * any other timestamp type falls back to [[asofJoinWindowed]]. All
+    * faces are result-identical (AsofJoinSpec property pin).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                rightVals: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.LongType
+    epochNormalized(left, right, leftTs, rightTs) match {
+      case Some((l2, r2, lc, rc)) =>
+        return asofJoin(l2, r2, keys, lc, rc, rightVals).drop(lc)
+      case None =>
+    }
     if (left.schema(leftTs).dataType == LongType &&
         right.schema(rightTs).dataType == LongType) {
       // rename the right side into a reserved namespace so the native
@@ -67,14 +75,20 @@ object TemporalJoins {
     * at-or-before in negated time IS the earliest at-or-after in real
     * time — LongType inputs therefore ride the native sort-merge exec
     * unchanged. Negation is exact for |t| < 2^63 (epoch domain).
+    * TIMESTAMP/DATE columns normalize to epoch longs first.
     */
   def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
                       leftTs: String, rightTs: String,
                       rightVals: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.LongType
+    epochNormalized(left, right, leftTs, rightTs) match {
+      case Some((l2, r2, lc, rc)) =>
+        return asofJoinForward(l2, r2, keys, lc, rc, rightVals).drop(lc)
+      case None =>
+    }
     require(left.schema(leftTs).dataType == LongType &&
       right.schema(rightTs).dataType == LongType,
-      "asofJoinForward needs LongType (epoch) timestamps")
+      "asofJoinForward needs LongType (epoch), TIMESTAMP or DATE timestamps")
     val l = left.withColumn("__asof_neg", -col(leftTs))
     val r = right.withColumn("__asof_negr", -col(rightTs))
       .drop(rightTs)
@@ -95,9 +109,14 @@ object TemporalJoins {
                       leftTs: String, rightTs: String,
                       rightVals: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.LongType
+    epochNormalized(left, right, leftTs, rightTs) match {
+      case Some((l2, r2, lc, rc)) =>
+        return asofJoinNearest(l2, r2, keys, lc, rc, rightVals).drop(lc)
+      case None =>
+    }
     require(left.schema(leftTs).dataType == LongType &&
       right.schema(rightTs).dataType == LongType,
-      "asofJoinNearest needs LongType (epoch) timestamps")
+      "asofJoinNearest needs LongType (epoch), TIMESTAMP or DATE timestamps")
     require(!rightVals.contains(rightTs),
       "rightVals must not repeat the time column (it is carried anyway)")
     val vals = rightVals :+ rightTs
@@ -119,6 +138,33 @@ object TemporalJoins {
     val chosen = when(pickB, col(pfx("b", "v"))).otherwise(col(pfx("f", "v")))
     bf.select(left.columns.toSeq.map(col) ++
       rightVals.map(v => chosen.getField(v).as(v)): _*)
+  }
+
+  /** TIMESTAMP/DATE time columns → epoch-Long helper columns so every
+    * as-of face rides the native LongType exec: `Some((left', right',
+    * leftCol, rightCol))` when both sides are TIMESTAMP or both DATE
+    * (`unix_micros` / `unix_date` — no-op reads of the physical value,
+    * order-preserving, NULL-preserving), `None` for everything else
+    * (LongType passes through; exotic types take the windowed face).
+    * Callers drop the left helper column after the recursive join; the
+    * right helper never reaches the output (only `rightVals` do).
+    */
+  private def epochNormalized(left: DataFrame, right: DataFrame,
+                              leftTs: String, rightTs: String)
+      : Option[(DataFrame, DataFrame, String, String)] = {
+    import org.apache.spark.sql.types.{DataType, DateType, TimestampType}
+    def toEpoch(c: Column, dt: DataType): Column = dt match {
+      case TimestampType => unix_micros(c)
+      case DateType => unix_date(c).cast("long")
+      case _ => c
+    }
+    (left.schema(leftTs).dataType, right.schema(rightTs).dataType) match {
+      case (lt @ (TimestampType | DateType), rt) if lt == rt =>
+        Some((left.withColumn("__asof_lus", toEpoch(col(leftTs), lt)),
+          right.withColumn("__asof_rus", toEpoch(col(rightTs), rt)),
+          "__asof_lus", "__asof_rus"))
+      case _ => None
+    }
   }
 
   /** The declarative formulation of [[asofJoin]] — union both sides,

@@ -4,7 +4,9 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{CalendarIntervalType, DateType,
+  DayTimeIntervalType, IntegerType, LongType, TimestampType}
+import org.apache.spark.unsafe.types.CalendarInterval
 
 /** Optimizer rule: band ad-hoc range joins.
   *
@@ -34,6 +36,30 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * predicate rejects. Idempotent under the optimizer's fixed-point
   * loop via the `__graft_band` marker attributes. Registered via
   * [[GraftExtensions]] (`injectOptimizerRule`).
+  *
+  * Time columns may be LongType epochs, TIMESTAMP, or DATE — the
+  * types an analyst actually writes `l.ts BETWEEN r.ts - INTERVAL '5'
+  * MINUTE AND r.ts + INTERVAL '5' MINUTE` over. TIMESTAMP columns band
+  * on their epoch-micros ([[UnixMicros]] — the physical representation,
+  * so the conversion is a no-op long read), DATE columns on epoch-days
+  * ([[UnixDate]]); day-time INTERVAL literals fold to exact micros and
+  * `date_add`/`date_sub` literals to exact days. Calendar-aware
+  * arithmetic is deliberately NOT linearized: year-month intervals and
+  * calendar intervals with month/day components vary in physical length
+  * (month lengths, DST), so those predicates are left un-rewritten
+  * rather than banded approximately. The two sides of a band must share
+  * one time type — mixed-type comparisons (which need casts the
+  * extractor does not traverse) never form a band.
+  *
+  * Domain precondition: the band arithmetic (`rt − hi`, pmod/div
+  * alignment) runs in unchecked Long math, so epoch VALUES within
+  * `hi`/`width` of ±2^63 could wrap under ANSI-off and mis-band a row
+  * (the band equality is treated as a necessary condition, so a wrapped
+  * row would be silently dropped). The rule therefore assumes
+  * |epoch value| < 2^62 — comfortably true for every real epoch unit
+  * (2026 ≈ 1.8e9 s / 1.8e15 µs / 1.8e18 ns, all < 4.6e18 = 2^62) and
+  * for any TIMESTAMP this side of the year ~146,000; synthetic
+  * near-Long.Max sentinel "timestamps" are out of contract.
   */
 object RangeJoinBandingRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -94,7 +120,7 @@ object RangeJoinBandingRule extends Rule[LogicalPlan] with PredicateHelper {
         val width = math.max(1L, hi - lo)
         // left: band of lt
         val lBandAlias =
-          Alias(floorDiv(lt, width), "__graft_band_l")()
+          Alias(floorDiv(toEpochLong(lt), width), "__graft_band_l")()
         val newLeft = Project(j.left.output :+ lBandAlias, j.left)
         // right: one row per band the admissible left window overlaps —
         // lt ∈ [rt−hi, rt−lo] ⇒ band ∈ [⌊(rt−hi)/w⌋, ⌊(rt−lo)/w⌋],
@@ -103,8 +129,8 @@ object RangeJoinBandingRule extends Rule[LogicalPlan] with PredicateHelper {
           AttributeReference("__graft_band_r", LongType, nullable = true)()
         val gen = Generate(
           Explode(Sequence(
-            floorDiv(Subtract(rt, Literal(hi)), width),
-            floorDiv(Subtract(rt, Literal(lo)), width),
+            floorDiv(Subtract(toEpochLong(rt), Literal(hi)), width),
+            floorDiv(Subtract(toEpochLong(rt), Literal(lo)), width),
             None, Some(conf.sessionLocalTimeZone))),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
           generatorOutput = Seq(rBandAttr), child = j.right)
@@ -121,6 +147,18 @@ object RangeJoinBandingRule extends Rule[LogicalPlan] with PredicateHelper {
   private def floorDiv(a: Expression, w: Long): Expression = {
     val wl = Literal(w)
     IntegralDivide(Subtract(a, Pmod(a, wl)), wl)
+  }
+
+  /** Epoch-Long view of a time attribute for the band arithmetic:
+    * Long passes through, TIMESTAMP reads its epoch-micros (a no-op
+    * long read of the physical value), DATE its epoch-days. NULL in →
+    * NULL band → dropped by the inner equi-join, matching the original
+    * range predicate's NULL semantics.
+    */
+  private def toEpochLong(a: Attribute): Expression = a.dataType match {
+    case TimestampType => UnixMicros(a)
+    case DateType => Cast(UnixDate(a), LongType)
+    case _ => a
   }
 
   /** Normalize one comparison to a bound on (rt − lt): move everything
@@ -141,7 +179,12 @@ object RangeJoinBandingRule extends Rule[LogicalPlan] with PredicateHelper {
         constV = math.subtractExact(cb, ca)
         s = if (strict) 1L else 0L
         res <- m.toSeq.sortBy(_._1.exprId.id) match {
-          case Seq((x, cx), (y, cy)) if cx == -cy =>
+          // both attrs must share one time type: the constant is in the
+          // type's unit (raw / micros / days), so a mixed pair (possible
+          // only through casts the extractor doesn't traverse anyway)
+          // would put one bound across two units
+          case Seq((x, cx), (y, cy)) if cx == -cy &&
+              x.dataType == y.dataType =>
             val (plus, minus) = if (cx == 1) (x, y) else (y, x)
             (sideOf(plus), sideOf(minus)) match {
               // rt − lt + const ≥ s  ⇒  lower bound s − const
@@ -164,12 +207,28 @@ object RangeJoinBandingRule extends Rule[LogicalPlan] with PredicateHelper {
     } catch { case _: ArithmeticException => None } // literal overflow
   }
 
-  /** ±1-coefficient linear form of one expression: LongType attributes
-    * with sign, plus folded integral constant.
+  /** ±1-coefficient linear form of one expression: LongType / TIMESTAMP
+    * / DATE attributes with sign, plus a folded integral constant in
+    * the attribute type's unit (raw / epoch-micros / epoch-days).
     */
   private def linform(e: Expression)
       : Option[(Map[Attribute, Int], Long)] = e match {
-    case a: Attribute if a.dataType == LongType => Some((Map(a -> 1), 0L))
+    case a: Attribute if a.dataType == LongType ||
+        a.dataType == TimestampType || a.dataType == DateType =>
+      Some((Map(a -> 1), 0L))
+    // ts ± INTERVAL: day-time intervals are exact micros; calendar
+    // intervals only with zero month/day components (months vary in
+    // length, days are DST-sensitive under a zoned session)
+    case ta: TimestampAddInterval => for {
+      (m, c) <- linform(ta.left)
+      d <- intervalMicros(ta.right)
+    } yield (m, math.addExact(c, d))
+    case da: DateAdd => for {
+      (m, c) <- linform(da.left); d <- foldedLong(da.right)
+    } yield (m, math.addExact(c, d))
+    case ds: DateSub => for {
+      (m, c) <- linform(ds.left); d <- foldedLong(ds.right)
+    } yield (m, math.subtractExact(c, d))
     case Add(l, r, _) => for {
       (ml, cl) <- linform(l); (mr, cr) <- linform(r)
       m <- mergeCoeffs(ml, mr, signRight = 1)
@@ -182,15 +241,38 @@ object RangeJoinBandingRule extends Rule[LogicalPlan] with PredicateHelper {
       val neg = m.map { case (a, s) => a -> -s }
       Some((neg, math.negateExact(c)))
     }
-    case f if f.foldable &&
-        (f.dataType == LongType || f.dataType == IntegerType) =>
-      f.eval() match {
-        case i: java.lang.Integer => Some((Map.empty, i.longValue()))
-        case l: java.lang.Long => Some((Map.empty, l.longValue()))
-        case _ => None
-      }
+    case f if f.foldable => foldedLong(f).map(v => (Map.empty[Attribute, Int], v))
     case _ => None
   }
+
+  /** Foldable integral expression evaluated to Long. */
+  private def foldedLong(e: Expression): Option[Long] =
+    if (e.foldable && (e.dataType == LongType || e.dataType == IntegerType))
+      e.eval() match {
+        case i: java.lang.Integer => Some(i.longValue())
+        case l: java.lang.Long => Some(l.longValue())
+        case _ => None
+      }
+    else None
+
+  /** Foldable interval evaluated to exact micros — day-time intervals
+    * always; calendar intervals only when their month/day components
+    * are zero (those are calendar-relative, not fixed micros).
+    */
+  private def intervalMicros(e: Expression): Option[Long] =
+    if (!e.foldable) None
+    else e.dataType match {
+      case _: DayTimeIntervalType => e.eval() match {
+        case l: java.lang.Long => Some(l.longValue())
+        case _ => None
+      }
+      case CalendarIntervalType => e.eval() match {
+        case ci: CalendarInterval if ci.months == 0 && ci.days == 0 =>
+          Some(ci.microseconds)
+        case _ => None
+      }
+      case _ => None
+    }
 
   /** Sum coefficient maps (right side multiplied by ±1); reject any
     * attribute whose combined coefficient leaves {−1, 0, 1} (a 2·ts

@@ -370,11 +370,18 @@ object StreamingImport {
     val merged = scala.collection.mutable.HashSet.empty[Long]
     items.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val fresh = merged.synchronized { merged.add(batchId) }
+        // membership check first, record only AFTER a successful merge:
+        // if mgSummary/mgMerge/onUpdate throws and the engine replays
+        // the batch (the at-least-once scenario this guard exists for),
+        // the replay must re-merge it — recording up front would skip
+        // the replay and silently lose the batch's counts, turning
+        // at-least-once into at-most-once
+        val fresh = merged.synchronized { !merged.contains(batchId) }
         if (fresh) {
           val bs = graft.operators.HeavyHitters.mgSummary(batch, itemCol, k)
           standing = graft.operators.HeavyHitters.mgMerge(standing, bs, k)
           onUpdate(standing)
+          merged.synchronized { merged.add(batchId); () }
         }
     }
   }

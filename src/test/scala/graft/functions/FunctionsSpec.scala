@@ -552,7 +552,8 @@ class FunctionsSpec extends SparkSpec {
       // kept 4-char tail ("-123") passes verbatim by design
     assert(rows(1).getBoolean(1) === false)
     assert(rows(1).getInt(2) === 0)
-    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1) && rows(2).getInt(2) === 0)
+    // NULL text propagates NULL (matches the DuckDB regexp_split replica)
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1) && rows(2).isNullAt(2))
   }
 
   test("weighted Jaccard: rare shared content scores, boilerplate does not") {

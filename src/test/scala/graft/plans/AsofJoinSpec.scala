@@ -142,6 +142,62 @@ class AsofJoinSpec extends SparkSpec {
     }, 15)
   }
 
+  test("TIMESTAMP columns dispatch to the native exec and match the windowed face") {
+    def ts(min: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"),
+      (2L, 50L, "d"), (3L, 7L, "e"))
+      .map { case (k, m, v) => (k, ts(m), v) }.toDF("k", "lt", "lv")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (2L, 60L, "r60"))
+      .map { case (k, m, v) => (k, ts(m), v) }.toDF("k", "rt", "rv")
+    val q = graft.operators.TemporalJoins
+      .asofJoin(left, right, Seq("k"), "lt", "rt", Seq("rv"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"),
+      s"TIMESTAMP inputs missed the native exec:\n$plan")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lv"), col("rv")).collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(res(q) === Map("a" -> Some("r10"), "b" -> Some("r15"),
+      "c" -> None, "d" -> None, "e" -> None))
+    assert(res(q) === res(graft.operators.TemporalJoins
+      .asofJoinWindowed(left, right, Seq("k"), "lt", "rt", Seq("rv"))))
+    // output schema keeps the original TIMESTAMP column, no helper cols
+    assert(q.columns.toSeq === Seq("k", "lt", "lv", "rv"))
+  }
+
+  test("DATE columns dispatch natively; forward/nearest accept TIMESTAMP") {
+    def d(off: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 3, 1).plusDays(off).toString)
+    val left = Seq((1L, 5, "a"), (1L, 9, "b"), (2L, 2, "c"))
+      .map { case (k, o, v) => (k, d(o), v) }.toDF("k", "ld", "lv")
+    val right = Seq((1L, 4, "r4"), (1L, 8, "r8"), (2L, 6, "r6"))
+      .map { case (k, o, v) => (k, d(o), v) }.toDF("k", "rd", "rv")
+    val q = graft.operators.TemporalJoins
+      .asofJoin(left, right, Seq("k"), "ld", "rd", Seq("rv"))
+    assert(q.queryExecution.executedPlan.toString.contains("AsofJoin"))
+    val got = q.select(col("lv"), col("rv")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(got === Map("a" -> Some("r4"), "b" -> Some("r8"), "c" -> None))
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val lts = Seq((1L, 10L, "x"), (1L, 30L, "y"))
+      .map { case (k, m, v) => (k, ts(m), v) }.toDF("k", "lt", "lv")
+    val rts = Seq((1L, 12L, "r12"), (1L, 25L, "r25"))
+      .map { case (k, m, v) => (k, ts(m), v) }.toDF("k", "rt", "rv")
+    val fwd = graft.operators.TemporalJoins
+      .asofJoinForward(lts, rts, Seq("k"), "lt", "rt", Seq("rv"))
+      .select(col("lv"), col("rv")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(fwd === Map("x" -> Some("r12"), "y" -> None))
+    val near = graft.operators.TemporalJoins
+      .asofJoinNearest(lts, rts, Seq("k"), "lt", "rt", Seq("rv"))
+      .select(col("lv"), col("rv")).collect()
+      .map(r => r.getString(0) -> Some(r.getString(1))).toMap
+    assert(near === Map("x" -> Some("r12"), "y" -> Some("r25")))
+  }
+
   test("random data: equals the declarative face and an in-memory model") {
     val leftGen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 3L),
       Gen.chooseNum(0L, 25L)))
