@@ -4505,6 +4505,7 @@ object SparkEntry {
     * doubles (FP sum order differs between engines).
     */
   def q207StreamWindows(s: SparkSession, d: String): DataFrame = {
+    streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
     val tmp = java.nio.file.Files.createTempDirectory("graft-q207-")
     val src = tmp.resolve("src").toString
     events(s, d)
@@ -4590,6 +4591,7 @@ object SparkEntry {
     * no key lost or invented across micro-batches.
     */
   def q210StreamDedup(s: SparkSession, d: String): DataFrame = {
+    streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
     val tmp = java.nio.file.Files.createTempDirectory("graft-q210-")
     val src = tmp.resolve("src").toString
     events(s, d).select(col("user_id"), col("event_id"))
@@ -4621,6 +4623,7 @@ object SparkEntry {
     * for the same end-of-stream reason as q207.
     */
   def q211StreamSessions(s: SparkSession, d: String): DataFrame = {
+    streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
     val tmp = java.nio.file.Files.createTempDirectory("graft-q211-")
     val src = tmp.resolve("src").toString
     events(s, d)
@@ -4665,6 +4668,7 @@ object SparkEntry {
     * watermark crutch.
     */
   def q212StreamAppend(s: SparkSession, d: String): DataFrame = {
+    streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
     val tmp = java.nio.file.Files.createTempDirectory("graft-q212-")
     val src = tmp.resolve("src")
     java.nio.file.Files.createDirectories(src)
@@ -4714,6 +4718,7 @@ object SparkEntry {
     * driver-memory-sized.
     */
   def q213StreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
     val tmp = java.nio.file.Files.createTempDirectory("graft-q213-")
     val ev = events(s, d).filter(col("user_id") < 300)
       .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
@@ -4756,6 +4761,7 @@ object SparkEntry {
     * replays as an argmax-by-month join.
     */
   def q214StreamUpsert(s: SparkSession, d: String): DataFrame = {
+    streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
     val tmp = java.nio.file.Files.createTempDirectory("graft-q214-")
     val src = tmp.resolve("src")
     java.nio.file.Files.createDirectories(src)

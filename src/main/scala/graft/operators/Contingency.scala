@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   * `(a, b, o)` cell frame (bounded by |A|·|B| cells, not |rows|);
   * marginals are two more hash aggs over the CELL frame; the χ²
   * terms are evaluated per cell and summed. No window, no collect.
+  * The cell frame is PERSISTED ([[Retained]]-tracked): marginals,
+  * totals and the grid all branch from it, and without the persist
+  * each branch re-runs the raw-table scan + aggregation — four full
+  * input passes for one dimension-bounded intermediate. Persist cost
+  * is |A|·|B| rows, release via `Retained.releaseAll`.
   *
   * Exactness: the per-cell term is algebraically
   * `(o − e)²/e = (o·n − r·c)² / (n·r·c)` — numerator and denominator
@@ -27,9 +32,7 @@ object Contingency {
     */
   def chiSquareIndependence(df: DataFrame, aCol: String,
                             bCol: String): DataFrame = {
-    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull)
-      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val cells = Retained.track(cellFrame(df, aCol, bCol))
     val rowTot = cells.groupBy("a").agg(sum(col("o")).as("r"))
     val colTot = cells.groupBy("b").agg(sum(col("o")).as("c"))
     val tot = cells.agg(sum(col("o")).as("n"),
@@ -65,6 +68,17 @@ object Contingency {
         col("chi2"), col("cramers_v"))
   }
 
+  /** The shared `(a, b, o)` cell aggregation — the single raw-row pass
+    * every contingency statistic branches from; persisted at call sites
+    * (dimension-bounded, so the persist is sketch-sized).
+    */
+  private def cellFrame(df: DataFrame, aCol: String,
+                        bCol: String): DataFrame =
+    df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+      .persist()
+
   /** Cohen's kappa — chance-corrected agreement between two
     * categorical labelings of the same rows (classifier vs gold,
     * annotator vs annotator): κ = (p_o − p_e)/(1 − p_e). Cleared of
@@ -78,9 +92,7 @@ object Contingency {
     * constant and equal — agreement is undefined, not perfect).
     */
   def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull)
-      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val cells = Retained.track(cellFrame(df, aCol, bCol))
     val rowTot = cells.groupBy("a").agg(sum(col("o")).as("r"))
     val colTot = cells.groupBy("b").agg(sum(col("o")).as("c"))
     // Σ r_k·c_k joins the marginals on the LABEL (categories present on
@@ -122,9 +134,7 @@ object Contingency {
     */
   def mutualInformation(df: DataFrame, aCol: String,
                         bCol: String): DataFrame = {
-    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull)
-      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val cells = Retained.track(cellFrame(df, aCol, bCol))
     val rowTot = cells.groupBy("a").agg(sum(col("o")).as("r"))
     val colTot = cells.groupBy("b").agg(sum(col("o")).as("c"))
     val tot = cells.agg(sum(col("o")).as("n"),

@@ -17,6 +17,31 @@ import graft.operators.Merge.{DuplicateMode, ImportMode, Key}
   */
 object StreamingImport {
 
+  /** Streaming state-store provider switch — the 100 TB posture knob.
+    * The default HDFSBackedStateStoreProvider keeps every key's state
+    * on the executor HEAP (snapshotting to the checkpoint dir): fine
+    * for bounded test corpora, an OOM wall once keyed-dedup or
+    * stream-stream-join state outgrows executor memory.
+    * `GRAFT_STREAM_STATE=rocksdb` (env) or `graft.stream.state=rocksdb`
+    * (sys-prop, spec hook) flips the SESSION to Spark's bundled RocksDB
+    * provider — state lives off-heap in a per-partition RocksDB that
+    * spills to local disk, with changelog checkpointing — before a
+    * drain starts (the conf is read at query start). Returns the
+    * provider class now in effect so callers and specs can assert it.
+    * Default stays HDFS-backed: small jobs keep the zero-setup path,
+    * and the oracle drains prove result-identity under BOTH providers.
+    */
+  def configureStateStore(spark: SparkSession): String = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val want = sys.props.get("graft.stream.state")
+      .orElse(sys.env.get("GRAFT_STREAM_STATE"))
+    if (want.exists(_.equalsIgnoreCase("rocksdb")))
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.get(key,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+  }
+
   /** Continuous CSV-directory ingest (the directory-watch analog of
     * multi-file import).
     */

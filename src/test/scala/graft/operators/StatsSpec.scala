@@ -86,6 +86,35 @@ class StatsSpec extends SparkSpec {
     assert(got("a") === got("b") && got("a") === -0.5)
   }
 
+  test("spearman hybrid: long and DECIMAL moment paths are bit-identical") {
+    val df = Seq(
+      ("g1", 1.0, 10L), ("g1", 2.0, 20L), ("g1", 3.0, 30L),
+      ("g3", 1.0, 5L), ("g3", 1.0, 7L), ("g3", 2.0, 9L),
+      ("g5", 2.0, 9L), ("g5", 5.0, 1L), ("g5", 3.0, 4L), ("g5", 1.0, 2L))
+      .toDF("g", "x", "y")
+    def res(maxN: Long) =
+      Spearman.correlation(df, "g", "x", "y", longPathMaxN = maxN)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .toMap
+    // default long path vs forced all-DECIMAL face: exact integers both
+    // ways, so results must match to the bit
+    assert(res(Spearman.LongPathMaxN) === res(0L))
+  }
+
+  test("spearman DECIMAL path: a 1.4e6-row group (past the BIGINT-safe bound)") {
+    // 4n³ for n = 1.4e6 exceeds 2^63 — BIGINT moments would silently
+    // wrap here; the pre-agg must route this group to the DECIMAL face
+    // and still get the exact answer (y = -x ⇒ rho = −1)
+    val n = 1400000L
+    assert(n > Spearman.LongPathMaxN)
+    val big = spark.range(n).selectExpr("'g' AS g", "id AS x", "-id AS y")
+    val rows = Spearman.correlation(big, "g", "x", "y").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getLong(1) === n)
+    assert(rows(0).getDouble(2) === -1.0)
+  }
+
   test("cohen kappa: identity=1, skew-corrected, constant-equal null") {
     // perfect agreement
     val same = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
