@@ -1,0 +1,534 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Merge, Ordinals}
+import graft.operators.Merge.{DuplicateMode, ImportMode, Key}
+
+/** Graph queries — PageRank/HITS/LPA/k-core/k-truss/triangles/BFS/SSSP and link prediction over the co-purchase and interaction graphs.
+  *
+  * Split from the monolithic `SparkEntry.scala` in round 11 (it had
+  * grown to 9.5k lines); self-typed to [[SparkEntry]] so every query
+  * and shared helper keeps resolving unqualified across family files.
+  * Contributes [[queriesGraph]] / [[oracleSqlGraph]] to the
+  * assembled driver contract.
+  */
+private[graft] trait GraphQueries { this: SparkEntry.type =>
+
+  import Tables._
+
+  // ---------------------------------------------------------------- q83
+  /** PageRank over the co-purchase part graph (parts sharing an order
+    * are linked), 3 fixed iterations ([[operators.PageRank]]). Each
+    * iteration is one join + one hash aggregation keyed by node; the
+    * top-20 ranking is decided on the ROUNDED score so any engine
+    * agrees on the boundary.
+    */
+  def q83PageRank(s: SparkSession, d: String): DataFrame = {
+    // mirror the shared undirected pair artifact into both orientations:
+    // the rows are unique (pa, pb) with pa < pb, so this IS the distinct
+    // directed edge set the raw =!= self-join produced
+    val p = copurchasePairs(s, d)
+    val edges = p.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(p.select(col("pb").as("src"), col("pa").as("dst")))
+    operators.PageRank.ranks(edges, "src", "dst", iters = 3)
+      .withColumn("prr", round(col("pr"), 6))
+      .orderBy(col("prr").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("part"), col("prr").as("pr"))
+  }
+
+  // ---------------------------------------------------------------- q119
+  /** Triangle census of the co-purchase part graph (q83's edge
+    * build) via oriented wedge join + closing-edge semi join
+    * ([[operators.Triangles]]) — the clustering-structure companion
+    * to PageRank's centrality: two hash joins, no driver-side graph.
+    */
+  def q119Triangles(s: SparkSession, d: String): DataFrame = {
+    val edges = copurchasePairs(s, d)
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    operators.Triangles.census(edges, "src", "dst")
+  }
+
+  // ---------------------------------------------------------------- q134
+  /** Label-propagation community detection over the co-purchase part
+    * graph ([[operators.LabelPropagation]]) — the community layer
+    * between connected components (q67: pure reachability) and
+    * PageRank (q83: centrality): 5 synchronous rounds, ties to the
+    * smallest label, over the SAME shared pair artifact as
+    * q83/q119/q128, so the edge build costs nothing here.
+    */
+  def q134Communities(s: SparkSession, d: String): DataFrame =
+    operators.LabelPropagation.communities(
+        copurchasePairs(s, d).select(col("pa").as("src"), col("pb").as("dst")),
+        "src", "dst", rounds = 5)
+      .orderBy(col("node"))
+
+  // ---------------------------------------------------------------- q140
+  /** Per-node local clustering coefficient of the co-purchase graph
+    * ([[operators.Triangles.perNodeCensus]]) — the node-level
+    * companion to q119's global census: how close each part's
+    * neighborhood is to a clique, as an exact ppm integer. Reuses the
+    * shared co-purchase pair artifact; triangles enumerate once at
+    * their orientation apex and credit all three corners via a
+    * 3-struct explode + hash count.
+    */
+  def q140ClusteringCoeff(s: SparkSession, d: String): DataFrame =
+    operators.Triangles.perNodeCensus(
+        copurchasePairs(s, d).select(col("pa").as("src"), col("pb").as("dst")),
+        "src", "dst")
+      .orderBy(col("node"))
+
+  // ---------------------------------------------------------------- q144
+  /** Bounded-depth BFS reachability ([[operators.Bfs.reachable]]) over
+    * the (≥2-support) co-purchase graph: exact shortest-hop distance
+    * from the `p_partkey % 500 = 0` seed set, 3 hops out. Frontier
+    * iteration — one hash join + distinct + visited anti join per hop,
+    * work proportional to frontier-incident edges (never to paths).
+    * The oracle unrolls the three hops as explicit level CTEs with
+    * NOT-IN visited pruning — bit-equal min-hop semantics, no
+    * recursion needed at fixed depth. Fifth consumer of the shared
+    * co-purchase edge artifact.
+    */
+  def q144BfsReach(s: SparkSession, d: String): DataFrame = {
+    val e = copurchasePairs(s, d).filter(col("n_both") >= 2)
+      .select(col("pa"), col("pb"))
+    val seeds = part(s, d).filter(col("p_partkey") % 500 === 0)
+      .select(col("p_partkey"))
+    operators.Bfs.reachable(e, "pa", "pb", seeds, maxHops = 3)
+      .select(col("node"), col("hop").cast("long").as("hop"))
+      .orderBy(col("node"))
+  }
+
+  // ---------------------------------------------------------------- q148
+  /** Fixed-budget k-core peeling ([[operators.KCore.peelRounds]]) of
+    * the (≥2-support) co-purchase graph: 12 rounds of "drop nodes with
+    * < 3 surviving neighbors". A FIXED round budget makes the result a
+    * closed-form function of the input (idempotent once converged —
+    * 12 ≥ the peel depth at every test scale), so the oracle replays
+    * the rounds as unrolled CTEs; the fixpoint variant
+    * ([[operators.KCore.kCore]]) is spec-pinned against brute force.
+    * Sixth consumer of the shared co-purchase edge artifact.
+    */
+  def q148KcorePeel(s: SparkSession, d: String): DataFrame =
+    operators.KCore.peelRounds(
+        copurchasePairs(s, d).filter(col("n_both") >= 2)
+          .select(col("pa"), col("pb")),
+        "pa", "pb", k = 3, rounds = 12)
+      .select(col("node"), col("deg"))
+      .orderBy(col("node"))
+
+  // ---------------------------------------------------------------- q152
+  /** Degree assortativity ([[operators.GraphStats
+    * .degreeAssortativity]]) of the co-purchase graph — the
+    * hub-to-hub mixing scalar. One degree hash-agg + two node-key
+    * joins + one exact-DECIMAL moment aggregation; only the final
+    * Pearson division is float. Seventh consumer of the shared edge
+    * artifact.
+    */
+  def q152Assortativity(s: SparkSession, d: String): DataFrame =
+    operators.GraphStats.degreeAssortativity(
+      copurchasePairs(s, d).select(col("pa"), col("pb")), "pa", "pb")
+
+  // ---------------------------------------------------------------- q161
+  /** Personalized PageRank ([[operators.PageRank.personalizedRanks]])
+    * from the `p_partkey % 300 = 0` anchor set over the co-purchase
+    * graph — "related items from these anchors". Same one-join +
+    * one-agg iteration as q83 with a seed restart vector; eighth
+    * consumer of the shared edge artifact. The oracle unrolls the
+    * three iterations exactly like q83's, with the seed-mass restart
+    * in place of the uniform base.
+    */
+  def q161PersonalizedPr(s: SparkSession, d: String): DataFrame = {
+    val p = copurchasePairs(s, d)
+    val edges = p.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(p.select(col("pb").as("src"), col("pa").as("dst")))
+    val seeds = part(s, d).filter(col("p_partkey") % 300 === 0)
+      .select(col("p_partkey").as("node"))
+    operators.PageRank.personalizedRanks(edges, "src", "dst", seeds, iters = 3)
+      .withColumn("prr", round(col("pr"), 6))
+      .filter(col("prr") > 0.0) // untouched nodes are exact zeros
+      .orderBy(col("prr").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("part"), col("prr").as("pr"))
+  }
+
+  // ---------------------------------------------------------------- q173
+  /** Adamic–Adar link prediction over the ≥2-support co-purchase
+    * graph ([[operators.LinkPrediction.adamicAdarTopK]]) — the
+    * "which absent edge is most likely" top-50. Eleventh consumer of
+    * the shared edge artifact; wedge join bounded by the hub cap
+    * (principled for AA: hubs carry the smallest 1/ln weight).
+    */
+  def q173AdamicAdar(s: SparkSession, d: String): DataFrame =
+    operators.LinkPrediction.adamicAdarTopK(
+      copurchasePairs(s, d).filter(col("n_both") >= 2)
+        .select(col("pa"), col("pb")), "pa", "pb",
+      maxWedgeDegree = 10000, topK = 50)
+      .select(col("u"), col("v"), col("n_common"),
+        col("aa_score").cast("double").as("aa_score"))
+
+  // ---------------------------------------------------------------- q174
+  /** Item-item cosine collaborative filtering ("bought X also bought
+    * Y", [[operators.LinkPrediction.itemCosineTopK]]): per-item top-3
+    * neighbors by co-occurrence cosine. The expensive basket self-join
+    * is the shared edge artifact; this stage is two broadcast-size
+    * joins + a WindowGroupLimit over pre-aggregated counts.
+    */
+  def q174ItemCosine(s: SparkSession, d: String): DataFrame = {
+    val ic = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .groupBy(col("pk").as("item")).agg(count(lit(1)).as("n"))
+    operators.LinkPrediction.itemCosineTopK(
+        copurchasePairs(s, d), ic, topKPerItem = 3, minBoth = 2)
+      .orderBy(col("item"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------- q175
+  /** HITS hubs-and-authorities over the bipartite customer→part
+    * purchase graph ([[operators.LinkPrediction.hitsTopAuthorities]]),
+    * 2 L1-normalized rounds, top-20 authorities — the query-vs-catalog
+    * asymmetry PageRank (q83) can't express; oracle unrolls the
+    * rounds with the same 6-dp DECIMAL discipline.
+    */
+  def q175Hits(s: SparkSession, d: String): DataFrame =
+    operators.LinkPrediction.hitsTopAuthorities(
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("p")),
+      "u", "p", rounds = 2, topK = 20)
+
+  // ---------------------------------------------------------------- q179
+  /** TextRank keyword extraction per language
+    * ([[operators.TextRank.keywords]]): PageRank over the token
+    * adjacency graph, 2 rounds, top-10 — structural keywords, not
+    * merely frequent tokens. Edge weights from ONE explode + hash agg;
+    * per round one edge-keyed join + one hash agg.
+    */
+  def q179TextRank(s: SparkSession, d: String): DataFrame =
+    operators.TextRank.keywords(
+        documents(s, d).select(col("lang"),
+          functions.TextAnalysis.tokens(col("text")).as("toks")),
+        "lang", "toks", rounds = 2, minEdgeCount = 3, topK = 10)
+      .select(col("group").as("lang"), col("token"), col("rank_score"),
+        col("rk"))
+      .orderBy(col("lang"), col("rk"))
+
+  // ---------------------------------------------------------------- q181
+  /** Bounded Bellman–Ford shortest paths
+    * ([[operators.Sssp.boundedShortestPaths]]) on the ≥2-support
+    * co-purchase graph, edge cost `round(1/n_both, 6)` (strong ties =
+    * short), seeds = part ids ≤ 50, 4 relaxation rounds — the weighted
+    * complement of q144's hop-count BFS. DECIMAL distances end to end.
+    */
+  def q181Sssp(s: SparkSession, d: String): DataFrame = {
+    val sup = copurchasePairs(s, d).filter(col("n_both") >= 2)
+    val half = sup.select(col("pa").cast("long").as("u"),
+      col("pb").cast("long").as("v"),
+      round(lit(1.0) / col("n_both").cast("double"), 6)
+        .cast("decimal(12,6)").as("w"))
+    val e = half.unionAll(half.select(col("v").as("u"), col("u").as("v"),
+      col("w")))
+    val seeds = e.select(col("u")).filter(col("u") <= 50).distinct()
+    operators.Sssp.boundedShortestPaths(e, "u", "v", "w", seeds, rounds = 4)
+      .select(col("node"), col("dist").cast("double").as("dist"))
+      .orderBy(col("node"))
+  }
+
+  // ---------------------------------------------------------------- q218
+  /** k-truss peel over the FULL co-purchase graph
+    * ([[operators.KTruss.peelRounds]]) — the edge-strength sibling of
+    * q148's k-core: surviving edges must each close ≥ k−2 triangles
+    * inside the surviving subgraph. The full graph (not the
+    * ≥2-support slice): every order's basket is a clique, so basket
+    * edges carry support ≥ |basket|−2 and k = 7 selects the ≥7-item
+    * co-purchase cores at every scale (the ≥2-support slice loses its
+    * triangles as the part pool grows with SF; k = 5 would keep ~75%
+    * of the graph and triple the peel cost for no extra semantics).
+    * Fixed 2 rounds for oracle replay (unrolled CTEs, the
+    * kcorePeelSql discipline) — round 1 pays the full-graph support
+    * pass, the survivors are small. Seventh consumer of the shared
+    * co-purchase edge artifact.
+    */
+  def q218KtrussPeel(s: SparkSession, d: String): DataFrame =
+    operators.KTruss.peelRounds(
+        copurchasePairs(s, d).select(col("pa"), col("pb")),
+        "pa", "pb", k = 7, rounds = 2)
+      .orderBy(col("lo"), col("hi"))
+
+  private[graft] def queriesGraph: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_pagerank" -> (q83PageRank _),
+    "q119_triangles" -> (q119Triangles _),
+    "q134_communities" -> (q134Communities _),
+    "q140_clustering_coeff" -> (q140ClusteringCoeff _),
+    "q144_bfs_reach" -> (q144BfsReach _),
+    "q148_kcore_peel" -> (q148KcorePeel _),
+    "q152_assortativity" -> (q152Assortativity _),
+    "q161_personalized_pr" -> (q161PersonalizedPr _),
+    "q173_adamic_adar" -> (q173AdamicAdar _),
+    "q174_item_cosine" -> (q174ItemCosine _),
+    "q175_hits" -> (q175Hits _),
+    "q179_textrank" -> (q179TextRank _),
+    "q181_sssp" -> (q181Sssp _),
+    "q218_ktruss_peel" -> (q218KtrussPeel _))
+
+  private[graft] def oracleSqlGraph: Map[String, String] = Map(
+    "q83_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS node, sum(r0.pr / od.outdeg) AS s
+        |  FROM e JOIN r0 ON r0.node = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node,
+        |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |   + CAST(0.85 AS DOUBLE) * coalesce(c1.s, CAST(0 AS DOUBLE)) AS pr
+        | FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.node = nodes.node),
+        |c2 AS (SELECT e.dst AS node, sum(r1.pr / od.outdeg) AS s
+        |  FROM e JOIN r1 ON r1.node = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node,
+        |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |   + CAST(0.85 AS DOUBLE) * coalesce(c2.s, CAST(0 AS DOUBLE)) AS pr
+        | FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.node = nodes.node),
+        |c3 AS (SELECT e.dst AS node, sum(r2.pr / od.outdeg) AS s
+        |  FROM e JOIN r2 ON r2.node = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node,
+        |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |   + CAST(0.85 AS DOUBLE) * coalesce(c3.s, CAST(0 AS DOUBLE)) AS pr
+        | FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.node = nodes.node)
+        |SELECT node AS part, round(pr, 6) AS pr FROM r3
+        |ORDER BY round(pr, 6) DESC, node LIMIT 20""".stripMargin,
+    "q119_triangles" ->
+      // same lower-to-higher orientation as the operator: each
+      // triangle counted once, at its minimum vertex
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS lo, b.pk AS hi
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |w AS (SELECT ab.hi AS lo, ac.hi AS hi
+        |      FROM e ab JOIN e ac ON ab.lo = ac.lo AND ab.hi < ac.hi)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |    (SELECT lo AS n FROM e UNION SELECT hi FROM e)) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM w
+        |   WHERE EXISTS (SELECT 1 FROM e WHERE e.lo = w.lo AND e.hi = w.hi))
+        |    AS n_triangles""".stripMargin,
+    "q134_communities" -> {
+      // replay 5 synchronous LPA rounds: each round joins the previous
+      // labeling onto the mirrored edge list, counts neighbor labels,
+      // and takes (count desc, label asc) per node — the operator's
+      // min(struct) arg-max expressed as a window rank
+      val rounds = (1 to 5).map { r =>
+        s"""g$r AS (SELECT e.src AS node, l.label, count(*) AS c
+           |  FROM e JOIN l${r - 1} l ON l.node = e.dst GROUP BY 1, 2),
+           |l$r AS (SELECT node, label FROM (
+           |  SELECT node, label,
+           |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
+           |  FROM g$r) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+         |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |$rounds,
+         |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+         |       FROM l5 GROUP BY label)
+         |SELECT l.node, l.label AS community, sz.community_size
+         |FROM l5 l JOIN sz ON sz.label = l.label
+         |ORDER BY l.node""".stripMargin
+    },
+    "q140_clustering_coeff" ->
+      // unoriented wedge join (apex = min id) — per-triangle corner
+      // credit is orientation-independent, so it must agree with the
+      // operator's degree-oriented enumeration
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS lo, b.pk AS hi
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |w AS (SELECT ab.lo AS u, ab.hi AS v, ac.hi AS wv
+        |      FROM e ab JOIN e ac ON ab.lo = ac.lo AND ab.hi < ac.hi),
+        |t AS (SELECT u, v, wv FROM w
+        |      WHERE EXISTS (SELECT 1 FROM e WHERE e.lo = w.v AND e.hi = w.wv)),
+        |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+        |        SELECT u AS node FROM t
+        |        UNION ALL SELECT v FROM t
+        |        UNION ALL SELECT wv FROM t) GROUP BY node),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |        SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)
+        |        GROUP BY node)
+        |SELECT d.node, d.deg, coalesce(pn.tri, CAST(0 AS BIGINT)) AS n_triangles,
+        |  CASE WHEN d.deg >= 2 THEN CAST(
+        |    (2000000 * coalesce(pn.tri, 0)) // (d.deg * (d.deg - 1)) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END AS clustering_ppm
+        |FROM deg d LEFT JOIN pn ON pn.node = d.node
+        |ORDER BY d.node""".stripMargin,
+    "q144_bfs_reach" ->
+      // fixed-depth BFS unrolled as one level CTE per hop with
+      // NOT-IN visited pruning — min-hop semantics are exact at
+      // depth 3, no recursion needed
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |sup AS (SELECT a.pk AS pa, b.pk AS pb
+        |        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |        GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+        |adj AS (SELECT pa AS u, pb AS v FROM sup
+        |        UNION SELECT pb, pa FROM sup),
+        |l0 AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS node
+        |       FROM part WHERE p_partkey % 500 = 0),
+        |l1 AS (SELECT DISTINCT CAST(adj.v AS BIGINT) AS node
+        |       FROM adj JOIN l0 ON adj.u = l0.node
+        |       WHERE adj.v NOT IN (SELECT node FROM l0)),
+        |l2 AS (SELECT DISTINCT CAST(adj.v AS BIGINT) AS node
+        |       FROM adj JOIN l1 ON adj.u = l1.node
+        |       WHERE adj.v NOT IN (SELECT node FROM l0)
+        |         AND adj.v NOT IN (SELECT node FROM l1)),
+        |l3 AS (SELECT DISTINCT CAST(adj.v AS BIGINT) AS node
+        |       FROM adj JOIN l2 ON adj.u = l2.node
+        |       WHERE adj.v NOT IN (SELECT node FROM l0)
+        |         AND adj.v NOT IN (SELECT node FROM l1)
+        |         AND adj.v NOT IN (SELECT node FROM l2))
+        |SELECT node, hop FROM (
+        |  SELECT node, CAST(0 AS BIGINT) AS hop FROM l0
+        |  UNION ALL SELECT node, CAST(1 AS BIGINT) FROM l1
+        |  UNION ALL SELECT node, CAST(2 AS BIGINT) FROM l2
+        |  UNION ALL SELECT node, CAST(3 AS BIGINT) FROM l3)
+        |ORDER BY node""".stripMargin,
+    "q148_kcore_peel" -> kcorePeelSql(rounds = 12, k = 3),
+    "q152_assortativity" ->
+      // Pearson over end-point degrees from four exact integer moments
+      // (x/y marginals coincide with both orientations present)
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |sup AS (SELECT a.pk AS pa, b.pk AS pb
+        |        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |        GROUP BY a.pk, b.pk),
+        |e AS (SELECT CAST(pa AS BIGINT) AS u, CAST(pb AS BIGINT) AS v FROM sup
+        |      UNION SELECT CAST(pb AS BIGINT), CAST(pa AS BIGINT) FROM sup),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u),
+        |p AS (SELECT da.d AS du, db.d AS dv FROM e
+        |      JOIN deg da ON da.u = e.u JOIN deg db ON db.u = e.v),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+        |    CAST(sum(du) AS BIGINT) AS sx,
+        |    CAST(sum(du * dv) AS BIGINT) AS sxy,
+        |    CAST(sum(du * du) AS BIGINT) AS sxx FROM p),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT n_nodes, m2 // 2 AS n_edges,
+        |  CASE WHEN m2 * sxx - sx * sx = 0 THEN NULL
+        |    ELSE round(CAST(m2 * sxy - sx * sx AS DOUBLE)
+        |      / CAST(m2 * sxx - sx * sx AS DOUBLE), 6) END AS assortativity
+        |FROM m CROSS JOIN n""".stripMargin,
+    "q161_personalized_pr" ->
+      // q83's unroll with a seed-restart vector; float noise absorbed
+      // by round(pr,6) exactly as there
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |sd AS (SELECT node FROM nodes WHERE node % 300 = 0),
+        |sk AS (SELECT count(*) AS k FROM sd),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |rv AS (SELECT nodes.node,
+        |    CASE WHEN sd.node IS NULL THEN CAST(0 AS DOUBLE)
+        |         ELSE CAST(1 AS DOUBLE) / sk.k END AS rm
+        |  FROM nodes CROSS JOIN sk LEFT JOIN sd ON sd.node = nodes.node),
+        |r0 AS (SELECT node, rm AS pr FROM rv),
+        |c1 AS (SELECT e.dst AS node, sum(r0.pr / od.outdeg) AS s
+        |  FROM e JOIN r0 ON r0.node = e.src JOIN od ON od.src = e.src
+        |  GROUP BY e.dst),
+        |r1 AS (SELECT rv.node,
+        |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * rv.rm
+        |   + CAST(0.85 AS DOUBLE) * coalesce(c1.s, CAST(0 AS DOUBLE)) AS pr
+        | FROM rv LEFT JOIN c1 ON c1.node = rv.node),
+        |c2 AS (SELECT e.dst AS node, sum(r1.pr / od.outdeg) AS s
+        |  FROM e JOIN r1 ON r1.node = e.src JOIN od ON od.src = e.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT rv.node,
+        |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * rv.rm
+        |   + CAST(0.85 AS DOUBLE) * coalesce(c2.s, CAST(0 AS DOUBLE)) AS pr
+        | FROM rv LEFT JOIN c2 ON c2.node = rv.node),
+        |c3 AS (SELECT e.dst AS node, sum(r2.pr / od.outdeg) AS s
+        |  FROM e JOIN r2 ON r2.node = e.src JOIN od ON od.src = e.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT rv.node,
+        |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * rv.rm
+        |   + CAST(0.85 AS DOUBLE) * coalesce(c3.s, CAST(0 AS DOUBLE)) AS pr
+        | FROM rv LEFT JOIN c3 ON c3.node = rv.node)
+        |SELECT node AS part, round(pr, 6) AS pr FROM r3
+        |WHERE round(pr, 6) > 0
+        |ORDER BY round(pr, 6) DESC, node LIMIT 20""".stripMargin,
+    "q173_adamic_adar" ->
+      // wedge join through the shared neighbor over the >=2-support
+      // co-purchase graph; 1/ln(deg) weights rounded 6dp, summed in
+      // DECIMAL; existing edges anti-joined away; hub cap replayed
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |sup AS (SELECT a.pk AS pa, b.pk AS pb FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT CAST(pa AS BIGINT) AS lo, CAST(pb AS BIGINT) AS hi FROM sup),
+        |m AS (SELECT lo AS u, hi AS v FROM e UNION ALL SELECT hi, lo FROM e),
+        |deg AS (SELECT u AS w, count(*) AS deg FROM m GROUP BY u),
+        |centers AS (SELECT w,
+        |  CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 6) AS DECIMAL(8,6)) AS aa_w
+        | FROM deg WHERE deg <= 10000),
+        |adj AS MATERIALIZED (SELECT m.v AS w, m.u AS n, c.aa_w
+        |  FROM m JOIN centers c ON c.w = m.v),
+        |wedges AS (SELECT a.n AS u, b.n AS v, a.aa_w
+        |  FROM adj a JOIN adj b ON a.w = b.w AND a.n < b.n),
+        |scored AS (SELECT u, v, count(*) AS n_common,
+        |  CAST(sum(aa_w) AS DECIMAL(18,6)) AS aa_score
+        | FROM wedges GROUP BY u, v),
+        |nonedge AS (SELECT s.* FROM scored s
+        |  LEFT JOIN e ON e.lo = s.u AND e.hi = s.v WHERE e.lo IS NULL)
+        |SELECT u, v, n_common, CAST(aa_score AS DOUBLE) AS aa_score
+        |FROM nonedge ORDER BY aa_score DESC, u, v LIMIT 50""".stripMargin,
+    "q174_item_cosine" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pc AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_both FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |ic AS (SELECT pk AS item, count(*) AS n FROM li GROUP BY pk),
+        |p AS (SELECT * FROM pc WHERE n_both >= 2),
+        |bo AS (SELECT pa AS item, pb AS other, n_both FROM p
+        |  UNION ALL SELECT pb, pa, n_both FROM p),
+        |scored AS (SELECT b.item, b.other, b.n_both,
+        |  round(CAST(b.n_both AS DOUBLE) / sqrt(CAST(na.n * nb.n AS DOUBLE)), 6) AS cos
+        | FROM bo b JOIN ic na ON na.item = b.item JOIN ic nb ON nb.item = b.other),
+        |rk AS (SELECT *, row_number() OVER
+        |  (PARTITION BY item ORDER BY cos DESC, other) AS rk FROM scored)
+        |SELECT item, other, n_both, cos, CAST(rk AS INT) AS rk
+        |FROM rk WHERE rk <= 3 ORDER BY item, rk""".stripMargin,
+    "q175_hits" ->
+      // two unrolled HITS rounds; every normalized score is
+      // round(raw/sum, 6) in DECIMAL so the replay is exact
+      """WITH e AS MATERIALIZED (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u,
+        |  CAST(l_partkey AS BIGINT) AS p
+        | FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |h0 AS (SELECT u, CAST(1 AS DECIMAL(18,6)) AS h
+        |  FROM (SELECT DISTINCT u FROM e)),
+        |a1r AS (SELECT p, CAST(sum(h) AS DECIMAL(28,6)) AS raw
+        |  FROM e JOIN h0 USING (u) GROUP BY p),
+        |a1 AS (SELECT p, CAST(round(CAST(raw AS DOUBLE) /
+        |  (SELECT CAST(sum(raw) AS DOUBLE) FROM a1r), 6) AS DECIMAL(10,6)) AS a
+        | FROM a1r),
+        |h1r AS (SELECT u, CAST(sum(a) AS DECIMAL(28,6)) AS raw
+        |  FROM e JOIN a1 USING (p) GROUP BY u),
+        |h1 AS (SELECT u, CAST(round(CAST(raw AS DOUBLE) /
+        |  (SELECT CAST(sum(raw) AS DOUBLE) FROM h1r), 6) AS DECIMAL(10,6)) AS h
+        | FROM h1r),
+        |a2r AS (SELECT p, CAST(sum(h) AS DECIMAL(28,6)) AS raw
+        |  FROM e JOIN h1 USING (u) GROUP BY p),
+        |a2 AS (SELECT p, CAST(round(CAST(raw AS DOUBLE) /
+        |  (SELECT CAST(sum(raw) AS DOUBLE) FROM a2r), 6) AS DECIMAL(10,6)) AS a
+        | FROM a2r)
+        |SELECT p AS item, CAST(a AS DOUBLE) AS auth
+        |FROM a2 ORDER BY auth DESC, item LIMIT 20""".stripMargin,
+    "q179_textrank" -> textRankSql(2),
+    "q181_sssp" -> ssspSql(4),
+    "q218_ktruss_peel" -> kTrussSql(rounds = 2, k = 7))
+}

@@ -1,0 +1,355 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Merge, Ordinals}
+import graft.operators.Merge.{DuplicateMode, ImportMode, Key}
+
+/** Streaming-engine drain queries — real readStream micro-batch replays (windows, keyed dedup, sessions, append eviction, stream-stream join, foreachBatch upsert) hash-matched against batch oracles.
+  *
+  * Split from the monolithic `SparkEntry.scala` in round 11 (it had
+  * grown to 9.5k lines); self-typed to [[SparkEntry]] so every query
+  * and shared helper keeps resolving unqualified across family files.
+  * Contributes [[queriesStreaming]] / [[oracleSqlStreaming]] to the
+  * assembled driver contract.
+  */
+private[graft] trait StreamingQueries { this: SparkEntry.type =>
+
+  import Tables._
+
+  // ---------------------------------------------------------------- q207
+  /** Streaming windowed stats drained through the REAL Structured
+    * Streaming engine and hash-compared against the batch oracle —
+    * until now streaming was verified only by self-parity pins; this
+    * row makes the `StreamingImport.windowedEventStats` path (micro-
+    * batch execution, state store, watermark plumbing) answer to
+    * DuckDB exactly like every batch operator. The events table is
+    * staged to parquet, replayed as a multi-micro-batch file stream
+    * (maxFilesPerTrigger), windowed+watermarked, and the memory sink's
+    * COMPLETE-mode output (complete, not append: the trailing window
+    * would otherwise be withheld waiting for a watermark that never
+    * advances past end-of-stream) is returned as a batch frame.
+    * Value sums run in DECIMAL pre-aggregation for engine-portable
+    * doubles (FP sum order differs between engines).
+    */
+  def q207StreamWindows(s: SparkSession, d: String): DataFrame = {
+    streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q207-")
+    val src = tmp.resolve("src").toString
+    events(s, d)
+      .select(timestamp_micros(expr("ts DIV 1000")).as("ts_utc"),
+        col("event_type"),
+        col("value").cast("decimal(18,6)").as("value"))
+      .repartition(8).write.mode("overwrite").parquet(src)
+    val stream = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    val agg = streaming.StreamingImport.windowedEventStats(
+      stream, "ts_utc", "1 hour", "10 minutes", Seq("event_type"))
+    // unique sink/checkpoint per invocation: Bench's min-of-N protocol
+    // reruns every query in one session
+    val sink = s"q207_sink_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(sink)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .select(col("window_start"), col("event_type"), col("n"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  // ---------------------------------------------------------------- q210
+  /** Streaming cross-batch keyed dedup drained through the REAL
+    * engine: events replayed as a multi-micro-batch file stream
+    * through [[streaming.StreamingImport.dedupStream]]
+    * (`flatMapGroupsWithState`, one boolean per key in the state
+    * store), then the surviving KEY SET is hash-compared against
+    * DuckDB's `SELECT DISTINCT`. Which event survives per key is
+    * arrival-order dependent (partition scheduling), so the oracle
+    * checks the order-invariant contract: exactly one row per key,
+    * no key lost or invented across micro-batches.
+    */
+  def q210StreamDedup(s: SparkSession, d: String): DataFrame = {
+    streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q210-")
+    val src = tmp.resolve("src").toString
+    events(s, d).select(col("user_id"), col("event_id"))
+      .repartition(8).write.mode("overwrite").parquet(src)
+    import s.implicits._
+    val stream = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+      .select(col("user_id").as("_1"), col("event_id").as("_2"))
+      .as[(Long, Long)]
+    val dedup = streaming.StreamingImport
+      .dedupStream[Long, (Long, Long)](stream, _._1)
+      .toDF("user_id", "event_id")
+    val sink = s"q210_sink_${System.nanoTime()}"
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName(sink)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).select(col("user_id")).orderBy(col("user_id"))
+  }
+
+  // ---------------------------------------------------------------- q211
+  /** Streaming SESSION windows drained through the real engine — the
+    * q43 gaps-and-islands oracle replayed against
+    * [[streaming.StreamingImport.sessionEventStats]] running in
+    * micro-batches (session-merging state store): inactivity-gap
+    * sessions must come out identical whether computed in batch or
+    * accumulated incrementally across triggers. Complete output mode
+    * for the same end-of-stream reason as q207.
+    */
+  def q211StreamSessions(s: SparkSession, d: String): DataFrame = {
+    streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q211-")
+    val src = tmp.resolve("src").toString
+    events(s, d)
+      .select(timestamp_micros(expr("ts DIV 1000")).as("ts_utc"),
+        col("user_id"),
+        col("value").cast("decimal(18,6)").as("value"))
+      .repartition(8).write.mode("overwrite").parquet(src)
+    val stream = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    // session windows filter watermark-late input even in complete
+    // mode (unlike plain windowed aggs), and a parquet REPLAY arrives
+    // in file order, not time order — the watermark must exceed the
+    // replay's max disorder, which for a historical table is its full
+    // span. (That is the documented operator contract, not a dodge:
+    // q205 is the audit that SIZES this number for live streams.)
+    val agg = streaming.StreamingImport.sessionEventStats(
+      stream, "ts_utc", "30 minutes", "730 days", Seq("user_id"))
+    val sink = s"q211_sink_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(sink)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .select(col("session_start"), col("user_id"), col("n"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  // ---------------------------------------------------------------- q212
+  /** APPEND-mode streaming windows — the third streaming engine
+    * contract after q207 (complete-mode aggregation state) and q211
+    * (session merging): append emits a window ONLY once the watermark
+    * passes its end and then never revisits it, so the drained output
+    * must equal the batch aggregation RESTRICTED to windows with
+    * `window_end <= max(event time)` (delay 0) — the trailing window
+    * stays withheld forever. To make watermark progression
+    * deterministic the replay is staged month-by-month (one file per
+    * month, strictly increasing mtimes, one file per trigger): months
+    * are time-disjoint, so the watermark carried from batch N−1 never
+    * classifies a batch-N row late, with zero delay and no span-sized
+    * watermark crutch.
+    */
+  def q212StreamAppend(s: SparkSession, d: String): DataFrame = {
+    streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q212-")
+    val src = tmp.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    val ev = events(s, d)
+      .select(timestamp_micros(expr("ts DIV 1000")).as("ts_utc"),
+        col("event_type"),
+        col("value").cast("decimal(18,6)").as("value"))
+    val months = ev.select(date_trunc("month", col("ts_utc")).as("m"))
+      .distinct().orderBy(col("m"))
+      .collect().map(_.getTimestamp(0)) // bounded: one row per month
+    months.zipWithIndex.foreach { case (m, i) =>
+      ev.filter(date_trunc("month", col("ts_utc")) === lit(m))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(src.resolve(f"m$i%03d").toString)
+      Thread.sleep(25) // strictly increasing mtimes drive file order
+    }
+    val schema = s.read.parquet(src.resolve("m000").toString).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString + "/m*")
+    val agg = streaming.StreamingImport.windowedEventStats(
+      stream, "ts_utc", "1 hour", "0 seconds", Seq("event_type"))
+    val sink = s"q212_sink_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(sink)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .select(col("window_start"), col("event_type"), col("n"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  // ---------------------------------------------------------------- q213
+  /** STREAM-STREAM interval join drained through the real engine —
+    * the two-sided join state store, the last big streaming path
+    * without an oracle row: clicks and views replayed as two file
+    * streams, inner-joined on user with `view_ts ∈ [click_ts ± 5min]`
+    * ([[streaming.StreamingImport.intervalJoinStreams]]), pairs
+    * drained and THEN aggregated in batch to per-click nearby-view
+    * counts — the q45 shape. An inner stream-stream join emits each
+    * matching pair exactly once regardless of arrival interleaving
+    * (watermark only bounds state retention, sized here to the replay
+    * span), so the drained pair SET is deterministic even though the
+    * replay order is not. Users < 300 keep the drained pair table
+    * driver-memory-sized.
+    */
+  def q213StreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q213-")
+    val ev = events(s, d).filter(col("user_id") < 300)
+      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_utc").as("c_ts"))
+      .repartition(4).write.mode("overwrite")
+      .parquet(tmp.resolve("clicks").toString)
+    ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts_utc").as("v_ts"))
+      .repartition(4).write.mode("overwrite")
+      .parquet(tmp.resolve("views").toString)
+    def rd(name: String) = s.readStream
+      .schema(s.read.parquet(tmp.resolve(name).toString).schema)
+      .option("maxFilesPerTrigger", "2").parquet(tmp.resolve(name).toString)
+    val joined = streaming.StreamingImport.intervalJoinStreams(
+      rd("clicks"), rd("views"), "user_id", "v_user", "c_ts", "v_ts",
+      delay = "730 days", lowerBoundS = -300L, upperBoundS = 300L)
+    val sink = s"q213_sink_${System.nanoTime()}"
+    val q = joined.select(col("user_id"), col("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(count(lit(1)).as("n_views_nearby"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- q214
+  /** The STREAMING IMPORT flagship drained against an oracle: monthly
+    * per-user aggregates staged as one file per month (strictly
+    * increasing mtimes, one file per trigger — the q212 discipline)
+    * and folded through [[streaming.StreamingImport.mergeEachBatch]]
+    * (`foreachBatch` + the full importMerge matrix, Upsert ×
+    * UpdateAllJoin) into a running target. Each batch carries at most
+    * one row per key, so the cross-batch semantics under test — later
+    * months overwrite, unseen users insert — are deterministic: the
+    * final target is every user's LATEST month row, which DuckDB
+    * replays as an argmax-by-month join.
+    */
+  def q214StreamUpsert(s: SparkSession, d: String): DataFrame = {
+    streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q214-")
+    val src = tmp.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    val monthly = events(s, d)
+      .withColumn("m", date_trunc("month",
+        timestamp_micros(expr("ts DIV 1000"))))
+      .groupBy(col("user_id"), col("m"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
+    val months = monthly.select(col("m")).distinct().orderBy(col("m"))
+      .collect().map(_.getTimestamp(0)) // bounded: one row per month
+    months.zipWithIndex.foreach { case (m, i) =>
+      monthly.filter(col("m") === lit(m)).coalesce(1)
+        .write.mode("overwrite").parquet(src.resolve(f"m$i%03d").toString)
+      Thread.sleep(25)
+    }
+    val schema = s.read.parquet(src.resolve("m000").toString).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString + "/m*")
+    var target = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val w = streaming.StreamingImport.mergeEachBatch(stream,
+      keys = Seq("user_id"),
+      loadTarget = () => target,
+      saveTarget = merged => { target = merged.localCheckpoint(true) })
+    val q = w.option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    target.orderBy(col("user_id"))
+  }
+
+  private[graft] def queriesStreaming: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_stream_windows" -> (q207StreamWindows _),
+    "q210_stream_dedup" -> (q210StreamDedup _),
+    "q211_stream_sessions" -> (q211StreamSessions _),
+    "q212_stream_append" -> (q212StreamAppend _),
+    "q213_stream_interval_join" -> (q213StreamIntervalJoin _),
+    "q214_stream_upsert" -> (q214StreamUpsert _))
+
+  private[graft] def oracleSqlStreaming: Map[String, String] = Map(
+    "q207_stream_windows" ->
+      // the q37 batch oracle — here the Spark side actually executes
+      // the Structured Streaming engine (micro-batches + state store)
+      // and drains its complete-mode output to a batch frame
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q210_stream_dedup" ->
+      // the order-invariant contract of the streaming keyed dedup:
+      // exactly one surviving row per key, no key lost or invented
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    "q211_stream_sessions" ->
+      // q43's gaps-and-islands oracle vs the streaming session-window
+      // state store (sessions must merge identically across triggers)
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+        |m AS (SELECT user_id, t, value,
+        |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |       OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM e),
+        |g AS (SELECT user_id, t, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS grp
+        | FROM m)
+        |SELECT min(t) AS session_start, user_id, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin,
+    "q212_stream_append" ->
+      // append-mode emission contract: exactly the windows whose END
+      // the final watermark (max event time, delay 0) passed
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value
+        |  FROM events)
+        |SELECT time_bucket(INTERVAL 1 HOUR, t) AS window_start,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM e
+        |GROUP BY 1, 2
+        |HAVING window_start + INTERVAL 1 HOUR <= (SELECT max(t) FROM e)
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q213_stream_interval_join" ->
+      // the q45 shape via the two-sided stream-stream join state store:
+      // per-click count of same-user views within +/- 5 minutes
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |  CAST(ts AS TIMESTAMP) AS t FROM events WHERE user_id < 300),
+        |clicks AS (SELECT user_id, event_id, t FROM ev
+        |  WHERE event_type = 'click'),
+        |views AS (SELECT user_id AS v_user, t AS v_t FROM ev
+        |  WHERE event_type = 'view')
+        |SELECT c.user_id, c.event_id, count(*) AS n_views_nearby
+        |FROM clicks c JOIN views v
+        |  ON v.v_user = c.user_id
+        | AND v.v_t >= c.t - INTERVAL 5 MINUTE
+        | AND v.v_t <= c.t + INTERVAL 5 MINUTE
+        |GROUP BY c.user_id, c.event_id
+        |ORDER BY c.event_id""".stripMargin,
+    "q214_stream_upsert" ->
+      // cross-batch upsert: the final target is each user's LATEST
+      // month row (later batches overwrite, unseen users insert)
+      """WITH ev AS (SELECT user_id,
+        |  date_trunc('month', CAST(ts AS TIMESTAMP)) AS m,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        | FROM events GROUP BY 1, 2),
+        |last AS (SELECT user_id, max(m) AS m FROM ev GROUP BY user_id)
+        |SELECT ev.user_id, ev.m, ev.n_events, ev.sum_value
+        |FROM ev JOIN last ON last.user_id = ev.user_id AND last.m = ev.m
+        |ORDER BY ev.user_id""".stripMargin)
+}

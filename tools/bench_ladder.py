@@ -15,6 +15,11 @@ import json, math, os, subprocess, sys, tempfile, time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SFS = ["0.001", "0.01", "0.1"]
+# third decade (round-11 verdict task 6): a ladder-only synthetic
+# sf~1 slice (10 disjoint key-remapped replicas of sf0.1 — see
+# graft.tools.MakeLadderSf1). Generated outside the driver-owned
+# testdata; included when present.
+SF1_DIR = os.environ.get("GRAFT_SF1_DIR", "/tmp/graft-sf1")
 ENTRIES = [
     "artifact_pairs", "artifact_labels", "artifact_epairs",
     "artifact_edges",
@@ -41,7 +46,8 @@ ADD_OPENS = [
 
 def run_sf(sf: str, cpus: str):
     env = dict(os.environ)
-    env["SPARK_GRAFT_SF_DIR"] = f"/root/testdata/sf{sf}"
+    env["SPARK_GRAFT_SF_DIR"] = (
+        SF1_DIR if sf == "1" else f"/root/testdata/sf{sf}")
     env["SPARK_GRAFT_CPUS"] = cpus
     env["SPARK_GRAFT_ONLY"] = ",".join(ENTRIES)
     # fresh cache root per (ladder, sf): artifact entries must measure a
@@ -67,14 +73,20 @@ def run_sf(sf: str, cpus: str):
 
 def main():
     cpus = sys.argv[1] if len(sys.argv) > 1 else "32"
-    runs = {sf: run_sf(sf, cpus) for sf in SFS}
+    sfs = list(SFS)
+    if os.path.isdir(SF1_DIR):
+        sfs.append("1")
+    runs = {sf: run_sf(sf, cpus) for sf in sfs}
     table = {}
     for e in ENTRIES:
-        ts = {sf: runs[sf]["queries"].get(e) for sf in SFS}
+        ts = {sf: runs[sf]["queries"].get(e) for sf in sfs}
         alpha = None
         if ts["0.01"] and ts["0.1"] and ts["0.01"] > 0:
             alpha = round(math.log(ts["0.1"] / ts["0.01"]) / math.log(10), 2)
         table[e] = {"t": ts, "alpha_01_to_1": alpha}
+        if ts.get("1") and ts["0.1"]:
+            table[e]["alpha_1_to_10"] = round(
+                math.log(ts["1"] / ts["0.1"]) / math.log(10), 2)
     out = {
         "entries": table,
         "cal": {sf: runs[sf].get("cal") for sf in SFS},
@@ -88,7 +100,9 @@ def main():
     for e, r in sorted(table.items(), key=lambda kv: -(kv[1]["t"]["0.1"] or 0)):
         ts = r["t"]
         print(f"{e:28s} {ts['0.001'] or 0:7.2f} {ts['0.01'] or 0:7.2f} "
-              f"{ts['0.1'] or 0:7.2f}  alpha={r['alpha_01_to_1']}")
+              f"{ts['0.1'] or 0:7.2f} {ts.get('1') or 0:7.2f}  "
+              f"alpha={r['alpha_01_to_1']} "
+              f"alpha_top={r.get('alpha_1_to_10')}")
 
 
 if __name__ == "__main__":
