@@ -125,12 +125,68 @@ private[graft] trait TemporalQueries { this: SparkEntry.type =>
       .orderBy(col("event_id"))
   }
 
+  // ---------------------------------------------------------------- q225
+  /** KEYLESS TIMESTAMP band join through [[graft.plans
+    * .RangeJoinBandingRule]] — the round-11 headline oracle-gated end
+    * to end: the raw analyst predicate `v_ts BETWEEN c_ts − INTERVAL
+    * '10' MINUTE AND c_ts + INTERVAL '10' MINUTE` (TIMESTAMP columns,
+    * INTERVAL literal, NO key) would plan BroadcastNestedLoopJoin; the
+    * rule — registered here exactly as the `spark.sql.extensions`
+    * deployment would — rewrites it to the banded equi-join over
+    * epoch-micros, and the per-hour pair counts must equal DuckDB's
+    * plain quadratic evaluation of the same predicate. Users < 300
+    * bound the pair cardinality.
+    */
+  def q225TsBandJoin(s: SparkSession, d: String): DataFrame = {
+    if (!s.experimental.extraOptimizations
+        .contains(graft.plans.RangeJoinBandingRule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.RangeJoinBandingRule
+    val ev = events(s, d).filter(col("user_id") < 300)
+      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("ts_utc").as("c_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("ts_utc").as("v_ts"))
+    clicks.join(views,
+        col("v_ts") >= col("c_ts") - expr("INTERVAL '10' MINUTE") &&
+          col("v_ts") <= col("c_ts") + expr("INTERVAL '10' MINUTE"))
+      .groupBy(date_trunc("hour", col("c_ts")).as("hour"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hour"))
+  }
+
+  // ---------------------------------------------------------------- q226
+  /** TIMESTAMP-typed as-of join through the [[operators.TemporalJoins
+    * .asofJoin]] dispatcher — q44's query with the time columns cast to
+    * the analyst-default TIMESTAMP type, which round 11 taught the
+    * dispatcher to normalize to epoch-micros and run on the native
+    * [[graft.plans.AsofJoinExec]] (pre-r11 this silently fell back to
+    * the windowed plan). Same DuckDB `ASOF LEFT JOIN` oracle as q44.
+    */
+  def q226AsofTimestamp(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_utc"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts_utc").as("v_ts"))
+      .agg(max(col("value")).as("view_value"))
+    operators.TemporalJoins.asofJoin(clicks, views, Seq("user_id"),
+        leftTs = "ts_utc", rightTs = "v_ts", rightVals = Seq("view_value"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(col("view_value"), 6).as("view_value"))
+      .orderBy(col("event_id"))
+  }
+
   private[graft] def queriesTemporal: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_asof_join" -> (q44AsofJoin _),
     "q45_range_join" -> (q45RangeJoin _),
     "q204_asof_native" -> (q204AsofNative _),
     "q219_asof_forward" -> (q219AsofForward _),
-    "q221_asof_nearest" -> (q221AsofNearest _))
+    "q221_asof_nearest" -> (q221AsofNearest _),
+    "q225_ts_band_join" -> (q225TsBandJoin _),
+    "q226_asof_timestamp" -> (q226AsofTimestamp _))
 
   private[graft] def oracleSqlTemporal: Map[String, String] = Map(
     "q44_asof_join" ->
@@ -196,5 +252,29 @@ private[graft] trait TemporalQueries { this: SparkEntry.type =>
         |       WHEN (b.ts - b.bt) <= (f.ft - b.ts) THEN b.bv
         |       ELSE f.fv END, 6) AS view_value
         |FROM b JOIN f ON f.event_id = b.event_id
-        |ORDER BY b.event_id""".stripMargin)
+        |ORDER BY b.event_id""".stripMargin,
+    "q225_ts_band_join" ->
+      // the RAW quadratic predicate — DuckDB plans it however it likes
+      // (IEJoin); Spark's banded rewrite must be result-invisible
+      """WITH ev AS (SELECT event_type, ts FROM events WHERE user_id < 300),
+        |clicks AS (SELECT ts AS c_ts FROM ev WHERE event_type = 'click'),
+        |views AS (SELECT ts AS v_ts FROM ev WHERE event_type = 'view')
+        |SELECT date_trunc('hour', c_ts) AS hour, count(*) AS n_pairs
+        |FROM clicks JOIN views
+        |  ON v_ts BETWEEN c_ts - INTERVAL 10 MINUTE
+        |             AND c_ts + INTERVAL 10 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q226_asof_timestamp" ->
+      // q44's oracle verbatim: DuckDB already reads ts as a µs
+      // TIMESTAMP, so the TIMESTAMP-typed Spark dispatch must agree
+      // with the same native ASOF LEFT JOIN
+      """WITH clicks AS (SELECT user_id, event_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (SELECT user_id, ts, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT c.user_id, c.event_id, c.value,
+        | round(v.view_value, 6) AS view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin)
 }
