@@ -40,8 +40,12 @@ object Contingency {
       count_distinct(col("b")).as("n_b"))
     // the FULL |A|×|B| grid, not just observed cells: a zero cell still
     // contributes (0−e)²/e = r·c/n² ... scaled below — dropping zeros
-    // understates χ² exactly where association is strongest
-    val grid = rowTot.crossJoin(colTot)
+    // understates χ² exactly where association is strongest. Broadcast
+    // the column-marginal side explicitly: both sides are
+    // dimension-bounded, but without the hint the planner sometimes
+    // picks a shuffling CartesianProduct over the bounded-build
+    // nested-loop (q198's plan audit caught it doing exactly that)
+    val grid = rowTot.crossJoin(broadcast(colTot))
       .join(cells, Seq("a", "b"), "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
     // every χ² term (o·n − r·c)²/(n·r·c): integer numerator/denominator,
