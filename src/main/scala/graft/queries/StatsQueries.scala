@@ -832,7 +832,37 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         col("centroid_cosine"))
       .orderBy(col("label_a"), col("label_b"))
 
+  // ---------------------------------------------------------------- q227
+  /** k-anonymity class-size histogram over customer quasi-identifiers
+    * (nation, market segment, balance rounded to the thousand —
+    * [[operators.Anonymity.kAnonymityProfile]]): how many rows share
+    * each quasi-identifier combination, i.e. how re-identifiable an
+    * export of this table is. All-integer; the verdict for any k
+    * reads off the histogram head.
+    */
+  def q227KAnonymity(s: SparkSession, d: String): DataFrame =
+    operators.Anonymity.kAnonymityProfile(
+      customer(s, d).select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_k")),
+      Seq("c_nationkey", "c_mktsegment", "bal_k"))
+
+  // ---------------------------------------------------------------- q228
+  /** l-diversity histogram ([[operators.Anonymity.lDiversityProfile]]):
+    * with (nation, balance-thousand) as the quasi key, how many
+    * DISTINCT market segments each equivalence class spans — classes
+    * with diversity 1 leak the segment with certainty even under
+    * k-anonymity.
+    */
+  def q228LDiversity(s: SparkSession, d: String): DataFrame =
+    operators.Anonymity.lDiversityProfile(
+      customer(s, d).select(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_k"),
+        col("c_mktsegment")),
+      Seq("c_nationkey", "bal_k"), "c_mktsegment")
+
   private[graft] def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_k_anonymity" -> (q227KAnonymity _),
+    "q228_l_diversity" -> (q228LDiversity _),
     "q48_quantiles" -> (q48Quantiles _),
     "q54_histogram" -> (q54Histogram _),
     "q70_stratified_sample" -> (q70StratifiedSample _),
@@ -1662,5 +1692,21 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
          |   sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
          |   AS centroid_cosine
          |FROM dots d JOIN nrm na ON na.g = d.ga JOIN nrm nb ON nb.g = d.gb
-         |ORDER BY label_a, label_b""".stripMargin)
+         |ORDER BY label_a, label_b""".stripMargin,
+    "q227_k_anonymity" ->
+      // DuckDB sums BIGINT into HUGEINT — cast the published counts
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |   CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+        |   count(*) AS sz
+        | FROM customer GROUP BY 1, 2, 3)
+        |SELECT sz AS class_size, CAST(count(*) AS BIGINT) AS n_classes,
+        | CAST(sum(sz) AS BIGINT) AS n_rows
+        |FROM cls GROUP BY sz ORDER BY class_size""".stripMargin,
+    "q228_l_diversity" ->
+      """WITH cls AS (SELECT c_nationkey,
+        |   CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+        |   count(DISTINCT c_mktsegment) AS ldiv
+        | FROM customer GROUP BY 1, 2)
+        |SELECT ldiv AS l_diversity, CAST(count(*) AS BIGINT) AS n_classes
+        |FROM cls GROUP BY 1 ORDER BY l_diversity""".stripMargin)
 }

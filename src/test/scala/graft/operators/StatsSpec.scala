@@ -115,6 +115,24 @@ class StatsSpec extends SparkSpec {
     assert(rows(0).getDouble(2) === -1.0)
   }
 
+  test("k-anonymity / l-diversity: hand-computed class histograms") {
+    import graft.operators.Anonymity
+    // quasi (region, band): classes {(n,1):3 rows, (n,2):1, (s,1):2}
+    // sensitive seg: (n,1) spans {a,b}, (n,2) {a}, (s,1) {a}
+    val df = Seq(
+      ("n", 1L, "a"), ("n", 1L, "a"), ("n", 1L, "b"),
+      ("n", 2L, "a"),
+      ("s", 1L, "a"), ("s", 1L, "a")).toDF("r", "band", "seg")
+    val k = Anonymity.kAnonymityProfile(df, Seq("r", "band"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // size 1: one class (n,2) / 1 row; size 2: (s,1) / 2; size 3: (n,1) / 3
+    assert(k.toSeq === Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L)))
+    val l = Anonymity.lDiversityProfile(df, Seq("r", "band"), "seg")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    // diversity 1: (n,2) and (s,1); diversity 2: (n,1)
+    assert(l.toSeq === Seq((1L, 2L), (2L, 1L)))
+  }
+
   test("cohen kappa: identity=1, skew-corrected, constant-equal null") {
     // perfect agreement
     val same = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
