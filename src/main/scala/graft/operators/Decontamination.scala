@@ -57,4 +57,61 @@ object Decontamination {
       .filter(col("is_contaminated") === 1L).select(col("id"))
     corpus.join(bad, corpus(idCol) === bad("id"), "left_anti")
   }
+
+  /** EMBEDDING-level cross-set decontamination — the semantic
+    * complement of the n-gram tier: a paraphrased benchmark item
+    * shares no shingles with its source but its embedding is nearly
+    * parallel. Flags TRAIN vectors whose cosine to ANY eval vector
+    * reaches `threshold`, via the hyperplane-LSH band buckets
+    * ([[Similarity.hyperplaneBits]]/[[Similarity.packBandKeys]] — the
+    * SAME deterministic hyperplanes as the near-dup tier, so an
+    * external SQL engine replays the banding verbatim): both sides
+    * project to (bucket, band, key), candidates are per-key matches
+    * (never all-pairs), verified with exact cosine ROUNDED 6 dp
+    * before thresholding (engine-portable boundary ties).
+    *
+    * Returns one row per contaminated train id:
+    * `(train_id, n_eval_hits, top_eval_id, max_sim)` with the argmax
+    * eval tie-broken to the smallest id — deterministic, so the
+    * removal set (and the audit trail of WHY each item was removed)
+    * is reproducible run over run.
+    */
+  def embeddingContamination(train: DataFrame, eval: DataFrame,
+                             threshold: Double,
+                             numPlanes: Int = 24, bands: Int = 4,
+                             dim: Int = 64,
+                             bucketCol: Option[String] = None,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    require(numPlanes % bands == 0,
+      s"numPlanes ($numPlanes) must divide into bands ($bands)")
+    val w = Similarity.hyperplaneWeights(numPlanes, dim)
+    def keyed(df: DataFrame, outId: String) = {
+      val bk = bucketCol.map(col).getOrElse(lit(0L))
+      df.select(bk.as("bk"), col(idCol).as(outId), col(vecCol).as(s"__v_$outId"))
+        .withColumn("__bits", Similarity.hyperplaneBits(col(s"__v_$outId"), w))
+        .withColumn("__keys",
+          Similarity.packBandKeys(col("__bits"), bands, numPlanes / bands))
+        .drop("__bits")
+    }
+    val t = keyed(train, "tid")
+    val e = keyed(eval, "eid")
+    def exploded(df: DataFrame, id: String) = df
+      .select(col("bk"), col(id),
+        posexplode(col("__keys")).as(Seq("band_idx", "band_key")))
+    val cand = exploded(t, "tid").join(exploded(e, "eid"),
+        Seq("bk", "band_idx", "band_key"))
+      .select(col("tid"), col("eid")).distinct()
+    cand
+      .join(t.select(col("tid"), col("__v_tid")), Seq("tid"))
+      .join(e.select(col("eid"), col("__v_eid")), Seq("eid"))
+      .withColumn("sim",
+        round(Similarity.cosine(col("__v_tid"), col("__v_eid")), 6))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("tid").as("train_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(struct(col("sim"), (-col("eid")).as("ne"))).as("__m"))
+      .select(col("train_id"), col("n_eval_hits"),
+        (-col("__m.ne")).as("top_eval_id"), col("__m.sim").as("max_sim"))
+  }
 }

@@ -771,7 +771,31 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  // ---------------------------------------------------------------- q229
+  /** EMBEDDING-level cross-set decontamination
+    * ([[operators.Decontamination.embeddingContamination]]) — the
+    * semantic complement of q68's n-gram tier: eval = vec_id < 100
+    * held out as the benchmark, train = the rest PLUS planted exact
+    * copies of every 7th eval vector (shifted ids) — the
+    * contamination a paraphrase slips past shingles. Flagged train
+    * rows carry the hit count, the argmax eval id (ties to smallest)
+    * and the 6-dp max cosine; the oracle replays the SAME
+    * deterministic hyperplane bands and exact-cosine verification.
+    */
+  def q229EmbeddingDecontamination(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val eval = e.filter(col("vec_id") < 100)
+    val train = e.filter(col("vec_id") >= 100)
+      .unionAll(e.filter(col("vec_id") < 100 && col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          col("embedding"), col("label")))
+    operators.Decontamination.embeddingContamination(train, eval,
+        threshold = 0.85, bucketCol = Some("label"))
+      .orderBy(col("train_id"))
+  }
+
   private[graft] def queriesDedup: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_embedding_decontamination" -> (q229EmbeddingDecontamination _),
     "q22_exact_dedup" -> (q22ExactDedup _),
     "q23_minhash_lsh" -> (q23MinhashLsh _),
     "q24_ngram_jaccard" -> (q24NgramJaccard _),
@@ -1700,5 +1724,38 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
          | FROM m JOIN documents d1 ON d1.doc_id = m.b1
          | JOIN documents d2 ON d2.doc_id = m.b2)
          |SELECT source_a, source_b, count(*) AS n_pairs FROM j
-         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+    "q229_embedding_decontamination" -> {
+      val (bitCols, bandCols) = sqlBandCols(24, 4)
+      // the SAME hyperplane literals and MSB-first band packing as the
+      // Spark side (sqlBandCols == hyperplaneWeights/packBandKeys), so
+      // the candidate set — an LSH-recall artifact — matches exactly;
+      // cosine rounded 6 dp BEFORE thresholding on both engines
+      s"""WITH ev AS (SELECT vec_id AS eid, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 100),
+         |tr AS (SELECT vec_id AS tid, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id >= 100
+         | UNION ALL SELECT vec_id + 2000000 AS tid, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 100 AND vec_id % 7 = 0),
+         |eb AS (SELECT eid, label, v, $bitCols FROM ev),
+         |eband AS (SELECT eid, label, v, $bandCols FROM eb),
+         |tb AS (SELECT tid, label, v, $bitCols FROM tr),
+         |tband AS (SELECT tid, label, v, $bandCols FROM tb),
+         |cand AS (SELECT DISTINCT t.tid, e.eid
+         | FROM tband t JOIN eband e ON t.label = e.label
+         |  AND (t.b0 = e.b0 OR t.b1 = e.b1 OR t.b2 = e.b2 OR t.b3 = e.b3)),
+         |hits AS (SELECT tid, eid, sim FROM (
+         |  SELECT cand.tid, cand.eid,
+         |    round(${sqlCosine("x.v", "y.v")}, 6) AS sim
+         |  FROM cand JOIN tr x ON x.tid = cand.tid
+         |   JOIN ev y ON y.eid = cand.eid) WHERE sim >= 0.85),
+         |agg AS (SELECT tid, CAST(count(*) AS BIGINT) AS n_eval_hits,
+         |   max(sim) AS max_sim FROM hits GROUP BY tid),
+         |top AS (SELECT h.tid, min(h.eid) AS top_eval_id
+         | FROM hits h JOIN agg a ON a.tid = h.tid AND h.sim = a.max_sim
+         | GROUP BY h.tid)
+         |SELECT a.tid AS train_id, a.n_eval_hits, t.top_eval_id, a.max_sim
+         |FROM agg a JOIN top t ON t.tid = a.tid
+         |ORDER BY train_id""".stripMargin
+    })
 }

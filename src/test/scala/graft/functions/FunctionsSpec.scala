@@ -163,6 +163,31 @@ class FunctionsSpec extends SparkSpec {
     assert(lsh == exact && exact.nonEmpty)
   }
 
+  test("embedding decontamination: planted eval copies flagged, argmax deterministic") {
+    import graft.operators.Decontamination
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val eval = e.filter(col("vec_id") < 50)
+    // train = disjoint rest + exact copies of eval ids {0, 10, 20, 30, 40}
+    val train = e.filter(col("vec_id") >= 50)
+      .unionAll(eval.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 500000L).as("vec_id"), col("label"),
+          col("embedding")))
+    val got = Decontamination.embeddingContamination(train, eval,
+        threshold = 0.999999, bucketCol = Some("label"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // every planted copy is flagged with ITS source as the argmax at
+    // cosine 1.0 (an exact copy agrees on every hyperplane sign →
+    // guaranteed candidate; at 0.999999 nothing organic qualifies
+    // unless it's also an exact-direction match, which the assert on
+    // the planted keys tolerates)
+    for (src <- Seq(0L, 10L, 20L, 30L, 40L)) {
+      val (n, top, sim) = got(src + 500000L)
+      assert(n >= 1L && top == src && sim == 1.0, s"src=$src got=${got(src + 500000L)}")
+    }
+  }
+
   test("repetition signals: folds match brute force, degenerate docs yield zeros") {
     val docs = Seq(
       ("a b a b a b c", 3L),   // "a b" ×3 is the mode
