@@ -84,6 +84,45 @@ object Sketches {
         col("h") :+ col("v"): _*)
   }
 
+  /** KMV set-operation estimates between two sketches built with the
+    * SAME k and group keys (Beyer et al., SIGMOD'07, "On synopses for
+    * distinct value estimation under multiset operations"): the
+    * bottom-k of the sketch UNION estimates |A∪B| exactly like any
+    * single sketch, and the fraction ρ/|K| of those rows present in
+    * BOTH input sketches is the standard Jaccard estimator, so
+    * |A∩B| ≈ Ĵ·(A∪B-estimate). Exact whenever the merged sketch is not
+    * full. Cost: sketch-row joins ONLY — nothing rescans the raw data,
+    * so two 100 TB sources compare at k-row cost (the audience/corpus
+    * overlap question answered from pre-built per-source sketches).
+    * Engine-deterministic throughout: integer hash comparisons, one
+    * exact-double union estimate (the [[kmvEstimate]] discipline), and
+    * 6-dp-rounded ratio/product.
+    *
+    * Returns `(groupCols..., n_kept, n_both, est_union, jaccard_est,
+    * est_intersection)`.
+    */
+  def kmvOverlapEstimate(a: DataFrame, b: DataFrame,
+                         groupCols: Seq[String], k: Int): DataFrame = {
+    val m = kmvMerge(a, b, groupCols, k)
+    val key = groupCols :+ "h" :+ "v"
+    val aK = a.select(key.map(col): _*).withColumn("__in_a", lit(1L))
+    val bK = b.select(key.map(col): _*).withColumn("__in_b", lit(1L))
+    m.join(aK, key, "left").join(bK, key, "left")
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("__kth"),
+        sum(coalesce(col("__in_a"), lit(0L)) *
+          coalesce(col("__in_b"), lit(0L))).as("n_both"))
+      .withColumn("est_union",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(HashLine) /
+            col("__kth").cast("double")))
+      .withColumn("jaccard_est",
+        round(col("n_both").cast("double") / col("n_kept").cast("double"), 6))
+      .withColumn("est_intersection",
+        round(col("jaccard_est") * col("est_union"), 6))
+      .drop("__kth")
+  }
+
   // ------------------------------------------------------------- HLL
 
   /** HyperLogLog registers (Flajolet et al., AofA'07) on the same

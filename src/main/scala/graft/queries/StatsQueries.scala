@@ -860,7 +860,28 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         col("c_mktsegment")),
       Seq("c_nationkey", "bal_k"), "c_mktsegment")
 
+  // ---------------------------------------------------------------- q230
+  /** KMV set-overlap estimate ([[operators.Sketches.kmvOverlapEstimate]],
+    * Beyer et al. SIGMOD'07): how much do the clicker and viewer
+    * AUDIENCES overlap, answered from two bottom-128 user sketches —
+    * union estimate off the merged sketch, Jaccard off the both-sides
+    * fraction, intersection as their product. At 100 TB the sources
+    * never rescan: the comparison costs k sketch rows per side.
+    */
+  def q230KmvOverlap(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    def sk(t: String) = operators.Sketches.kmvSketch(
+      ev.filter(col("event_type") === t)
+        .select(lit("users").as("g"),
+          col("user_id").cast("string").as("u")),
+      Seq("g"), "u", k = 128)
+    operators.Sketches.kmvOverlapEstimate(sk("click"), sk("view"),
+        Seq("g"), k = 128)
+      .orderBy(col("g"))
+  }
+
   private[graft] def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_kmv_overlap" -> (q230KmvOverlap _),
     "q227_k_anonymity" -> (q227KAnonymity _),
     "q228_l_diversity" -> (q228LDiversity _),
     "q48_quantiles" -> (q48Quantiles _),
@@ -1708,5 +1729,41 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |   count(DISTINCT c_mktsegment) AS ldiv
         | FROM customer GROUP BY 1, 2)
         |SELECT ldiv AS l_diversity, CAST(count(*) AS BIGINT) AS n_classes
-        |FROM cls GROUP BY 1 ORDER BY l_diversity""".stripMargin)
+        |FROM cls GROUP BY 1 ORDER BY l_diversity""".stripMargin,
+    "q230_kmv_overlap" ->
+      // same md5-48-bit line and (k-1)*2^48 exact-double estimate as
+      // q105; jaccard rounded 6dp BEFORE the intersection product so
+      // both engines multiply identical values
+      """WITH cu AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS u
+        |  FROM events WHERE event_type = 'click'),
+        |vu AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS u
+        |  FROM events WHERE event_type = 'view'),
+        |ca AS (SELECT u, h FROM (
+        |  SELECT u, h, row_number() OVER (ORDER BY h, u) AS rk FROM (
+        |    SELECT u, CAST(('0x' || substr(md5(u), 1, 12)) AS BIGINT) AS h
+        |    FROM cu)) WHERE rk <= 128),
+        |cb AS (SELECT u, h FROM (
+        |  SELECT u, h, row_number() OVER (ORDER BY h, u) AS rk FROM (
+        |    SELECT u, CAST(('0x' || substr(md5(u), 1, 12)) AS BIGINT) AS h
+        |    FROM vu)) WHERE rk <= 128),
+        |m AS (SELECT u, h FROM (
+        |  SELECT u, h, row_number() OVER (ORDER BY h, u) AS rk FROM (
+        |    SELECT DISTINCT u, h FROM (
+        |      SELECT * FROM ca UNION ALL SELECT * FROM cb)))
+        |  WHERE rk <= 128),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, max(m.h) AS kth,
+        |   CAST(sum(CASE WHEN ca.u IS NOT NULL AND cb.u IS NOT NULL
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+        | FROM m LEFT JOIN ca ON ca.u = m.u LEFT JOIN cb ON cb.u = m.u),
+        |est AS (SELECT n_kept, n_both,
+        |   CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+        |     ELSE CAST(127.0 AS DOUBLE) * CAST(281474976710656.0 AS DOUBLE)
+        |       / CAST(kth AS DOUBLE)
+        |   END AS est_union,
+        |   round(CAST(n_both AS DOUBLE) / CAST(n_kept AS DOUBLE), 6)
+        |     AS jaccard_est
+        | FROM agg)
+        |SELECT 'users' AS g, n_kept, n_both, est_union, jaccard_est,
+        | round(jaccard_est * est_union, 6) AS est_intersection
+        |FROM est ORDER BY g""".stripMargin)
 }

@@ -115,6 +115,24 @@ class StatsSpec extends SparkSpec {
     assert(rows(0).getDouble(2) === -1.0)
   }
 
+  test("KMV overlap: exact in the not-full regime, hand-computed") {
+    import graft.operators.Sketches
+    val a = (1 to 6).map(i => ("g", i.toString)).toDF("g", "u")
+    val b = (4 to 9).map(i => ("g", i.toString)).toDF("g", "u")
+    val got = Sketches.kmvOverlapEstimate(
+        Sketches.kmvSketch(a, Seq("g"), "u", 16),
+        Sketches.kmvSketch(b, Seq("g"), "u", 16), Seq("g"), 16)
+      .collect()(0)
+    // |A∪B| = 9 < k ⇒ merged sketch holds the whole union: estimates
+    // are exact — union 9, both-sides rows = |A∩B| = {4,5,6} = 3,
+    // jaccard 3/9 rounded, intersection = round(0.333333 · 9.0, 6)
+    assert(got.getLong(1) === 9L)   // n_kept
+    assert(got.getLong(2) === 3L)   // n_both
+    assert(got.getDouble(3) === 9.0)        // est_union
+    assert(got.getDouble(4) === 0.333333)   // jaccard_est
+    assert(got.getDouble(5) === 2.999997)   // est_intersection
+  }
+
   test("k-anonymity / l-diversity: hand-computed class histograms") {
     import graft.operators.Anonymity
     // quasi (region, band): classes {(n,1):3 rows, (n,2):1, (s,1):2}
