@@ -128,4 +128,60 @@ object TextStats {
         round(lit(1.0) - col("n_distinct").cast("double") /
           col("n_trigrams").cast("double"), 6))
   }
+
+  /** Jensen–Shannon divergence of each group's token distribution from
+    * the corpus-wide distribution — the bounded, symmetric drift score
+    * (0 = identical mix, ln 2 = disjoint vocabularies) that
+    * complements PSI (which needs binning) and KS (which needs an
+    * ordered domain). Returns `(groupCol, n_tokens, jsd)`.
+    *
+    * Let P = group distribution (c/n), Q = corpus distribution (C/N),
+    * M = (P+Q)/2. Tokens absent from the group contribute
+    * `½·Q_w·ln 2` in closed form (P_w = 0 ⇒ M_w = Q_w/2), so the join
+    * only materializes the group's OWN vocabulary:
+    * `jsd = ½·ΣA/n + ½·ΣB/N + ½·ln2·(1 − Σ_in C_w / N)` with
+    * `A = c·round(ln(2cN/(cN+Cn)),6)`, `B = C·round(ln(2Cn/(cN+Cn)),6)`.
+    *
+    * Exactness doctrine: every ln term rounds to 6 dp and accumulates
+    * in DECIMAL(28,6); the cN / Cn products run in DECIMAL(38,0) so
+    * they can never wrap a BIGINT at corpus scale; ln 2 is pinned to
+    * the 6-dp literal 0.693147 on both engines. Scale shape: two hash
+    * aggregations over token occurrences, a broadcast of the per-group
+    * totals (|groups| rows) and the 1-row corpus total — no window, no
+    * self-join; cost is O(token occurrences).
+    */
+  def jsDivergence(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val toks = docs.select(col(groupCol),
+      explode(graft.functions.TextAnalysis.tokens(col(textCol))).as("__w"))
+    val cs = toks.groupBy(col(groupCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val ns = cs.groupBy(col(groupCol)).agg(sum(col("__c")).as("__n"))
+    val cw = cs.groupBy(col("__w")).agg(sum(col("__c")).as("__cw"))
+    val tot = cw.agg(sum(col("__cw")).as("__bigN"))
+    val joined = cs.join(cw, Seq("__w"))
+      .join(broadcast(ns), Seq(groupCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("__cn", (dec(col("__c")) * dec(col("__bigN"))).cast("decimal(38,0)"))
+      .withColumn("__cwn", (dec(col("__cw")) * dec(col("__n"))).cast("decimal(38,0)"))
+      .withColumn("__den", (col("__cn") + col("__cwn")).cast("decimal(38,0)"))
+      .withColumn("__ta", (dec(col("__c")) * round(log(
+        (lit(2).cast("double") * col("__cn").cast("double")) / col("__den").cast("double")), 6)
+        .cast("decimal(18,6)")).cast("decimal(28,6)"))
+      .withColumn("__tb", (dec(col("__cw")) * round(log(
+        (lit(2).cast("double") * col("__cwn").cast("double")) / col("__den").cast("double")), 6)
+        .cast("decimal(18,6)")).cast("decimal(28,6)"))
+    joined.groupBy(col(groupCol))
+      .agg(first(col("__n")).as("n_tokens"),
+        first(col("__bigN")).as("__N2"),
+        sum(col("__ta")).cast("decimal(28,6)").as("__sa"),
+        sum(col("__tb")).cast("decimal(28,6)").as("__sb"),
+        sum(col("__cw")).as("__cin"))
+      .select(col(groupCol), col("n_tokens"),
+        round(lit(0.5) * (col("__sa").cast("double") / col("n_tokens").cast("double"))
+          + lit(0.5) * (col("__sb").cast("double") / col("__N2").cast("double"))
+          + lit(0.5) * lit(0.693147) * (lit(1.0)
+            - col("__cin").cast("double") / col("__N2").cast("double"))
+          + lit(0.0), 6).as("jsd"))
+  }
 }

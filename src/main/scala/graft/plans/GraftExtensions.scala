@@ -44,6 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
       (children: Seq[Expression]) => ShinglesExpr(children.head,
         intArg("shingles", "k", children(1)))))
+    e.injectFunction((
+      new FunctionIdentifier("kmv_lows"),
+      new ExpressionInfo(classOf[KmvLowsAgg].getName, "kmv_lows"),
+      // bare aggregate — the analyzer wraps it in AggregateExpression
+      (children: Seq[Expression]) => KmvLowsAgg(children.head,
+        intArg("kmv_lows", "k", children(1)))))
   }
 }
 

@@ -613,7 +613,36 @@ private[graft] trait EventsQueries { this: SparkEntry.type =>
           .as("cond_entropy"))
   }
 
+  // ---------------------------------------------------------------- q232
+  /** Partition-pruned scan (SURVEY §4's "partition pruning is free when
+    * the plan is declarative" made an oracle row, the directory-layout
+    * sibling of q231's bucketing): events are staged as parquet
+    * PARTITIONED BY event_type, then a filtered read aggregates one
+    * type. The filter resolves against the directory layout, so the
+    * scan lists and reads ONLY the matching partition —
+    * ComponentsSpec pins `PartitionFilters` on the scan; this row pins
+    * the RESULT equals the plain unpartitioned query. At 100 TB this is
+    * the ingest-layout decision that turns a full-corpus scan into a
+    * one-partition read for type/date-sliced queries. `day` is exact
+    * integer epoch-days from the nanos `ts` (engine-invariant); values
+    * sum in DECIMAL.
+    */
+  def q232PartitionPrunedScan(s: SparkSession, d: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "graft_q232_events").toString
+    events(s, d)
+      .withColumn("day", expr("ts DIV 86400000000000"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    s.read.parquet(path)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy(col("day"))
+  }
+
   private[graft] def queriesEvents: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_partition_pruned" -> (q232PartitionPrunedScan _),
     "q37_event_windows" -> (q37EventWindows _),
     "q43_session_windows" -> (q43SessionWindows _),
     "q80_funnel" -> (q80Funnel _),
@@ -1070,5 +1099,14 @@ private[graft] trait EventsQueries { this: SparkEntry.type =>
         |  FROM terms GROUP BY 1, 2)
         |SELECT t AS n_transitions, n_pairs, CAST(s AS DOUBLE) AS sum_clogp,
         | round(-CAST(s AS DOUBLE) / CAST(t AS DOUBLE) + 0.0, 6) AS cond_entropy
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin,
+    "q232_partition_pruned" ->
+      // the partitioned layout is plan-side only — results must equal
+      // the plain filtered aggregate over the original table
+      """SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+        |   // 86400000000 AS day,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY day""".stripMargin)
 }

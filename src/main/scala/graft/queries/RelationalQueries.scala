@@ -804,7 +804,37 @@ private[graft] trait RelationalQueries { this: SparkEntry.type =>
       .withColumn("invariant_holds", col("n_residual_pairs") === 0L)
   }
 
+  // ---------------------------------------------------------------- q231
+  /** Bucketed CO-LOCATED join ([[sink.BucketedStore]] — SURVEY §4's
+    * "co-locate joins via bucketing" made an oracle row): both join
+    * sides are persisted as parquet tables bucketed on the join key,
+    * so the equi-join reads pre-clustered data and plans with NO
+    * shuffle exchange on either side (ComponentsSpec pins the plan
+    * shape; this query pins the RESULT). At 100 TB this is the
+    * repeated-merge pattern: bucket the big target once at write,
+    * every later join against it skips the target-side shuffle.
+    * Quantities aggregate in DECIMAL(18,2) (exact, order-free).
+    */
+  def q231BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val liAgg = lineitem(s, d).groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+    sink.BucketedStore.writeBucketed(liAgg, "graft_q231_li",
+      Seq("l_partkey"), numBuckets = 8, Seq("l_partkey"))
+    sink.BucketedStore.writeBucketed(
+      part(s, d).select(col("p_partkey"), col("p_brand")),
+      "graft_q231_part", Seq("p_partkey"), numBuckets = 8,
+      Seq("p_partkey"))
+    sink.BucketedStore.read(s, "graft_q231_li")
+      .join(sink.BucketedStore.read(s, "graft_q231_part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("qty")).cast("double").as("sum_qty"))
+      .orderBy(col("p_brand"))
+  }
+
   private[graft] def queriesRelational: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_bucketed_join" -> (q231BucketedJoin _),
     "q01_scan_agg" -> (q01ScanAgg _),
     "q02_join_dims" -> (q02JoinDims _),
     "q03_insert_not_existing_anti" -> (q03AntiJoin _),
@@ -1386,5 +1416,15 @@ private[graft] trait RelationalQueries { this: SparkEntry.type =>
          |SELECT (SELECT count(*) FROM surv) AS n_survivors,
          | CAST(n_residual_pairs AS BIGINT) AS n_residual_pairs,
          | n_residual_pairs = 0 AS invariant_holds
-         |FROM resid""".stripMargin)
+         |FROM resid""".stripMargin,
+    "q231_bucketed_join" ->
+      // the bucketing is plan-side only — results must equal the plain
+      // join (DuckDB has no notion of the buckets)
+      """WITH liagg AS (SELECT l_partkey,
+        |   sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        | FROM lineitem GROUP BY 1)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        | CAST(sum(qty) AS DOUBLE) AS sum_qty
+        |FROM liagg JOIN part ON p_partkey = l_partkey
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin)
 }

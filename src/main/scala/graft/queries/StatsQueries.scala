@@ -99,6 +99,34 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------- q234
+  /** KMV distinct-count via the NATIVE aggregate
+    * ([[graft.plans.KmvLowsAgg]] — `kmv_lows(h, k)`): q105's sketch
+    * re-expressed as a single-pass `TypedImperativeAggregate`. The row
+    * formulation must `distinct()` the full value domain before its
+    * windowed bottom-k (a shuffle of every distinct value); the native
+    * aggregate bounds each map-side partial at k longs per group, so
+    * the exchange carries `groups × k × 8` bytes regardless of corpus
+    * size — the 100 TB path. Same md5 hash line, same estimator, same
+    * oracle discipline as q105; distinct users per event type here.
+    */
+  def q234KmvNativeAgg(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val h = events(s, d).filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id").cast("string").as("v"))
+      .withColumn("h", operators.Sketches.hash48(col("v")))
+    h.groupBy(col("event_type"))
+      .agg(countDistinct(col("v")).as("exact_distinct"),
+        graft.plans.KmvLowsAgg.kmvLows(col("h"), k).as("lows"))
+      .select(col("event_type"), col("exact_distinct"),
+        size(col("lows")).cast("long").as("n_kept"),
+        element_at(col("lows"), -1).as("kth_hash"),
+        when(size(col("lows")) < k, size(col("lows")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(operators.Sketches.HashLine) /
+            element_at(col("lows"), -1).cast("double")).as("est_distinct"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------- q109
   /** Robust outlier screen: median/MAD per return flag over extended
     * price, counting rows beyond 3 MAD ([[operators.Outliers]]). The
@@ -890,6 +918,7 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     "q71_source_quota" -> (q71SourceQuota _),
     "q90_source_mix" -> (q90SourceMix _),
     "q105_kmv_sketch" -> (q105KmvSketch _),
+    "q234_kmv_native_agg" -> (q234KmvNativeAgg _),
     "q109_mad_outliers" -> (q109MadOutliers _),
     "q111_weighted_sample" -> (q111WeightedSample _),
     "q128_association_rules" -> (q128AssociationRules _),
@@ -964,7 +993,11 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
          |ORDER BY doc_id""".stripMargin,
     "q105_kmv_sketch" ->
       // (k-1)·2^48 is an exact double (mantissa k-1), so the estimate
-      // is the same three FP ops on both engines.
+      // is the same three FP ops on both engines. The literals MUST be
+      // cast to DOUBLE: bare 63.0 * 281474976710656.0 is a DECIMAL(18)
+      // multiply in DuckDB, which overflows at runtime the first time
+      // a sketch actually fills (caught by q234, whose user counts
+      // exceed k at sf0.01; this corpus' per-source vocab never has).
       s"""WITH v AS (SELECT DISTINCT source AS g, unnest($SqlToks) AS w
          |           FROM documents),
          |h AS (SELECT g, w,
@@ -979,9 +1012,33 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
          |       FROM v GROUP BY g)
          |SELECT ex.g AS source, ex.exact_distinct, topk.n_kept, topk.kth_hash,
          |  CASE WHEN topk.n_kept < 64 THEN CAST(topk.n_kept AS DOUBLE)
-         |       ELSE 63.0 * 281474976710656.0 / CAST(topk.kth_hash AS DOUBLE)
+         |       ELSE CAST(63.0 AS DOUBLE) * CAST(281474976710656.0 AS DOUBLE)
+         |         / CAST(topk.kth_hash AS DOUBLE)
          |  END AS est_distinct
          |FROM ex JOIN topk ON topk.g = ex.g ORDER BY source""".stripMargin,
+    "q234_kmv_native_agg" ->
+      // the native kmv_lows aggregate keeps the k smallest DISTINCT
+      // hashes — the oracle distincts h before ranking for the same
+      // semantics; estimator discipline identical to q105
+      """WITH v AS (SELECT DISTINCT event_type AS g,
+        |    CAST(user_id AS VARCHAR) AS w
+        |  FROM events WHERE user_id IS NOT NULL),
+        |h AS (SELECT DISTINCT g,
+        |    CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h FROM v),
+        |r AS (SELECT g, h,
+        |    row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM h),
+        |topk AS (SELECT g, CAST(count(*) AS BIGINT) AS n_kept,
+        |    max(h) AS kth_hash
+        |  FROM r WHERE rk <= 64 GROUP BY g),
+        |ex AS (SELECT g, CAST(count(*) AS BIGINT) AS exact_distinct
+        |  FROM v GROUP BY g)
+        |SELECT ex.g AS event_type, ex.exact_distinct, topk.n_kept,
+        |  topk.kth_hash,
+        |  CASE WHEN topk.n_kept < 64 THEN CAST(topk.n_kept AS DOUBLE)
+        |       ELSE CAST(63.0 AS DOUBLE) * CAST(281474976710656.0 AS DOUBLE)
+        |         / CAST(topk.kth_hash AS DOUBLE)
+        |  END AS est_distinct
+        |FROM ex JOIN topk ON topk.g = ex.g ORDER BY event_type""".stripMargin,
     "q109_mad_outliers" ->
       // med/mad are quantile_cont (bit-equal to exactQuantiles); the
       // 3·mad comparison uses the unrounded values on both engines.

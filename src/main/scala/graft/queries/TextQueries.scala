@@ -776,7 +776,21 @@ private[graft] trait TextQueries { this: SparkEntry.type =>
     operators.TextStats.firstSeenNovelty(documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- q233
+  /** Per-source Jensen–Shannon divergence from the corpus token mix
+    * ([[operators.TextStats.jsDivergence]]): the bounded symmetric
+    * drift score (0 = same mix, ln 2 ≈ 0.693 = disjoint vocabulary)
+    * that ranks which sources pull the training distribution hardest —
+    * the distribution-level complement of PSI (q133, needs bins) and
+    * keyness (q147, per-word). Absent-token mass is folded in closed
+    * form, so only each source's own vocabulary is ever joined.
+    */
+  def q233JsDivergence(s: SparkSession, d: String): DataFrame =
+    operators.TextStats.jsDivergence(documents(s, d), "source", "text")
+      .orderBy(col("source"))
+
   private[graft] def queriesText: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_js_divergence" -> (q233JsDivergence _),
     "q19_text_stats" -> (q19TextStats _),
     "q20_lang_id" -> (q20LangId _),
     "q21_fingerprint" -> (q21Fingerprint _),
@@ -1516,5 +1530,42 @@ private[graft] trait TextQueries { this: SparkEntry.type =>
          | CAST(sum(CASE WHEN fst.first_doc = tg.doc_id THEN 1 ELSE 0 END)
          |   * 1000000 // count(*) AS BIGINT) AS novelty_ppm
          |FROM tg JOIN fst ON fst.tri = tg.tri
-         |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin)
+         |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin,
+    "q233_js_divergence" ->
+      // mirrors jsDivergence term by term: DECIMAL(38,0) products,
+      // 6-dp-rounded ln terms summed in DECIMAL(28,6), ln2 pinned to
+      // the same 6-dp literal, absent-token mass in closed form
+      s"""WITH t AS (SELECT source, $SqlToks AS toks FROM documents),
+         |u AS (SELECT source, unnest(toks) AS w FROM t),
+         |cs AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM u GROUP BY 1, 2),
+         |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+         |  FROM cs GROUP BY 1),
+         |cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM cs GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS nn FROM cw),
+         |j AS (SELECT cs.source, ns.n, tot.nn, cs.c, cw.cw,
+         |  CAST(CAST(cs.c AS DECIMAL(19,0)) * CAST(tot.nn AS DECIMAL(19,0))
+         |    AS DECIMAL(38,0)) AS cn,
+         |  CAST(CAST(cw.cw AS DECIMAL(19,0)) * CAST(ns.n AS DECIMAL(19,0))
+         |    AS DECIMAL(38,0)) AS bign
+         | FROM cs JOIN ns USING (source) JOIN cw USING (w) CROSS JOIN tot),
+         |terms AS (SELECT source, n, nn, cw,
+         |  CAST(CAST(c AS DECIMAL(19,0)) * CAST(round(ln(
+         |    (2.0 * CAST(cn AS DOUBLE)) / CAST(CAST(cn + bign AS DECIMAL(38,0)) AS DOUBLE)), 6)
+         |    AS DECIMAL(18,6)) AS DECIMAL(28,6)) AS ta,
+         |  CAST(CAST(cw AS DECIMAL(19,0)) * CAST(round(ln(
+         |    (2.0 * CAST(bign AS DOUBLE)) / CAST(CAST(cn + bign AS DECIMAL(38,0)) AS DOUBLE)), 6)
+         |    AS DECIMAL(18,6)) AS DECIMAL(28,6)) AS tb
+         | FROM j),
+         |agg AS (SELECT source, n, nn,
+         |  CAST(sum(ta) AS DECIMAL(28,6)) AS sa,
+         |  CAST(sum(tb) AS DECIMAL(28,6)) AS sb,
+         |  CAST(sum(cw) AS BIGINT) AS cin
+         | FROM terms GROUP BY 1, 2, 3)
+         |SELECT source, n AS n_tokens,
+         | round(0.5 * (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+         |   + 0.5 * (CAST(sb AS DOUBLE) / CAST(nn AS DOUBLE))
+         |   + 0.5 * 0.693147 * (1.0 - CAST(cin AS DOUBLE) / CAST(nn AS DOUBLE))
+         |   + 0.0, 6) AS jsd
+         |FROM agg ORDER BY source""".stripMargin)
 }

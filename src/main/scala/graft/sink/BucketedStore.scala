@@ -22,6 +22,15 @@ object BucketedStore {
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    // A managed-table location can survive a previous JVM whose
+    // (in-process) metastore did not: `saveAsTable` then refuses with
+    // LOCATION_ALREADY_EXISTS even in overwrite mode. Drop both halves.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val whDir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = whDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(whDir)) fs.delete(whDir, true)
     val w = df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w

@@ -110,6 +110,43 @@ class ComponentsSpec extends SparkSpec {
     assert(BucketedStore.hasShuffle(smj))
   }
 
+  test("q231: the bucketed join itself plans shuffle-free (one exchange total, for the final agg)") {
+    val df = graft.SparkEntry.queries("q231_bucketed_join")(
+      spark, "/root/testdata/sf0.001")
+    // both join inputs are bucketed on the key, so the ONLY
+    // hash-exchange in the plan is the post-join groupBy(p_brand);
+    // the join sides read co-located buckets directly.
+    val plan = df.queryExecution.executedPlan.toString
+    val nHashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nHashEx == 1, s"expected 1 hash exchange (final agg), got $nHashEx:\n$plan")
+  }
+
+  test("q232: the event_type filter prunes at the partition layout, not per-row") {
+    val df = graft.SparkEntry.queries("q232_partition_pruned")(
+      spark, "/root/testdata/sf0.001")
+    df.collect() // materialize so AQE finalizes its inner plan
+    // the scan hides below AdaptiveSparkPlanExec / QueryStageExec
+    // leaves — walk through them
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan):
+        Option[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Some(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScan(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScan(q.plan)
+      case other => other.children.view.flatMap(findScan).headOption
+    }
+    val scan = findScan(df.queryExecution.executedPlan)
+      .getOrElse(fail("no FileSourceScanExec in q232's plan"))
+    // the filter must reach the directory layout: a PartitionFilters
+    // entry on event_type, and the scan selects exactly the one
+    // matching partition directory (not all five)
+    assert(scan.partitionFilters.exists(_.toString.contains("event_type")),
+      s"no event_type partition filter on the scan: ${scan.partitionFilters}")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 selected partition, got ${scan.selectedPartitions.partitionCount}")
+  }
+
   test("SparkSessionExtensions injection wires simhash32 into a session") {
     // the builder path (an existing active session would be returned
     // as-is by getOrCreate, so drive the injection directly)
