@@ -276,7 +276,47 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
     target.orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------------------------- q235
+  /** STREAM-STATIC join drained through the engine — the one streaming
+    * join shape q213 (stream-stream) does not cover, and the
+    * workhorse of a streaming warehouse load: every micro-batch of
+    * events equi-joins the static nation dimension
+    * ([[streaming.StreamingImport.enrichWithStatic]], broadcast per
+    * batch — stateless: no watermark, no state store, append mode).
+    * The memory sink collects the enriched rows; the per-nation
+    * rollup happens on the drained BATCH frame so the streaming part
+    * under test is exactly the join. Oracle: the same join + rollup
+    * in plain SQL. Value sums in DECIMAL (exact, order-free).
+    */
+  def q235StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q235-")
+    val src = tmp.resolve("src").toString
+    events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        col("value").cast("decimal(18,6)").as("value"))
+      .withColumn("nk", pmod(col("user_id"), lit(25L)))
+      .repartition(8).write.mode("overwrite").parquet(src)
+    val stream = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    val dim = nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val joined = streaming.StreamingImport.enrichWithStatic(
+      stream, dim, col("nk") === col("n_nationkey"))
+    val sink = s"q235_sink_${System.nanoTime()}"
+    val q = joined.select(col("n_name"), col("event_type"), col("value"))
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .groupBy(col("n_name"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).cast("double").as("sum_value"))
+      .orderBy(col("n_name"), col("event_type"))
+  }
+
   private[graft] def queriesStreaming: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_stream_static_join" -> (q235StreamStaticJoin _),
     "q207_stream_windows" -> (q207StreamWindows _),
     "q210_stream_dedup" -> (q210StreamDedup _),
     "q211_stream_sessions" -> (q211StreamSessions _),
@@ -351,5 +391,13 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
         |last AS (SELECT user_id, max(m) AS m FROM ev GROUP BY user_id)
         |SELECT ev.user_id, ev.m, ev.n_events, ev.sum_value
         |FROM ev JOIN last ON last.user_id = ev.user_id AND last.m = ev.m
-        |ORDER BY ev.user_id""".stripMargin)
+        |ORDER BY ev.user_id""".stripMargin,
+    "q235_stream_static_join" ->
+      // the drain only reorders rows; the rollup is join + group by on
+      // both engines. user_id % 25 keys every event to a nation row.
+      """SELECT n.n_name, e.event_type, count(*) AS n,
+        | CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+        |WHERE e.user_id IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY n_name, event_type""".stripMargin)
 }

@@ -173,6 +173,19 @@ object StreamingImport {
           s" AND `$rightTs` <= `$leftTs` + INTERVAL $upperBoundS SECOND"))
   }
 
+  /** Stateless stream-static enrichment join: each micro-batch of the
+    * stream equi-joins a BATCH dimension frame. No state store, no
+    * watermark — the engine re-evaluates the static side per batch, so
+    * a broadcast hint keeps it a map-side hash join (the 100 TB shape:
+    * the stream shuffles nothing; the dimension ships once per
+    * executor). This is the per-import "resolve surrogate keys against
+    * the dimension table" step of a streaming warehouse load.
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+                       joinCond: org.apache.spark.sql.Column,
+                       joinType: String = "inner"): DataFrame =
+    stream.join(broadcast(dim), joinCond, joinType)
+
   /** Streaming incremental near-dup: every micro-batch of documents
     * probes the STANDING LSH index
     * ([[graft.operators.TextDedup.probeLshIndex]]) — the corpus is never

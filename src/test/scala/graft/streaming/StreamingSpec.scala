@@ -218,6 +218,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1, "click", "buy")))
   }
 
+  test("stream-static enrichment join: inner drops unmatched, left keeps them") {
+    val dir = SyntheticFixtures.dir(s"sstat_${System.nanoTime()}")
+    SyntheticFixtures.writeText(new File(dir, "s.csv"),
+      "k;v\n1;a\n2;b\n9;c") // 9 has no dimension row
+    val sch = org.apache.spark.sql.types.StructType.fromDDL("k INT, v STRING")
+    val dim = Seq((1, "one"), (2, "two")).toDF("dk", "dname")
+    def run(joinType: String, name: String) = {
+      val stream = spark.readStream.schema(sch).option("sep", ";")
+        .option("header", "true").csv(dir.getPath)
+      val joined = StreamingImport.enrichWithStatic(
+        stream, dim, col("k") === col("dk"), joinType)
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", new File(dir, s"_cp_$name").getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.table(name).select("k", "dname")
+        .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSeq.sorted
+    }
+    assert(run("inner", "sstat_inner") ==
+      Seq((1, Some("one")), (2, Some("two"))))
+    assert(run("left", "sstat_left") ==
+      Seq((1, Some("one")), (2, Some("two")), (9, None)))
+  }
+
   test("watermarked windowed aggregation over an event stream (memory sink)") {
     val dir = SyntheticFixtures.dir(s"evstream_${System.nanoTime()}")
     val ts1 = "2024-01-01 10:05:00"
