@@ -34,4 +34,53 @@ object TableProfile {
     }
     row.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
   }
+
+  /** The 100 TB face of [[profile]]: same one-row-per-column shape, but
+    * distinct counts come from the KMV sketch
+    * ([[graft.plans.KmvLowsAgg]] — `kmv_lows`) instead of exact
+    * `count_distinct`, so there is NO Expand: profiling C columns is
+    * ONE scan and one global aggregation whose per-column state is a
+    * counter plus ≤ k longs (`C × k × 8` bytes of exchange, total).
+    * Unlike `approx_count_distinct`'s HLL blob it is engine-replayable:
+    * the sketch is the k smallest md5-derived hashes of the CANONICAL
+    * string rendering the caller supplies per column (integers as
+    * digits, doubles through fixed-scale DECIMAL, timestamps as
+    * epoch-micros digits — q236's convention), so a SQL oracle
+    * reproduces every value bit-for-bit.
+    *
+    * Returns `(column_name, n, n_null, kmv_n_kept, kmv_kth_hash,
+    * est_distinct)` ordered by column_name; `est_distinct` follows the
+    * [[Sketches.kmvEstimate]] discipline (exact below k).
+    */
+  def profileSketch(df: DataFrame, cols: Seq[(String, Column)],
+                    k: Int = 64): DataFrame = {
+    require(cols.nonEmpty, "profileSketch needs at least one column")
+    val aggs =
+      count(lit(1)).as("__n") +:
+        cols.flatMap { case (name, canon) =>
+          Seq(
+            sum(when(canon.isNull, 1L).otherwise(0L)).as(s"__nulls__$name"),
+            graft.plans.KmvLowsAgg.kmvLows(
+              Sketches.hash48(canon), k).as(s"__lows__$name"))
+        }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = one.select(explode(array(cols.map { case (name, _) =>
+      struct(
+        lit(name).as("column_name"),
+        col("__n").as("n"),
+        col(s"__nulls__$name").as("n_null"),
+        size(col(s"__lows__$name")).cast("long").as("kmv_n_kept"),
+        // guard the all-NULL column: element_at(-1) on an empty array
+        // is an ANSI error, not a NULL
+        when(size(col(s"__lows__$name")) === 0, lit(null).cast("long"))
+          .otherwise(element_at(col(s"__lows__$name"), -1))
+          .as("kmv_kth_hash"),
+        when(size(col(s"__lows__$name")) < k,
+          size(col(s"__lows__$name")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(Sketches.HashLine) /
+            element_at(col(s"__lows__$name"), -1).cast("double"))
+          .as("est_distinct"))
+    }: _*)).as("__p"))
+    rows.select(col("__p.*")).orderBy(col("column_name"))
+  }
 }

@@ -641,8 +641,34 @@ private[graft] trait EventsQueries { this: SparkEntry.type =>
       .orderBy(col("day"))
   }
 
+  // ---------------------------------------------------------------- q237
+  /** Small-files compaction ([[operators.Compaction]]), completing the
+    * write-governance trio (q231 bucketing, q232 partition layout):
+    * events are deliberately sprayed across 64 tiny files, compacted
+    * back to a 25k-rows-per-file target, and the rollup over the
+    * COMPACTED copy must equal the plain query over the original
+    * table — compaction is invisible to answers. MaintenanceSpec pins
+    * the file arithmetic (out ≈ ceil(n/target) ≪ in, rows preserved).
+    * Value sums in DECIMAL (exact, order-free).
+    */
+  def q237Compaction(s: SparkSession, d: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "graft_q237").toString
+    events(s, d)
+      .select(col("event_type"), col("value").cast("decimal(18,6)").as("value"))
+      .repartition(64).write.mode("overwrite").parquet(s"$base/in")
+    operators.Compaction.compactParquet(s, s"$base/in", s"$base/out",
+      targetRecords = 25000L)
+    operators.Compaction.read(s, s"$base/out")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   private[graft] def queriesEvents: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q232_partition_pruned" -> (q232PartitionPrunedScan _),
+    "q237_compaction" -> (q237Compaction _),
     "q37_event_windows" -> (q37EventWindows _),
     "q43_session_windows" -> (q43SessionWindows _),
     "q80_funnel" -> (q80Funnel _),
@@ -1108,5 +1134,11 @@ private[graft] trait EventsQueries { this: SparkEntry.type =>
         | count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_type = 'purchase'
-        |GROUP BY 1 ORDER BY day""".stripMargin)
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+    "q237_compaction" ->
+      // compaction must be invisible: the rollup over the compacted
+      // copy equals the plain query over the original table
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)
 }

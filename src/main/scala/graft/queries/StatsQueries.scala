@@ -127,6 +127,30 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q236
+  /** One-pass whole-table profile of `orders`
+    * ([[operators.TableProfile]]): row/null counts + the KMV distinct
+    * sketch for all six columns from a SINGLE scan and a SINGLE global
+    * aggregation — per-column state is one counter plus k longs (the
+    * native `kmv_lows` buffer), so the 100 TB "describe this table"
+    * costs one pass regardless of column count, where per-column
+    * `countDistinct` would either rescan per column or Expand every
+    * row six-fold. Values hash through engine-canonical renderings:
+    * integers as digits, DOUBLE through DECIMAL(18,6), TIMESTAMP as
+    * epoch-micros digits.
+    */
+  def q236TableProfile(s: SparkSession, d: String): DataFrame =
+    operators.TableProfile.profileSketch(orders(s, d), Seq(
+      "o_orderkey" -> col("o_orderkey").cast("string"),
+      "o_custkey" -> col("o_custkey").cast("string"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_orderpriority" -> col("o_orderpriority"),
+      "o_totalprice" -> col("o_totalprice").cast("decimal(18,6)").cast("string"),
+      // parquet may surface the date as TIMESTAMP or TIMESTAMP_NTZ —
+      // normalize through a TIMESTAMP cast (session TZ is UTC)
+      "o_orderdate" -> expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))")
+        .cast("string")))
+
   // ---------------------------------------------------------------- q109
   /** Robust outlier screen: median/MAD per return flag over extended
     * price, counting rows beyond 3 MAD ([[operators.Outliers]]). The
@@ -919,6 +943,7 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     "q90_source_mix" -> (q90SourceMix _),
     "q105_kmv_sketch" -> (q105KmvSketch _),
     "q234_kmv_native_agg" -> (q234KmvNativeAgg _),
+    "q236_table_profile" -> (q236TableProfile _),
     "q109_mad_outliers" -> (q109MadOutliers _),
     "q111_weighted_sample" -> (q111WeightedSample _),
     "q128_association_rules" -> (q128AssociationRules _),
@@ -952,7 +977,35 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     "q215_mutual_info" -> (q215MutualInfo _),
     "q224_centroid_drift" -> (q224CentroidDrift _))
 
+  /** One q236 oracle block per profiled column: null count + KMV
+    * bottom-64 rank replay over the same canonical rendering.
+    */
+  private def q236Block(name: String, canon: String): String =
+    s"""SELECT '$name' AS column_name, n.n,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+       |   WHERE ($canon) IS NULL) AS n_null,
+       |  k.n_kept AS kmv_n_kept, k.kth_hash AS kmv_kth_hash,
+       |  CASE WHEN k.n_kept < 64 THEN CAST(k.n_kept AS DOUBLE)
+       |       ELSE CAST(63.0 AS DOUBLE) * CAST(281474976710656.0 AS DOUBLE)
+       |         / CAST(k.kth_hash AS DOUBLE) END AS est_distinct
+       |FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM orders) n,
+       |  (SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_hash
+       |   FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+       |         FROM (SELECT DISTINCT
+       |             CAST(('0x' || substr(md5($canon), 1, 12)) AS BIGINT) AS h
+       |           FROM orders WHERE ($canon) IS NOT NULL))
+       |   WHERE rk <= 64) k""".stripMargin
+
   private[graft] def oracleSqlStats: Map[String, String] = Map(
+    "q236_table_profile" -> Seq(
+      ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+      ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+      ("o_orderstatus", "o_orderstatus"),
+      ("o_orderpriority", "o_orderpriority"),
+      ("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR)"),
+      ("o_orderdate", "CAST(CAST(epoch_us(o_orderdate) AS BIGINT) AS VARCHAR)"))
+      .map((q236Block _).tupled)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
     "q48_quantiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,

@@ -30,6 +30,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(p("s") === ((4L, 3L, 2L, "a", "b")))
   }
 
+  test("compaction: file count drops to ~ceil(n/target), rows and values preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-").toString
+    val n = 10000L
+    spark.range(n).toDF("id").withColumn("v", col("id") % 7)
+      .repartition(40).write.mode("overwrite").parquet(s"$dir/in")
+    val stats = Compaction.compactParquet(spark, s"$dir/in", s"$dir/out",
+      targetRecords = 1500L)
+    assert(stats.nRows == n)
+    assert(stats.nFilesIn == 40)
+    val parts = 7L // ceil(10000 / 1500)
+    assert(stats.nFilesOut >= parts && stats.nFilesOut <= parts + 1,
+      s"expected ~$parts files, got ${stats.nFilesOut}")
+    val back = Compaction.read(spark, s"$dir/out")
+    assert(back.count() == n)
+    assert(back.agg(sum(col("v"))).head().getLong(0) ==
+      spark.range(n).select(sum(col("id") % 7)).head().getLong(0))
+    // every file respects the hard cap
+    val perFile = back.groupBy(input_file_name()).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(perFile <= 1500L)
+  }
+
   test("CDC apply: latest op wins, deletes drop, out-of-order log ok") {
     val log = Seq(
       (1L, "I", 1L, "v1"), (1L, "U", 3L, "v3"), (1L, "U", 2L, "v2"),

@@ -31,6 +31,10 @@ ENTRIES = [
     "q207_stream_windows", "q211_stream_sessions",
     # round-10 top-cost algorithmic addition
     "q218_ktruss_peel",
+    # round-11: row-sketch KMV vs the native kmv_lows aggregate — the
+    # native one's exchange is bounded at k longs/group/partition, so
+    # its alpha should sit at or below the row sketch's
+    "q105_kmv_sketch", "q234_kmv_native_agg",
 ]
 
 ADD_OPENS = [
