@@ -154,8 +154,12 @@ object TextStats {
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
     val toks = docs.select(col(groupCol),
       explode(graft.functions.TextAnalysis.tokens(col(textCol))).as("__w"))
-    val cs = toks.groupBy(col(groupCol), col("__w"))
-      .agg(count(lit(1)).as("__c"))
+    // the (group, token, count) frame feeds FOUR consumers (ns, cw,
+    // tot, the join) — without persistence each one re-scans and
+    // re-tokenizes the corpus (plan-read: 4× FileScan). Group-sized
+    // token counts, not the corpus; released via Retained.releaseAll.
+    val cs = Retained.track(toks.groupBy(col(groupCol), col("__w"))
+      .agg(count(lit(1)).as("__c")).persist())
     val ns = cs.groupBy(col(groupCol)).agg(sum(col("__c")).as("__n"))
     val cw = cs.groupBy(col("__w")).agg(sum(col("__c")).as("__cw"))
     val tot = cw.agg(sum(col("__cw")).as("__bigN"))
