@@ -55,6 +55,13 @@ object TableProfile {
   def profileSketch(df: DataFrame, cols: Seq[(String, Column)],
                     k: Int = 64): DataFrame = {
     require(cols.nonEmpty, "profileSketch needs at least one column")
+    // Spark resolves column names case-insensitively by default, so
+    // two profiled names differing only in case would make the
+    // generated __nulls__/__lows__ aliases silently collide
+    val clash = cols.map(_._1.toLowerCase).diff(
+      cols.map(_._1.toLowerCase).distinct)
+    require(clash.isEmpty,
+      s"profileSketch column names collide case-insensitively: ${clash.distinct.mkString(", ")}")
     val aggs =
       count(lit(1)).as("__n") +:
         cols.flatMap { case (name, canon) =>

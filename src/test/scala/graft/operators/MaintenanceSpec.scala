@@ -52,6 +52,21 @@ class MaintenanceSpec extends SparkSpec {
     assert(perFile <= 1500L)
   }
 
+  test("sketch profile: nulls counted, sub-k columns exact, case-clashing names refused") {
+    val df = Seq((1L, Option("a")), (2L, None), (3L, Option("b")),
+      (4L, Option("a"))).toDF("id", "s")
+    val out = TableProfile.profileSketch(df, Seq(
+        "id" -> col("id").cast("string"), "s" -> col("s")), k = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    assert(out("id") == ((4L, 0L, 4L, 4.0))) // 4 rows, 0 null, 4 distinct
+    assert(out("s") == ((4L, 1L, 2L, 2.0)))  // null skipped, a/b distinct
+    intercept[IllegalArgumentException] {
+      TableProfile.profileSketch(df, Seq(
+        "S" -> col("s"), "s" -> col("s")))
+    }
+  }
+
   test("CDC apply: latest op wins, deletes drop, out-of-order log ok") {
     val log = Seq(
       (1L, "I", 1L, "v1"), (1L, "U", 3L, "v3"), (1L, "U", 2L, "v2"),
