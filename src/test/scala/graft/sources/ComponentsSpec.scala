@@ -110,6 +110,34 @@ class ComponentsSpec extends SparkSpec {
     assert(BucketedStore.hasShuffle(smj))
   }
 
+  test("bucket pruning: an equality filter on the bucket key reads one bucket of eight") {
+    import graft.sink.BucketedStore
+    // b_target was written bucketed on k by the co-location test; make
+    // this test self-sufficient if run alone
+    if (!spark.catalog.tableExists("b_target")) {
+      val target = spark.range(0, 10000).toDF("k")
+        .withColumn("v", org.apache.spark.sql.functions.col("k") * 2)
+      BucketedStore.writeBucketed(target, "b_target", Seq("k"), 8)
+    }
+    // the planner's DisableUnnecessaryBucketedScan rule turns OFF the
+    // bucketed read for a bare filter ("Bucketed: false (disabled by
+    // query planner)") because no join/agg needs the distribution —
+    // hold it on to observe the point-lookup pruning path
+    val prev = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val pruned = BucketedStore.read(spark, "b_target")
+        .filter(org.apache.spark.sql.functions.col("k") === 42L)
+      val scanLine = pruned.queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("SelectedBucketsCount"))
+        .getOrElse(fail("no SelectedBucketsCount in the bucketed scan"))
+      assert(scanLine.contains("SelectedBucketsCount: 1 out of 8"), scanLine)
+      assert(pruned.count() == 1)
+    } finally spark.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+  }
+
   test("q231: the bucketed join itself plans shuffle-free (one exchange total, for the final agg)") {
     val df = graft.SparkEntry.queries("q231_bucketed_join")(
       spark, "/root/testdata/sf0.001")
