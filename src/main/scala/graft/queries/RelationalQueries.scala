@@ -833,8 +833,54 @@ private[graft] trait RelationalQueries { this: SparkEntry.type =>
       .orderBy(col("p_brand"))
   }
 
+  // ---------------------------------------------------------------- q238
+  /** Functional-dependency discovery over `orders`
+    * ([[operators.SchemaDiscovery.fdAudit]]): which columns determine
+    * which — the cross-column face of the reference's pre-import
+    * analyse pass (per-column stats alone cannot tell a loader that
+    * `o_orderkey` is a safe auto-create primary key while
+    * `o_custkey` is not). Four candidates: the real key
+    * (o_orderkey → o_custkey, holds), a reversed key and two
+    * categorical cross-checks (all violated, with the violation mass
+    * quantified). Each candidate is one two-column pruned scan + a
+    * two-level hash aggregation — nothing quadratic, nothing driver-side.
+    */
+  def q238FdAudit(s: SparkSession, d: String): DataFrame =
+    operators.SchemaDiscovery.fdAudit(orders(s, d), Seq(
+      "o_orderkey" -> "o_custkey",
+      "o_custkey" -> "o_orderstatus",
+      "o_orderpriority" -> "o_orderstatus",
+      "o_orderstatus" -> "o_orderpriority"))
+
+  // ---------------------------------------------------------------- q239
+  /** Inclusion-dependency (foreign-key-candidate) discovery
+    * ([[operators.SchemaDiscovery.inclusionAudit]]): which column
+    * domains are contained in which — the referential-integrity
+    * pre-check an importer runs before enabling FK constraints on a
+    * freshly loaded star schema (the reference toggles FKs around
+    * bulk load; discovery tells it WHICH FKs are safe to re-enable).
+    * Three true FK edges of the star schema plus the deliberate
+    * reverse probe (part ⊆ lineitem parts — fails wherever a part was
+    * never ordered, quantified in exact ppm). Both sides distinct to
+    * their value domains BEFORE a broadcast-able anti-join.
+    */
+  def q239InclusionAudit(s: SparkSession, d: String): DataFrame = {
+    import operators.SchemaDiscovery.IndCandidate
+    operators.SchemaDiscovery.inclusionAudit(Seq(
+      IndCandidate("lineitem", "l_orderkey", lineitem(s, d),
+        "orders", "o_orderkey", orders(s, d)),
+      IndCandidate("orders", "o_custkey", orders(s, d),
+        "customer", "c_custkey", customer(s, d)),
+      IndCandidate("customer", "c_nationkey", customer(s, d),
+        "nation", "n_nationkey", nation(s, d)),
+      IndCandidate("part", "p_partkey", part(s, d),
+        "lineitem", "l_partkey", lineitem(s, d))))
+  }
+
   private[graft] def queriesRelational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q231_bucketed_join" -> (q231BucketedJoin _),
+    "q238_fd_audit" -> (q238FdAudit _),
+    "q239_inclusion_audit" -> (q239InclusionAudit _),
     "q01_scan_agg" -> (q01ScanAgg _),
     "q02_join_dims" -> (q02JoinDims _),
     "q03_insert_not_existing_anti" -> (q03AntiJoin _),
@@ -877,7 +923,53 @@ private[graft] trait RelationalQueries { this: SparkEntry.type =>
     "q188_constraint_audit" -> (q188ConstraintAudit _),
     "q206_survivor_audit" -> (q206SurvivorAudit _))
 
+  /** One q238 oracle block per FD candidate: replay the two-level
+    * aggregation (countDistinct per determinant, then the audit
+    * rollup). Sums CAST back to BIGINT — DuckDB widens BIGINT sums to
+    * HUGEINT, Spark keeps long.
+    */
+  private def q238Block(det: String, dep: String): String =
+    s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+       |  CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(nd) AS BIGINT) AS n_pairs,
+       |  CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT) AS n_violating_groups,
+       |  CAST(max(nd) AS BIGINT) AS max_dep_per_group,
+       |  (count(*) FILTER (WHERE nd > 1)) = 0 AS holds
+       |FROM (SELECT $det AS det, count(DISTINCT $dep) AS nd
+       |      FROM orders WHERE $det IS NOT NULL GROUP BY 1)""".stripMargin
+
+  /** One q239 oracle block per IND candidate: distinct child domain,
+    * NOT EXISTS against the parent domain, exact-ppm containment.
+    */
+  private def q239Block(childRel: String, childCol: String,
+                        parentRel: String, parentCol: String): String =
+    s"""SELECT '$childRel' AS child_rel, '$childCol' AS child_col,
+       |  '$parentRel' AS parent_rel, '$parentCol' AS parent_col,
+       |  c.n AS n_child_distinct, m.n AS n_missing,
+       |  ((c.n - m.n) * 1000000) // c.n AS containment_ppm,
+       |  m.n = 0 AS contained
+       |FROM (SELECT CAST(count(DISTINCT $childCol) AS BIGINT) AS n
+       |      FROM $childRel WHERE $childCol IS NOT NULL) c,
+       |  (SELECT CAST(count(*) AS BIGINT) AS n
+       |   FROM (SELECT DISTINCT $childCol AS v FROM $childRel
+       |         WHERE $childCol IS NOT NULL) cv
+       |   WHERE NOT EXISTS (SELECT 1 FROM $parentRel p
+       |                     WHERE p.$parentCol = cv.v)) m""".stripMargin
+
   private[graft] def oracleSqlRelational: Map[String, String] = Map(
+    "q238_fd_audit" -> Seq(
+      ("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus"),
+      ("o_orderpriority", "o_orderstatus"), ("o_orderstatus", "o_orderpriority"))
+      .map((q238Block _).tupled)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY determinant, dependent"),
+    "q239_inclusion_audit" -> Seq(
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("part", "p_partkey", "lineitem", "l_partkey"))
+      .map((q239Block _).tupled)
+      .mkString("", "\nUNION ALL\n",
+        "\nORDER BY child_rel, child_col, parent_rel, parent_col"),
     "q01_scan_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
