@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Privacy-audit primitives for export pipelines — the question a
@@ -55,5 +56,69 @@ object Anonymity {
       .groupBy(col("ldiv").as("l_diversity"))
       .agg(count(lit(1)).as("n_classes"))
       .orderBy(col("l_diversity"))
+  }
+
+  /** t-closeness profile (Li, Li & Venkatasubramanian, ICDE'07) — the
+    * third rung of the privacy ladder: even an l-diverse class leaks
+    * when its sensitive-value DISTRIBUTION differs sharply from the
+    * table's (an attacker learns "this class skews high-balance"
+    * without pinning a value). Per equivalence class this publishes
+    * both distances of the paper: `t_emd`, the Earth-Mover's distance
+    * for an ORDERED sensitive domain (`Σ_i |Σ_{j≤i}(P_j − Q_j)| /
+    * (m−1)` over the m domain values in order), and `t_tv`, the total
+    * variation / equal-distance form (`Σ_j |P_j − Q_j| / 2`) an
+    * unordered domain would use. A release is t-close at threshold t
+    * when every class's distance is ≤ t.
+    *
+    * Exactness: P_j = n_cj/n_c and Q_j = g_j/N are rationals; every
+    * difference is computed over the common denominator n_c·N as the
+    * exact integer `n_cj·N − g_j·n_c` in DECIMAL(38,0) (never a float
+    * sum), and only the FINAL per-class value performs one IEEE
+    * divide of exact operands, rounded to 6 dp — deterministic on any
+    * engine. Scale shape: two hash aggs over the rows (class×value
+    * and value marginals), then all work runs on the class×domain
+    * GRID — bounded by |distinct quasi tuples| × |sensitive domain|,
+    * never by |rows|; the cumulative-sum window partitions by class
+    * over the domain-sized frame (histQuantiles bin-frame
+    * discipline). Returns `(quasiCols..., n_rows, t_emd, t_tv)`.
+    */
+  def tClosenessProfile(df: DataFrame, quasiCols: Seq[String],
+                        sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    val base = df.filter(col(sensitiveCol).isNotNull)
+      .select(quasiCols.map(col) :+ col(sensitiveCol).as("__v"): _*)
+    // value marginals g_j and the (N, m) scalars — domain-sized
+    val vals = base.groupBy(col("__v")).agg(count(lit(1)).as("__g"))
+    val tot = vals.agg(sum(col("__g")).as("__N"),
+      count(lit(1)).as("__m"))
+    // class sizes n_c and per-(class, value) counts n_cj
+    val clsSz = base.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val clsVal = base.groupBy(quasiCols.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__ncj"))
+    // class × domain grid: absent values contribute n_cj = 0 but still
+    // advance the EMD prefix sum, so the grid must be dense
+    val grid = clsSz.crossJoin(broadcast(vals))
+      .join(clsVal, quasiCols :+ "__v", "left")
+      .na.fill(0L, Seq("__ncj"))
+      .crossJoin(broadcast(tot))
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("__d",
+        d38(col("__ncj")) * d38(col("__N")) - d38(col("__g")) * d38(col("n_rows")))
+      .withColumn("__cum", sum(col("__d")).over(w))
+      .groupBy(quasiCols.map(col) :+ col("n_rows") :+ col("__N") :+ col("__m"): _*)
+      .agg(sum(abs(col("__cum"))).as("__se"),
+        sum(abs(col("__d"))).as("__st"))
+      .withColumn("t_emd", round(col("__se").cast("double") /
+        (d38(col("__N")) * d38(col("n_rows")) * d38(col("__m") - 1))
+          .cast("double"), 6))
+      .withColumn("t_tv", round(col("__st").cast("double") /
+        (d38(lit(2)) * d38(col("__N")) * d38(col("n_rows"))).cast("double"), 6))
+      .select(quasiCols.map(col) :+ col("n_rows") :+ col("t_emd") :+
+        col("t_tv"): _*)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,5 +40,35 @@ object Scd2 {
         coalesce(lead(col(tsCol), 1).over(w), lit(highTs)))
       .select(col(keyCol), col("version_no"), col(attrCol),
         col(tsCol).as("valid_from"), col("valid_to"))
+  }
+
+  /** Bitemporal point query: the state VALID at `validAt` AS KNOWN at
+    * `knownAt`, over a table carrying both a `[validFrom, validTo)`
+    * valid-time interval and a `txnCol` transaction (recording) time —
+    * the two-axis "what did we believe on date T about date V"
+    * question (Snodgrass, "Developing Time-Oriented Database
+    * Applications in SQL"). Rows recorded after `knownAt` are
+    * invisible; among the visible rows whose interval contains
+    * `validAt`, the LATEST-recorded one per key wins (a correction
+    * supersedes the original it restates).
+    *
+    * One filter + one hash aggregation (`max(struct)` arg-max keyed
+    * by txn time — no window, no sort), so the 100 TB point query is
+    * a single scan with map-side partials. Valid intervals must
+    * partition time per key (the [[versions]] contract) and txn times
+    * must be unique per (key, interval) — then the arg-max never
+    * reaches its lower-order tie-break fields and the winner is
+    * engine-deterministic.
+    */
+  def bitemporalAsOf(table: DataFrame, keyCol: String,
+                     validFromCol: String, validToCol: String,
+                     txnCol: String, payloadCols: Seq[String],
+                     validAt: Column, knownAt: Column): DataFrame = {
+    val carried = Seq(txnCol, validFromCol, validToCol) ++ payloadCols
+    table.filter(col(validFromCol) <= validAt && validAt < col(validToCol) &&
+        col(txnCol) <= knownAt)
+      .groupBy(col(keyCol))
+      .agg(max(struct(carried.map(col): _*)).as("__m"))
+      .select(col(keyCol) +: carried.map(c => col(s"__m.$c").as(c)): _*)
   }
 }

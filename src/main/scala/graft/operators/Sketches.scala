@@ -152,6 +152,20 @@ object Sketches {
       .agg(max(col("rho")).cast("long").as("rho"))
   }
 
+  /** Register ROLLUP — the reaggregatability that makes HLL the 100 TB
+    * distinct-count currency: registers built once at a fine grain
+    * (per day, per source, per shard) merge to ANY coarser grain by
+    * per-bucket max, without rescanning the raw rows. `coarseCols`
+    * must already exist on the register frame (derive them first,
+    * e.g. `withColumn("week", ...)`); the result is bit-identical to
+    * registers built directly from the raw values at the coarse grain
+    * (max is associative/commutative/idempotent), so estimates off a
+    * rollup ARE the direct estimates.
+    */
+  def hllRollup(registers: DataFrame, coarseCols: Seq[String]): DataFrame =
+    registers.groupBy(coarseCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("rho"))
+
   /** Cardinality estimate from HLL registers. The harmonic-mean sum
     * `Σ 2^−rho` is computed as the EXACT integer `Σ 2^(49−rho)`
     * (common denominator 2^49; at most (m−1)·2^49 + 2^48 < 2^63 for
@@ -282,6 +296,36 @@ object Sketches {
         (col("bin") * lit(binWidth) +
           expr(s"((target_rank - prev) * ${binWidth}L) DIV cnt"))
           .as("est"))
+  }
+
+  /** CMS inner-product estimate (Cormode & Muthukrishnan, J.Alg. 2005
+    * §4.2): for two sketches with the SAME shape over key-frequency
+    * vectors a and b, `min_j Σ_w cntA[j][w]·cntB[j][w]` estimates
+    * `Σ_k a_k·b_k` — which is exactly the output cardinality of an
+    * equi-join of the two sides on that key (and, with a == b, the
+    * self-join size / second frequency moment F2, the skew signal).
+    * Always an OVERestimate, never under — the safe direction for
+    * sizing a shuffle before running it. At 100 TB the estimate costs
+    * two depth×width sketches (mergeable map-side partials) and a
+    * depth×width-row join: the join-planning question "how big is
+    * this join's output" answered without executing the join.
+    * Products/sums run in DECIMAL(38,0) — exact while both cell
+    * counts stay below 1e19, far past any BIGINT corpus. Missing
+    * sketch rows dot to 0 (a row with no colliding cells means the
+    * estimate is 0). Returns one row: `(est_join_size)`.
+    */
+  def cmsInnerProduct(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
+    val prod = a.select(col("row_idx"), col("bucket"), col("cnt").as("__ca"))
+      .join(b.select(col("row_idx"), col("bucket"), col("cnt").as("__cb")),
+        Seq("row_idx", "bucket"))
+      .groupBy(col("row_idx"))
+      .agg(sum(col("__ca").cast("decimal(19,0)") *
+        col("__cb").cast("decimal(19,0)")).as("__dot"))
+    a.sparkSession.range(depth).select(col("id").as("row_idx"))
+      .join(prod, Seq("row_idx"), "left")
+      .agg(min(coalesce(col("__dot"), lit(0).cast("decimal(38,0)")))
+        .as("__m"))
+      .select(col("__m").cast("long").as("est_join_size"))
   }
 
   def cmsQuery(sketch: DataFrame, probes: DataFrame, valueCol: String,

@@ -225,4 +225,42 @@ object TemporalJoins {
         col(rightTs) - col(leftTs) <= upper)
       .drop("__band")
   }
+
+  /** Interval × interval overlap join: every (left, right) pair on the
+    * same key whose half-open intervals `[lStart, lEnd)` and
+    * `[rStart, rEnd)` intersect — the temporal-allocation primitive
+    * (sessions × campaigns, downtimes × jobs) that a naive theta-join
+    * plans as a nested loop. Scale path is interval BANDING (the
+    * standard genomics/temporal-DB decomposition): each interval
+    * explodes to the width-`bandWidth` bands it covers, the pair
+    * meets as a keys+band EQUI-join (hash-partitionable, AQE-skew
+    * splittable), and the overlap predicate filters exactly. A pair
+    * overlapping k shared bands would surface k times, so emission is
+    * pinned to the single band containing `max(lStart, rStart)` — a
+    * band both sides provably cover (it is < min(lEnd, rEnd)) — which
+    * dedupes WITHOUT a distinct: no second shuffle, output arrives
+    * exactly-once. Fan-out per row is `len/bandWidth + 1` band copies;
+    * pick `bandWidth` near the typical interval length so both stay
+    * O(1). Long-epoch units; empty intervals (`end <= start`) never
+    * match. Column names must be disjoint across sides apart from
+    * `keys` (same contract as the other joins here).
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          keys: Seq[String],
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          bandWidth: Long): DataFrame = {
+    require(bandWidth >= 1, s"bandWidth must be >= 1, got $bandWidth")
+    def banded(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) > col(s))
+      .withColumn("__b_lo", expr(s"`$s` div ${bandWidth}L"))
+      .withColumn("__b_hi", expr(s"(`$e` - 1L) div ${bandWidth}L"))
+      .withColumn("__band", explode(sequence(col("__b_lo"), col("__b_hi"))))
+      .drop("__b_lo", "__b_hi")
+    banded(left, lStart, lEnd)
+      .join(banded(right, rStart, rEnd), keys :+ "__band")
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        expr(s"greatest(`$lStart`, `$rStart`) div ${bandWidth}L") === col("__band"))
+      .drop("__band")
+  }
 }

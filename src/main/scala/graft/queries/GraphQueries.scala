@@ -259,7 +259,54 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
         "pa", "pb", k = 7, rounds = 2)
       .orderBy(col("lo"), col("hi"))
 
+  // ---------------------------------------------------------------- q241
+  /** Approximate neighborhood function over the ≥2-support co-purchase
+    * graph ([[operators.NeighborhoodFunction.ballSizes]] — the
+    * ANF/HyperANF structure with deterministic bottom-8 sketches):
+    * per radius 0/1/2, the node count and the summed/average
+    * estimated ball size — the "how connected is this graph, at what
+    * distance" curve whose EXACT answer is a transitive-closure join
+    * no 100 TB cluster can afford. Two rounds of edge join + native
+    * `kmv_lows` aggregation, k longs per node on every exchange;
+    * per-node estimates rounded to 6 dp, summed in DECIMAL.
+    */
+  def q241NeighborhoodFn(s: SparkSession, d: String): DataFrame = {
+    val e = copurchasePairs(s, d).filter(col("n_both") >= 2)
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    operators.NeighborhoodFunction.ballSizes(e, "src", "dst",
+        k = 8, rounds = 2)
+      .groupBy(col("radius"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("est").cast("decimal(18,6)")).as("__s"))
+      .select(col("radius"), col("n_nodes"),
+        col("__s").cast("double").as("sum_est"),
+        round(col("__s").cast("double") / col("n_nodes"), 6).as("avg_est"))
+      .orderBy(col("radius"))
+  }
+
+  // ---------------------------------------------------------------- q246
+  /** Deterministic random-walk corpus over the ≥2-support co-purchase
+    * graph ([[operators.RandomWalks.walks]] — the DeepWalk/node2vec
+    * data step): length-3 uniform walks from every 17th node, the
+    * choice at each hop a HASH of (walker, node, step) mod degree — a
+    * skip-gram-ready `(walker, step, node)` corpus that is bit-for-bit
+    * reproducible on any engine with no RNG state. Each hop is one
+    * node-sized degree join + one (node, rank) equi-join against the
+    * ranked adjacency; the frontier never grows.
+    */
+  def q246RandomWalks(s: SparkSession, d: String): DataFrame = {
+    val p = copurchasePairs(s, d).filter(col("n_both") >= 2)
+    val e = p.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(p.select(col("pb").as("src"), col("pa").as("dst")))
+    val starts = e.select(col("src").as("n")).distinct()
+      .filter(pmod(col("n"), lit(17)) === 0)
+    operators.RandomWalks.walks(e, "src", "dst", starts, "n", length = 3)
+      .orderBy(col("walker"), col("step"))
+  }
+
   private[graft] def queriesGraph: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_random_walks" -> (q246RandomWalks _),
+    "q241_neighborhood_fn" -> (q241NeighborhoodFn _),
     "q83_pagerank" -> (q83PageRank _),
     "q119_triangles" -> (q119Triangles _),
     "q134_communities" -> (q134Communities _),
@@ -276,6 +323,79 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     "q218_ktruss_peel" -> (q218KtrussPeel _))
 
   private[graft] def oracleSqlGraph: Map[String, String] = Map(
+    "q246_random_walks" ->
+      // hop replay: rank = md5-48(walker_node_step) mod degree, next =
+      // the rank-th neighbor in dst order — unrolled for 3 steps
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |ed AS (SELECT a.pk AS pa, b.pk AS pb
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst FROM ed
+        |      UNION SELECT pb, pa FROM ed),
+        |rk AS (SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rk FROM e),
+        |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        |s0 AS (SELECT src AS walker, src AS node FROM dg WHERE src % 17 = 0),
+        |n1 AS (SELECT s0.walker, rk.dst AS node FROM s0
+        |  JOIN dg ON dg.src = s0.node
+        |  JOIN rk ON rk.src = s0.node AND rk.rk =
+        |    (CAST(('0x' || substr(md5(CAST(s0.walker AS VARCHAR) || '_'
+        |      || CAST(s0.node AS VARCHAR) || '_1'), 1, 12)) AS BIGINT)
+        |     % dg.deg) + 1),
+        |n2 AS (SELECT n1.walker, rk.dst AS node FROM n1
+        |  JOIN dg ON dg.src = n1.node
+        |  JOIN rk ON rk.src = n1.node AND rk.rk =
+        |    (CAST(('0x' || substr(md5(CAST(n1.walker AS VARCHAR) || '_'
+        |      || CAST(n1.node AS VARCHAR) || '_2'), 1, 12)) AS BIGINT)
+        |     % dg.deg) + 1),
+        |n3 AS (SELECT n2.walker, rk.dst AS node FROM n2
+        |  JOIN dg ON dg.src = n2.node
+        |  JOIN rk ON rk.src = n2.node AND rk.rk =
+        |    (CAST(('0x' || substr(md5(CAST(n2.walker AS VARCHAR) || '_'
+        |      || CAST(n2.node AS VARCHAR) || '_3'), 1, 12)) AS BIGINT)
+        |     % dg.deg) + 1)
+        |SELECT walker, CAST(0 AS BIGINT) AS step, node FROM s0
+        |UNION ALL SELECT walker, 1, node FROM n1
+        |UNION ALL SELECT walker, 2, node FROM n2
+        |UNION ALL SELECT walker, 3, node FROM n3
+        |ORDER BY walker, step""".stripMargin,
+    "q241_neighborhood_fn" ->
+      // bottom-8 sketch propagation replayed: per round, UNION (which
+      // distincts) of own + neighbor hashes, re-rank, keep rk <= 8;
+      // estimator and 6-dp/DECIMAL discipline identical to q105/q236
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |ed AS (SELECT a.pk AS pa, b.pk AS pb
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst FROM ed
+        |      UNION SELECT pb, pa FROM ed),
+        |s0 AS (SELECT DISTINCT src AS node,
+        |    CAST(('0x' || substr(md5(CAST(src AS VARCHAR)), 1, 12))
+        |      AS BIGINT) AS h FROM e),
+        |m1 AS (SELECT e.src AS node, s.h FROM e JOIN s0 s ON s.node = e.dst
+        |       UNION SELECT node, h FROM s0),
+        |s1 AS (SELECT node, h FROM (SELECT node, h,
+        |    row_number() OVER (PARTITION BY node ORDER BY h) AS rk
+        |  FROM m1) WHERE rk <= 8),
+        |m2 AS (SELECT e.src AS node, s.h FROM e JOIN s1 s ON s.node = e.dst
+        |       UNION SELECT node, h FROM s1),
+        |s2 AS (SELECT node, h FROM (SELECT node, h,
+        |    row_number() OVER (PARTITION BY node ORDER BY h) AS rk
+        |  FROM m2) WHERE rk <= 8),
+        |b AS (SELECT 0 AS radius, node, count(*) AS n_kept, max(h) AS kth
+        |      FROM s0 GROUP BY 1, 2
+        |      UNION ALL SELECT 1, node, count(*), max(h) FROM s1 GROUP BY 1, 2
+        |      UNION ALL SELECT 2, node, count(*), max(h) FROM s2 GROUP BY 1, 2),
+        |est AS (SELECT radius, node,
+        |    CAST(round(CASE WHEN n_kept < 8 THEN CAST(n_kept AS DOUBLE)
+        |      ELSE CAST(7 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+        |        / CAST(kth AS DOUBLE) END, 6) AS DECIMAL(18,6)) AS est6
+        |  FROM b)
+        |SELECT CAST(radius AS BIGINT) AS radius,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(est6) AS DOUBLE) AS sum_est,
+        |  round(CAST(sum(est6) AS DOUBLE) / count(*), 6) AS avg_est
+        |FROM est GROUP BY radius ORDER BY radius""".stripMargin,
     "q83_pagerank" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst

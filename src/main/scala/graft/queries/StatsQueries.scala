@@ -932,7 +932,109 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       .orderBy(col("g"))
   }
 
+  // ---------------------------------------------------------------- q240
+  /** CMS join-size estimation
+    * ([[operators.Sketches.cmsInnerProduct]]): how many rows would
+    * `clicks ⋈ views ON user_id` produce, answered from two 4×256
+    * count-min sketches of the key-frequency vectors WITHOUT running
+    * the join — the shuffle-sizing / skew question a planner asks
+    * before committing a 100 TB exchange (the inner product IS the
+    * join output cardinality; with identical sides it is the
+    * self-join size F2, the canonical skew signal). The row publishes
+    * the exact join size alongside, so the overcount (CMS is an upper
+    * bound by construction) is visible. Exact side: one hash agg per
+    * user, products summed in DECIMAL.
+    */
+  def q240CmsJoinSize(s: SparkSession, d: String): DataFrame = {
+    val (depth, width) = (4, 256)
+    val ev = events(s, d).filter(col("user_id").isNotNull &&
+        col("event_type").isin("click", "view"))
+      .select(col("user_id").cast("string").as("u"), col("event_type"))
+    def side(t: String) = operators.Sketches.cmsSketch(
+      ev.filter(col("event_type") === t).select(col("u")), "u", depth, width)
+    val est = operators.Sketches.cmsInnerProduct(
+      side("click"), side("view"), depth)
+    val exact = ev.groupBy(col("u"))
+      .agg(count(when(col("event_type") === "click", lit(1))).as("nc"),
+        count(when(col("event_type") === "view", lit(1))).as("nv"))
+      .agg(sum((col("nc") * col("nv")).cast("decimal(38,0)"))
+        .cast("long").as("exact_join_size"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_join_size"), col("est_join_size"),
+        (col("est_join_size") - col("exact_join_size")).as("overcount"))
+  }
+
+  // ---------------------------------------------------------------- q244
+  /** t-closeness profile ([[operators.Anonymity.tClosenessProfile]],
+    * Li et al. ICDE'07) — the third rung of the q227/q228 privacy
+    * ladder: per (nation, segment) equivalence class, how far the
+    * class's balance-thousand DISTRIBUTION sits from the table's,
+    * as both the ordered-domain EMD and the total-variation distance.
+    * A class can be k-anonymous AND l-diverse yet still leak "this
+    * class skews high-balance"; this is the audit that catches it.
+    * All distribution arithmetic is exact integers over the common
+    * denominator n_c·N; one final IEEE divide per class, 6 dp.
+    */
+  def q244TCloseness(s: SparkSession, d: String): DataFrame =
+    operators.Anonymity.tClosenessProfile(
+      customer(s, d).select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_k")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_k")
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  // ---------------------------------------------------------------- q247
+  /** Score-calibration audit ([[operators.Calibration.reliabilityBins]]):
+    * score every user by their exact click fraction (ppm), label them
+    * by whether they ever purchased, and ask per decile bin whether
+    * the mean predicted rate matches the observed purchase rate — the
+    * reliability diagram + per-bin Brier mass that decides whether a
+    * score column can gate a 100 TB curation pipeline. All-integer
+    * ppm arithmetic end to end; one hash agg per stage.
+    */
+  def q247Calibration(s: SparkSession, d: String): DataFrame = {
+    val per = events(s, d).filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(when(col("event_type") === "click", lit(1))).as("n_click"),
+        count(lit(1)).as("n_tot"),
+        max(when(col("event_type") === "purchase", lit(1)).otherwise(lit(0)))
+          .as("label"))
+    operators.Calibration.reliabilityBins(per,
+      expr("(n_click * 1000000L) div n_tot"), col("label"), bins = 10)
+  }
+
+  // ---------------------------------------------------------------- q248
+  /** HLL sketch rollup ([[operators.Sketches.hllRollup]]): daily
+    * distinct-user registers per event type, merged UP to weekly and
+    * all-time grains by per-bucket max — never rescanning the raw
+    * rows — with estimates read off each grain. The oracle builds its
+    * registers DIRECTLY from the raw rows at the coarse grains, so
+    * the hash-match proves the reaggregatability contract (merge ≡
+    * rebuild) that makes sketches the 100 TB distinct-count currency:
+    * ingest sketches once at the finest grain, answer every coarser
+    * rollup from sketch rows alone.
+    */
+  def q248SketchRollup(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).filter(col("user_id").isNotNull)
+      .select(col("event_type"), expr("ts div 86400000000000L").as("day"),
+        col("user_id").cast("string").as("u"))
+    val daily = operators.Sketches.hllRegisters(ev,
+      Seq("event_type", "day"), "u", p = 6)
+    val weekly = operators.Sketches.hllRollup(
+      daily.withColumn("week", expr("day div 7L")),
+      Seq("event_type", "week"))
+    val total = operators.Sketches.hllRollup(daily, Seq("event_type"))
+    val wk = operators.Sketches.hllEstimate(weekly,
+      Seq("event_type", "week"), p = 6)
+    val tt = operators.Sketches.hllEstimate(total, Seq("event_type"), p = 6)
+      .withColumn("week", lit(-1L))
+    wk.unionByName(tt).orderBy(col("event_type"), col("week"))
+  }
+
   private[graft] def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_t_closeness" -> (q244TCloseness _),
+    "q247_calibration" -> (q247Calibration _),
+    "q248_sketch_rollup" -> (q248SketchRollup _),
+    "q240_cms_join_size" -> (q240CmsJoinSize _),
     "q230_kmv_overlap" -> (q230KmvOverlap _),
     "q227_k_anonymity" -> (q227KAnonymity _),
     "q228_l_diversity" -> (q228LDiversity _),
@@ -997,6 +1099,134 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
        |   WHERE rk <= 64) k""".stripMargin
 
   private[graft] def oracleSqlStats: Map[String, String] = Map(
+    "q244_t_closeness" ->
+      // distributions compared over the common denominator n_c·N as
+      // exact HUGEINT integers (Spark: DECIMAL(38,0)); the EMD prefix
+      // sum runs over the dense class × domain grid; one final divide
+      // of exact operands per class, 6 dp
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS v FROM customer),
+        |vals AS (SELECT v, CAST(count(*) AS BIGINT) AS g FROM b GROUP BY v),
+        |tot AS (SELECT CAST(sum(g) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS m FROM vals),
+        |cls AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n_rows FROM b GROUP BY 1, 2),
+        |cv AS (SELECT c_nationkey, c_mktsegment, v,
+        |    CAST(count(*) AS BIGINT) AS ncj FROM b GROUP BY 1, 2, 3),
+        |grid AS (SELECT c.c_nationkey, c.c_mktsegment, c.n_rows, va.v,
+        |    va.g, coalesce(x.ncj, 0) AS ncj
+        |  FROM cls c CROSS JOIN vals va
+        |  LEFT JOIN cv x ON x.c_nationkey = c.c_nationkey
+        |    AND x.c_mktsegment = c.c_mktsegment AND x.v = va.v),
+        |t AS (SELECT g2.c_nationkey, g2.c_mktsegment, g2.n_rows, g2.v,
+        |    CAST(g2.ncj AS HUGEINT) * tot.nn
+        |      - CAST(g2.g AS HUGEINT) * g2.n_rows AS d,
+        |    tot.nn AS nn, tot.m AS m
+        |  FROM grid g2, tot),
+        |c2 AS (SELECT c_nationkey, c_mktsegment, n_rows, nn, m, d,
+        |    sum(d) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cd FROM t)
+        |SELECT c_nationkey, c_mktsegment, n_rows,
+        |  round(CAST(sum(abs(cd)) AS DOUBLE)
+        |    / CAST(CAST(nn AS HUGEINT) * n_rows * (m - 1) AS DOUBLE), 6)
+        |    AS t_emd,
+        |  round(CAST(sum(abs(d)) AS DOUBLE)
+        |    / CAST(CAST(2 AS HUGEINT) * nn * n_rows AS DOUBLE), 6) AS t_tv
+        |FROM c2 GROUP BY c_nationkey, c_mktsegment, n_rows, nn, m
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q247_calibration" ->
+      // exact-ppm scores and all-integer bin stats; // on non-negative
+      // operands == Spark's truncating div; Brier mass summed exactly
+      """WITH per AS (SELECT user_id,
+        |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+        |      AS n_click,
+        |    CAST(count(*) AS BIGINT) AS n_tot,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |sc AS (SELECT (n_click * 1000000) // n_tot AS s, y FROM per),
+        |bi AS (SELECT least((s * 10) // 1000000, 9) AS bin, s, y FROM sc)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST(sum(s) // count(*) AS BIGINT) AS mean_pred_ppm,
+        |  CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS obs_rate_ppm,
+        |  CAST(sum(s) // count(*) - (sum(y) * 1000000) // count(*)
+        |    AS BIGINT) AS gap_ppm,
+        |  CAST(sum((s - y * 1000000) * (s - y * 1000000)) AS BIGINT)
+        |    AS brier_e12
+        |FROM bi GROUP BY bin ORDER BY bin""".stripMargin,
+    "q248_sketch_rollup" ->
+      // the oracle builds registers DIRECTLY at each coarse grain from
+      // the raw rows; the Spark side max-merges the daily registers up
+      // — hash equality proves merge ≡ rebuild. Register/estimate
+      // replay identical to q150 (p=6: m=64, rho base 43, alpha·m² =
+      // 0.709·4096, linear-counting cut 2.5m = 160)
+      """WITH ev AS (SELECT event_type,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000000
+        |      AS day,
+        |    CAST(user_id AS VARCHAR) AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |h AS (SELECT event_type, day // 7 AS week,
+        |    CAST(('0x' || substr(md5(u), 1, 12)) AS BIGINT) AS h FROM ev),
+        |rw AS (SELECT event_type, week, h % 64 AS bucket,
+        |    CASE WHEN h // 64 = 0 THEN 43
+        |         ELSE 43 - length(bin(h // 64)) END AS rho
+        |  FROM h),
+        |reg AS (SELECT event_type, week, bucket, max(rho) AS rho
+        |    FROM rw GROUP BY 1, 2, 3
+        |  UNION ALL
+        |  SELECT event_type, CAST(-1 AS BIGINT), bucket, max(rho)
+        |    FROM rw GROUP BY 1, bucket),
+        |s AS (SELECT event_type, week, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(49 - rho AS INT)) AS BIGINT)
+        |      AS sp
+        |  FROM reg GROUP BY 1, 2),
+        |e AS (SELECT event_type, week, CAST(64 - nb AS BIGINT) AS n_zero,
+        |    sp + CAST(64 - nb AS BIGINT) * CAST(562949953421312 AS BIGINT)
+        |      AS s_scaled FROM s),
+        |est AS (SELECT event_type, week, n_zero,
+        |    CAST(s_scaled AS BIGINT) AS s_scaled,
+        |    CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+        |      * CAST(562949953421312 AS DOUBLE) / CAST(s_scaled AS DOUBLE)
+        |      AS raw FROM e)
+        |SELECT event_type, week, CAST(n_zero AS BIGINT) AS n_zero, s_scaled,
+        |  round(CASE WHEN raw <= 160.0 AND n_zero > 0
+        |    THEN 64.0 * ln(64.0 / CAST(n_zero AS DOUBLE)) ELSE raw END, 6)
+        |    AS est_distinct
+        |FROM est ORDER BY event_type, week""".stripMargin,
+    "q240_cms_join_size" ->
+      // CMS cells replayed exactly as q156 (disjoint 8-hex md5 slices,
+      // % 256); dot products per row, min over the 4 rows with empty
+      // rows dotting to 0; exact join size = Σ_u n_click·n_view
+      """WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS u, event_type
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IN ('click', 'view')),
+        |ca AS (SELECT j AS row_idx,
+        |    CAST(('0x' || substr(md5(u), 1 + 8 * CAST(j AS INT), 8))
+        |      AS BIGINT) % 256 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ev CROSS JOIN range(4) t(j)
+        |  WHERE event_type = 'click' GROUP BY 1, 2),
+        |cb AS (SELECT j AS row_idx,
+        |    CAST(('0x' || substr(md5(u), 1 + 8 * CAST(j AS INT), 8))
+        |      AS BIGINT) % 256 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ev CROSS JOIN range(4) t(j)
+        |  WHERE event_type = 'view' GROUP BY 1, 2),
+        |dots0 AS (SELECT ca.row_idx, sum(ca.cnt * cb.cnt) AS dot
+        |  FROM ca JOIN cb ON ca.row_idx = cb.row_idx
+        |    AND ca.bucket = cb.bucket GROUP BY 1),
+        |dots AS (SELECT CAST(coalesce(d.dot, 0) AS BIGINT) AS dot
+        |  FROM range(4) t(j) LEFT JOIN dots0 d ON d.row_idx = t.j),
+        |ex AS (SELECT CAST(sum(nc * nv) AS BIGINT) AS exact_join_size
+        |  FROM (SELECT u,
+        |      count(*) FILTER (WHERE event_type = 'click') AS nc,
+        |      count(*) FILTER (WHERE event_type = 'view') AS nv
+        |    FROM ev GROUP BY u))
+        |SELECT ex.exact_join_size, m.est_join_size,
+        |  m.est_join_size - ex.exact_join_size AS overcount
+        |FROM ex, (SELECT CAST(min(dot) AS BIGINT) AS est_join_size
+        |          FROM dots) m""".stripMargin,
     "q236_table_profile" -> Seq(
       ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
       ("o_custkey", "CAST(o_custkey AS VARCHAR)"),

@@ -179,7 +179,81 @@ private[graft] trait TemporalQueries { this: SparkEntry.type =>
       .orderBy(col("event_id"))
   }
 
+  // ---------------------------------------------------------------- q243
+  /** Bitemporal as-of point query ([[operators.Scd2.bitemporalAsOf]]):
+    * "what did we believe at time T about the state valid at time V" —
+    * the two-axis completion of the temporal family (q123 builds
+    * valid-time history; this adds transaction time). The bitemporal
+    * table is the q123 SCD2 build with each version recorded at its
+    * valid_from, plus a correction for every 3rd version recorded one
+    * hour later — so at the chosen knownAt (3/4 through the event
+    * span) some corrections are visible and supersede their originals
+    * while later ones are still invisible. V/T derive from the event
+    * span by integer arithmetic (engine-exact); the answer is one
+    * filter + one `max(struct)` arg-max per user.
+    */
+  def q243BitemporalAsOf(s: SparkSession, d: String): DataFrame = {
+    val high = 253402300799000000L
+    val ev = events(s, d).select(col("user_id"), col("event_id"),
+      expr("ts DIV 1000").as("us"), col("event_type"))
+    val vers = operators.Scd2.versions(ev, "user_id", "us", "event_id",
+      "event_type", high)
+    val bt = vers.select(col("user_id"), col("version_no"),
+        col("event_type"), col("valid_from"), col("valid_to"),
+        col("valid_from").as("txn_us"))
+      .unionAll(vers.filter(col("version_no") % 3 === 0)
+        .select(col("user_id"), col("version_no"),
+          concat(col("event_type"), lit("_corr")).as("event_type"),
+          col("valid_from"), col("valid_to"),
+          (col("valid_from") + lit(3600000000L)).as("txn_us")))
+    val span = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val withPoints = bt.crossJoin(broadcast(span))
+      .withColumn("__v", expr("(mn + mx) DIV 2"))
+      .withColumn("__t", expr("mn + ((mx - mn) DIV 4) * 3"))
+    operators.Scd2.bitemporalAsOf(withPoints, "user_id",
+        "valid_from", "valid_to", "txn_us",
+        Seq("version_no", "event_type"), col("__v"), col("__t"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---------------------------------------------------------------- q245
+  /** Interval × interval overlap join
+    * ([[operators.TemporalJoins.intervalOverlapJoin]]): per user, the
+    * click sessions that overlap view sessions in time — pair count
+    * and total overlapping microseconds — the temporal-allocation
+    * question (which engaged-reading windows coincide with clicking
+    * windows) that a naive theta-join plans as a nested loop. Both
+    * session tables come from the q118 sessionizer, padded ±1 h into
+    * half-open attribution windows `[start − 1h, end + 1 + 1h)` (the
+    * raw per-type sessions rarely touch — the pad IS the business
+    * rule: "within an hour of each other counts"). The banded
+    * equi-join emits each overlapping pair exactly once (max-start
+    * band pin — no distinct, no second shuffle); the oracle replays
+    * the textbook quadratic overlap predicate, pinning banding as
+    * result-invisible.
+    */
+  def q245IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val padUs = 3600000000L
+    val ev = events(s, d).select(col("user_id"), col("event_id"),
+      expr("ts DIV 1000").as("us"), col("event_type"))
+    def sess(t: String, p: String) = operators.Sessionize.sessions(
+        ev.filter(col("event_type") === t), "user_id", "us", "event_id",
+        gap = 1800000000L)
+      .select(col("user_id"), (col("start_ts") - padUs).as(s"${p}_start"),
+        (col("end_ts") + 1 + padUs).as(s"${p}_end"))
+    operators.TemporalJoins.intervalOverlapJoin(
+        sess("click", "c"), sess("view", "v"), Seq("user_id"),
+        "c_start", "c_end", "v_start", "v_end", bandWidth = 7200000000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("c_end"), col("v_end")) -
+          greatest(col("c_start"), col("v_start"))).as("overlap_us"))
+      .orderBy(col("user_id"))
+  }
+
   private[graft] def queriesTemporal: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_interval_join" -> (q245IntervalJoin _),
+    "q243_bitemporal_asof" -> (q243BitemporalAsOf _),
     "q44_asof_join" -> (q44AsofJoin _),
     "q45_range_join" -> (q45RangeJoin _),
     "q204_asof_native" -> (q204AsofNative _),
@@ -189,6 +263,78 @@ private[graft] trait TemporalQueries { this: SparkEntry.type =>
     "q226_asof_timestamp" -> (q226AsofTimestamp _))
 
   private[graft] def oracleSqlTemporal: Map[String, String] = Map(
+    "q245_interval_join" ->
+      // sessionizer replay identical to q118 per event type; the join
+      // is the textbook quadratic overlap predicate the banded plan
+      // must reproduce exactly
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us FROM events),
+        |cf AS (SELECT user_id, us, event_id,
+        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |         <= 1800000000 THEN 0 ELSE 1 END AS is_new
+        | FROM ev WHERE event_type = 'click'),
+        |cg AS (SELECT user_id, us,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM cf),
+        |cs AS (SELECT user_id, min(us) - 3600000000 AS st,
+        |   max(us) + 1 + 3600000000 AS en
+        | FROM cg GROUP BY user_id, sid),
+        |vf AS (SELECT user_id, us, event_id,
+        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |         <= 1800000000 THEN 0 ELSE 1 END AS is_new
+        | FROM ev WHERE event_type = 'view'),
+        |vg AS (SELECT user_id, us,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM vf),
+        |vs AS (SELECT user_id, min(us) - 3600000000 AS st,
+        |   max(us) + 1 + 3600000000 AS en
+        | FROM vg GROUP BY user_id, sid)
+        |SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(least(c.en, v.en) - greatest(c.st, v.st)) AS BIGINT)
+        |    AS overlap_us
+        |FROM cs c JOIN vs v ON v.user_id = c.user_id
+        |  AND c.st < v.en AND v.st < c.en
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    "q243_bitemporal_asof" ->
+      // SCD2 replay identical to q123; corrections and V/T points by
+      // exact integer arithmetic; per-user winner = latest txn among
+      // rows valid at V and recorded by T (txn unique per qualifying
+      // set, so the DESC tie-break chain is never reached)
+      """WITH ev AS (SELECT user_id, event_id,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us, event_type
+        | FROM events),
+        |ch AS (SELECT user_id, event_id, us, event_type FROM (
+        |  SELECT user_id, event_id, us, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS prev
+        |  FROM ev) WHERE prev IS NULL OR prev <> event_type),
+        |vers AS (SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version_no,
+        |  event_type, us AS valid_from,
+        |  coalesce(lead(us) OVER w, 253402300799000000) AS valid_to
+        | FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |bt AS (SELECT user_id, version_no, event_type, valid_from,
+        |    valid_to, valid_from AS txn_us FROM vers
+        |  UNION ALL SELECT user_id, version_no, event_type || '_corr',
+        |    valid_from, valid_to, valid_from + 3600000000 FROM vers
+        |  WHERE version_no % 3 = 0),
+        |sp AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+        |pt AS (SELECT (mn + mx) // 2 AS v,
+        |    mn + ((mx - mn) // 4) * 3 AS t FROM sp),
+        |q AS (SELECT b.* FROM bt b, pt
+        |  WHERE b.valid_from <= pt.v AND pt.v < b.valid_to
+        |    AND b.txn_us <= pt.t),
+        |r AS (SELECT user_id, txn_us, valid_from, valid_to, version_no,
+        |    event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY txn_us DESC, valid_from DESC, valid_to DESC,
+        |        version_no DESC, event_type DESC) AS rk
+        |  FROM q)
+        |SELECT user_id, txn_us, valid_from, valid_to, version_no,
+        |  event_type
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
     "q44_asof_join" ->
       """WITH clicks AS (SELECT user_id, event_id, ts, value FROM events
         |  WHERE event_type = 'click'),

@@ -789,7 +789,30 @@ private[graft] trait TextQueries { this: SparkEntry.type =>
     operators.TextStats.jsDivergence(documents(s, d), "source", "text")
       .orderBy(col("source"))
 
+  // ---------------------------------------------------------------- q242
+  /** Quality/length Pareto frontier of the corpus
+    * ([[operators.Skyline.pareto2d]]): the documents for which no
+    * other document is simultaneously higher-quality AND shorter —
+    * the skyline a token-budget curator selects from first (every
+    * off-frontier doc has a strictly better substitute). The operator
+    * reduces per quality level then prefix-min-sweeps the bounded
+    * level frame; the oracle replays the textbook quadratic
+    * NOT-EXISTS dominance check, pinning the O(n log n) plan against
+    * the O(n²) definition.
+    */
+  def q242QualitySkyline(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"),
+      functions.TextAnalysis.tokenCount(col("text")).cast("long")
+        .as("n_tokens"),
+      functions.TextAnalysis.qualityScore(col("text")).as("q"))
+    operators.Skyline.pareto2d(docs, "q", "n_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("q"), 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] def queriesText: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_quality_skyline" -> (q242QualitySkyline _),
     "q233_js_divergence" -> (q233JsDivergence _),
     "q19_text_stats" -> (q19TextStats _),
     "q20_lang_id" -> (q20LangId _),
@@ -829,6 +852,28 @@ private[graft] trait TextQueries { this: SparkEntry.type =>
     "q217_novelty" -> (q217Novelty _))
 
   private[graft] def oracleSqlText: Map[String, String] = Map(
+    "q242_quality_skyline" ->
+      // quality formula identical to q19; frontier by the textbook
+      // quadratic NOT-EXISTS dominance definition (strict somewhere)
+      s"""WITH t AS (SELECT doc_id, text, $SqlToks AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         | CAST(len(toks) AS BIGINT) AS n_tokens,
+         | CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS n_punct,
+         | CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) AS n_stop,
+         | length(text) AS n_chars
+         | FROM t),
+         |p AS (SELECT doc_id, n_tokens,
+         | least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+         | + (1.0 - (CASE WHEN n_chars = 0 THEN 0.0
+         |           ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END)) * 0.25
+         | + (CASE WHEN n_tokens = 0 THEN 0.0
+         |    ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) * 0.25 AS q
+         | FROM m)
+         |SELECT doc_id, n_tokens, round(q, 6) AS quality FROM p pp
+         |WHERE NOT EXISTS (SELECT 1 FROM p d
+         |  WHERE d.q >= pp.q AND d.n_tokens <= pp.n_tokens
+         |    AND (d.q > pp.q OR d.n_tokens < pp.n_tokens))
+         |ORDER BY doc_id""".stripMargin,
     "q19_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $SqlToks AS toks FROM documents),
          |m AS (SELECT doc_id,

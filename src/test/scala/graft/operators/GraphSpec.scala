@@ -229,6 +229,69 @@ class GraphSpec extends SparkSpec {
     assert(iso === Seq((42L, 0)))
   }
 
+  test("neighborhood function: exact ball sizes below k on a path") {
+    import spark.implicits._
+    // path 1-2-3-4-5: with k=16 every sketch stays below k, so the
+    // estimates ARE the exact ball sizes |ball(node, r)|
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = NeighborhoodFunction.ballSizes(edges, "src", "dst",
+        k = 16, rounds = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("node")) -> r.getDouble(3))
+      .toMap
+    // r=0: everyone 1; r=1: ends 2, middles 3; r=2: 3 / 4 / 5
+    assert((1L to 5L).forall(n => got((0L, n)) === 1.0))
+    assert(got((1L, 1L)) === 2.0 && got((1L, 5L)) === 2.0)
+    assert(got((1L, 2L)) === 3.0 && got((1L, 3L)) === 3.0)
+    assert(got((2L, 1L)) === 3.0 && got((2L, 2L)) === 4.0 &&
+      got((2L, 3L)) === 5.0)
+    // 6-clique with k=2: every radius-1 sketch saturates (n_kept = 2)
+    // and the estimate switches to the KMV formula — positive, finite,
+    // and identical across nodes only where the bottom-2 hashes agree
+    val clique = (for (a <- 1L to 6L; b <- 1L to 6L if a < b)
+      yield (a, b)).toDF("src", "dst")
+    val est = NeighborhoodFunction.ballSizes(clique, "src", "dst",
+        k = 2, rounds = 1)
+      .filter(org.apache.spark.sql.functions.col("radius") === 1L)
+      .collect()
+    assert(est.length === 6 &&
+      est.forall(r => r.getLong(2) === 2L && r.getDouble(3) > 0.0))
+  }
+
+  test("random walks: edges only, full length, deterministic, degree-1 exact") {
+    import spark.implicits._
+    // two-node graph: degree 1 everywhere, so the walk is forced to
+    // alternate 1,2,1,2 regardless of the hash — an exact pin
+    val pair = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val starts1 = Seq(1L).toDF("n")
+    val w1 = RandomWalks.walks(pair, "src", "dst", starts1, "n", length = 3)
+      .orderBy(org.apache.spark.sql.functions.col("step"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(w1.toSeq === Seq((0L, 1L), (1L, 2L), (2L, 1L), (3L, 2L)))
+    // random-ish mirrored graph: every emitted hop must be a real edge,
+    // every walker yields exactly length+1 steps, and a second run is
+    // bit-identical (hash-driven, no RNG state)
+    val e0 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    val e = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val starts = Seq(1L, 3L, 5L).toDF("n")
+    def run() = RandomWalks.walks(e, "src", "dst", starts, "n", length = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = run()
+    assert(got === run())
+    assert(got.size === 15 &&
+      Set(1L, 3L, 5L).forall(w => got.count(_._1 == w) === 5))
+    val edgeSet = (e0 ++ e0.map(_.swap)).toSet
+    val byWalkerStep = got.toSeq.sortBy(t => (t._1, t._2))
+    byWalkerStep.grouped(5).foreach { walk =>
+      assert(walk.head._2 === 0L && walk.head._3 === walk.head._1)
+      walk.sliding(2).foreach { case Seq(a, b) =>
+        assert(edgeSet.contains((a._3, b._3)),
+          s"hop ${a._3}->${b._3} is not an edge")
+      }
+    }
+  }
+
   test("Adamic–Adar: path wedges score 1/ln2; existing edges excluded") {
     // path 1-2-3-4: the only common-neighbor pairs are (1,3) via 2 and
     // (2,4) via 3, each a single wedge through a degree-2 center

@@ -862,6 +862,30 @@ class PropertiesSpec extends SparkSpec {
     }, 10)
   }
 
+  test("bitemporal as-of: corrections supersede only once recorded") {
+    // key 1: version A valid [0, 100), corrected at txn 50 to A';
+    //        version B valid [100, 999) recorded at 100.
+    // key 2: one version valid [0, 999) recorded at 0, corrected at 200.
+    val bt = Seq(
+      (1L, 0L, 100L, 0L, "A"), (1L, 0L, 100L, 50L, "A_corr"),
+      (1L, 100L, 999L, 100L, "B"),
+      (2L, 0L, 999L, 0L, "C"), (2L, 0L, 999L, 200L, "C_corr"))
+      .toDF("k", "vf", "vt", "txn", "attr")
+    def q(v: Long, t: Long) = Scd2.bitemporalAsOf(bt, "k", "vf", "vt",
+        "txn", Seq("attr"), lit(v), lit(t))
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    // valid 10, known 10: corrections not yet recorded
+    assert(q(10L, 10L) === Map(1L -> "A", 2L -> "C"))
+    // valid 10, known 60: key 1's correction visible, key 2's not
+    assert(q(10L, 60L) === Map(1L -> "A_corr", 2L -> "C"))
+    // valid 150, known 300: key 1 moved to B; key 2 correction visible
+    assert(q(150L, 300L) === Map(1L -> "B", 2L -> "C_corr"))
+    // valid-interval end is EXCLUSIVE: v=100 selects B, not A
+    assert(q(100L, 300L)(1L) === "B")
+    // known-at before anything recorded for key 1's interval: absent
+    assert(!q(150L, 50L).contains(1L))
+  }
+
   test("k-core fixpoint equals in-memory peeling on random graphs") {
     val edgeGen = Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 20L))
     val graphGen = Gen.zip(Gen.listOfN(40, edgeGen), Gen.chooseNum(2, 4))
@@ -1011,6 +1035,135 @@ class PropertiesSpec extends SparkSpec {
     val phantom = Seq("never-seen-token").toDF("w")
     val e0 = Sketches.cmsQuery(sketch, phantom, "w", 4, 256).collect().head
     assert(e0.getLong(1) >= 0L)
+  }
+
+  test("2-D skyline: dominance, duplicate frontier points, cross-level ties") {
+    // points (id, maxDim q, minDim t): frontier should be
+    //   (1) q=3,t=10  (best q)
+    //   (2) q=2,t=5   (shorter than anything better)
+    //   and its exact duplicate (6) — equal points don't dominate.
+    // Dominated: (3) q=2,t=8 (within-level), (4) q=1,t=10 (worse both),
+    // (5) q=1,t=5 cross-level TIE on t with (2): q=2 dominates strictly.
+    // (7) has NULL t -> excluded.
+    val pts = Seq(
+      (1L, 3.0, Option(10L)), (2L, 2.0, Option(5L)), (3L, 2.0, Option(8L)),
+      (4L, 1.0, Option(10L)), (5L, 1.0, Option(5L)), (6L, 2.0, Option(5L)),
+      (7L, 9.0, None: Option[Long])).toDF("id", "q", "t")
+    val got = Skyline.pareto2d(pts, "q", "t")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 6L))
+    // distributivity: skyline(A ∪ B) == skyline(skyline(A) ∪ skyline(B))
+    // — the property that makes the per-partition-then-merge plan valid
+    val a = pts.filter(col("id") % 2 === 0)
+    val b = pts.filter(col("id") % 2 =!= 0)
+    val merged = Skyline.pareto2d(
+      Skyline.pareto2d(a, "q", "t").unionByName(Skyline.pareto2d(b, "q", "t")),
+      "q", "t").select("id").collect().map(_.getLong(0)).toSet
+    assert(merged === got)
+  }
+
+  test("t-closeness: hand-computed EMD and TV distances") {
+    // rows: class A = {1, 2, 3}, class B = {1, 3}
+    // global: 1×2, 2×1, 3×2; N = 5, m = 3
+    // B (n=2): d = (1·5−2·2, 0·5−1·2, 1·5−2·2) = (1, −2, 1),
+    //   cum = (1, −1, 0) → emd = 2/(5·2·2) = 0.1; tv = 4/20 = 0.2
+    // A (n=3): d = (−1, 2, −1), cum = (−1, 1, 0)
+    //   → emd = 2/(5·3·2) ≈ 0.066667; tv = 4/30 ≈ 0.133333
+    val rows = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 1L), ("B", 3L))
+      .toDF("cls", "v")
+    val got = Anonymity.tClosenessProfile(rows, Seq("cls"), "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("A") === ((3L, 0.066667, 0.133333)))
+    assert(got("B") === ((2L, 0.1, 0.2)))
+    // a class that IS the table has distance exactly 0 on both metrics
+    val one = Anonymity.tClosenessProfile(
+      rows.withColumn("cls", lit("all")), Seq("cls"), "v").collect()
+    assert(one.length === 1 && one.head.getDouble(2) === 0.0 &&
+      one.head.getDouble(3) === 0.0)
+  }
+
+  test("interval overlap join: half-open semantics, exactly-once across bands") {
+    // key 1: L [0, 10) × R: [5, 7) nested → hit; [10, 20) touching at
+    // the boundary → NO hit (half-open); [9, 30) long straddler → hit
+    // once even though it spans many bands at width 3
+    val l = Seq((1L, 0L, 10L, "a"), (1L, 40L, 45L, "b"),
+      (2L, 0L, 100L, "c")).toDF("k", "ls", "le", "lid")
+    val r = Seq((1L, 5L, 7L, "x"), (1L, 10L, 20L, "y"),
+      (1L, 9L, 30L, "z"), (3L, 0L, 100L, "w")).toDF("k", "rs", "re", "rid")
+    def run(w: Long) = TemporalJoins.intervalOverlapJoin(
+        l, r, Seq("k"), "ls", "le", "rs", "re", bandWidth = w)
+      .select("lid", "rid").collect().map(x => (x.getString(0), x.getString(1)))
+      .sorted.toSeq
+    val expect = Seq(("a", "x"), ("a", "z"))
+    // band width must be result-invisible: tiny, matched, huge
+    assert(run(1L) === expect)
+    assert(run(3L) === expect)
+    assert(run(1000L) === expect)
+    // empty interval never matches even when contained
+    val le = Seq((1L, 6L, 6L, "e")).toDF("k", "ls", "le", "lid")
+    assert(TemporalJoins.intervalOverlapJoin(le, r, Seq("k"),
+      "ls", "le", "rs", "re", 3L).count() === 0L)
+  }
+
+  test("calibration bins: hand-computed ppm stats and Brier mass") {
+    // scores (ppm): 50000→bin 0, 250000→bin 2, 999999→bin 9,
+    // 1000000→bin 9 (top fold); labels 0, 1, 0, 1
+    val df = Seq((50000L, 0), (250000L, 1), (999999L, 0), (1000000L, 1))
+      .toDF("s", "y")
+    val got = Calibration.reliabilityBins(df, col("s"), col("y"), bins = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(0L, 2L, 9L))
+    val b0 = got(0L)
+    assert(b0.getLong(1) === 1L && b0.getLong(2) === 0L &&
+      b0.getLong(3) === 50000L && b0.getLong(4) === 0L &&
+      b0.getLong(5) === 50000L &&
+      b0.getLong(6) === 50000L * 50000L)
+    val b2 = got(2L) // pred 250000 vs observed 1000000
+    assert(b2.getLong(3) === 250000L && b2.getLong(4) === 1000000L &&
+      b2.getLong(5) === -750000L && b2.getLong(6) === 750000L * 750000L)
+    val b9 = got(9L) // mean pred (999999+1000000) div 2; obs 1/2
+    assert(b9.getLong(1) === 2L && b9.getLong(3) === 999999L &&
+      b9.getLong(4) === 500000L &&
+      b9.getLong(6) === 999999L * 999999L + 0L)
+  }
+
+  test("HLL rollup: max-merged registers equal a direct coarse build") {
+    val vals = spark.range(0, 500)
+      .select((col("id") % 5).cast("string").as("g"),
+        (col("id") % 3).cast("string").as("sub"),
+        concat(lit("u"), (col("id") % 97).cast("string")).as("v"))
+    val fine = Sketches.hllRegisters(vals, Seq("g", "sub"), "v", p = 6)
+    val rolled = Sketches.hllRollup(fine, Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Sketches.hllRegisters(vals, Seq("g"), "v", p = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rolled === direct)
+  }
+
+  test("CMS inner product: exact join size without collisions, never under") {
+    // a: {x:2, y:1}; b: {x:3, z:5} — true join size on the key = 2*3 = 6.
+    // 3 distinct values in 4×256 cells: at least one row collision-free,
+    // so the min-over-rows estimate is exactly 6.
+    val a = Seq("x", "x", "y").toDF("w")
+    val b = Seq("x", "x", "x", "z", "z", "z", "z", "z").toDF("w")
+    val est = Sketches.cmsInnerProduct(
+      Sketches.cmsSketch(a, "w", 4, 256), Sketches.cmsSketch(b, "w", 4, 256),
+      depth = 4).collect().head.getLong(0)
+    assert(est === 6L)
+    // disjoint sides with a TINY width (forced collisions): still >= 0,
+    // and the self-join estimate of a stays >= its true F2 (4+1 = 5)
+    val self = Sketches.cmsInnerProduct(
+      Sketches.cmsSketch(a, "w", 4, 2), Sketches.cmsSketch(a, "w", 4, 2),
+      depth = 4).collect().head.getLong(0)
+    assert(self >= 5L)
+    // empty side: every row dots to 0 -> estimate 0
+    val empty = a.filter(col("w") === "nope")
+    val z = Sketches.cmsInnerProduct(
+      Sketches.cmsSketch(a, "w", 4, 256),
+      Sketches.cmsSketch(empty, "w", 4, 256), depth = 4)
+      .collect().head.getLong(0)
+    assert(z === 0L)
   }
 
   test("CMS sketch merges by cell-wise addition") {
