@@ -87,15 +87,19 @@ object Anonymity {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier")
     val base = df.filter(col(sensitiveCol).isNotNull)
       .select(quasiCols.map(col) :+ col(sensitiveCol).as("__v"): _*)
-    // value marginals g_j and the (N, m) scalars — domain-sized
-    val vals = base.groupBy(col("__v")).agg(count(lit(1)).as("__g"))
+    // ONE pass over the raw rows: the class × value aggregate.
+    // Everything else — value marginals g_j, class sizes n_c, the
+    // (N, m) scalars — derives from this grid-sized frame, so the
+    // 100 TB table is scanned exactly once ([[Retained]]-tracked
+    // persist: three lazy consumers below).
+    val clsVal = Retained.track(
+      base.groupBy(quasiCols.map(col) :+ col("__v"): _*)
+        .agg(count(lit(1)).as("__ncj")).persist())
+    val vals = clsVal.groupBy(col("__v")).agg(sum(col("__ncj")).as("__g"))
     val tot = vals.agg(sum(col("__g")).as("__N"),
       count(lit(1)).as("__m"))
-    // class sizes n_c and per-(class, value) counts n_cj
-    val clsSz = base.groupBy(quasiCols.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"))
-    val clsVal = base.groupBy(quasiCols.map(col) :+ col("__v"): _*)
-      .agg(count(lit(1)).as("__ncj"))
+    val clsSz = clsVal.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__ncj")).as("n_rows"))
     // class × domain grid: absent values contribute n_cj = 0 but still
     // advance the EMD prefix sum, so the grid must be dense
     val grid = clsSz.crossJoin(broadcast(vals))

@@ -46,9 +46,13 @@ object RandomWalks {
       .localCheckpoint(true)
     val degrees = ranked.groupBy(col("__n"))
       .agg(max(col("__rk")).cast("long").as("__deg"))
+    // the frontier is |starts|-sized; checkpointing it each hop keeps
+    // every hop's plan one-join-deep (no L-deep nesting) and stops the
+    // starts derivation re-running once per union branch
     var frontier = starts.select(col(startCol).as("walker"))
       .distinct()
       .withColumn("node", col("walker"))
+      .localCheckpoint(true)
     val out = Seq.newBuilder[DataFrame]
     out += frontier.select(col("walker"), lit(0L).as("step"), col("node"))
     for (step <- 1 to length) {
@@ -60,6 +64,7 @@ object RandomWalks {
         .join(ranked.withColumnRenamed("__n", "node"),
           Seq("node", "__rk"))
         .select(col("walker"), col("__d").as("node"))
+        .localCheckpoint(true)
       out += frontier.select(col("walker"), lit(step.toLong).as("step"),
         col("node"))
     }

@@ -1017,8 +1017,11 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     val ev = events(s, d).filter(col("user_id").isNotNull)
       .select(col("event_type"), expr("ts div 86400000000000L").as("day"),
         col("user_id").cast("string").as("u"))
-    val daily = operators.Sketches.hllRegisters(ev,
-      Seq("event_type", "day"), "u", p = 6)
+    // the daily register build is the one pass over the raw rows —
+    // persist it so the weekly and all-time rollups both read the
+    // register frame instead of re-scanning the corpus
+    val daily = operators.Retained.track(operators.Sketches.hllRegisters(ev,
+      Seq("event_type", "day"), "u", p = 6).persist())
     val weekly = operators.Sketches.hllRollup(
       daily.withColumn("week", expr("day div 7L")),
       Seq("event_type", "week"))
