@@ -263,4 +263,28 @@ object TemporalJoins {
         expr(s"greatest(`$lStart`, `$rStart`) div ${bandWidth}L") === col("__band"))
       .drop("__band")
   }
+
+  /** Allen's interval-algebra relation (Allen, CACM'83) of half-open
+    * `[lS, lE)` vs `[rS, rE)` as a label column — the full 13-relation
+    * vocabulary (before/after, meets/met_by, overlaps/overlapped_by,
+    * starts/started_by, during/contains, finishes/finished_by,
+    * equals). On half-open integer intervals "meets" is exact end =
+    * start adjacency. Pure column expression (codegen-friendly,
+    * composes with [[intervalOverlapJoin]] — whose output can only
+    * carry the nine intersecting relations).
+    */
+  def allenRelation(lS: Column, lE: Column, rS: Column, rE: Column): Column =
+    when(lS === rS && lE === rE, "equals")
+      .when(lE === rS, "meets")
+      .when(rE === lS, "met_by")
+      .when(lE < rS, "before")
+      .when(rE < lS, "after")
+      .when(lS === rS && lE < rE, "starts")
+      .when(lS === rS, "started_by")
+      .when(lE === rE && lS > rS, "finishes")
+      .when(lE === rE, "finished_by")
+      .when(lS > rS && lE < rE, "during")
+      .when(lS < rS && lE > rE, "contains")
+      .when(lS < rS, "overlaps")
+      .otherwise("overlapped_by")
 }

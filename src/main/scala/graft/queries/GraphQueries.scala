@@ -304,7 +304,46 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
       .orderBy(col("walker"), col("step"))
   }
 
+  // ---------------------------------------------------------------- q252
+  /** Threshold-percolation audit: connected-component structure of the
+    * co-purchase graph as the edge-support threshold sweeps 1 → 3 —
+    * the "how does my dedup/similarity clustering change if I tighten
+    * the threshold" sensitivity question, answered per threshold as
+    * (reachable nodes, component count, giant-component size). Runs
+    * on the deterministic 10 %-of-parts node sample (`pk % 10 = 0`) —
+    * exactly how a 100 TB cluster-structure audit samples (the FULL
+    * graph's transitive closure is the oracle-side quadratic this
+    * sample bounds; the Spark side would scale — three
+    * large-star/small-star CC runs — but the audit question is about
+    * STRUCTURE, which the sample answers). Thresholds whose graph is
+    * empty are absent, not null rows.
+    */
+  def q252ThresholdComponents(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).filter(pmod(col("l_partkey"), lit(10L)) === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val ed = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("nb"))
+      .localCheckpoint(true) // three threshold consumers, one build
+    val per = (1 to 3).map { t =>
+      operators.ConnectedComponents.labels(ed.filter(col("nb") >= t),
+          "pa", "pb")
+        .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+        .agg(sum(col("sz")).as("n_nodes"),
+          count(lit(1)).as("n_components"),
+          max(col("sz")).as("max_size"))
+        .select(lit(t.toLong).as("threshold"), col("n_nodes"),
+          col("n_components"), col("max_size"))
+    }
+    per.reduce(_ unionAll _)
+      .filter(col("n_nodes").isNotNull)
+      .orderBy(col("threshold"))
+  }
+
   private[graft] def queriesGraph: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_threshold_components" -> (q252ThresholdComponents _),
     "q246_random_walks" -> (q246RandomWalks _),
     "q241_neighborhood_fn" -> (q241NeighborhoodFn _),
     "q83_pagerank" -> (q83PageRank _),
@@ -323,6 +362,33 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     "q218_ktruss_peel" -> (q218KtrussPeel _))
 
   private[graft] def oracleSqlGraph: Map[String, String] = Map(
+    "q252_threshold_components" ->
+      // components per threshold via one t-tagged transitive closure
+      // (bounded: the 10% node sample keeps the giant component's
+      // closure quadratic small); min-reachable-id labels match the
+      // large-star/small-star fixpoint exactly
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_partkey % 10 = 0),
+        |ed AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS nb
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |th(t) AS (SELECT CAST(1 AS BIGINT) UNION ALL SELECT 2 UNION ALL SELECT 3),
+        |edge AS (SELECT th.t, ed.pa AS a, ed.pb AS b
+        |    FROM ed JOIN th ON ed.nb >= th.t
+        |  UNION ALL SELECT th.t, ed.pb, ed.pa
+        |    FROM ed JOIN th ON ed.nb >= th.t),
+        |reach(t, src, dst) AS (
+        |  SELECT t, a, a FROM edge
+        |  UNION
+        |  SELECT r.t, r.src, e.b FROM reach r JOIN edge e
+        |    ON e.t = r.t AND e.a = r.dst),
+        |lab AS (SELECT t, src AS node, min(dst) AS comp
+        |        FROM reach GROUP BY 1, 2),
+        |cs AS (SELECT t, comp, CAST(count(*) AS BIGINT) AS sz
+        |       FROM lab GROUP BY 1, 2)
+        |SELECT t AS threshold, CAST(sum(sz) AS BIGINT) AS n_nodes,
+        |  CAST(count(*) AS BIGINT) AS n_components,
+        |  CAST(max(sz) AS BIGINT) AS max_size
+        |FROM cs GROUP BY t ORDER BY t""".stripMargin,
     "q246_random_walks" ->
       // hop replay: rank = md5-48(walker_node_step) mod degree, next =
       // the rank-th neighbor in dst order — unrolled for 3 steps

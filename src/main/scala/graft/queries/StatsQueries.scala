@@ -1033,7 +1033,35 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     wk.unionByName(tt).orderBy(col("event_type"), col("week"))
   }
 
+  // ---------------------------------------------------------------- q249
+  /** Rank-biased overlap ([[operators.RankCompare.rbo]], Webber et
+    * al. TOIS'10) between two part rankings — by total quantity
+    * shipped vs by distinct-order breadth, top-100 heads, p = 0.9:
+    * the "does swapping the scorer change what the consumer actually
+    * sees" metric, weighted geometrically toward the top the way
+    * attention is. Both metrics are exact integers (quantity summed
+    * as BIGINT, distinct orders counted) with part-key tie-breaks;
+    * the depth weights are the exact ppm recurrence, never
+    * `Math.pow`; the ranking windows run on the post-aggregation
+    * parts frame (bounded by |parts|), all RBO arithmetic on the
+    * 100-row depth grid.
+    */
+  def q249Rbo(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    def head(m: DataFrame) = m
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("m").desc, col("l_partkey"))))
+      .filter(col("rk") <= 100)
+    val byQty = head(li.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("m")))
+    val byBreadth = head(li.groupBy(col("l_partkey"))
+      .agg(count_distinct(col("l_orderkey")).as("m")))
+    operators.RankCompare.rbo(byQty, byBreadth, "l_partkey", "rk",
+      depth = 100, pPpm = 900000L)
+  }
+
   private[graft] def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_rbo" -> (q249Rbo _),
     "q244_t_closeness" -> (q244TCloseness _),
     "q247_calibration" -> (q247Calibration _),
     "q248_sketch_rollup" -> (q248SketchRollup _),
@@ -1102,6 +1130,40 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
        |   WHERE rk <= 64) k""".stripMargin
 
   private[graft] def oracleSqlStats: Map[String, String] = Map(
+    "q249_rbo" ->
+      // depth weights replayed as the same exact integer ppm
+      // recurrence (recursive CTE); one IEEE divide of exact ints per
+      // depth term, rounded 6 dp, summed in DECIMAL; // on positive
+      // operands == Spark's truncating long division
+      """WITH RECURSIVE w(d, wt) AS (
+        |  SELECT CAST(1 AS BIGINT), CAST(1000000 AS BIGINT)
+        |  UNION ALL SELECT d + 1, (wt * 900000) // 1000000
+        |  FROM w WHERE d < 100),
+        |qa AS (SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS m
+        |       FROM lineitem GROUP BY 1),
+        |ha AS (SELECT l_partkey, rk FROM (SELECT l_partkey,
+        |    row_number() OVER (ORDER BY m DESC, l_partkey) AS rk FROM qa)
+        |  WHERE rk <= 100),
+        |qb AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS m
+        |       FROM lineitem GROUP BY 1),
+        |hb AS (SELECT l_partkey, rk FROM (SELECT l_partkey,
+        |    row_number() OVER (ORDER BY m DESC, l_partkey) AS rk FROM qb)
+        |  WHERE rk <= 100),
+        |cj AS (SELECT greatest(ha.rk, hb.rk) AS dm
+        |       FROM ha JOIN hb USING (l_partkey)),
+        |cnt AS (SELECT dm, CAST(count(*) AS BIGINT) AS c FROM cj GROUP BY 1),
+        |g AS (SELECT w.d, w.wt, coalesce(cnt.c, 0) AS c
+        |      FROM w LEFT JOIN cnt ON cnt.dm = w.d),
+        |x AS (SELECT d, wt,
+        |    sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS x FROM g),
+        |t AS (SELECT d, x, CAST(round(CAST(wt * x AS DOUBLE)
+        |    / CAST(d * 1000000 AS DOUBLE), 6) AS DECIMAL(18,6)) AS term
+        |  FROM x)
+        |SELECT CAST(100 AS BIGINT) AS depth,
+        |  CAST(max(x) AS BIGINT) AS n_conjoint,
+        |  round(CAST(sum(term) AS DOUBLE)
+        |    * (CAST(100000 AS DOUBLE) / CAST(1000000 AS DOUBLE)), 6) AS rbo
+        |FROM t""".stripMargin,
     "q244_t_closeness" ->
       // distributions compared over the common denominator n_c·N as
       // exact HUGEINT integers (Spark: DECIMAL(38,0)); the EMD prefix

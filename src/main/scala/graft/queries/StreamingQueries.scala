@@ -315,7 +315,51 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
       .orderBy(col("n_name"), col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q251
+  /** Streaming FUNNEL drained through the real engine — the TENTH
+    * streaming oracle row: [[streaming.StreamingImport.funnelStream]]
+    * (per-user `flatMapGroupsWithState` stage fold, Append mode)
+    * replays the signup → click → purchase funnel and must emit
+    * exactly the batch stage-times rows ([[operators.Funnel
+    * .stageTimes]] semantics: stage k advances on the first event
+    * strictly after stage k−1). The replay is a single trigger (no
+    * `maxFilesPerTrigger`): the fold's first-reach semantics are
+    * arrival-order-dependent across batches, and time-ordering within
+    * the one batch is exactly the operator's documented contract —
+    * the state path (checkpoint + state store + Append eviction) is
+    * still the real engine's. Driver data has µs-unique per-user
+    * timestamps, so the in-batch sort is total.
+    */
+  def q251StreamFunnel(s: SparkSession, d: String): DataFrame = {
+    streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q251-")
+    val src = tmp.resolve("src").toString
+    events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("us"))
+      .repartition(8).write.mode("overwrite").parquet(src)
+    import s.implicits._
+    val stream = s.readStream.schema(s.read.parquet(src).schema)
+      .parquet(src)
+      .select(col("user_id").as("_1"), col("event_type").as("_2"),
+        col("us").as("_3"))
+      .as[(Long, String, Long)]
+    val fn = streaming.StreamingImport.funnelStream(stream,
+        Seq("signup", "click", "purchase"))
+      .toDF("user_id", "stage_idx", "us")
+    val sink = s"q251_sink_${System.nanoTime()}"
+    val q = fn.writeStream.outputMode("append").format("memory")
+      .queryName(sink)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).select(col("user_id"),
+        col("stage_idx").cast("long").as("stage_idx"), col("us"))
+      .orderBy(col("user_id"), col("stage_idx"))
+  }
+
   private[graft] def queriesStreaming: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_stream_funnel" -> (q251StreamFunnel _),
     "q235_stream_static_join" -> (q235StreamStaticJoin _),
     "q207_stream_windows" -> (q207StreamWindows _),
     "q210_stream_dedup" -> (q210StreamDedup _),
@@ -325,6 +369,25 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
     "q214_stream_upsert" -> (q214StreamUpsert _))
 
   private[graft] def oracleSqlStreaming: Map[String, String] = Map(
+    "q251_stream_funnel" ->
+      // the batch funnel definition: stage k = the user's earliest
+      // stage-k event strictly after their stage-(k-1) time; the
+      // streaming fold over time-sorted events must reproduce it
+      """WITH ev AS (SELECT user_id, event_type,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+        | FROM events WHERE user_id IS NOT NULL),
+        |s0 AS (SELECT user_id, min(us) AS us FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.us) AS us FROM ev e
+        |       JOIN s0 ON s0.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.us > s0.us GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS us FROM ev e
+        |       JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > s1.us GROUP BY 1)
+        |SELECT user_id, CAST(0 AS BIGINT) AS stage_idx, us FROM s0
+        |UNION ALL SELECT user_id, 1, us FROM s1
+        |UNION ALL SELECT user_id, 2, us FROM s2
+        |ORDER BY user_id, stage_idx""".stripMargin,
     "q207_stream_windows" ->
       // the q37 batch oracle — here the Spark side actually executes
       // the Structured Streaming engine (micro-batches + state store)

@@ -232,7 +232,10 @@ private[graft] trait TemporalQueries { this: SparkEntry.type =>
     * the textbook quadratic overlap predicate, pinning banding as
     * result-invisible.
     */
-  def q245IntervalJoin(s: SparkSession, d: String): DataFrame = {
+  /** q245/q250 shared build: ±1 h-padded per-type session intervals,
+    * overlap-joined click × view per user via the banded equi-join.
+    */
+  private def paddedSessionPairs(s: SparkSession, d: String): DataFrame = {
     val padUs = 3600000000L
     val ev = events(s, d).select(col("user_id"), col("event_id"),
       expr("ts DIV 1000").as("us"), col("event_type"))
@@ -242,16 +245,38 @@ private[graft] trait TemporalQueries { this: SparkEntry.type =>
       .select(col("user_id"), (col("start_ts") - padUs).as(s"${p}_start"),
         (col("end_ts") + 1 + padUs).as(s"${p}_end"))
     operators.TemporalJoins.intervalOverlapJoin(
-        sess("click", "c"), sess("view", "v"), Seq("user_id"),
-        "c_start", "c_end", "v_start", "v_end", bandWidth = 7200000000L)
+      sess("click", "c"), sess("view", "v"), Seq("user_id"),
+      "c_start", "c_end", "v_start", "v_end", bandWidth = 7200000000L)
+  }
+
+  def q245IntervalJoin(s: SparkSession, d: String): DataFrame =
+    paddedSessionPairs(s, d)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(least(col("c_end"), col("v_end")) -
           greatest(col("c_start"), col("v_start"))).as("overlap_us"))
       .orderBy(col("user_id"))
-  }
+
+  // ---------------------------------------------------------------- q250
+  /** Allen-relation census of the q245 session pairs
+    * ([[operators.TemporalJoins.allenRelation]]): every overlapping
+    * click × view window pair classified into Allen's interval
+    * algebra (equals / starts / started_by / finishes / finished_by /
+    * during / contains / overlaps / overlapped_by — the nine
+    * intersecting relations an overlap join can produce) and counted.
+    * The relation is a pure codegen'd CASE column over the joined
+    * frame; the oracle replays the identical precedence chain.
+    */
+  def q250AllenHistogram(s: SparkSession, d: String): DataFrame =
+    paddedSessionPairs(s, d)
+      .select(operators.TemporalJoins.allenRelation(col("c_start"),
+        col("c_end"), col("v_start"), col("v_end")).as("relation"))
+      .groupBy(col("relation"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("relation"))
 
   private[graft] def queriesTemporal: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_allen_histogram" -> (q250AllenHistogram _),
     "q245_interval_join" -> (q245IntervalJoin _),
     "q243_bitemporal_asof" -> (q243BitemporalAsOf _),
     "q44_asof_join" -> (q44AsofJoin _),
@@ -263,6 +288,51 @@ private[graft] trait TemporalQueries { this: SparkEntry.type =>
     "q226_asof_timestamp" -> (q226AsofTimestamp _))
 
   private[graft] def oracleSqlTemporal: Map[String, String] = Map(
+    "q250_allen_histogram" ->
+      // same padded-session pair build as q245; the CASE precedence
+      // chain mirrors allenRelation's `when` order exactly
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us FROM events),
+        |cf AS (SELECT user_id, us, event_id,
+        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |         <= 1800000000 THEN 0 ELSE 1 END AS is_new
+        | FROM ev WHERE event_type = 'click'),
+        |cg AS (SELECT user_id, us,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM cf),
+        |cs AS (SELECT user_id, min(us) - 3600000000 AS st,
+        |   max(us) + 1 + 3600000000 AS en
+        | FROM cg GROUP BY user_id, sid),
+        |vf AS (SELECT user_id, us, event_id,
+        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |         <= 1800000000 THEN 0 ELSE 1 END AS is_new
+        | FROM ev WHERE event_type = 'view'),
+        |vg AS (SELECT user_id, us,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM vf),
+        |vs AS (SELECT user_id, min(us) - 3600000000 AS st,
+        |   max(us) + 1 + 3600000000 AS en
+        | FROM vg GROUP BY user_id, sid),
+        |p AS (SELECT
+        |  CASE WHEN c.st = v.st AND c.en = v.en THEN 'equals'
+        |       WHEN c.en = v.st THEN 'meets'
+        |       WHEN v.en = c.st THEN 'met_by'
+        |       WHEN c.en < v.st THEN 'before'
+        |       WHEN v.en < c.st THEN 'after'
+        |       WHEN c.st = v.st AND c.en < v.en THEN 'starts'
+        |       WHEN c.st = v.st THEN 'started_by'
+        |       WHEN c.en = v.en AND c.st > v.st THEN 'finishes'
+        |       WHEN c.en = v.en THEN 'finished_by'
+        |       WHEN c.st > v.st AND c.en < v.en THEN 'during'
+        |       WHEN c.st < v.st AND c.en > v.en THEN 'contains'
+        |       WHEN c.st < v.st THEN 'overlaps'
+        |       ELSE 'overlapped_by' END AS relation
+        | FROM cs c JOIN vs v ON v.user_id = c.user_id
+        |   AND c.st < v.en AND v.st < c.en)
+        |SELECT relation, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY relation ORDER BY relation""".stripMargin,
     "q245_interval_join" ->
       // sessionizer replay identical to q118 per event type; the join
       // is the textbook quadratic overlap predicate the banded plan

@@ -1128,6 +1128,63 @@ class PropertiesSpec extends SparkSpec {
       b9.getLong(6) === 999999L * 999999L + 0L)
   }
 
+  test("RBO: identical lists hit the closed form, disjoint lists score 0, top-heavy") {
+    import spark.implicits._
+    def ranks(ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }
+        .toDF("id", "rk")
+    val d = 10
+    // identical lists: X_d = d, so rbo = (1-p)·Σ w_d/1e6 with the
+    // exact ppm weight recurrence mirrored here
+    val ws = Iterator.iterate(1000000L)(w => w * 900000L / 1000000L)
+      .take(d).toSeq
+    val expected = (BigDecimal(ws.sum) / 1000000).toDouble * 0.1
+    val same = ranks(1L to 10L)
+    val gotSame = RankCompare.rbo(same, ranks(1L to 10L), "id", "rk", d, 900000L)
+      .collect().head
+    assert(gotSame.getLong(1) === 10L &&
+      math.abs(gotSame.getDouble(2) - expected) < 1e-6)
+    // disjoint lists: no conjoint pair anywhere
+    val gotDisj = RankCompare.rbo(same, ranks(11L to 20L), "id", "rk", d, 900000L)
+      .collect().head
+    assert(gotDisj.getLong(1) === 0L && gotDisj.getDouble(2) === 0.0)
+    // geometric top weighting: disagreeing at rank 1 costs more than
+    // disagreeing at rank 10 (same single-element difference)
+    def swapAt(pos: Int) =
+      ranks((1L to 10L).updated(pos - 1, 99L))
+    val topSwap = RankCompare.rbo(same, swapAt(1), "id", "rk", d, 900000L)
+      .collect().head.getDouble(2)
+    val botSwap = RankCompare.rbo(same, swapAt(10), "id", "rk", d, 900000L)
+      .collect().head.getDouble(2)
+    assert(topSwap < botSwap && botSwap < gotSame.getDouble(2))
+  }
+
+  test("Allen relations: all 13 cases classify correctly on half-open intervals") {
+    import spark.implicits._
+    val cases = Seq(
+      (0L, 10L, 0L, 10L, "equals"),
+      (0L, 5L, 5L, 10L, "meets"),
+      (5L, 10L, 0L, 5L, "met_by"),
+      (0L, 3L, 5L, 10L, "before"),
+      (5L, 10L, 0L, 3L, "after"),
+      (0L, 5L, 0L, 10L, "starts"),
+      (0L, 10L, 0L, 5L, "started_by"),
+      (5L, 10L, 0L, 10L, "finishes"),
+      (0L, 10L, 5L, 10L, "finished_by"),
+      (3L, 7L, 0L, 10L, "during"),
+      (0L, 10L, 3L, 7L, "contains"),
+      (0L, 6L, 4L, 10L, "overlaps"),
+      (4L, 10L, 0L, 6L, "overlapped_by"))
+    val got = cases.toDF("ls", "le", "rs", "re", "want")
+      .withColumn("got", TemporalJoins.allenRelation(
+        col("ls"), col("le"), col("rs"), col("re")))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("got") === r.getAs[String]("want"),
+        s"(${r.getLong(0)},${r.getLong(1)}) vs (${r.getLong(2)},${r.getLong(3)})")
+    }
+  }
+
   test("HLL rollup: max-merged registers equal a direct coarse build") {
     val vals = spark.range(0, 500)
       .select((col("id") % 5).cast("string").as("g"),
