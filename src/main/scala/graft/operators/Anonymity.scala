@@ -101,10 +101,18 @@ object Anonymity {
     val clsSz = clsVal.groupBy(quasiCols.map(col): _*)
       .agg(sum(col("__ncj")).as("n_rows"))
     // class × domain grid: absent values contribute n_cj = 0 but still
-    // advance the EMD prefix sum, so the grid must be dense
+    // advance the EMD prefix sum, so the grid must be dense. The join
+    // back to the per-(class, value) counts is NULL-SAFE on the quasi
+    // columns — SQL groupBy keeps a NULL quasi class, and a plain
+    // equi-join would silently miss all its rows (zeroing every n_cj)
+    val cv2 = clsVal.select((quasiCols.map(c => col(c).as(s"__r_$c")) :+
+      col("__v").as("__rv") :+ col("__ncj")): _*)
+    val joinCond = (quasiCols.map(c => col(c) <=> col(s"__r_$c")) :+
+      (col("__v") === col("__rv"))).reduce(_ && _)
     val grid = clsSz.crossJoin(broadcast(vals))
-      .join(clsVal, quasiCols :+ "__v", "left")
+      .join(cv2, joinCond, "left")
       .na.fill(0L, Seq("__ncj"))
+      .drop((quasiCols.map(c => s"__r_$c") :+ "__rv"): _*)
       .crossJoin(broadcast(tot))
     def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val w = Window.partitionBy(quasiCols.map(col): _*)
@@ -117,9 +125,12 @@ object Anonymity {
       .groupBy(quasiCols.map(col) :+ col("n_rows") :+ col("__N") :+ col("__m"): _*)
       .agg(sum(abs(col("__cum"))).as("__se"),
         sum(abs(col("__d"))).as("__st"))
-      .withColumn("t_emd", round(col("__se").cast("double") /
-        (d38(col("__N")) * d38(col("n_rows")) * d38(col("__m") - 1))
-          .cast("double"), 6))
+      .withColumn("t_emd", // a 1-value domain has every class at
+        // distance 0 (the (m−1) normalizer would be 0/0 ⇒ NaN)
+        when(col("__m") === 1, lit(0.0)).otherwise(
+          round(col("__se").cast("double") /
+            (d38(col("__N")) * d38(col("n_rows")) * d38(col("__m") - 1))
+              .cast("double"), 6)))
       .withColumn("t_tv", round(col("__st").cast("double") /
         (d38(lit(2)) * d38(col("__N")) * d38(col("n_rows"))).cast("double"), 6))
       .select(quasiCols.map(col) :+ col("n_rows") :+ col("t_emd") :+

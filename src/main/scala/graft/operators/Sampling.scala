@@ -120,4 +120,51 @@ object Sampling {
         Seq(col("lkey").desc, col(idCol)), "sel_rank")
       .withColumn("selected", col("sel_rank") <= k)
   }
+
+  /** Priority-sampling subset-sum ESTIMATION (Duffield, Lund & Thorup,
+    * JACM'07): keep the k items with the largest priorities
+    * `p_i = w_i / u_i` (u_i a deterministic hash uniform in (0,1)),
+    * set τ to the (k+1)-th priority, and estimate the TOTAL weight as
+    * `Σ_{i ∈ sample} max(w_i, τ)` — unbiased, near-optimal variance,
+    * and the answer a 100 TB pipeline gets from k retained rows
+    * instead of a full-table aggregate (ship the k-row sample once,
+    * answer any subset-sum question later). With n ≤ k the estimate
+    * is exactly the true total (τ = 0).
+    *
+    * Determinism: u_i is the md5-48 hash line, priorities are one
+    * IEEE divide of exact values, ranking uses
+    * [[Ordinals.withOrderedOrdinal]] (distributed sort, (p desc, id)
+    * total order — no single-partition window), and the estimate sums
+    * 6-dp-rounded `max(w_i, τ)` terms in DECIMAL. Returns one row
+    * `(n_items, n_sampled, exact_total, est_total)` — the exact side
+    * published so the estimation error is visible, exactly the q240
+    * sketch-vs-truth shape.
+    */
+  def prioritySampleEstimate(df: DataFrame, idCol: String,
+                             weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = conv(substring(md5(col("__id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val u = (h + 1).cast("double") / lit(281474976710657.0) // 2^48 + 1
+    // two consumers (the τ probe and the final aggregate) — persist so
+    // the distributed sort behind the ordinal runs once
+    val ranked = Retained.track(Ordinals.withOrderedOrdinal(
+      df.select(col(idCol).as("__id"),
+          col(weightCol).cast("long").as("__w"))
+        .withColumn("__p", col("__w").cast("double") / u),
+      Seq(col("__p").desc, col("__id")), "__rk").persist())
+    val tau = ranked.filter(col("__rk") === k + 1)
+      .agg(coalesce(max(col("__p")), lit(0.0)).as("__tau"))
+    ranked.crossJoin(broadcast(tau))
+      .select(col("__w"), col("__rk"),
+        when(col("__rk") <= k,
+          round(greatest(col("__w").cast("double"), col("__tau")), 6)
+            .cast("decimal(28,6)")).as("__term"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("__rk") <= k, 1L).otherwise(0L)).as("n_sampled"),
+        sum(col("__w")).as("exact_total"),
+        sum(col("__term")).as("__est"))
+      .select(col("n_items"), col("n_sampled"), col("exact_total"),
+        col("__est").cast("double").as("est_total"))
+  }
 }

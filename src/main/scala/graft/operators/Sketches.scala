@@ -263,6 +263,18 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Histogram ROLLUP — the quantile-side reaggregatability twin of
+    * [[hllRollup]]: bin counts built at a fine grain (per source, per
+    * day, per shard — any extra grouping columns alongside `bin`)
+    * merge to a coarser grain by plain ADDITION, bit-identical to
+    * binning the raw values at the coarse grain directly. Quantile
+    * read-offs ([[histQuantiles]]) over a rollup therefore ARE the
+    * direct estimates. `coarseCols` may be empty (global rollup).
+    */
+  def histRollup(sketch: DataFrame, coarseCols: Seq[String]): DataFrame =
+    sketch.groupBy(coarseCols.map(col) :+ col("bin"): _*)
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+
   /** Type-1 (ceil-rank) quantile estimates from a histogram sketch —
     * INTEGER end to end: target rank `t = ⌈q·n⌉` via ppm arithmetic,
     * the answer bin is the first with cumulative count ≥ t, and the

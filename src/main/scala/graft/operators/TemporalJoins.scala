@@ -269,9 +269,13 @@ object TemporalJoins {
     * vocabulary (before/after, meets/met_by, overlaps/overlapped_by,
     * starts/started_by, during/contains, finishes/finished_by,
     * equals). On half-open integer intervals "meets" is exact end =
-    * start adjacency. Pure column expression (codegen-friendly,
-    * composes with [[intervalOverlapJoin]] — whose output can only
-    * carry the nine intersecting relations).
+    * start adjacency. PRECONDITION: both intervals non-empty
+    * (start < end) — Allen's algebra is undefined on empty intervals
+    * and this expression would label them arbitrarily (e.g. [5,5) vs
+    * [5,10) hits the "meets" branch). [[intervalOverlapJoin]] already
+    * filters empties; standalone callers must too. Pure column
+    * expression (codegen-friendly, composes with the overlap join —
+    * whose output can only carry the nine intersecting relations).
     */
   def allenRelation(lS: Column, lE: Column, rS: Column, rE: Column): Column =
     when(lS === rS && lE === rE, "equals")

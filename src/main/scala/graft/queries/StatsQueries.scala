@@ -947,9 +947,13 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     */
   def q240CmsJoinSize(s: SparkSession, d: String): DataFrame = {
     val (depth, width) = (4, 256)
-    val ev = events(s, d).filter(col("user_id").isNotNull &&
-        col("event_type").isin("click", "view"))
-      .select(col("user_id").cast("string").as("u"), col("event_type"))
+    // three consumers (two sketches + the exact side) — persist the
+    // filtered projection so the raw table is scanned once
+    val ev = operators.Retained.track(
+      events(s, d).filter(col("user_id").isNotNull &&
+          col("event_type").isin("click", "view"))
+        .select(col("user_id").cast("string").as("u"), col("event_type"))
+        .persist())
     def side(t: String) = operators.Sketches.cmsSketch(
       ev.filter(col("event_type") === t).select(col("u")), "u", depth, width)
     val est = operators.Sketches.cmsInnerProduct(
@@ -1060,7 +1064,54 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       depth = 100, pPpm = 900000L)
   }
 
+  // ---------------------------------------------------------------- q253
+  /** Priority-sampling subset-sum estimation
+    * ([[operators.Sampling.prioritySampleEstimate]], Duffield–Lund–
+    * Thorup): estimate TOTAL event volume from a 64-user priority
+    * sample — keep the 64 largest `w/u` priorities, τ = the 65th,
+    * `Σ max(w, τ)` over the sample estimates `Σ w` — published next
+    * to the exact total so the error is visible (the q240
+    * sketch-vs-truth shape). The 100 TB read: retain k rows once,
+    * answer later subset-sum questions without rescanning. Hash-line
+    * u's, one IEEE divide per priority, distributed-sort ranking,
+    * 6-dp terms summed in DECIMAL.
+    */
+  def q253PriorityEstimate(s: SparkSession, d: String): DataFrame = {
+    val per = events(s, d).filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("w"))
+    operators.Sampling.prioritySampleEstimate(per, "user_id", "w", k = 64)
+  }
+
+  // ---------------------------------------------------------------- q254
+  /** Histogram-sketch rollup quantiles ([[operators.Sketches
+    * .histRollup]] — the quantile-side twin of q248's HLL rollup):
+    * price-cents bin counts built PER RETURN FLAG (the per-shard
+    * grain), merged to the global sketch by plain bin addition, and
+    * quantiles read off the rollup ([[operators.Sketches
+    * .histQuantiles]] — integer end to end). The oracle bins the raw
+    * rows directly at the global grain, so the hash-match proves the
+    * quantile summary's merge ≡ rebuild: fine-grain sketches answer
+    * any coarser quantile question without rescanning.
+    */
+  def q254HistRollup(s: SparkSession, d: String): DataFrame = {
+    val binW = 100000L
+    val cents = lineitem(s, d)
+      .filter(col("l_extendedprice").isNotNull)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    val fine = cents.groupBy(col("l_returnflag"),
+        expr(s"cents DIV ${binW}L").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val global = operators.Sketches.histRollup(fine, Seq.empty)
+    operators.Sketches.histQuantiles(global, binW,
+        qPpm = Seq(250000L, 750000L, 990000L))
+      .orderBy(col("q_ppm"))
+  }
+
   private[graft] def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_priority_estimate" -> (q253PriorityEstimate _),
+    "q254_hist_rollup" -> (q254HistRollup _),
     "q249_rbo" -> (q249Rbo _),
     "q244_t_closeness" -> (q244TCloseness _),
     "q247_calibration" -> (q247Calibration _),
@@ -1130,6 +1181,58 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
        |   WHERE rk <= 64) k""".stripMargin
 
   private[graft] def oracleSqlStats: Map[String, String] = Map(
+    "q253_priority_estimate" ->
+      // priorities replayed with the SAME operation order (w divided
+      // by the (0,1) uniform, itself (h+1)/CAST(2^48+1 AS DOUBLE) —
+      // bare float literals are DECIMAL in DuckDB and must be cast);
+      // estimate terms rounded 6 dp, summed in DECIMAL
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS w
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |pr AS (SELECT user_id, w,
+        |    CAST(w AS DOUBLE)
+        |      / (CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |            1, 12)) AS BIGINT) + 1 AS DOUBLE)
+        |         / CAST(281474976710657 AS DOUBLE)) AS p
+        |  FROM per),
+        |rk AS (SELECT user_id, w, p,
+        |    row_number() OVER (ORDER BY p DESC, user_id) AS rk FROM pr),
+        |tau AS (SELECT coalesce(max(p), CAST(0 AS DOUBLE)) AS tau
+        |        FROM rk WHERE rk = 65)
+        |SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CASE WHEN rk <= 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sampled,
+        |  CAST(sum(w) AS BIGINT) AS exact_total,
+        |  CAST(sum(CASE WHEN rk <= 64 THEN
+        |      CAST(round(greatest(CAST(w AS DOUBLE), tau.tau), 6)
+        |        AS DECIMAL(28,6)) END) AS DOUBLE) AS est_total
+        |FROM rk, tau""".stripMargin,
+    "q254_hist_rollup" ->
+      // direct global binning of the raw rows — the Spark side goes
+      // through per-flag sketches + rollup, so hash equality proves
+      // merge ≡ rebuild; read-off identical to q166's integer walk
+      """WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS cents FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |h AS (SELECT cents // 100000 AS bin, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM c GROUP BY 1),
+        |cum AS (SELECT bin, cnt,
+        |    CAST(sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+        |  FROM h),
+        |tot AS (SELECT max(cum) AS n_values FROM cum),
+        |t AS (SELECT CAST(q AS BIGINT) AS q_ppm, tot.n_values,
+        |    (tot.n_values * q + 999999) // 1000000 AS target_rank
+        |  FROM tot CROSS JOIN (VALUES (250000), (750000), (990000)) v(q))
+        |SELECT t.q_ppm, t.n_values, CAST(t.target_rank AS BIGINT)
+        |    AS target_rank, cum.bin,
+        |  CAST(cum.bin * 100000
+        |    + ((t.target_rank - cum.prev) * 100000) // cum.cnt AS BIGINT)
+        |    AS est
+        |FROM t JOIN cum ON cum.cum >= t.target_rank
+        |  AND cum.prev < t.target_rank
+        |ORDER BY q_ppm""".stripMargin,
     "q249_rbo" ->
       // depth weights replayed as the same exact integer ppm
       // recurrence (recursive CTE); one IEEE divide of exact ints per
@@ -1201,7 +1304,10 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "q247_calibration" ->
       // exact-ppm scores and all-integer bin stats; // on non-negative
-      // operands == Spark's truncating div; Brier mass summed exactly
+      // operands == Spark's truncating div; Brier mass summed exactly.
+      // brier_e12 stays BIGINT here (DuckDB DECIMAL(38,0) comes back
+      // as float64 through pandas) while Spark publishes DECIMAL(38,0)
+      // — int64 and Decimal render the same digit string to the hash
       """WITH per AS (SELECT user_id,
         |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
         |      AS n_click,

@@ -1081,6 +1081,21 @@ class PropertiesSpec extends SparkSpec {
       rows.withColumn("cls", lit("all")), Seq("cls"), "v").collect()
     assert(one.length === 1 && one.head.getDouble(2) === 0.0 &&
       one.head.getDouble(3) === 0.0)
+    // a NULL quasi class must keep its real counts (null-safe join):
+    // class NULL here has the SAME distribution as class "A", so their
+    // distances must be equal (and not the all-zero-counts artifact)
+    val withNull = Seq((Option("A"), 1L), (Option("A"), 2L),
+      (None: Option[String], 1L), (None: Option[String], 2L))
+      .toDF("cls", "v")
+    val gn = Anonymity.tClosenessProfile(withNull, Seq("cls"), "v")
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(gn(Some("A")) === ((0.0, 0.0)) && gn(None) === ((0.0, 0.0)))
+    // single-value sensitive domain: every class is at distance 0 on
+    // BOTH metrics (not NaN from the (m-1) normalizer)
+    val mono = Anonymity.tClosenessProfile(
+      rows.withColumn("v", lit(7L)), Seq("cls"), "v").collect()
+    assert(mono.forall(r => r.getDouble(2) === 0.0 && r.getDouble(3) === 0.0))
   }
 
   test("interval overlap join: half-open semantics, exactly-once across bands") {
@@ -1118,14 +1133,15 @@ class PropertiesSpec extends SparkSpec {
     assert(b0.getLong(1) === 1L && b0.getLong(2) === 0L &&
       b0.getLong(3) === 50000L && b0.getLong(4) === 0L &&
       b0.getLong(5) === 50000L &&
-      b0.getLong(6) === 50000L * 50000L)
+      b0.getDecimal(6).longValueExact === 50000L * 50000L)
     val b2 = got(2L) // pred 250000 vs observed 1000000
     assert(b2.getLong(3) === 250000L && b2.getLong(4) === 1000000L &&
-      b2.getLong(5) === -750000L && b2.getLong(6) === 750000L * 750000L)
+      b2.getLong(5) === -750000L &&
+      b2.getDecimal(6).longValueExact === 750000L * 750000L)
     val b9 = got(9L) // mean pred (999999+1000000) div 2; obs 1/2
     assert(b9.getLong(1) === 2L && b9.getLong(3) === 999999L &&
       b9.getLong(4) === 500000L &&
-      b9.getLong(6) === 999999L * 999999L + 0L)
+      b9.getDecimal(6).longValueExact === 999999L * 999999L + 0L)
   }
 
   test("RBO: identical lists hit the closed form, disjoint lists score 0, top-heavy") {
@@ -1183,6 +1199,51 @@ class PropertiesSpec extends SparkSpec {
       assert(r.getAs[String]("got") === r.getAs[String]("want"),
         s"(${r.getLong(0)},${r.getLong(1)}) vs (${r.getLong(2)},${r.getLong(3)})")
     }
+  }
+
+  test("priority-sample estimate: exact below k, k-bounded sample above") {
+    import spark.implicits._
+    // n = 5 <= k = 8: tau = 0, every term is its own weight -> the
+    // estimate IS the exact total
+    val small = Seq((1L, 10L), (2L, 20L), (3L, 5L), (4L, 1L), (5L, 64L))
+      .toDF("id", "w")
+    val ex = Sampling.prioritySampleEstimate(small, "id", "w", k = 8)
+      .collect().head
+    assert(ex.getLong(0) === 5L && ex.getLong(1) === 5L &&
+      ex.getLong(2) === 100L && ex.getDouble(3) === 100.0)
+    // n = 200 > k = 16: sample is exactly k, the estimate is positive,
+    // and a re-run is bit-identical (hash priorities, no RNG)
+    val big = spark.range(1, 201)
+      .select(col("id"), (col("id") % 13 + 1).as("w"))
+    def run() = Sampling.prioritySampleEstimate(big, "id", "w", k = 16)
+      .collect().head
+    val a = run(); val b = run()
+    assert(a.getLong(0) === 200L && a.getLong(1) === 16L)
+    assert(a.getDouble(3) === b.getDouble(3) && a.getDouble(3) > 0.0)
+    // the estimator never undershoots the sampled mass itself
+    assert(a.getDouble(3) >= 16.0)
+  }
+
+  test("histogram rollup: added bin counts equal a direct coarse build") {
+    val vals = spark.range(0, 3000)
+      .select((col("id") % 7).cast("string").as("g"),
+        (col("id") * 37 % 1000).as("v"))
+    val fine = vals.groupBy(col("g"), expr("v DIV 50L").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val rolled = Sketches.histRollup(fine, Seq.empty)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Sketches.histSketch(vals, "v", binWidth = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rolled === direct)
+    // and the quantile read-off over the rollup equals the direct one
+    val qs = Seq(500000L, 990000L)
+    val qRolled = Sketches.histQuantiles(
+      Sketches.histRollup(fine, Seq.empty), 50L, qs)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    val qDirect = Sketches.histQuantiles(
+      Sketches.histSketch(vals, "v", 50L), 50L, qs)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    assert(qRolled === qDirect)
   }
 
   test("HLL rollup: max-merged registers equal a direct coarse build") {
