@@ -35,6 +35,10 @@ ENTRIES = [
     # native one's exchange is bounded at k longs/group/partition, so
     # its alpha should sit at or below the row sketch's
     "q105_kmv_sketch", "q234_kmv_native_agg",
+    # round-11 second-session graph-iteration additions: the ANF's
+    # per-round exchange is bounded at k longs/node; the walk frontier
+    # is |starts|-sized and must stay flat
+    "q241_neighborhood_fn", "q246_random_walks",
 ]
 
 ADD_OPENS = [
