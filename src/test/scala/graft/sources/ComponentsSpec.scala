@@ -138,6 +138,48 @@ class ComponentsSpec extends SparkSpec {
       .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
   }
 
+  test("AQE splits a skewed sort-merge join partition (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // one hot key owning ~95% of the left side: the classic shape that
+    // stalls a 100 TB join on one straggler task. With AQE's skew-join
+    // thresholds scaled to test size, OptimizeSkewedJoin must split
+    // the hot partition — visible as `skew=true` on the SMJ node. This
+    // pins the runtime half of the skew story (q41 pins the manual
+    // salting half).
+    val keys = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.keys.map(k =>
+      k -> spark.conf.getOption(k)).toMap
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 400000)
+        .select(when(col("id") % 20 =!= 0, lit(0L))
+          .otherwise(col("id") % 50 + 1).as("k"),
+          // incompressible payload: the hot partition's shuffle BYTES
+          // (post-compression) are what skew detection measures
+          org.apache.spark.sql.functions.md5(col("id").cast("string"))
+            .as("lv"))
+      val right = spark.range(0, 51).select(col("id").as("k"))
+      val joined = left.join(right, "k").select(col("k"), col("lv"))
+      // collect() runs THIS dataset's own query execution, so the
+      // adaptive plan below is the final, post-reoptimization one
+      // (count() would build and run a separate execution)
+      assert(joined.collect().length === 400000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a skew-split SMJ in:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q231: the bucketed join itself plans shuffle-free (one exchange total, for the final agg)") {
     val df = graft.SparkEntry.queries("q231_bucketed_join")(
       spark, "/root/testdata/sf0.001")
