@@ -121,6 +121,64 @@ object Sampling {
       .withColumn("selected", col("sel_rank") <= k)
   }
 
+  /** Water-filling token-budget allocation: the unique per-source cap
+    * `c*` — the largest c with `Σ_s min(T_s, c) ≤ B` — and each
+    * source's allocation `min(T_s, c*)`. THE fair-mixing rule for a
+    * token budget (cap the dominant crawl at exactly the level that
+    * spends the budget; small sources keep everything), where
+    * [[tokenBudgetMix]] needs weights chosen up front, this derives
+    * the cap FROM the data. Sources are funded in full up to the
+    * largest feasible sorted prefix; the remainder splits integrally
+    * (floor) across the capped tail, so `Σ alloc ≤ B` exactly and the
+    * answer is all-integer / engine-exact.
+    *
+    * Scale shape: one hash aggregation over the rows builds the
+    * per-source totals; everything after runs on that bounded frame
+    * (the sorted-prefix window is |sources|-sized — the skyline
+    * level-frame discipline). Returns `(sourceCol, n_tokens, alloc,
+    * capped)` with `capped` true on tail sources (false everywhere
+    * when the whole corpus fits the budget).
+    */
+  def waterFillAllocation(df: DataFrame, sourceCol: String,
+                          tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val per = df.groupBy(col(sourceCol))
+      .agg(sum(coalesce(col(tokensCol).cast("long"), lit(0L)))
+        .as("n_tokens"))
+    val w = Window.orderBy(col("n_tokens"), col(sourceCol))
+    val ranked = per
+      .withColumn("__k", row_number().over(w).cast("long"))
+      .withColumn("__p", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // candidate cap after fully funding the k smallest sources:
+    // feasible iff P_k + (n−k)·T_{k+1}... encoded per row k as
+    // "prefix + tail at THIS row's level fits" — the largest feasible
+    // row sets the cap c* = (B − P_k) div (n − k); no feasible row
+    // (budget below n·T_min) means k = 0, c* = B div n
+    val n = count(lit(1)).over(Window.partitionBy())
+    val cap = ranked
+      .withColumn("__n", n)
+      .withColumn("__feasible",
+        col("__p") - col("n_tokens") +
+          (col("__n") - col("__k") + 1) * col("n_tokens") <= budget)
+      .select(col("__k"), col("__p"), col("__n"), col("__feasible"))
+      .withColumn("__rank_ok", when(col("__feasible"), col("__k")))
+      .agg(max(col("__rank_ok")).as("__kstar"),
+        max(col("__n")).as("__n"),
+        max(when(col("__feasible"), col("__p"))).as("__pstar"))
+      .select(
+        // integral `div`, not `/` (Column `/` promotes to double)
+        when(col("__kstar").isNull,
+          expr(s"${budget}L div greatest(__n, 1L)"))
+          .otherwise(when(col("__kstar") === col("__n"), lit(Long.MaxValue))
+            .otherwise(expr(s"(${budget}L - __pstar) div (__n - __kstar)")))
+          .cast("long").as("__cap"))
+    ranked.crossJoin(broadcast(cap))
+      .select(col(sourceCol), col("n_tokens"),
+        least(col("n_tokens"), col("__cap")).as("alloc"),
+        (col("n_tokens") > col("__cap")).as("capped"))
+  }
+
   /** Priority-sampling subset-sum ESTIMATION (Duffield, Lund & Thorup,
     * JACM'07): keep the k items with the largest priorities
     * `p_i = w_i / u_i` (u_i a deterministic hash uniform in (0,1)),

@@ -811,7 +811,29 @@ private[graft] trait TextQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q255
+  /** Water-filling token-budget allocation
+    * ([[operators.Sampling.waterFillAllocation]]): cap each source at
+    * the unique level c* that makes the corpus fit 60 % of its own
+    * token mass — dominant crawls are truncated, small sources keep
+    * everything, and `Σ alloc ≤ B` exactly. Where q71/q90's quota
+    * mixes need weights chosen up front, the water level is derived
+    * FROM the data — the fair-mixing answer a curation run actually
+    * wants. One hash agg over the docs; the cap solve runs on the
+    * |sources|-sized frame; all-integer arithmetic.
+    */
+  def q255WaterFilling(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("source"),
+      functions.TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+    // 1-row scalar: the corpus's own token mass sets the budget
+    val total = docs.agg(sum(col("tok"))).collect()(0).getLong(0)
+    operators.Sampling.waterFillAllocation(docs, "source", "tok",
+        budget = total * 3 / 5)
+      .orderBy(col("source"))
+  }
+
   private[graft] def queriesText: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_water_filling" -> (q255WaterFilling _),
     "q242_quality_skyline" -> (q242QualitySkyline _),
     "q233_js_divergence" -> (q233JsDivergence _),
     "q19_text_stats" -> (q19TextStats _),
@@ -852,6 +874,37 @@ private[graft] trait TextQueries { this: SparkEntry.type =>
     "q217_novelty" -> (q217Novelty _))
 
   private[graft] def oracleSqlText: Map[String, String] = Map(
+    "q255_water_filling" ->
+      // same tokenizer as q19; budget = (3·total) // 5 (Scala's
+      // total*3/5 on positive longs); the water level solved on the
+      // sorted per-source frame exactly as the operator does
+      s"""WITH t AS (SELECT source, CAST(len($SqlToks) AS BIGINT) AS tok
+         |  FROM documents),
+         |per AS (SELECT source, CAST(sum(tok) AS BIGINT) AS n_tokens
+         |        FROM t GROUP BY 1),
+         |b AS (SELECT (sum(n_tokens) * 3) // 5 AS budget FROM per),
+         |r AS (SELECT source, n_tokens,
+         |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT)
+         |      AS k,
+         |    CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+         |    CAST(count(*) OVER () AS BIGINT) AS n
+         |  FROM per),
+         |f AS (SELECT r.*,
+         |    (p - n_tokens + (n - k + 1) * n_tokens) <= b.budget AS ok
+         |  FROM r, b),
+         |c AS (SELECT CASE
+         |    WHEN max(CASE WHEN ok THEN k END) IS NULL
+         |      THEN (SELECT budget FROM b) // greatest(max(n), 1)
+         |    WHEN max(CASE WHEN ok THEN k END) = max(n)
+         |      THEN 9223372036854775807
+         |    ELSE ((SELECT budget FROM b) - max(CASE WHEN ok THEN p END))
+         |      // (max(n) - max(CASE WHEN ok THEN k END)) END AS cap
+         |  FROM f)
+         |SELECT source, n_tokens,
+         |  CAST(least(n_tokens, c.cap) AS BIGINT) AS alloc,
+         |  n_tokens > c.cap AS capped
+         |FROM r, c ORDER BY source""".stripMargin,
     "q242_quality_skyline" ->
       // quality formula identical to q19; frontier by the textbook
       // quadratic NOT-EXISTS dominance definition (strict somewhere)

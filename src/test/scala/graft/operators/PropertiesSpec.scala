@@ -1201,6 +1201,34 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("water-filling allocation: exact cap, budget spent, edge budgets") {
+    import spark.implicits._
+    // sources a:10, b:20, c:100 (rows summed per source)
+    val rows = Seq(("a", 4L), ("a", 6L), ("b", 20L), ("c", 100L))
+      .toDF("src", "tok")
+    def alloc(b: Long) = Sampling.waterFillAllocation(rows, "src", "tok", b)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // B = 60: a,b fully funded; cap = (60 − 30) div 1 = 30 on c
+    val g60 = alloc(60L)
+    assert(g60("a") === ((10L, 10L, false)) &&
+      g60("b") === ((20L, 20L, false)) &&
+      g60("c") === ((100L, 30L, true)))
+    // B = 25 < 3·T_min: nothing fully funded, cap = 25 div 3 = 8
+    val g25 = alloc(25L)
+    assert(g25("a") === ((10L, 8L, true)) &&
+      g25("b") === ((20L, 8L, true)) && g25("c") === ((100L, 8L, true)))
+    // B covers everything: no caps
+    val gAll = alloc(200L)
+    assert(gAll.values.forall { case (t, a, c) => a === t && !c })
+    // B = 0: zero allocations
+    assert(alloc(0L).values.forall(_._2 === 0L))
+    // invariant: the spend never exceeds the budget
+    Seq(0L, 1L, 25L, 29L, 60L, 129L, 130L, 500L).foreach { b =>
+      assert(alloc(b).values.map(_._2).sum <= b)
+    }
+  }
+
   test("priority-sample estimate: exact below k, k-bounded sample above") {
     import spark.implicits._
     // n = 5 <= k = 8: tau = 0, every term is its own weight -> the
