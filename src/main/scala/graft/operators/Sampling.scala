@@ -156,11 +156,15 @@ object Sampling {
     // row sets the cap c* = (B − P_k) div (n − k); no feasible row
     // (budget below n·T_min) means k = 0, c* = B div n
     val n = count(lit(1)).over(Window.partitionBy())
+    def d38(c: Column) = c.cast("decimal(38,0)")
     val cap = ranked
       .withColumn("__n", n)
+      // feasibility arithmetic in DECIMAL: (n−k+1)·T_k can cross 2^63
+      // on extreme inputs, and a wrapped long silently mislabels rows
       .withColumn("__feasible",
-        col("__p") - col("n_tokens") +
-          (col("__n") - col("__k") + 1) * col("n_tokens") <= budget)
+        d38(col("__p")) - d38(col("n_tokens")) +
+          (d38(col("__n")) - d38(col("__k")) + 1) * d38(col("n_tokens"))
+          <= d38(lit(budget)))
       .select(col("__k"), col("__p"), col("__n"), col("__feasible"))
       .withColumn("__rank_ok", when(col("__feasible"), col("__k")))
       .agg(max(col("__rank_ok")).as("__kstar"),
@@ -220,7 +224,10 @@ object Sampling {
             .cast("decimal(28,6)")).as("__term"))
       .agg(count(lit(1)).as("n_items"),
         sum(when(col("__rk") <= k, 1L).otherwise(0L)).as("n_sampled"),
-        sum(col("__w")).as("exact_total"),
+        // DECIMAL sum: a long Σw wraps past 2^63 while the oracle's
+        // HUGEINT accumulate does not — the Calibration.__ssc rule
+        sum(col("__w").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("exact_total"),
         sum(col("__term")).as("__est"))
       .select(col("n_items"), col("n_sampled"), col("exact_total"),
         col("__est").cast("double").as("est_total"))

@@ -1284,8 +1284,9 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |grid AS (SELECT c.c_nationkey, c.c_mktsegment, c.n_rows, va.v,
         |    va.g, coalesce(x.ncj, 0) AS ncj
         |  FROM cls c CROSS JOIN vals va
-        |  LEFT JOIN cv x ON x.c_nationkey = c.c_nationkey
-        |    AND x.c_mktsegment = c.c_mktsegment AND x.v = va.v),
+        |  LEFT JOIN cv x ON x.c_nationkey IS NOT DISTINCT FROM c.c_nationkey
+        |    AND x.c_mktsegment IS NOT DISTINCT FROM c.c_mktsegment
+        |    AND x.v = va.v),
         |t AS (SELECT g2.c_nationkey, g2.c_mktsegment, g2.n_rows, g2.v,
         |    CAST(g2.ncj AS HUGEINT) * tot.nn
         |      - CAST(g2.g AS HUGEINT) * g2.n_rows AS d,
@@ -1295,9 +1296,10 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |    sum(d) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY v
         |      ROWS UNBOUNDED PRECEDING) AS cd FROM t)
         |SELECT c_nationkey, c_mktsegment, n_rows,
-        |  round(CAST(sum(abs(cd)) AS DOUBLE)
-        |    / CAST(CAST(nn AS HUGEINT) * n_rows * (m - 1) AS DOUBLE), 6)
-        |    AS t_emd,
+        |  CASE WHEN m = 1 THEN CAST(0 AS DOUBLE)
+        |    ELSE round(CAST(sum(abs(cd)) AS DOUBLE)
+        |      / CAST(CAST(nn AS HUGEINT) * n_rows * (m - 1) AS DOUBLE), 6)
+        |    END AS t_emd,
         |  round(CAST(sum(abs(d)) AS DOUBLE)
         |    / CAST(CAST(2 AS HUGEINT) * nn * n_rows AS DOUBLE), 6) AS t_tv
         |FROM c2 GROUP BY c_nationkey, c_mktsegment, n_rows, nn, m

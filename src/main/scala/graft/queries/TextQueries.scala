@@ -825,9 +825,14 @@ private[graft] trait TextQueries { this: SparkEntry.type =>
   def q255WaterFilling(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("source"),
       functions.TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
-    // 1-row scalar: the corpus's own token mass sets the budget
-    val total = docs.agg(sum(col("tok"))).collect()(0).getLong(0)
-    operators.Sampling.waterFillAllocation(docs, "source", "tok",
+    // ONE corpus scan: per-source totals persist, the budget scalar
+    // and the cap solve both read the |sources|-sized frame (the
+    // operator's re-aggregation over it is the identity)
+    val per = operators.Retained.track(docs.groupBy(col("source"))
+      .agg(sum(col("tok")).as("tok")).persist())
+    val total = per.agg(coalesce(sum(col("tok")), lit(0L)))
+      .collect()(0).getLong(0)
+    operators.Sampling.waterFillAllocation(per, "source", "tok",
         budget = total * 3 / 5)
       .orderBy(col("source"))
   }

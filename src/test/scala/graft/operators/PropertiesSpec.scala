@@ -1238,7 +1238,7 @@ class PropertiesSpec extends SparkSpec {
     val ex = Sampling.prioritySampleEstimate(small, "id", "w", k = 8)
       .collect().head
     assert(ex.getLong(0) === 5L && ex.getLong(1) === 5L &&
-      ex.getLong(2) === 100L && ex.getDouble(3) === 100.0)
+      ex.getDecimal(2).longValueExact === 100L && ex.getDouble(3) === 100.0)
     // n = 200 > k = 16: sample is exactly k, the estimate is positive,
     // and a re-run is bit-identical (hash priorities, no RNG)
     val big = spark.range(1, 201)
