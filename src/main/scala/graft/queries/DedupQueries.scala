@@ -794,7 +794,27 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
       .orderBy(col("train_id"))
   }
 
+  // ---------------------------------------------------------------- q256
+  /** Greedy k-center coreset ([[operators.Coreset.kCenter]], Gonzalez
+    * farthest-point traversal, k=8) over the embeddings: the
+    * diversity-selection primitive for training-data curation — pick
+    * the 8 maximally-spread vectors and certify the spread with the
+    * non-increasing coverage-radius sequence (the classic 2-approx
+    * bound). Distances are exact BIGINT micro-unit² sums (DECIMAL(18,6)
+    * quantization, the q99 engine-proven cast), seeding and argmax
+    * tie-breaks are by lowest id, so the oracle replays all 8 rounds
+    * verbatim: per round, one min-distance update against the newest
+    * center and a top-1 scan. On Spark each round is map-side only —
+    * the newest center travels as a literal array, no shuffle, no
+    * broadcast exchange; the corpus never leaves the executors.
+    */
+  def q256KcenterCoreset(s: SparkSession, d: String): DataFrame =
+    operators.Coreset.kCenter(embeddings(s, d), "vec_id", "embedding",
+        k = 8)
+      .orderBy(col("sel_order"))
+
   private[graft] def queriesDedup: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_kcenter_coreset" -> (q256KcenterCoreset _),
     "q229_embedding_decontamination" -> (q229EmbeddingDecontamination _),
     "q22_exact_dedup" -> (q22ExactDedup _),
     "q23_minhash_lsh" -> (q23MinhashLsh _),
@@ -835,6 +855,52 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
     "q222_source_dup_matrix" -> (q222SourceDupMatrix _))
 
   private[graft] def oracleSqlDedup: Map[String, String] = Map(
+    "q256_kcenter_coreset" -> {
+      // one Gonzalez round: top-1 farthest survivor becomes center i,
+      // then the running min-distance updates against it. Distances
+      // are exact BIGINT micro-unit² sums (dim-exploded join — no
+      // float, no lambda); sum() is cast back from HUGEINT.
+      def round(i: Int): String = {
+        val (prev, c, dd, m) = (s"m${i - 1}", s"c$i", s"d$i", s"m$i")
+        s"""$c AS (SELECT pid, md FROM $prev WHERE md > 0
+           |  ORDER BY md DESC, pid LIMIT 1),
+           |$dd AS (SELECT e.pid,
+           |    CAST(sum((e.x - ce.x) * (e.x - ce.x)) AS BIGINT) AS dd
+           |  FROM ex e JOIN (SELECT dim, x FROM ex
+           |    WHERE pid = (SELECT pid FROM $c)) ce USING (dim)
+           |  GROUP BY e.pid),
+           |$m AS (SELECT m.pid, least(m.md, d.dd) AS md
+           |  FROM $prev m JOIN $dd d USING (pid))""".stripMargin
+      }
+      val rounds = (2 to 8).map(round).mkString(",\n")
+      val selRows = (2 to 8)
+        .map(i => s"UNION ALL SELECT $i, pid, md FROM c$i").mkString("\n")
+      val covRows = (2 to 8)
+        .map(i => s"UNION ALL SELECT $i, (SELECT max(md) FROM m$i)")
+        .mkString("\n")
+      s"""WITH pts AS (SELECT vec_id AS pid,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS v
+         |  FROM embeddings),
+         |ex AS (SELECT pid, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+         |  FROM pts),
+         |c1 AS (SELECT pid FROM pts ORDER BY pid LIMIT 1),
+         |m1 AS (SELECT e.pid,
+         |    CAST(sum((e.x - ce.x) * (e.x - ce.x)) AS BIGINT) AS md
+         |  FROM ex e JOIN (SELECT dim, x FROM ex
+         |    WHERE pid = (SELECT pid FROM c1)) ce USING (dim)
+         |  GROUP BY e.pid),
+         |$rounds,
+         |sel AS (SELECT CAST(1 AS BIGINT) AS sel_order, pid,
+         |    CAST(0 AS BIGINT) AS sel_dist_sq FROM c1
+         |$selRows),
+         |cov AS (SELECT CAST(1 AS BIGINT) AS sel_order,
+         |    (SELECT CAST(max(md) AS BIGINT) FROM m1) AS coverage_sq
+         |$covRows)
+         |SELECT s.sel_order, s.pid AS vec_id, s.sel_dist_sq, c.coverage_sq
+         |FROM sel s JOIN cov c USING (sel_order)
+         |ORDER BY sel_order""".stripMargin
+    },
     "q22_exact_dedup" ->
       s"""WITH $SqlCorpus
          |SELECT min(doc_id) AS keep_id, count(*) AS group_size,

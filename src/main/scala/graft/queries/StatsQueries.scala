@@ -1109,7 +1109,141 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       .orderBy(col("q_ppm"))
   }
 
+  // ---------------------------------------------------------------- q257
+  /** Autocorrelation of daily order revenue at lags 1..7
+    * ([[operators.Autocorrelation.acf]]) — the seasonality/memory
+    * screen q198's day-of-week index can't give (ACF sees ALL lags,
+    * not a fixed weekly grid). Revenue is exact daily cents (BIGINT);
+    * deviations are n-scaled integers so numerator and denominator
+    * are DECIMAL(38,0)-exact and the only IEEE op is the final
+    * divide. One scan of orders builds the |days|-sized series; the
+    * ordering window and all seven lags run on that bounded frame in
+    * a single window pass.
+    */
+  def q257Acf(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).cast("long").as("cents"))
+    operators.Autocorrelation.acf(daily, "day", "cents", maxLag = 7)
+  }
+
+  // ---------------------------------------------------------------- q258
+  /** CUPED variance reduction (Deng et al., WSDM'13) — the modern
+    * companion to q130's two-sample test: adjust each user's
+    * experiment-period metric by their PRE-period activity
+    * (`Y' = Y − θ(X − X̄)`, θ = cov(X,Y)/var(X) pooled over all
+    * users), shrinking variance by ρ² without biasing the A−B delta.
+    * Pre = Jan 1–15, post = Jan 16–30; arms are q130's md5-parity
+    * user split. Exactness: per-user X/Y are DECIMAL(18,2) sums,
+    * deviations are n-scaled integers (the q257 trick, n² cancels in
+    * θ), moments are DECIMAL(38,4)-exact from (19,2) products, and
+    * every IEEE op is a final scalar on the 1-row frame, written in
+    * the same order on both engines. One scan of events → a persisted
+    * |users|-sized frame feeds the pooled moments, per-arm sums, and
+    * the scalar assembly.
+    */
+  def q258Cuped(s: SparkSession, d: String): DataFrame = {
+    val boundaryNs = 1705363200000000000L // 2024-01-16T00:00:00Z
+    val per = operators.Retained.track(
+      events(s, d).filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(col("ts") < boundaryNs,
+            col("value").cast("decimal(18,2)"))), lit(0))
+            .cast("decimal(18,2)").as("x"),
+          coalesce(sum(when(col("ts") >= boundaryNs,
+            col("value").cast("decimal(18,2)"))), lit(0))
+            .cast("decimal(18,2)").as("y"))
+        .withColumn("arm",
+          when(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+            16, 10).cast("long") % 2 === 0, lit("A")).otherwise(lit("B")))
+        .persist())
+    val tot = per.agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("decimal(28,2)").as("sx"),
+      sum(col("y")).cast("decimal(28,2)").as("sy"))
+    val mom = per.crossJoin(broadcast(tot)) // 1-row build side
+      .select(
+        (col("x") * col("n") - col("sx")).cast("decimal(19,2)").as("dx"),
+        (col("y") * col("n") - col("sy")).cast("decimal(19,2)").as("dy"))
+      .agg(sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dy") * col("dy")).as("syy"))
+    val arms = per.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("x")).cast("decimal(28,2)").as("sx_g"),
+        sum(col("y")).cast("decimal(28,2)").as("sy_g"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n_g").as("n_a"), col("sx_g").as("sx_a"),
+        col("sy_g").as("sy_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n_g").as("n_b"), col("sx_g").as("sx_b"),
+        col("sy_g").as("sy_b"))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(tot))
+      .crossJoin(broadcast(mom))
+      .withColumn("theta",
+        col("sxy").cast("double") / col("sxx").cast("double"))
+      .withColumn("xbar", col("sx").cast("double") / col("n").cast("double"))
+      .withColumn("ma_raw",
+        col("sy_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("mb_raw",
+        col("sy_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("ma_adj", col("ma_raw") - col("theta") *
+        (col("sx_a").cast("double") / col("n_a").cast("double") - col("xbar")))
+      .withColumn("mb_adj", col("mb_raw") - col("theta") *
+        (col("sx_b").cast("double") / col("n_b").cast("double") - col("xbar")))
+      .select(col("n_a"), col("n_b"),
+        (round(col("theta"), 6) + 0.0).as("theta"),
+        (round((col("sxy").cast("double") * col("sxy").cast("double")) /
+          (col("sxx").cast("double") * col("syy").cast("double")), 6) + 0.0)
+          .as("rho_sq"),
+        (round(col("ma_raw"), 6) + 0.0).as("mean_a_raw"),
+        (round(col("mb_raw"), 6) + 0.0).as("mean_b_raw"),
+        (round(col("ma_adj"), 6) + 0.0).as("mean_a_adj"),
+        (round(col("mb_adj"), 6) + 0.0).as("mean_b_adj"))
+  }
+
+  // ---------------------------------------------------------------- q259
+  /** SLIDING-window HLL distinct — trailing-7-day active users per
+    * observed day, answered from DAILY registers alone: each day's
+    * register rows fan out to the ≤7 windows that contain the day
+    * (bounded explode, semi-joined to observed days) and max-merge
+    * per window. q248 proved merge ≡ rebuild up a hierarchy; this is
+    * the OVERLAPPING-window face of the same reaggregatability — the
+    * oracle builds each window's registers directly from the raw
+    * rows, so the hash-match proves a daily sketch store answers any
+    * trailing-window question without rescanning (at 100 TB: 7×
+    * register fanout instead of 7× corpus fanout). The exact
+    * trailing distinct is published next to the estimate (q253's
+    * visible-error shape) off the same persisted per-day frame.
+    */
+  def q259SlidingHll(s: SparkSession, d: String): DataFrame = {
+    val evp = operators.Retained.track(
+      events(s, d).filter(col("user_id").isNotNull)
+        .select(expr("ts div 86400000000000L").as("day"),
+          col("user_id").cast("string").as("u"))
+        .persist())
+    val daily = operators.Sketches.hllRegisters(evp, Seq("day"), "u", p = 6)
+    val obs = evp.select(col("day").as("w")).distinct()
+    val contrib = daily
+      .withColumn("w", explode(sequence(col("day"), col("day") + 6)))
+      .join(broadcast(obs), Seq("w"), "left_semi")
+    val est = operators.Sketches.hllEstimate(
+      operators.Sketches.hllRollup(contrib, Seq("w")), Seq("w"), p = 6)
+    val exact = evp.select(col("day"), col("u")).distinct()
+      .withColumn("w", explode(sequence(col("day"), col("day") + 6)))
+      .join(broadcast(obs), Seq("w"), "left_semi")
+      .groupBy(col("w")).agg(count_distinct(col("u")).as("exact_distinct"))
+    est.join(exact, Seq("w"))
+      .select(col("w").as("day"), col("n_zero"), col("s_scaled"),
+        col("est_distinct"), col("exact_distinct"))
+      .orderBy(col("day"))
+  }
+
   private[graft] def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_sliding_hll" -> (q259SlidingHll _),
+    "q258_cuped" -> (q258Cuped _),
+    "q257_acf" -> (q257Acf _),
     "q253_priority_estimate" -> (q253PriorityEstimate _),
     "q254_hist_rollup" -> (q254HistRollup _),
     "q249_rbo" -> (q249Rbo _),
@@ -1181,6 +1315,116 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
        |   WHERE rk <= 64) k""".stripMargin
 
   private[graft] def oracleSqlStats: Map[String, String] = Map(
+    "q259_sliding_hll" ->
+      // registers built DIRECTLY per trailing window from the raw
+      // rows (the Spark side max-merges daily registers into the
+      // overlapping windows) — hash equality proves sliding merge ≡
+      // rebuild. Register/estimate replay identical to q248 (p=6)
+      """WITH ev AS (SELECT
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000000
+        |      AS day,
+        |    CAST(user_id AS VARCHAR) AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |obs AS (SELECT DISTINCT day AS w FROM ev),
+        |h AS (SELECT o.w,
+        |    CAST(('0x' || substr(md5(e.u), 1, 12)) AS BIGINT) AS h
+        |  FROM ev e JOIN obs o ON o.w BETWEEN e.day AND e.day + 6),
+        |rw AS (SELECT w, h % 64 AS bucket,
+        |    CASE WHEN h // 64 = 0 THEN 43
+        |         ELSE 43 - length(bin(h // 64)) END AS rho
+        |  FROM h),
+        |reg AS (SELECT w, bucket, max(rho) AS rho FROM rw GROUP BY 1, 2),
+        |s AS (SELECT w, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(49 - rho AS INT)) AS BIGINT)
+        |      AS sp
+        |  FROM reg GROUP BY 1),
+        |e AS (SELECT w, CAST(64 - nb AS BIGINT) AS n_zero,
+        |    sp + CAST(64 - nb AS BIGINT) * CAST(562949953421312 AS BIGINT)
+        |      AS s_scaled FROM s),
+        |est AS (SELECT w, n_zero, CAST(s_scaled AS BIGINT) AS s_scaled,
+        |    CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+        |      * CAST(562949953421312 AS DOUBLE) / CAST(s_scaled AS DOUBLE)
+        |      AS raw FROM e),
+        |ex AS (SELECT o.w, CAST(count(DISTINCT e.u) AS BIGINT)
+        |      AS exact_distinct
+        |  FROM (SELECT DISTINCT day, u FROM ev) e
+        |  JOIN obs o ON o.w BETWEEN e.day AND e.day + 6
+        |  GROUP BY 1)
+        |SELECT est.w AS day, CAST(est.n_zero AS BIGINT) AS n_zero,
+        |  est.s_scaled,
+        |  round(CASE WHEN est.raw <= 160.0 AND est.n_zero > 0
+        |    THEN 64.0 * ln(64.0 / CAST(est.n_zero AS DOUBLE))
+        |    ELSE est.raw END, 6) AS est_distinct,
+        |  ex.exact_distinct
+        |FROM est JOIN ex ON ex.w = est.w
+        |ORDER BY day""".stripMargin,
+    "q258_cuped" ->
+      // per-user DECIMAL-exact pre/post sums, n-scaled deviations
+      // ((19,2) products → (38,4), same as Spark), every double a
+      // fixed tree replayed in Spark's operation order, rounded 6 dp
+      """WITH per AS (SELECT user_id,
+        |    CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2))
+        |      AS x,
+        |    CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2))
+        |      AS y,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |        1, 8)) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DECIMAL(28,2)) AS sx,
+        |    CAST(sum(y) AS DECIMAL(28,2)) AS sy FROM per),
+        |mom AS (SELECT sum(dx * dx) AS sxx, sum(dx * dy) AS sxy,
+        |    sum(dy * dy) AS syy
+        |  FROM (SELECT CAST(per.x * tot.n - tot.sx AS DECIMAL(19,2)) AS dx,
+        |        CAST(per.y * tot.n - tot.sy AS DECIMAL(19,2)) AS dy
+        |      FROM per, tot)),
+        |arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(x) AS DECIMAL(28,2)) AS sx_g,
+        |    CAST(sum(y) AS DECIMAL(28,2)) AS sy_g FROM per GROUP BY 1),
+        |sc AS (SELECT a.n_g AS n_a, b.n_g AS n_b,
+        |    CAST(mom.sxy AS DOUBLE) / CAST(mom.sxx AS DOUBLE) AS theta,
+        |    CAST(tot.sx AS DOUBLE) / CAST(tot.n AS DOUBLE) AS xbar,
+        |    CAST(a.sy_g AS DOUBLE) / CAST(a.n_g AS DOUBLE) AS ma_raw,
+        |    CAST(b.sy_g AS DOUBLE) / CAST(b.n_g AS DOUBLE) AS mb_raw,
+        |    CAST(a.sx_g AS DOUBLE) / CAST(a.n_g AS DOUBLE) AS mxa,
+        |    CAST(b.sx_g AS DOUBLE) / CAST(b.n_g AS DOUBLE) AS mxb,
+        |    (CAST(mom.sxy AS DOUBLE) * CAST(mom.sxy AS DOUBLE)) /
+        |      (CAST(mom.sxx AS DOUBLE) * CAST(mom.syy AS DOUBLE)) AS rho
+        |  FROM (SELECT * FROM arms WHERE arm = 'A') a,
+        |    (SELECT * FROM arms WHERE arm = 'B') b, tot, mom)
+        |SELECT n_a, n_b, round(theta, 6) + 0.0 AS theta,
+        |  round(rho, 6) + 0.0 AS rho_sq,
+        |  round(ma_raw, 6) + 0.0 AS mean_a_raw,
+        |  round(mb_raw, 6) + 0.0 AS mean_b_raw,
+        |  round(ma_raw - theta * (mxa - xbar), 6) + 0.0 AS mean_a_adj,
+        |  round(mb_raw - theta * (mxb - xbar), 6) + 0.0 AS mean_b_adj
+        |FROM sc""".stripMargin,
+    "q257_acf" ->
+      // n-scaled integer deviations: num and den are DECIMAL-exact
+      // (DuckDB multiplies DECIMAL(19,0) into (38,0), same as Spark);
+      // the lag pairing replays as a self-join on the day index
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s FROM daily),
+        |dev AS (SELECT row_number() OVER (ORDER BY day) AS t,
+        |    CAST(tot.n * daily.cents - tot.s AS DECIMAL(19,0)) AS d
+        |  FROM daily, tot),
+        |den AS (SELECT sum(d * d) AS den FROM dev),
+        |num AS (SELECT k.k AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(a.d * b.d) AS num
+        |  FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) k(k)
+        |  JOIN dev a ON TRUE
+        |  JOIN dev b ON b.t = a.t + k.k
+        |  GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  round(CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE), 6) + 0.0
+        |    AS acf
+        |FROM num, den ORDER BY lag""".stripMargin,
     "q253_priority_estimate" ->
       // priorities replayed with the SAME operation order (w divided
       // by the (0,1) uniform, itself (h+1)/CAST(2^48+1 AS DOUBLE) —
