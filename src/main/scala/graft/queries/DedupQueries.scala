@@ -813,7 +813,32 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
         k = 8)
       .orderBy(col("sel_order"))
 
+  // ---------------------------------------------------------------- q260
+  /** Product-quantization ANN recall
+    * ([[operators.ProductQuantization.pqRecall]], Jégou et al. TPAMI
+    * 2011): split the 64-dim embeddings into m=2 halves, train a
+    * 4-centroid spherical codebook per half (the q89 k-means
+    * discipline on sliced vectors), store each corpus vector as two
+    * codes, and answer the q26 queries by ADC — per-query lookup
+    * terms against the codebooks, 6-dp-rounded and DECIMAL-summed so
+    * ranking is engine-exact. Published as per-query recall vs the
+    * exact brute-force top-5 (integer ppm): the compression-vs-recall
+    * trade a 100 TB vector store actually tunes, with the corpus side
+    * shrunk from 64 floats to 2 codes and scoring done entirely
+    * against the broadcast m·k lookup table. The oracle replays
+    * training, encoding, ADC ranking, and the recall join verbatim.
+    */
+  def q260PqAnn(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    operators.ProductQuantization.pqRecall(queries, corpus,
+      m = 2, k = 4, iters = 2, topK = 5)
+  }
+
   private[graft] def queriesDedup: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_pq_ann" -> (q260PqAnn _),
     "q256_kcenter_coreset" -> (q256KcenterCoreset _),
     "q229_embedding_decontamination" -> (q229EmbeddingDecontamination _),
     "q22_exact_dedup" -> (q22ExactDedup _),
@@ -854,7 +879,83 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
     "q220_weighted_jaccard" -> (q220WeightedJaccard _),
     "q222_source_dup_matrix" -> (q222SourceDupMatrix _))
 
+  /** One subspace's PQ pipeline as CTEs (prefix `s$s`): sliced points,
+    * the q89 two-round spherical k-means replay, the encode argmax,
+    * and the query lookup-term table. `lo..hi` is the 1-based slice.
+    */
+  private def pqSubspaceSql(s: Int, lo: Int, hi: Int): String = {
+    val p = s"s$s"
+    def rnd(i: Int): String = {
+      val (prev, a, u, c) = (s"${p}c${i - 1}", s"${p}a$i", s"${p}u$i",
+        s"${p}c$i")
+      s"""$a AS (SELECT pid, v, cid FROM (
+         |  SELECT p.pid, p.v, $prev.cid,
+         |   row_number() OVER (PARTITION BY p.pid
+         |    ORDER BY ${sqlCosine("p.v", s"$prev.c")} DESC, $prev.cid) AS rn
+         |  FROM ${p}pts p, $prev) WHERE rn = 1),
+         |$u AS (SELECT cid, dim,
+         |  CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+         | FROM (SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+         |       FROM $a) GROUP BY cid, dim),
+         |$c AS (SELECT cid, list(m ORDER BY dim) AS c FROM $u GROUP BY cid
+         | UNION ALL SELECT cid, c FROM $prev
+         |  WHERE cid NOT IN (SELECT cid FROM $u))""".stripMargin
+    }
+    s"""${p}pts AS (SELECT pid, v[$lo:$hi] AS v FROM cpts),
+       |${p}c0 AS (SELECT row_number() OVER (ORDER BY pid) AS cid, v AS c
+       |  FROM (SELECT pid, v FROM ${p}pts ORDER BY pid LIMIT 4)),
+       |${rnd(1)},
+       |${rnd(2)},
+       |${p}enc AS (SELECT pid, cid FROM (
+       |  SELECT p.pid, cb.cid,
+       |   row_number() OVER (PARTITION BY p.pid
+       |    ORDER BY ${sqlCosine("p.v", "cb.c")} DESC, cb.cid) AS rn
+       |  FROM ${p}pts p, ${p}c2 cb) WHERE rn = 1),
+       |${p}lut AS (SELECT q.pid AS query_id, cb.cid,
+       |  CAST(round(list_dot_product(q.v[$lo:$hi], cb.c), 6)
+       |    AS DECIMAL(18,6)) AS term
+       | FROM qpts q, ${p}c2 cb)""".stripMargin
+  }
+
   private[graft] def oracleSqlDedup: Map[String, String] = Map(
+    "q260_pq_ann" ->
+      // two subspace codebooks trained/encoded exactly as q89 on the
+      // sliced vectors; ADC = DECIMAL sum of the two 6-dp lookup
+      // terms; recall joins the approx top-5 against the exact
+      // cosine top-5 (the q26 replay)
+      s"""WITH cpts AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id >= 10),
+         |qpts AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 10),
+         |${pqSubspaceSql(1, 1, 32)},
+         |${pqSubspaceSql(2, 33, 64)},
+         |enc AS (SELECT pid, 1 AS subspace, cid FROM s1enc
+         |  UNION ALL SELECT pid, 2, cid FROM s2enc),
+         |lut AS (SELECT query_id, 1 AS subspace, cid, term FROM s1lut
+         |  UNION ALL SELECT query_id, 2, cid, term FROM s2lut),
+         |sc AS (SELECT l.query_id, e.pid,
+         |    CAST(sum(l.term) AS DOUBLE) AS score
+         |  FROM enc e JOIN lut l ON l.subspace = e.subspace
+         |    AND l.cid = e.cid
+         |  GROUP BY 1, 2),
+         |ap AS (SELECT query_id, pid FROM (
+         |  SELECT query_id, pid, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, pid) AS rk FROM sc) WHERE rk <= 5),
+         |exq AS (SELECT query_id, nid FROM (
+         |  SELECT q.pid AS query_id, c.pid AS nid,
+         |   row_number() OVER (PARTITION BY q.pid
+         |    ORDER BY ${sqlCosine("q.v", "c.v")} DESC, c.pid) AS rk
+         |  FROM qpts q, cpts c) WHERE rk <= 5),
+         |hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM exq e JOIN ap ON ap.query_id = e.query_id
+         |    AND ap.pid = e.nid
+         |  GROUP BY 1)
+         |SELECT q.pid AS query_id,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) * 1000000 // 5 AS BIGINT)
+         |    AS recall_ppm
+         |FROM qpts q LEFT JOIN hits h ON h.query_id = q.pid
+         |ORDER BY query_id""".stripMargin,
     "q256_kcenter_coreset" -> {
       // one Gonzalez round: top-1 farthest survivor becomes center i,
       // then the running min-distance updates against it. Distances

@@ -342,7 +342,35 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
       .orderBy(col("threshold"))
   }
 
+  // ---------------------------------------------------------------- q262
+  /** Borůvka minimum-spanning-forest rounds
+    * ([[operators.Boruvka.forestRounds]]) on the sampled co-purchase
+    * graph — the MST is the backbone primitive behind single-linkage
+    * clustering and network-cost planning, and Borůvka is its only
+    * shared-nothing form (each round every component grabs its
+    * cheapest outgoing edge in one agg; components at least halve).
+    * Runs on the q252 10 %-of-parts sample (the oracle's per-round
+    * closure is what the sample bounds — the Spark side's CC merge
+    * would scale) with deterministic md5-48 edge weights and (w, a, b)
+    * tie-breaks, 4 fixed rounds, reporting per round the edges added,
+    * their weight, and the surviving component count. The oracle
+    * replays each round: per-component min edge, transitive-closure
+    * merge, label update.
+    */
+  def q262BoruvkaMst(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).filter(pmod(col("l_partkey"), lit(10L)) === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val ed = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
+      .withColumn("w", operators.Sketches.hash48(
+        concat_ws(":", col("pa"), col("pb"))))
+    operators.Boruvka.forestRounds(ed, "pa", "pb", "w", rounds = 4)
+  }
+
   private[graft] def queriesGraph: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_boruvka_mst" -> (q262BoruvkaMst _),
     "q252_threshold_components" -> (q252ThresholdComponents _),
     "q246_random_walks" -> (q246RandomWalks _),
     "q241_neighborhood_fn" -> (q241NeighborhoodFn _),
@@ -362,6 +390,62 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     "q218_ktruss_peel" -> (q218KtrussPeel _))
 
   private[graft] def oracleSqlGraph: Map[String, String] = Map(
+    "q262_boruvka_mst" -> {
+      // one Borůvka round: per-component min outgoing edge by
+      // (w, a, b) — the Spark struct-min — then the chosen-edge
+      // component graph closes transitively and labels take the min
+      // reachable old label. lab/ch CTEs are MATERIALIZED (each is
+      // referenced 2-3 times; see the k-core re-expansion gotcha).
+      def round(r: Int): String = {
+        val (prev, el, ch, sym, reach, nl, lb) =
+          (s"lab${r - 1}", s"el$r", s"ch$r", s"sym$r", s"reach$r",
+            s"nl$r", s"lab$r")
+        s"""$el AS (SELECT e.a, e.b, e.w, la.lab AS la, lb.lab AS lb
+           |  FROM e JOIN $prev la ON la.node = e.a
+           |    JOIN $prev lb ON lb.node = e.b
+           |  WHERE la.lab <> lb.lab),
+           |$ch AS MATERIALIZED (SELECT DISTINCT w, a, b, la, lb FROM (
+           |  SELECT w, a, b, la, lb,
+           |    row_number() OVER (PARTITION BY comp ORDER BY w, a, b) AS rn
+           |  FROM (SELECT la AS comp, w, a, b, la, lb FROM $el
+           |    UNION ALL SELECT lb, w, a, b, la, lb FROM $el))
+           |  WHERE rn = 1),
+           |$sym AS (SELECT la AS x, lb AS y FROM $ch
+           |  UNION SELECT lb, la FROM $ch),
+           |$reach(src, dst) AS (SELECT x, x FROM $sym
+           |  UNION SELECT r.src, s.y FROM $reach r
+           |    JOIN $sym s ON s.x = r.dst),
+           |$nl AS (SELECT src AS lab, min(dst) AS nl FROM $reach
+           |  GROUP BY 1),
+           |$lb AS MATERIALIZED (SELECT l.node,
+           |    coalesce(n.nl, l.lab) AS lab
+           |  FROM $prev l LEFT JOIN $nl n ON n.lab = l.lab),
+           |st$r AS (SELECT CAST($r AS BIGINT) AS round,
+           |    CAST(count(*) AS BIGINT) AS n_added,
+           |    CAST(coalesce(sum(w), 0) AS BIGINT) AS weight_added
+           |  FROM $ch),
+           |nc$r AS (SELECT CAST(count(DISTINCT lab) AS BIGINT)
+           |    AS n_components FROM $lb)""".stripMargin
+      }
+      val rounds = (1 to 4).map(round).mkString(",\n")
+      val out = (1 to 4)
+        .map(r => s"SELECT st$r.round, st$r.n_added, st$r.weight_added, " +
+          s"nc$r.n_components FROM st$r, nc$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok,
+         |    l_partkey AS pk FROM lineitem WHERE l_partkey % 10 = 0),
+         |ed AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |e AS MATERIALIZED (SELECT pa AS a, pb AS b,
+         |    CAST(('0x' || substr(md5(CAST(pa AS VARCHAR) || ':'
+         |      || CAST(pb AS VARCHAR)), 1, 12)) AS BIGINT) AS w
+         |  FROM ed),
+         |lab0 AS MATERIALIZED (SELECT node, node AS lab FROM
+         |  (SELECT a AS node FROM e UNION SELECT b FROM e)),
+         |$rounds
+         |$out
+         |ORDER BY round""".stripMargin
+    },
     "q252_threshold_components" ->
       // components per threshold via one t-tagged transitive closure
       // (bounded: the 10% node sample keeps the giant component's

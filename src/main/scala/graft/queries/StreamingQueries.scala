@@ -358,7 +358,62 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
       .orderBy(col("user_id"), col("stage_idx"))
   }
 
+  // ---------------------------------------------------------------- q261
+  /** Per-user running totals drained through the Spark 4
+    * `transformWithState` API — the ELEVENTH streaming oracle row and
+    * the first on the NEW arbitrary-state primitive
+    * ([[streaming.StreamingImport.runningTotalsStream]]: an explicit
+    * named `ValueState[(Long, Long)]` per user on the RocksDB
+    * provider, which the API requires). The source replays in four
+    * micro-batches (8 files, `maxFilesPerTrigger=2`); because counts
+    * and integer cent-sums are associative+commutative the fold is
+    * batch-split-invariant, and Update-mode emissions are monotone,
+    * so the final per-user row is the per-user `max` over the sink —
+    * which must equal the plain batch group-by the oracle runs. The
+    * session's prior state-store provider is restored afterwards so
+    * the other drains keep honoring `GRAFT_STREAM_STATE`.
+    */
+  def q261StreamRunningTotals(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q261-")
+      val src = tmp.resolve("src").toString
+      events(s, d)
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .repartition(8).write.mode("overwrite").parquet(src)
+      import s.implicits._
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "2").parquet(src)
+        .select(col("user_id").as("_1"), col("cents").as("_2"))
+        .as[(Long, Long)]
+      val out = streaming.StreamingImport.runningTotalsStream(stream)
+        .toDF("user_id", "n_events", "sum_cents")
+      val sink = s"q261_sink_${System.nanoTime()}"
+      val q = out.writeStream.outputMode("update").format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("sum_cents")).as("sum_cents"))
+        .orderBy(col("user_id"))
+    } finally {
+      prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   private[graft] def queriesStreaming: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_stream_running_totals" -> (q261StreamRunningTotals _),
     "q251_stream_funnel" -> (q251StreamFunnel _),
     "q235_stream_static_join" -> (q235StreamStaticJoin _),
     "q207_stream_windows" -> (q207StreamWindows _),
@@ -369,6 +424,15 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
     "q214_stream_upsert" -> (q214StreamUpsert _))
 
   private[graft] def oracleSqlStreaming: Map[String, String] = Map(
+    "q261_stream_running_totals" ->
+      // the batch group-by the transformWithState fold must converge
+      // to under any micro-batch split: exact integer cents per event
+      // (the engine-proven DECIMAL(18,2) cast), summed per user
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q251_stream_funnel" ->
       // the batch funnel definition: stage k = the user's earliest
       // stage-k event strictly after their stage-(k-1) time; the

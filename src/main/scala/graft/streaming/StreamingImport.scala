@@ -381,6 +381,25 @@ object StreamingImport {
       }
   }
 
+  /** Per-key running totals on the Spark 4 `transformWithState`
+    * arbitrary-state API — exercises the newest state primitive
+    * (an explicit named [[org.apache.spark.sql.streaming.ValueState]]
+    * on the RocksDB-backed provider, which this API REQUIRES): every
+    * `(key, amount)` row folds into the key's (row count, amount sum)
+    * and the updated totals are emitted each trigger. Counts and
+    * integer-amount sums are associative and commutative, so the fold
+    * is batch-split-invariant — any micro-batch replay converges to
+    * the batch group-by, which is exactly what the q261 oracle pins.
+    */
+  def runningTotalsStream(rows: org.apache.spark.sql.Dataset[(Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor(),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming heavy hitters: each micro-batch collapses to a k-slot
     * Misra–Gries summary IN the executors
     * ([[graft.operators.HeavyHitters.mgSummary]] — only ≤ k counters
@@ -422,5 +441,33 @@ object StreamingImport {
           merged.synchronized { merged.add(batchId); () }
         }
     }
+  }
+}
+
+/** `(key, amount)` → running `(key, n_rows, amount_sum)` via a named
+  * `ValueState` on the `transformWithState` API ([[StreamingImport
+  * .runningTotalsStream]]). Top-level (not nested) so the processor
+  * serializes without capturing an enclosing instance.
+  */
+class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode,
+    TimerValues, ValueState}
+
+  @transient private var totals: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    var n = 0L
+    var c = 0L
+    if (totals.exists()) { val t = totals.get(); n = t._1; c = t._2 }
+    rows.foreach { r => n += 1; c += r._2 }
+    totals.update((n, c))
+    Iterator.single((key, n, c))
   }
 }

@@ -30,7 +30,9 @@ class PlanAuditSpec extends SparkSpec {
 
   private val streamingDrains = Set(
     "q207_stream_windows", "q210_stream_dedup", "q211_stream_sessions",
-    "q212_stream_append", "q213_stream_interval_join", "q214_stream_upsert")
+    "q212_stream_append", "q213_stream_interval_join", "q214_stream_upsert",
+    "q235_stream_static_join", "q251_stream_funnel",
+    "q261_stream_running_totals")
 
   /** A subtree is visibly bounded when an aggregation or limit caps
     * its cardinality below the raw input's. `ReusedExchangeExec` is a
@@ -60,7 +62,13 @@ class PlanAuditSpec extends SparkSpec {
     "q191_label_noise",
     // RRF / retrieval-eval drive bruteForceTopK with a one-vector /
     // filtered probe set as the exact yardstick for the indexed path
-    "q127_rrf", "q132_retrieval_eval")
+    "q127_rrf", "q132_retrieval_eval",
+    // PQ recall eval: (a) the same bruteForceTopK probe-set yardstick
+    // as q26/q187, and (b) the ADC lookup-table build — a crossJoin of
+    // the 10-query probe set with the m·k-row trained codebook frame
+    // (checkpointed, so structurally opaque) — both bounded by the
+    // operator's size contract, never corpus×corpus
+    "q260_pq_ann")
 
   test("no query plans a nested-loop/cartesian join of two unbounded sides") {
     // plain (non-adaptive) plans so the join operators are directly
