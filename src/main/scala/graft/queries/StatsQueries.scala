@@ -1240,7 +1240,137 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       .orderBy(col("day"))
   }
 
+  // ---------------------------------------------------------------- q263
+  /** Correlated (join-preserving) sampling audit: sample CUSTOMERS at
+    * 10 % by `hashPermille(custkey) < 100` and sample ORDERS by the
+    * SAME hash rule on o_custkey — because both sides keep exactly
+    * the keys whose hash falls under the cut, the join of the samples
+    * IS the sample of the join (published side by side per nation:
+    * the two counts must agree row for row), and n/0.1 is the
+    * Horvitz–Thompson estimate of the true per-nation order count
+    * (published against the exact count). THE way to carve a
+    * referentially-intact debug slice out of a 100 TB star schema:
+    * two scan-stage pushed filters, no coordination, no shuffle
+    * beyond the sampled join.
+    */
+  def q263CorrelatedSample(s: SparkSession, d: String): DataFrame = {
+    val cs = customer(s, d)
+      .filter(operators.Sampling.hashPermille(col("c_custkey")) < 100)
+    val os = orders(s, d)
+      .filter(operators.Sampling.hashPermille(col("o_custkey")) < 100)
+    val joinOfSamples = os.join(cs, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("orders_join_samples"))
+    val sampleOfJoin = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .filter(operators.Sampling.hashPermille(col("c_custkey")) < 100)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("orders_sample_join"))
+    val exact = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("orders_exact"))
+    val custS = cs.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust_sample"))
+    exact
+      .join(joinOfSamples, Seq("c_nationkey"), "left")
+      .join(sampleOfJoin, Seq("c_nationkey"), "left")
+      .join(custS, Seq("c_nationkey"), "left")
+      .join(broadcast(nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        coalesce(col("n_cust_sample"), lit(0L)).as("n_cust_sample"),
+        coalesce(col("orders_join_samples"), lit(0L))
+          .as("orders_join_samples"),
+        coalesce(col("orders_sample_join"), lit(0L))
+          .as("orders_sample_join"),
+        (coalesce(col("orders_join_samples"), lit(0L)) * 10)
+          .as("est_orders"),
+        col("orders_exact"))
+      .orderBy(col("n_name"))
+  }
+
+  // ---------------------------------------------------------------- q264
+  /** Holt linear-trend smoothing of daily revenue per order priority
+    * ([[operators.Holt.linearTrend]], α=1/5 β=1/10): EWMA q178 gave
+    * level-only smoothing; Holt tracks level AND trend, and the
+    * published `forecast_next = level + trend` is the one-step-ahead
+    * forecast a metric monitor alerts against. The recurrence runs in
+    * exact integer cents (half-toward-+∞ rounding via the offset
+    * floor-div identity), so all ~2,400 steps per series replay
+    * bit-identically in the oracle's recursive CTE. Five priorities =
+    * five independent series folded in parallel; the fold input is
+    * the |days|-sized pre-aggregation, scanned once.
+    */
+  def q264HoltTrend(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).cast("long").as("cents"))
+    operators.Holt.linearTrend(daily, "priority", "day", "cents")
+  }
+
+  // ---------------------------------------------------------------- q265
+  /** Vocabulary-growth audit with a Heaps'-law fit — V(n) ≈ K·n^β
+    * over ten cumulative corpus prefixes (β ≈ 0.5 for natural text;
+    * β ≈ 0 = CLOSED vocabulary, the template/synthetic-corpus
+    * signature — which is exactly what this driver corpus shows, and
+    * exactly the datacard finding the curve exists to surface).
+    * Publishes the ten (n_tokens, vocab) points with the fit
+    * attached. Prefixes are doc_id cutoffs (p·(max_id+1)/10); each
+    * token's FIRST doc id decides which prefixes count it, so one
+    * scan + one vocab-sized aggregation yields all ten points — no
+    * per-prefix rescan. OLS on 6-dp-rounded lns held in DECIMAL (the
+    * q170 discipline); a constant-vocab curve fits β = +0.0 exactly
+    * (zero numerator over a varying-x denominator) on both engines.
+    */
+  def q265HeapsLaw(s: SparkSession, d: String): DataFrame = {
+    val toks = operators.Retained.track(documents(s, d)
+      .select(col("doc_id"),
+        explode(functions.TextAnalysis.tokens(col("text"))).as("tok"))
+      .persist())
+    val cuts = documents(s, d).agg(max(col("doc_id")).as("mx"))
+      .select(explode(sequence(lit(1), lit(10))).as("p"), col("mx"))
+      .select(col("p").cast("long").as("p"),
+        expr("p * (mx + 1) DIV 10").as("cut"))
+    val firsts = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+    val vocab = firsts.crossJoin(broadcast(cuts))
+      .filter(col("fd") < col("cut"))
+      .groupBy(col("p")).agg(count(lit(1)).as("vocab"))
+    val ntok = toks.crossJoin(broadcast(cuts))
+      .filter(col("doc_id") < col("cut"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n_tokens"))
+    val pp = ntok.join(vocab, Seq("p"))
+      .filter(col("n_tokens") > 0 && col("vocab") > 0)
+    val pts = pp
+      .withColumn("x", round(log(col("n_tokens").cast("double")), 6)
+        .cast("decimal(8,6)"))
+      .withColumn("y", round(log(col("vocab").cast("double")), 6)
+        .cast("decimal(8,6)"))
+    val fit = pts.agg(count(lit(1)).as("n_points"),
+        sum(col("x")).cast("decimal(12,6)").as("sx"),
+        sum(col("y")).cast("decimal(12,6)").as("sy"),
+        sum(col("x") * col("y")).cast("decimal(20,12)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(20,12)").as("sxx"))
+      .withColumn("beta",
+        (col("n_points").cast("decimal(3,0)") * col("sxy") -
+          col("sx") * col("sy")).cast("double") /
+          (col("n_points").cast("decimal(3,0)") * col("sxx") -
+            col("sx") * col("sx")).cast("double"))
+      .select(col("n_points"),
+        (round(col("beta"), 6) + 0.0).as("heaps_beta"),
+        (round((col("sy").cast("double") - col("beta") *
+          col("sx").cast("double")) / col("n_points").cast("double"), 6)
+          + 0.0).as("heaps_ln_k"))
+    pp.select(col("p"), col("n_tokens"), col("vocab"))
+      .crossJoin(broadcast(fit)) // 1-row build side: scalar attach
+      .orderBy(col("p"))
+  }
+
   private[graft] def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_correlated_sample" -> (q263CorrelatedSample _),
+    "q264_holt_trend" -> (q264HoltTrend _),
+    "q265_heaps_law" -> (q265HeapsLaw _),
     "q259_sliding_hll" -> (q259SlidingHll _),
     "q258_cuped" -> (q258Cuped _),
     "q257_acf" -> (q257Acf _),
@@ -1315,6 +1445,95 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
        |   WHERE rk <= 64) k""".stripMargin
 
   private[graft] def oracleSqlStats: Map[String, String] = Map(
+    "q263_correlated_sample" ->
+      // the oracle computes the sampled-join count ONCE — relationally
+      // "join of samples" and "sample of join" are the same expression,
+      // which is exactly the identity the Spark side proves by
+      // building them as two different plans
+      """WITH h AS (SELECT c_custkey, c_nationkey,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 1000 AS hp
+        |  FROM customer),
+        |j AS (SELECT o.o_orderkey, h.c_nationkey, h.hp
+        |  FROM orders o JOIN h ON h.c_custkey = o.o_custkey),
+        |ex AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS orders_exact
+        |  FROM j GROUP BY 1),
+        |sj AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n
+        |  FROM j WHERE hp < 100 GROUP BY 1),
+        |cs AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust_sample
+        |  FROM h WHERE hp < 100 GROUP BY 1)
+        |SELECT n.n_name,
+        |  CAST(coalesce(cs.n_cust_sample, 0) AS BIGINT) AS n_cust_sample,
+        |  CAST(coalesce(sj.n, 0) AS BIGINT) AS orders_join_samples,
+        |  CAST(coalesce(sj.n, 0) AS BIGINT) AS orders_sample_join,
+        |  CAST(coalesce(sj.n, 0) * 10 AS BIGINT) AS est_orders,
+        |  ex.orders_exact
+        |FROM ex JOIN nation n ON n.n_nationkey = ex.c_nationkey
+        |LEFT JOIN sj ON sj.c_nationkey = ex.c_nationkey
+        |LEFT JOIN cs ON cs.c_nationkey = ex.c_nationkey
+        |ORDER BY n.n_name""".stripMargin,
+    "q264_holt_trend" ->
+      // the recurrence replayed step by step: the offset (1e14) shifts
+      // numerators positive so DuckDB's floor-div and Spark's
+      // truncating long division agree; the level expression is
+      // inlined twice in the trend expression (no lateral needed)
+      """WITH RECURSIVE daily AS (SELECT o_orderpriority AS k,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS t,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1, 2),
+        |idx AS MATERIALIZED (SELECT k, t, x,
+        |    row_number() OVER (PARTITION BY k ORDER BY t) AS i FROM daily),
+        |seq(k, i, t, x, l, b) AS (
+        |  SELECT k, i, t, x, x, CAST(0 AS BIGINT) FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT n.k, n.i, n.t, n.x,
+        |    (2 * (n.x + 4 * (s.l + s.b)) + 5 + 10 * 100000000000000) // 10
+        |      - 100000000000000,
+        |    (2 * (((2 * (n.x + 4 * (s.l + s.b)) + 5
+        |        + 10 * 100000000000000) // 10 - 100000000000000)
+        |      - s.l + 9 * s.b) + 10 + 20 * 100000000000000) // 20
+        |      - 100000000000000
+        |  FROM seq s JOIN idx n ON n.k = s.k AND n.i = s.i + 1)
+        |SELECT k AS priority, t AS day, x AS cents, l AS level,
+        |  b AS trend, CAST(l + b AS BIGINT) AS forecast_next
+        |FROM seq ORDER BY priority, day""".stripMargin,
+    "q265_heaps_law" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($SqlToks) AS tok
+         |  FROM documents),
+         |mx AS (SELECT max(doc_id) AS mx FROM documents),
+         |cuts AS (SELECT CAST(p AS BIGINT) AS p,
+         |    (p * (mx.mx + 1)) // 10 AS cut
+         |  FROM range(1, 11) r(p), mx),
+         |firsts AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY 1),
+         |vocab AS (SELECT c.p, CAST(count(*) AS BIGINT) AS vocab
+         |  FROM firsts f JOIN cuts c ON f.fd < c.cut GROUP BY 1),
+         |ntok AS (SELECT c.p, CAST(count(*) AS BIGINT) AS n_tokens
+         |  FROM toks t JOIN cuts c ON t.doc_id < c.cut GROUP BY 1),
+         |pp AS (SELECT p, n_tokens, vocab FROM ntok JOIN vocab USING (p)
+         |  WHERE n_tokens > 0 AND vocab > 0),
+         |pts AS (SELECT
+         |    CAST(round(ln(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(8,6))
+         |      AS x,
+         |    CAST(round(ln(CAST(vocab AS DOUBLE)), 6) AS DECIMAL(8,6))
+         |      AS y
+         |  FROM pp),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+         |    CAST(sum(x) AS DECIMAL(12,6)) AS sx,
+         |    CAST(sum(y) AS DECIMAL(12,6)) AS sy,
+         |    CAST(sum(x * y) AS DECIMAL(20,12)) AS sxy,
+         |    CAST(sum(x * x) AS DECIMAL(20,12)) AS sxx FROM pts),
+         |sl AS (SELECT n_points, sx, sy,
+         |    CAST(CAST(n_points AS DECIMAL(3,0)) * sxy - sx * sy AS DOUBLE)
+         |      / CAST(CAST(n_points AS DECIMAL(3,0)) * sxx - sx * sx
+         |        AS DOUBLE) AS beta
+         |  FROM m)
+         |SELECT pp.p, pp.n_tokens, pp.vocab, sl.n_points,
+         |  round(sl.beta, 6) + 0.0 AS heaps_beta,
+         |  round((CAST(sl.sy AS DOUBLE) - sl.beta * CAST(sl.sx AS DOUBLE))
+         |    / CAST(sl.n_points AS DOUBLE), 6) + 0.0 AS heaps_ln_k
+         |FROM pp, sl ORDER BY pp.p""".stripMargin,
     "q259_sliding_hll" ->
       // registers built DIRECTLY per trailing window from the raw
       // rows (the Spark side max-merges daily registers into the

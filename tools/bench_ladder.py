@@ -39,6 +39,10 @@ ENTRIES = [
     # per-round exchange is bounded at k longs/node; the walk frontier
     # is |starts|-sized and must stay flat
     "q241_neighborhood_fn", "q246_random_walks",
+    # round-11 third-session additions: PQ trains m sub-codebooks +
+    # encodes the corpus (iters+1 scans, k x dims exchanges); Boruvka's
+    # per-round exchange is one min-edge per component (halving)
+    "q260_pq_ann", "q262_boruvka_mst",
 ]
 
 ADD_OPENS = [
