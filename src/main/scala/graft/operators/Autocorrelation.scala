@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
   *
   * A constant series has zero denominator; the ratio is explicitly
   * NULL then (guarded — ANSI mode would otherwise raise
-  * DIVIDE_BY_ZERO), matching what an oracle's NULLIF guard yields.
+  * DIVIDE_BY_ZERO), and the q257 oracle carries the matching
+  * `nullif(den, 0)` so both engines agree on the degenerate case.
   */
 object Autocorrelation {
 

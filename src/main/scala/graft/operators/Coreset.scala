@@ -60,6 +60,10 @@ object Coreset {
         transform(col(vecCol).cast("array<double>"),
           x => (x.cast("decimal(18,6)") * 1000000).cast("long")).as("__v"))
       .persist()
+    // the running (id, vec, min-dist) frame is reassigned per round;
+    // declared here so the finally can release whichever incarnation
+    // was live if a mid-loop action throws (persist-leak guard)
+    var cur: DataFrame = null
     try {
       // deterministic seed: the lowest-id point (one row to the driver)
       val seedRows = pts.orderBy(col("__pid")).limit(1)
@@ -67,7 +71,7 @@ object Coreset {
       require(seedRows.nonEmpty, "kCenter needs a non-empty points frame")
       val seed = seedRows.head
       var selected = Vector((seed._1, 0L)) // (pid, sel_dist_sq)
-      var cur = pts.withColumn("__md", distSq(col("__v"), seed._2)).persist()
+      cur = pts.withColumn("__md", distSq(col("__v"), seed._2)).persist()
       var coverages = Vector.empty[Long]
       var i = 2
       var exhausted = false
@@ -93,10 +97,12 @@ object Coreset {
       val Seq(finalCov) = cur.agg(coalesce(max(col("__md")), lit(0L)))
         .as[Long].collect().toSeq
       coverages :+= finalCov
-      cur.unpersist()
       selected.zip(coverages).zipWithIndex.map {
         case (((pid, sd), cov), i) => (i + 1L, pid, sd, cov)
       }.toDF("sel_order", idCol, "sel_dist_sq", "coverage_sq")
-    } finally { pts.unpersist() }
+    } finally {
+      pts.unpersist()
+      if (cur != null) cur.unpersist()
+    }
   }
 }

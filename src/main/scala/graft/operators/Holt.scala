@@ -39,6 +39,7 @@ object Holt {
                   centsCol: String): DataFrame = {
     val spark = series.sparkSession
     import spark.implicits._
+    val keyType = series.schema(keyCol).dataType
     val rows = series.select(col(keyCol).cast("string").as("k"),
         col(orderCol).cast("long").as("t"),
         col(centsCol).cast("long").as("x"))
@@ -59,6 +60,10 @@ object Holt {
         (k, t, x, l, b, l + b)
       }
     }.toDF(keyCol, orderCol, centsCol, "level", "trend", "forecast_next")
+      // the fold keys on a string rendering; give the caller back
+      // their key TYPE (string round-trips exactly for the integral /
+      // string keys a series key is) so ordering and joins stay native
+      .withColumn(keyCol, col(keyCol).cast(keyType))
       .orderBy(col(keyCol), col(orderCol))
   }
 }

@@ -1337,9 +1337,13 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     val vocab = firsts.crossJoin(broadcast(cuts))
       .filter(col("fd") < col("cut"))
       .groupBy(col("p")).agg(count(lit(1)).as("vocab"))
-    val ntok = toks.crossJoin(broadcast(cuts))
+    // aggregate per-doc token counts FIRST (the same collapse-then-
+    // fan-out trick as the FIRST-doc-id vocab side): the 10-way cut
+    // fanout flows |docs| rows, not 10× the exploded corpus
+    val ntok = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(cuts))
       .filter(col("doc_id") < col("cut"))
-      .groupBy(col("p")).agg(count(lit(1)).as("n_tokens"))
+      .groupBy(col("p")).agg(sum(col("__c")).cast("long").as("n_tokens"))
     val pp = ntok.join(vocab, Seq("p"))
       .filter(col("n_tokens") > 0 && col("vocab") > 0)
     val pts = pp
@@ -1641,8 +1645,8 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |  JOIN dev b ON b.t = a.t + k.k
         |  GROUP BY 1)
         |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
-        |  round(CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE), 6) + 0.0
-        |    AS acf
+        |  round(CAST(num AS DOUBLE)
+        |    / CAST(nullif(den.den, 0) AS DOUBLE), 6) + 0.0 AS acf
         |FROM num, den ORDER BY lag""".stripMargin,
     "q253_priority_estimate" ->
       // priorities replayed with the SAME operation order (w divided

@@ -400,9 +400,15 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
         .start()
       try q.processAllAvailable() finally q.stop()
+      // final state = the emission with the highest event count:
+      // n_events strictly increases per emission for a user, so the
+      // lexicographic struct max picks ONE emission's (n, sum) pair —
+      // correct even if amounts were negative (sum_cents alone is
+      // monotone only for non-negative values)
       s.table(sink).groupBy(col("user_id"))
-        .agg(max(col("n_events")).as("n_events"),
-          max(col("sum_cents")).as("sum_cents"))
+        .agg(max(struct(col("n_events"), col("sum_cents"))).as("__m"))
+        .select(col("user_id"), col("__m.n_events").as("n_events"),
+          col("__m.sum_cents").as("sum_cents"))
         .orderBy(col("user_id"))
     } finally {
       prior match {
