@@ -1371,7 +1371,48 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       .orderBy(col("p"))
   }
 
+  // ---------------------------------------------------------------- q266
+  /** Sort-free EXACT discrete quantiles of line-item price cents
+    * ([[operators.ExactSelection.quantilesDisc]]) — the third point on
+    * the quantile trade-off curve: q48 pays a distributed sort, q166
+    * accepts sketch error; this drills equi-width histograms down the
+    * VALUE DOMAIN instead, so the exact p01/p25/p50/p75/p99 cost three
+    * column scans with KB-sized aggregates and no data-sized shuffle
+    * at all — the shape that still works when the column is 100 TB.
+    */
+  def q266SelectionQuantiles(s: SparkSession, d: String): DataFrame = {
+    val cents = lineitem(s, d).select(
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    operators.ExactSelection.quantilesDisc(
+      cents, "cents", Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+  }
+
+  // ---------------------------------------------------------------- q267
+  /** Kendall's τ-b between daily order volume and daily revenue per
+    * priority ([[operators.Kendall.tauB]]) — completes the correlation
+    * family (Pearson q63, Spearman q177) with the pair-concordance
+    * statistic, the drift test of choice for heavily tied ordinal
+    * series. The pair expansion runs on the calendar-bounded daily
+    * pre-aggregation (|days|² per priority, independent of the fact
+    * table's row count); every pair classification is exact integer
+    * sign arithmetic, and the one sqrt/divide runs per priority on
+    * exact integers, rounded 6 dp.
+    */
+  def q267KendallTau(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).cast("long").as("y"))
+    operators.Kendall.tauB(daily, Seq("priority"), "day", "x", "y")
+      .orderBy(col("priority"))
+  }
+
   private[graft] def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_selection_quantiles" -> (q266SelectionQuantiles _),
+    "q267_kendall_tau" -> (q267KendallTau _),
     "q263_correlated_sample" -> (q263CorrelatedSample _),
     "q264_holt_trend" -> (q264HoltTrend _),
     "q265_heaps_law" -> (q265HeapsLaw _),
@@ -1449,6 +1490,56 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
        |   WHERE rk <= 64) k""".stripMargin
 
   private[graft] def oracleSqlStats: Map[String, String] = Map(
+    "q266_selection_quantiles" ->
+      // rank = max(1, ceil(q·n)) with q forced to DOUBLE on both
+      // engines (DuckDB parses 0.01 as DECIMAL; the Spark side
+      // computes the rank in driver-side IEEE doubles) so boundary
+      // ranks round identically; the oracle selects by row_number
+      """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS c FROM lineitem),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |qs AS (SELECT CAST(unnest([0.01, 0.25, 0.5, 0.75, 0.99])
+        |    AS DOUBLE) AS q),
+        |k AS (SELECT q, GREATEST(CAST(1 AS BIGINT),
+        |      CAST(ceil(q * CAST(n.n AS DOUBLE)) AS BIGINT)) AS rank,
+        |    n.n AS n_values FROM qs, n),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v)
+        |SELECT k.q, k.rank, r.c AS value, k.n_values
+        |FROM k JOIN r ON r.rn = k.rank ORDER BY q""".stripMargin,
+    "q267_kendall_tau" ->
+      // n recovered from n0 = n(n−1)/2 exactly as the Spark side does
+      // (sqrt of the exact integer (2n−1)²); floor keeps DuckDB's
+      // round-half-even BIGINT cast off the .0 boundary
+      """WITH d AS (SELECT o_orderpriority AS priority,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS t,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (SELECT a.priority,
+        |    sign(a.x - b.x) AS sx, sign(a.y - b.y) AS sy
+        |  FROM d a JOIN d b ON a.priority = b.priority AND a.t < b.t),
+        |g AS (SELECT priority, CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS concordant,
+        |    CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS discordant,
+        |    CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tied_x,
+        |    CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tied_y
+        |  FROM p GROUP BY 1)
+        |SELECT priority,
+        |  CAST(floor((1 + sqrt(1 + 8 * CAST(n0 AS DOUBLE))) / 2)
+        |    AS BIGINT) AS n,
+        |  concordant, discordant, tied_x, tied_y,
+        |  CASE WHEN n0 = tied_x OR n0 = tied_y THEN NULL
+        |    ELSE round(CAST(concordant - discordant AS DOUBLE)
+        |      / sqrt(CAST(n0 - tied_x AS DOUBLE)
+        |        * CAST(n0 - tied_y AS DOUBLE)), 6) + 0.0
+        |  END AS tau_b
+        |FROM g ORDER BY priority""".stripMargin,
     "q263_correlated_sample" ->
       // the oracle computes the sampled-join count ONCE — relationally
       // "join of samples" and "sample of join" are the same expression,
