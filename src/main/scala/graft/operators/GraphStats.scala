@@ -88,4 +88,59 @@ object GraphStats {
         round(lit(1.0) + col("n_tail").cast("double") /
           col("__s").cast("double"), 6).as("alpha"))
   }
+
+  /** Rich-club coefficient curve (Zhou & Mondragón 2004): for each
+    * degree threshold k, the edge density φ(k) among the nodes of
+    * degree > k — "do the hubs form their own dense club?". Rising
+    * φ(k) is the signature of elite cores in collaboration graphs;
+    * its absence (or a fall) is typical of co-purchase/biological
+    * graphs. The natural companion scalar curve to single-number
+    * assortativity ([[degreeAssortativity]]).
+    *
+    * Scale shape: ONE degree hash-agg, two node-key hash joins to
+    * decorate each undirected edge with its end degrees, then a
+    * broadcast threshold fan-out (|thresholds| rows, `limit`-bounded)
+    * into two tiny counting aggregations. φ is exact integer ppm —
+    * `2·10⁶·E_k DIV (N_k·(N_k−1))`, all positive so Spark truncation
+    * ≡ DuckDB floor — with the documented headroom E_k < 4.6e12.
+    *
+    * Output: one row per threshold `(k, n_nodes, n_edges, phi_ppm)`;
+    * `phi_ppm` is NULL when fewer than 2 nodes qualify (no possible
+    * edge). Self-loops are dropped; duplicate/reversed input edges
+    * collapse.
+    */
+  def richClub(edges: DataFrame, srcCol: String, dstCol: String,
+               thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "richClub needs at least one threshold")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = e0.select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // limit() marks the literal threshold frame visibly bounded for
+    // plan audits; it is |thresholds| rows by construction
+    val ths = broadcast(
+      thresholds.toDF("k").limit(thresholds.size))
+    val nk = deg.join(ths, col("d") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val ek = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .join(ths, col("da") > col("k") && col("db") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    ths.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("phi_ppm",
+        when(col("n_nodes") >= 2L,
+          expr("(2000000 * n_edges) DIV (n_nodes * (n_nodes - 1))"))
+          .otherwise(lit(null).cast("long")))
+      .orderBy(col("k"))
+  }
 }

@@ -67,4 +67,56 @@ object Regression {
       .filter(col("slope").isNotNull && col("intercept").isNotNull)
       .select(col("k").as(keyCol), col("n"), col("slope"), col("intercept"))
   }
+
+  /** Theil–Sen robust trend per group: the MEDIAN of all pairwise
+    * slopes `(y_j − y_i)/(x_j − x_i)`, the estimator that shrugs off
+    * up to ~29% contaminated points where OLS ([[olsPerKey]]) follows
+    * any single outlier. The classic robust complement to q157's OLS
+    * trend for alert-grade series.
+    *
+    * Scale shape: pairwise by definition — O(Σ_g n_g²) through a
+    * group-keyed equi self-join (hash, never BNLJ), so feed it the
+    * PRE-AGGREGATED series (calendar-bounded rows per group), exactly
+    * like [[Kendall.tauB]]. Slopes are EXACT integer ppm via
+    * truncating division — Spark's `DIV` and DuckDB's `//` BOTH round
+    * toward zero (verified: −7//2 = −3 on each), and truncation is
+    * monotone, so the slope median is engine-stable. The median is the
+    * lower median (rank `(n+1) DIV 2`) read off a per-group
+    * cumulative over the DISTINCT-slope counts — the window runs on
+    * |distinct slopes| rows, never on the raw pair expansion.
+    * Headroom contract: |Δy|·10⁶ must fit a long (|Δy| < 9.2e12 —
+    * cents-scale daily deltas sit ~5 orders below).
+    *
+    * Output: `(keyCol, n_pairs, med_slope_ppm)`, groups with < 2
+    * distinct x values drop (no pair, no slope).
+    */
+  def theilSenSlope(df: DataFrame, keyCol: String, xCol: String,
+                    yCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("__k"),
+        col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val a = base.toDF("__k", "__x", "__y")
+    val b = base.toDF("__k", "__x2", "__y2")
+    val slopes = a.join(b, Seq("__k"))
+      .filter(col("__x") < col("__x2"))
+      .select(col("__k"),
+        expr("((__y2 - __y) * 1000000) DIV (__x2 - __x)").as("__s"))
+      .groupBy(col("__k"), col("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__s"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k"))
+    slopes
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("n_pairs", sum(col("__c")).over(wAll))
+      // the unique distinct-slope row whose cumulative range covers
+      // the lower-median rank (integral DIV — `/` would be a float
+      // divide and shift the even-n rank to the upper middle)
+      .filter(col("__cum") - col("__c") < expr("(n_pairs + 1) DIV 2") &&
+        expr("(n_pairs + 1) DIV 2") <= col("__cum"))
+      .select(col("__k").as(keyCol), col("n_pairs"),
+        col("__s").as("med_slope_ppm"))
+  }
 }

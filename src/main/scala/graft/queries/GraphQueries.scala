@@ -369,7 +369,22 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     operators.Boruvka.forestRounds(ed, "pa", "pb", "w", rounds = 4)
   }
 
+  // ---------------------------------------------------------------- q269
+  /** Rich-club coefficient curve ([[operators.GraphStats.richClub]])
+    * of the full co-purchase graph over doubling degree thresholds —
+    * "do the hub parts form their own dense club?", the curve-valued
+    * companion to q152's single assortativity scalar. One degree agg,
+    * two hash joins, a `limit`-bounded broadcast threshold fan-out,
+    * and exact integer-ppm densities; consumer of the shared edge
+    * artifact.
+    */
+  def q269RichClub(s: SparkSession, d: String): DataFrame =
+    operators.GraphStats.richClub(
+      copurchasePairs(s, d).select(col("pa"), col("pb")),
+      "pa", "pb", Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L))
+
   private[graft] def queriesGraph: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_rich_club" -> (q269RichClub _),
     "q262_boruvka_mst" -> (q262BoruvkaMst _),
     "q252_threshold_components" -> (q252ThresholdComponents _),
     "q246_random_walks" -> (q246RandomWalks _),
@@ -390,6 +405,37 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     "q218_ktruss_peel" -> (q218KtrussPeel _))
 
   private[graft] def oracleSqlGraph: Map[String, String] = Map(
+    "q269_rich_club" ->
+      // φ(k) = 2e6·E_k // (N_k·(N_k−1)) — all terms positive, so
+      // Spark DIV ≡ DuckDB //; LEFT joins keep every threshold row
+      // (zero club → 0 edges/nodes, NULL density below 2 nodes)
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |sup AS (SELECT a.pk AS pa, b.pk AS pb
+        |        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |        GROUP BY a.pk, b.pk),
+        |e AS (SELECT CAST(pa AS BIGINT) AS u, CAST(pb AS BIGINT) AS v
+        |      FROM sup
+        |      UNION SELECT CAST(pb AS BIGINT), CAST(pa AS BIGINT) FROM sup),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u),
+        |ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32, 64]) AS BIGINT)
+        |    AS k),
+        |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+        |       FROM ks JOIN deg ON deg.d > ks.k GROUP BY k),
+        |ek AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+        |       FROM ks JOIN (SELECT da.d AS d1, db.d AS d2 FROM sup
+        |           JOIN deg da ON da.u = CAST(sup.pa AS BIGINT)
+        |           JOIN deg db ON db.u = CAST(sup.pb AS BIGINT)) s
+        |         ON s.d1 > ks.k AND s.d2 > ks.k
+        |       GROUP BY k)
+        |SELECT ks.k, coalesce(nk.n_nodes, 0) AS n_nodes,
+        |  coalesce(ek.n_edges, 0) AS n_edges,
+        |  CASE WHEN coalesce(nk.n_nodes, 0) >= 2
+        |    THEN (2000000 * coalesce(ek.n_edges, 0))
+        |      // (nk.n_nodes * (nk.n_nodes - 1))
+        |    ELSE NULL END AS phi_ppm
+        |FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
+        |ORDER BY ks.k""".stripMargin,
     "q262_boruvka_mst" -> {
       // one Borůvka round: per-component min outgoing edge by
       // (w, a, b) — the Spark struct-min — then the chosen-edge

@@ -1410,9 +1410,30 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       .orderBy(col("priority"))
   }
 
+  // ---------------------------------------------------------------- q268
+  /** Theil–Sen robust daily-revenue trend per order priority
+    * ([[operators.Regression.theilSenSlope]]) — the median-of-pairwise-
+    * slopes estimator that ignores up to ~29% contaminated days where
+    * the OLS trend (q157) chases any single spike. Pairs expand on the
+    * calendar-bounded daily frame (like q267); each slope is an exact
+    * integer ppm truncating division, and the median is read off a
+    * per-priority cumulative over DISTINCT slopes — no float enters
+    * the result at all.
+    */
+  def q268TheilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).cast("long").as("cents"))
+    operators.Regression.theilSenSlope(daily, "priority", "day", "cents")
+      .orderBy(col("priority"))
+  }
+
   private[graft] def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q266_selection_quantiles" -> (q266SelectionQuantiles _),
     "q267_kendall_tau" -> (q267KendallTau _),
+    "q268_theil_sen" -> (q268TheilSen _),
     "q263_correlated_sample" -> (q263CorrelatedSample _),
     "q264_holt_trend" -> (q264HoltTrend _),
     "q265_heaps_law" -> (q265HeapsLaw _),
@@ -1540,6 +1561,33 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |        * CAST(n0 - tied_y AS DOUBLE)), 6) + 0.0
         |  END AS tau_b
         |FROM g ORDER BY priority""".stripMargin,
+    "q268_theil_sen" ->
+      // both engines' integer division truncates toward zero (Spark
+      // DIV, DuckDB //), so the slope values agree bit for bit
+      // (HUGEINT keeps Δy·10⁶ exact on the DuckDB side); the
+      // lower-median rank (n+1)//2 is picked off the cumulative over
+      // distinct slopes, mirroring the operator
+      """WITH d AS (SELECT o_orderpriority AS priority,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS t,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (SELECT a.priority,
+        |    CAST((CAST(b.y - a.y AS HUGEINT) * 1000000) // (b.t - a.t)
+        |      AS BIGINT) AS s
+        |  FROM d a JOIN d b ON a.priority = b.priority AND a.t < b.t),
+        |c AS (SELECT priority, s, CAST(count(*) AS BIGINT) AS c
+        |  FROM p GROUP BY 1, 2),
+        |w AS (SELECT priority, s, c,
+        |    sum(c) OVER (PARTITION BY priority ORDER BY s) AS cum,
+        |    sum(c) OVER (PARTITION BY priority) AS n_pairs
+        |  FROM c)
+        |SELECT priority, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  s AS med_slope_ppm
+        |FROM w WHERE cum - c < (n_pairs + 1) // 2
+        |  AND (n_pairs + 1) // 2 <= cum
+        |ORDER BY priority""".stripMargin,
     "q263_correlated_sample" ->
       // the oracle computes the sampled-join count ONCE — relationally
       // "join of samples" and "sample of join" are the same expression,

@@ -75,6 +75,66 @@ class RankSelectionSpec extends SparkSpec {
       ("g", 4L, 3L, 1L, 1L, 1L, Some(0.4))))
   }
 
+  test("theilSenSlope: median pairwise slope on hand points, outlier ignored") {
+    // key m: y = 5x in cents ppm at x=1..4 plus a wild outlier at x=5
+    // pair slopes (ppm): among the 4 clean points all 5_000_000;
+    // the 4 pairs touching (5, 1_000_000): large — median of the 10
+    // slopes (sorted) is still 5_000_000 (6 of 10 pairs are clean)
+    val m = Seq((1L, 5L), (2L, 10L), (3L, 15L), (4L, 20L),
+      (5L, 1000000L)).map { case (x, y) => ("m", x, y) }
+    // key e: even pair count — x=1,2,3 with slopes 10, 5, 0 ppm·1e6?
+    //   points (1,0),(2,10),(3,10): slopes 10e6 (1→2), 0 (2→3),
+    //   5e6 (1→3) → n=3 odd, median 5e6. Use 4 points for even:
+    //   (1,0),(2,10),(3,10),(4,40) → 6 slopes: 10e6,0,30e6,5e6,15e6,
+    //   (1→4)=13333333 (truncated 40/3·1e6) → sorted 0,5e6,10e6,
+    //   13333333,15e6,30e6 → lower median (rank 3) = 10e6
+    val e = Seq((1L, 0L), (2L, 10L), (3L, 10L), (4L, 40L))
+      .map { case (x, y) => ("e", x, y) }
+    val got = Regression.theilSenSlope(
+        (m ++ e).toDF("k", "x", "y"), "k", "x", "y")
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("e", 6L, 10000000L), ("m", 10L, 5000000L)))
+  }
+
+  test("theilSenSlope: negative slopes truncate toward zero on both engines") {
+    // (1,10),(2,3): slope −7e6; (2,3),(3,1): −2e6; (1,10),(3,1):
+    // −9/2·1e6 = −4.5e6 → truncates to −4500000 (exact), n=3,
+    // median = −4500000
+    val df = Seq(("n", 1L, 10L), ("n", 2L, 3L), ("n", 3L, 1L))
+      .toDF("k", "x", "y")
+    val got = Regression.theilSenSlope(df, "k", "x", "y")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("n", 3L, -4500000L)))
+  }
+
+  test("richClub: hand graph — hubs form a complete club") {
+    // K4 on 1..4 (each degree ≥ 3) plus leaves 5,6,7 hanging off
+    // node 1 (degree(1)=6). degrees: 1→6, 2..4→3, 5..7→1
+    // k=1: nodes {1,2,3,4} (deg>1), club edges = K4's 6 → φ = 1e6
+    // k=3: nodes {1} → NULL; k=5: {1} → NULL
+    val edges = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (1, 5), (1, 6), (1, 7)).toDF("u", "v")
+    val got = GraphStats.richClub(edges, "u", "v", Seq(1L, 3L, 5L))
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got === Seq(
+      (1L, 4L, 6L, Some(1000000L)),
+      (3L, 1L, 0L, None),
+      (5L, 1L, 0L, None)))
+  }
+
+  test("richClub: duplicate / reversed / self-loop edges collapse") {
+    val edges = Seq((1, 2), (2, 1), (1, 2), (2, 2), (2, 3))
+      .toDF("u", "v")
+    val got = GraphStats.richClub(edges, "u", "v", Seq(0L, 1L))
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    // clean graph: 1–2, 2–3; degrees 1,2,1
+    // k=0: all 3 nodes, 2 edges → φ = 2·2e6/6 = 666666
+    // k=1: just node 2 → NULL
+    assert(got === Seq(
+      (0L, 3L, 2L, Some(666666L)),
+      (1L, 1L, 0L, None)))
+  }
+
   test("tauB: perfect agreement and perfect reversal hit ±1 exactly") {
     val up = (1L to 10L).map(t => ("u", t, t, t * 7))
     val down = (1L to 10L).map(t => ("d", t, t, 100L - t))
