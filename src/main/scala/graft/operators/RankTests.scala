@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Paired and k-group rank tests — completing the nonparametric
+  * family around [[MannWhitney]] (two independent samples): the
+  * Wilcoxon SIGNED-RANK test for paired before/after comparisons
+  * (same users, two periods), and the Kruskal–Wallis H test for
+  * k ≥ 2 independent groups (the rank ANOVA).
+  *
+  * Both follow the [[MannWhitney]] scale shape exactly: midranks need
+  * only the DISTINCT-value count frame (one value-keyed hash agg),
+  * the exclusive prefix over it is the distributed two-pass
+  * [[Ordinals.withOrderedPrefixSum]] (no single-partition window),
+  * all rank mass is exact in halves (2·midrank BIGINTs), and the
+  * test statistic's float ops run once, on one row, from exact
+  * integer inputs — deterministic across engines.
+  */
+object RankTests {
+
+  /** Wilcoxon signed-rank over one row per pair: the nonzero
+    * differences `after − before` are ranked by |d| with midranks;
+    * positive-side and negative-side rank sums are published ×2
+    * (exact integers). One output row
+    * `(n, w_plus_x2, w_minus_x2, z)` where `z` is the tie-corrected
+    * normal approximation
+    * `(W⁺ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − Σ(t³−t)/48)`,
+    * rounded 6 dp; NULL when no nonzero difference exists or the
+    * variance degenerates. Rows with a NULL side are dropped.
+    */
+  def signedRank(df: DataFrame, beforeCol: String,
+                 afterCol: String): DataFrame = {
+    val d = df.select((col(afterCol).cast("long") -
+        col(beforeCol).cast("long")).as("__d"))
+      .filter(col("__d").isNotNull && col("__d") =!= 0L)
+    val perAbs = d.groupBy(abs(col("__d")).as("__ad"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("__d") > 0L, 1L).otherwise(0L)).as("tp"))
+    val ranked = Ordinals.withOrderedPrefixSum(
+        perAbs, Seq(col("__ad")), "t", "below")
+      .withColumn("mid2", lit(2L) * col("below") + col("t") + 1L)
+    ranked.agg(
+        sum(col("t")).as("n"),
+        sum(col("tp") * col("mid2")).as("w_plus_x2"),
+        sum((col("t") - col("tp")) * col("mid2")).as("w_minus_x2"),
+        // tie cubes in DECIMAL — a single |d| value tied across more
+        // than ~2^21 pairs would silently wrap a long t³ (the q177
+        // Spearman lesson); (12,0)³ → 36 digits, sums bounded by N³
+        sum(col("t").cast("decimal(12,0)") * col("t").cast("decimal(12,0)")
+          * col("t").cast("decimal(12,0)") - col("t")).as("__tie3"))
+      .withColumn("__var",
+        col("n").cast("double") * (col("n") + 1L) * (lit(2L) * col("n") + 1L)
+          / 24.0 - col("__tie3").cast("double") / 48.0)
+      .withColumn("z",
+        when(col("n").isNull || col("n") === 0L || col("__var") <= 0.0,
+            lit(null).cast("double"))
+          .otherwise(round(
+            ((lit(2L) * col("w_plus_x2") - col("n") * (col("n") + 1L))
+              .cast("double") / 4.0) / sqrt(col("__var")), 6) + 0.0))
+      .select(coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("w_plus_x2"), lit(0L)).as("w_plus_x2"),
+        coalesce(col("w_minus_x2"), lit(0L)).as("w_minus_x2"), col("z"))
+  }
+
+  /** Kruskal–Wallis H across the groups of `groupCol`: one output row
+    * per group `(groupCol, n_g, rank_sum_x2)` with the shared scalars
+    * `(n_total, h, h_tie_corrected)` attached (1-row broadcast).
+    *
+    * Exactness: per-group rank sums stay ×2 integers; each group's
+    * `R_g²/n_g` term casts the EXACT DECIMAL(38) square to double,
+    * divides by `4·n_g`, and is rounded to 6 dp per TERM, with the
+    * rounded terms summed in DECIMAL (the tokenEntropy doctrine) —
+    * H and its tie correction are then single one-row float
+    * expressions over exact inputs. `h_tie_corrected` is NULL when
+    * every value ties (correction factor 0).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val v = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val perValue = v.groupBy("__v").agg(count(lit(1)).as("t"))
+    val ranked = Ordinals.withOrderedPrefixSum(
+        perValue, Seq(col("__v")), "t", "below")
+      .withColumn("mid2", lit(2L) * col("below") + col("t") + 1L)
+    val totals = ranked.agg(
+        sum(col("t")).as("n_total"),
+        // DECIMAL cubes: see signedRank's tie-cube comment
+        sum(col("t").cast("decimal(12,0)") * col("t").cast("decimal(12,0)")
+          * col("t").cast("decimal(12,0)") - col("t")).as("__tie3"))
+    val perGroup = v.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .join(ranked.select(col("__v"), col("mid2")), Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n_g"),
+        sum(col("__c") * col("mid2")).as("rank_sum_x2"))
+      // (19,0)² → (38,0): the square is exact; the double cast and
+      // the 4·n_g divide run on that exact value, rounded per term
+      .withColumn("__term", round(
+        (col("rank_sum_x2").cast("decimal(19,0)") *
+          col("rank_sum_x2").cast("decimal(19,0)")).cast("double") /
+          (lit(4.0) * col("n_g").cast("double")), 6))
+    val s = perGroup.agg(
+      sum(col("__term").cast("decimal(38,6)")).cast("double").as("__s"))
+    val scalars = totals.crossJoin(s)
+      .withColumn("h", round(
+        lit(12.0) * col("__s") /
+          (col("n_total").cast("double") * (col("n_total") + 1L)) -
+          lit(3.0) * (col("n_total") + 1L), 6) + 0.0)
+      .withColumn("h_tie_corrected", {
+        val cube = col("n_total").cast("decimal(12,0)") *
+          col("n_total").cast("decimal(12,0)") *
+          col("n_total").cast("decimal(12,0)") - col("n_total")
+        when(col("__tie3") === cube, lit(null).cast("double"))
+          .otherwise(round(col("h") /
+            (lit(1.0) - col("__tie3").cast("double") /
+              cube.cast("double")), 6) + 0.0)
+      })
+      .select(col("n_total"), col("h"), col("h_tie_corrected"))
+    perGroup.select(col("__g").as(groupCol), col("n_g"),
+        col("rank_sum_x2"))
+      .crossJoin(broadcast(scalars))
+      .orderBy(col(groupCol))
+  }
+}

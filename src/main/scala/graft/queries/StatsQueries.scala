@@ -1430,10 +1430,57 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       .orderBy(col("priority"))
   }
 
+  // ---------------------------------------------------------------- q270
+  /** Wilcoxon signed-rank ([[operators.RankTests.signedRank]]) on
+    * paired per-customer spend: 1995–1997 vs 1998–2001 totals for
+    * customers active in BOTH eras — "did the same customers spend
+    * more later?", the paired companion to the independent-sample
+    * Mann–Whitney q153. One customer-keyed agg builds the pairs; the
+    * ranking runs on the distinct-|difference| count frame with the
+    * distributed prefix sum; the z statistic is one float expression
+    * over exact ×2 integer rank sums.
+    */
+  def q270SignedRank(s: SparkSession, d: String): DataFrame = {
+    val eras = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(year(to_date(col("o_orderdate"))) <= 1997,
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .otherwise(0L)).cast("long").as("early"),
+        sum(when(year(to_date(col("o_orderdate"))) >= 1998,
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .otherwise(0L)).cast("long").as("late"),
+        sum(when(year(to_date(col("o_orderdate"))) <= 1997, 1L)
+          .otherwise(0L)).as("n_early"),
+        sum(when(year(to_date(col("o_orderdate"))) >= 1998, 1L)
+          .otherwise(0L)).as("n_late"))
+      .filter(col("n_early") > 0L && col("n_late") > 0L)
+    operators.RankTests.signedRank(eras, "early", "late")
+  }
+
+  // ---------------------------------------------------------------- q271
+  /** Kruskal–Wallis H ([[operators.RankTests.kruskalWallis]]) of order
+    * value across the five priorities — the rank ANOVA asking whether
+    * ANY priority's price distribution sits above the others (the
+    * k-group extension of Mann–Whitney q153). Midranks from one
+    * distinct-value agg + distributed prefix; per-group R²/n terms
+    * 6-dp-rounded and DECIMAL-summed (the tokenEntropy doctrine);
+    * the H scalars attach to the per-priority rows as a 1-row
+    * broadcast.
+    */
+  def q271KruskalWallis(s: SparkSession, d: String): DataFrame =
+    operators.RankTests.kruskalWallis(
+      orders(s, d).select(col("o_orderpriority").as("priority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents")),
+      "priority", "cents")
+
   private[graft] def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q266_selection_quantiles" -> (q266SelectionQuantiles _),
     "q267_kendall_tau" -> (q267KendallTau _),
     "q268_theil_sen" -> (q268TheilSen _),
+    "q270_signed_rank" -> (q270SignedRank _),
+    "q271_kruskal_wallis" -> (q271KruskalWallis _),
     "q263_correlated_sample" -> (q263CorrelatedSample _),
     "q264_holt_trend" -> (q264HoltTrend _),
     "q265_heaps_law" -> (q265HeapsLaw _),
@@ -1588,6 +1635,82 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |FROM w WHERE cum - c < (n_pairs + 1) // 2
         |  AND (n_pairs + 1) // 2 <= cum
         |ORDER BY priority""".stripMargin,
+    "q270_signed_rank" ->
+      // midranks replayed off the distinct-|d| frame exactly as the
+      // operator builds them (2·below + t + 1); the z expression is
+      // the identical one-row float formula over exact integers
+      """WITH e AS (SELECT o_custkey,
+        |    CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) <= 1997
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT) ELSE 0 END) AS BIGINT) AS early,
+        |    CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) >= 1998
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT) ELSE 0 END) AS BIGINT) AS late,
+        |    sum(CASE WHEN year(CAST(o_orderdate AS DATE)) <= 1997
+        |      THEN 1 ELSE 0 END) AS n_early,
+        |    sum(CASE WHEN year(CAST(o_orderdate AS DATE)) >= 1998
+        |      THEN 1 ELSE 0 END) AS n_late
+        |  FROM orders GROUP BY 1
+        |  HAVING n_early > 0 AND n_late > 0),
+        |d AS (SELECT late - early AS dd FROM e WHERE late <> early),
+        |pv AS (SELECT abs(dd) AS ad, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tp
+        |  FROM d GROUP BY 1),
+        |r AS (SELECT ad, t, tp,
+        |    2 * (sum(t) OVER (ORDER BY ad) - t) + t + 1 AS mid2 FROM pv),
+        |m AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+        |    CAST(sum(tp * mid2) AS BIGINT) AS wp2,
+        |    CAST(sum((t - tp) * mid2) AS BIGINT) AS wm2,
+        |    sum(CAST(t AS HUGEINT) * t * t - t) AS tie3 FROM r)
+        |SELECT coalesce(n, 0) AS n, coalesce(wp2, 0) AS w_plus_x2,
+        |  coalesce(wm2, 0) AS w_minus_x2,
+        |  CASE WHEN n IS NULL OR n = 0
+        |      OR CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+        |        - CAST(tie3 AS DOUBLE) / 48.0 <= 0.0 THEN NULL
+        |    ELSE round((CAST(2 * wp2 - n * (n + 1) AS DOUBLE) / 4.0)
+        |      / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+        |        - CAST(tie3 AS DOUBLE) / 48.0), 6) + 0.0
+        |  END AS z
+        |FROM m""".stripMargin,
+    "q271_kruskal_wallis" ->
+      // R_g² squared exactly in HUGEINT (the Spark side squares in
+      // DECIMAL(38)), cast to DOUBLE, 6-dp-rounded per term, the
+      // rounded terms DECIMAL-summed; H and the tie correction are
+      // the same one-row float expressions over exact integers
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v
+        |  FROM orders),
+        |pv AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM v GROUP BY v),
+        |r AS (SELECT v, t,
+        |    2 * (sum(t) OVER (ORDER BY v) - t) + t + 1 AS mid2 FROM pv),
+        |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM v GROUP BY 1, 2),
+        |rg AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+        |    CAST(sum(c * mid2) AS BIGINT) AS r2
+        |  FROM gv JOIN r USING (v) GROUP BY g),
+        |tm AS (SELECT g, n_g, r2,
+        |    round(CAST(CAST(r2 AS HUGEINT) * r2 AS DOUBLE)
+        |      / (4.0 * n_g), 6) AS term
+        |  FROM rg),
+        |tot AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+        |    sum(CAST(t AS HUGEINT) * t * t - t) AS tie3 FROM pv),
+        |s AS (SELECT CAST(sum(CAST(term AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sd FROM tm),
+        |h AS (SELECT n, tie3,
+        |    round(12.0 * s.sd / (CAST(n AS DOUBLE) * (n + 1))
+        |      - 3.0 * (n + 1), 6) + 0.0 AS h0
+        |  FROM tot, s)
+        |SELECT tm.g AS priority, tm.n_g, tm.r2 AS rank_sum_x2,
+        |  h.n AS n_total, h.h0 AS h,
+        |  CASE WHEN h.tie3 = CAST(h.n AS HUGEINT) * h.n * h.n - h.n
+        |    THEN NULL
+        |    ELSE round(h.h0 / (1.0 - CAST(h.tie3 AS DOUBLE)
+        |      / CAST(CAST(h.n AS HUGEINT) * h.n * h.n - h.n AS DOUBLE)),
+        |      6) + 0.0
+        |  END AS h_tie_corrected
+        |FROM tm, h ORDER BY priority""".stripMargin,
     "q263_correlated_sample" ->
       // the oracle computes the sampled-join count ONCE — relationally
       // "join of samples" and "sample of join" are the same expression,
