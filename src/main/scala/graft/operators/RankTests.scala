@@ -123,4 +123,96 @@ object RankTests {
       .crossJoin(broadcast(scalars))
       .orderBy(col(groupCol))
   }
+
+  /** Friedman test — the repeated-measures rank ANOVA: each BLOCK
+    * (e.g. a day) ranks the k treatments (e.g. priorities) among
+    * themselves, removing block-level shifts that would drown
+    * [[kruskalWallis]] (a hot sales day lifts every priority; only
+    * the within-day ORDER carries treatment signal). Blocks missing
+    * any treatment are dropped (the test requires complete blocks);
+    * within-block ties take midranks and the classic statistic is
+    * published (tie-naive, identical on both engines by exact
+    * construction).
+    *
+    * Scale shape: ranking is per-block — a window over k rows per
+    * partition key, embarrassingly parallel, nothing global but the
+    * final k-row rank-sum agg. Rank mass exact ×2; χ²_F is one float
+    * expression over exact integers:
+    * `3·Σ(2R_j)² / (n·k·(k+1)) − 3·n·(k+1)` (the 12/4 cancel).
+    *
+    * Output: one row per treatment
+    * `(groupCol, rank_sum_x2, n_blocks, k_treatments, chi2_f)`,
+    * NULL χ² when no complete block exists.
+    */
+  def friedman(df: DataFrame, blockCol: String, groupCol: String,
+               valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(blockCol).as("__b"), col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val k = v.select(col("__g")).distinct().count()
+    val complete = v
+      .withColumn("__kb", count(lit(1)).over(Window.partitionBy("__b")))
+      .filter(col("__kb") === k)
+    // midrank×2 = 2·min-rank + ties − 1, from two block-local windows
+    val ranked = complete
+      .withColumn("__r", rank().over(
+        Window.partitionBy("__b").orderBy("__v")))
+      .withColumn("__t", count(lit(1)).over(
+        Window.partitionBy("__b", "__v")))
+      .withColumn("__mid2", lit(2L) * col("__r") + col("__t") - 1L)
+    val sums = ranked.groupBy("__g")
+      .agg(sum(col("__mid2")).as("rank_sum_x2"),
+        count(lit(1)).as("__n"))
+    val scalars = sums.agg(
+        max(col("__n")).as("n_blocks"),
+        sum(col("rank_sum_x2") * col("rank_sum_x2")).as("__sr2"))
+      .withColumn("k_treatments", lit(k))
+      .withColumn("chi2_f",
+        when(col("n_blocks").isNull || col("n_blocks") === 0L,
+            lit(null).cast("double"))
+          .otherwise(round(
+            lit(3.0) * col("__sr2").cast("double") /
+              (col("n_blocks").cast("double") * k * (k + 1)) -
+              lit(3.0) * col("n_blocks") * (k + 1), 6) + 0.0))
+      .select(col("n_blocks"), col("k_treatments"), col("chi2_f"))
+    sums.select(col("__g").as(groupCol), col("rank_sum_x2"))
+      .crossJoin(broadcast(scalars))
+      .orderBy(col(groupCol))
+  }
+
+  /** McNemar's test on paired binary outcomes — "did the SAME
+    * subjects flip state between two periods?": only the discordant
+    * cells carry signal (b = yes→no, c = no→yes), and
+    * `χ² = (|b−c|−1)² / (b+c)` (continuity-corrected) tests their
+    * symmetry. One row:
+    * `(n, n_both, before_only, after_only, neither, chi2_mcnemar)`;
+    * χ² is NULL when no subject flipped (b+c = 0). One hash agg over
+    * the pair frame; the single float division runs on one row.
+    */
+  def mcnemar(df: DataFrame, beforeCol: String,
+              afterCol: String): DataFrame = {
+    val b = col(beforeCol).cast("boolean")
+    val a = col(afterCol).cast("boolean")
+    df.agg(
+        count(lit(1)).as("n"),
+        sum(when(b && a, 1L).otherwise(0L)).as("n_both"),
+        sum(when(b && !a, 1L).otherwise(0L)).as("before_only"),
+        sum(when(!b && a, 1L).otherwise(0L)).as("after_only"),
+        sum(when(!b && !a, 1L).otherwise(0L)).as("neither"))
+      .withColumn("chi2_mcnemar", {
+        val d = col("before_only") + col("after_only")
+        when(col("n") === 0L || d === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            ((abs(col("before_only") - col("after_only")) - 1L) *
+              (abs(col("before_only") - col("after_only")) - 1L))
+              .cast("double") / d.cast("double"), 6) + 0.0)
+      })
+      .select(col("n"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        coalesce(col("before_only"), lit(0L)).as("before_only"),
+        coalesce(col("after_only"), lit(0L)).as("after_only"),
+        coalesce(col("neither"), lit(0L)).as("neither"),
+        col("chi2_mcnemar"))
+  }
 }

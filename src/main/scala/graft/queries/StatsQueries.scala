@@ -1475,12 +1475,57 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
           .cast("long").as("cents")),
       "priority", "cents")
 
+  // ---------------------------------------------------------------- q272
+  /** Friedman test ([[operators.RankTests.friedman]]): within each
+    * complete MONTH (all five priorities present — a month is the
+    * block granularity where completeness holds at every test scale;
+    * sf0.001 days rarely see all five) the priorities' revenues are
+    * ranked among themselves, removing month-level demand shifts that
+    * would drown the independent-sample q271 — the repeated-measures
+    * rank ANOVA. Ranking is a 5-row window per month (embarrassingly
+    * parallel); χ²_F is one float expression over exact ×2 rank sums.
+    */
+  def q272Friedman(s: SparkSession, d: String): DataFrame = {
+    val monthly = orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"),
+        (year(to_date(col("o_orderdate"))) * 100 +
+          month(to_date(col("o_orderdate")))).cast("long").as("ym"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).cast("long").as("cents"))
+    operators.RankTests.friedman(monthly, "ym", "priority", "cents")
+  }
+
+  // ---------------------------------------------------------------- q273
+  /** McNemar's paired-binary test ([[operators.RankTests.mcnemar]]):
+    * per customer, "ordered in 1995–1997?" vs "ordered in
+    * 1998–2001?" over the full customer spine (never-ordered
+    * customers land in `neither`) — did the population flip
+    * asymmetrically between eras? One left join + one hash agg; the
+    * continuity-corrected χ² is a single one-row float division over
+    * exact discordant counts.
+    */
+  def q273Mcnemar(s: SparkSession, d: String): DataFrame = {
+    val eras = orders(s, d).groupBy(col("o_custkey"))
+      .agg(
+        sum(when(year(to_date(col("o_orderdate"))) <= 1997, 1L)
+          .otherwise(0L)).as("n_early"),
+        sum(when(year(to_date(col("o_orderdate"))) >= 1998, 1L)
+          .otherwise(0L)).as("n_late"))
+    val flags = customer(s, d)
+      .join(eras, col("c_custkey") === col("o_custkey"), "left")
+      .select((coalesce(col("n_early"), lit(0L)) > 0L).as("before_flag"),
+        (coalesce(col("n_late"), lit(0L)) > 0L).as("after_flag"))
+    operators.RankTests.mcnemar(flags, "before_flag", "after_flag")
+  }
+
   private[graft] def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q266_selection_quantiles" -> (q266SelectionQuantiles _),
     "q267_kendall_tau" -> (q267KendallTau _),
     "q268_theil_sen" -> (q268TheilSen _),
     "q270_signed_rank" -> (q270SignedRank _),
     "q271_kruskal_wallis" -> (q271KruskalWallis _),
+    "q272_friedman" -> (q272Friedman _),
+    "q273_mcnemar" -> (q273Mcnemar _),
     "q263_correlated_sample" -> (q263CorrelatedSample _),
     "q264_holt_trend" -> (q264HoltTrend _),
     "q265_heaps_law" -> (q265HeapsLaw _),
@@ -1711,6 +1756,65 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |      6) + 0.0
         |  END AS h_tie_corrected
         |FROM tm, h ORDER BY priority""".stripMargin,
+    "q272_friedman" ->
+      // complete blocks only; midrank×2 = 2·rank + ties − 1 from two
+      // block-local windows; 3·Σ(2R)²/(n·k·(k+1)) − 3·n·(k+1)
+      """WITH d AS (SELECT o_orderpriority AS priority,
+        |    CAST(year(CAST(o_orderdate AS DATE)) * 100
+        |      + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT priority) AS BIGINT) AS k
+        |  FROM d),
+        |cb AS (SELECT t FROM d GROUP BY t
+        |  HAVING count(*) = (SELECT k FROM kk)),
+        |r AS (SELECT d.priority,
+        |    2 * rank() OVER (PARTITION BY d.t ORDER BY d.y)
+        |      + count(*) OVER (PARTITION BY d.t, d.y) - 1 AS mid2
+        |  FROM d JOIN cb USING (t)),
+        |s AS (SELECT priority, CAST(sum(mid2) AS BIGINT) AS rank_sum_x2,
+        |    CAST(count(*) AS BIGINT) AS nb FROM r GROUP BY 1),
+        |g AS (SELECT CAST(max(nb) AS BIGINT) AS n_blocks,
+        |    CAST(sum(rank_sum_x2 * rank_sum_x2) AS BIGINT) AS sr2
+        |  FROM s)
+        |SELECT s.priority, s.rank_sum_x2, g.n_blocks,
+        |  kk.k AS k_treatments,
+        |  CASE WHEN g.n_blocks IS NULL OR g.n_blocks = 0 THEN NULL
+        |    ELSE round(3.0 * CAST(g.sr2 AS DOUBLE)
+        |      / (CAST(g.n_blocks AS DOUBLE) * kk.k * (kk.k + 1))
+        |      - 3.0 * g.n_blocks * (kk.k + 1), 6) + 0.0
+        |  END AS chi2_f
+        |FROM s, g, kk ORDER BY s.priority""".stripMargin,
+    "q273_mcnemar" ->
+      // customer spine LEFT JOIN era counts; continuity-corrected
+      // (|b−c|−1)²/(b+c) over exact discordant cells
+      """WITH e AS (SELECT o_custkey,
+        |    sum(CASE WHEN year(CAST(o_orderdate AS DATE)) <= 1997
+        |      THEN 1 ELSE 0 END) AS ne,
+        |    sum(CASE WHEN year(CAST(o_orderdate AS DATE)) >= 1998
+        |      THEN 1 ELSE 0 END) AS nl
+        |  FROM orders GROUP BY 1),
+        |f AS (SELECT coalesce(e.ne, 0) > 0 AS b, coalesce(e.nl, 0) > 0
+        |      AS a
+        |  FROM customer LEFT JOIN e ON e.o_custkey = c_custkey),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN b AND a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_both,
+        |    CAST(sum(CASE WHEN b AND NOT a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS before_only,
+        |    CAST(sum(CASE WHEN NOT b AND a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS after_only,
+        |    CAST(sum(CASE WHEN NOT b AND NOT a THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS neither
+        |  FROM f)
+        |SELECT n, n_both, before_only, after_only, neither,
+        |  CASE WHEN n = 0 OR before_only + after_only = 0 THEN NULL
+        |    ELSE round(CAST((abs(before_only - after_only) - 1)
+        |        * (abs(before_only - after_only) - 1) AS DOUBLE)
+        |      / CAST(before_only + after_only AS DOUBLE), 6) + 0.0
+        |  END AS chi2_mcnemar
+        |FROM m""".stripMargin,
     "q263_correlated_sample" ->
       // the oracle computes the sampled-join count ONCE — relationally
       // "join of samples" and "sample of join" are the same expression,

@@ -56,6 +56,54 @@ class RankTestsSpec extends SparkSpec {
       ("B", 2L, 14L, 4L, 2.4, Some(3.0))))
   }
 
+  test("friedman: hand blocks — consistent ordering maximizes chi2") {
+    // 3 complete blocks, treatments A<B<C in every block → within-
+    // block ranks always 1,2,3; R×2 = 6, 12, 18; Σ(2R)² = 36+144+324
+    // = 504; χ² = 3·504/(3·3·4) − 3·3·4 = 42 − 36 = 6 (max for n=3,k=3)
+    // block 4 is incomplete (no C) and must be dropped
+    val df = Seq(
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+      (2L, "A", 5L), (2L, "B", 6L), (2L, "C", 7L),
+      (3L, "A", 100L), (3L, "B", 200L), (3L, "C", 300L),
+      (4L, "A", 1L), (4L, "B", 2L))
+      .toDF("blk", "g", "v")
+    val got = RankTests.friedman(df, "blk", "g", "v")
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      ("A", 6L, 3L, 3L, Some(6.0)),
+      ("B", 12L, 3L, 3L, Some(6.0)),
+      ("C", 18L, 3L, 3L, Some(6.0))))
+  }
+
+  test("friedman: within-block ties take midranks") {
+    // one block, values 1,1,2 → midranks 1.5, 1.5, 3 → ×2 = 3, 3, 6
+    val df = Seq((1L, "A", 1L), (1L, "B", 1L), (1L, "C", 2L))
+      .toDF("blk", "g", "v")
+    val got = RankTests.friedman(df, "blk", "g", "v")
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    // Σ(2R)² = 9+9+36 = 54; χ² = 3·54/(1·3·4) − 3·1·4 = 13.5 − 12 = 1.5
+    assert(got === Seq(
+      ("A", 3L, 1L, 3L, Some(1.5)),
+      ("B", 3L, 1L, 3L, Some(1.5)),
+      ("C", 6L, 1L, 3L, Some(1.5))))
+  }
+
+  test("mcnemar: hand cells with continuity correction") {
+    // b (yes→no) = 3, c (no→yes) = 1 → χ² = (|3−1|−1)²/4 = 0.25
+    val rows = Seq.fill(2)((true, true)) ++ Seq.fill(3)((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(4)((false, false))
+    val got = RankTests.mcnemar(rows.toDF("b", "a"), "b", "a")
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    assert(got === ((10L, 2L, 3L, 1L, 4L, Some(0.25))))
+  }
+
+  test("mcnemar: no discordant pairs → NULL chi2") {
+    val rows = Seq((true, true), (false, false))
+    val got = RankTests.mcnemar(rows.toDF("b", "a"), "b", "a")
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    assert(got === ((2L, 1L, 0L, 0L, 1L, None)))
+  }
+
   test("kruskalWallis: every value tied → H = 0, corrected NULL") {
     val df = Seq(("A", 5L), ("A", 5L), ("B", 5L), ("B", 5L))
       .toDF("g", "v")
