@@ -319,4 +319,75 @@ object Similarity {
           sqrt(col("na").cast("double") * col("nb").cast("double")), 6)
           .as("centroid_cosine"))
   }
+
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    * greedily pick k results trading relevance against redundancy —
+    * `argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` — the standard
+    * retrieval-diversification step between ANN recall and a
+    * generation prompt (k near-identical passages waste context).
+    *
+    * Scale shape: the DISTRIBUTED part is the candidate scan — exact
+    * cosines against the query, global top-`window` via
+    * TakeOrderedAndProject (never a full sort). The greedy rerank is
+    * O(window²) driver arithmetic over that bounded window (the
+    * production retrieve-then-rerank pattern; window is an operator
+    * parameter ≪ corpus, NOT data-sized). Determinism: relevances and
+    * pairwise similarities replay [[cosine]]'s exact left-to-right
+    * double fold and are rounded HALF_UP to 6 dp BEFORE the greedy
+    * comparisons (Spark `round` semantics), so selection is
+    * engine-stable; ties break on ascending id.
+    *
+    * Output: `(sel_order, vec_id, rel, mmr_score)` for the k picks;
+    * `mmr_score = round(λ·rel − (1−λ)·maxsim, 6)` with maxsim = 0 for
+    * the first pick.
+    */
+  def mmrRerank(query: DataFrame, corpus: DataFrame, k: Int,
+                window: Int, lambda: Double,
+                qVec: String = "query_vec", cId: String = "vec_id",
+                cVec: String = "embedding"): DataFrame = {
+    require(k >= 1 && window >= k, s"need window >= k >= 1, got k=$k window=$window")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def round6(d: Double): Double =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    val cands = corpus.crossJoin(broadcast(query.select(col(qVec))))
+      .select(col(cId).cast("long").as("__id"),
+        col(cVec).cast("array<double>").as("__v"),
+        cosine(col(qVec), col(cVec)).as("__sim"))
+      .filter(col("__sim").isNotNull)
+      .orderBy(col("__sim").desc, col("__id"))
+      .limit(window)
+      .as[(Long, Seq[Double], Double)]
+      .collect()
+      .map { case (id, v, sim) => (id, v.toArray, round6(sim)) }
+    // the same left-to-right double fold as CosineSimExpr.nullSafeEval
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cands.map(c => c._1 -> c): _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val pick = remaining.values.map { case (id, v, rel) =>
+        val ms =
+          if (selected.isEmpty) 0.0
+          else selected.map { case (sid, _, _) =>
+            round6(cos(v, cands.find(_._1 == sid).get._2))
+          }.max
+        (id, rel, round6(lambda * rel - (1.0 - lambda) * ms))
+      }.reduceLeft { (x, y) =>
+        if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x
+      }
+      selected += pick
+      remaining.remove(pick._1)
+    }
+    selected.zipWithIndex.map { case ((id, rel, sc), i) =>
+      (i + 1L, id, rel + 0.0, sc)
+    }.toSeq.toDF("sel_order", "vec_id", "rel", "mmr_score")
+  }
 }

@@ -837,7 +837,43 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
       m = 2, k = 4, iters = 2, topK = 5)
   }
 
+  // ---------------------------------------------------------------- q274
+  /** MMR diversified retrieval ([[operators.Similarity.mmrRerank]],
+    * λ=0.7): exact top-20 candidates for query vector 0, then the
+    * greedy relevance-vs-redundancy rerank down to 5 — the standard
+    * retrieval-diversification step between ANN recall (q26) and a
+    * generation prompt. The distributed part is the candidate scan
+    * (TakeOrderedAndProject top-20, never a full sort); the greedy
+    * loop is O(20²) driver arithmetic over the bounded rerank window,
+    * every comparison on HALF_UP-6dp-rounded cosines so the oracle's
+    * unrolled greedy picks identically.
+    */
+  def q274MmrRerank(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    operators.Similarity.mmrRerank(
+      e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("query_vec")),
+      e.filter(col("vec_id") >= 10),
+      k = 5, window = 20, lambda = 0.7)
+  }
+
+  /** One greedy MMR round as SQL: remaining candidates scored against
+    * the union of earlier picks, the argmax materialized. */
+  private def mmrRoundSql(r: Int): String = {
+    val sel = (1 until r).map(j => s"SELECT vec_id FROM s$j")
+      .mkString(" UNION ALL ")
+    s"""m$r AS (SELECT c.vec_id, c.rel,
+       |    round(CAST(0.7 AS DOUBLE) * c.rel
+       |      - (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * max(p.s), 6)
+       |      + 0.0 AS sc
+       |  FROM cand c JOIN p ON p.ia = c.vec_id AND p.ib IN ($sel)
+       |  WHERE c.vec_id NOT IN ($sel) GROUP BY 1, 2),
+       |s$r AS MATERIALIZED (SELECT vec_id, rel, sc FROM m$r
+       |  ORDER BY sc DESC, vec_id LIMIT 1)""".stripMargin
+  }
+
   private[graft] def queriesDedup: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_mmr_rerank" -> (q274MmrRerank _),
     "q260_pq_ann" -> (q260PqAnn _),
     "q256_kcenter_coreset" -> (q256KcenterCoreset _),
     "q229_embedding_decontamination" -> (q229EmbeddingDecontamination _),
@@ -1056,6 +1092,41 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
          |tok AS (SELECT doc_id, $SqlToks AS toks FROM corpus)
          |SELECT doc_id, CAST($SqlSimhash AS BIGINT) AS simhash
          |FROM tok ORDER BY doc_id""".stripMargin,
+    "q274_mmr_rerank" ->
+      // the greedy unrolled: candidate relevances and pairwise sims
+      // rounded 6 dp BEFORE comparison (the operator's contract), the
+      // (1−λ) factor computed in doubles exactly as the Scala side's
+      // `1.0 - lambda` (≠ a 0.3 literal)
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id >= 10),
+         |sc0 AS (SELECT vec_id, cv, ${sqlCosine("qv", "cv")} AS sim
+         |  FROM q, c),
+         |cand AS MATERIALIZED (SELECT vec_id, cv,
+         |    round(sim, 6) + 0.0 AS rel
+         |  FROM sc0 WHERE sim IS NOT NULL
+         |  ORDER BY sim DESC, vec_id LIMIT 20),
+         |p AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    round(${sqlCosine("a.cv", "b.cv")}, 6) AS s
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |s1 AS MATERIALIZED (SELECT vec_id, rel,
+         |    round(CAST(0.7 AS DOUBLE) * rel, 6) + 0.0 AS sc
+         |  FROM cand ORDER BY round(CAST(0.7 AS DOUBLE) * rel, 6) + 0.0
+         |    DESC, vec_id LIMIT 1),
+         |${mmrRoundSql(2)},
+         |${mmrRoundSql(3)},
+         |${mmrRoundSql(4)},
+         |${mmrRoundSql(5)}
+         |SELECT sel_order, CAST(vec_id AS BIGINT) AS vec_id, rel,
+         |  sc AS mmr_score
+         |FROM (
+         |  SELECT CAST(1 AS BIGINT) AS sel_order, vec_id, rel, sc FROM s1
+         |  UNION ALL SELECT CAST(2 AS BIGINT), vec_id, rel, sc FROM s2
+         |  UNION ALL SELECT CAST(3 AS BIGINT), vec_id, rel, sc FROM s3
+         |  UNION ALL SELECT CAST(4 AS BIGINT), vec_id, rel, sc FROM s4
+         |  UNION ALL SELECT CAST(5 AS BIGINT), vec_id, rel, sc FROM s5)
+         |ORDER BY sel_order""".stripMargin,
     "q26_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
          |  FROM embeddings WHERE vec_id < 10),

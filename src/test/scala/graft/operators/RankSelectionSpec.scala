@@ -135,6 +135,41 @@ class RankSelectionSpec extends SparkSpec {
       (1L, 1L, 0L, None)))
   }
 
+  test("mmrRerank: diversity beats a redundant higher-relevance candidate") {
+    // query (1,0); id10 = near the query (rel ≈ 0.994);
+    // id11 nearly parallel to id10 (rel ≈ 0.991, redundancy ≈ 0.9997);
+    // id12 diagonal (rel ≈ 0.707, redundancy to id10 ≈ 0.781).
+    // λ=0.3: sc(11) ≈ 0.297 − 0.700 = −0.402
+    //        sc(12) ≈ 0.212 − 0.547 = −0.334 → id12 wins pick 2
+    val q = Seq(Tuple1(Array(1f, 0f))).toDF("query_vec")
+    val corpus = Seq(
+      (10L, Array(0.9f, 0.1f)),
+      (11L, Array(0.9f, 0.12f)),
+      (12L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(q, corpus, k = 2, window = 3,
+        lambda = 0.3)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._2) === Seq(10L, 12L))
+    // pure relevance (λ=1) keeps the redundant id11 instead
+    val rel = Similarity.mmrRerank(q, corpus, k = 2, window = 3,
+        lambda = 1.0)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(rel.map(_._2) === Seq(10L, 11L))
+  }
+
+  test("mmrRerank: score ties break on ascending id inside the window") {
+    val q = Seq(Tuple1(Array(1f, 0f))).toDF("query_vec")
+    val corpus = Seq(
+      (20L, Array(3f, 4f)), (7L, Array(3f, 4f)), // identical → tie
+      (30L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(q, corpus, k = 2, window = 2,
+        lambda = 0.7)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    // window=2 keeps id 30 (rel 1.0) and — of the rel-0.6 tie — the
+    // smaller id 7; the second pick is then forced to 7
+    assert(got.map(_._2) === Seq(30L, 7L))
+  }
+
   test("tauB: perfect agreement and perfect reversal hit ±1 exactly") {
     val up = (1L to 10L).map(t => ("u", t, t, t * 7))
     val down = (1L to 10L).map(t => ("d", t, t, 100L - t))
