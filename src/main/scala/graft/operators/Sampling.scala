@@ -232,4 +232,37 @@ object Sampling {
       .select(col("n_items"), col("n_sampled"), col("exact_total"),
         col("__est").cast("double").as("est_total"))
   }
+
+  /** Temperature-based mixture reweighting at T = 2 (α = 1/2): the
+    * multilingual-pretraining trick (GPT-3 / mT5 style) that
+    * up-samples rare sources and down-samples dominant ones by
+    * sampling ∝ p^α instead of ∝ p. α = 1/2 specifically so the
+    * transcendental is a single IEEE sqrt per GROUP on an exact
+    * integer ppm (deterministic across engines); general α would need
+    * `pow`, whose cross-engine rounding is not guaranteed.
+    *
+    * One mass aggregation (map-side combined) + one 1-row total
+    * broadcast. `p_ppm` is exact integer ppm; `weight_half` is
+    * `round(√p_ppm, 6)` normalized by the exact DECIMAL sum of those
+    * rounded terms, one float divide per group, rounded 6 dp.
+    *
+    * Output: `(groupCol, n_rows, mass, p_ppm, weight_half)`.
+    */
+  def temperatureHalfWeights(df: DataFrame, groupCol: String,
+                             massCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(massCol).cast("long")).cast("long").as("mass"))
+    val tot = per.agg(sum(col("mass")).as("__tot"))
+    val p = per.crossJoin(broadcast(tot))
+      .withColumn("p_ppm", expr("(1000000 * mass) DIV __tot"))
+      .withColumn("__u",
+        round(sqrt(col("p_ppm").cast("double")), 6).cast("decimal(12,6)"))
+    val su = p.agg(sum(col("__u")).cast("decimal(38,6)").as("__su"))
+    p.crossJoin(broadcast(su))
+      .select(col(groupCol), col("n_rows"), col("mass"), col("p_ppm"),
+        (round(col("__u").cast("double") / col("__su").cast("double"), 6)
+          + 0.0).as("weight_half"))
+      .orderBy(col(groupCol))
+  }
 }

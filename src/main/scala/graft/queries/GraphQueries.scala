@@ -383,8 +383,24 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
       copurchasePairs(s, d).select(col("pa"), col("pb")),
       "pa", "pb", Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L))
 
+  // ---------------------------------------------------------------- q276
+  /** Link-prediction score suite
+    * ([[operators.LinkPrediction.neighborhoodScoresTopK]]): common
+    * neighbors, Jaccard ppm, resource allocation, and Adamic–Adar for
+    * the top-20 candidate non-edges of the ≥2-support co-purchase
+    * graph — four classic indices off ONE wedge expansion (q173
+    * ranks by AA alone). Membership of the top-k is decided by the
+    * exact `(n_common DESC, u, v)` key, never a float.
+    */
+  def q276LinkSuite(s: SparkSession, d: String): DataFrame =
+    operators.LinkPrediction.neighborhoodScoresTopK(
+      copurchasePairs(s, d).filter(col("n_both") >= 2)
+        .select(col("pa"), col("pb")), "pa", "pb",
+      maxWedgeDegree = 10000, topK = 20)
+
   private[graft] def queriesGraph: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q269_rich_club" -> (q269RichClub _),
+    "q276_link_suite" -> (q276LinkSuite _),
     "q262_boruvka_mst" -> (q262BoruvkaMst _),
     "q252_threshold_components" -> (q252ThresholdComponents _),
     "q246_random_walks" -> (q246RandomWalks _),
@@ -405,6 +421,42 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     "q218_ktruss_peel" -> (q218KtrussPeel _))
 
   private[graft] def oracleSqlGraph: Map[String, String] = Map(
+    "q276_link_suite" ->
+      // q173's wedge replay extended with the 1/deg RA weight, full-
+      // degree Jaccard ppm (Spark DIV ≡ DuckDB // on positives), and
+      // the exact (n_common DESC, u, v) top-k key
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |sup AS (SELECT a.pk AS pa, b.pk AS pb FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT CAST(pa AS BIGINT) AS lo,
+        |  CAST(pb AS BIGINT) AS hi FROM sup),
+        |m AS (SELECT lo AS u, hi AS v FROM e UNION ALL SELECT hi, lo FROM e),
+        |deg AS MATERIALIZED (SELECT u AS w, CAST(count(*) AS BIGINT)
+        |    AS deg FROM m GROUP BY u),
+        |centers AS (SELECT w,
+        |    CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 6) AS DECIMAL(8,6))
+        |      AS aa_w,
+        |    CAST(round(1.0 / CAST(deg AS DOUBLE), 6) AS DECIMAL(8,6))
+        |      AS ra_w
+        |  FROM deg WHERE deg <= 10000),
+        |adj AS MATERIALIZED (SELECT m.v AS w, m.u AS n, c.aa_w, c.ra_w
+        |  FROM m JOIN centers c ON c.w = m.v),
+        |wedges AS (SELECT a.n AS u, b.n AS v, a.aa_w, a.ra_w
+        |  FROM adj a JOIN adj b ON a.w = b.w AND a.n < b.n),
+        |scored AS (SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+        |    CAST(sum(aa_w) AS DECIMAL(18,6)) AS aa_score,
+        |    CAST(sum(ra_w) AS DECIMAL(18,6)) AS ra_score
+        |  FROM wedges GROUP BY u, v),
+        |nonedge AS (SELECT s.* FROM scored s
+        |  LEFT JOIN e ON e.lo = s.u AND e.hi = s.v WHERE e.lo IS NULL)
+        |SELECT s.u, s.v, s.n_common,
+        |  (1000000 * s.n_common) // (da.deg + db.deg - s.n_common)
+        |    AS jaccard_ppm,
+        |  CAST(s.ra_score AS DOUBLE) AS ra_score,
+        |  CAST(s.aa_score AS DOUBLE) AS aa_score
+        |FROM nonedge s JOIN deg da ON da.w = s.u JOIN deg db ON db.w = s.v
+        |ORDER BY s.n_common DESC, s.u, s.v LIMIT 20""".stripMargin,
     "q269_rich_club" ->
       // φ(k) = 2e6·E_k // (N_k·(N_k−1)) — all terms positive, so
       // Spark DIV ≡ DuckDB //; LEFT joins keep every threshold row

@@ -1518,7 +1518,23 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     operators.RankTests.mcnemar(flags, "before_flag", "after_flag")
   }
 
+  // ---------------------------------------------------------------- q275
+  /** Temperature-based source reweighting at T = 2
+    * ([[operators.Sampling.temperatureHalfWeights]]) — the
+    * multilingual-pretraining mix rule (sample ∝ p^½) over the
+    * documents corpus by character mass: rare sources up-sample,
+    * dominant ones down-sample, the knob between q90's hard token
+    * budget and raw-proportional sampling. One mass agg + two 1-row
+    * broadcasts; √p_ppm is the only transcendental, once per source
+    * on an exact integer.
+    */
+  def q275TemperatureMix(s: SparkSession, d: String): DataFrame =
+    operators.Sampling.temperatureHalfWeights(
+      documents(s, d).select(col("source"), col("n_chars")),
+      "source", "n_chars")
+
   private[graft] def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_temperature_mix" -> (q275TemperatureMix _),
     "q266_selection_quantiles" -> (q266SelectionQuantiles _),
     "q267_kendall_tau" -> (q267KendallTau _),
     "q268_theil_sen" -> (q268TheilSen _),
@@ -1603,6 +1619,24 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
        |   WHERE rk <= 64) k""".stripMargin
 
   private[graft] def oracleSqlStats: Map[String, String] = Map(
+    "q275_temperature_mix" ->
+      // √p_ppm rounded 6 dp per source, normalized by the exact
+      // DECIMAL sum of the rounded terms — one float divide per row
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(mass) AS BIGINT) AS t FROM per),
+        |p AS (SELECT source, n_rows, mass,
+        |    (1000000 * mass) // tot.t AS p_ppm FROM per, tot),
+        |u AS (SELECT source, n_rows, mass, p_ppm,
+        |    CAST(round(sqrt(CAST(p_ppm AS DOUBLE)), 6) AS DECIMAL(12,6))
+        |      AS uu
+        |  FROM p),
+        |su AS (SELECT CAST(sum(uu) AS DECIMAL(38,6)) AS s FROM u)
+        |SELECT source, n_rows, mass, p_ppm,
+        |  round(CAST(uu AS DOUBLE) / CAST(su.s AS DOUBLE), 6) + 0.0
+        |    AS weight_half
+        |FROM u, su ORDER BY source""".stripMargin,
     "q266_selection_quantiles" ->
       // rank = max(1, ceil(q·n)) with q forced to DOUBLE on both
       // engines (DuckDB parses 0.01 as DECIMAL; the Spark side

@@ -380,4 +380,31 @@ class GraphSpec extends SparkSpec {
     // a2 raw = (1.0, 0.6), S = 1.6 -> (0.625, 0.375)
     assert(got === Map(10L -> 0.625, 11L -> 0.375))
   }
+  test("neighborhoodScoresTopK: hand square graph — all four indices") {
+    // square 1-2-3-4-1: candidates are the diagonals (1,3) and (2,4),
+    // each with 2 common neighbors of degree 2.
+    // aa = 2·round(1/ln2, 6) = 2·1.442695 = 2.88539
+    // ra = 2·0.5 = 1.0; jaccard = 2/(2+2-2) = 1e6 ppm
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val got = LinkPrediction.neighborhoodScoresTopK(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === Seq(
+      (1L, 3L, 2L, 1000000L, 1.0, 2.88539),
+      (2L, 4L, 2L, 1000000L, 1.0, 2.88539)))
+  }
+
+  test("neighborhoodScoresTopK: jaccard uses full degrees, aa ranks differ") {
+    // star center 0 with leaves 1,2,3 plus edge 1-2: candidate pairs
+    // through center 0 (deg 3): (1,3),(2,3) cn=1; (1,2) is an EDGE ->
+    // excluded. deg(1)=deg(2)=2, deg(3)=1.
+    // (1,3): jaccard = 1e6·1 DIV (2+1-1) = 500000
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L))
+      .toDF("src", "dst")
+    val got = LinkPrediction.neighborhoodScoresTopK(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq((1L, 3L, 1L, 500000L), (2L, 3L, 1L, 500000L)))
+  }
 }

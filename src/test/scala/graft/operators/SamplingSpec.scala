@@ -140,4 +140,27 @@ class SamplingSpec extends SparkSpec {
     val fruitMax = Seq(4L, 5L, 7L).map(got(_)._1).max
     assert(dbMin > fruitMax)
   }
+  test("temperatureHalfWeights: rare source up-samples, ppm and sums exact") {
+    // masses 90 / 10: p_ppm = 900000 / 100000
+    // u = round(sqrt(900000),6) = 948.683298, round(sqrt(100000),6)
+    //   = 316.227766; weights = u / (u1+u2) -> 0.75 / 0.25
+    import spark.implicits._
+    val df = (Seq.fill(9)(("big", 10L)) ++ Seq(("small", 10L)))
+      .toDF("source", "chars")
+    val got = graft.operators.Sampling.temperatureHalfWeights(
+        df, "source", "chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val u1 = BigDecimal(math.sqrt(900000.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val u2 = BigDecimal(math.sqrt(100000.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def w(u: BigDecimal) = BigDecimal(u.toDouble / (u1 + u2).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      ("big", 9L, 90L, 900000L, w(u1)),
+      ("small", 1L, 10L, 100000L, w(u2))))
+    // the raw 9:1 imbalance compresses to 3:1 under T=2
+    assert(got.head._5 === 0.75 && got.last._5 === 0.25)
+  }
 }
