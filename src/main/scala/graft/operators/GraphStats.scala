@@ -122,6 +122,10 @@ object GraphStats {
       .distinct()
     val deg = und.select(col("a").as("n")).unionAll(und.select(col("b")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      // node-sized; read by the club-node count and both edge-end
+      // decorations — pin it so the edge frame is scanned twice total
+      // (degree build + club-edge count), never once per threshold
+      .localCheckpoint(true)
     // limit() marks the literal threshold frame visibly bounded for
     // plan audits; it is |thresholds| rows by construction
     val ths = broadcast(

@@ -84,6 +84,10 @@ object RankTests {
     val ranked = Ordinals.withOrderedPrefixSum(
         perValue, Seq(col("__v")), "t", "below")
       .withColumn("mid2", lit(2L) * col("below") + col("t") + 1L)
+      // consumed by the totals agg AND the per-group join — pin the
+      // |distinct values|-sized rank frame so the raw input is scanned
+      // once per aggregation key, not once per consumer
+      .localCheckpoint(true)
     val totals = ranked.agg(
         sum(col("t")).as("n_total"),
         // DECIMAL cubes: see signedRank's tie-cube comment
@@ -101,6 +105,8 @@ object RankTests {
         (col("rank_sum_x2").cast("decimal(19,0)") *
           col("rank_sum_x2").cast("decimal(19,0)")).cast("double") /
           (lit(4.0) * col("n_g").cast("double")), 6))
+      // groups-sized; read by the term sum AND the final projection
+      .localCheckpoint(true)
     val s = perGroup.agg(
       sum(col("__term").cast("decimal(38,6)")).cast("double").as("__s"))
     val scalars = totals.crossJoin(s)
@@ -150,6 +156,10 @@ object RankTests {
     val v = df.select(col(blockCol).as("__b"), col(groupCol).as("__g"),
         col(valueCol).cast("long").as("__v"))
       .filter(col("__v").isNotNull)
+      // referenced by the k-count action, the completeness filter, and
+      // (twice, via the scalar attach) the rank sums — materialize the
+      // block×treatment frame once; it is blocks·k rows by contract
+      .localCheckpoint(true)
     val k = v.select(col("__g")).distinct().count()
     val complete = v
       .withColumn("__kb", count(lit(1)).over(Window.partitionBy("__b")))

@@ -96,6 +96,10 @@ object Regression {
         col(xCol).cast("long").as("__x"),
         col(yCol).cast("long").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
+      // both self-join sides read this frame — materialize the small
+      // pre-aggregated series once (the Quantiles localCheckpoint
+      // pattern) instead of re-running its upstream agg twice
+      .localCheckpoint(true)
     val a = base.toDF("__k", "__x", "__y")
     val b = base.toDF("__k", "__x2", "__y2")
     val slopes = a.join(b, Seq("__k"))

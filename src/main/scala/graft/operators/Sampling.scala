@@ -253,6 +253,9 @@ object Sampling {
     val per = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"),
         sum(col(massCol).cast("long")).cast("long").as("mass"))
+      // sources-sized; read by the total, the term sum, and the final
+      // projection — one corpus scan, not four
+      .localCheckpoint(true)
     val tot = per.agg(sum(col("mass")).as("__tot"))
     val p = per.crossJoin(broadcast(tot))
       .withColumn("p_ppm", expr("(1000000 * mass) DIV __tot"))

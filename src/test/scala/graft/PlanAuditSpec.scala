@@ -68,7 +68,13 @@ class PlanAuditSpec extends SparkSpec {
     // the 10-query probe set with the m·k-row trained codebook frame
     // (checkpointed, so structurally opaque) — both bounded by the
     // operator's size contract, never corpus×corpus
-    "q260_pq_ann")
+    "q260_pq_ann",
+    // rich-club: the non-equi (deg > k) broadcast joins pair the
+    // node-degree frame (localCheckpoint-ed → LogicalRDD, structurally
+    // opaque) with the LITERAL 7-row threshold frame (constant-folded
+    // to a LocalTableScan, its limit collapsed) — |thresholds| rows by
+    // construction, never data × data
+    "q269_rich_club")
 
   test("no query plans a nested-loop/cartesian join of two unbounded sides") {
     // plain (non-adaptive) plans so the join operators are directly
