@@ -161,9 +161,14 @@ object RankTests {
       // block×treatment frame once; it is blocks·k rows by contract
       .localCheckpoint(true)
     val k = v.select(col("__g")).distinct().count()
-    val complete = v
-      .withColumn("__kb", count(lit(1)).over(Window.partitionBy("__b")))
-      .filter(col("__kb") === k)
+    // complete = exactly one row for EVERY treatment: row count k AND
+    // distinct-treatment count k (row count alone would accept a
+    // block that duplicates one treatment while missing another)
+    val completeBlocks = v.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__nr"), countDistinct(col("__g")).as("__ng"))
+      .filter(col("__nr") === k && col("__ng") === k)
+      .select(col("__b"))
+    val complete = v.join(completeBlocks, Seq("__b"), "left_semi")
     // midrank×2 = 2·min-rank + ties − 1, from two block-local windows
     val ranked = complete
       .withColumn("__r", rank().over(
@@ -204,7 +209,10 @@ object RankTests {
               afterCol: String): DataFrame = {
     val b = col(beforeCol).cast("boolean")
     val a = col(afterCol).cast("boolean")
-    df.agg(
+    // a NULL flag belongs to no cell — drop the row up front so the
+    // four cells always sum to n (the published table stays
+    // internally consistent)
+    df.filter(b.isNotNull && a.isNotNull).agg(
         count(lit(1)).as("n"),
         sum(when(b && a, 1L).otherwise(0L)).as("n_both"),
         sum(when(b && !a, 1L).otherwise(0L)).as("before_only"),

@@ -258,7 +258,12 @@ object Sampling {
       .localCheckpoint(true)
     val tot = per.agg(sum(col("mass")).as("__tot"))
     val p = per.crossJoin(broadcast(tot))
-      .withColumn("p_ppm", expr("(1000000 * mass) DIV __tot"))
+      // ppm share in DECIMAL headroom: 1e6·mass wraps a BIGINT once a
+      // source holds ~9 TB of text — exactly the corpus size this
+      // operator targets (the doctrine's Spearman lesson); (28,0)
+      // carries 1e6 × an exabyte
+      .withColumn("p_ppm", expr(
+        "CAST((CAST(mass AS DECIMAL(28,0)) * 1000000) DIV __tot AS BIGINT)"))
       .withColumn("__u",
         round(sqrt(col("p_ppm").cast("double")), 6).cast("decimal(12,6)"))
     val su = p.agg(sum(col("__u")).cast("decimal(38,6)").as("__su"))

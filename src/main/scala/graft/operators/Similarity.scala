@@ -346,6 +346,11 @@ object Similarity {
                 qVec: String = "query_vec", cId: String = "vec_id",
                 cVec: String = "embedding"): DataFrame = {
     require(k >= 1 && window >= k, s"need window >= k >= 1, got k=$k window=$window")
+    // a multi-row query frame would fan every candidate out once per
+    // row and silently dedup to an arbitrary relevance — fail loudly
+    // instead (the frame is 1-row by contract, the count is free)
+    require(query.count() == 1L,
+      "mmrRerank takes exactly ONE query row; rerank per query in a loop")
     val spark = corpus.sparkSession
     import spark.implicits._
     def round6(d: Double): Double =
@@ -369,16 +374,27 @@ object Similarity {
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    val vecOf = cands.map(c => c._1 -> c._2).toMap
     val selected = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
     val remaining = scala.collection.mutable.LinkedHashMap(
       cands.map(c => c._1 -> c): _*)
+    // running max-sim per candidate, refreshed against only the NEWEST
+    // pick — one cosine per (candidate, pick) pair, not per round. The
+    // default is −∞, NOT 0: cosines can be negative and a 0 floor
+    // would silently erase an anti-correlated pick's diversity bonus
+    // (the first round's no-picks-yet case is handled explicitly)
+    val maxSim = scala.collection.mutable.Map[Long, Double]()
+      .withDefaultValue(Double.NegativeInfinity)
     while (selected.size < k && remaining.nonEmpty) {
-      val pick = remaining.values.map { case (id, v, rel) =>
-        val ms =
-          if (selected.isEmpty) 0.0
-          else selected.map { case (sid, _, _) =>
-            round6(cos(v, cands.find(_._1 == sid).get._2))
-          }.max
+      selected.lastOption.foreach { case (sid, _, _) =>
+        val sv = vecOf(sid)
+        remaining.valuesIterator.foreach { case (id, v, _) =>
+          val s = round6(cos(v, sv))
+          if (s > maxSim(id)) maxSim(id) = s
+        }
+      }
+      val pick = remaining.values.map { case (id, _, rel) =>
+        val ms = if (selected.isEmpty) 0.0 else maxSim(id)
         (id, rel, round6(lambda * rel - (1.0 - lambda) * ms))
       }.reduceLeft { (x, y) =>
         if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x

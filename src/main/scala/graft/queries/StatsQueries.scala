@@ -1432,8 +1432,8 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
 
   // ---------------------------------------------------------------- q270
   /** Wilcoxon signed-rank ([[operators.RankTests.signedRank]]) on
-    * paired per-customer spend: 1995–1997 vs 1998–2001 totals for
-    * customers active in BOTH eras — "did the same customers spend
+    * paired per-customer spend: the ≤1997 era vs the ≥1998 era (this
+    * corpus spans 1995–2001) for customers active in BOTH eras — "did the same customers spend
     * more later?", the paired companion to the independent-sample
     * Mann–Whitney q153. One customer-keyed agg builds the pairs; the
     * ranking runs on the distinct-|difference| count frame with the
@@ -1497,8 +1497,8 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
 
   // ---------------------------------------------------------------- q273
   /** McNemar's paired-binary test ([[operators.RankTests.mcnemar]]):
-    * per customer, "ordered in 1995–1997?" vs "ordered in
-    * 1998–2001?" over the full customer spine (never-ordered
+    * per customer, "ordered in the ≤1997 era?" vs "≥1998?" (the
+    * corpus spans 1995–2001) over the full customer spine (never-ordered
     * customers land in `neither`) — did the population flip
     * asymmetrically between eras? One left join + one hash agg; the
     * continuity-corrected χ² is a single one-row float division over
@@ -1627,7 +1627,8 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |  FROM documents GROUP BY 1),
         |tot AS (SELECT CAST(sum(mass) AS BIGINT) AS t FROM per),
         |p AS (SELECT source, n_rows, mass,
-        |    (1000000 * mass) // tot.t AS p_ppm FROM per, tot),
+        |    CAST((1000000 * CAST(mass AS HUGEINT)) // tot.t AS BIGINT)
+        |      AS p_ppm FROM per, tot),
         |u AS (SELECT source, n_rows, mass, p_ppm,
         |    CAST(round(sqrt(CAST(p_ppm AS DOUBLE)), 6) AS DECIMAL(12,6))
         |      AS uu

@@ -157,6 +157,46 @@ class RankSelectionSpec extends SparkSpec {
     assert(rel.map(_._2) === Seq(10L, 11L))
   }
 
+  test("mmrRerank: anti-correlated candidates keep their NEGATIVE max-sim bonus") {
+    // differential pin against a direct max-over-selected reference:
+    // a 0-floored running max would erase negative similarities and
+    // reorder the picks (regression caught live at sf0.001)
+    def round6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qv = Array(1f, 0f, 0f)
+    val vecs = Seq(
+      10L -> Array(0.9f, 0.44f, 0f), 11L -> Array(0.5f, -0.1f, 0.2f),
+      12L -> Array(0.1f, -0.9f, 0.4f), 13L -> Array(0.3f, 0.95f, 0f),
+      14L -> Array(-0.2f, 0.1f, 0.9f), 15L -> Array(0.6f, 0.6f, -0.5f))
+    // reference greedy with an explicit max over ALL earlier picks
+    val rel = vecs.map { case (id, v) => id -> round6(cos(qv, v)) }.toMap
+    var sel = Vector.empty[Long]
+    var rem = vecs.sortBy { case (id, v) => (-cos(qv, v), id) }.map(_._1)
+    while (sel.size < 4) {
+      val pick = rem.map { id =>
+        val ms = if (sel.isEmpty) 0.0
+          else sel.map(s => round6(cos(
+            vecs.toMap.apply(id), vecs.toMap.apply(s)))).max
+        (id, round6(0.6 * rel(id) - 0.4 * ms))
+      }.minBy { case (id, sc) => (-sc, id) }._1
+      sel :+= pick; rem = rem.filterNot(_ == pick)
+    }
+    val got = Similarity.mmrRerank(
+        Seq(Tuple1(qv)).toDF("query_vec"),
+        vecs.toDF("vec_id", "embedding"),
+        k = 4, window = 6, lambda = 0.6)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._2) === sel)
+  }
+
   test("mmrRerank: score ties break on ascending id inside the window") {
     val q = Seq(Tuple1(Array(1f, 0f))).toDF("query_vec")
     val corpus = Seq(
