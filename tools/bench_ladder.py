@@ -43,6 +43,11 @@ ENTRIES = [
     # encodes the corpus (iters+1 scans, k x dims exchanges); Boruvka's
     # per-round exchange is one min-edge per component (halving)
     "q260_pq_ann", "q262_boruvka_mst",
+    # round-11 fourth session: the sort-free selection's cost should be
+    # ~flat per scan (histogram aggregates are KB-sized at every SF);
+    # the pair-statistic's cost tracks |days|^2, which the calendar
+    # bounds — both claims belong on the ladder
+    "q266_selection_quantiles", "q267_kendall_tau",
 ]
 
 ADD_OPENS = [
