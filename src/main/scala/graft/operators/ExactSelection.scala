@@ -170,4 +170,98 @@ object ExactSelection {
       out.toDF("q", "rank", "value", "n_values").orderBy(col("q"))
     } finally vals.unpersist()
   }
+
+  /** PER-KEY lower median by the same sort-free drill — the scale
+    * path for "median of a huge expansion per group" (Theil–Sen
+    * slopes, latency percentiles per tenant): no sort, no window, no
+    * RDD conversion; each round is one hash aggregation over the
+    * input with ≤ `maxBuckets` live buckets per key. Driver memory is
+    * O(|keys| · maxBuckets) histogram rows per round — keys must be
+    * GROUP-like (priorities, tenants), not data-like.
+    *
+    * `df` is scanned once per round (≈ log_maxBuckets(range) + 2
+    * times) — pass a persisted/checkpointed frame when the upstream
+    * is expensive. Returns `(keyCol, n_values, value)` with `value`
+    * the rank-`(n+1) DIV 2` smallest per key; NULL values are
+    * ignored, empty keys drop.
+    */
+  def lowerMedianPerKey(df: DataFrame, keyCol: String, valueCol: String,
+                        maxBuckets: Int = 1 << 16): DataFrame = {
+    require(maxBuckets >= 2, "maxBuckets must be at least 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(keyCol).cast("string").as("__key"),
+        col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val keyType = df.schema(keyCol).dataType
+    val stats = vals.groupBy(col("__key"))
+      .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
+        count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+    stats.foreach { case (k, lo, hi, _) =>
+      require(BigInt(hi) - BigInt(lo) < BigInt(2).pow(63),
+        s"value domain of key $k spans more than 2^63") }
+    // per-key candidate state: [lo, hi] contains the answer at
+    // residual rank `inner`
+    var cands = stats.toSeq.map { case (k, lo, hi, n) =>
+      (k, lo, hi, (n + 1L) / 2L, n)
+    }
+    while (cands.exists(c => BigInt(c._3) - BigInt(c._2) >= maxBuckets)) {
+      val active = cands.filter(c => BigInt(c._3) - BigInt(c._2) >= maxBuckets)
+      val planned = active.map { case (k, lo, hi, _, _) =>
+        val w = BigInt(hi) - BigInt(lo)
+        var s = 1
+        while ((w >> s) >= maxBuckets) s += 1
+        (k, lo, hi, 1L << s, s)
+      }
+      val ranges = planned.map(p => (p._1, p._2, p._3, p._4))
+        .toDF("__key", "__lo", "__hi", "__p2")
+      val hist = vals.join(broadcast(ranges), Seq("__key"))
+        .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+        .groupBy(col("__key"), expr("(__v - __lo) DIV __p2").as("__b"))
+        .agg(count(lit(1)).as("__c"))
+        .as[(String, Long, Long)].collect()
+        .groupBy(_._1)
+      val shifts = planned.map(p => p._1 -> (p._2, p._5)).toMap
+      cands = cands.map { c =>
+        if (BigInt(c._3) - BigInt(c._2) < maxBuckets) c
+        else {
+          val (k, _, hi, _, n) = c
+          val (lo, s) = shifts(k)
+          var rem = c._4
+          val (b, _) = hist(k).sortBy(_._2).iterator
+            .map { case (_, b, cnt) => (b, cnt) }
+            .find { case (_, cnt) => rem <= cnt || { rem -= cnt; false } }
+            .getOrElse(throw new IllegalStateException(
+              s"median rank fell off the histogram for key $k"))
+          val nloB = BigInt(lo) + (BigInt(b) << s)
+          val nhiB = (nloB + (BigInt(1) << s) - 1).min(BigInt(hi))
+          (k, nloB.toLong, nhiB.toLong, rem, n)
+        }
+      }
+    }
+    val fin = cands.map(c => (c._1, c._2, c._3))
+      .toDF("__key", "__lo", "__hi")
+    val perValue = vals.join(broadcast(fin), Seq("__key"))
+      .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+      .groupBy(col("__key"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+    cands.map { case (k, _, _, inner, n) =>
+      var rem = inner
+      val value = perValue(k).sortBy(_._2).iterator
+        .map { case (_, v, cnt) => (v, cnt) }
+        .find { case (_, cnt) => rem <= cnt || { rem -= cnt; false } }
+        .map(_._1)
+        .getOrElse(throw new IllegalStateException(
+          s"median rank fell off the value counts for key $k"))
+      (k, n, value)
+    }.toDF("__key", "n_values", "value")
+      // the drill keys on a string rendering; hand back the caller's
+      // key type (integral/string keys round-trip exactly)
+      .select(col("__key").cast(keyType).as(keyCol), col("n_values"),
+        col("value"))
+      .orderBy(col(keyCol))
+  }
 }

@@ -100,27 +100,34 @@ object Regression {
       // pre-aggregated series once (the Quantiles localCheckpoint
       // pattern) instead of re-running its upstream agg twice
       .localCheckpoint(true)
+    val spark = df.sparkSession
+    // SALT the self-join: a handful of series keys would otherwise
+    // funnel the whole O(n²) pair production through |keys| reducers.
+    // The left side salts on x mod R, the right side replicates R ways
+    // (tiny: the pre-aggregated series × R), so the expansion runs on
+    // |keys|·R partitions and each pair is produced exactly once
+    val R = 16
     val a = base.toDF("__k", "__x", "__y")
+      .withColumn("__r", pmod(col("__x"), lit(R.toLong)))
     val b = base.toDF("__k", "__x2", "__y2")
-    val slopes = a.join(b, Seq("__k"))
+      .crossJoin(broadcast(spark.range(R).toDF("__r").limit(R)))
+    // RAW slope rows, deliberately NOT compressed through a
+    // groupBy(key, slope) distinct-count: real-valued series make
+    // slopes ~all distinct (measured 0.002% compression), so that agg
+    // is a full-width shuffle bought for nothing. Checkpointed once:
+    // the median drill below scans it ~3 times.
+    val slopes = a.join(b, Seq("__k", "__r"))
       .filter(col("__x") < col("__x2"))
       .select(col("__k"),
         expr("((__y2 - __y) * 1000000) DIV (__x2 - __x)").as("__s"))
-      .groupBy(col("__k"), col("__s"))
-      .agg(count(lit(1)).as("__c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__k")).orderBy(col("__s"))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__k"))
-    slopes
-      .withColumn("__cum", sum(col("__c")).over(w))
-      .withColumn("n_pairs", sum(col("__c")).over(wAll))
-      // the unique distinct-slope row whose cumulative range covers
-      // the lower-median rank (integral DIV — `/` would be a float
-      // divide and shift the even-n rank to the upper middle)
-      .filter(col("__cum") - col("__c") < expr("(n_pairs + 1) DIV 2") &&
-        expr("(n_pairs + 1) DIV 2") <= col("__cum"))
-      .select(col("__k").as(keyCol), col("n_pairs"),
-        col("__s").as("med_slope_ppm"))
+      .localCheckpoint(true)
+    // per-key lower median by the SORT-FREE histogram drill — a
+    // window would funnel the expansion through |keys| tasks and a
+    // sort/prefix pays an RDD pass over every slope row; the drill
+    // is ~3 hash aggregations with KB-sized outputs per key
+    ExactSelection.lowerMedianPerKey(slopes, "__k", "__s")
+      .select(col("__k").as(keyCol), col("n_values").as("n_pairs"),
+        col("value").as("med_slope_ppm"))
+      .orderBy(col(keyCol))
   }
 }
