@@ -66,4 +66,56 @@ object Holt {
       .withColumn(keyCol, col(keyCol).cast(keyType))
       .orderBy(col(keyCol), col(orderCol))
   }
+
+  /** Holt–Winters ADDITIVE triple smoothing (level + trend +
+    * seasonal, period `m`): the full classical forecasting recurrence
+    * on top of [[linearTrend]], for series with a repeating shape —
+    * α = 1/4, β = 1/10, γ = 1/5, all exact rationals, every update a
+    * [[rdiv]] half-toward-+∞ integer rounding, so the whole triple
+    * state replays bit-identically in a recursive-CTE oracle.
+    *
+    * Init on the first `m` points: `l = rdiv(Σx, m)`, `b = 0`,
+    * `s_i = x_i − l`; one output row per point AFTER the init window
+    * (series with ≤ m points emit nothing). `forecast_next =
+    * l + b + s_{next phase}`. Same per-key sequential-fold shape and
+    * calendar-bounded-series contract as [[linearTrend]].
+    *
+    * Output: `(keyCol, orderCol, centsCol, level, trend, seasonal,
+    * forecast_next)`.
+    */
+  def seasonalTrend(series: DataFrame, keyCol: String, orderCol: String,
+                    centsCol: String, period: Int): DataFrame = {
+    require(period >= 2, s"period must be at least 2, got $period")
+    val spark = series.sparkSession
+    import spark.implicits._
+    val keyType = series.schema(keyCol).dataType
+    val rows = series.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("t"),
+        col(centsCol).cast("long").as("x"))
+      .as[(String, Long, Long)]
+    rows.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val sorted = it.toArray.sortBy(_._2)
+      if (sorted.length <= period) Iterator.empty
+      else {
+        val l0 = rdiv(sorted.take(period).map(_._3).sum, period.toLong)
+        var l = l0
+        var b = 0L
+        val sv = scala.collection.mutable.Queue(
+          sorted.take(period).map(_._3 - l0): _*)
+        sorted.iterator.drop(period).map { case (_, t, x) =>
+          val sOld = sv.dequeue()
+          val lNew = rdiv((x - sOld) + 3 * (l + b), 4) // α = 1/4
+          val bNew = rdiv((lNew - l) + 9 * b, 10) // β = 1/10
+          val sNew = rdiv((x - lNew) + 4 * sOld, 5) // γ = 1/5
+          l = lNew
+          b = bNew
+          sv.enqueue(sNew)
+          (k, t, x, l, b, sNew, l + b + sv.head)
+        }
+      }
+    }.toDF(keyCol, orderCol, centsCol, "level", "trend", "seasonal",
+        "forecast_next")
+      .withColumn(keyCol, col(keyCol).cast(keyType))
+      .orderBy(col(keyCol), col(orderCol))
+  }
 }

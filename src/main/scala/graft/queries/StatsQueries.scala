@@ -1533,7 +1533,31 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       documents(s, d).select(col("source"), col("n_chars")),
       "source", "n_chars")
 
+  // ---------------------------------------------------------------- q277
+  /** Holt–Winters additive seasonal smoothing
+    * ([[operators.Holt.seasonalTrend]], m=12, α=1/4 β=1/10 γ=1/5) of
+    * monthly revenue per priority — the full classical forecasting
+    * triple on top of q264's level+trend: the seasonal vector answers
+    * "is this month's dip THE DECEMBER DIP or a real downturn?". The
+    * whole (level, trend, 12-slot seasonal) state runs in exact
+    * integer cents with half-toward-+∞ rounding, so ~70 steps × 5
+    * series replay bit-identically in the oracle's recursive CTE —
+    * which carries the seasonal window as a LIST column, sliced and
+    * appended each step.
+    */
+  def q277HoltWinters(s: SparkSession, d: String): DataFrame = {
+    val monthly = orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"),
+        (year(to_date(col("o_orderdate"))) * 100 +
+          month(to_date(col("o_orderdate")))).cast("long").as("ym"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).cast("long").as("cents"))
+    operators.Holt.seasonalTrend(monthly, "priority", "ym", "cents",
+      period = 12)
+  }
+
   private[graft] def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_holt_winters" -> (q277HoltWinters _),
     "q275_temperature_mix" -> (q275TemperatureMix _),
     "q266_selection_quantiles" -> (q266SelectionQuantiles _),
     "q267_kendall_tau" -> (q267KendallTau _),
@@ -1618,7 +1642,54 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
        |           FROM orders WHERE ($canon) IS NOT NULL))
        |   WHERE rk <= 64) k""".stripMargin
 
+  /** q277's level update as inline SQL (rdiv((x−s_old)+3(l+b), 4) on
+    * the offset-shifted numerator); referenced three times per step. */
+  private def hwLnew: String =
+    "((2 * ((n.x - s.sv[1]) + 3 * (s.l + s.b)) + 4" +
+      " + 8 * 100000000000000) // 8 - 100000000000000)"
+
   private[graft] def oracleSqlStats: Map[String, String] = Map(
+    "q277_holt_winters" ->
+      // the triple recurrence replayed step by step; the 12-slot
+      // seasonal window rides the recursion as a LIST column
+      // (sv[2:12] || [s_new]); level inlined where b/s need it
+      s"""WITH RECURSIVE d AS (SELECT o_orderpriority AS k,
+         |    CAST(year(CAST(o_orderdate AS DATE)) * 100
+         |      + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS x
+         |  FROM orders GROUP BY 1, 2),
+         |idx AS MATERIALIZED (SELECT k, t, x,
+         |    row_number() OVER (PARTITION BY k ORDER BY t) AS i FROM d),
+         |init AS (SELECT k,
+         |    CAST((2 * sum(x) + 12 + 24 * 100000000000000) // 24
+         |      - 100000000000000 AS BIGINT) AS l0
+         |  FROM idx WHERE i <= 12 GROUP BY k),
+         |sv0 AS (SELECT idx.k,
+         |    list(idx.x - init.l0 ORDER BY idx.i) AS sv
+         |  FROM idx JOIN init ON init.k = idx.k WHERE idx.i <= 12
+         |  GROUP BY idx.k),
+         |seq(k, i, l, b, sv, t, x, snew) AS (
+         |  SELECT init.k, CAST(12 AS BIGINT), init.l0,
+         |    CAST(0 AS BIGINT), sv0.sv, CAST(NULL AS BIGINT),
+         |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |  FROM init JOIN sv0 ON sv0.k = init.k
+         |  UNION ALL
+         |  SELECT n.k, n.i,
+         |    $hwLnew,
+         |    (2 * (($hwLnew - s.l) + 9 * s.b) + 10
+         |      + 20 * 100000000000000) // 20 - 100000000000000,
+         |    s.sv[2:12] || [CAST((2 * ((n.x - $hwLnew) + 4 * s.sv[1])
+         |      + 5 + 10 * 100000000000000) // 10 - 100000000000000
+         |      AS BIGINT)],
+         |    n.t, n.x,
+         |    (2 * ((n.x - $hwLnew) + 4 * s.sv[1]) + 5
+         |      + 10 * 100000000000000) // 10 - 100000000000000
+         |  FROM seq s JOIN idx n ON n.k = s.k AND n.i = s.i + 1)
+         |SELECT k AS priority, t AS ym, x AS cents, l AS level,
+         |  b AS trend, snew AS seasonal,
+         |  CAST(l + b + sv[1] AS BIGINT) AS forecast_next
+         |FROM seq WHERE i > 12 ORDER BY priority, ym""".stripMargin,
     "q275_temperature_mix" ->
       // √p_ppm rounded 6 dp per source, normalized by the exact
       // DECIMAL sum of the rounded terms — one float divide per row

@@ -67,4 +67,28 @@ class TrendSampleSpec extends SparkSpec {
     // sublinear always; exactly 0.0 on this closed template vocabulary
     assert(beta >= 0.0 && beta < 1.1, s"beta=$beta")
   }
+  test("HoltWinters: hand recurrence with period 2") {
+    // m=2, series 10, 20, 30, 40: init l0 = rdiv(30,2) = 15, b=0,
+    // sv = [-5, 5].
+    // t3 (x=30): sOld=-5; l=rdiv(35+3*15,4)=rdiv(80,4)=20;
+    //   b=rdiv(5+0,10)=rdiv(5,10)=1 (half->+inf);
+    //   s=rdiv(10+4*(-5),5)=rdiv(-10,5)=-2; sv=[5,-2];
+    //   forecast = 20+1+5 = 26
+    // t4 (x=40): sOld=5; l=rdiv(35+3*21,4)=rdiv(98,4)=25 (24.5->+inf);
+    //   b=rdiv(5+9,10)=rdiv(14,10)=1; s=rdiv(15+20,5)=7; sv=[-2,7];
+    //   forecast = 25+1-2 = 24
+    val s = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("a", 4L, 40L)).toDF("k", "t", "x")
+    val got = Holt.seasonalTrend(s, "k", "t", "x", period = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === Seq((3L, 20L, 1L, -2L, 26L),
+      (4L, 25L, 1L, 7L, 24L)))
+  }
+
+  test("HoltWinters: series no longer than the period emit nothing") {
+    val s = Seq(("a", 1L, 10L), ("a", 2L, 20L),
+      ("b", 1L, 5L)).toDF("k", "t", "x")
+    assert(Holt.seasonalTrend(s, "k", "t", "x", period = 2).count() === 0)
+  }
 }
