@@ -1556,7 +1556,43 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       period = 12)
   }
 
+  // ---------------------------------------------------------------- q278
+  /** Seasonal-strength audit: per priority, the total one-step
+    * absolute error of the SEASONAL-naive forecast (x̂_t = x_{t−12})
+    * vs the plain naive (x̂_t = x_{t−1}) over the months where both
+    * exist — the standard denominator pair under MASE, and the
+    * decision input for q277: a ratio well under 1e6 ppm says the
+    * 12-month shape carries real signal worth a seasonal state. Two
+    * window lags on the calendar-bounded monthly frame, exact cent
+    * sums, one integer-ppm division.
+    */
+  def q278SeasonalStrength(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"),
+        (year(to_date(col("o_orderdate"))) * 100 +
+          month(to_date(col("o_orderdate")))).cast("long").as("ym"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).cast("long").as("cents"))
+    val w = Window.partitionBy("priority").orderBy("ym")
+    monthly
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__l1", lag(col("cents"), 1).over(w))
+      .withColumn("__l12", lag(col("cents"), 12).over(w))
+      .filter(col("__i") > 12)
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(abs(col("cents") - col("__l1"))).as("sum_abs_naive"),
+        sum(abs(col("cents") - col("__l12"))).as("sum_abs_seasonal"))
+      .withColumn("seasonal_strength_ppm",
+        when(col("sum_abs_naive") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "(1000000 * sum_abs_seasonal) DIV sum_abs_naive")))
+      .orderBy(col("priority"))
+  }
+
   private[graft] def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_seasonal_strength" -> (q278SeasonalStrength _),
     "q277_holt_winters" -> (q277HoltWinters _),
     "q275_temperature_mix" -> (q275TemperatureMix _),
     "q266_selection_quantiles" -> (q266SelectionQuantiles _),
@@ -1649,6 +1685,31 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       " + 8 * 100000000000000) // 8 - 100000000000000)"
 
   private[graft] def oracleSqlStats: Map[String, String] = Map(
+    "q278_seasonal_strength" ->
+      // months where BOTH lags exist (i > 12); exact cent error sums,
+      // one positive integer-ppm division (Spark DIV ≡ DuckDB //)
+      """WITH d AS (SELECT o_orderpriority AS priority,
+        |    CAST(year(CAST(o_orderdate AS DATE)) * 100
+        |      + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS ym,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (SELECT priority, ym, cents,
+        |    row_number() OVER (PARTITION BY priority ORDER BY ym) AS i,
+        |    lag(cents, 1) OVER (PARTITION BY priority ORDER BY ym)
+        |      AS l1,
+        |    lag(cents, 12) OVER (PARTITION BY priority ORDER BY ym)
+        |      AS l12
+        |  FROM d),
+        |g AS (SELECT priority, CAST(count(*) AS BIGINT) AS n_months,
+        |    CAST(sum(abs(cents - l1)) AS BIGINT) AS sum_abs_naive,
+        |    CAST(sum(abs(cents - l12)) AS BIGINT) AS sum_abs_seasonal
+        |  FROM l WHERE i > 12 GROUP BY 1)
+        |SELECT priority, n_months, sum_abs_naive, sum_abs_seasonal,
+        |  CASE WHEN sum_abs_naive = 0 THEN NULL
+        |    ELSE (1000000 * sum_abs_seasonal) // sum_abs_naive
+        |  END AS seasonal_strength_ppm
+        |FROM g ORDER BY priority""".stripMargin,
     "q277_holt_winters" ->
       // the triple recurrence replayed step by step; the 12-slot
       // seasonal window rides the recursion as a LIST column
