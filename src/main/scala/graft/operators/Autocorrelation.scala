@@ -68,4 +68,76 @@ object Autocorrelation {
             col("__den").cast("double"), 6) + 0.0).as("acf"))
       .orderBy(col("lag"))
   }
+
+  /** Cross-correlation function between two aligned series — "does x
+    * LEAD y?": `ccf(k) = Σ dx_t · dy_{t+k} / √(Σdx² · Σdy²)` for
+    * lags −maxLag..maxLag (positive k: x leads y by k periods). The
+    * lead-lag companion to [[acf]], and the standard first look
+    * before any causal claim between two metrics.
+    *
+    * Same exactness scheme as [[acf]]: deviations are n-scaled exact
+    * DECIMALs (`n·x − Σx`), the numerator and both denominator
+    * moments are exact DECIMAL sums, and the one float expression per
+    * lag (a divide by the sqrt of two exact-moment doubles) is
+    * rounded 6 dp. Same scale shape too: one persisted |series|-sized
+    * projection, one window pass materializing all 2·maxLag lag
+    * columns, one explode + hash agg. NULL ccf when either series is
+    * constant.
+    *
+    * Output: `(lag, n_pairs, ccf)` for lag ∈ [−maxLag, maxLag].
+    */
+  def ccf(series: DataFrame, orderCol: String, xCol: String,
+          yCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Window.orderBy(col("__o"))
+    val ser = Retained.track(series
+      .select(col(orderCol).as("__o"), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .persist())
+    val tot = ser.agg(count(lit(1)).as("__n"),
+      sum(col("__x").cast("decimal(19,0)")).as("__sx"),
+      sum(col("__y").cast("decimal(19,0)")).as("__sy"))
+    val dev = ser
+      .crossJoin(broadcast(tot)) // 1-row build side: scalar attach
+      .select(col("__o"),
+        (col("__x").cast("decimal(19,0)") * col("__n") - col("__sx"))
+          .cast("decimal(19,0)").as("__dx"),
+        (col("__y").cast("decimal(19,0)") * col("__n") - col("__sy"))
+          .cast("decimal(19,0)").as("__dy"))
+    val ks = (-maxLag to maxLag).filter(_ != 0)
+    // entry k must hold dy(t+k): lag with a NEGATIVE offset is lead,
+    // so lag(dy, −k) at row t reads dy(t+k)
+    val withLags = dev.select(Seq(col("__dx"), col("__dy")) ++
+      ks.map(k => lag(col("__dy"), -k).over(w).as(s"__l${k + maxLag}")): _*)
+    val dens = withLags.agg(
+      sum(col("__dx") * col("__dx")).as("__denx"),
+      sum(col("__dy") * col("__dy")).as("__deny"))
+    // lag 0 comes straight off the row; shifted lags via the explode
+    val zero = withLags
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__dx") * col("__dy")).as("__num"))
+      .withColumn("lag", lit(0L))
+    val shifted = withLags
+      .select(col("__dx"), posexplode(
+        array(ks.map(k => col(s"__l${k + maxLag}")): _*))
+        .as(Seq("__i", "__ld")))
+      .filter(col("__ld").isNotNull)
+      // array index i enumerates ks in order; recover the signed lag
+      .withColumn("lag",
+        when(col("__i") < maxLag, col("__i") - maxLag)
+          .otherwise(col("__i") - maxLag + 1).cast("long"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__dx") * col("__ld")).as("__num"))
+    shifted.unionByName(zero.select(col("lag"), col("n_pairs"),
+        col("__num")))
+      .crossJoin(broadcast(dens)) // 1-row build side: scalar attach
+      .select(col("lag"), col("n_pairs"),
+        when(col("__denx") === 0 || col("__deny") === 0,
+            lit(null).cast("double"))
+          .otherwise(round(col("__num").cast("double") /
+            sqrt(col("__denx").cast("double") *
+              col("__deny").cast("double")), 6) + 0.0).as("ccf"))
+      .orderBy(col("lag"))
+  }
 }

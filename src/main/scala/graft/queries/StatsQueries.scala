@@ -1591,7 +1591,28 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       .orderBy(col("priority"))
   }
 
+  // ---------------------------------------------------------------- q279
+  /** Cross-correlation function ([[operators.Autocorrelation.ccf]],
+    * lags −7..+7) between daily revenue and daily order count — the
+    * lead-lag companion to q257's ACF ("do order-count spikes LEAD
+    * revenue, trail it, or just coincide?"), the standard first look
+    * before any causal read of two metrics. Same exactness scheme:
+    * n-scaled DECIMAL deviations, exact moment sums, one rounded
+    * float per lag; lag pairing is by observed-period row index on
+    * both engines (the q257 convention).
+    */
+  def q279Ccf(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).cast("long").as("cents"),
+        count(lit(1)).as("n_orders"))
+    operators.Autocorrelation.ccf(daily, "day", "cents", "n_orders",
+      maxLag = 7)
+  }
+
   private[graft] def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_ccf" -> (q279Ccf _),
     "q278_seasonal_strength" -> (q278SeasonalStrength _),
     "q277_holt_winters" -> (q277HoltWinters _),
     "q275_temperature_mix" -> (q275TemperatureMix _),
@@ -1685,6 +1706,38 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       " + 8 * 100000000000000) // 8 - 100000000000000)"
 
   private[graft] def oracleSqlStats: Map[String, String] = Map(
+    "q279_ccf" ->
+      // two n-scaled deviation columns off one daily frame; lag k
+      // pairs a.t with b.t = a.t + k over the row index (q257's
+      // convention), DECIMAL-exact num/denx/deny, one rounded float
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sx,
+        |    CAST(sum(n_orders) AS BIGINT) AS sy FROM daily),
+        |dev AS (SELECT row_number() OVER (ORDER BY day) AS t,
+        |    CAST(tot.n * daily.cents - tot.sx AS DECIMAL(19,0)) AS dx,
+        |    CAST(tot.n * daily.n_orders - tot.sy AS DECIMAL(19,0)) AS dy
+        |  FROM daily, tot),
+        |den AS (SELECT sum(dx * dx) AS denx, sum(dy * dy) AS deny
+        |  FROM dev),
+        |num AS (SELECT k.k AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(a.dx * b.dy) AS num
+        |  FROM (VALUES (-7), (-6), (-5), (-4), (-3), (-2), (-1), (0),
+        |    (1), (2), (3), (4), (5), (6), (7)) k(k)
+        |  JOIN dev a ON TRUE
+        |  JOIN dev b ON b.t = a.t + k.k
+        |  GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CASE WHEN den.denx = 0 OR den.deny = 0 THEN NULL
+        |    ELSE round(CAST(num AS DOUBLE)
+        |      / sqrt(CAST(den.denx AS DOUBLE) * CAST(den.deny AS DOUBLE)),
+        |      6) + 0.0
+        |  END AS ccf
+        |FROM num, den ORDER BY lag""".stripMargin,
     "q278_seasonal_strength" ->
       // months where BOTH lags exist (i > 12); exact cent error sums,
       // one positive integer-ppm division (Spark DIV ≡ DuckDB //)

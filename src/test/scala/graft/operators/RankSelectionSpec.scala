@@ -47,6 +47,26 @@ class RankSelectionSpec extends SparkSpec {
     assert(ExactSelection.quantilesDisc(empty, "v", Seq(0.5)).count() === 0L)
   }
 
+  test("lowerMedianPerKey matches brute-force per-key medians, ties and widths mixed") {
+    val data = Map(
+      "a" -> Seq(5L, 1L, 9L, 7L, 3L),               // odd n → 5
+      "b" -> Seq(10L, 20L, 30L, 40L),                // even n → lower middle 20
+      "c" -> Seq(-7L, -7L, -7L, 1000000L),           // ties + wide range → -7
+      "d" -> Seq(42L))                               // singleton → 42
+    val df = data.toSeq.flatMap { case (k, vs) => vs.map(k -> _) }
+      .toDF("k", "v")
+    val got = ExactSelection.lowerMedianPerKey(df, "k", "v")
+      .as[(String, Long, Long)].collect().toSeq
+    def brute(vs: Seq[Long]) = vs.sorted.apply(((vs.size + 1) / 2) - 1)
+    assert(got === data.toSeq.sortBy(_._1).map { case (k, vs) =>
+      (k, vs.size.toLong, brute(vs)) })
+    // multi-level drill agrees (maxBuckets=4 forces several rounds)
+    val deep = ExactSelection.lowerMedianPerKey(df, "k", "v",
+        maxBuckets = 4)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(deep === got)
+  }
+
   test("quantilesDisc is exact under heavy skew (one value dominating)") {
     val xs: Seq[Long] = Seq.fill(10000)(42L) ++ Seq(1L, 999999999L)
     val got = ExactSelection.quantilesDisc(xs.toDF("v"), "v",

@@ -39,6 +39,28 @@ class SelectionStatsSpec extends SparkSpec {
     assert(rows.last.getLong(3) === 0L)
   }
 
+  test("ccf: identical series peaks at exactly 1.0 at lag 0; pair counts taper") {
+    val s = (1L to 8L).map(t => (t, t * t % 7, t * t % 7))
+      .toDF("t", "x", "y")
+    val got = Autocorrelation.ccf(s, "t", "x", "y", maxLag = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === Seq(-2L, -1L, 0L, 1L, 2L))
+    assert(got.map(_._2).toSeq === Seq(6L, 7L, 8L, 7L, 6L))
+    assert(got.find(_._1 == 0L).get._3 === 1.0)
+    // x ≡ y makes the curve symmetric: ccf(k) = ccf(−k)
+    assert(got.find(_._1 == 1L).get._3 === got.find(_._1 == -1L).get._3)
+  }
+
+  test("ccf: a shifted copy peaks at the shift lag, not at 0") {
+    // y_t = x_{t-1}: x LEADS y by one period → peak at k = +1
+    val x = Seq(1L, 7L, 2L, 9L, 3L, 8L, 1L, 6L)
+    val y = 0L +: x.dropRight(1)
+    val s = x.indices.map(i => (i.toLong, x(i), y(i))).toDF("t", "x", "y")
+    val got = Autocorrelation.ccf(s, "t", "x", "y", maxLag = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.maxBy(_._2)._1 === 1L)
+  }
+
   test("acf: alternating series has the hand lag structure") {
     // x = 1,2,1,2,1,2: n=6, S=9, devs n*x-S = -3,+3 alternating;
     // den = 54; lag1: 5 pairs of -9 -> -45/54; lag2: 4 pairs of +9
