@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series MOTIF and DISCORD discovery — the matrix-profile
+  * questions (Yeh et al., ICDM 2016) over a pre-aggregated series:
+  * the closest pair of non-overlapping length-`w` windows (the
+  * repeating shape, e.g. "the promo week pattern") and the window
+  * whose NEAREST neighbor is farthest (the one-off anomaly no other
+  * stretch resembles).
+  *
+  * Distances are exact BIGINT sums of squared differences — no
+  * z-normalization, no floats, so argmin/argmax are unambiguous and
+  * the oracle replays the whole thing relationally. Ties break on the
+  * smallest window index (then the smaller neighbor index).
+  *
+  * Scale shape: the window frame is |series| − w + 1 rows (CALENDAR-
+  * bounded for the daily/monthly series this targets — the caller
+  * passes the pre-aggregation, as with [[Kendall]]/Theil–Sen), built
+  * by one pass of w−1 leads; the pair expansion is the O(n²) the
+  * matrix profile is defined by, run as a broadcast join over the
+  * tiny window frame with an exclusion zone |i−j| ≥ w so a window
+  * never matches its own overlap. Each pair's distance is a w-term
+  * codegen'd integer expression.
+  *
+  * Output: two rows `(kind, idx_a, idx_b, ssd)` —
+  * `('motif', i, j, min ssd)` with i < j, and
+  * `('discord', i, nn_j, max_i min_j ssd)`. Empty when fewer than
+  * `2·w` points exist (no non-overlapping pair).
+  */
+object MotifProfile {
+
+  def motifDiscord(series: DataFrame, orderCol: String, valueCol: String,
+                   windowLen: Int): DataFrame = {
+    require(windowLen >= 2, s"windowLen must be >= 2, got $windowLen")
+    val w = Window.orderBy(col("__o"))
+    val base = series.select(col(orderCol).as("__o"),
+        col(valueCol).cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    val winCols = (0 until windowLen).map { j =>
+      (if (j == 0) col("__x") else lag(col("__x"), -j).over(w))
+        .as(s"__w$j")
+    }
+    // one window pass builds every length-w vector; trailing rows
+    // whose vector runs off the series drop (their last lead is null)
+    val wins = base
+      .select(row_number().over(w).cast("long").as("__i") +: winCols: _*)
+      .filter(col(s"__w${windowLen - 1}").isNotNull)
+      .localCheckpoint(true) // tiny; read by both join sides
+    val a = wins.toDF(("__i" +: (0 until windowLen).map(j => s"__a$j")): _*)
+    val b = wins.toDF(("__j" +: (0 until windowLen).map(j => s"__b$j")): _*)
+    val ssd: Column = (0 until windowLen).map { j =>
+      (col(s"__a$j") - col(s"__b$j")) * (col(s"__a$j") - col(s"__b$j"))
+    }.reduce(_ + _)
+    // exclusion zone: |i − j| ≥ w keeps a window from matching its
+    // own overlap; both orientations kept so the per-i nearest
+    // neighbor sees every candidate
+    val pairs = a.join(broadcast(b),
+        abs(col("__i") - col("__j")) >= windowLen.toLong)
+      .select(col("__i"), col("__j"), ssd.as("__ssd"))
+      .localCheckpoint(true) // read by the motif and discord branches
+    val motif = pairs.filter(col("__i") < col("__j"))
+      .orderBy(col("__ssd"), col("__i"), col("__j"))
+      .limit(1)
+      .select(lit("motif").as("kind"), col("__i").as("idx_a"),
+        col("__j").as("idx_b"), col("__ssd").as("ssd"))
+    val nn = pairs.groupBy(col("__i"))
+      .agg(min(struct(col("__ssd"), col("__j"))).as("__m"))
+      .select(col("__i"), col("__m.__ssd").as("__nn"),
+        col("__m.__j").as("__nnj"))
+    val discord = nn
+      .orderBy(col("__nn").desc, col("__i"))
+      .limit(1)
+      .select(lit("discord").as("kind"), col("__i").as("idx_a"),
+        col("__nnj").as("idx_b"), col("__nn").as("ssd"))
+    motif.unionByName(discord).orderBy(col("kind"), col("idx_a"))
+  }
+}

@@ -1611,7 +1611,27 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       maxLag = 7)
   }
 
+  // ---------------------------------------------------------------- q280
+  /** Time-series motif & discord discovery
+    * ([[operators.MotifProfile.motifDiscord]], w=7) over the daily
+    * revenue series: the closest pair of non-overlapping weeks (the
+    * repeating shape) and the week whose nearest neighbor is farthest
+    * (the one-off anomaly) — the two matrix-profile questions, in
+    * exact BIGINT squared distance so both argext rows are
+    * unambiguous and fully relational. The ~2,400-row window frame is
+    * calendar-bounded; the O(n²) pair expansion is the definition.
+    */
+  def q280MotifDiscord(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).cast("long").as("cents"))
+    operators.MotifProfile.motifDiscord(daily, "day", "cents",
+      windowLen = 7)
+  }
+
   private[graft] def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_motif_discord" -> (q280MotifDiscord _),
     "q279_ccf" -> (q279Ccf _),
     "q278_seasonal_strength" -> (q278SeasonalStrength _),
     "q277_holt_winters" -> (q277HoltWinters _),
@@ -1706,6 +1726,39 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       " + 8 * 100000000000000) // 8 - 100000000000000)"
 
   private[graft] def oracleSqlStats: Map[String, String] = Map(
+    "q280_motif_discord" -> {
+      val ssd = (0 until 7).map(j =>
+        s"(a.w$j - b.w$j) * (a.w$j - b.w$j)").mkString(" + ")
+      val leads = (1 until 7).map(j =>
+        s"lead(cents, $j) OVER (ORDER BY day) AS w$j").mkString(",\n        |    ")
+      // exact BIGINT squared distances; nearest-neighbor ties resolve
+      // to the smallest j exactly as the Spark struct-min does
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |wins AS (SELECT row_number() OVER (ORDER BY day) AS i,
+         |    cents AS w0,
+         |    $leads
+         |  FROM daily),
+         |ww AS MATERIALIZED (SELECT * FROM wins WHERE w6 IS NOT NULL),
+         |p AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+         |    CAST($ssd AS BIGINT) AS ssd
+         |  FROM ww a JOIN ww b ON abs(a.i - b.i) >= 7),
+         |motif AS (SELECT 'motif' AS kind, i AS idx_a, j AS idx_b, ssd
+         |  FROM p WHERE i < j ORDER BY ssd, i, j LIMIT 1),
+         |nn AS (SELECT i, min(ssd) AS nn FROM p GROUP BY i),
+         |nnj AS (SELECT p.i, nn.nn, min(p.j) AS j
+         |  FROM p JOIN nn ON nn.i = p.i AND p.ssd = nn.nn
+         |  GROUP BY p.i, nn.nn),
+         |disc AS (SELECT 'discord' AS kind, i AS idx_a, j AS idx_b,
+         |    nn AS ssd
+         |  FROM nnj ORDER BY nn DESC, i LIMIT 1)
+         |SELECT kind, CAST(idx_a AS BIGINT) AS idx_a,
+         |  CAST(idx_b AS BIGINT) AS idx_b, ssd
+         |FROM (SELECT * FROM motif UNION ALL SELECT * FROM disc)
+         |ORDER BY kind, idx_a""".stripMargin
+    },
     "q279_ccf" ->
       // two n-scaled deviation columns off one daily frame; lag k
       // pairs a.t with b.t = a.t + k over the row index (q257's

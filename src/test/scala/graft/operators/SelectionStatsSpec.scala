@@ -39,6 +39,34 @@ class SelectionStatsSpec extends SparkSpec {
     assert(rows.last.getLong(3) === 0L)
   }
 
+  test("motifDiscord: planted repeat and planted spike on a flat series") {
+    // flat 100s, the shape (1,9,1) planted at t=3 and t=11 (motif),
+    // a lone spike 500 at t=17 (discord); w=3, exclusion |i-j|>=3
+    val xs = Array.fill(20)(100L)
+    for (t <- Seq(3, 11)) { xs(t - 1) = 1L; xs(t) = 9L; xs(t + 1) = 1L }
+    xs(16) = 500L
+    val s = xs.zipWithIndex.toSeq.map { case (x, i) => (i + 1L, x) }
+      .toDF("t", "x")
+    val got = MotifProfile.motifDiscord(s, "t", "x", windowLen = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // the plant repeats its CONTEXT too (everything 8 apart around
+    // the shapes matches exactly), so several pairs tie at ssd 0 and
+    // the (i, j) tiebreak picks the earliest: windows 1 and 9
+    val motif = got.find(_._1 == "motif").get
+    assert(motif === (("motif", 1L, 9L, 0L)))
+    val discord = got.find(_._1 == "discord").get
+    // the spike window's nearest neighbor is still far: ssd > any
+    // flat-window pair's
+    assert(discord._2 >= 15L && discord._2 <= 17L && discord._4 > 0L)
+  }
+
+  test("motifDiscord: series shorter than 2w emits nothing") {
+    val s = (1L to 5L).map(t => (t, t)).toDF("t", "x")
+    assert(MotifProfile.motifDiscord(s, "t", "x", windowLen = 3)
+      .count() === 0L)
+  }
+
   test("ccf: identical series peaks at exactly 1.0 at lag 0; pair counts taper") {
     val s = (1L to 8L).map(t => (t, t * t % 7, t * t % 7))
       .toDF("t", "x", "y")
