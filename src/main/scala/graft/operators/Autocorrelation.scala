@@ -112,11 +112,15 @@ object Autocorrelation {
     val dens = withLags.agg(
       sum(col("__dx") * col("__dx")).as("__denx"),
       sum(col("__dy") * col("__dy")).as("__deny"))
-    // lag 0 comes straight off the row; shifted lags via the explode
+    // lag 0 comes straight off the row; shifted lags via the explode.
+    // The global agg yields one (0-count) row even on an EMPTY series
+    // where the oracle's join yields none — filter it so the
+    // degenerate case agrees (0 rows on both engines)
     val zero = withLags
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("__dx") * col("__dy")).as("__num"))
       .withColumn("lag", lit(0L))
+      .filter(col("n_pairs") > 0L)
     val shifted = withLags
       .select(col("__dx"), posexplode(
         array(ks.map(k => col(s"__l${k + maxLag}")): _*))

@@ -179,21 +179,28 @@ object ExactSelection {
     * O(|keys| · maxBuckets) histogram rows per round — keys must be
     * GROUP-like (priorities, tenants), not data-like.
     *
-    * `df` is scanned once per round (≈ log_maxBuckets(range) + 2
-    * times) — pass a persisted/checkpointed frame when the upstream
-    * is expensive. Returns `(keyCol, n_values, value)` with `value`
-    * the rank-`(n+1) DIV 2` smallest per key; NULL values are
-    * ignored, empty keys drop.
+    * The projected input persists for the drill's ≈
+    * log_maxBuckets(range) + 2 rounds and releases on return, so an
+    * expensive upstream runs once. Returns `(keyCol, n_values,
+    * value)` with `value` the rank-`(n+1) DIV 2` smallest per key;
+    * NULL values and NULL keys are ignored, empty keys drop.
     */
   def lowerMedianPerKey(df: DataFrame, keyCol: String, valueCol: String,
                         maxBuckets: Int = 1 << 16): DataFrame = {
     require(maxBuckets >= 2, "maxBuckets must be at least 2")
     val spark = df.sparkSession
     import spark.implicits._
+    // NOTE: this is the same drill loop as quantilesDisc above, keyed
+    // — a fix to either rank walk / bucket-narrowing step must land in
+    // BOTH (they share spec coverage via the brute-force differentials)
     val vals = df.select(col(keyCol).cast("string").as("__key"),
         col(valueCol).cast("long").as("__v"))
-      .filter(col("__v").isNotNull)
+      // NULL keys would fall out of the equi-joins below after being
+      // planned — drop them up front (no group, no median)
+      .filter(col("__v").isNotNull && col("__key").isNotNull)
+      .persist()
     val keyType = df.schema(keyCol).dataType
+    try {
     val stats = vals.groupBy(col("__key"))
       .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
         count(lit(1)).as("n"))
@@ -263,5 +270,6 @@ object ExactSelection {
       .select(col("__key").cast(keyType).as(keyCol), col("n_values"),
         col("value"))
       .orderBy(col(keyCol))
+    } finally vals.unpersist()
   }
 }

@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * whose NEAREST neighbor is farthest (the one-off anomaly no other
   * stretch resembles).
   *
-  * Distances are exact BIGINT sums of squared differences — no
-  * z-normalization, no floats, so argmin/argmax are unambiguous and
-  * the oracle replays the whole thing relationally. Ties break on the
-  * smallest window index (then the smaller neighbor index).
+  * Distances are exact DECIMAL(38) sums of squared differences — no
+  * z-normalization, no float ever decides an argmin/argmax, and the
+  * oracle replays the whole thing relationally (HUGEINT on its side).
+  * The published `ssd` is the exact value cast to double once, after
+  * selection (deterministic nearest-double on both engines). Ties
+  * break on the smallest window index (then the smaller neighbor).
   *
   * Scale shape: the window frame is |series| − w + 1 rows (CALENDAR-
   * bounded for the daily/monthly series this targets — the caller
@@ -51,9 +53,14 @@ object MotifProfile {
       .localCheckpoint(true) // tiny; read by both join sides
     val a = wins.toDF(("__i" +: (0 until windowLen).map(j => s"__a$j")): _*)
     val b = wins.toDF(("__j" +: (0 until windowLen).map(j => s"__b$j")): _*)
+    // squared terms in DECIMAL headroom: a cents-scale daily spread of
+    // ~1.4e9 squares past 2^63/w — Spark would wrap silently where
+    // DuckDB raises (the doctrine's Spearman lesson); (19,0)² → (38,0)
+    // keeps every term and the w-term sum exact
     val ssd: Column = (0 until windowLen).map { j =>
-      (col(s"__a$j") - col(s"__b$j")) * (col(s"__a$j") - col(s"__b$j"))
-    }.reduce(_ + _)
+      val d = (col(s"__a$j") - col(s"__b$j")).cast("decimal(19,0)")
+      d * d
+    }.reduce(_ + _).cast("decimal(38,0)")
     // exclusion zone: |i − j| ≥ w keeps a window from matching its
     // own overlap; both orientations kept so the per-i nearest
     // neighbor sees every candidate
@@ -65,7 +72,7 @@ object MotifProfile {
       .orderBy(col("__ssd"), col("__i"), col("__j"))
       .limit(1)
       .select(lit("motif").as("kind"), col("__i").as("idx_a"),
-        col("__j").as("idx_b"), col("__ssd").as("ssd"))
+        col("__j").as("idx_b"), col("__ssd").cast("double").as("ssd"))
     val nn = pairs.groupBy(col("__i"))
       .agg(min(struct(col("__ssd"), col("__j"))).as("__m"))
       .select(col("__i"), col("__m.__ssd").as("__nn"),
@@ -74,7 +81,7 @@ object MotifProfile {
       .orderBy(col("__nn").desc, col("__i"))
       .limit(1)
       .select(lit("discord").as("kind"), col("__i").as("idx_a"),
-        col("__nnj").as("idx_b"), col("__nn").as("ssd"))
+        col("__nnj").as("idx_b"), col("__nn").cast("double").as("ssd"))
     motif.unionByName(discord).orderBy(col("kind"), col("idx_a"))
   }
 }

@@ -1584,10 +1584,13 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       .agg(count(lit(1)).as("n_months"),
         sum(abs(col("cents") - col("__l1"))).as("sum_abs_naive"),
         sum(abs(col("cents") - col("__l12"))).as("sum_abs_seasonal"))
+      // ppm in DECIMAL(28) headroom — 1e6·Σ|e| wraps a BIGINT once the
+      // error mass passes ~9e12 cents (the temperature-mix lesson)
       .withColumn("seasonal_strength_ppm",
         when(col("sum_abs_naive") === 0L, lit(null).cast("long"))
           .otherwise(expr(
-            "(1000000 * sum_abs_seasonal) DIV sum_abs_naive")))
+            "CAST((CAST(sum_abs_seasonal AS DECIMAL(28,0)) * 1000000)" +
+              " DIV sum_abs_naive AS BIGINT)")))
       .orderBy(col("priority"))
   }
 
@@ -1728,11 +1731,14 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
   private[graft] def oracleSqlStats: Map[String, String] = Map(
     "q280_motif_discord" -> {
       val ssd = (0 until 7).map(j =>
-        s"(a.w$j - b.w$j) * (a.w$j - b.w$j)").mkString(" + ")
+        s"CAST(a.w$j - b.w$j AS HUGEINT) * (a.w$j - b.w$j)")
+        .mkString(" + ")
       val leads = (1 until 7).map(j =>
         s"lead(cents, $j) OVER (ORDER BY day) AS w$j").mkString(",\n        |    ")
-      // exact BIGINT squared distances; nearest-neighbor ties resolve
-      // to the smallest j exactly as the Spark struct-min does
+      // squared distances summed in HUGEINT (the Spark side uses
+      // DECIMAL(38)); the published ssd is the exact value cast to
+      // DOUBLE after selection; nearest-neighbor ties resolve to the
+      // smallest j exactly as the Spark struct-min does
       s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
          |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
          |      AS BIGINT)) AS BIGINT) AS cents
@@ -1743,7 +1749,7 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
          |  FROM daily),
          |ww AS MATERIALIZED (SELECT * FROM wins WHERE w6 IS NOT NULL),
          |p AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
-         |    CAST($ssd AS BIGINT) AS ssd
+         |    $ssd AS ssd
          |  FROM ww a JOIN ww b ON abs(a.i - b.i) >= 7),
          |motif AS (SELECT 'motif' AS kind, i AS idx_a, j AS idx_b, ssd
          |  FROM p WHERE i < j ORDER BY ssd, i, j LIMIT 1),
@@ -1755,7 +1761,7 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
          |    nn AS ssd
          |  FROM nnj ORDER BY nn DESC, i LIMIT 1)
          |SELECT kind, CAST(idx_a AS BIGINT) AS idx_a,
-         |  CAST(idx_b AS BIGINT) AS idx_b, ssd
+         |  CAST(idx_b AS BIGINT) AS idx_b, CAST(ssd AS DOUBLE) AS ssd
          |FROM (SELECT * FROM motif UNION ALL SELECT * FROM disc)
          |ORDER BY kind, idx_a""".stripMargin
     },
@@ -1813,7 +1819,8 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |  FROM l WHERE i > 12 GROUP BY 1)
         |SELECT priority, n_months, sum_abs_naive, sum_abs_seasonal,
         |  CASE WHEN sum_abs_naive = 0 THEN NULL
-        |    ELSE (1000000 * sum_abs_seasonal) // sum_abs_naive
+        |    ELSE CAST((1000000 * CAST(sum_abs_seasonal AS HUGEINT))
+        |      // sum_abs_naive AS BIGINT)
         |  END AS seasonal_strength_ppm
         |FROM g ORDER BY priority""".stripMargin,
     "q277_holt_winters" ->

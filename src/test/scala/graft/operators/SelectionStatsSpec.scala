@@ -49,16 +49,16 @@ class SelectionStatsSpec extends SparkSpec {
       .toDF("t", "x")
     val got = MotifProfile.motifDiscord(s, "t", "x", windowLen = 3)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3))).toSeq
+        r.getDouble(3))).toSeq
     // the plant repeats its CONTEXT too (everything 8 apart around
     // the shapes matches exactly), so several pairs tie at ssd 0 and
     // the (i, j) tiebreak picks the earliest: windows 1 and 9
     val motif = got.find(_._1 == "motif").get
-    assert(motif === (("motif", 1L, 9L, 0L)))
+    assert(motif === (("motif", 1L, 9L, 0.0)))
     val discord = got.find(_._1 == "discord").get
     // the spike window's nearest neighbor is still far: ssd > any
     // flat-window pair's
-    assert(discord._2 >= 15L && discord._2 <= 17L && discord._4 > 0L)
+    assert(discord._2 >= 15L && discord._2 <= 17L && discord._4 > 0.0)
   }
 
   test("motifDiscord: series shorter than 2w emits nothing") {
