@@ -53,21 +53,48 @@ object MotifProfile {
       .localCheckpoint(true) // tiny; read by both join sides
     val a = wins.toDF(("__i" +: (0 until windowLen).map(j => s"__a$j")): _*)
     val b = wins.toDF(("__j" +: (0 until windowLen).map(j => s"__b$j")): _*)
-    // squared terms in DECIMAL headroom: a cents-scale daily spread of
-    // ~1.4e9 squares past 2^63/w — Spark would wrap silently where
-    // DuckDB raises (the doctrine's Spearman lesson); (19,0)² → (38,0)
-    // keeps every term and the w-term sum exact
-    val ssd: Column = (0 until windowLen).map { j =>
-      val d = (col(s"__a$j") - col(s"__b$j")).cast("decimal(19,0)")
-      d * d
-    }.reduce(_ + _).cast("decimal(38,0)")
+    // hybrid ssd (the Spearman q177 lesson, applied the fast way
+    // round): a cents-scale daily spread of ~1.4e9 squares past
+    // 2^63/w, where Spark would wrap silently and DuckDB raises — but
+    // DECIMAL on every pair costs ~3× codegen'd longs. One cheap agg
+    // measures the actual value span; the LONG path runs whenever
+    // w·span² provably fits, the DECIMAL(38) path otherwise.
+    val spanFits: Boolean = {
+      import wins.sparkSession.implicits._
+      // span measured over EVERY value (the last w−1 points never
+      // appear as a window head, so the window frame alone could
+      // understate the extremes)
+      base.agg(min(col("__x")), max(col("__x")))
+        .as[(Option[Long], Option[Long])].head() match {
+        case (Some(mn), Some(mx)) =>
+          val s = BigInt(mx) - BigInt(mn)
+          BigInt(windowLen) * s * s < BigInt(2).pow(63)
+        case _ => true // empty series: either path is vacuous
+      }
+    }
+    val ssd: Column =
+      if (spanFits)
+        (0 until windowLen).map { j =>
+          (col(s"__a$j") - col(s"__b$j")) *
+            (col(s"__a$j") - col(s"__b$j"))
+        }.reduce(_ + _)
+      else
+        (0 until windowLen).map { j =>
+          val d = (col(s"__a$j") - col(s"__b$j")).cast("decimal(19,0)")
+          d * d
+        }.reduce(_ + _).cast("decimal(38,0)")
     // exclusion zone: |i − j| ≥ w keeps a window from matching its
     // own overlap; both orientations kept so the per-i nearest
     // neighbor sees every candidate
-    val pairs = a.join(broadcast(b),
+    // NOT checkpointed: materializing the O(n²) pair frame costs more
+    // than re-running the broadcast join once per consumer. The
+    // checkpointed window frame sits in 1-2 partitions — repartition
+    // the probe side or the whole pair expansion runs on ONE task
+    // (the q143 pair-expansion lesson: CPU is O(pairs), not O(rows))
+    val par = wins.sparkSession.sparkContext.defaultParallelism
+    val pairs = a.repartition(par).join(broadcast(b),
         abs(col("__i") - col("__j")) >= windowLen.toLong)
       .select(col("__i"), col("__j"), ssd.as("__ssd"))
-      .localCheckpoint(true) // read by the motif and discord branches
     val motif = pairs.filter(col("__i") < col("__j"))
       .orderBy(col("__ssd"), col("__i"), col("__j"))
       .limit(1)

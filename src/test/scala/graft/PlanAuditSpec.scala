@@ -74,7 +74,13 @@ class PlanAuditSpec extends SparkSpec {
     // opaque) with the LITERAL 7-row threshold frame (constant-folded
     // to a LocalTableScan, its limit collapsed) — |thresholds| rows by
     // construction, never data × data
-    "q269_rich_club")
+    "q269_rich_club",
+    // motif/discord: the matrix profile IS the O(n²) pair expansion —
+    // both BNLJ sides are the SAME checkpointed sliding-window frame
+    // (LogicalRDD, structurally opaque), calendar-bounded by the
+    // operator's pre-aggregated-series contract (~2,400 rows for the
+    // daily series at every SF), never fact-table-sized
+    "q280_motif_discord")
 
   test("no query plans a nested-loop/cartesian join of two unbounded sides") {
     // plain (non-adaptive) plans so the join operators are directly
