@@ -42,7 +42,10 @@ import graft.operators.Merge.{DuplicateMode, ImportMode, Key}
     "artifact_pairs" -> ((s, d) => { dedupPairs(s, d); () }),
     "artifact_labels" -> ((s, d) => { dedupLabels(s, d); () }),
     "artifact_epairs" -> ((s, d) => { embedPairs(s, d); () }),
-    "artifact_edges" -> ((s, d) => { copurchasePairs(s, d); () }))
+    "artifact_edges" -> ((s, d) => { copurchasePairs(s, d); () }),
+    // reads edges — keep after artifact_edges so its entry bills the
+    // wedge enumeration alone, not the co-purchase pair build
+    "artifact_tris" -> ((s, d) => { triangleList(s, d); () }))
 
   /** One entry per implemented operator from SURVEY.md §2 — assembled
     * from the per-family trait maps (round-11 split of the 9.5k-line
@@ -71,4 +74,25 @@ import graft.operators.Merge.{DuplicateMode, ImportMode, Key}
     oracleSqlGraph ++
     oracleSqlTemporal ++
     oracleSqlStreaming
+
+  /** The per-family maps by name, for the disjointness gate
+    * (EntryMapsSpec): `++` silently shadows a duplicated qNNN key
+    * across two family files, shrinking the suite with no test
+    * failing — the spec proves the family key sets are pairwise
+    * disjoint for BOTH maps.
+    */
+  private[graft] def queryFamilies
+      : Seq[(String, Map[String, (SparkSession, String) => DataFrame])] =
+    Seq("relational" -> queriesRelational, "sources" -> queriesSources,
+      "text" -> queriesText, "dedup" -> queriesDedup,
+      "events" -> queriesEvents, "stats" -> queriesStats,
+      "graph" -> queriesGraph, "temporal" -> queriesTemporal,
+      "streaming" -> queriesStreaming)
+
+  private[graft] def oracleFamilies: Seq[(String, Map[String, String])] =
+    Seq("relational" -> oracleSqlRelational,
+      "sources" -> oracleSqlSources, "text" -> oracleSqlText,
+      "dedup" -> oracleSqlDedup, "events" -> oracleSqlEvents,
+      "stats" -> oracleSqlStats, "graph" -> oracleSqlGraph,
+      "temporal" -> oracleSqlTemporal, "streaming" -> oracleSqlStreaming)
 }

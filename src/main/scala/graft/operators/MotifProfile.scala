@@ -68,6 +68,15 @@ object MotifProfile {
         .as[(Option[Long], Option[Long])].head() match {
         case (Some(mn), Some(mx)) =>
           val s = BigInt(mx) - BigInt(mn)
+          // the DECIMAL path is exact only while w·span² fits in 38
+          // digits; past that a term/sum would NULL under ANSI-off and
+          // a NULL ssd sorts FIRST in the ascending motif orderBy,
+          // silently electing a garbage pair — fail loudly instead
+          // (the ExactSelection 2^63-guard doctrine)
+          require(BigInt(windowLen) * s * s < BigInt(10).pow(38),
+            s"motifDiscord: value span $s with windowLen=$windowLen " +
+              "overflows the exact DECIMAL(38) ssd; rescale the series " +
+              "(e.g. aggregate to coarser units) before profiling")
           BigInt(windowLen) * s * s < BigInt(2).pow(63)
         case _ => true // empty series: either path is vacuous
       }
@@ -80,9 +89,12 @@ object MotifProfile {
         }.reduce(_ + _)
       else
         (0 until windowLen).map { j =>
-          val d = (col(s"__a$j") - col(s"__b$j")).cast("decimal(19,0)")
-          d * d
-        }.reduce(_ + _).cast("decimal(38,0)")
+          // subtract AFTER the decimal cast — a long (a−b) can wrap
+          // before the cast when the raw values straddle ±2^62
+          val d = col(s"__a$j").cast("decimal(19,0)") -
+            col(s"__b$j").cast("decimal(19,0)")
+          (d * d).cast("decimal(38,0)")
+        }.reduce(_ + _)
     // exclusion zone: |i − j| ≥ w keeps a window from matching its
     // own overlap; both orientations kept so the per-i nearest
     // neighbor sees every candidate

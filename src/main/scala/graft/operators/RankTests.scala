@@ -42,8 +42,15 @@ object RankTests {
       .withColumn("mid2", lit(2L) * col("below") + col("t") + 1L)
     ranked.agg(
         sum(col("t")).as("n"),
-        sum(col("tp") * col("mid2")).as("w_plus_x2"),
-        sum((col("t") - col("tp")) * col("mid2")).as("w_minus_x2"),
+        // rank-sum mass reaches ~n² — accumulate in DECIMAL so a long
+        // never silently wraps at n ~ 3e9 (the same q177 Spearman
+        // doctrine the tie cubes below already follow); the per-row
+        // product is also widened BEFORE multiplying (one giant tie
+        // group can push tp·mid2 itself past 2^63)
+        sum(col("tp").cast("decimal(19,0)") *
+          col("mid2").cast("decimal(19,0)")).as("__wp2d"),
+        sum((col("t") - col("tp")).cast("decimal(19,0)") *
+          col("mid2").cast("decimal(19,0)")).as("__wm2d"),
         // tie cubes in DECIMAL — a single |d| value tied across more
         // than ~2^21 pairs would silently wrap a long t³ (the q177
         // Spearman lesson); (12,0)³ → 36 digits, sums bounded by N³
@@ -56,11 +63,18 @@ object RankTests {
         when(col("n").isNull || col("n") === 0L || col("__var") <= 0.0,
             lit(null).cast("double"))
           .otherwise(round(
-            ((lit(2L) * col("w_plus_x2") - col("n") * (col("n") + 1L))
+            ((col("__wp2d") * 2 - col("n").cast("decimal(19,0)") *
+              (col("n") + 1L).cast("decimal(19,0)"))
               .cast("double") / 4.0) / sqrt(col("__var")), 6) + 0.0))
+      // the PUBLISHED columns stay BIGINT (the oracle contract); the
+      // decimal→long cast NULLs honestly on overflow instead of
+      // wrapping, and z above is computed from the exact decimal
       .select(coalesce(col("n"), lit(0L)).as("n"),
-        coalesce(col("w_plus_x2"), lit(0L)).as("w_plus_x2"),
-        coalesce(col("w_minus_x2"), lit(0L)).as("w_minus_x2"), col("z"))
+        when(col("n").isNull, lit(0L))
+          .otherwise(col("__wp2d").cast("long")).as("w_plus_x2"),
+        when(col("n").isNull, lit(0L))
+          .otherwise(col("__wm2d").cast("long")).as("w_minus_x2"),
+        col("z"))
   }
 
   /** Kruskal–Wallis H across the groups of `groupCol`: one output row
@@ -98,12 +112,21 @@ object RankTests {
       .join(ranked.select(col("__v"), col("mid2")), Seq("__v"))
       .groupBy(col("__g"))
       .agg(sum(col("__c")).as("n_g"),
-        sum(col("__c") * col("mid2")).as("rank_sum_x2"))
-      // (19,0)² → (38,0): the square is exact; the double cast and
-      // the 4·n_g divide run on that exact value, rounded per term
+        // rank-sum mass reaches ~n² — DECIMAL accumulation so a long
+        // never silently wraps at n ~ 3e9 (factors widened BEFORE the
+        // multiply: one giant tie group can push c·mid2 past 2^63);
+        // published as BIGINT below (oracle contract), NULL-on-
+        // overflow instead of wrapped garbage
+        sum(col("__c").cast("decimal(19,0)") *
+          col("mid2").cast("decimal(19,0)")).as("__r2d"))
+      .withColumn("rank_sum_x2", col("__r2d").cast("long"))
+      // (19,0)² → (38,0): the square is exact while R_g < 10^19 — the
+      // test's exactness bound (past it the square exceeds every
+      // 38-digit/128-bit integer on either engine); an overflowing
+      // cast NULLs the term loudly rather than squaring wrapped bits
       .withColumn("__term", round(
-        (col("rank_sum_x2").cast("decimal(19,0)") *
-          col("rank_sum_x2").cast("decimal(19,0)")).cast("double") /
+        (col("__r2d").cast("decimal(19,0)") *
+          col("__r2d").cast("decimal(19,0)")).cast("double") /
           (lit(4.0) * col("n_g").cast("double")), 6))
       // groups-sized; read by the term sum AND the final projection
       .localCheckpoint(true)
