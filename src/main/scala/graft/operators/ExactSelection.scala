@@ -16,14 +16,14 @@ import org.apache.spark.sql.functions._
   * groups per active range), and the number of passes is logarithmic
   * in the VALUE RANGE, not the row count:
   *
-  *  1. one scan for (min, max, count) — quantile fractions become
-  *     explicit ranks k = max(1, ceil(q·n));
-  *  2. while any rank's candidate value range is wider than
-  *     `maxBuckets`: one scan histogramming each active range into
-  *     ≤ `maxBuckets` equi-width buckets (`(v − lo) >> shift` — shift
+  *  1. one scan for (min, max, count) per group — quantile fractions
+  *     become explicit ranks k = max(1, ceil(q·n));
+  *  2. while any rank's candidate value range is wider than the
+  *     per-round bucket allowance: one scan histogramming each active
+  *     range into equi-width buckets (`(v − lo) >> shift` — shift
   *     keeps the bucketing a cheap integral op); the driver walks the
-  *     cumulative counts (bounded by ranges × maxBuckets rows, never
-  *     by data) and narrows each rank to the one bucket containing it;
+  *     cumulative counts and narrows each rank to the one bucket
+  *     containing it;
   *  3. one final scan groups the (narrow) surviving ranges by exact
   *     value; the driver reads the value at the residual rank off the
   *     per-value cumulative counts.
@@ -36,11 +36,155 @@ import org.apache.spark.sql.functions._
   * Skew is immune by construction: a heavy tied value collapses to a
   * single bucket whose cumulative count covers the rank directly.
   *
-  * Driver memory is bounded by `ranks × maxBuckets` histogram rows per
-  * pass — never by the data. NULLs are ignored (SQL aggregate
-  * convention); an all-NULL / empty input returns zero rows.
+  * Driver memory is bounded by `driverRowBudget` collected histogram
+  * rows per pass — never by the data and never by the key count: when
+  * `|active ranges| × maxBuckets` would exceed the budget, the
+  * per-range bucket allowance SHRINKS (costing extra rounds, each
+  * still one scan) so the collect stays under budget at any
+  * group-like key cardinality; a key count that cannot even afford 2
+  * buckets per range fails loudly instead of flooding the driver.
+  * NULLs are ignored (SQL aggregate convention); an all-NULL / empty
+  * input returns zero rows.
+  *
+  * All public faces (global [[quantilesDisc]], keyed
+  * [[quantilesDiscPerKey]] / [[lowerMedianPerKey]]) run the ONE shared
+  * [[drill]] core — the global face is the keyed face with a single
+  * constant group.
   */
 object ExactSelection {
+
+  /** Default driver-collect budget: ≈4M histogram rows per round
+    * (~100 MB transient) — far above any group-like key count, far
+    * below a data-sized collect.
+    */
+  val DefaultDriverRowBudget: Long = 1L << 22
+
+  // ------------------------------------------------------------ core
+
+  /** One selection request: group `g` (string-rendered key), request
+    * id within the group, target rank (1-based, ties counted with
+    * multiplicity), current candidate range [lo, hi] known to contain
+    * the answer, and the residual rank within that range.
+    */
+  private final case class Cand(g: String, id: Int, rank: Long,
+                                lo: Long, hi: Long, inner: Long)
+
+  private def width(lo: Long, hi: Long): BigInt = BigInt(hi) - BigInt(lo)
+
+  /** Per-round bucket allowance: fit `nRanges` histograms under the
+    * driver budget, never more than `maxBuckets` each, never fewer
+    * than 2 (2 still halves the range every round — extra rounds, not
+    * driver blow-up).
+    */
+  private def bucketsFor(nRanges: Int, maxBuckets: Int,
+                         budget: Long): Int =
+    math.max(2L, math.min(maxBuckets.toLong,
+      budget / math.max(1, nRanges))).toInt
+
+  /** THE shared drill: narrows every candidate to its exact value.
+    * `vals` must be a persisted `(__g string, __v long)` frame with no
+    * NULLs. Returns each candidate with its selected value.
+    */
+  private def drill(vals: DataFrame, init: Seq[Cand], maxBuckets: Int,
+                    budget: Long): Seq[(Cand, Long)] = {
+    val spark = vals.sparkSession
+    import spark.implicits._
+    var cands = init
+    var done = false
+    while (!done) {
+      val allRanges = cands.map(c => (c.g, c.lo, c.hi)).distinct
+      // each range needs ≥2 buckets this round AND ≤budget final
+      // per-value rows — past budget/2 ranges no allowance exists
+      require(allRanges.size <= budget / 2,
+        s"ExactSelection: ${allRanges.size} active key ranges exceed " +
+          s"the driver row budget $budget — keys must be GROUP-like; " +
+          "raise driverRowBudget only with driver memory to back it")
+      // ranges narrower than the FINAL pass's allowance stop drilling:
+      // their per-value counts fit the budget-bounded final collect
+      val pFinal = bucketsFor(allRanges.size, maxBuckets, budget)
+      val wide = allRanges.filter { case (_, lo, hi) =>
+        width(lo, hi) >= pFinal }
+      if (wide.isEmpty) done = true
+      else {
+        // quantiles of one distribution start from (and often stay in)
+        // IDENTICAL ranges — histogram each DISTINCT (group, range)
+        // once, not once per request; shift = smallest s putting the
+        // range into < p buckets
+        val p = bucketsFor(wide.size, maxBuckets, budget)
+        val planned = wide.zipWithIndex.map { case ((g, lo, hi), rid) =>
+          val w = width(lo, hi)
+          var s = 1
+          while ((w >> s) >= p) s += 1
+          (rid, g, lo, hi, 1L << s, s)
+        }
+        val ridOf = planned.map(pl => (pl._2, pl._3, pl._4) -> pl._1).toMap
+        val shifts = planned.map(pl => pl._1 -> (pl._3, pl._6)).toMap
+        val ranges = planned.map(pl => (pl._1, pl._2, pl._3, pl._4, pl._5))
+          .toDF("__rid", "__rg", "__lo", "__hi", "__p2")
+        // one scan: per-range equi-width histogram — bucket = the
+        // non-negative (v − lo) DIV 2^s, a codegen'd integral divide
+        // (functions.shiftright only takes a literal shift). A group's
+        // ranges may overlap (a value lands in every range containing
+        // it) — each histogram row is keyed by the range id, so
+        // overlap double-counts nothing.
+        val hist = vals
+          .join(broadcast(ranges), col("__g") === col("__rg") &&
+            col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+          .groupBy(col("__rid"), expr("(__v - __lo) DIV __p2").as("__b"))
+          .agg(count(lit(1)).as("__c"))
+          .as[(Int, Long, Long)]
+          .collect()
+          .groupBy(_._1)
+        cands = cands.map { c =>
+          ridOf.get((c.g, c.lo, c.hi)) match {
+            case None => c // already narrow
+            case Some(rid) =>
+              val (lo, s) = shifts(rid)
+              var rem = c.inner
+              val (b, _) = hist(rid).sortBy(_._2).iterator
+                .map { case (_, b, cnt) => (b, cnt) }
+                .find { case (_, cnt) =>
+                  rem <= cnt || { rem -= cnt; false } }
+                .getOrElse(throw new IllegalStateException(
+                  s"rank ${c.rank} fell off the histogram for " +
+                    s"group=${c.g}"))
+              // BigInt guards the bucket-edge arithmetic near Long.Max
+              val nloB = BigInt(lo) + (BigInt(b) << s)
+              val nhiB = (nloB + (BigInt(1) << s) - 1).min(BigInt(c.hi))
+              Cand(c.g, c.id, c.rank, nloB.toLong, nhiB.toLong, rem)
+          }
+        }
+      }
+    }
+    // final scan: exact per-value counts inside each narrow range
+    // (distinct ranges again shared across requests); collected rows ≤
+    // Σ range widths ≤ |ranges| · pFinal ≤ budget by the loop bound
+    val finRanges = cands.map(c => (c.g, c.lo, c.hi)).distinct.zipWithIndex
+    val finRidOf = finRanges.map { case (r, rid) => r -> rid }.toMap
+    val fin = finRanges.map { case ((g, lo, hi), rid) => (rid, g, lo, hi) }
+      .toDF("__rid", "__rg", "__lo", "__hi")
+    val perValue = vals
+      .join(broadcast(fin), col("__g") === col("__rg") &&
+        col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+      .groupBy(col("__rid"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .as[(Int, Long, Long)]
+      .collect()
+      .groupBy(_._1)
+    cands.map { c =>
+      var rem = c.inner
+      val value = perValue(finRidOf((c.g, c.lo, c.hi))).sortBy(_._2)
+        .iterator
+        .map { case (_, v, cnt) => (v, cnt) }
+        .find { case (_, cnt) => rem <= cnt || { rem -= cnt; false } }
+        .map(_._1)
+        .getOrElse(throw new IllegalStateException(
+          s"rank ${c.rank} fell off the value counts for group=${c.g}"))
+      (c, value)
+    }
+  }
+
+  // --------------------------------------------------- public faces
 
   /** Type-1 discrete quantiles of `valueCol` (integral): one row
     * `(q, rank, value, n_values)` per requested fraction, where
@@ -49,14 +193,16 @@ object ExactSelection {
     * convention. `qs` must lie in [0, 1].
     */
   def quantilesDisc(df: DataFrame, valueCol: String, qs: Seq[Double],
-                    maxBuckets: Int = 1 << 16): DataFrame = {
+                    maxBuckets: Int = 1 << 16,
+                    driverRowBudget: Long = DefaultDriverRowBudget)
+      : DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantile fractions must be in [0,1], got $qs")
     require(maxBuckets >= 2, "maxBuckets must be at least 2")
     val spark = df.sparkSession
     import spark.implicits._
-
-    val vals = df.select(col(valueCol).cast("long").as("__v"))
+    val vals = df.select(lit("").as("__g"),
+        col(valueCol).cast("long").as("__v"))
       .filter(col("__v").isNotNull)
       .persist()
     try {
@@ -72,204 +218,83 @@ object ExactSelection {
       // Real measure domains (cents, micros, counts) are nowhere near
       // this; a domain genuinely spanning > 2^63 needs one extra
       // pre-split pass this operator does not implement.
-      require(BigInt(vmax) - BigInt(vmin) < BigInt(2).pow(63),
+      require(width(vmin, vmax) < BigInt(2).pow(63),
         "value domain spans more than 2^63; pre-split the input first")
-
-      // candidate state per quantile: value range [lo, hi] known to
-      // contain the answer, and the rank WITHIN that range
-      final case class Cand(id: Int, q: Double, rank: Long,
-                            lo: Long, hi: Long, inner: Long)
-      var cands = qs.zipWithIndex.map { case (q, i) =>
+      val init = qs.zipWithIndex.map { case (q, i) =>
         val k = math.max(1L, math.ceil(q * n).toLong)
-        Cand(i, q, k, vmin, vmax, k)
+        Cand("", i, k, vmin, vmax, k)
       }
-
-      // width as unsigned-safe BigInt: hi - lo can overflow Long when
-      // the domain spans both Long extremes
-      def width(c: Cand): BigInt = BigInt(c.hi) - BigInt(c.lo)
-
-      while (cands.exists(width(_) >= maxBuckets)) {
-        val active = cands.filter(width(_) >= maxBuckets)
-        // quantiles of one distribution start from (and often stay
-        // in) IDENTICAL ranges — histogram each DISTINCT range once,
-        // not once per quantile; shift = smallest s putting the range
-        // into < maxBuckets buckets
-        val planned = active.map(c => (c.lo, c.hi)).distinct
-          .zipWithIndex.map { case ((lo, hi), rid) =>
-            val w = BigInt(hi) - BigInt(lo)
-            var s = 1
-            while ((w >> s) >= maxBuckets) s += 1
-            (rid, lo, hi, 1L << s, s)
-          }
-        val ridOf = planned.map(p => (p._2, p._3) -> p._1).toMap
-        val ranges = planned.map { case (rid, lo, hi, p2, _) =>
-          (rid, lo, hi, p2)
-        }.toDF("__id", "__lo", "__hi", "__p2")
-        // one scan: per-range equi-width histogram — bucket = the
-        // non-negative (v − lo) DIV 2^s, a codegen'd integral divide
-        // (functions.shiftright only takes a literal shift). Ranges
-        // may overlap (a value lands in every range containing it) —
-        // each group is keyed by the range id, so overlap
-        // double-counts nothing.
-        val hist = vals
-          .join(broadcast(ranges),
-            col("__v") >= col("__lo") && col("__v") <= col("__hi"))
-          .groupBy(col("__id"),
-            expr("(__v - __lo) DIV __p2").as("__b"))
-          .agg(count(lit(1)).as("__c"))
-          .as[(Int, Long, Long)]
-          .collect()
-          .groupBy(_._1)
-        val shifts = planned.map { case (rid, lo, _, _, s) =>
-          rid -> (lo, s)
-        }.toMap
-        cands = cands.map { c =>
-          if (width(c) < maxBuckets) c
-          else {
-            val rid = ridOf((c.lo, c.hi))
-            val (lo, s) = shifts(rid)
-            var rem = c.inner
-            val buckets = hist(rid).sortBy(_._2)
-            val (b, cnt) = buckets.iterator
-              .map { case (_, b, cnt) => (b, cnt) }
-              .find { case (_, cnt) => rem <= cnt || { rem -= cnt; false } }
-              .getOrElse(throw new IllegalStateException(
-                s"rank ${c.rank} fell off the histogram for q=${c.q}"))
-            // BigInt guards the bucket-edge arithmetic near Long.Max
-            val nloB = BigInt(lo) + (BigInt(b) << s)
-            val nhiB = (nloB + (BigInt(1) << s) - 1).min(BigInt(c.hi))
-            Cand(c.id, c.q, c.rank, nloB.toLong, nhiB.toLong, rem)
-          }
-        }
-      }
-
-      // final scan: exact per-value counts inside each narrow range
-      // (distinct ranges again shared across quantiles)
-      val finRanges = cands.map(c => (c.lo, c.hi)).distinct.zipWithIndex
-      val finRidOf = finRanges.map { case (r, rid) => r -> rid }.toMap
-      val fin = finRanges.map { case ((lo, hi), rid) => (rid, lo, hi) }
-        .toDF("__id", "__lo", "__hi")
-      val perValue = vals
-        .join(broadcast(fin),
-          col("__v") >= col("__lo") && col("__v") <= col("__hi"))
-        .groupBy(col("__id"), col("__v"))
-        .agg(count(lit(1)).as("__c"))
-        .as[(Int, Long, Long)]
-        .collect()
-        .groupBy(_._1)
-      val out = cands.map { c =>
-        var rem = c.inner
-        val value = perValue(finRidOf((c.lo, c.hi))).sortBy(_._2).iterator
-          .map { case (_, v, cnt) => (v, cnt) }
-          .find { case (_, cnt) => rem <= cnt || { rem -= cnt; false } }
-          .map(_._1)
-          .getOrElse(throw new IllegalStateException(
-            s"rank ${c.rank} fell off the value counts for q=${c.q}"))
-        (c.q, c.rank, value, n)
-      }
-      out.toDF("q", "rank", "value", "n_values").orderBy(col("q"))
+      drill(vals, init, maxBuckets, driverRowBudget)
+        .map { case (c, v) => (qs(c.id), c.rank, v, n) }
+        .toDF("q", "rank", "value", "n_values").orderBy(col("q"))
     } finally vals.unpersist()
   }
 
-  /** PER-KEY lower median by the same sort-free drill — the scale
-    * path for "median of a huge expansion per group" (Theil–Sen
-    * slopes, latency percentiles per tenant): no sort, no window, no
-    * RDD conversion; each round is one hash aggregation over the
-    * input with ≤ `maxBuckets` live buckets per key. Driver memory is
-    * O(|keys| · maxBuckets) histogram rows per round — keys must be
-    * GROUP-like (priorities, tenants), not data-like.
+  /** PER-KEY type-1 discrete quantiles by the same sort-free drill —
+    * the scale path for "p50/p95/p99 per tenant" over a table no one
+    * wants to sort: no sort, no window, no data-sized shuffle; each
+    * round is one hash aggregation over the input, and the driver
+    * walk is budget-bounded regardless of key count (see the class
+    * doc). The projected input persists for the drill's ≈
+    * log(range)/log(buckets) + 2 rounds and releases on return.
     *
-    * The projected input persists for the drill's ≈
-    * log_maxBuckets(range) + 2 rounds and releases on return, so an
-    * expensive upstream runs once. Returns `(keyCol, n_values,
-    * value)` with `value` the rank-`(n+1) DIV 2` smallest per key;
-    * NULL values and NULL keys are ignored, empty keys drop.
+    * Returns `(keyCol, q, rank, value, n_values)` — `rank =
+    * max(1, ceil(q·n_key))`, `value` the rank-th smallest within the
+    * key (percentile_disc semantics per key). NULL values and NULL
+    * keys are ignored; empty keys drop.
     */
-  def lowerMedianPerKey(df: DataFrame, keyCol: String, valueCol: String,
-                        maxBuckets: Int = 1 << 16): DataFrame = {
+  def quantilesDiscPerKey(df: DataFrame, keyCol: String, valueCol: String,
+                          qs: Seq[Double], maxBuckets: Int = 1 << 16,
+                          driverRowBudget: Long = DefaultDriverRowBudget)
+      : DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantile fractions must be in [0,1], got $qs")
     require(maxBuckets >= 2, "maxBuckets must be at least 2")
     val spark = df.sparkSession
     import spark.implicits._
-    // NOTE: this is the same drill loop as quantilesDisc above, keyed
-    // — a fix to either rank walk / bucket-narrowing step must land in
-    // BOTH (they share spec coverage via the brute-force differentials)
-    val vals = df.select(col(keyCol).cast("string").as("__key"),
+    val vals = df.select(col(keyCol).cast("string").as("__g"),
         col(valueCol).cast("long").as("__v"))
-      // NULL keys would fall out of the equi-joins below after being
-      // planned — drop them up front (no group, no median)
-      .filter(col("__v").isNotNull && col("__key").isNotNull)
+      // NULL keys would fall out of the equi-joins in the drill after
+      // being planned — drop them up front (no group, no quantile)
+      .filter(col("__v").isNotNull && col("__g").isNotNull)
       .persist()
     val keyType = df.schema(keyCol).dataType
     try {
-    val stats = vals.groupBy(col("__key"))
-      .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
-        count(lit(1)).as("n"))
-      .as[(String, Long, Long, Long)].collect()
-    stats.foreach { case (k, lo, hi, _) =>
-      require(BigInt(hi) - BigInt(lo) < BigInt(2).pow(63),
-        s"value domain of key $k spans more than 2^63") }
-    // per-key candidate state: [lo, hi] contains the answer at
-    // residual rank `inner`
-    var cands = stats.toSeq.map { case (k, lo, hi, n) =>
-      (k, lo, hi, (n + 1L) / 2L, n)
-    }
-    while (cands.exists(c => BigInt(c._3) - BigInt(c._2) >= maxBuckets)) {
-      val active = cands.filter(c => BigInt(c._3) - BigInt(c._2) >= maxBuckets)
-      val planned = active.map { case (k, lo, hi, _, _) =>
-        val w = BigInt(hi) - BigInt(lo)
-        var s = 1
-        while ((w >> s) >= maxBuckets) s += 1
-        (k, lo, hi, 1L << s, s)
-      }
-      val ranges = planned.map(p => (p._1, p._2, p._3, p._4))
-        .toDF("__key", "__lo", "__hi", "__p2")
-      val hist = vals.join(broadcast(ranges), Seq("__key"))
-        .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
-        .groupBy(col("__key"), expr("(__v - __lo) DIV __p2").as("__b"))
-        .agg(count(lit(1)).as("__c"))
-        .as[(String, Long, Long)].collect()
-        .groupBy(_._1)
-      val shifts = planned.map(p => p._1 -> (p._2, p._5)).toMap
-      cands = cands.map { c =>
-        if (BigInt(c._3) - BigInt(c._2) < maxBuckets) c
-        else {
-          val (k, _, hi, _, n) = c
-          val (lo, s) = shifts(k)
-          var rem = c._4
-          val (b, _) = hist(k).sortBy(_._2).iterator
-            .map { case (_, b, cnt) => (b, cnt) }
-            .find { case (_, cnt) => rem <= cnt || { rem -= cnt; false } }
-            .getOrElse(throw new IllegalStateException(
-              s"median rank fell off the histogram for key $k"))
-          val nloB = BigInt(lo) + (BigInt(b) << s)
-          val nhiB = (nloB + (BigInt(1) << s) - 1).min(BigInt(hi))
-          (k, nloB.toLong, nhiB.toLong, rem, n)
-        }
-      }
-    }
-    val fin = cands.map(c => (c._1, c._2, c._3))
-      .toDF("__key", "__lo", "__hi")
-    val perValue = vals.join(broadcast(fin), Seq("__key"))
-      .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
-      .groupBy(col("__key"), col("__v"))
-      .agg(count(lit(1)).as("__c"))
-      .as[(String, Long, Long)].collect()
-      .groupBy(_._1)
-    cands.map { case (k, _, _, inner, n) =>
-      var rem = inner
-      val value = perValue(k).sortBy(_._2).iterator
-        .map { case (_, v, cnt) => (v, cnt) }
-        .find { case (_, cnt) => rem <= cnt || { rem -= cnt; false } }
-        .map(_._1)
-        .getOrElse(throw new IllegalStateException(
-          s"median rank fell off the value counts for key $k"))
-      (k, n, value)
-    }.toDF("__key", "n_values", "value")
-      // the drill keys on a string rendering; hand back the caller's
-      // key type (integral/string keys round-trip exactly)
-      .select(col("__key").cast(keyType).as(keyCol), col("n_values"),
-        col("value"))
-      .orderBy(col(keyCol))
+      val stats = vals.groupBy(col("__g"))
+        .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
+          count(lit(1)).as("n"))
+        .as[(String, Long, Long, Long)].collect()
+      stats.foreach { case (k, lo, hi, _) =>
+        require(width(lo, hi) < BigInt(2).pow(63),
+          s"value domain of key $k spans more than 2^63") }
+      val nOf = stats.map(s => s._1 -> s._4).toMap
+      val init = for {
+        (k, lo, hi, n) <- stats.toSeq
+        (q, i) <- qs.zipWithIndex
+      } yield Cand(k, i, math.max(1L, math.ceil(q * n).toLong), lo, hi,
+        math.max(1L, math.ceil(q * n).toLong))
+      drill(vals, init, maxBuckets, driverRowBudget)
+        .map { case (c, v) => (c.g, qs(c.id), c.rank, v, nOf(c.g)) }
+        .toDF("__g", "q", "rank", "value", "n_values")
+        // the drill keys on a string rendering; hand back the caller's
+        // key type (integral/string keys round-trip exactly)
+        .select(col("__g").cast(keyType).as(keyCol), col("q"),
+          col("rank"), col("value"), col("n_values"))
+        .orderBy(col(keyCol), col("q"))
     } finally vals.unpersist()
   }
+
+  /** PER-KEY lower median — `value` at rank `(n+1) DIV 2` per key
+    * (≡ per-key percentile_disc(0.5); kept as its own face for the
+    * Theil–Sen drill and its oracle rows). Returns
+    * `(keyCol, n_values, value)`.
+    */
+  def lowerMedianPerKey(df: DataFrame, keyCol: String, valueCol: String,
+                        maxBuckets: Int = 1 << 16,
+                        driverRowBudget: Long = DefaultDriverRowBudget)
+      : DataFrame =
+    quantilesDiscPerKey(df, keyCol, valueCol, Seq(0.5), maxBuckets,
+        driverRowBudget)
+      .select(col(keyCol), col("n_values"), col("value"))
+      .orderBy(col(keyCol))
 }

@@ -29,58 +29,52 @@ object KTruss {
     * FINAL-state support: `(lo, hi, support)`.
     */
   def peelRounds(edges: DataFrame, srcCol: String, dstCol: String,
-                 k: Int, rounds: Int): DataFrame = {
+                 k: Int, rounds: Int): DataFrame =
+    peelRoundsFromTriangles(
+      Triangles.canonicalEdges(edges, srcCol, dstCol), None, k, rounds)
+
+  /** [[peelRounds]] over a pre-canonical edge list with an OPTIONAL
+    * pre-enumerated full-graph triangle list (the shared-artifact
+    * face). With `tris`, the O(m^1.5) wedge join never runs AT ALL:
+    * round 1 derives per-edge support by exploding `tris`, and each
+    * survivor round FILTERS the triangle list down to triangles whose
+    * three edges all survived ([[Triangles.filterByEdges]] — three
+    * packed-key semi joins, linear in |triangles|) instead of
+    * re-enumerating wedges over the survivor subgraph, which for
+    * k-truss is by definition the dense (wedge-heavy) part of the
+    * graph.
+    */
+  def peelRoundsFromTriangles(canonical: DataFrame,
+                              tris: Option[DataFrame],
+                              k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var e = Triangles.canonicalEdges(edges, srcCol, dstCol)
-      .localCheckpoint(true)
+    var e = canonical.localCheckpoint(true)
+    var t = tris // shrinks in lockstep with e when provided
     for (_ <- 1 to rounds) {
-      e = e.join(edgeSupport(e), Seq("lo", "hi"), "left")
+      val support = t match {
+        case Some(tt) => Triangles.edgeSupportFromTriangles(tt)
+        case None     => edgeSupport(e)
+      }
+      e = e.join(support, Seq("lo", "hi"), "left")
         .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
         .select(col("lo"), col("hi"))
         .localCheckpoint(true)
+      t = t.map(tt =>
+        Triangles.filterByEdges(tt, e).localCheckpoint(true))
     }
-    e.join(edgeSupport(e), Seq("lo", "hi"), "left")
+    val finalSupport = t match {
+      case Some(tt) => Triangles.edgeSupportFromTriangles(tt)
+      case None     => edgeSupport(e)
+    }
+    e.join(finalSupport, Seq("lo", "hi"), "left")
       .withColumn("support", coalesce(col("support"), lit(0L)))
   }
 
-  /** Triangle-membership count per canonical edge of `e` — the
-    * [[Triangles.census]] oriented wedge enumeration, crediting all
-    * three edges of each triangle through one explode + hash agg.
+  /** Triangle-membership count per canonical edge of `e` — one
+    * [[Triangles.enumerate]] pass, crediting all three edges of each
+    * triangle through one explode + hash agg.
     */
-  private def edgeSupport(e: DataFrame): DataFrame = {
-    val deg = e.select(col("lo").as("n"))
-      .unionAll(e.select(col("hi").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    val o = e
-      .join(deg.select(col("n").as("lo"), col("deg").as("dl")), "lo")
-      .join(deg.select(col("n").as("hi"), col("deg").as("dh")), "hi")
-      .select(
-        when(col("dl") < col("dh") ||
-            (col("dl") === col("dh") && col("lo") < col("hi")),
-          col("lo")).otherwise(col("hi")).as("u"),
-        when(col("dl") < col("dh") ||
-            (col("dl") === col("dh") && col("lo") < col("hi")),
-          col("hi")).otherwise(col("lo")).as("v"))
-    def packed(a: Column, b: Column): Column = {
-      val ok = a >= 0 && b >= 0 && a < (1L << 32) && b < (1L << 32)
-      when(assert_true(ok, lit("KTruss: node ids must fit 32 bits"))
-        .isNull, shiftleft(a, 32).bitwiseOR(b))
-    }
-    val wedges = o.as("ab").join(o.as("ac"),
-        col("ab.u") === col("ac.u") && col("ab.v") < col("ac.v"))
-      .select(col("ab.u").as("u"), col("ab.v").as("v"),
-        col("ac.v").as("w"), packed(col("ab.v"), col("ac.v")).as("ek"))
-    wedges.join(
-        e.select(packed(col("lo"), col("hi")).as("ek")), Seq("ek"),
-        "left_semi")
-      .select(explode(array(
-        struct(least(col("u"), col("v")).as("lo"),
-          greatest(col("u"), col("v")).as("hi")),
-        struct(least(col("u"), col("w")).as("lo"),
-          greatest(col("u"), col("w")).as("hi")),
-        struct(col("v").as("lo"), col("w").as("hi")))).as("ed")) // v < w
-      .select(col("ed.lo").as("lo"), col("ed.hi").as("hi"))
-      .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("support"))
-  }
+  private def edgeSupport(e: DataFrame): DataFrame =
+    Triangles.edgeSupportFromTriangles(Triangles.enumerate(e, "KTruss"))
 }

@@ -9,15 +9,22 @@ import org.apache.spark.sql.functions._
   * WEA'05): orient every edge from its lower to its higher endpoint,
   * join the oriented list with itself on the source to enumerate each
   * wedge (a→b, a→c with b < c) exactly once, then keep wedges whose
-  * closing edge (b→c) exists via a semi join. Every triangle is
-  * counted exactly once, at its minimum vertex.
+  * closing edge (b→c) exists via a join. Every triangle is counted
+  * exactly once, at its minimum vertex.
   *
   * Scale shape: hash joins on node keys — no global structure, no
   * driver-side graph. Orientation is by (degree, id) rank, which caps
   * oriented out-degree at O(√m) and therefore the wedge fan-out at
   * O(m^1.5) even on skewed graphs (the paper's bound); the triangle
-  * COUNT is orientation-independent, so a portable oracle may verify
+  * SET is orientation-independent, so a portable oracle may verify
   * with the simpler id orientation and must agree.
+  *
+  * The O(m^1.5) wedge join is the dominant cost of every consumer
+  * (global census, per-node coefficients, k-truss support), so
+  * [[enumerate]] is a first-class product: run it ONCE, persist the
+  * `(u, v, w)` triangle list, and feed the `...FromTriangles` faces —
+  * the sf~1 ladder showed the three graph queries re-paying the same
+  * enumeration three times.
   */
 object Triangles {
 
@@ -35,14 +42,31 @@ object Triangles {
       .filter(col("lo") =!= col("hi"))
       .distinct()
 
-  /** Global triangle count plus graph size: one row
-    * `(n_nodes, n_edges, n_triangles)`.
-    */
-  def census(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = canonicalEdges(edges, srcCol, dstCol)
-    val deg = e.select(col("lo").as("n"))
+  /** Node degrees of a canonical edge list: `(n, deg)`. */
+  def degrees(e: DataFrame): DataFrame =
+    e.select(col("lo").as("n"))
       .unionAll(e.select(col("hi").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+
+  /** Closing-edge lookup on a single packed long: one-word hash keys,
+    * and the ~|E|-row build side stays AQE-broadcastable far longer
+    * than a two-column struct. Packing needs ids in [0, 2^32) — the
+    * assert_true fails fast (codegen'd scan-stage check) if not.
+    */
+  private def packed(a: Column, b: Column, tag: String): Column = {
+    val ok = a >= 0 && b >= 0 && a < (1L << 32) && b < (1L << 32)
+    when(assert_true(ok, lit(s"$tag: node ids must fit 32 bits"))
+      .isNull, shiftleft(a, 32).bitwiseOR(b))
+  }
+
+  /** Every triangle of the canonical edge list `e`, exactly once:
+    * `(u, v, w)` where `u` is the orientation apex (both `u→v` and
+    * `u→w` survive the degree orientation) and `v < w`. One wedge
+    * self-join + one closing-edge join — THE O(m^1.5) pass; persist
+    * the result when more than one consumer needs triangles.
+    */
+  def enumerate(e: DataFrame, tag: String = "Triangles"): DataFrame = {
+    val deg = degrees(e)
     // orient each edge toward the (degree, id)-larger endpoint: every
     // triangle then has exactly ONE vertex with both out-edges, and
     // oriented out-degree is O(sqrt m), bounding the wedge join
@@ -56,68 +80,55 @@ object Triangles {
         when(col("dl") < col("dh") ||
             (col("dl") === col("dh") && col("lo") < col("hi")),
           col("hi")).otherwise(col("lo")).as("v"))
-    // closing-edge lookup on a single packed long: one-word hash keys,
-    // and the ~|E|-row build side stays AQE-broadcastable far longer
-    // than a two-column struct. Packing needs ids in [0, 2^32) — the
-    // assert_true fails fast (codegen'd scan-stage check) if not.
-    def packed(a: Column, b: Column): Column = {
-      val ok = a >= 0 && b >= 0 && a < (1L << 32) && b < (1L << 32)
-      when(assert_true(ok, lit("Triangles.census: node ids must fit 32 bits"))
-        .isNull, shiftleft(a, 32).bitwiseOR(b))
-    }
     val wedges = o.as("ab").join(o.as("ac"),
         col("ab.u") === col("ac.u") && col("ab.v") < col("ac.v"))
-      .select(packed(col("ab.v"), col("ac.v")).as("ek"))
-    val tris = wedges.join(
-      e.select(packed(col("lo"), col("hi")).as("ek")), Seq("ek"), "left_semi")
-    deg.agg(count(lit(1)).as("n_nodes"))
+      .select(col("ab.u").as("u"), col("ab.v").as("v"), col("ac.v").as("w"),
+        packed(col("ab.v"), col("ac.v"), tag).as("ek"))
+    wedges.join(
+        e.select(packed(col("lo"), col("hi"), tag).as("ek")),
+        Seq("ek"), "left_semi")
+      .select(col("u"), col("v"), col("w"))
+  }
+
+  /** Global triangle count plus graph size: one row
+    * `(n_nodes, n_edges, n_triangles)`.
+    */
+  def census(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    censusFromTriangles(e, enumerate(e, "Triangles.census"))
+  }
+
+  /** [[census]] over a PRE-ENUMERATED triangle list (the shared-
+    * artifact face: the wedge join ran once, every consumer reads it).
+    */
+  def censusFromTriangles(e: DataFrame, tris: DataFrame): DataFrame =
+    degrees(e).agg(count(lit(1)).as("n_nodes"))
       .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
       .crossJoin(broadcast(tris.agg(count(lit(1)).as("n_triangles"))))
-  }
 
   /** Per-node triangle participation and local clustering coefficient:
     * `(node, deg, n_triangles, clustering_ppm)` for every node, where
     * `clustering_ppm = ⌊2·T·10⁶ / (deg·(deg−1))⌋` (Watts–Strogatz
     * local coefficient as an exact parts-per-million integer; 0 for
-    * degree < 2). Same oriented wedge join as [[census]] — each
-    * triangle is ENUMERATED once at its orientation apex (an inner
-    * join on the packed closing-edge key instead of the count's semi
-    * join), then credited to all three corners through one 3-struct
-    * explode and counted in a hash aggregation. The ppm division runs
-    * in DECIMAL(38,0) so warehouse-scale degrees cannot overflow the
-    * 10⁶-scaled numerator.
+    * degree < 2). Each enumerated triangle is credited to all three
+    * corners through one 3-element explode and counted in a hash
+    * aggregation. The ppm division runs in DECIMAL(38,0) so
+    * warehouse-scale degrees cannot overflow the 10⁶-scaled numerator.
     */
   def perNodeCensus(edges: DataFrame, srcCol: String,
                     dstCol: String): DataFrame = {
     val e = canonicalEdges(edges, srcCol, dstCol)
-    val deg = e.select(col("lo").as("n"))
-      .unionAll(e.select(col("hi").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    val o = e
-      .join(deg.select(col("n").as("lo"), col("deg").as("dl")), "lo")
-      .join(deg.select(col("n").as("hi"), col("deg").as("dh")), "hi")
-      .select(
-        when(col("dl") < col("dh") ||
-            (col("dl") === col("dh") && col("lo") < col("hi")),
-          col("lo")).otherwise(col("hi")).as("u"),
-        when(col("dl") < col("dh") ||
-            (col("dl") === col("dh") && col("lo") < col("hi")),
-          col("hi")).otherwise(col("lo")).as("v"))
-    def packed(a: Column, b: Column): Column = {
-      val ok = a >= 0 && b >= 0 && a < (1L << 32) && b < (1L << 32)
-      when(assert_true(ok, lit("Triangles.perNodeCensus: node ids must fit 32 bits"))
-        .isNull, shiftleft(a, 32).bitwiseOR(b))
-    }
-    val wedges = o.as("ab").join(o.as("ac"),
-        col("ab.u") === col("ac.u") && col("ab.v") < col("ac.v"))
-      .select(col("ab.u").as("u"), col("ab.v").as("v"), col("ac.v").as("w"),
-        packed(col("ab.v"), col("ac.v")).as("ek"))
-    val tris = wedges.join(
-        e.select(packed(col("lo"), col("hi")).as("ek")), Seq("ek"), "left_semi")
+    perNodeCensusFromTriangles(e, enumerate(e, "Triangles.perNodeCensus"))
+  }
+
+  /** [[perNodeCensus]] over a pre-enumerated triangle list. */
+  def perNodeCensusFromTriangles(e: DataFrame,
+                                 tris: DataFrame): DataFrame = {
+    val perNode = tris
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-    deg.select(col("n").as("node"), col("deg"))
-      .join(tris, Seq("node"), "left")
+    degrees(e).select(col("n").as("node"), col("deg"))
+      .join(perNode, Seq("node"), "left")
       .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
       .withColumn("clustering_ppm",
         when(col("deg") >= 2,
@@ -125,4 +136,69 @@ object Triangles {
             " div (CAST(deg AS DECIMAL(38,0)) * (deg - 1)) AS BIGINT)"))
           .otherwise(lit(0L)))
   }
+
+  /** DOULION approximate triangle census (Tsourakakis, Kang, Miller &
+    * Faloutsos, KDD'09): sparsify the graph by keeping each edge with
+    * probability `1/inverseP`, count triangles EXACTLY on the sample,
+    * and scale by `inverseP³` — an unbiased estimator whose wedge-join
+    * cost drops ~`inverseP²` (both wedge edges must survive), the
+    * pipeline face for graphs where the exact O(m^1.5) pass is the
+    * budget. Sampling is DETERMINISTIC — an md5 over the canonical
+    * edge key, so the estimate is reproducible run-to-run and an
+    * external SQL oracle can replay it bit-for-bit (no RNG state).
+    *
+    * One row: `(n_edges, n_edges_sampled, n_triangles_sampled,
+    * est_triangles)` where `est_triangles = sampled · inverseP³`
+    * (exact integer math; relative error concentrates as
+    * O(1/√(T/inverseP³)) on graphs with enough triangles).
+    */
+  def sampledCensus(edges: DataFrame, srcCol: String, dstCol: String,
+                    inverseP: Int): DataFrame = {
+    require(inverseP >= 1, s"inverseP must be >= 1, got $inverseP")
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val kept = e.filter(
+      conv(substring(md5(concat_ws("_", col("lo"), col("hi"))), 1, 8),
+        16, 10).cast("long") % inverseP === 0)
+    val tris = enumerate(kept, "Triangles.sampledCensus")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_edges_sampled"))))
+      .crossJoin(broadcast(
+        tris.agg(count(lit(1)).as("n_triangles_sampled"))))
+      .withColumn("est_triangles",
+        col("n_triangles_sampled") *
+          lit(inverseP.toLong * inverseP * inverseP))
+  }
+
+  /** Triangles of `tris` whose THREE edges all appear in the canonical
+    * edge list `e` — three packed-key semi joins, linear in |tris|.
+    * This is how an iterative consumer (k-truss peel) tracks a
+    * shrinking subgraph WITHOUT re-running the O(m^1.5) wedge join:
+    * a surviving subgraph's triangles are exactly the full-graph
+    * triangles whose edges all survived.
+    */
+  def filterByEdges(tris: DataFrame, e: DataFrame): DataFrame = {
+    val tag = "Triangles.filterByEdges"
+    val ek = e.select(packed(col("lo"), col("hi"), tag).as("__ek"))
+    Seq(
+      packed(least(col("u"), col("v")), greatest(col("u"), col("v")), tag),
+      packed(least(col("u"), col("w")), greatest(col("u"), col("w")), tag),
+      packed(col("v"), col("w"), tag) // v < w by construction
+    ).foldLeft(tris) { (t, key) =>
+      t.join(ek, key === col("__ek"), "left_semi")
+    }
+  }
+
+  /** Triangle-membership count per canonical edge: `(lo, hi, support)`
+    * — only edges in ≥1 triangle appear. The k-truss support pass,
+    * exposed here so a persisted [[enumerate]] result serves it too.
+    */
+  def edgeSupportFromTriangles(tris: DataFrame): DataFrame =
+    tris.select(explode(array(
+        struct(least(col("u"), col("v")).as("lo"),
+          greatest(col("u"), col("v")).as("hi")),
+        struct(least(col("u"), col("w")).as("lo"),
+          greatest(col("u"), col("w")).as("hi")),
+        struct(col("v").as("lo"), col("w").as("hi")))).as("ed")) // v < w
+      .select(col("ed.lo").as("lo"), col("ed.hi").as("hi"))
+      .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("support"))
 }

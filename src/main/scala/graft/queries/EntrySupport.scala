@@ -76,7 +76,8 @@ private[graft] trait EntrySupport { this: SparkEntry.type =>
       */
     val BuilderVersions: Map[String, String] = Map(
       "pairs" -> "r9-1", "labels" -> "r9-1",
-      "epairs" -> "r9-1", "edges" -> "r9-1").withDefaultValue("r10-1")
+      "epairs" -> "r9-1", "edges" -> "r9-1",
+      "tris" -> "r12-1").withDefaultValue("r10-1")
     /** Effective version — `graft.artifact.version.<name>` (sys-prop)
       * overrides for specs that pin the one-artifact-rebuild contract.
       */
@@ -204,6 +205,28 @@ private[graft] trait EntrySupport { this: SparkEntry.type =>
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
         .agg(count(lit(1)).as("n_both"))
+    }
+
+  /** Canonical full-co-purchase edge list, derived from
+    * [[copurchasePairs]] (already pa < pb distinct — the canonical
+    * pass just renames and re-guards).
+    */
+  private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    operators.Triangles.canonicalEdges(
+      copurchasePairs(s, d).select(col("pa"), col("pb")), "pa", "pb")
+
+  /** One triangle ENUMERATION of the full co-purchase graph shared by
+    * q119 (census), q140 (per-node clustering), and q218 (k-truss
+    * round-1 support): the O(m^1.5) oriented wedge join — the single
+    * dominant cost of all three queries on the sf~1 ladder (38 + 63 +
+    * 79 s, each re-paying the same pass) — runs once per
+    * (session, sf-dir) and lands in a `(u, v, w)` parquet artifact.
+    * The triangle SET is orientation-independent, so every consumer's
+    * oracle replays unchanged.
+    */
+  private[graft] def triangleList(s: SparkSession, d: String): DataFrame =
+    SessionArtifacts.getOrBuild("tris", s, d) {
+      operators.Triangles.enumerate(copurchaseEdges(s, d), "trisArtifact")
     }
 
   // ----------------------------------------------------- source round-trips

@@ -45,12 +45,13 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     * build) via oriented wedge join + closing-edge semi join
     * ([[operators.Triangles]]) — the clustering-structure companion
     * to PageRank's centrality: two hash joins, no driver-side graph.
+    * Reads the shared [[triangleList]] artifact — the O(m^1.5) wedge
+    * enumeration runs once for q119/q140/q218 instead of three times
+    * (the sf~1 ladder's top-3 costs were all the same pass).
     */
-  def q119Triangles(s: SparkSession, d: String): DataFrame = {
-    val edges = copurchasePairs(s, d)
-      .select(col("pa").as("src"), col("pb").as("dst"))
-    operators.Triangles.census(edges, "src", "dst")
-  }
+  def q119Triangles(s: SparkSession, d: String): DataFrame =
+    operators.Triangles.censusFromTriangles(
+      copurchaseEdges(s, d), triangleList(s, d))
 
   // ---------------------------------------------------------------- q134
   /** Label-propagation community detection over the co-purchase part
@@ -71,14 +72,13 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     * ([[operators.Triangles.perNodeCensus]]) — the node-level
     * companion to q119's global census: how close each part's
     * neighborhood is to a clique, as an exact ppm integer. Reuses the
-    * shared co-purchase pair artifact; triangles enumerate once at
-    * their orientation apex and credit all three corners via a
-    * 3-struct explode + hash count.
+    * shared co-purchase pair artifact AND the shared [[triangleList]]
+    * enumeration (one wedge join for q119/q140/q218); triangles credit
+    * all three corners via a 3-element explode + hash count.
     */
   def q140ClusteringCoeff(s: SparkSession, d: String): DataFrame =
-    operators.Triangles.perNodeCensus(
-        copurchasePairs(s, d).select(col("pa").as("src"), col("pb").as("dst")),
-        "src", "dst")
+    operators.Triangles.perNodeCensusFromTriangles(
+        copurchaseEdges(s, d), triangleList(s, d))
       .orderBy(col("node"))
 
   // ---------------------------------------------------------------- q144
@@ -249,14 +249,16 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     * triangles as the part pool grows with SF; k = 5 would keep ~75%
     * of the graph and triple the peel cost for no extra semantics).
     * Fixed 2 rounds for oracle replay (unrolled CTEs, the
-    * kcorePeelSql discipline) — round 1 pays the full-graph support
-    * pass, the survivors are small. Seventh consumer of the shared
+    * kcorePeelSql discipline) — round 1's full-graph support pass now
+    * explodes the shared [[triangleList]] artifact (one wedge
+    * enumeration for q119/q140/q218); the survivor rounds re-enumerate
+    * their own (small) subgraphs. Seventh consumer of the shared
     * co-purchase edge artifact.
     */
   def q218KtrussPeel(s: SparkSession, d: String): DataFrame =
-    operators.KTruss.peelRounds(
-        copurchasePairs(s, d).select(col("pa"), col("pb")),
-        "pa", "pb", k = 7, rounds = 2)
+    operators.KTruss.peelRoundsFromTriangles(
+        copurchaseEdges(s, d), Some(triangleList(s, d)),
+        k = 7, rounds = 2)
       .orderBy(col("lo"), col("hi"))
 
   // ---------------------------------------------------------------- q241
@@ -398,7 +400,24 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
         .select(col("pa"), col("pb")), "pa", "pb",
       maxWedgeDegree = 10000, topK = 20)
 
+  // ---------------------------------------------------------------- q281
+  /** DOULION edge-sampled triangle census
+    * ([[operators.Triangles.sampledCensus]]) over the full co-purchase
+    * graph — the approximate PIPELINE face of q119's exact census: each
+    * canonical edge survives iff `md5(lo_hi) % 4 = 0` (deterministic,
+    * oracle-replayable — no RNG state), triangles are counted exactly
+    * on the ~m/4 sample, and the estimate scales by 4³. The wedge join
+    * runs on a graph with 1/16th the wedge mass, which is the whole
+    * point at 100 TB: a budget pass that brackets the exact count
+    * before committing to the full O(m^1.5) enumeration.
+    */
+  def q281TrianglesSampled(s: SparkSession, d: String): DataFrame =
+    operators.Triangles.sampledCensus(
+      copurchasePairs(s, d).select(col("pa").as("src"), col("pb").as("dst")),
+      "src", "dst", inverseP = 4)
+
   private[graft] def queriesGraph: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_triangles_sampled" -> (q281TrianglesSampled _),
     "q269_rich_club" -> (q269RichClub _),
     "q276_link_suite" -> (q276LinkSuite _),
     "q262_boruvka_mst" -> (q262BoruvkaMst _),
@@ -898,5 +917,26 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
         |FROM a2 ORDER BY auth DESC, item LIMIT 20""".stripMargin,
     "q179_textrank" -> textRankSql(2),
     "q181_sssp" -> ssspSql(4),
-    "q218_ktruss_peel" -> kTrussSql(rounds = 2, k = 7))
+    "q218_ktruss_peel" -> kTrussSql(rounds = 2, k = 7),
+    "q281_triangles_sampled" ->
+      // q119's replay over the md5-sampled edge subset: the same
+      // first-8-hex-chars-of-md5 hash both engines compute identically
+      // on the canonical "lo_hi" key; estimate = sampled · 4³
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS lo, b.pk AS hi
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |s AS (SELECT lo, hi FROM e
+        |      WHERE CAST(('0x' || substr(md5(CAST(lo AS VARCHAR) || '_'
+        |        || CAST(hi AS VARCHAR)), 1, 8)) AS BIGINT) % 4 = 0),
+        |w AS (SELECT ab.hi AS lo, ac.hi AS hi
+        |      FROM s ab JOIN s ac ON ab.lo = ac.lo AND ab.hi < ac.hi)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_edges_sampled,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM w
+        |   WHERE EXISTS (SELECT 1 FROM s WHERE s.lo = w.lo AND s.hi = w.hi))
+        |    AS n_triangles_sampled,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM w
+        |   WHERE EXISTS (SELECT 1 FROM s WHERE s.lo = w.lo AND s.hi = w.hi))
+        |    * CAST(64 AS BIGINT) AS est_triangles""".stripMargin)
 }

@@ -407,4 +407,53 @@ class GraphSpec extends SparkSpec {
         r.getLong(3))).toSeq
     assert(got === Seq((1L, 3L, 1L, 500000L), (2L, 3L, 1L, 500000L)))
   }
+
+  test("shared triangle list: FromTriangles faces agree with standalone") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    // K5 + pendant triangle + bridge: multiple supports, degrees 1..4
+    val edges = (clique(Seq(1L, 2L, 3L, 4L, 5L)) ++
+      clique(Seq(10L, 11L, 12L)) ++ Seq((5L, 10L))).toDF("src", "dst")
+    val e = Triangles.canonicalEdges(edges, "src", "dst")
+    val tris = Triangles.enumerate(e).localCheckpoint(true)
+    // census: K5 has C(5,3)=10 triangles + 1 pendant = 11
+    val c = Triangles.censusFromTriangles(e, tris).collect()(0)
+    assert((c.getLong(0), c.getLong(1), c.getLong(2)) === ((8L, 14L, 11L)))
+    // per-node face equals the standalone path row-for-row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows(Triangles.perNodeCensusFromTriangles(e, tris)) ===
+      rows(Triangles.perNodeCensus(edges, "src", "dst")))
+    // k-truss with the precomputed round-1 support equals the
+    // re-enumerating path (same survivors, same final support)
+    def truss(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(truss(KTruss.peelRoundsFromTriangles(e, Some(tris), k = 4, rounds = 2)) ===
+      truss(KTruss.peelRounds(edges, "src", "dst", k = 4, rounds = 2)))
+    Retained.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
+  test("DOULION sampled census: deterministic, and inverseP=1 is exact") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = clique((1L to 12L)).toDF("src", "dst") // K12: 220 triangles
+    // p=1 keeps every edge: the estimate IS the exact census
+    val exact = Triangles.sampledCensus(edges, "src", "dst", inverseP = 1)
+      .collect()(0)
+    assert((exact.getLong(0), exact.getLong(1)) === ((66L, 66L)))
+    assert(exact.getLong(2) === 220L && exact.getLong(3) === 220L)
+    // p=2: deterministic md5 sampling — two runs agree bit-for-bit,
+    // the estimate is sampled·8, and the sample is a strict subset
+    val a = Triangles.sampledCensus(edges, "src", "dst", inverseP = 2)
+      .collect()(0)
+    val b = Triangles.sampledCensus(edges, "src", "dst", inverseP = 2)
+      .collect()(0)
+    assert(a.toSeq === b.toSeq)
+    assert(a.getLong(1) < a.getLong(0))
+    assert(a.getLong(3) === a.getLong(2) * 8L)
+  }
 }

@@ -67,6 +67,51 @@ class RankSelectionSpec extends SparkSpec {
     assert(deep === got)
   }
 
+  test("quantilesDiscPerKey matches brute-force per-key percentile_disc") {
+    val data = Map(
+      "a" -> (1L to 100L).map(i => (i * 13) % 101),
+      "b" -> Seq(5L, 5L, 5L, 7L, 1000000L),
+      "c" -> Seq(-9L))
+    val df = data.toSeq.flatMap { case (k, vs) => vs.map(k -> _) }
+      .toDF("k", "v")
+    val qs = Seq(0.5, 0.95, 0.99)
+    val got = ExactSelection.quantilesDiscPerKey(df, "k", "v", qs)
+      .as[(String, Double, Long, Long, Long)].collect().toSeq
+    val want = for {
+      (k, vs) <- data.toSeq.sortBy(_._1)
+      q <- qs
+      sorted = vs.sorted
+      rk = math.max(1L, math.ceil(q * vs.size).toLong)
+    } yield (k, q, rk, sorted((rk - 1).toInt), vs.size.toLong)
+    assert(got === want)
+  }
+
+  test("keyed drill survives many keys under a tiny driver budget") {
+    // 500 keys × wide domains with driverRowBudget=2048: the per-round
+    // allowance shrinks to 4 buckets/range (2048/500) instead of
+    // collecting 500 × 2^16 rows — the r11 footgun. Results must stay
+    // exact (more rounds, same answer).
+    val df = (0 until 500).flatMap { k =>
+      (1 to 7).map(i => (s"k$k", (i * 997L + k * 31L) % 100000L))
+    }.toDF("k", "v")
+    val got = ExactSelection.lowerMedianPerKey(df, "k", "v",
+        driverRowBudget = 2048L)
+      .as[(String, Long, Long)].collect()
+      .map { case (k, _, v) => k -> v }.toMap
+    val want = (0 until 500).map { k =>
+      val vs = (1 to 7).map(i => (i * 997L + k * 31L) % 100000L).sorted
+      s"k$k" -> vs(3)
+    }.toMap
+    assert(got === want)
+    // a key count that cannot even afford 2 buckets per range fails
+    // loudly instead of flooding the driver
+    val e = intercept[IllegalArgumentException] {
+      ExactSelection.lowerMedianPerKey(df, "k", "v",
+        driverRowBudget = 100L)
+    }
+    assert(e.getMessage.contains("GROUP-like"))
+  }
+
   test("quantilesDisc is exact under heavy skew (one value dominating)") {
     val xs: Seq[Long] = Seq.fill(10000)(42L) ++ Seq(1L, 999999999L)
     val got = ExactSelection.quantilesDisc(xs.toDF("v"), "v",
