@@ -19,7 +19,7 @@ import graft.operators.Merge.{DuplicateMode, ImportMode, Key}
   *  - every result carries a deterministic total ORDER BY.
   */object SparkEntry
     extends EntrySupport
-    with RelationalQueries with SourcesQueries with TextQueries with DedupQueries with EventsQueries with StatsQueries with GraphQueries with TemporalQueries with StreamingQueries {
+    with RelationalQueries with SourcesQueries with TextQueries with DedupQueries with EventsQueries with StatsQueries with RankStatsQueries with TimeseriesStatsQueries with GraphQueries with TemporalQueries with StreamingQueries {
 
   import Tables._
 
@@ -59,6 +59,8 @@ import graft.operators.Merge.{DuplicateMode, ImportMode, Key}
     queriesDedup ++
     queriesEvents ++
     queriesStats ++
+    queriesStatsRank ++
+    queriesStatsTs ++
     queriesGraph ++
     queriesTemporal ++
     queriesStreaming
@@ -71,6 +73,8 @@ import graft.operators.Merge.{DuplicateMode, ImportMode, Key}
     oracleSqlDedup ++
     oracleSqlEvents ++
     oracleSqlStats ++
+    oracleSqlStatsRank ++
+    oracleSqlStatsTs ++
     oracleSqlGraph ++
     oracleSqlTemporal ++
     oracleSqlStreaming
@@ -86,6 +90,7 @@ import graft.operators.Merge.{DuplicateMode, ImportMode, Key}
     Seq("relational" -> queriesRelational, "sources" -> queriesSources,
       "text" -> queriesText, "dedup" -> queriesDedup,
       "events" -> queriesEvents, "stats" -> queriesStats,
+      "stats-rank" -> queriesStatsRank, "stats-ts" -> queriesStatsTs,
       "graph" -> queriesGraph, "temporal" -> queriesTemporal,
       "streaming" -> queriesStreaming)
 
@@ -93,6 +98,7 @@ import graft.operators.Merge.{DuplicateMode, ImportMode, Key}
     Seq("relational" -> oracleSqlRelational,
       "sources" -> oracleSqlSources, "text" -> oracleSqlText,
       "dedup" -> oracleSqlDedup, "events" -> oracleSqlEvents,
-      "stats" -> oracleSqlStats, "graph" -> oracleSqlGraph,
+      "stats" -> oracleSqlStats, "stats-rank" -> oracleSqlStatsRank,
+      "stats-ts" -> oracleSqlStatsTs, "graph" -> oracleSqlGraph,
       "temporal" -> oracleSqlTemporal, "streaming" -> oracleSqlStreaming)
 }

@@ -126,7 +126,26 @@ object ProductQuantization {
                cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val d = dims(corpus, cVec)
     val cb = fitCodebooksD(corpus, cId, cVec, m, k, iters, d)
-    val enc = encodeD(corpus, cId, cVec, cb, m, d)
+    pqRecallWithIndex(queries, corpus, cb,
+      encodeD(corpus, cId, cVec, cb, m, d), m, topK, qId, qVec, cId, cVec)
+  }
+
+  /** [[pqRecall]] against a PRE-TRAINED index — `codebooks` and the
+    * `encoded` code table come from [[graft.index.IndexStore]] (or any
+    * prior [[fitCodebooks]]/[[encode]] run) instead of being retrained
+    * inside the query: train once, serve many runs. Output is
+    * bit-identical to [[pqRecall]] given the same training inputs,
+    * which is what the load-≡-retrain oracle row pins.
+    */
+  def pqRecallWithIndex(queries: DataFrame, corpus: DataFrame,
+                        codebooks: DataFrame, encoded: DataFrame,
+                        m: Int, topK: Int,
+                        qId: String = "query_id", qVec: String = "query_vec",
+                        cId: String = "vec_id", cVec: String = "embedding")
+      : DataFrame = {
+    val d = dims(corpus, cVec)
+    val cb = codebooks
+    val enc = encoded
     val approx = adcTopK(queries, enc, cb, m, d, topK, qId, qVec, cId)
       .select(col(qId), col("neighbor_id"))
     val exact = Similarity.bruteForceTopK(queries, corpus, topK,

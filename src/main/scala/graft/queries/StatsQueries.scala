@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Merge, Ordinals}
 import graft.operators.Merge.{DuplicateMode, ImportMode, Key}
 
-/** Statistical screen queries — tests (chi-square/KS/Mann-Whitney/Spearman), sketches (KMV/HLL/CMS), sampling, distribution audits, model-eval style metrics.
+/** Statistical screen queries — sketches (KMV/HLL/CMS), sampling,
+  * distribution audits, privacy, drift, and model-eval style metrics.
   *
-  * Split from the monolithic `SparkEntry.scala` in round 11 (it had
-  * grown to 9.5k lines); self-typed to [[SparkEntry]] so every query
-  * and shared helper keeps resolving unqualified across family files.
-  * Contributes [[queriesStats]] / [[oracleSqlStats]] to the
+  * Split from the monolithic `SparkEntry.scala` in round 11 and again
+  * in round 12 (hypothesis tests/correlation moved to
+  * [[RankStatsQueries]], smoothing/forecast/series to
+  * [[TimeseriesStatsQueries]]); self-typed to [[SparkEntry]] so every
+  * query and shared helper keeps resolving unqualified across family
+  * files. Contributes [[queriesStats]] / [[oracleSqlStats]] to the
   * assembled driver contract.
   */
 private[graft] trait StatsQueries { this: SparkEntry.type =>
@@ -243,98 +246,6 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
           " AS BIGINT)").as("gini_ppm"))
   }
 
-  // ---------------------------------------------------------------- q130
-  /** A/B experiment readout: users hash-assigned to two arms (q58's
-    * md5 discipline — content-keyed, reproducible on any engine), then
-    * per-arm mean/variance of event value and the Welch t statistic.
-    * Sums and sums-of-squares accumulate in DECIMAL (exact, order-
-    * independent); each published double is one fixed expression tree
-    * over those exact sums, rounded at 6dp — the q63 correlation
-    * discipline applied to experiment analysis.
-    */
-  def q130AbTest(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d).select(col("user_id"), col("value"))
-      .withColumn("arm",
-        when(conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 2 === 0, lit("A")).otherwise(lit("B")))
-      .withColumn("v", col("value").cast("decimal(18,2)"))
-    val arms = ev.groupBy(col("arm"))
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
-        sum(col("v") * col("v")).as("ss"))
-    val a = arms.filter(col("arm") === "A")
-      .select(col("n").as("n_a"), col("s").as("s_a"), col("ss").as("ss_a"))
-    val b = arms.filter(col("arm") === "B")
-      .select(col("n").as("n_b"), col("s").as("s_b"), col("ss").as("ss_b"))
-    a.crossJoin(broadcast(b))
-      .withColumn("mean_a", col("s_a").cast("double") / col("n_a").cast("double"))
-      .withColumn("mean_b", col("s_b").cast("double") / col("n_b").cast("double"))
-      .withColumn("var_a",
-        (col("ss_a").cast("double") -
-          col("s_a").cast("double") * col("s_a").cast("double") /
-            col("n_a").cast("double")) / (col("n_a").cast("double") - 1.0))
-      .withColumn("var_b",
-        (col("ss_b").cast("double") -
-          col("s_b").cast("double") * col("s_b").cast("double") /
-            col("n_b").cast("double")) / (col("n_b").cast("double") - 1.0))
-      .select(col("n_a"), col("n_b"),
-        round(col("mean_a"), 6).as("mean_a"),
-        round(col("mean_b"), 6).as("mean_b"),
-        round(col("var_a"), 6).as("var_a"),
-        round(col("var_b"), 6).as("var_b"),
-        round((col("mean_a") - col("mean_b")) /
-          sqrt(col("var_a") / col("n_a").cast("double") +
-               col("var_b") / col("n_b").cast("double")), 6).as("t_welch"))
-  }
-
-  // ---------------------------------------------------------------- q131
-  /** Kaplan–Meier churn survival over user lifetimes: duration = first
-    * to last event in whole days; users still active in the last 7
-    * days of the corpus are right-censored (their lifetime is a lower
-    * bound, exactly the estimator's reason to exist). At each distinct
-    * duration the at-risk count comes from prefix sums over the
-    * duration-distinct frame (≤ |users| rows — the one unpartitioned
-    * window here is aggregation-sized, not corpus-sized), and the
-    * survival product uses the q100 log discipline: per-factor
-    * `round(ln(1−d/n), 6)` summed in DECIMAL, exponentiated once —
-    * engine-exact, with an explicit zero once a stratum exhausts its
-    * risk set.
-    */
-  def q131Survival(s: SparkSession, d: String): DataFrame = {
-    val dayUs = 86400000000L
-    val ev = events(s, d).select(col("user_id"), expr("ts DIV 1000").as("us"))
-    val anchor = ev.agg(max(col("us")).as("end_us"))
-    val life = ev.groupBy(col("user_id"))
-      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
-      .crossJoin(broadcast(anchor))
-      .select(expr(s"(last_us - first_us) DIV $dayUs").as("t"),
-        (col("end_us") - col("last_us") < lit(7L * dayUs)).as("censored"))
-    val strata = life.groupBy(col("t"))
-      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
-        sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
-    val w = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wPrev = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    strata
-      .crossJoin(broadcast(life.agg(count(lit(1)).as("n_total"))))
-      .withColumn("n_risk",
-        col("n_total") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
-      .withColumn("alive", min(when(col("d") < col("n_risk"), 1L).otherwise(0L))
-        .over(w))
-      .withColumn("logterm",
-        when(col("d") < col("n_risk"),
-          round(log(lit(1.0) - col("d").cast("double") /
-            col("n_risk").cast("double")), 6).cast("decimal(18,6)"))
-          .otherwise(lit(null)))
-      .withColumn("surv",
-        when(col("alive") === 1L,
-          round(exp(sum(col("logterm")).over(w).cast("double")), 6))
-          .otherwise(lit(0.0)))
-      .select(col("t").as("t_days"), col("n_risk"), col("d"), col("c"),
-        col("surv"))
-      .orderBy(col("t_days"))
-  }
-
   // ---------------------------------------------------------------- q133
   /** Population-stability-index drift monitor: the event-value
     * distribution of the first corpus week (baseline) vs everything
@@ -463,19 +374,6 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         nBins = 10)
       .orderBy(col("bin"))
 
-  // ---------------------------------------------------------------- q153
-  /** Mann–Whitney U rank-sum test ([[operators.MannWhitney.uTest]]):
-    * purchase vs click event values, midranks with tie correction.
-    * Ranking runs over the distinct-VALUE frame (one value-keyed hash
-    * agg + a bounded window over ~56k distinct 2-dp values), never
-    * over raw rows; rank mass stays exact in half-integers (×2
-    * BIGINTs) and the normal approximation runs once on one row.
-    */
-  def q153MannWhitney(s: SparkSession, d: String): DataFrame =
-    operators.MannWhitney.uTest(
-      events(s, d).filter(col("event_type").isin("click", "purchase")),
-      "value", col("event_type") === "purchase")
-
   // ---------------------------------------------------------------- q156
   /** Count-min sketch ([[operators.Sketches.cmsSketch]]/[[operators
     * .Sketches.cmsQuery]], 4×256): token frequencies sketched into
@@ -521,30 +419,6 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         tieBreak = Seq(col("l_orderkey").asc, col("l_linenumber").asc,
           col("l_partkey").asc, col("l_suppkey").asc))
       .orderBy(col("l_returnflag"))
-
-  // ---------------------------------------------------------------- q159
-  /** Benford first-digit audit ([[operators.Benford.firstDigitAudit]])
-    * of order totals per order status — the forensic ingest gate.
-    * One (group, digit) hash agg + a 9-row-per-group dense frame; χ²
-    * terms are 6-dp DECIMALs so the sum is order-independent.
-    */
-  def q159Benford(s: SparkSession, d: String): DataFrame =
-    operators.Benford.firstDigitAudit(orders(s, d), Seq("o_orderstatus"),
-        "o_totalprice")
-      .orderBy(col("o_orderstatus"), col("digit"))
-
-  // ---------------------------------------------------------------- q163
-  /** Two-sample Kolmogorov–Smirnov drift test ([[operators.KsTest
-    * .ksTwoSample]]): purchase vs click value distributions. The
-    * supremum runs on exact BIGINT ECDF numerators (`|c_A·n_B −
-    * c_B·n_A|`) over the distinct-value frame — no float until the
-    * one published ratio; the argmax value is the deterministic
-    * tie-broken supremum location.
-    */
-  def q163KsTest(s: SparkSession, d: String): DataFrame =
-    operators.KsTest.ksTwoSample(
-      events(s, d).filter(col("event_type").isin("click", "purchase")),
-      "value", col("event_type") === "purchase")
 
   // ---------------------------------------------------------------- q166
   /** Histogram-sketch quantiles ([[operators.Sketches.histSketch]] /
@@ -657,63 +531,6 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         round(max(when(col("q") === 0.99, col("quantile"))), 6).as("p99"),
         max(col("n_values")).as("n"))
       .orderBy(col("l_returnflag"))
-
-  // ---------------------------------------------------------------- q176
-  /** Chi-square independence of `lang` × `source` on documents
-    * ([[operators.Contingency.chiSquareIndependence]]) plus Cramér's V
-    * — the categorical-association audit (a crawl where language
-    * depends strongly on source is fine; a LABEL that depends on
-    * source is leakage). Full-grid zero cells included; 6-dp DECIMAL
-    * term sums.
-    */
-  def q176ChiSquare(s: SparkSession, d: String): DataFrame =
-    operators.Contingency.chiSquareIndependence(
-      documents(s, d), "lang", "source")
-
-  // ---------------------------------------------------------------- q177
-  /** Per-event-type Spearman rank correlation of value vs time
-    * ([[operators.Spearman.correlation]]) — the monotone-drift screen
-    * (is `value` trending within each event type?). Midranks from the
-    * distinct-value frame + distributed two-pass prefix sum; exact
-    * 2·rank integers; one float op per group.
-    */
-  def q177Spearman(s: SparkSession, d: String): DataFrame =
-    operators.Spearman.correlation(events(s, d), "event_type", "value", "ts")
-      .select(col("group").as("event_type"), col("n"), col("rho"))
-      .orderBy(col("event_type"))
-
-  // ---------------------------------------------------------------- q178
-  /** Exact dyadic EWMA (α = 1/2, trailing 8) of per-user event value
-    * cents ordered by (ts, event_id) ([[operators.Ewma.dyadicEwma]]):
-    * power-of-two weights make the smoothed series exact integer
-    * arithmetic — bit-portable, unlike recursive float EWMA. Users
-    * < 100 keep the output row count bounded.
-    */
-  def q178Ewma(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d).filter(col("user_id") < 100)
-      .select(col("user_id"), col("event_id"),
-        expr("ts DIV 1000").as("us"),
-        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-      .withColumn("__ord", struct(col("us"), col("event_id")))
-    operators.Ewma.dyadicEwma(ev, "user_id", "__ord", "cents", window = 8)
-      .select(col("user_id"), col("event_id"), col("us"), col("cents"),
-        col("ewma"))
-      .orderBy(col("user_id"), col("us"), col("event_id"))
-  }
-
-  // ---------------------------------------------------------------- q182
-  /** Cohen's kappa between the n-gram language-ID heuristic (q20) and
-    * the gold `lang` column ([[operators.Contingency.cohenKappa]]) —
-    * the chance-corrected classifier-agreement readout (raw accuracy
-    * flatters any skewed label mix). Integer-exact through κ's
-    * cleared-denominator form; one float divide.
-    */
-  def q182Kappa(s: SparkSession, d: String): DataFrame =
-    operators.Contingency.cohenKappa(
-      documents(s, d).select(
-        functions.TextAnalysis.langId(col("text")).as("pred"),
-        col("lang")),
-      "pred", "lang")
 
   // ---------------------------------------------------------------- q183
   /** Per-event-type skewness / excess kurtosis from exact integer
@@ -859,16 +676,6 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       .agg(count_distinct(col("cluster")).as("n_clusters"),
         count(lit(1)).as("n_docs"))
       .orderBy(col("cluster_size"))
-
-  // ---------------------------------------------------------------- q215
-  /** Mutual information (nats) between document language and source
-    * ([[operators.Contingency.mutualInformation]]) — the
-    * feature-association screen in comparable units ("how much does
-    * knowing the source tell you about the language"), complementing
-    * q176's chi-square on the same table.
-    */
-  def q215MutualInfo(s: SparkSession, d: String): DataFrame =
-    operators.Contingency.mutualInformation(documents(s, d), "lang", "source")
 
   // ---------------------------------------------------------------- q224
   /** Per-label embedding-centroid cosine matrix
@@ -1037,33 +844,6 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     wk.unionByName(tt).orderBy(col("event_type"), col("week"))
   }
 
-  // ---------------------------------------------------------------- q249
-  /** Rank-biased overlap ([[operators.RankCompare.rbo]], Webber et
-    * al. TOIS'10) between two part rankings — by total quantity
-    * shipped vs by distinct-order breadth, top-100 heads, p = 0.9:
-    * the "does swapping the scorer change what the consumer actually
-    * sees" metric, weighted geometrically toward the top the way
-    * attention is. Both metrics are exact integers (quantity summed
-    * as BIGINT, distinct orders counted) with part-key tie-breaks;
-    * the depth weights are the exact ppm recurrence, never
-    * `Math.pow`; the ranking windows run on the post-aggregation
-    * parts frame (bounded by |parts|), all RBO arithmetic on the
-    * 100-row depth grid.
-    */
-  def q249Rbo(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d)
-    def head(m: DataFrame) = m
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("m").desc, col("l_partkey"))))
-      .filter(col("rk") <= 100)
-    val byQty = head(li.groupBy(col("l_partkey"))
-      .agg(sum(col("l_quantity").cast("long")).as("m")))
-    val byBreadth = head(li.groupBy(col("l_partkey"))
-      .agg(count_distinct(col("l_orderkey")).as("m")))
-    operators.RankCompare.rbo(byQty, byBreadth, "l_partkey", "rk",
-      depth = 100, pPpm = 900000L)
-  }
-
   // ---------------------------------------------------------------- q253
   /** Priority-sampling subset-sum estimation
     * ([[operators.Sampling.prioritySampleEstimate]], Duffield–Lund–
@@ -1107,100 +887,6 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     operators.Sketches.histQuantiles(global, binW,
         qPpm = Seq(250000L, 750000L, 990000L))
       .orderBy(col("q_ppm"))
-  }
-
-  // ---------------------------------------------------------------- q257
-  /** Autocorrelation of daily order revenue at lags 1..7
-    * ([[operators.Autocorrelation.acf]]) — the seasonality/memory
-    * screen q198's day-of-week index can't give (ACF sees ALL lags,
-    * not a fixed weekly grid). Revenue is exact daily cents (BIGINT);
-    * deviations are n-scaled integers so numerator and denominator
-    * are DECIMAL(38,0)-exact and the only IEEE op is the final
-    * divide. One scan of orders builds the |days|-sized series; the
-    * ordering window and all seven lags run on that bounded frame in
-    * a single window pass.
-    */
-  def q257Acf(s: SparkSession, d: String): DataFrame = {
-    val daily = orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")).cast("long").as("cents"))
-    operators.Autocorrelation.acf(daily, "day", "cents", maxLag = 7)
-  }
-
-  // ---------------------------------------------------------------- q258
-  /** CUPED variance reduction (Deng et al., WSDM'13) — the modern
-    * companion to q130's two-sample test: adjust each user's
-    * experiment-period metric by their PRE-period activity
-    * (`Y' = Y − θ(X − X̄)`, θ = cov(X,Y)/var(X) pooled over all
-    * users), shrinking variance by ρ² without biasing the A−B delta.
-    * Pre = Jan 1–15, post = Jan 16–30; arms are q130's md5-parity
-    * user split. Exactness: per-user X/Y are DECIMAL(18,2) sums,
-    * deviations are n-scaled integers (the q257 trick, n² cancels in
-    * θ), moments are DECIMAL(38,4)-exact from (19,2) products, and
-    * every IEEE op is a final scalar on the 1-row frame, written in
-    * the same order on both engines. One scan of events → a persisted
-    * |users|-sized frame feeds the pooled moments, per-arm sums, and
-    * the scalar assembly.
-    */
-  def q258Cuped(s: SparkSession, d: String): DataFrame = {
-    val boundaryNs = 1705363200000000000L // 2024-01-16T00:00:00Z
-    val per = operators.Retained.track(
-      events(s, d).filter(col("user_id").isNotNull)
-        .groupBy(col("user_id"))
-        .agg(
-          coalesce(sum(when(col("ts") < boundaryNs,
-            col("value").cast("decimal(18,2)"))), lit(0))
-            .cast("decimal(18,2)").as("x"),
-          coalesce(sum(when(col("ts") >= boundaryNs,
-            col("value").cast("decimal(18,2)"))), lit(0))
-            .cast("decimal(18,2)").as("y"))
-        .withColumn("arm",
-          when(conv(substring(md5(col("user_id").cast("string")), 1, 8),
-            16, 10).cast("long") % 2 === 0, lit("A")).otherwise(lit("B")))
-        .persist())
-    val tot = per.agg(count(lit(1)).as("n"),
-      sum(col("x")).cast("decimal(28,2)").as("sx"),
-      sum(col("y")).cast("decimal(28,2)").as("sy"))
-    val mom = per.crossJoin(broadcast(tot)) // 1-row build side
-      .select(
-        (col("x") * col("n") - col("sx")).cast("decimal(19,2)").as("dx"),
-        (col("y") * col("n") - col("sy")).cast("decimal(19,2)").as("dy"))
-      .agg(sum(col("dx") * col("dx")).as("sxx"),
-        sum(col("dx") * col("dy")).as("sxy"),
-        sum(col("dy") * col("dy")).as("syy"))
-    val arms = per.groupBy(col("arm"))
-      .agg(count(lit(1)).as("n_g"),
-        sum(col("x")).cast("decimal(28,2)").as("sx_g"),
-        sum(col("y")).cast("decimal(28,2)").as("sy_g"))
-    val a = arms.filter(col("arm") === "A")
-      .select(col("n_g").as("n_a"), col("sx_g").as("sx_a"),
-        col("sy_g").as("sy_a"))
-    val b = arms.filter(col("arm") === "B")
-      .select(col("n_g").as("n_b"), col("sx_g").as("sx_b"),
-        col("sy_g").as("sy_b"))
-    a.crossJoin(broadcast(b)).crossJoin(broadcast(tot))
-      .crossJoin(broadcast(mom))
-      .withColumn("theta",
-        col("sxy").cast("double") / col("sxx").cast("double"))
-      .withColumn("xbar", col("sx").cast("double") / col("n").cast("double"))
-      .withColumn("ma_raw",
-        col("sy_a").cast("double") / col("n_a").cast("double"))
-      .withColumn("mb_raw",
-        col("sy_b").cast("double") / col("n_b").cast("double"))
-      .withColumn("ma_adj", col("ma_raw") - col("theta") *
-        (col("sx_a").cast("double") / col("n_a").cast("double") - col("xbar")))
-      .withColumn("mb_adj", col("mb_raw") - col("theta") *
-        (col("sx_b").cast("double") / col("n_b").cast("double") - col("xbar")))
-      .select(col("n_a"), col("n_b"),
-        (round(col("theta"), 6) + 0.0).as("theta"),
-        (round((col("sxy").cast("double") * col("sxy").cast("double")) /
-          (col("sxx").cast("double") * col("syy").cast("double")), 6) + 0.0)
-          .as("rho_sq"),
-        (round(col("ma_raw"), 6) + 0.0).as("mean_a_raw"),
-        (round(col("mb_raw"), 6) + 0.0).as("mean_b_raw"),
-        (round(col("ma_adj"), 6) + 0.0).as("mean_a_adj"),
-        (round(col("mb_adj"), 6) + 0.0).as("mean_b_adj"))
   }
 
   // ---------------------------------------------------------------- q259
@@ -1289,235 +975,6 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       .orderBy(col("n_name"))
   }
 
-  // ---------------------------------------------------------------- q264
-  /** Holt linear-trend smoothing of daily revenue per order priority
-    * ([[operators.Holt.linearTrend]], α=1/5 β=1/10): EWMA q178 gave
-    * level-only smoothing; Holt tracks level AND trend, and the
-    * published `forecast_next = level + trend` is the one-step-ahead
-    * forecast a metric monitor alerts against. The recurrence runs in
-    * exact integer cents (half-toward-+∞ rounding via the offset
-    * floor-div identity), so all ~2,400 steps per series replay
-    * bit-identically in the oracle's recursive CTE. Five priorities =
-    * five independent series folded in parallel; the fold input is
-    * the |days|-sized pre-aggregation, scanned once.
-    */
-  def q264HoltTrend(s: SparkSession, d: String): DataFrame = {
-    val daily = orders(s, d)
-      .groupBy(col("o_orderpriority").as("priority"),
-        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"))
-      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")).cast("long").as("cents"))
-    operators.Holt.linearTrend(daily, "priority", "day", "cents")
-  }
-
-  // ---------------------------------------------------------------- q265
-  /** Vocabulary-growth audit with a Heaps'-law fit — V(n) ≈ K·n^β
-    * over ten cumulative corpus prefixes (β ≈ 0.5 for natural text;
-    * β ≈ 0 = CLOSED vocabulary, the template/synthetic-corpus
-    * signature — which is exactly what this driver corpus shows, and
-    * exactly the datacard finding the curve exists to surface).
-    * Publishes the ten (n_tokens, vocab) points with the fit
-    * attached. Prefixes are doc_id cutoffs (p·(max_id+1)/10); each
-    * token's FIRST doc id decides which prefixes count it, so one
-    * scan + one vocab-sized aggregation yields all ten points — no
-    * per-prefix rescan. OLS on 6-dp-rounded lns held in DECIMAL (the
-    * q170 discipline); a constant-vocab curve fits β = +0.0 exactly
-    * (zero numerator over a varying-x denominator) on both engines.
-    */
-  def q265HeapsLaw(s: SparkSession, d: String): DataFrame = {
-    val toks = operators.Retained.track(documents(s, d)
-      .select(col("doc_id"),
-        explode(functions.TextAnalysis.tokens(col("text"))).as("tok"))
-      .persist())
-    val cuts = documents(s, d).agg(max(col("doc_id")).as("mx"))
-      .select(explode(sequence(lit(1), lit(10))).as("p"), col("mx"))
-      .select(col("p").cast("long").as("p"),
-        expr("p * (mx + 1) DIV 10").as("cut"))
-    val firsts = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
-    val vocab = firsts.crossJoin(broadcast(cuts))
-      .filter(col("fd") < col("cut"))
-      .groupBy(col("p")).agg(count(lit(1)).as("vocab"))
-    // aggregate per-doc token counts FIRST (the same collapse-then-
-    // fan-out trick as the FIRST-doc-id vocab side): the 10-way cut
-    // fanout flows |docs| rows, not 10× the exploded corpus
-    val ntok = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("__c"))
-      .crossJoin(broadcast(cuts))
-      .filter(col("doc_id") < col("cut"))
-      .groupBy(col("p")).agg(sum(col("__c")).cast("long").as("n_tokens"))
-    val pp = ntok.join(vocab, Seq("p"))
-      .filter(col("n_tokens") > 0 && col("vocab") > 0)
-    val pts = pp
-      .withColumn("x", round(log(col("n_tokens").cast("double")), 6)
-        .cast("decimal(8,6)"))
-      .withColumn("y", round(log(col("vocab").cast("double")), 6)
-        .cast("decimal(8,6)"))
-    val fit = pts.agg(count(lit(1)).as("n_points"),
-        sum(col("x")).cast("decimal(12,6)").as("sx"),
-        sum(col("y")).cast("decimal(12,6)").as("sy"),
-        sum(col("x") * col("y")).cast("decimal(20,12)").as("sxy"),
-        sum(col("x") * col("x")).cast("decimal(20,12)").as("sxx"))
-      .withColumn("beta",
-        (col("n_points").cast("decimal(3,0)") * col("sxy") -
-          col("sx") * col("sy")).cast("double") /
-          (col("n_points").cast("decimal(3,0)") * col("sxx") -
-            col("sx") * col("sx")).cast("double"))
-      .select(col("n_points"),
-        (round(col("beta"), 6) + 0.0).as("heaps_beta"),
-        (round((col("sy").cast("double") - col("beta") *
-          col("sx").cast("double")) / col("n_points").cast("double"), 6)
-          + 0.0).as("heaps_ln_k"))
-    pp.select(col("p"), col("n_tokens"), col("vocab"))
-      .crossJoin(broadcast(fit)) // 1-row build side: scalar attach
-      .orderBy(col("p"))
-  }
-
-  // ---------------------------------------------------------------- q266
-  /** Sort-free EXACT discrete quantiles of line-item price cents
-    * ([[operators.ExactSelection.quantilesDisc]]) — the third point on
-    * the quantile trade-off curve: q48 pays a distributed sort, q166
-    * accepts sketch error; this drills equi-width histograms down the
-    * VALUE DOMAIN instead, so the exact p01/p25/p50/p75/p99 cost three
-    * column scans with KB-sized aggregates and no data-sized shuffle
-    * at all — the shape that still works when the column is 100 TB.
-    */
-  def q266SelectionQuantiles(s: SparkSession, d: String): DataFrame = {
-    val cents = lineitem(s, d).select(
-      (col("l_extendedprice").cast("decimal(18,2)") * 100)
-        .cast("long").as("cents"))
-    operators.ExactSelection.quantilesDisc(
-      cents, "cents", Seq(0.01, 0.25, 0.5, 0.75, 0.99))
-  }
-
-  // ---------------------------------------------------------------- q267
-  /** Kendall's τ-b between daily order volume and daily revenue per
-    * priority ([[operators.Kendall.tauB]]) — completes the correlation
-    * family (Pearson q63, Spearman q177) with the pair-concordance
-    * statistic, the drift test of choice for heavily tied ordinal
-    * series. The pair expansion runs on the calendar-bounded daily
-    * pre-aggregation (|days|² per priority, independent of the fact
-    * table's row count); every pair classification is exact integer
-    * sign arithmetic, and the one sqrt/divide runs per priority on
-    * exact integers, rounded 6 dp.
-    */
-  def q267KendallTau(s: SparkSession, d: String): DataFrame = {
-    val daily = orders(s, d)
-      .groupBy(col("o_orderpriority").as("priority"),
-        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"))
-      .agg(count(lit(1)).as("x"),
-        sum((col("o_totalprice").cast("decimal(18,2)") * 100)
-          .cast("long")).cast("long").as("y"))
-    operators.Kendall.tauB(daily, Seq("priority"), "day", "x", "y")
-      .orderBy(col("priority"))
-  }
-
-  // ---------------------------------------------------------------- q268
-  /** Theil–Sen robust daily-revenue trend per order priority
-    * ([[operators.Regression.theilSenSlope]]) — the median-of-pairwise-
-    * slopes estimator that ignores up to ~29% contaminated days where
-    * the OLS trend (q157) chases any single spike. Pairs expand on the
-    * calendar-bounded daily frame (like q267); each slope is an exact
-    * integer ppm truncating division, and the median is read off a
-    * per-priority cumulative over DISTINCT slopes — no float enters
-    * the result at all.
-    */
-  def q268TheilSen(s: SparkSession, d: String): DataFrame = {
-    val daily = orders(s, d)
-      .groupBy(col("o_orderpriority").as("priority"),
-        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"))
-      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")).cast("long").as("cents"))
-    operators.Regression.theilSenSlope(daily, "priority", "day", "cents")
-      .orderBy(col("priority"))
-  }
-
-  // ---------------------------------------------------------------- q270
-  /** Wilcoxon signed-rank ([[operators.RankTests.signedRank]]) on
-    * paired per-customer spend: the ≤1997 era vs the ≥1998 era (this
-    * corpus spans 1995–2001) for customers active in BOTH eras — "did the same customers spend
-    * more later?", the paired companion to the independent-sample
-    * Mann–Whitney q153. One customer-keyed agg builds the pairs; the
-    * ranking runs on the distinct-|difference| count frame with the
-    * distributed prefix sum; the z statistic is one float expression
-    * over exact ×2 integer rank sums.
-    */
-  def q270SignedRank(s: SparkSession, d: String): DataFrame = {
-    val eras = orders(s, d)
-      .groupBy(col("o_custkey"))
-      .agg(
-        sum(when(year(to_date(col("o_orderdate"))) <= 1997,
-          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
-          .otherwise(0L)).cast("long").as("early"),
-        sum(when(year(to_date(col("o_orderdate"))) >= 1998,
-          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
-          .otherwise(0L)).cast("long").as("late"),
-        sum(when(year(to_date(col("o_orderdate"))) <= 1997, 1L)
-          .otherwise(0L)).as("n_early"),
-        sum(when(year(to_date(col("o_orderdate"))) >= 1998, 1L)
-          .otherwise(0L)).as("n_late"))
-      .filter(col("n_early") > 0L && col("n_late") > 0L)
-    operators.RankTests.signedRank(eras, "early", "late")
-  }
-
-  // ---------------------------------------------------------------- q271
-  /** Kruskal–Wallis H ([[operators.RankTests.kruskalWallis]]) of order
-    * value across the five priorities — the rank ANOVA asking whether
-    * ANY priority's price distribution sits above the others (the
-    * k-group extension of Mann–Whitney q153). Midranks from one
-    * distinct-value agg + distributed prefix; per-group R²/n terms
-    * 6-dp-rounded and DECIMAL-summed (the tokenEntropy doctrine);
-    * the H scalars attach to the per-priority rows as a 1-row
-    * broadcast.
-    */
-  def q271KruskalWallis(s: SparkSession, d: String): DataFrame =
-    operators.RankTests.kruskalWallis(
-      orders(s, d).select(col("o_orderpriority").as("priority"),
-        (col("o_totalprice").cast("decimal(18,2)") * 100)
-          .cast("long").as("cents")),
-      "priority", "cents")
-
-  // ---------------------------------------------------------------- q272
-  /** Friedman test ([[operators.RankTests.friedman]]): within each
-    * complete MONTH (all five priorities present — a month is the
-    * block granularity where completeness holds at every test scale;
-    * sf0.001 days rarely see all five) the priorities' revenues are
-    * ranked among themselves, removing month-level demand shifts that
-    * would drown the independent-sample q271 — the repeated-measures
-    * rank ANOVA. Ranking is a 5-row window per month (embarrassingly
-    * parallel); χ²_F is one float expression over exact ×2 rank sums.
-    */
-  def q272Friedman(s: SparkSession, d: String): DataFrame = {
-    val monthly = orders(s, d)
-      .groupBy(col("o_orderpriority").as("priority"),
-        (year(to_date(col("o_orderdate"))) * 100 +
-          month(to_date(col("o_orderdate")))).cast("long").as("ym"))
-      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")).cast("long").as("cents"))
-    operators.RankTests.friedman(monthly, "ym", "priority", "cents")
-  }
-
-  // ---------------------------------------------------------------- q273
-  /** McNemar's paired-binary test ([[operators.RankTests.mcnemar]]):
-    * per customer, "ordered in the ≤1997 era?" vs "≥1998?" (the
-    * corpus spans 1995–2001) over the full customer spine (never-ordered
-    * customers land in `neither`) — did the population flip
-    * asymmetrically between eras? One left join + one hash agg; the
-    * continuity-corrected χ² is a single one-row float division over
-    * exact discordant counts.
-    */
-  def q273Mcnemar(s: SparkSession, d: String): DataFrame = {
-    val eras = orders(s, d).groupBy(col("o_custkey"))
-      .agg(
-        sum(when(year(to_date(col("o_orderdate"))) <= 1997, 1L)
-          .otherwise(0L)).as("n_early"),
-        sum(when(year(to_date(col("o_orderdate"))) >= 1998, 1L)
-          .otherwise(0L)).as("n_late"))
-    val flags = customer(s, d)
-      .join(eras, col("c_custkey") === col("o_custkey"), "left")
-      .select((coalesce(col("n_early"), lit(0L)) > 0L).as("before_flag"),
-        (coalesce(col("n_late"), lit(0L)) > 0L).as("after_flag"))
-    operators.RankTests.mcnemar(flags, "before_flag", "after_flag")
-  }
-
   // ---------------------------------------------------------------- q275
   /** Temperature-based source reweighting at T = 2
     * ([[operators.Sampling.temperatureHalfWeights]]) — the
@@ -1533,136 +990,7 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
       documents(s, d).select(col("source"), col("n_chars")),
       "source", "n_chars")
 
-  // ---------------------------------------------------------------- q277
-  /** Holt–Winters additive seasonal smoothing
-    * ([[operators.Holt.seasonalTrend]], m=12, α=1/4 β=1/10 γ=1/5) of
-    * monthly revenue per priority — the full classical forecasting
-    * triple on top of q264's level+trend: the seasonal vector answers
-    * "is this month's dip THE DECEMBER DIP or a real downturn?". The
-    * whole (level, trend, 12-slot seasonal) state runs in exact
-    * integer cents with half-toward-+∞ rounding, so ~70 steps × 5
-    * series replay bit-identically in the oracle's recursive CTE —
-    * which carries the seasonal window as a LIST column, sliced and
-    * appended each step.
-    */
-  def q277HoltWinters(s: SparkSession, d: String): DataFrame = {
-    val monthly = orders(s, d)
-      .groupBy(col("o_orderpriority").as("priority"),
-        (year(to_date(col("o_orderdate"))) * 100 +
-          month(to_date(col("o_orderdate")))).cast("long").as("ym"))
-      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")).cast("long").as("cents"))
-    operators.Holt.seasonalTrend(monthly, "priority", "ym", "cents",
-      period = 12)
-  }
-
-  // ---------------------------------------------------------------- q278
-  /** Seasonal-strength audit: per priority, the total one-step
-    * absolute error of the SEASONAL-naive forecast (x̂_t = x_{t−12})
-    * vs the plain naive (x̂_t = x_{t−1}) over the months where both
-    * exist — the standard denominator pair under MASE, and the
-    * decision input for q277: a ratio well under 1e6 ppm says the
-    * 12-month shape carries real signal worth a seasonal state. Two
-    * window lags on the calendar-bounded monthly frame, exact cent
-    * sums, one integer-ppm division.
-    */
-  def q278SeasonalStrength(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val monthly = orders(s, d)
-      .groupBy(col("o_orderpriority").as("priority"),
-        (year(to_date(col("o_orderdate"))) * 100 +
-          month(to_date(col("o_orderdate")))).cast("long").as("ym"))
-      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")).cast("long").as("cents"))
-    val w = Window.partitionBy("priority").orderBy("ym")
-    monthly
-      .withColumn("__i", row_number().over(w))
-      .withColumn("__l1", lag(col("cents"), 1).over(w))
-      .withColumn("__l12", lag(col("cents"), 12).over(w))
-      .filter(col("__i") > 12)
-      .groupBy(col("priority"))
-      .agg(count(lit(1)).as("n_months"),
-        sum(abs(col("cents") - col("__l1"))).as("sum_abs_naive"),
-        sum(abs(col("cents") - col("__l12"))).as("sum_abs_seasonal"))
-      // ppm in DECIMAL(28) headroom — 1e6·Σ|e| wraps a BIGINT once the
-      // error mass passes ~9e12 cents (the temperature-mix lesson)
-      .withColumn("seasonal_strength_ppm",
-        when(col("sum_abs_naive") === 0L, lit(null).cast("long"))
-          .otherwise(expr(
-            "CAST((CAST(sum_abs_seasonal AS DECIMAL(28,0)) * 1000000)" +
-              " DIV sum_abs_naive AS BIGINT)")))
-      .orderBy(col("priority"))
-  }
-
-  // ---------------------------------------------------------------- q279
-  /** Cross-correlation function ([[operators.Autocorrelation.ccf]],
-    * lags −7..+7) between daily revenue and daily order count — the
-    * lead-lag companion to q257's ACF ("do order-count spikes LEAD
-    * revenue, trail it, or just coincide?"), the standard first look
-    * before any causal read of two metrics. Same exactness scheme:
-    * n-scaled DECIMAL deviations, exact moment sums, one rounded
-    * float per lag; lag pairing is by observed-period row index on
-    * both engines (the q257 convention).
-    */
-  def q279Ccf(s: SparkSession, d: String): DataFrame = {
-    val daily = orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")).cast("long").as("cents"),
-        count(lit(1)).as("n_orders"))
-    operators.Autocorrelation.ccf(daily, "day", "cents", "n_orders",
-      maxLag = 7)
-  }
-
-  // ---------------------------------------------------------------- q280
-  /** Time-series motif & discord discovery
-    * ([[operators.MotifProfile.motifDiscord]], w=7) over the daily
-    * revenue series: the closest pair of non-overlapping weeks (the
-    * repeating shape) and the week whose nearest neighbor is farthest
-    * (the one-off anomaly) — the two matrix-profile questions, in
-    * exact BIGINT squared distance so both argext rows are
-    * unambiguous and fully relational. The ~2,400-row window frame is
-    * calendar-bounded; the O(n²) pair expansion is the definition.
-    */
-  def q280MotifDiscord(s: SparkSession, d: String): DataFrame = {
-    val daily = orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")).cast("long").as("cents"))
-    operators.MotifProfile.motifDiscord(daily, "day", "cents",
-      windowLen = 7)
-  }
-
   private[graft] def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q280_motif_discord" -> (q280MotifDiscord _),
-    "q279_ccf" -> (q279Ccf _),
-    "q278_seasonal_strength" -> (q278SeasonalStrength _),
-    "q277_holt_winters" -> (q277HoltWinters _),
-    "q275_temperature_mix" -> (q275TemperatureMix _),
-    "q266_selection_quantiles" -> (q266SelectionQuantiles _),
-    "q267_kendall_tau" -> (q267KendallTau _),
-    "q268_theil_sen" -> (q268TheilSen _),
-    "q270_signed_rank" -> (q270SignedRank _),
-    "q271_kruskal_wallis" -> (q271KruskalWallis _),
-    "q272_friedman" -> (q272Friedman _),
-    "q273_mcnemar" -> (q273Mcnemar _),
-    "q263_correlated_sample" -> (q263CorrelatedSample _),
-    "q264_holt_trend" -> (q264HoltTrend _),
-    "q265_heaps_law" -> (q265HeapsLaw _),
-    "q259_sliding_hll" -> (q259SlidingHll _),
-    "q258_cuped" -> (q258Cuped _),
-    "q257_acf" -> (q257Acf _),
-    "q253_priority_estimate" -> (q253PriorityEstimate _),
-    "q254_hist_rollup" -> (q254HistRollup _),
-    "q249_rbo" -> (q249Rbo _),
-    "q244_t_closeness" -> (q244TCloseness _),
-    "q247_calibration" -> (q247Calibration _),
-    "q248_sketch_rollup" -> (q248SketchRollup _),
-    "q240_cms_join_size" -> (q240CmsJoinSize _),
-    "q230_kmv_overlap" -> (q230KmvOverlap _),
-    "q227_k_anonymity" -> (q227KAnonymity _),
-    "q228_l_diversity" -> (q228LDiversity _),
-    "q48_quantiles" -> (q48Quantiles _),
     "q54_histogram" -> (q54Histogram _),
     "q70_stratified_sample" -> (q70StratifiedSample _),
     "q71_source_quota" -> (q71SourceQuota _),
@@ -1674,25 +1002,17 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     "q111_weighted_sample" -> (q111WeightedSample _),
     "q128_association_rules" -> (q128AssociationRules _),
     "q129_gini" -> (q129Gini _),
-    "q130_ab_test" -> (q130AbTest _),
-    "q131_survival" -> (q131Survival _),
     "q133_psi_drift" -> (q133PsiDrift _),
     "q138_target_encode" -> (q138TargetEncode _),
     "q150_hll_sketch" -> (q150HllSketch _),
     "q151_woe_binning" -> (q151WoeBinning _),
-    "q153_mann_whitney" -> (q153MannWhitney _),
     "q156_cms_sketch" -> (q156CmsSketch _),
     "q158_trimmed_mean" -> (q158TrimmedMean _),
-    "q159_benford" -> (q159Benford _),
-    "q163_ks_test" -> (q163KsTest _),
     "q166_hist_quantiles" -> (q166HistQuantiles _),
     "q168_quantile_normalize" -> (q168QuantileNormalize _),
-    "q170_zipf_fit" -> (q170ZipfFit _),
     "q171_power_law" -> (q171PowerLaw _),
-    "q176_chi_square" -> (q176ChiSquare _),
-    "q177_spearman" -> (q177Spearman _),
-    "q178_ewma" -> (q178Ewma _),
-    "q182_kappa" -> (q182Kappa _),
+    "q170_zipf_fit" -> (q170ZipfFit _),
+    "q48_quantiles" -> (q48Quantiles _),
     "q183_moments" -> (q183Moments _),
     "q184_diversity" -> (q184Diversity _),
     "q185_partition_balance" -> (q185PartitionBalance _),
@@ -1700,8 +1020,19 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
     "q189_triple_itemsets" -> (q189TripleItemsets _),
     "q191_label_noise" -> (q191LabelNoise _),
     "q195_cluster_histogram" -> (q195ClusterHistogram _),
-    "q215_mutual_info" -> (q215MutualInfo _),
-    "q224_centroid_drift" -> (q224CentroidDrift _))
+    "q224_centroid_drift" -> (q224CentroidDrift _),
+    "q227_k_anonymity" -> (q227KAnonymity _),
+    "q228_l_diversity" -> (q228LDiversity _),
+    "q230_kmv_overlap" -> (q230KmvOverlap _),
+    "q240_cms_join_size" -> (q240CmsJoinSize _),
+    "q244_t_closeness" -> (q244TCloseness _),
+    "q247_calibration" -> (q247Calibration _),
+    "q248_sketch_rollup" -> (q248SketchRollup _),
+    "q253_priority_estimate" -> (q253PriorityEstimate _),
+    "q254_hist_rollup" -> (q254HistRollup _),
+    "q259_sliding_hll" -> (q259SlidingHll _),
+    "q263_correlated_sample" -> (q263CorrelatedSample _),
+    "q275_temperature_mix" -> (q275TemperatureMix _))
 
   /** One q236 oracle block per profiled column: null count + KMV
     * bottom-64 rank replay over the same canonical rendering.
@@ -1722,148 +1053,7 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
        |           FROM orders WHERE ($canon) IS NOT NULL))
        |   WHERE rk <= 64) k""".stripMargin
 
-  /** q277's level update as inline SQL (rdiv((x−s_old)+3(l+b), 4) on
-    * the offset-shifted numerator); referenced three times per step. */
-  private def hwLnew: String =
-    "((2 * ((n.x - s.sv[1]) + 3 * (s.l + s.b)) + 4" +
-      " + 8 * 100000000000000) // 8 - 100000000000000)"
-
   private[graft] def oracleSqlStats: Map[String, String] = Map(
-    "q280_motif_discord" -> {
-      val ssd = (0 until 7).map(j =>
-        s"CAST(a.w$j - b.w$j AS HUGEINT) * (a.w$j - b.w$j)")
-        .mkString(" + ")
-      val leads = (1 until 7).map(j =>
-        s"lead(cents, $j) OVER (ORDER BY day) AS w$j").mkString(",\n        |    ")
-      // squared distances summed in HUGEINT (the Spark side uses
-      // DECIMAL(38)); the published ssd is the exact value cast to
-      // DOUBLE after selection; nearest-neighbor ties resolve to the
-      // smallest j exactly as the Spark struct-min does
-      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
-         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-         |      AS BIGINT)) AS BIGINT) AS cents
-         |  FROM orders GROUP BY 1),
-         |wins AS (SELECT row_number() OVER (ORDER BY day) AS i,
-         |    cents AS w0,
-         |    $leads
-         |  FROM daily),
-         |ww AS MATERIALIZED (SELECT * FROM wins WHERE w6 IS NOT NULL),
-         |p AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
-         |    $ssd AS ssd
-         |  FROM ww a JOIN ww b ON abs(a.i - b.i) >= 7),
-         |motif AS (SELECT 'motif' AS kind, i AS idx_a, j AS idx_b, ssd
-         |  FROM p WHERE i < j ORDER BY ssd, i, j LIMIT 1),
-         |nn AS (SELECT i, min(ssd) AS nn FROM p GROUP BY i),
-         |nnj AS (SELECT p.i, nn.nn, min(p.j) AS j
-         |  FROM p JOIN nn ON nn.i = p.i AND p.ssd = nn.nn
-         |  GROUP BY p.i, nn.nn),
-         |disc AS (SELECT 'discord' AS kind, i AS idx_a, j AS idx_b,
-         |    nn AS ssd
-         |  FROM nnj ORDER BY nn DESC, i LIMIT 1)
-         |SELECT kind, CAST(idx_a AS BIGINT) AS idx_a,
-         |  CAST(idx_b AS BIGINT) AS idx_b, CAST(ssd AS DOUBLE) AS ssd
-         |FROM (SELECT * FROM motif UNION ALL SELECT * FROM disc)
-         |ORDER BY kind, idx_a""".stripMargin
-    },
-    "q279_ccf" ->
-      // two n-scaled deviation columns off one daily frame; lag k
-      // pairs a.t with b.t = a.t + k over the row index (q257's
-      // convention), DECIMAL-exact num/denx/deny, one rounded float
-      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
-        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-        |      AS BIGINT)) AS BIGINT) AS cents,
-        |    CAST(count(*) AS BIGINT) AS n_orders
-        |  FROM orders GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(cents) AS BIGINT) AS sx,
-        |    CAST(sum(n_orders) AS BIGINT) AS sy FROM daily),
-        |dev AS (SELECT row_number() OVER (ORDER BY day) AS t,
-        |    CAST(tot.n * daily.cents - tot.sx AS DECIMAL(19,0)) AS dx,
-        |    CAST(tot.n * daily.n_orders - tot.sy AS DECIMAL(19,0)) AS dy
-        |  FROM daily, tot),
-        |den AS (SELECT sum(dx * dx) AS denx, sum(dy * dy) AS deny
-        |  FROM dev),
-        |num AS (SELECT k.k AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
-        |    sum(a.dx * b.dy) AS num
-        |  FROM (VALUES (-7), (-6), (-5), (-4), (-3), (-2), (-1), (0),
-        |    (1), (2), (3), (4), (5), (6), (7)) k(k)
-        |  JOIN dev a ON TRUE
-        |  JOIN dev b ON b.t = a.t + k.k
-        |  GROUP BY 1)
-        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
-        |  CASE WHEN den.denx = 0 OR den.deny = 0 THEN NULL
-        |    ELSE round(CAST(num AS DOUBLE)
-        |      / sqrt(CAST(den.denx AS DOUBLE) * CAST(den.deny AS DOUBLE)),
-        |      6) + 0.0
-        |  END AS ccf
-        |FROM num, den ORDER BY lag""".stripMargin,
-    "q278_seasonal_strength" ->
-      // months where BOTH lags exist (i > 12); exact cent error sums,
-      // one positive integer-ppm division (Spark DIV ≡ DuckDB //)
-      """WITH d AS (SELECT o_orderpriority AS priority,
-        |    CAST(year(CAST(o_orderdate AS DATE)) * 100
-        |      + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS ym,
-        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-        |      AS BIGINT)) AS BIGINT) AS cents
-        |  FROM orders GROUP BY 1, 2),
-        |l AS (SELECT priority, ym, cents,
-        |    row_number() OVER (PARTITION BY priority ORDER BY ym) AS i,
-        |    lag(cents, 1) OVER (PARTITION BY priority ORDER BY ym)
-        |      AS l1,
-        |    lag(cents, 12) OVER (PARTITION BY priority ORDER BY ym)
-        |      AS l12
-        |  FROM d),
-        |g AS (SELECT priority, CAST(count(*) AS BIGINT) AS n_months,
-        |    CAST(sum(abs(cents - l1)) AS BIGINT) AS sum_abs_naive,
-        |    CAST(sum(abs(cents - l12)) AS BIGINT) AS sum_abs_seasonal
-        |  FROM l WHERE i > 12 GROUP BY 1)
-        |SELECT priority, n_months, sum_abs_naive, sum_abs_seasonal,
-        |  CASE WHEN sum_abs_naive = 0 THEN NULL
-        |    ELSE CAST((1000000 * CAST(sum_abs_seasonal AS HUGEINT))
-        |      // sum_abs_naive AS BIGINT)
-        |  END AS seasonal_strength_ppm
-        |FROM g ORDER BY priority""".stripMargin,
-    "q277_holt_winters" ->
-      // the triple recurrence replayed step by step; the 12-slot
-      // seasonal window rides the recursion as a LIST column
-      // (sv[2:12] || [s_new]); level inlined where b/s need it
-      s"""WITH RECURSIVE d AS (SELECT o_orderpriority AS k,
-         |    CAST(year(CAST(o_orderdate AS DATE)) * 100
-         |      + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
-         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-         |      AS BIGINT)) AS BIGINT) AS x
-         |  FROM orders GROUP BY 1, 2),
-         |idx AS MATERIALIZED (SELECT k, t, x,
-         |    row_number() OVER (PARTITION BY k ORDER BY t) AS i FROM d),
-         |init AS (SELECT k,
-         |    CAST((2 * sum(x) + 12 + 24 * 100000000000000) // 24
-         |      - 100000000000000 AS BIGINT) AS l0
-         |  FROM idx WHERE i <= 12 GROUP BY k),
-         |sv0 AS (SELECT idx.k,
-         |    list(idx.x - init.l0 ORDER BY idx.i) AS sv
-         |  FROM idx JOIN init ON init.k = idx.k WHERE idx.i <= 12
-         |  GROUP BY idx.k),
-         |seq(k, i, l, b, sv, t, x, snew) AS (
-         |  SELECT init.k, CAST(12 AS BIGINT), init.l0,
-         |    CAST(0 AS BIGINT), sv0.sv, CAST(NULL AS BIGINT),
-         |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-         |  FROM init JOIN sv0 ON sv0.k = init.k
-         |  UNION ALL
-         |  SELECT n.k, n.i,
-         |    $hwLnew,
-         |    (2 * (($hwLnew - s.l) + 9 * s.b) + 10
-         |      + 20 * 100000000000000) // 20 - 100000000000000,
-         |    s.sv[2:12] || [CAST((2 * ((n.x - $hwLnew) + 4 * s.sv[1])
-         |      + 5 + 10 * 100000000000000) // 10 - 100000000000000
-         |      AS BIGINT)],
-         |    n.t, n.x,
-         |    (2 * ((n.x - $hwLnew) + 4 * s.sv[1]) + 5
-         |      + 10 * 100000000000000) // 10 - 100000000000000
-         |  FROM seq s JOIN idx n ON n.k = s.k AND n.i = s.i + 1)
-         |SELECT k AS priority, t AS ym, x AS cents, l AS level,
-         |  b AS trend, snew AS seasonal,
-         |  CAST(l + b + sv[1] AS BIGINT) AS forecast_next
-         |FROM seq WHERE i > 12 ORDER BY priority, ym""".stripMargin,
     "q275_temperature_mix" ->
       // √p_ppm rounded 6 dp per source, normalized by the exact
       // DECIMAL sum of the rounded terms — one float divide per row
@@ -1883,218 +1073,6 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |  round(CAST(uu AS DOUBLE) / CAST(su.s AS DOUBLE), 6) + 0.0
         |    AS weight_half
         |FROM u, su ORDER BY source""".stripMargin,
-    "q266_selection_quantiles" ->
-      // rank = max(1, ceil(q·n)) with q forced to DOUBLE on both
-      // engines (DuckDB parses 0.01 as DECIMAL; the Spark side
-      // computes the rank in driver-side IEEE doubles) so boundary
-      // ranks round identically; the oracle selects by row_number
-      """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * 100 AS BIGINT) AS c FROM lineitem),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
-        |qs AS (SELECT CAST(unnest([0.01, 0.25, 0.5, 0.75, 0.99])
-        |    AS DOUBLE) AS q),
-        |k AS (SELECT q, GREATEST(CAST(1 AS BIGINT),
-        |      CAST(ceil(q * CAST(n.n AS DOUBLE)) AS BIGINT)) AS rank,
-        |    n.n AS n_values FROM qs, n),
-        |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v)
-        |SELECT k.q, k.rank, r.c AS value, k.n_values
-        |FROM k JOIN r ON r.rn = k.rank ORDER BY q""".stripMargin,
-    "q267_kendall_tau" ->
-      // n recovered from n0 = n(n−1)/2 exactly as the Spark side does
-      // (sqrt of the exact integer (2n−1)²); floor keeps DuckDB's
-      // round-half-even BIGINT cast off the .0 boundary
-      """WITH d AS (SELECT o_orderpriority AS priority,
-        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
-        |      AS t,
-        |    CAST(count(*) AS BIGINT) AS x,
-        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-        |      AS BIGINT)) AS BIGINT) AS y
-        |  FROM orders GROUP BY 1, 2),
-        |p AS (SELECT a.priority,
-        |    sign(a.x - b.x) AS sx, sign(a.y - b.y) AS sy
-        |  FROM d a JOIN d b ON a.priority = b.priority AND a.t < b.t),
-        |g AS (SELECT priority, CAST(count(*) AS BIGINT) AS n0,
-        |    CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS concordant,
-        |    CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS discordant,
-        |    CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS tied_x,
-        |    CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS tied_y
-        |  FROM p GROUP BY 1)
-        |SELECT priority,
-        |  CAST(floor((1 + sqrt(1 + 8 * CAST(n0 AS DOUBLE))) / 2)
-        |    AS BIGINT) AS n,
-        |  concordant, discordant, tied_x, tied_y,
-        |  CASE WHEN n0 = tied_x OR n0 = tied_y THEN NULL
-        |    ELSE round(CAST(concordant - discordant AS DOUBLE)
-        |      / sqrt(CAST(n0 - tied_x AS DOUBLE)
-        |        * CAST(n0 - tied_y AS DOUBLE)), 6) + 0.0
-        |  END AS tau_b
-        |FROM g ORDER BY priority""".stripMargin,
-    "q268_theil_sen" ->
-      // both engines' integer division truncates toward zero (Spark
-      // DIV, DuckDB //), so the slope values agree bit for bit
-      // (HUGEINT keeps Δy·10⁶ exact on the DuckDB side); the
-      // lower-median rank (n+1)//2 is picked off the cumulative over
-      // distinct slopes, mirroring the operator
-      """WITH d AS (SELECT o_orderpriority AS priority,
-        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
-        |      AS t,
-        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-        |      AS BIGINT)) AS BIGINT) AS y
-        |  FROM orders GROUP BY 1, 2),
-        |p AS (SELECT a.priority,
-        |    CAST((CAST(b.y - a.y AS HUGEINT) * 1000000) // (b.t - a.t)
-        |      AS BIGINT) AS s
-        |  FROM d a JOIN d b ON a.priority = b.priority AND a.t < b.t),
-        |c AS (SELECT priority, s, CAST(count(*) AS BIGINT) AS c
-        |  FROM p GROUP BY 1, 2),
-        |w AS (SELECT priority, s, c,
-        |    sum(c) OVER (PARTITION BY priority ORDER BY s) AS cum,
-        |    sum(c) OVER (PARTITION BY priority) AS n_pairs
-        |  FROM c)
-        |SELECT priority, CAST(n_pairs AS BIGINT) AS n_pairs,
-        |  s AS med_slope_ppm
-        |FROM w WHERE cum - c < (n_pairs + 1) // 2
-        |  AND (n_pairs + 1) // 2 <= cum
-        |ORDER BY priority""".stripMargin,
-    "q270_signed_rank" ->
-      // midranks replayed off the distinct-|d| frame exactly as the
-      // operator builds them (2·below + t + 1); the z expression is
-      // the identical one-row float formula over exact integers
-      """WITH e AS (SELECT o_custkey,
-        |    CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) <= 1997
-        |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-        |        AS BIGINT) ELSE 0 END) AS BIGINT) AS early,
-        |    CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) >= 1998
-        |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-        |        AS BIGINT) ELSE 0 END) AS BIGINT) AS late,
-        |    sum(CASE WHEN year(CAST(o_orderdate AS DATE)) <= 1997
-        |      THEN 1 ELSE 0 END) AS n_early,
-        |    sum(CASE WHEN year(CAST(o_orderdate AS DATE)) >= 1998
-        |      THEN 1 ELSE 0 END) AS n_late
-        |  FROM orders GROUP BY 1
-        |  HAVING n_early > 0 AND n_late > 0),
-        |d AS (SELECT late - early AS dd FROM e WHERE late <> early),
-        |pv AS (SELECT abs(dd) AS ad, CAST(count(*) AS BIGINT) AS t,
-        |    CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS tp
-        |  FROM d GROUP BY 1),
-        |r AS (SELECT ad, t, tp,
-        |    2 * (sum(t) OVER (ORDER BY ad) - t) + t + 1 AS mid2 FROM pv),
-        |m AS (SELECT CAST(sum(t) AS BIGINT) AS n,
-        |    CAST(sum(tp * mid2) AS BIGINT) AS wp2,
-        |    CAST(sum((t - tp) * mid2) AS BIGINT) AS wm2,
-        |    sum(CAST(t AS HUGEINT) * t * t - t) AS tie3 FROM r)
-        |SELECT coalesce(n, 0) AS n, coalesce(wp2, 0) AS w_plus_x2,
-        |  coalesce(wm2, 0) AS w_minus_x2,
-        |  CASE WHEN n IS NULL OR n = 0
-        |      OR CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
-        |        - CAST(tie3 AS DOUBLE) / 48.0 <= 0.0 THEN NULL
-        |    ELSE round((CAST(2 * wp2 - n * (n + 1) AS DOUBLE) / 4.0)
-        |      / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
-        |        - CAST(tie3 AS DOUBLE) / 48.0), 6) + 0.0
-        |  END AS z
-        |FROM m""".stripMargin,
-    "q271_kruskal_wallis" ->
-      // R_g² squared exactly in HUGEINT (the Spark side squares in
-      // DECIMAL(38)), cast to DOUBLE, 6-dp-rounded per term, the
-      // rounded terms DECIMAL-summed; H and the tie correction are
-      // the same one-row float expressions over exact integers
-      """WITH v AS (SELECT o_orderpriority AS g,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      AS v
-        |  FROM orders),
-        |pv AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM v GROUP BY v),
-        |r AS (SELECT v, t,
-        |    2 * (sum(t) OVER (ORDER BY v) - t) + t + 1 AS mid2 FROM pv),
-        |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
-        |  FROM v GROUP BY 1, 2),
-        |rg AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
-        |    CAST(sum(c * mid2) AS BIGINT) AS r2
-        |  FROM gv JOIN r USING (v) GROUP BY g),
-        |tm AS (SELECT g, n_g, r2,
-        |    round(CAST(CAST(r2 AS HUGEINT) * r2 AS DOUBLE)
-        |      / (4.0 * n_g), 6) AS term
-        |  FROM rg),
-        |tot AS (SELECT CAST(sum(t) AS BIGINT) AS n,
-        |    sum(CAST(t AS HUGEINT) * t * t - t) AS tie3 FROM pv),
-        |s AS (SELECT CAST(sum(CAST(term AS DECIMAL(38,6))) AS DOUBLE)
-        |    AS sd FROM tm),
-        |h AS (SELECT n, tie3,
-        |    round(12.0 * s.sd / (CAST(n AS DOUBLE) * (n + 1))
-        |      - 3.0 * (n + 1), 6) + 0.0 AS h0
-        |  FROM tot, s)
-        |SELECT tm.g AS priority, tm.n_g, tm.r2 AS rank_sum_x2,
-        |  h.n AS n_total, h.h0 AS h,
-        |  CASE WHEN h.tie3 = CAST(h.n AS HUGEINT) * h.n * h.n - h.n
-        |    THEN NULL
-        |    ELSE round(h.h0 / (1.0 - CAST(h.tie3 AS DOUBLE)
-        |      / CAST(CAST(h.n AS HUGEINT) * h.n * h.n - h.n AS DOUBLE)),
-        |      6) + 0.0
-        |  END AS h_tie_corrected
-        |FROM tm, h ORDER BY priority""".stripMargin,
-    "q272_friedman" ->
-      // complete blocks only; midrank×2 = 2·rank + ties − 1 from two
-      // block-local windows; 3·Σ(2R)²/(n·k·(k+1)) − 3·n·(k+1)
-      """WITH d AS (SELECT o_orderpriority AS priority,
-        |    CAST(year(CAST(o_orderdate AS DATE)) * 100
-        |      + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
-        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-        |      AS BIGINT)) AS BIGINT) AS y
-        |  FROM orders GROUP BY 1, 2),
-        |kk AS (SELECT CAST(count(DISTINCT priority) AS BIGINT) AS k
-        |  FROM d),
-        |cb AS (SELECT t FROM d GROUP BY t
-        |  HAVING count(*) = (SELECT k FROM kk)),
-        |r AS (SELECT d.priority,
-        |    2 * rank() OVER (PARTITION BY d.t ORDER BY d.y)
-        |      + count(*) OVER (PARTITION BY d.t, d.y) - 1 AS mid2
-        |  FROM d JOIN cb USING (t)),
-        |s AS (SELECT priority, CAST(sum(mid2) AS BIGINT) AS rank_sum_x2,
-        |    CAST(count(*) AS BIGINT) AS nb FROM r GROUP BY 1),
-        |g AS (SELECT CAST(max(nb) AS BIGINT) AS n_blocks,
-        |    CAST(sum(rank_sum_x2 * rank_sum_x2) AS BIGINT) AS sr2
-        |  FROM s)
-        |SELECT s.priority, s.rank_sum_x2, g.n_blocks,
-        |  kk.k AS k_treatments,
-        |  CASE WHEN g.n_blocks IS NULL OR g.n_blocks = 0 THEN NULL
-        |    ELSE round(3.0 * CAST(g.sr2 AS DOUBLE)
-        |      / (CAST(g.n_blocks AS DOUBLE) * kk.k * (kk.k + 1))
-        |      - 3.0 * g.n_blocks * (kk.k + 1), 6) + 0.0
-        |  END AS chi2_f
-        |FROM s, g, kk ORDER BY s.priority""".stripMargin,
-    "q273_mcnemar" ->
-      // customer spine LEFT JOIN era counts; continuity-corrected
-      // (|b−c|−1)²/(b+c) over exact discordant cells
-      """WITH e AS (SELECT o_custkey,
-        |    sum(CASE WHEN year(CAST(o_orderdate AS DATE)) <= 1997
-        |      THEN 1 ELSE 0 END) AS ne,
-        |    sum(CASE WHEN year(CAST(o_orderdate AS DATE)) >= 1998
-        |      THEN 1 ELSE 0 END) AS nl
-        |  FROM orders GROUP BY 1),
-        |f AS (SELECT coalesce(e.ne, 0) > 0 AS b, coalesce(e.nl, 0) > 0
-        |      AS a
-        |  FROM customer LEFT JOIN e ON e.o_custkey = c_custkey),
-        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CASE WHEN b AND a THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_both,
-        |    CAST(sum(CASE WHEN b AND NOT a THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS before_only,
-        |    CAST(sum(CASE WHEN NOT b AND a THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS after_only,
-        |    CAST(sum(CASE WHEN NOT b AND NOT a THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS neither
-        |  FROM f)
-        |SELECT n, n_both, before_only, after_only, neither,
-        |  CASE WHEN n = 0 OR before_only + after_only = 0 THEN NULL
-        |    ELSE round(CAST((abs(before_only - after_only) - 1)
-        |        * (abs(before_only - after_only) - 1) AS DOUBLE)
-        |      / CAST(before_only + after_only AS DOUBLE), 6) + 0.0
-        |  END AS chi2_mcnemar
-        |FROM m""".stripMargin,
     "q263_correlated_sample" ->
       // the oracle computes the sampled-join count ONCE — relationally
       // "join of samples" and "sample of join" are the same expression,
@@ -2122,68 +1100,6 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |LEFT JOIN sj ON sj.c_nationkey = ex.c_nationkey
         |LEFT JOIN cs ON cs.c_nationkey = ex.c_nationkey
         |ORDER BY n.n_name""".stripMargin,
-    "q264_holt_trend" ->
-      // the recurrence replayed step by step: the offset (1e14) shifts
-      // numerators positive so DuckDB's floor-div and Spark's
-      // truncating long division agree; the level expression is
-      // inlined twice in the trend expression (no lateral needed)
-      """WITH RECURSIVE daily AS (SELECT o_orderpriority AS k,
-        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
-        |      AS t,
-        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-        |      AS BIGINT)) AS BIGINT) AS x
-        |  FROM orders GROUP BY 1, 2),
-        |idx AS MATERIALIZED (SELECT k, t, x,
-        |    row_number() OVER (PARTITION BY k ORDER BY t) AS i FROM daily),
-        |seq(k, i, t, x, l, b) AS (
-        |  SELECT k, i, t, x, x, CAST(0 AS BIGINT) FROM idx WHERE i = 1
-        |  UNION ALL
-        |  SELECT n.k, n.i, n.t, n.x,
-        |    (2 * (n.x + 4 * (s.l + s.b)) + 5 + 10 * 100000000000000) // 10
-        |      - 100000000000000,
-        |    (2 * (((2 * (n.x + 4 * (s.l + s.b)) + 5
-        |        + 10 * 100000000000000) // 10 - 100000000000000)
-        |      - s.l + 9 * s.b) + 10 + 20 * 100000000000000) // 20
-        |      - 100000000000000
-        |  FROM seq s JOIN idx n ON n.k = s.k AND n.i = s.i + 1)
-        |SELECT k AS priority, t AS day, x AS cents, l AS level,
-        |  b AS trend, CAST(l + b AS BIGINT) AS forecast_next
-        |FROM seq ORDER BY priority, day""".stripMargin,
-    "q265_heaps_law" ->
-      s"""WITH toks AS (SELECT doc_id, unnest($SqlToks) AS tok
-         |  FROM documents),
-         |mx AS (SELECT max(doc_id) AS mx FROM documents),
-         |cuts AS (SELECT CAST(p AS BIGINT) AS p,
-         |    (p * (mx.mx + 1)) // 10 AS cut
-         |  FROM range(1, 11) r(p), mx),
-         |firsts AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY 1),
-         |vocab AS (SELECT c.p, CAST(count(*) AS BIGINT) AS vocab
-         |  FROM firsts f JOIN cuts c ON f.fd < c.cut GROUP BY 1),
-         |ntok AS (SELECT c.p, CAST(count(*) AS BIGINT) AS n_tokens
-         |  FROM toks t JOIN cuts c ON t.doc_id < c.cut GROUP BY 1),
-         |pp AS (SELECT p, n_tokens, vocab FROM ntok JOIN vocab USING (p)
-         |  WHERE n_tokens > 0 AND vocab > 0),
-         |pts AS (SELECT
-         |    CAST(round(ln(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(8,6))
-         |      AS x,
-         |    CAST(round(ln(CAST(vocab AS DOUBLE)), 6) AS DECIMAL(8,6))
-         |      AS y
-         |  FROM pp),
-         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
-         |    CAST(sum(x) AS DECIMAL(12,6)) AS sx,
-         |    CAST(sum(y) AS DECIMAL(12,6)) AS sy,
-         |    CAST(sum(x * y) AS DECIMAL(20,12)) AS sxy,
-         |    CAST(sum(x * x) AS DECIMAL(20,12)) AS sxx FROM pts),
-         |sl AS (SELECT n_points, sx, sy,
-         |    CAST(CAST(n_points AS DECIMAL(3,0)) * sxy - sx * sy AS DOUBLE)
-         |      / CAST(CAST(n_points AS DECIMAL(3,0)) * sxx - sx * sx
-         |        AS DOUBLE) AS beta
-         |  FROM m)
-         |SELECT pp.p, pp.n_tokens, pp.vocab, sl.n_points,
-         |  round(sl.beta, 6) + 0.0 AS heaps_beta,
-         |  round((CAST(sl.sy AS DOUBLE) - sl.beta * CAST(sl.sx AS DOUBLE))
-         |    / CAST(sl.n_points AS DOUBLE), 6) + 0.0 AS heaps_ln_k
-         |FROM pp, sl ORDER BY pp.p""".stripMargin,
     "q259_sliding_hll" ->
       // registers built DIRECTLY per trailing window from the raw
       // rows (the Spark side max-merges daily registers into the
@@ -2227,73 +1143,6 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |  ex.exact_distinct
         |FROM est JOIN ex ON ex.w = est.w
         |ORDER BY day""".stripMargin,
-    "q258_cuped" ->
-      // per-user DECIMAL-exact pre/post sums, n-scaled deviations
-      // ((19,2) products → (38,4), same as Spark), every double a
-      // fixed tree replayed in Spark's operation order, rounded 6 dp
-      """WITH per AS (SELECT user_id,
-        |    CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
-        |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2))
-        |      AS x,
-        |    CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
-        |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2))
-        |      AS y,
-        |    CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
-        |        1, 8)) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
-        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(x) AS DECIMAL(28,2)) AS sx,
-        |    CAST(sum(y) AS DECIMAL(28,2)) AS sy FROM per),
-        |mom AS (SELECT sum(dx * dx) AS sxx, sum(dx * dy) AS sxy,
-        |    sum(dy * dy) AS syy
-        |  FROM (SELECT CAST(per.x * tot.n - tot.sx AS DECIMAL(19,2)) AS dx,
-        |        CAST(per.y * tot.n - tot.sy AS DECIMAL(19,2)) AS dy
-        |      FROM per, tot)),
-        |arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_g,
-        |    CAST(sum(x) AS DECIMAL(28,2)) AS sx_g,
-        |    CAST(sum(y) AS DECIMAL(28,2)) AS sy_g FROM per GROUP BY 1),
-        |sc AS (SELECT a.n_g AS n_a, b.n_g AS n_b,
-        |    CAST(mom.sxy AS DOUBLE) / CAST(mom.sxx AS DOUBLE) AS theta,
-        |    CAST(tot.sx AS DOUBLE) / CAST(tot.n AS DOUBLE) AS xbar,
-        |    CAST(a.sy_g AS DOUBLE) / CAST(a.n_g AS DOUBLE) AS ma_raw,
-        |    CAST(b.sy_g AS DOUBLE) / CAST(b.n_g AS DOUBLE) AS mb_raw,
-        |    CAST(a.sx_g AS DOUBLE) / CAST(a.n_g AS DOUBLE) AS mxa,
-        |    CAST(b.sx_g AS DOUBLE) / CAST(b.n_g AS DOUBLE) AS mxb,
-        |    (CAST(mom.sxy AS DOUBLE) * CAST(mom.sxy AS DOUBLE)) /
-        |      (CAST(mom.sxx AS DOUBLE) * CAST(mom.syy AS DOUBLE)) AS rho
-        |  FROM (SELECT * FROM arms WHERE arm = 'A') a,
-        |    (SELECT * FROM arms WHERE arm = 'B') b, tot, mom)
-        |SELECT n_a, n_b, round(theta, 6) + 0.0 AS theta,
-        |  round(rho, 6) + 0.0 AS rho_sq,
-        |  round(ma_raw, 6) + 0.0 AS mean_a_raw,
-        |  round(mb_raw, 6) + 0.0 AS mean_b_raw,
-        |  round(ma_raw - theta * (mxa - xbar), 6) + 0.0 AS mean_a_adj,
-        |  round(mb_raw - theta * (mxb - xbar), 6) + 0.0 AS mean_b_adj
-        |FROM sc""".stripMargin,
-    "q257_acf" ->
-      // n-scaled integer deviations: num and den are DECIMAL-exact
-      // (DuckDB multiplies DECIMAL(19,0) into (38,0), same as Spark);
-      // the lag pairing replays as a self-join on the day index
-      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
-        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-        |      AS BIGINT)) AS BIGINT) AS cents
-        |  FROM orders GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(cents) AS BIGINT) AS s FROM daily),
-        |dev AS (SELECT row_number() OVER (ORDER BY day) AS t,
-        |    CAST(tot.n * daily.cents - tot.s AS DECIMAL(19,0)) AS d
-        |  FROM daily, tot),
-        |den AS (SELECT sum(d * d) AS den FROM dev),
-        |num AS (SELECT k.k AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
-        |    sum(a.d * b.d) AS num
-        |  FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) k(k)
-        |  JOIN dev a ON TRUE
-        |  JOIN dev b ON b.t = a.t + k.k
-        |  GROUP BY 1)
-        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
-        |  round(CAST(num AS DOUBLE)
-        |    / CAST(nullif(den.den, 0) AS DOUBLE), 6) + 0.0 AS acf
-        |FROM num, den ORDER BY lag""".stripMargin,
     "q253_priority_estimate" ->
       // priorities replayed with the SAME operation order (w divided
       // by the (0,1) uniform, itself (h+1)/CAST(2^48+1 AS DOUBLE) —
@@ -2346,40 +1195,6 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |FROM t JOIN cum ON cum.cum >= t.target_rank
         |  AND cum.prev < t.target_rank
         |ORDER BY q_ppm""".stripMargin,
-    "q249_rbo" ->
-      // depth weights replayed as the same exact integer ppm
-      // recurrence (recursive CTE); one IEEE divide of exact ints per
-      // depth term, rounded 6 dp, summed in DECIMAL; // on positive
-      // operands == Spark's truncating long division
-      """WITH RECURSIVE w(d, wt) AS (
-        |  SELECT CAST(1 AS BIGINT), CAST(1000000 AS BIGINT)
-        |  UNION ALL SELECT d + 1, (wt * 900000) // 1000000
-        |  FROM w WHERE d < 100),
-        |qa AS (SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS m
-        |       FROM lineitem GROUP BY 1),
-        |ha AS (SELECT l_partkey, rk FROM (SELECT l_partkey,
-        |    row_number() OVER (ORDER BY m DESC, l_partkey) AS rk FROM qa)
-        |  WHERE rk <= 100),
-        |qb AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS m
-        |       FROM lineitem GROUP BY 1),
-        |hb AS (SELECT l_partkey, rk FROM (SELECT l_partkey,
-        |    row_number() OVER (ORDER BY m DESC, l_partkey) AS rk FROM qb)
-        |  WHERE rk <= 100),
-        |cj AS (SELECT greatest(ha.rk, hb.rk) AS dm
-        |       FROM ha JOIN hb USING (l_partkey)),
-        |cnt AS (SELECT dm, CAST(count(*) AS BIGINT) AS c FROM cj GROUP BY 1),
-        |g AS (SELECT w.d, w.wt, coalesce(cnt.c, 0) AS c
-        |      FROM w LEFT JOIN cnt ON cnt.dm = w.d),
-        |x AS (SELECT d, wt,
-        |    sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS x FROM g),
-        |t AS (SELECT d, x, CAST(round(CAST(wt * x AS DOUBLE)
-        |    / CAST(d * 1000000 AS DOUBLE), 6) AS DECIMAL(18,6)) AS term
-        |  FROM x)
-        |SELECT CAST(100 AS BIGINT) AS depth,
-        |  CAST(max(x) AS BIGINT) AS n_conjoint,
-        |  round(CAST(sum(term) AS DOUBLE)
-        |    * (CAST(100000 AS DOUBLE) / CAST(1000000 AS DOUBLE)), 6) AS rbo
-        |FROM t""".stripMargin,
     "q244_t_closeness" ->
       // distributions compared over the common denominator n_c·N as
       // exact HUGEINT integers (Spark: DECIMAL(38,0)); the EMD prefix
@@ -2679,61 +1494,6 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |  CAST(((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000)
         |    // (count(*) * sum(x)) AS BIGINT) AS gini_ppm
         |FROM r""".stripMargin,
-    "q130_ab_test" ->
-      // DECIMAL-exact sums; each double is one fixed tree, rounded 6dp
-      """WITH ev AS (SELECT
-        |  CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
-        |         AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
-        |  CAST(value AS DECIMAL(18,2)) AS v FROM events),
-        |arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
-        |         sum(v) AS s, sum(v * v) AS ss FROM ev GROUP BY arm),
-        |a AS (SELECT n AS n_a, s AS s_a, ss AS ss_a FROM arms WHERE arm = 'A'),
-        |b AS (SELECT n AS n_b, s AS s_b, ss AS ss_b FROM arms WHERE arm = 'B'),
-        |x AS (SELECT n_a, n_b,
-        |  CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
-        |  CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
-        |  (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
-        |     / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS var_a,
-        |  (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
-        |     / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS var_b
-        | FROM a CROSS JOIN b)
-        |SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
-        |  round(var_a, 6) AS var_a, round(var_b, 6) AS var_b,
-        |  round((mean_a - mean_b) /
-        |    sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)), 6)
-        |    AS t_welch
-        |FROM x""".stripMargin,
-    "q131_survival" ->
-      // KM product via round(ln(1-d/n),6) DECIMAL sums, exp once;
-      // explicit 0 after a stratum exhausts its risk set
-      """WITH ev AS (SELECT user_id,
-        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us FROM events),
-        |a AS (SELECT max(us) AS end_us FROM ev),
-        |life AS (SELECT (max(us) - min(us)) // 86400000000 AS t,
-        |  (SELECT end_us FROM a) - max(us) < 604800000000 AS censored
-        | FROM ev GROUP BY user_id),
-        |st AS (SELECT t,
-        |  CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
-        |  CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c
-        | FROM life GROUP BY t),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM life),
-        |r AS (SELECT t, d, c,
-        |  n_total - CAST(coalesce(sum(d + c) OVER (ORDER BY t
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |    AS n_risk
-        | FROM st CROSS JOIN tot),
-        |r2 AS (SELECT t, d, c, n_risk,
-        |  CAST(min(CASE WHEN d < n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS alive,
-        |  sum(CASE WHEN d < n_risk THEN
-        |      CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 6)
-        |        AS DECIMAL(18,6)) ELSE NULL END)
-        |    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS ls
-        | FROM r)
-        |SELECT t AS t_days, n_risk, d, c,
-        |  CASE WHEN alive = 1 THEN round(exp(CAST(ls AS DOUBLE)), 6)
-        |       ELSE 0.0 END AS surv
-        |FROM r2 ORDER BY t_days""".stripMargin,
     "q133_psi_drift" ->
       // edges = round(quantile, 6) on BOTH engines → identical bin
       // boundaries; smoothed proportions; ln rounded per term
@@ -2843,31 +1603,6 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |  round(ln(pg / pb), 6) AS woe,
         |  round((pg - pb) * round(ln(pg / pb), 6), 6) AS iv
         |FROM sc ORDER BY bin""".stripMargin,
-    "q153_mann_whitney" ->
-      // midranks over the distinct-value frame, kept exact as x2
-      // integers; the one-row normal approximation mirrors the Spark
-      // float-op order term for term
-      """WITH ev AS (SELECT value AS v, event_type = 'purchase' AS a
-        |  FROM events WHERE event_type IN ('click', 'purchase')
-        |    AND value IS NOT NULL),
-        |pv AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
-        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ta
-        |  FROM ev GROUP BY v),
-        |rk AS (SELECT v, t, ta,
-        |    CAST(coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
-        |      PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below FROM pv),
-        |m AS (SELECT CAST(sum(ta) AS BIGINT) AS n_a,
-        |    CAST(sum(t - ta) AS BIGINT) AS n_b,
-        |    CAST(sum(ta * (2 * below + t + 1)) AS BIGINT) AS r_a_x2,
-        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM rk)
-        |SELECT n_a, n_b, r_a_x2 - n_a * (n_a + 1) AS u_a_x2,
-        |  round(CAST(r_a_x2 - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
-        |    / (CAST(2 AS DOUBLE) * sqrt(
-        |        CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12 AS DOUBLE)
-        |          * (CAST(n_a + n_b + 1 AS DOUBLE)
-        |            - CAST(tie3 AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE)
-        |              * CAST(n_a + n_b - 1 AS DOUBLE))))), 6) AS z
-        |FROM m""".stripMargin,
     "q156_cms_sketch" ->
       // integer end to end: the depth row-hashes are disjoint 8-hex
       // (32-bit) slices of ONE md5 per value; point query = min over
@@ -2907,58 +1642,6 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |  round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 6) AS trimmed_mean
         |FROM f GROUP BY g ORDER BY l_returnflag""".stripMargin,
-    "q159_benford" ->
-      // 6-dp DECIMAL chi-square terms -> order-independent sum; digit
-      // from the exact integer part's first character
-      """WITH b AS (SELECT o_orderstatus AS g,
-        |    CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
-        |      1, 1) AS INT) AS digit
-        |  FROM orders WHERE o_totalprice >= 1),
-        |obs AS (SELECT g, digit, CAST(count(*) AS BIGINT) AS n_obs
-        |        FROM b GROUP BY g, digit),
-        |dense AS (SELECT gg.g, d.digit,
-        |    CAST(coalesce(obs.n_obs, 0) AS BIGINT) AS n_obs
-        |  FROM (SELECT DISTINCT g FROM obs) gg
-        |  CROSS JOIN range(1, 10) d(digit)
-        |  LEFT JOIN obs ON obs.g = gg.g AND obs.digit = d.digit),
-        |p AS (SELECT g, CAST(digit AS INT) AS digit, n_obs,
-        |    log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS pp FROM dense),
-        |s AS (SELECT g, CAST(sum(n_obs) AS BIGINT) AS n FROM p GROUP BY g),
-        |t AS (SELECT p.g, p.digit, p.n_obs,
-        |    CAST(round(pp * 1e6) AS BIGINT) AS expected_ppm,
-        |    CAST(round((CAST(p.n_obs AS DOUBLE) - CAST(s.n AS DOUBLE) * pp)
-        |        * (CAST(p.n_obs AS DOUBLE) - CAST(s.n AS DOUBLE) * pp)
-        |        / (CAST(s.n AS DOUBLE) * pp), 6) AS DECIMAL(18,6)) AS term
-        |  FROM p JOIN s ON s.g = p.g),
-        |c AS (SELECT g, CAST(sum(term) AS DOUBLE) + 0.0 AS chi2
-        |      FROM t GROUP BY g)
-        |SELECT t.g AS o_orderstatus, t.digit, t.n_obs, t.expected_ppm, c.chi2
-        |FROM t JOIN c ON c.g = t.g ORDER BY o_orderstatus, digit""".stripMargin,
-    "q163_ks_test" ->
-      // exact integer ECDF numerators; one float ratio at the end;
-      // argmax tie-broken to the smallest value
-      """WITH ev AS (SELECT value AS v, event_type = 'purchase' AS a
-        |  FROM events WHERE event_type IN ('click', 'purchase')
-        |    AND value IS NOT NULL),
-        |pv AS (SELECT v,
-        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
-        |  FROM ev GROUP BY v),
-        |cum AS (SELECT v,
-        |    CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
-        |      AS BIGINT) AS cuma,
-        |    CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
-        |      AS BIGINT) AS cumb
-        |  FROM pv),
-        |tot AS (SELECT max(cuma) AS n_a, max(cumb) AS n_b FROM cum),
-        |d AS (SELECT cum.v, tot.n_a, tot.n_b,
-        |    abs(cuma * tot.n_b - cumb * tot.n_a) AS dnum
-        |  FROM cum CROSS JOIN tot)
-        |SELECT n_a, n_b, dnum AS d_num,
-        |  round(CAST(dnum AS DOUBLE)
-        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_d,
-        |  v AS at_value
-        |FROM d ORDER BY dnum DESC, v ASC LIMIT 1""".stripMargin,
     "q166_hist_quantiles" ->
       // integer end to end: exact cents, ceil-rank targets in ppm,
       // cumulative bin walk, integer within-bin interpolation
@@ -3045,103 +1728,6 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
         |        / CAST(9.5 AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE), 6)
         |    AS alpha
         |FROM tail""".stripMargin,
-    "q176_chi_square" ->
-      // full |A|x|B| grid including zero cells; per-cell term
-      // (o*n - r*c)^2 / (n*r*c) with exact integer operands, rounded
-      // 6dp, summed in DECIMAL
-      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
-        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
-        |  GROUP BY 1, 2),
-        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a),
-        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b),
-        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
-        |  count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b FROM cells),
-        |grid AS (SELECT rt.a, ct.b, rt.r, ct.c, coalesce(cells.o, 0) AS o
-        |  FROM rt CROSS JOIN ct
-        |  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
-        |terms AS (SELECT t.n, t.n_a, t.n_b,
-        |  CAST(round(CAST(CAST(g.o * t.n - g.r * g.c AS DECIMAL(19,0)) *
-        |      CAST(g.o * t.n - g.r * g.c AS DECIMAL(19,0)) AS DOUBLE) /
-        |    CAST(t.n * g.r * g.c AS DOUBLE), 6) AS DECIMAL(18,6)) AS term
-        | FROM grid g CROSS JOIN tot t),
-        |agg AS (SELECT n, n_a, n_b, CAST(sum(term) AS DECIMAL(28,6)) AS chi2d
-        |  FROM terms GROUP BY 1, 2, 3)
-        |SELECT n, n_a, n_b, CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
-        |  CAST(chi2d AS DOUBLE) AS chi2,
-        |  CASE WHEN least(n_a, n_b) <= 1 THEN NULL
-        |    ELSE round(sqrt(CAST(chi2d AS DOUBLE) /
-        |      CAST(n * (least(n_a, n_b) - 1) AS DOUBLE)), 6) END AS cramers_v
-        |FROM agg""".stripMargin,
-    "q177_spearman" ->
-      // midranks (x2, exact integers) from the distinct-value frames;
-      // Pearson over ranks with DECIMAL(19,0)x(19,0) cross-products
-      """WITH base AS (SELECT event_type AS g, value AS x,
-        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y
-        | FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
-        |xv AS (SELECT g, x, count(*) AS t FROM base GROUP BY 1, 2),
-        |xr AS (SELECT g, x, 2 * coalesce(sum(t) OVER
-        |  (PARTITION BY g ORDER BY x
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
-        |  AS mx2 FROM xv),
-        |yv AS (SELECT g, y, count(*) AS t FROM base GROUP BY 1, 2),
-        |yr AS (SELECT g, y, 2 * coalesce(sum(t) OVER
-        |  (PARTITION BY g ORDER BY y
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
-        |  AS my2 FROM yv),
-        |rk AS (SELECT b.g, xr.mx2, yr.my2 FROM base b
-        |  JOIN xr ON xr.g = b.g AND xr.x = b.x
-        |  JOIN yr ON yr.g = b.g AND yr.y = b.y),
-        |m AS (SELECT g, count(*) AS n, sum(mx2) AS sx, sum(my2) AS sy,
-        |  sum(mx2 * my2) AS sxy, sum(mx2 * mx2) AS sxx,
-        |  sum(my2 * my2) AS syy FROM rk GROUP BY g),
-        |f AS (SELECT g, n,
-        |  CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0)) -
-        |    CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS num,
-        |  CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0)) -
-        |    CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS vx,
-        |  CAST(n AS DECIMAL(19,0)) * CAST(syy AS DECIMAL(19,0)) -
-        |    CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS vy
-        | FROM m)
-        |SELECT g AS event_type, n,
-        |  CASE WHEN vx = 0 OR vy = 0 THEN NULL
-        |    ELSE round(CAST(num AS DOUBLE) /
-        |      sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6) END AS rho
-        |FROM f ORDER BY event_type""".stripMargin,
-    "q178_ewma" -> ewmaSql(8),
-    "q182_kappa" ->
-      // replay the lang-ID argmax (q20's fragment), then kappa in its
-      // cleared-denominator integer form; one float divide per stat
-      s"""WITH t AS (SELECT lang, $SqlToks AS toks FROM documents),
-         |sc AS (SELECT lang,
-         | len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de,
-         | len(list_filter(toks, x -> x IN ('the','a','is','of','and','to','in','it'))) AS s_en,
-         | len(list_filter(toks, x -> x IN ('el','la','y','es','de','que','un','en'))) AS s_es,
-         | len(list_filter(toks, x -> x IN ('le','la','et','est','les','des','un','une'))) AS s_fr
-         | FROM t),
-         |lab AS (SELECT lang AS b,
-         | CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-         |      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-         |      WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr THEN 'es'
-         |      WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es THEN 'fr'
-         |      ELSE 'und' END AS a
-         | FROM sc WHERE lang IS NOT NULL),
-         |cells AS (SELECT a, b, count(*) AS o FROM lab GROUP BY 1, 2),
-         |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a),
-         |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b),
-         |pe AS (SELECT CAST(coalesce(sum(CAST(r * c AS DECIMAL(19,0))), 0)
-         |    AS DECIMAL(19,0)) AS rc
-         |  FROM rt JOIN ct ON rt.a = ct.b),
-         |ag AS (SELECT CAST(coalesce(sum(o), 0) AS BIGINT) AS d
-         |  FROM cells WHERE a = b),
-         |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
-         |SELECT n, d AS n_agree,
-         | round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
-         | round(CAST(rc AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS pe,
-         | CASE WHEN CAST(n * n AS DECIMAL(19,0)) = rc THEN NULL
-         |   ELSE round(CAST(CAST(n AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))
-         |       - rc AS DOUBLE) /
-         |     CAST(CAST(n * n AS DECIMAL(19,0)) - rc AS DOUBLE), 6) END AS kappa
-         |FROM tot CROSS JOIN ag CROSS JOIN pe""".stripMargin,
     "q183_moments" ->
       // exact integer power sums S1..S4 (DECIMAL sized under both
       // engines' 38-digit multiply cap), closed forms in DOUBLE with
@@ -3300,26 +1886,6 @@ private[graft] trait StatsQueries { this: SparkEntry.type =>
          |SELECT CAST(sz AS BIGINT) AS cluster_size, count(*) AS n_clusters,
          | CAST(sum(sz) AS BIGINT) AS n_docs
          |FROM cl GROUP BY sz ORDER BY cluster_size""".stripMargin,
-    "q215_mutual_info" ->
-      // observed cells only (zero cells contribute 0 to MI); per-cell
-      // c*round(ln(c*n/(r*cc)),6) summed in DECIMAL
-      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
-        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
-        |  GROUP BY 1, 2),
-        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a),
-        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b),
-        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
-        |  count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b FROM cells),
-        |terms AS (SELECT t.n, t.n_a, t.n_b,
-        |  CAST(cells.o * CAST(round(ln(CAST(cells.o * t.n AS DOUBLE) /
-        |      CAST(rt.r * ct.c AS DOUBLE)), 6) AS DECIMAL(18,6))
-        |    AS DECIMAL(28,6)) AS term
-        | FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot t),
-        |agg AS (SELECT n, n_a, n_b, CAST(sum(term) AS DECIMAL(28,6)) AS s
-        |  FROM terms GROUP BY 1, 2, 3)
-        |SELECT n, n_a, n_b, CAST(s AS DOUBLE) AS sum_cmi,
-        | round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mi
-        |FROM agg""".stripMargin,
     "q224_centroid_drift" ->
       // q99's DECIMAL(18,10) quantization; n cancels out of the
       // centroid cosine, so only exact component sums are needed

@@ -61,6 +61,18 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!bare.has("cal") && !bare.has("load"))
   }
 
+  test("caln multiplier + normalized total render and survive the squeeze") {
+    val line = Bench.compactLine(synth(200), Nil, 321.0, "/x/sf0.1",
+      cal = Seq(0.35, 0.4), load = Seq(1.0, 1.0), caln = 0.5)
+    assert(line.length <= 1900)
+    val j = parse(line)
+    assert(j.get("caln").asDouble() === 0.5)
+    assert(j.get("norm_total").asDouble() === 160.5)
+    // absent when not supplied (old-line compatibility)
+    val bare = parse(Bench.compactLine(synth(5), Nil, 1.0, "/x/sf0.1"))
+    assert(!bare.has("caln") && !bare.has("norm_total"))
+  }
+
   test("artifact entries keep distinct full names in short-key mode") {
     val entries = (synth(10) ++ Seq("artifact_pairs" -> 9.0,
       "artifact_labels" -> 3.0, "artifact_epairs" -> 2.0,

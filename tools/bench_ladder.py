@@ -48,6 +48,10 @@ ENTRIES = [
     # the pair-statistic's cost tracks |days|^2, which the calendar
     # bounds — both claims belong on the ladder
     "q266_selection_quantiles", "q267_kendall_tau",
+    # round-12: the shared wedge enumeration is its own billable
+    # artifact; the sampled census must scale ~p^2 below the exact
+    # face; the keyed drill's cost is ~flat per scan like q266's
+    "artifact_tris", "q281_triangles_sampled", "q282_quantiles_per_key",
 ]
 
 ADD_OPENS = [
@@ -94,19 +98,28 @@ def main():
     if os.path.isdir(SF1_DIR):
         sfs.append("1")
     runs = {sf: run_sf(sf, cpus) for sf in sfs}
+    # cal-normalized times: t_norm = t * CAL_REF / min(cal probes) — the
+    # same normalization graft.Bench publishes as "caln" (the run's
+    # best probe pairs with min-of-N query times)
+    CAL_REF = 0.175
+    calns = {sf: (CAL_REF / min(runs[sf]["cal"])
+                  if runs[sf].get("cal") else 1.0) for sf in sfs}
     table = {}
     for e in ENTRIES:
         ts = {sf: runs[sf]["queries"].get(e) for sf in sfs}
+        tn = {sf: (round(ts[sf] * calns[sf], 3) if ts[sf] else None)
+              for sf in sfs}
         alpha = None
         if ts["0.01"] and ts["0.1"] and ts["0.01"] > 0:
             alpha = round(math.log(ts["0.1"] / ts["0.01"]) / math.log(10), 2)
-        table[e] = {"t": ts, "alpha_01_to_1": alpha}
+        table[e] = {"t": ts, "t_norm": tn, "alpha_01_to_1": alpha}
         if ts.get("1") and ts["0.1"]:
             table[e]["alpha_1_to_10"] = round(
                 math.log(ts["1"] / ts["0.1"]) / math.log(10), 2)
     out = {
         "entries": table,
         "cal": {sf: runs[sf].get("cal") for sf in SFS},
+        "caln": calns,
         "load": {sf: runs[sf].get("load") for sf in SFS},
         "note": ("alpha fitted on the sf0.01->sf0.1 decade; sf0.001 "
                  "times sit on the per-query scheduling overhead floor. "
