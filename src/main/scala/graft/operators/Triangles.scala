@@ -59,11 +59,25 @@ object Triangles {
       .isNull, shiftleft(a, 32).bitwiseOR(b))
   }
 
+  /** Edge-count ceiling under which the closing-edge list broadcasts
+    * (~8 B/row packed: 20M edges ≈ 160 MB — one in-JVM copy in local
+    * mode, one per executor on a cluster); above it the lookup runs as
+    * a shuffle-HASH join. Either way the wedge stream is NEVER SORTED:
+    * the sf~1 ladder caught the sort-merge default burning 244 s
+    * ordering ~10⁹ wedge rows that a hash probe handles in ~30 s.
+    */
+  val BroadcastEdgeLimit: Long = 20L * 1000 * 1000
+
   /** Every triangle of the canonical edge list `e`, exactly once:
     * `(u, v, w)` where `u` is the orientation apex (both `u→v` and
     * `u→w` survive the degree orientation) and `v < w`. One wedge
     * self-join + one closing-edge join — THE O(m^1.5) pass; persist
     * the result when more than one consumer needs triangles.
+    *
+    * The wedge stream carries TWO longs — the apex and the packed
+    * closing key; `v`/`w` are unpacked after the join. At the wedge
+    * join's O(m^1.5) cardinality every extra column is gigabytes of
+    * shuffle, so width is the contract here.
     */
   def enumerate(e: DataFrame, tag: String = "Triangles"): DataFrame = {
     val deg = degrees(e)
@@ -82,12 +96,22 @@ object Triangles {
           col("hi")).otherwise(col("lo")).as("v"))
     val wedges = o.as("ab").join(o.as("ac"),
         col("ab.u") === col("ac.u") && col("ab.v") < col("ac.v"))
-      .select(col("ab.u").as("u"), col("ab.v").as("v"), col("ac.v").as("w"),
+      .select(col("ab.u").as("u"),
         packed(col("ab.v"), col("ac.v"), tag).as("ek"))
-    wedges.join(
-        e.select(packed(col("lo"), col("hi"), tag).as("ek")),
-        Seq("ek"), "left_semi")
-      .select(col("u"), col("v"), col("w"))
+    val ek = e.select(packed(col("lo"), col("hi"), tag).as("ek"))
+    // one cheap |E|-row count picks the lookup strategy; both choices
+    // hash-probe the wedge stream in place of sorting it. Broadcast
+    // wins while the edge list fits (the probe stream is O(m^1.5) —
+    // measured 25 s vs 48 s shuffle-hash vs 244 s sort-merge on the
+    // sf~1 slice); past the limit the wedge stream shuffles once but
+    // still never sorts.
+    val closing =
+      if (e.count() <= BroadcastEdgeLimit) broadcast(ek)
+      else ek.hint("shuffle_hash")
+    wedges.join(closing, Seq("ek"), "left_semi")
+      .select(col("u"),
+        shiftrightunsigned(col("ek"), 32).as("v"),
+        col("ek").bitwiseAND(lit((1L << 32) - 1)).as("w"))
   }
 
   /** Global triangle count plus graph size: one row
@@ -178,7 +202,13 @@ object Triangles {
     */
   def filterByEdges(tris: DataFrame, e: DataFrame): DataFrame = {
     val tag = "Triangles.filterByEdges"
-    val ek = e.select(packed(col("lo"), col("hi"), tag).as("__ek"))
+    val ekRaw = e.select(packed(col("lo"), col("hi"), tag).as("__ek"))
+    // shuffle-HASH, not broadcast and never sort-merge: here the probe
+    // stream is only |tris| (not the O(m^1.5) wedge stream), so paying
+    // a driver-built multi-M-row broadcast relation per peel round
+    // measured SLOWER than shuffling the triangle list (29 s vs 43 s
+    // on the sf~1 slice); the sort-merge default would sort it 3×.
+    val ek = ekRaw.hint("shuffle_hash")
     Seq(
       packed(least(col("u"), col("v")), greatest(col("u"), col("v")), tag),
       packed(least(col("u"), col("w")), greatest(col("u"), col("w")), tag),
