@@ -283,6 +283,23 @@ private[graft] trait RankStatsQueries { this: SparkEntry.type =>
           .cast("long").as("cents")),
       "priority", "cents", Seq(0.5, 0.95, 0.99))
 
+  // ---------------------------------------------------------------- q284
+  /** Per-priority robust outlier screen
+    * ([[operators.RobustStats.madOutliersPerKey]]): exact median, MAD,
+    * and the count of orders beyond 3×MAD — the keyed, sort-free
+    * sibling of q109's global MAD audit, built as two passes of the
+    * q282 budget-bounded histogram drill plus one broadcast tag join.
+    * (mean, stddev) breaks on the heavy-tailed spend distribution this
+    * screens; (median, MAD) moves at most one rank per contaminated
+    * row, and every published value is an exact integer.
+    */
+  def q284MadPerKey(s: SparkSession, d: String): DataFrame =
+    operators.RobustStats.madOutliersPerKey(
+      orders(s, d).select(col("o_orderpriority").as("priority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents")),
+      "priority", "cents", k = 3L)
+
   // ---------------------------------------------------------------- q267
   /** Kendall's τ-b between daily order volume and daily revenue per
     * priority ([[operators.Kendall.tauB]]) — completes the correlation
@@ -426,6 +443,7 @@ private[graft] trait RankStatsQueries { this: SparkEntry.type =>
     "q258_cuped" -> (q258Cuped _),
     "q266_selection_quantiles" -> (q266SelectionQuantiles _),
     "q282_quantiles_per_key" -> (q282QuantilesPerKey _),
+    "q284_mad_per_key" -> (q284MadPerKey _),
     "q267_kendall_tau" -> (q267KendallTau _),
     "q268_theil_sen" -> (q268TheilSen _),
     "q270_signed_rank" -> (q270SignedRank _),
@@ -434,6 +452,39 @@ private[graft] trait RankStatsQueries { this: SparkEntry.type =>
     "q273_mcnemar" -> (q273Mcnemar _))
 
   private[graft] def oracleSqlStatsRank: Map[String, String] = Map(
+    "q284_mad_per_key" ->
+      // lower median twice via the per-key cumulative rank walk
+      // ((n+1)//2), deviations exact BIGINT, outliers by integer
+      // comparison against 3*mad
+      """WITH v AS (SELECT o_orderpriority AS priority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |pv AS (SELECT priority, cents, CAST(count(*) AS BIGINT) AS c
+        |  FROM v GROUP BY 1, 2),
+        |w AS (SELECT priority, cents, c,
+        |    sum(c) OVER (PARTITION BY priority ORDER BY cents) AS cum,
+        |    sum(c) OVER (PARTITION BY priority) AS n FROM pv),
+        |med AS (SELECT priority, cents AS median, n FROM w
+        |  WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum),
+        |d AS (SELECT v.priority, abs(v.cents - med.median) AS dev
+        |  FROM v JOIN med USING (priority)),
+        |pd AS (SELECT priority, dev, CAST(count(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2),
+        |wd AS (SELECT priority, dev, c,
+        |    sum(c) OVER (PARTITION BY priority ORDER BY dev) AS cum,
+        |    sum(c) OVER (PARTITION BY priority) AS n FROM pd),
+        |mad AS (SELECT priority, dev AS mad FROM wd
+        |  WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum),
+        |outl AS (SELECT d.priority, CAST(count(*) AS BIGINT) AS n_outliers
+        |  FROM d JOIN mad USING (priority)
+        |  WHERE d.dev > 3 * mad.mad GROUP BY 1)
+        |SELECT med.priority, CAST(med.n AS BIGINT) AS n_values,
+        |  med.median, mad.mad,
+        |  CAST(coalesce(outl.n_outliers, 0) AS BIGINT) AS n_outliers
+        |FROM med JOIN mad USING (priority)
+        |LEFT JOIN outl USING (priority)
+        |ORDER BY priority""".stripMargin,
     "q282_quantiles_per_key" ->
       // the q266 rank-walk replay, partitioned per key: rank =
       // max(1, ceil(q*n_key)) with q forced DOUBLE on both engines

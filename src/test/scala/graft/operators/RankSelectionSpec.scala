@@ -112,6 +112,23 @@ class RankSelectionSpec extends SparkSpec {
     assert(e.getMessage.contains("GROUP-like"))
   }
 
+  test("madOutliersPerKey: brute-force median/MAD, zero-MAD flags all deviants") {
+    val data = Map(
+      // median 10, devs {8,1,0,2,90} → MAD 2, 3·MAD=6 → outliers {2,100}
+      "a" -> Seq(2L, 9L, 10L, 12L, 100L),
+      // constant key: MAD 0 → every deviating row flags (q109 law)
+      "b" -> Seq(5L, 5L, 5L, 7L),
+      "c" -> Seq(42L)) // singleton: MAD 0, no deviants
+    val df = data.toSeq.flatMap { case (k, vs) => vs.map(k -> _) }
+      .toDF("k", "v")
+    val got = RobustStats.madOutliersPerKey(df, "k", "v")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", 5L, 10L, 2L, 2L),
+      ("b", 4L, 5L, 0L, 1L),
+      ("c", 1L, 42L, 0L, 0L)))
+  }
+
   test("quantilesDisc is exact under heavy skew (one value dominating)") {
     val xs: Seq[Long] = Seq.fill(10000)(42L) ++ Seq(1L, 999999999L)
     val got = ExactSelection.quantilesDisc(xs.toDF("v"), "v",
