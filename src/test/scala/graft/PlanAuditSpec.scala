@@ -69,6 +69,11 @@ class PlanAuditSpec extends SparkSpec {
     // (checkpointed, so structurally opaque) — both bounded by the
     // operator's size contract, never corpus×corpus
     "q260_pq_ann",
+    // q283 is q260 served from the persisted index: the identical
+    // probe-set yardstick + ADC lookup-table crossJoin, with the
+    // codebook frame now a parquet READ from the index store (still
+    // m·k rows by the trainer's contract) instead of a checkpoint
+    "q283_pq_index_reuse",
     // rich-club: the non-equi (deg > k) broadcast joins pair the
     // node-degree frame (localCheckpoint-ed → LogicalRDD, structurally
     // opaque) with the LITERAL 7-row threshold frame (constant-folded
