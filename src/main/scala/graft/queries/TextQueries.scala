@@ -837,7 +837,24 @@ private[graft] trait TextQueries { this: SparkEntry.type =>
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------- q285
+  /** Context-window chunking ([[operators.Chunking.chunkByTokens]],
+    * 32-token windows, stride 24): every document cut into overlapping
+    * token windows — the step between cleaning and sequence packing
+    * (q245 family) in a training pipeline, sized so the 10–99-token
+    * corpus yields 1–5 chunks per doc at every SF. One scan of
+    * codegen'd array arithmetic (sequence/slice/array_join): no UDF,
+    * no shuffle; row amplification is the explicit ⌈n/stride⌉
+    * contract.
+    */
+  def q285ChunkWindows(s: SparkSession, d: String): DataFrame =
+    operators.Chunking.chunkByTokens(
+        documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", maxTokens = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   private[graft] def queriesText: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_chunk_windows" -> (q285ChunkWindows _),
     "q255_water_filling" -> (q255WaterFilling _),
     "q242_quality_skyline" -> (q242QualitySkyline _),
     "q233_js_divergence" -> (q233JsDivergence _),
@@ -879,6 +896,23 @@ private[graft] trait TextQueries { this: SparkEntry.type =>
     "q217_novelty" -> (q217Novelty _))
 
   private[graft] def oracleSqlText: Map[String, String] = Map(
+    "q285_chunk_windows" ->
+      // same tokenizer as q19; starts = 0, 24, 48, ... < n via
+      // generate_series (inclusive end n-1); list_slice clamps the
+      // final suffix window exactly as Spark's slice does
+      s"""WITH tok AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |t AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+         |  FROM tok WHERE len(toks) > 0),
+         |st AS (SELECT doc_id, toks, n,
+         |    unnest(generate_series(0, n - 1, 24)) AS start
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(start // 24 + 1 AS BIGINT) AS chunk_idx,
+         |  CAST(start AS BIGINT) AS start_token,
+         |  CAST(LEAST(32, n - start) AS BIGINT) AS n_tokens,
+         |  array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+         |    AS chunk_text
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     "q255_water_filling" ->
       // same tokenizer as q19; budget = (3·total) // 5 (Scala's
       // total*3/5 on positive longs); the water level solved on the

@@ -163,4 +163,31 @@ class SamplingSpec extends SparkSpec {
     // the raw 9:1 imbalance compresses to 3:1 under T=2
     assert(got.head._5 === 0.75 && got.last._5 === 0.25)
   }
+
+  test("chunkByTokens: overlap, suffix window, singleton, empty doc drops") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens, max 3 stride 2 → starts 0,2,4,6
+      (2L, "X"),             // 1 token (lowercased) → one 1-token chunk
+      (3L, "   "),           // zero tokens → no chunks
+      (4L, "p q r"))         // exactly max → one full chunk (stride 2 → 0,2)
+      .toDF("doc_id", "text")
+    val got = Chunking.chunkByTokens(docs, "doc_id", "text",
+        maxTokens = 3, stride = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 0L, 3L, "a b c"),
+      (1L, 2L, 2L, 3L, "c d e"),
+      (1L, 3L, 4L, 3L, "e f g"),
+      (1L, 4L, 6L, 1L, "g"),
+      (2L, 1L, 0L, 1L, "x"),
+      (4L, 1L, 0L, 3L, "p q r"),
+      (4L, 2L, 2L, 1L, "r")))
+    // non-overlapping chunks (stride = max) tile the doc exactly
+    val tiled = Chunking.chunkByTokens(docs.filter($"doc_id" === 1L),
+        "doc_id", "text", maxTokens = 3, stride = 3)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(tiled.map(_._5).mkString(" ") === "a b c d e f g")
+  }
 }
