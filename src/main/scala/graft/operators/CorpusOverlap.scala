@@ -51,4 +51,58 @@ object CorpusOverlap {
           (col("vocab_a") + col("vocab_b") - col("common")).cast("double"), 6) +
           lit(0.0)).as("jaccard"))
   }
+
+  /** SKETCHED pairwise vocabulary overlap — the 100 TB face of
+    * [[vocabularyOverlap]]: the exact matrix pays a vocab×vocab
+    * self-join whose common-token fan-out grows with the corpus; this
+    * face reads the data ONCE into a k-bounded KMV sketch per group
+    * (the native `kmv_lows` aggregate: k longs per group per
+    * partition on the exchange) and estimates every pair from the
+    * sketches alone — O(groups²·k) driver arithmetic, independent of
+    * corpus size. Groups are GROUP-like (sources, languages, shards)
+    * by the same contract as [[ExactSelection]]'s keyed drill.
+    *
+    * Estimator (Beyer et al., SIGMOD'07 k-minimum-values set
+    * operations): for pair (a, b), take the k lowest of
+    * sketch_a ∪ sketch_b; Jaccard ≈ |{h ∈ that set : h in BOTH
+    * sketches}| / |that set| — published as exact integer ppm, so an
+    * external SQL engine replays the whole estimate bit-for-bit
+    * (48-bit md5 token hashes, the corpus-wide q105 convention).
+    * When a pair's combined vocabulary has ≤ k distinct hashes the
+    * estimate is the exact Jaccard.
+    *
+    * Output: `(g_a, g_b, union_k, common_k, jaccard_est_ppm)` for
+    * every unordered pair with `g_a < g_b` (string-rendered groups),
+    * ordered.
+    */
+  def sketchedVocabularyOverlap(docs: DataFrame, groupCol: String,
+                                textCol: String, k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.plans.KmvLowsAgg.register(spark)
+    val hashes = docs.select(col(groupCol).cast("string").as("__g"),
+        explode(graft.functions.TextAnalysis.tokens(col(textCol))).as("__w"))
+      .filter(col("__g").isNotNull)
+      .select(col("__g"),
+        conv(substring(md5(col("__w")), 1, 12), 16, 10).cast("long").as("__h"))
+    // kmv_lows dedups internally (TreeSet buffer) — no distinct pass;
+    // result arrays are ascending. The collect is groups-sized by
+    // contract; all pair arithmetic is driver-side on k-long arrays.
+    val sketches = hashes.groupBy(col("__g"))
+      .agg(expr(s"kmv_lows(__h, $k)").as("__sk"))
+      .as[(String, Seq[Long])].collect().sortBy(_._1)
+    val rows = for {
+      (ga, sa) <- sketches.toSeq
+      (gb, sb) <- sketches.toSeq if ga < gb
+    } yield {
+      val aSet = sa.toSet
+      val bSet = sb.toSet
+      val u = (aSet ++ bSet).toSeq.sorted.take(k)
+      val common = u.count(h => aSet(h) && bSet(h)).toLong
+      (ga, gb, u.size.toLong, common, common * 1000000L / u.size)
+    }
+    rows.toDF("g_a", "g_b", "union_k", "common_k", "jaccard_est_ppm")
+      .orderBy(col("g_a"), col("g_b"))
+  }
 }

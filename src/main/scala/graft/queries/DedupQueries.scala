@@ -259,6 +259,22 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
     operators.CorpusOverlap.vocabularyOverlap(documents(s, d), "source", "text")
       .orderBy(col("g_a"), col("g_b"))
 
+  // ---------------------------------------------------------------- q286
+  /** q101's pairwise source-overlap matrix at 100 TB scale
+    * ([[operators.CorpusOverlap.sketchedVocabularyOverlap]]): one
+    * corpus read into a k=64 KMV sketch per source (the native
+    * `kmv_lows` aggregate — k longs per group on the exchange), then
+    * every pair estimated from the sketches alone via the KMV
+    * set-operation estimator, exact-integer ppm so the oracle replays
+    * it bit-for-bit. The exact face (q101) pays a vocab×vocab
+    * self-join that grows with the corpus; this one is O(sources²·k)
+    * after a single scan — the same exact-stays-oracle /
+    * sketch-is-the-scale-path pairing as q119/q281.
+    */
+  def q286SketchedOverlap(s: SparkSession, d: String): DataFrame =
+    operators.CorpusOverlap.sketchedVocabularyOverlap(
+      documents(s, d), "source", "text", k = 64)
+
   // ---------------------------------------------------------------- q102
   /** Mutual-kNN clustering over the embedding corpus (SemDeDup-style
     * density grouping): an edge survives only if each endpoint ranks
@@ -928,6 +944,7 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
     "q97_embedding_clusters" -> (q97EmbeddingClusters _),
     "q99_pca_covariance" -> (q99PcaCovariance _),
     "q101_source_overlap" -> (q101SourceOverlap _),
+    "q286_sketched_overlap" -> (q286SketchedOverlap _),
     "q102_mutual_knn" -> (q102MutualKnn _),
     "q103_dsir" -> (q103Dsir _),
     "q104_canonical_dedup" -> (q104CanonicalDedup _),
@@ -1417,6 +1434,36 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
          |JOIN s sj ON sj.i = p.j
          |CROSS JOIN nn
          |ORDER BY p.i, p.j""".stripMargin,
+    "q286_sketched_overlap" ->
+      // per-source bottom-64 of 48-bit token-md5 hashes (kmv_lows
+      // dedups; the rank walk replays it), union re-ranked per pair,
+      // membership via count(DISTINCT side); exact-integer ppm
+      s"""WITH tk AS (
+         |  SELECT DISTINCT source AS g,
+         |    CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h
+         |  FROM (SELECT source, unnest($SqlToks) AS w FROM documents)),
+         |sk AS (SELECT g, h FROM (
+         |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+         |      AS rk FROM tk)
+         |  WHERE rk <= 64),
+         |gs AS (SELECT DISTINCT g FROM sk),
+         |px AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b
+         |  ON a.g < b.g),
+         |un AS (SELECT px.ga, px.gb, s.h,
+         |    CAST(count(DISTINCT s.g) AS BIGINT) AS m
+         |  FROM px JOIN sk s ON s.g = px.ga OR s.g = px.gb
+         |  GROUP BY 1, 2, 3),
+         |ru AS (SELECT ga, gb, h, m,
+         |    row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+         |  FROM un)
+         |SELECT ga AS g_a, gb AS g_b,
+         |  CAST(count(*) AS BIGINT) AS union_k,
+         |  CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS common_k,
+         |  CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS jaccard_est_ppm
+         |FROM ru WHERE rk <= 64
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q101_source_overlap" ->
       s"""WITH vocab AS (
          |  SELECT DISTINCT source AS g, unnest($SqlToks) AS w FROM documents),

@@ -259,6 +259,28 @@ class IndexingSpec extends SparkSpec {
     assert(got(("s2", "s3")) === ((3L, 1L, 0L, 0.0)))
   }
 
+  test("sketched overlap: exact below k, mirror sources estimate ~1, disjoint 0") {
+    // combined vocabularies are far below k=64, so the KMV estimate IS
+    // the exact Jaccard in ppm — differential against the exact face
+    val docs = Seq((1L, "s1", "a b c"), (2L, "s2", "b c d"), (3L, "s3", "x"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusOverlap.sketchedVocabularyOverlap(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("s1", "s2")) === ((4L, 2L, 500000L)))
+    assert(got(("s1", "s3")) === ((4L, 0L, 0L)))
+    assert(got(("s2", "s3")) === ((4L, 0L, 0L)))
+    // a verbatim mirror: identical vocab -> every union hash in both
+    val big = (1 to 300).map(i => s"w$i").mkString(" ")
+    val mirror = Seq((1L, "m1", big), (2L, "m2", big), (3L, "m3", "zz"))
+      .toDF("doc_id", "source", "text")
+    val est = CorpusOverlap.sketchedVocabularyOverlap(mirror, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(4))
+      .toMap
+    assert(est(("m1", "m2")) === 1000000L) // mirror detected despite k=64
+    assert(est(("m1", "m3")) === 0L)
+  }
+
   test("PCA: one-pass moments equal the exact-decimal covariance; eigen invariants hold") {
     val e = spark.read.parquet(sf() + "/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
