@@ -52,6 +52,10 @@ ENTRIES = [
     # artifact; the sampled census must scale ~p^2 below the exact
     # face; the keyed drill's cost is ~flat per scan like q266's
     "artifact_tris", "q281_triangles_sampled", "q282_quantiles_per_key",
+    # round-12 late additions: index-store load path must stay ~flat;
+    # the MAD screen is two drills (~2x q282); the sketched overlap is
+    # one kmv_lows scan + groups^2 driver arithmetic
+    "q283_pq_index_reuse", "q284_mad_per_key", "q286_sketched_overlap",
 ]
 
 ADD_OPENS = [
