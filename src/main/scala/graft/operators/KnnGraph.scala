@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object KnnGraph {
 
+  /** Vector-table ceiling (n·dim float values, ≈4 B each: 16M ≈ 64 MB
+    * — one in-JVM copy locally, one per executor on a cluster) under
+    * which the scoring joins broadcast the vectors instead of
+    * shuffling the O(Σ width²) candidate-pair stream with two
+    * embeddings attached per row.
+    */
+  val VecBroadcastLimit: Long = 16L * 1000 * 1000
+
   private def simOrNull(a: Column, b: Column): Column =
     Similarity.cosine(a, b)
 
@@ -121,9 +129,23 @@ object KnnGraph {
         col("a.__key") === col("b.__key") && col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("query_id"), col("b.__id").as("neighbor_id"))
       .distinct()
+    // scoring joins: the candidate stream is O(Σ width²) pair rows
+    // while the vector table is n·dim values — BROADCAST the vectors
+    // while they fit rather than shuffling every pair row with two
+    // 256 B embeddings attached. Left to AQE this flipped at sf~1:
+    // the cached vector frame sits right at the 10 MB threshold, so
+    // identical runs alternated between a broadcast plan (~30 s) and
+    // pair-stream shuffles (77–125 s). One cheap count on the
+    // already-persisted frame pins the measured strategy (the
+    // Triangles closing-edge discipline); past the limit the pair
+    // stream shuffles but never sorts.
+    val vecsOnly = keyed.select(col("__id"), col("__v"))
+    val vecSide =
+      if (keyed.count() * dim <= VecBroadcastLimit) broadcast(vecsOnly)
+      else vecsOnly.hint("shuffle_hash")
     val scored = cand
-      .join(keyed.select(col("__id").as("query_id"), col("__v").as("__qv")), Seq("query_id"))
-      .join(keyed.select(col("__id").as("neighbor_id"), col("__v").as("__nv")), Seq("neighbor_id"))
+      .join(vecSide.select(col("__id").as("query_id"), col("__v").as("__qv")), Seq("query_id"))
+      .join(vecSide.select(col("__id").as("neighbor_id"), col("__v").as("__nv")), Seq("neighbor_id"))
       .withColumn("sim", simOrNull(col("__qv"), col("__nv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
