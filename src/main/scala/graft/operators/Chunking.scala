@@ -31,6 +31,43 @@ import graft.functions.TextAnalysis
   */
 object Chunking {
 
+  /** Window-level duplication rate per group — the sub-document
+    * repetition metric doc-level dedup is blind to: template headers,
+    * navigation boilerplate, and licence blocks repeat across
+    * otherwise-distinct documents, and they surface as token WINDOWS
+    * whose hash appears more than once in the corpus. Chunks every
+    * document ([[chunkByTokens]], non-overlapping `windowTokens`
+    * tiles — stride = window, so each token is counted once), hashes
+    * each window, and publishes per group: total windows, windows
+    * whose hash repeats corpus-wide, and the duplication rate in
+    * exact integer ppm.
+    *
+    * Scale shape: one chunk scan + one hash census (groupBy over
+    * window hashes) + one co-partitioned join back — no pairwise
+    * anything; a mega-duplicated window is one census row, not a
+    * quadratic bucket.
+    *
+    * Output: `(groupCol, n_windows, n_dup_windows, dup_ppm)`.
+    */
+  def windowDupRate(docs: DataFrame, idCol: String, groupCol: String,
+                    textCol: String, windowTokens: Int): DataFrame = {
+    val chunks = chunkByTokens(docs, idCol, textCol,
+        maxTokens = windowTokens, stride = windowTokens)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+      .select(col(groupCol).as("__grp"), md5(col("chunk_text")).as("__h"))
+    val census = chunks.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__cnt"))
+    chunks.join(census, Seq("__h"))
+      .groupBy(col("__grp"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__cnt") > 1L, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("__grp").as(groupCol), col("n_windows"),
+        col("n_dup_windows"),
+        expr("CAST(n_dup_windows * 1000000 DIV n_windows AS BIGINT)")
+          .as("dup_ppm"))
+      .orderBy(col(groupCol))
+  }
+
   def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
                     maxTokens: Int, stride: Int): DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")

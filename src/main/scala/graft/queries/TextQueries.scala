@@ -853,7 +853,23 @@ private[graft] trait TextQueries { this: SparkEntry.type =>
         "doc_id", "text", maxTokens = 32, stride = 24)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  // ---------------------------------------------------------------- q287
+  /** Window-level duplication rate per source
+    * ([[operators.Chunking.windowDupRate]], 16-token tiles): the
+    * sub-document repetition metric doc-level dedup is blind to —
+    * template headers and boilerplate repeat as identical token
+    * windows across otherwise-distinct documents. One chunk scan, one
+    * corpus-wide hash census, one co-partitioned join back; published
+    * as exact integer ppm per source. (At sf0.01 the synthetic corpus
+    * already carries a 3–14% natural window-dup rate per source.)
+    */
+  def q287WindowDupRate(s: SparkSession, d: String): DataFrame =
+    operators.Chunking.windowDupRate(
+      documents(s, d).select(col("doc_id"), col("source"), col("text")),
+      "doc_id", "source", "text", windowTokens = 16)
+
   private[graft] def queriesText: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_window_dup_rate" -> (q287WindowDupRate _),
     "q285_chunk_windows" -> (q285ChunkWindows _),
     "q255_water_filling" -> (q255WaterFilling _),
     "q242_quality_skyline" -> (q242QualitySkyline _),
@@ -896,6 +912,31 @@ private[graft] trait TextQueries { this: SparkEntry.type =>
     "q217_novelty" -> (q217Novelty _))
 
   private[graft] def oracleSqlText: Map[String, String] = Map(
+    "q287_window_dup_rate" ->
+      // q285's chunk replay at stride = window (non-overlapping
+      // tiles), hashed, censused corpus-wide, dup windows counted per
+      // source; exact integer ppm
+      s"""WITH tok AS (SELECT doc_id, source, $SqlToks AS toks
+         |  FROM documents),
+         |t AS (SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n
+         |  FROM tok WHERE len(toks) > 0),
+         |st AS (SELECT doc_id, source, toks, n,
+         |    unnest(generate_series(0, n - 1, 16)) AS s
+         |  FROM t),
+         |w AS (SELECT source,
+         |    md5(array_to_string(list_slice(toks, s + 1, s + 16), ' '))
+         |      AS h
+         |  FROM st),
+         |c AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM w GROUP BY h)
+         |SELECT w.source,
+         |  CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_windows,
+         |  CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS dup_ppm
+         |FROM w JOIN c USING (h)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q285_chunk_windows" ->
       // same tokenizer as q19; starts = 0, 24, 48, ... < n via
       // generate_series (inclusive end n-1); list_slice clamps the

@@ -190,4 +190,25 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, String)].collect().toSeq
     assert(tiled.map(_._5).mkString(" ") === "a b c d e f g")
   }
+
+  test("windowDupRate: planted boilerplate flags across docs AND sources") {
+    import spark.implicits._
+    // 2-token windows; "tpl tpl" opens three docs in two sources (the
+    // cross-doc template doc-level dedup can't see); everything else
+    // unique
+    val docs = Seq(
+      (1L, "s1", "tpl tpl u1 u2"),
+      (2L, "s1", "tpl tpl u3 u4"),
+      (3L, "s2", "tpl tpl u5 u6"),
+      (4L, "s2", "u7 u8 u9 u0"))
+      .toDF("doc_id", "source", "text")
+    val got = Chunking.windowDupRate(docs, "doc_id", "source", "text",
+        windowTokens = 2)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // s1: 4 windows, the two "tpl tpl" flag -> 500000 ppm
+    // s2: 4 windows, one "tpl tpl" flags (its hash repeats corpus-wide)
+    assert(got === Seq(
+      ("s1", 4L, 2L, 500000L),
+      ("s2", 4L, 1L, 250000L)))
+  }
 }
