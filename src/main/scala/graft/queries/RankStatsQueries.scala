@@ -430,6 +430,100 @@ private[graft] trait RankStatsQueries { this: SparkEntry.type =>
     operators.RankTests.mcnemar(flags, "before_flag", "after_flag")
   }
 
+  // ---------------------------------------------------------------- q288
+  /** Mann–Kendall monotone-trend test on the daily revenue series per
+    * priority ([[operators.TrendTests.mannKendall]]) — the
+    * SIGNIFICANCE companion to q268's Theil–Sen slope: the slope says
+    * how steep, this says whether the monotone drift is
+    * distinguishable from noise at all (the standard pre-gate in
+    * drift monitoring). Pairs expand on the same calendar-bounded
+    * daily frame as q267/q268 through the salted self-join; S and the
+    * tie-corrected variance mass are exact integer/DECIMAL, and the
+    * continuity-corrected z is one float tree per priority.
+    */
+  def q288MannKendall(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).cast("long").as("cents"))
+    operators.TrendTests.mannKendall(daily, "priority", "day", "cents")
+      .orderBy(col("priority"))
+  }
+
+  // ---------------------------------------------------------------- q289
+  /** One-way ANOVA of order value across the five priorities
+    * ([[operators.Anova.oneWayF]]) — the parametric k-group mean test
+    * the battery lacked (q271 Kruskal–Wallis is its rank twin, q130
+    * Welch its two-group case), published WITH the η² effect size a
+    * bare p hides. One exact-DECIMAL hash aggregation per group, one
+    * fixed float tree per published double.
+    */
+  def q289AnovaF(s: SparkSession, d: String): DataFrame =
+    operators.Anova.oneWayF(
+      orders(s, d).select(col("o_orderpriority").as("priority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents")),
+      "priority", "cents")
+
+  // ---------------------------------------------------------------- q290
+  /** Brown–Forsythe variance-equality test across the priorities
+    * ([[operators.Anova.brownForsythe]]): q289's F recomputed on
+    * |value − group median| — "do the groups differ in SPREAD", the
+    * robust Levene variant and the standard pre-check before trusting
+    * any pooled-variance readout. Medians come from the q282 sort-free
+    * keyed drill; the deviations stay exact integers, so the F
+    * inherits the ANOVA determinism unchanged.
+    */
+  def q290BrownForsythe(s: SparkSession, d: String): DataFrame =
+    operators.Anova.brownForsythe(
+      orders(s, d).select(col("o_orderpriority").as("priority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents")),
+      "priority", "cents")
+
+  // ---------------------------------------------------------------- q291
+  /** Benjamini–Hochberg FDR over a 25-way segment battery
+    * ([[operators.MultipleTesting.benjaminiHochberg]]): per nation, a
+    * two-proportion z-test of its urgent-order share against all
+    * other nations pooled, p-values via the portable A&S normal-CDF
+    * tree, then the step-up adjustment — the correction without which
+    * a 25-segment drift dashboard alarms falsely every run. All
+    * counts are exact; z/p are one fixed float tree per nation; the
+    * BH window runs on the 25-row hypothesis frame, never on data.
+    */
+  def q291FdrBh(s: SparkSession, d: String): DataFrame = {
+    val counts = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L)
+          .otherwise(0L)).as("n_succ"))
+    val tot = counts.agg(sum(col("n")).as("__tn"),
+      sum(col("n_succ")).as("__ts"))
+    val z = counts.crossJoin(broadcast(tot))
+      .withColumn("__pi", col("n_succ").cast("double") / col("n").cast("double"))
+      .withColumn("__pr",
+        (col("__ts") - col("n_succ")).cast("double") /
+          (col("__tn") - col("n")).cast("double"))
+      .withColumn("__pp", col("__ts").cast("double") / col("__tn").cast("double"))
+      .withColumn("__z",
+        (col("__pi") - col("__pr")) /
+          sqrt(col("__pp") * (lit(1.0) - col("__pp")) *
+            (lit(1.0) / col("n").cast("double") +
+              lit(1.0) / (col("__tn") - col("n")).cast("double"))))
+      .withColumn("p",
+        operators.MultipleTesting.normalTwoSidedP(col("__z")))
+      .select(col("nation"), col("n"), col("n_succ"),
+        (round(col("__z"), 6) + 0.0).as("z"), col("p"))
+    operators.MultipleTesting.benjaminiHochberg(z, "nation", "p", alpha = 0.05)
+      .join(z.select(col("nation"), col("n"), col("n_succ"), col("z")),
+        Seq("nation"))
+      .select(col("nation"), col("n"), col("n_succ"), col("z"),
+        col("p_value"), col("rank"), col("p_adj"), col("reject"))
+      .orderBy(col("nation"))
+  }
+
   private[graft] def queriesStatsRank: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_ab_test" -> (q130AbTest _),
     "q153_mann_whitney" -> (q153MannWhitney _),
@@ -449,9 +543,157 @@ private[graft] trait RankStatsQueries { this: SparkEntry.type =>
     "q270_signed_rank" -> (q270SignedRank _),
     "q271_kruskal_wallis" -> (q271KruskalWallis _),
     "q272_friedman" -> (q272Friedman _),
-    "q273_mcnemar" -> (q273Mcnemar _))
+    "q273_mcnemar" -> (q273Mcnemar _),
+    "q288_mann_kendall" -> (q288MannKendall _),
+    "q289_anova_f" -> (q289AnovaF _),
+    "q290_brown_forsythe" -> (q290BrownForsythe _),
+    "q291_fdr_bh" -> (q291FdrBh _))
 
   private[graft] def oracleSqlStatsRank: Map[String, String] = Map(
+    "q288_mann_kendall" ->
+      // S and the tie mass exact (DECIMAL for the n(n−1)(2n+5) terms,
+      // which pass 2^63 at n ≈ 1.7e6); the continuity-corrected z is
+      // one float tree mirroring the Spark side term for term
+      """WITH d AS (SELECT o_orderpriority AS priority,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS t,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (SELECT a.priority, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+        |      ELSE 0 END) AS BIGINT) AS s
+        |  FROM d a JOIN d b ON a.priority = b.priority AND a.t < b.t
+        |  GROUP BY 1),
+        |tg AS (SELECT priority, y, CAST(count(*) AS BIGINT) AS t
+        |  FROM d GROUP BY 1, 2),
+        |ti AS (SELECT priority, CAST(sum(t) AS BIGINT) AS n,
+        |    sum(CAST(t AS DECIMAL(12,0)) * CAST(t - 1 AS DECIMAL(12,0))
+        |      * CAST(2 * t + 5 AS DECIMAL(13,0))) AS tie
+        |  FROM tg GROUP BY 1),
+        |v AS (SELECT p.priority, ti.n, p.n_pairs, p.s,
+        |    CAST(CAST(ti.n AS DECIMAL(12,0))
+        |        * CAST(ti.n - 1 AS DECIMAL(12,0))
+        |        * CAST(2 * ti.n + 5 AS DECIMAL(13,0)) - ti.tie AS DOUBLE)
+        |      / CAST(18 AS DOUBLE) AS var
+        |  FROM p JOIN ti USING (priority))
+        |SELECT priority, n, n_pairs, s,
+        |  CASE WHEN var <= 0.0 THEN NULL
+        |    WHEN s > 0 THEN round(CAST(s - 1 AS DOUBLE) / sqrt(var), 6) + 0.0
+        |    WHEN s < 0 THEN round(CAST(s + 1 AS DOUBLE) / sqrt(var), 6) + 0.0
+        |    ELSE 0.0 END AS z
+        |FROM v ORDER BY priority""".stripMargin,
+    "q289_anova_f" ->
+      // exact DECIMAL (n, Σy, Σy²) per group; each per-group Σ²/n term
+      // is ONE float tree rounded 6dp and re-summed in DECIMAL(38,6) —
+      // the float-sum-across-groups never happens on either engine
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS y
+        |  FROM orders),
+        |gr AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+        |      AS ss
+        |  FROM v GROUP BY g),
+        |tm AS (SELECT g, n, s, ss, (s * s) // n AS term FROM gr),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+        |    sum(s) AS st, sum(ss) AS sst, sum(term) AS tsum FROM tm),
+        |x AS (SELECT k, n,
+        |    CAST(CAST(tsum - (st * st) // n AS VARCHAR) AS DOUBLE) AS ssb,
+        |    CAST(CAST(sst - tsum AS VARCHAR) AS DOUBLE) AS ssw FROM a)
+        |SELECT k, n, ssb + 0.0 AS ss_between, ssw + 0.0 AS ss_within,
+        |  CASE WHEN k < 2 OR n <= k OR ssw <= 0.0 THEN NULL
+        |    ELSE round((ssb / CAST(k - 1 AS DOUBLE))
+        |      / (ssw / CAST(n - k AS DOUBLE)), 6) + 0.0 END AS f_stat,
+        |  CASE WHEN ssb + ssw <= 0.0 THEN NULL
+        |    ELSE round(ssb / (ssb + ssw), 6) + 0.0
+        |    END AS eta_sq
+        |FROM x""".stripMargin,
+    "q290_brown_forsythe" ->
+      // per-group exact lower median via the q284 rank walk, then the
+      // q289 ANOVA trees on the |y − median| deviations (exact BIGINT)
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS y
+        |  FROM orders),
+        |pv AS (SELECT g, y, CAST(count(*) AS BIGINT) AS c
+        |  FROM v GROUP BY 1, 2),
+        |w AS (SELECT g, y, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY y) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS nn FROM pv),
+        |med AS (SELECT g, y AS median FROM w
+        |  WHERE cum - c < (nn + 1) // 2 AND (nn + 1) // 2 <= cum),
+        |dev AS (SELECT v.g, abs(v.y - med.median) AS y
+        |  FROM v JOIN med USING (g)),
+        |gr AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+        |      AS ss
+        |  FROM dev GROUP BY g),
+        |tm AS (SELECT g, n, s, ss, (s * s) // n AS term FROM gr),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+        |    sum(s) AS st, sum(ss) AS sst, sum(term) AS tsum FROM tm),
+        |x AS (SELECT k, n,
+        |    CAST(CAST(tsum - (st * st) // n AS VARCHAR) AS DOUBLE) AS ssb,
+        |    CAST(CAST(sst - tsum AS VARCHAR) AS DOUBLE) AS ssw FROM a)
+        |SELECT k, n, ssb + 0.0 AS ss_between, ssw + 0.0 AS ss_within,
+        |  CASE WHEN k < 2 OR n <= k OR ssw <= 0.0 THEN NULL
+        |    ELSE round((ssb / CAST(k - 1 AS DOUBLE))
+        |      / (ssw / CAST(n - k AS DOUBLE)), 6) + 0.0 END AS f_stat,
+        |  CASE WHEN ssb + ssw <= 0.0 THEN NULL
+        |    ELSE round(ssb / (ssb + ssw), 6) + 0.0
+        |    END AS eta_sq
+        |FROM x""".stripMargin,
+    "q291_fdr_bh" ->
+      // two-proportion z from exact counts; p via the SAME A&S 7.1.26
+      // literals as MultipleTesting.normalTwoSidedP (the approximation
+      // is part of the operator's portable definition); BH runs on the
+      // 25-row hypothesis frame with (p, nation) tie-stable ranking
+      """WITH c AS (SELECT c_nationkey AS nation,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n_succ
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(sum(n_succ) AS BIGINT) AS ts FROM c),
+        |zt AS (SELECT nation, n, n_succ,
+        |    (CAST(n_succ AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(ts - n_succ AS DOUBLE) / CAST(tn - n AS DOUBLE))
+        |    / sqrt((CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+        |        * (CAST(1 AS DOUBLE) - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+        |        * (CAST(1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |          + CAST(1 AS DOUBLE) / CAST(tn - n AS DOUBLE))) AS z
+        |  FROM c CROSS JOIN tot),
+        |pt AS (SELECT nation, n, n_succ, z,
+        |    abs(z) * CAST(0.7071067811865476 AS DOUBLE) AS x
+        |  FROM zt),
+        |tt AS (SELECT nation, n, n_succ, z, x,
+        |    CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        |      + CAST(0.3275911 AS DOUBLE) * x) AS t
+        |  FROM pt),
+        |pv AS (SELECT nation, n, n_succ, z,
+        |    round(((((CAST(1.061405429 AS DOUBLE) * t
+        |      - CAST(1.453152027 AS DOUBLE)) * t
+        |      + CAST(1.421413741 AS DOUBLE)) * t
+        |      - CAST(0.284496736 AS DOUBLE)) * t
+        |      + CAST(0.254829592 AS DOUBLE)) * t * exp(-x * x), 6) + 0.0
+        |      AS p
+        |  FROM tt),
+        |r AS (SELECT nation, n, n_succ, z, p,
+        |    row_number() OVER (ORDER BY p, nation) AS rank,
+        |    count(*) OVER () AS m
+        |  FROM pv WHERE p IS NOT NULL),
+        |adj AS (SELECT nation, n, n_succ, z, p, rank,
+        |    round(least(min(p * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE))
+        |      OVER (ORDER BY rank DESC ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW), CAST(1 AS DOUBLE)), 6) + 0.0 AS p_adj
+        |  FROM r)
+        |SELECT nation, n, n_succ, round(z, 6) + 0.0 AS z, p AS p_value,
+        |  CAST(rank AS BIGINT) AS rank, p_adj,
+        |  p_adj <= CAST(0.05 AS DOUBLE) AS reject
+        |FROM adj ORDER BY nation""".stripMargin,
     "q284_mad_per_key" ->
       // lower median twice via the per-key cumulative rank walk
       // ((n+1)//2), deviations exact BIGINT, outliers by integer
