@@ -19,7 +19,7 @@ import graft.operators.Merge.{DuplicateMode, ImportMode, Key}
   *  - every result carries a deterministic total ORDER BY.
   */object SparkEntry
     extends EntrySupport
-    with RelationalQueries with SourcesQueries with TextQueries with DedupQueries with EventsQueries with StatsQueries with RankStatsQueries with TimeseriesStatsQueries with GraphQueries with TemporalQueries with StreamingQueries {
+    with RelationalQueries with SourcesQueries with TextQueries with DedupQueries with EventsQueries with StatsQueries with RankStatsQueries with TimeseriesStatsQueries with CausalStatsQueries with GraphQueries with TemporalQueries with StreamingQueries {
 
   import Tables._
 
@@ -61,6 +61,7 @@ import graft.operators.Merge.{DuplicateMode, ImportMode, Key}
     queriesStats ++
     queriesStatsRank ++
     queriesStatsTs ++
+    queriesStatsCausal ++
     queriesGraph ++
     queriesTemporal ++
     queriesStreaming
@@ -75,6 +76,7 @@ import graft.operators.Merge.{DuplicateMode, ImportMode, Key}
     oracleSqlStats ++
     oracleSqlStatsRank ++
     oracleSqlStatsTs ++
+    oracleSqlStatsCausal ++
     oracleSqlGraph ++
     oracleSqlTemporal ++
     oracleSqlStreaming
@@ -91,7 +93,7 @@ import graft.operators.Merge.{DuplicateMode, ImportMode, Key}
       "text" -> queriesText, "dedup" -> queriesDedup,
       "events" -> queriesEvents, "stats" -> queriesStats,
       "stats-rank" -> queriesStatsRank, "stats-ts" -> queriesStatsTs,
-      "graph" -> queriesGraph, "temporal" -> queriesTemporal,
+      "stats-causal" -> queriesStatsCausal, "graph" -> queriesGraph, "temporal" -> queriesTemporal,
       "streaming" -> queriesStreaming)
 
   private[graft] def oracleFamilies: Seq[(String, Map[String, String])] =
@@ -99,6 +101,6 @@ import graft.operators.Merge.{DuplicateMode, ImportMode, Key}
       "sources" -> oracleSqlSources, "text" -> oracleSqlText,
       "dedup" -> oracleSqlDedup, "events" -> oracleSqlEvents,
       "stats" -> oracleSqlStats, "stats-rank" -> oracleSqlStatsRank,
-      "stats-ts" -> oracleSqlStatsTs, "graph" -> oracleSqlGraph,
+      "stats-ts" -> oracleSqlStatsTs, "stats-causal" -> oracleSqlStatsCausal, "graph" -> oracleSqlGraph,
       "temporal" -> oracleSqlTemporal, "streaming" -> oracleSqlStreaming)
 }

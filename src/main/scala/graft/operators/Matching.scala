@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Observational causal estimators — nearest-neighbor caliper
+  * matching (the ATT workhorse when treatment wasn't randomized) and
+  * difference-in-differences (the pre/post × treated/control panel
+  * estimator). Both publish exact integer counts/sums with single
+  * float trees, the q130 experiment-readout discipline.
+  *
+  * Matching scale shape: the treated×control pairing is NEVER
+  * all-pairs — candidates come from a BANDED equi-join on
+  * `floor(score/caliper)` (each treated row meets only the three
+  * adjacent score bands, the [[graft.plans.RangeJoinBandingRule]]
+  * trick done by hand), and the per-treated nearest control is a
+  * lexicographic struct-min hash aggregation — no window over the
+  * candidate expansion, no sort. Cost is O(candidate pairs), bounded
+  * by score-band density, not |T|·|C|.
+  */
+object Matching {
+
+  /** 1-NN-with-replacement caliper matching + ATT readout: rows carry
+    * `(treatedCol boolean, scoreCol, outcomeCol)` (integer score and
+    * outcome, e.g. cents). Each treated row matches the control with
+    * the smallest |score difference| ≤ caliper (ties → smaller control
+    * score, then smaller control id — total and engine-stable).
+    * One output row:
+    * `(n_treated, n_control, n_matched, matched_ppm, mean_treated,
+    * mean_control, att)` where the means are over MATCHED pairs and
+    * `att = mean(outcome_t − outcome_c)`, one float tree each.
+    */
+  def caliperMatchAtt(df: DataFrame, idCol: String, treatedCol: String,
+                      scoreCol: String, outcomeCol: String,
+                      caliper: Long): DataFrame = {
+    require(caliper > 0L, "caliper must be positive")
+    val v = df.select(col(idCol).cast("long").as("__id"),
+        col(treatedCol).cast("boolean").as("__t"),
+        col(scoreCol).cast("long").as("__s"),
+        col(outcomeCol).cast("long").as("__o"))
+      .filter(col("__id").isNotNull && col("__t").isNotNull &&
+        col("__s").isNotNull && col("__o").isNotNull)
+      // both branches below re-read this projection — tiny vs the
+      // upstream join that typically builds the outcome column
+      .localCheckpoint(true)
+    // floor(score/caliper) via (s − pmod)/c: exact for NEGATIVE scores
+    // too (pmod ≥ 0), where a long `/` would truncate toward zero
+    def band(s: String) =
+      expr(s"CAST(($s - pmod($s, ${caliper}L)) / ${caliper}L AS BIGINT)")
+    val t = v.filter(col("__t"))
+      .select(col("__id").as("__tid"), col("__s").as("__ts"),
+        col("__o").as("__to"))
+      .withColumn("__band", band("__ts"))
+    val c = v.filter(!col("__t"))
+      .select(col("__id").as("__cid"), col("__s").as("__cs"),
+        col("__o").as("__co"))
+      // a control is a candidate for the three adjacent bands — the
+      // inline replication that makes the pairing an EQUI-join
+      .withColumn("__d", explode(expr("sequence(-1L, 1L)")))
+      .withColumn("__band", band("__cs") + col("__d"))
+      .drop("__d")
+    val matched = t.join(c, Seq("__band"))
+      .filter(abs(col("__ts") - col("__cs")) <= caliper)
+      .groupBy(col("__tid"), col("__to"))
+      // lexicographic struct-min = (|Δ|, control score, control id)
+      .agg(min(struct(abs(col("__ts") - col("__cs")).as("__d"),
+        col("__cs"), col("__cid"), col("__co"))).as("__best"))
+      .select(col("__tid"), col("__to"), col("__best.__co").as("__co"))
+    val counts = v.agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("n_treated"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("n_control"))
+    matched.agg(count(lit(1)).as("n_matched"),
+        sum(col("__to").cast("decimal(19,0)")).as("__st"),
+        sum(col("__co").cast("decimal(19,0)")).as("__sc"))
+      .crossJoin(broadcast(counts))
+      .select(col("n_treated"), col("n_control"), col("n_matched"),
+        expr("1000000 * n_matched DIV n_treated").as("matched_ppm"),
+        when(col("n_matched") > 0L, round(col("__st").cast("double") /
+          col("n_matched").cast("double"), 6) + 0.0).as("mean_treated"),
+        when(col("n_matched") > 0L, round(col("__sc").cast("double") /
+          col("n_matched").cast("double"), 6) + 0.0).as("mean_control"),
+        when(col("n_matched") > 0L, round(
+          (col("__st") - col("__sc")).cast("double") /
+            col("n_matched").cast("double"), 6) + 0.0).as("att"))
+  }
+
+  /** Difference-in-differences over a 2×2 panel: `groupCol` (treated
+    * vs control, boolean) × `postCol` (pre vs post, boolean) cell
+    * means of the integer `valueCol`, and
+    * `did = (m_t_post − m_t_pre) − (m_c_post − m_c_pre)` — the
+    * parallel-trends estimator. One hash aggregation; exact DECIMAL
+    * cell sums; each published double is one fixed tree rounded 6 dp.
+    * Output: `(n_t_pre, n_t_post, n_c_pre, n_c_post, m_t_pre,
+    * m_t_post, m_c_pre, m_c_post, did)`; NULL did if any cell is
+    * empty.
+    */
+  def didEstimate(df: DataFrame, groupCol: String, postCol: String,
+                  valueCol: String): DataFrame = {
+    val v = df.select(col(groupCol).cast("boolean").as("__g"),
+        col(postCol).cast("boolean").as("__p"),
+        col(valueCol).cast("long").as("__y"))
+      .filter(col("__g").isNotNull && col("__p").isNotNull &&
+        col("__y").isNotNull)
+    def cellN(g: Boolean, p: Boolean) =
+      sum(when(col("__g") === g && col("__p") === p, 1L).otherwise(0L))
+    def cellS(g: Boolean, p: Boolean) =
+      sum(when(col("__g") === g && col("__p") === p,
+        col("__y").cast("decimal(19,0)")).otherwise(lit(0L).cast("decimal(19,0)")))
+    def mean(n: String, s: String) =
+      when(col(n) > 0L,
+        col(s).cast("double") / col(n).cast("double"))
+    v.agg(cellN(true, false).as("n_t_pre"), cellN(true, true).as("n_t_post"),
+        cellN(false, false).as("n_c_pre"), cellN(false, true).as("n_c_post"),
+        cellS(true, false).as("__s_t_pre"), cellS(true, true).as("__s_t_post"),
+        cellS(false, false).as("__s_c_pre"), cellS(false, true).as("__s_c_post"))
+      .withColumn("__m_t_pre", mean("n_t_pre", "__s_t_pre"))
+      .withColumn("__m_t_post", mean("n_t_post", "__s_t_post"))
+      .withColumn("__m_c_pre", mean("n_c_pre", "__s_c_pre"))
+      .withColumn("__m_c_post", mean("n_c_post", "__s_c_post"))
+      .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+        (round(col("__m_t_pre"), 6) + 0.0).as("m_t_pre"),
+        (round(col("__m_t_post"), 6) + 0.0).as("m_t_post"),
+        (round(col("__m_c_pre"), 6) + 0.0).as("m_c_pre"),
+        (round(col("__m_c_post"), 6) + 0.0).as("m_c_post"),
+        (round((col("__m_t_post") - col("__m_t_pre")) -
+          (col("__m_c_post") - col("__m_c_pre")), 6) + 0.0).as("did"))
+  }
+}

@@ -1,0 +1,278 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Resampling and observational-causal queries — the Poisson
+  * bootstrap CI, split conformal coverage, caliper matching, and
+  * difference-in-differences. New family in round 12; self-typed to
+  * [[SparkEntry]] (see [[StatsQueries]]). Contributes
+  * [[queriesStatsCausal]] / [[oracleSqlStatsCausal]].
+  */
+private[graft] trait CausalStatsQueries { this: SparkEntry.type =>
+
+  import Tables._
+
+  // ---------------------------------------------------------------- q292
+  /** Poisson-bootstrap 90% CI for the mean order value
+    * ([[operators.Resampling.poissonBootstrapCi]]) — per-row hash-
+    * seeded Poisson(1) replicate weights (Chamandy et al.), the
+    * bootstrap that shards: one scan, 40 replicates, no coordination.
+    * Weights come from exact integer threshold comparisons on the
+    * md5-48 uniform; replicate means are one float tree each; the CI
+    * bounds are exact rank selections over the 40-row replicate frame.
+    */
+  def q292BootstrapCi(s: SparkSession, d: String): DataFrame =
+    operators.Resampling.poissonBootstrapCi(
+      orders(s, d).select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents")),
+      "o_orderkey", "cents", reps = 40, alphaPpm = 100000L)
+
+  // ---------------------------------------------------------------- q293
+  /** Split conformal prediction audit per priority
+    * ([[operators.Resampling.splitConformal]]): calibrate on the
+    * ≤1997 era (per-priority exact median predictor + the
+    * finite-sample conformal quantile of |y − median|), then audit
+    * empirical coverage on the ≥1998 era — the distribution-free
+    * interval guarantee every forecasting pipeline should verify.
+    * Every published quantity is an exact integer.
+    */
+  def q293Conformal(s: SparkSession, d: String): DataFrame =
+    operators.Resampling.splitConformal(
+      orders(s, d).select(col("o_orderpriority").as("priority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"),
+        (to_date(col("o_orderdate")) <= lit("1997-12-31")).as("calib")),
+      "priority", "cents", "calib", alphaPpm = 100000L)
+
+  // ---------------------------------------------------------------- q294
+  /** Caliper-matched ATT of the BUILDING market segment on total
+    * customer spend ([[operators.Matching.caliperMatchAtt]]): each
+    * BUILDING customer matches the nearest non-BUILDING customer by
+    * account balance within a $100 caliper (banded equi-join — never
+    * |T|·|C|), then the average treated−control outcome gap over
+    * matched pairs. The never-ordered customers count as zero spend —
+    * exactly the population matching is meant to compare.
+    */
+  def q294CaliperMatch(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).cast("long").as("__spend"))
+    val v = customer(s, d)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").as("treated"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100)
+          .cast("long").as("bal_cents"),
+        coalesce(col("__spend"), lit(0L)).as("spend_cents"))
+    operators.Matching.caliperMatchAtt(v, "c_custkey", "treated",
+      "bal_cents", "spend_cents", caliper = 10000L)
+  }
+
+  // ---------------------------------------------------------------- q295
+  /** Difference-in-differences on event engagement
+    * ([[operators.Matching.didEstimate]]): users hash-assigned to a
+    * treated arm (the q130 md5 discipline), pre/post split at the
+    * corpus's temporal midpoint, and the 2×2 cell means' double
+    * difference — the parallel-trends estimator that strips both the
+    * arm-level baseline gap and the secular time trend a naive
+    * post-only comparison confounds.
+    */
+  def q295Did(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .filter(col("value").isNotNull && col("user_id").isNotNull &&
+        col("ts").isNotNull)
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2 === 0L).as("g"),
+        expr("ts DIV 1000").as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    // exact integer midpoint — a float `/2` loses exactness right at
+    // the 9e15 epoch-µs magnitudes this sits at
+    val cut = ev.agg(min(col("us")).as("__mn"), max(col("us")).as("__mx"))
+      .select(expr("(__mn + __mx) DIV 2").as("__cut"))
+    operators.Matching.didEstimate(
+      ev.crossJoin(broadcast(cut))
+        .select(col("g"), (col("us") >= col("__cut")).as("post"),
+          col("cents")),
+      "g", "post", "cents")
+  }
+
+  private[graft] def queriesStatsCausal: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_bootstrap_ci" -> (q292BootstrapCi _),
+    "q293_conformal" -> (q293Conformal _),
+    "q294_caliper_match" -> (q294CaliperMatch _),
+    "q295_did" -> (q295Did _))
+
+  private[graft] def oracleSqlStatsCausal: Map[String, String] = Map(
+    "q292_bootstrap_ci" ->
+      // the SAME Poisson thresholds (floor(CDF·2^48) integer literals)
+      // on the md5-48 uniform; replicate sums exact DECIMAL; rank 2 /
+      // rank 38 = the ceil(α/2·40) / ceil((1−α/2)·40) selections
+      """WITH v AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS y
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        |rep AS (SELECT b, id, y FROM v
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS b)),
+        |w AS (SELECT b, y,
+        |    CAST(('0x' || substr(md5(id || '_' || CAST(b AS VARCHAR)),
+        |      1, 12)) AS BIGINT) AS u
+        |  FROM rep),
+        |pw AS (SELECT b, y,
+        |    CASE WHEN u < 103548857136060 THEN 0
+        |      WHEN u < 207097714272121 THEN 1
+        |      WHEN u < 258872142840152 THEN 2
+        |      WHEN u < 276130285696162 THEN 3
+        |      WHEN u < 280444821410164 THEN 4
+        |      WHEN u < 281307728552965 THEN 5
+        |      WHEN u < 281451546410098 THEN 6
+        |      ELSE 7 END AS wt
+        |  FROM w),
+        |rm AS (SELECT b, sum(CAST(wt * y AS DECIMAL(23,0))) AS sv,
+        |    CAST(sum(wt) AS BIGINT) AS sw
+        |  FROM pw GROUP BY b),
+        |mm AS (SELECT b,
+        |    round(CAST(sv AS DOUBLE) / CAST(sw AS DOUBLE), 6) + 0.0 AS mean
+        |  FROM rm WHERE sw > 0),
+        |rk AS (SELECT mean, row_number() OVER (ORDER BY mean, b) AS r
+        |  FROM mm),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(y AS DECIMAL(19,0))) AS s FROM v)
+        |SELECT n, CAST(40 AS BIGINT) AS reps,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS mean,
+        |  (SELECT mean FROM rk WHERE r = 2) AS ci_lo,
+        |  (SELECT mean FROM rk WHERE r = 38) AS ci_hi
+        |FROM f""".stripMargin,
+    "q293_conformal" ->
+      // per-key lower-median rank walk (q284 pattern) on the ≤1997
+      // calibration era, conformal rank ceil((n+1)·0.9) in exact ppm
+      // integer arithmetic, coverage audited on ≥1998
+      """WITH v AS (SELECT o_orderpriority AS priority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS y,
+        |    CAST(o_orderdate AS DATE) <= DATE '1997-12-31' AS cal
+        |  FROM orders),
+        |cl AS (SELECT priority, y FROM v WHERE cal),
+        |pv AS (SELECT priority, y, CAST(count(*) AS BIGINT) AS c
+        |  FROM cl GROUP BY 1, 2),
+        |w AS (SELECT priority, y, c,
+        |    sum(c) OVER (PARTITION BY priority ORDER BY y) AS cum,
+        |    sum(c) OVER (PARTITION BY priority) AS n FROM pv),
+        |med AS (SELECT priority, y AS median, CAST(n AS BIGINT) AS n_calib
+        |  FROM w WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum),
+        |dv AS (SELECT cl.priority, abs(cl.y - med.median) AS dev
+        |  FROM cl JOIN med USING (priority)),
+        |pd AS (SELECT priority, dev, CAST(count(*) AS BIGINT) AS c
+        |  FROM dv GROUP BY 1, 2),
+        |wd AS (SELECT priority, dev, c,
+        |    sum(c) OVER (PARTITION BY priority ORDER BY dev) AS cum
+        |  FROM pd),
+        |r AS (SELECT priority, n_calib,
+        |    ((n_calib + 1) * 900000 + 999999) // 1000000 AS rk
+        |  FROM med),
+        |qh AS (SELECT wd.priority, wd.dev AS qhat
+        |  FROM wd JOIN r USING (priority)
+        |  WHERE r.rk <= r.n_calib AND wd.cum - wd.c < r.rk
+        |    AND r.rk <= wd.cum),
+        |ts AS (SELECT v.priority, CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN qh.qhat IS NULL
+        |        OR abs(v.y - med.median) <= qh.qhat THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_covered
+        |  FROM v JOIN med USING (priority)
+        |  LEFT JOIN qh ON qh.priority = v.priority
+        |  WHERE NOT v.cal GROUP BY 1)
+        |SELECT med.priority, med.n_calib,
+        |  CAST(coalesce(ts.n_test, 0) AS BIGINT) AS n_test, med.median,
+        |  qh.qhat, CAST(coalesce(ts.n_covered, 0) AS BIGINT) AS n_covered,
+        |  CASE WHEN coalesce(ts.n_test, 0) > 0
+        |    THEN 1000000 * ts.n_covered // ts.n_test END AS coverage_ppm
+        |FROM med LEFT JOIN qh USING (priority) LEFT JOIN ts USING (priority)
+        |ORDER BY priority""".stripMargin,
+    "q294_caliper_match" ->
+      // the oracle needs no banding (it is a superset constraint):
+      // candidates by |Δbal| ≤ caliper directly, nearest by the same
+      // (|Δ|, control balance, control id) total order, ATT from
+      // exact DECIMAL sums
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS sp
+        |  FROM orders GROUP BY 1),
+        |v AS (SELECT c_custkey AS id, c_mktsegment = 'BUILDING' AS t,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS s,
+        |    coalesce(sp, CAST(0 AS BIGINT)) AS o
+        |  FROM customer LEFT JOIN spend ON o_custkey = c_custkey),
+        |t AS (SELECT id AS tid, s AS ts, o AS tout FROM v WHERE t),
+        |c AS (SELECT id AS cid, s AS cs, o AS cout FROM v WHERE NOT t),
+        |cand AS (SELECT t.tid, t.tout, c.cs, c.cid, c.cout,
+        |    abs(t.ts - c.cs) AS d
+        |  FROM t JOIN c ON abs(t.ts - c.cs) <= 10000),
+        |best AS (SELECT tid, tout, cout,
+        |    row_number() OVER (PARTITION BY tid ORDER BY d, cs, cid)
+        |      AS rk
+        |  FROM cand),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
+        |    sum(CAST(tout AS DECIMAL(19,0))) AS st,
+        |    sum(CAST(cout AS DECIMAL(19,0))) AS sc
+        |  FROM best WHERE rk = 1),
+        |cnt AS (SELECT CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_treated,
+        |    CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_control
+        |  FROM v)
+        |SELECT n_treated, n_control, n_matched,
+        |  1000000 * n_matched // n_treated AS matched_ppm,
+        |  CASE WHEN n_matched > 0 THEN round(CAST(st AS DOUBLE)
+        |    / CAST(n_matched AS DOUBLE), 6) + 0.0 END AS mean_treated,
+        |  CASE WHEN n_matched > 0 THEN round(CAST(sc AS DOUBLE)
+        |    / CAST(n_matched AS DOUBLE), 6) + 0.0 END AS mean_control,
+        |  CASE WHEN n_matched > 0 THEN round(CAST(st - sc AS DOUBLE)
+        |    / CAST(n_matched AS DOUBLE), 6) + 0.0 END AS att
+        |FROM m CROSS JOIN cnt""".stripMargin,
+    "q295_did" ->
+      // q130's md5 arm assignment, temporal midpoint cutoff in exact
+      // epoch-µs integers, 2×2 exact DECIMAL cell sums, one float
+      // tree per mean and for the double difference
+      """WITH ev AS (SELECT
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 = 0 AS g,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cutoff FROM ev),
+        |p AS (SELECT g, us >= cutoff AS post, y FROM ev CROSS JOIN cut),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN g AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+        |  CAST(sum(CASE WHEN g AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+        |  CAST(sum(CASE WHEN NOT g AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+        |  CAST(sum(CASE WHEN NOT g AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+        |  sum(CASE WHEN g AND NOT post THEN CAST(y AS DECIMAL(19,0))
+        |    ELSE CAST(0 AS DECIMAL(19,0)) END) AS s_t_pre,
+        |  sum(CASE WHEN g AND post THEN CAST(y AS DECIMAL(19,0))
+        |    ELSE CAST(0 AS DECIMAL(19,0)) END) AS s_t_post,
+        |  sum(CASE WHEN NOT g AND NOT post THEN CAST(y AS DECIMAL(19,0))
+        |    ELSE CAST(0 AS DECIMAL(19,0)) END) AS s_c_pre,
+        |  sum(CASE WHEN NOT g AND post THEN CAST(y AS DECIMAL(19,0))
+        |    ELSE CAST(0 AS DECIMAL(19,0)) END) AS s_c_post
+        | FROM p),
+        |x AS (SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+        |  CASE WHEN n_t_pre > 0 THEN CAST(s_t_pre AS DOUBLE)
+        |    / CAST(n_t_pre AS DOUBLE) END AS m_t_pre,
+        |  CASE WHEN n_t_post > 0 THEN CAST(s_t_post AS DOUBLE)
+        |    / CAST(n_t_post AS DOUBLE) END AS m_t_post,
+        |  CASE WHEN n_c_pre > 0 THEN CAST(s_c_pre AS DOUBLE)
+        |    / CAST(n_c_pre AS DOUBLE) END AS m_c_pre,
+        |  CASE WHEN n_c_post > 0 THEN CAST(s_c_post AS DOUBLE)
+        |    / CAST(n_c_post AS DOUBLE) END AS m_c_post
+        | FROM a)
+        |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+        |  round(m_t_pre, 6) + 0.0 AS m_t_pre,
+        |  round(m_t_post, 6) + 0.0 AS m_t_post,
+        |  round(m_c_pre, 6) + 0.0 AS m_c_pre,
+        |  round(m_c_post, 6) + 0.0 AS m_c_post,
+        |  round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) + 0.0
+        |    AS did
+        |FROM x""".stripMargin)
+}
