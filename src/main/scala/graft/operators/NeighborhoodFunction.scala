@@ -67,6 +67,40 @@ object NeighborhoodFunction {
     perRound.result().reduce(_ unionAll _)
   }
 
+  /** Sketch-based HARMONIC CENTRALITY top-k (Boldi–Vigna "Axioms for
+    * centrality": `H(v) = Σ_{u≠v} 1/d(v,u)`), estimated from the
+    * [[ballSizes]] profile by the HyperANF/HADI telescoping
+    * `H(v) ≈ Σ_r (|ball(v,r)| − |ball(v,r−1)|)/r` — each node's new
+    * r-hop mass weighted by 1/r. THE scale path for centrality: exact
+    * harmonic needs all-pairs BFS (quadratic output); this is `rounds`
+    * edge joins with k-long sketch partials, and the deterministic
+    * bottom-k sketches make the estimate engine-replayable. The
+    * telescoped sum is one fixed float tree per node over the
+    * 6-dp-rounded per-radius estimates; truncation at `rounds` is the
+    * estimator's documented horizon (contributions beyond r ≤ 1/r of
+    * a ball increment — callers pick rounds ≥ the graph's effective
+    * diameter of interest).
+    *
+    * Returns the `topN` nodes by `(harmonic DESC, node)`:
+    * `(node, ball_1, ball_r, harmonic)`.
+    */
+  def harmonicTopK(edges: DataFrame, srcCol: String, dstCol: String,
+                   k: Int, rounds: Int, topN: Int): DataFrame = {
+    val b = ballSizes(edges, srcCol, dstCol, k, rounds)
+    val aggs = (0 to rounds).map(r =>
+      max(when(col("radius") === r.toLong, col("est"))).as(s"__e$r"))
+    val pivoted = b.groupBy(col("node")).agg(aggs.head, aggs.tail: _*)
+    val h = (1 to rounds).map(r =>
+        (col(s"__e$r") - col(s"__e${r - 1}")) / lit(r.toDouble))
+      .reduce(_ + _)
+    pivoted
+      .select(col("node"), col("__e1").as("ball_1"),
+        col(s"__e$rounds").as(s"ball_$rounds"),
+        (round(h, 6) + 0.0).as("harmonic"))
+      .orderBy(col("harmonic").desc, col("node"))
+      .limit(topN)
+  }
+
   /** KMV read-off from a `(node, lows)` sketch frame: exact when the
     * sketch is not full, `(k-1)·2^48 / h_k` at k, rounded to 6 dp
     * (one IEEE divide of exact integers — engine-deterministic).

@@ -99,13 +99,80 @@ private[graft] trait CausalStatsQueries { this: SparkEntry.type =>
       "g", "post", "cents")
   }
 
+  // ---------------------------------------------------------------- q298
+  /** Epoch materialization of the T=2 temperature mix
+    * ([[operators.EpochResample]]): q275 computes the target source
+    * shares; this row EMITS the resampled epoch — every document
+    * replicated `floor(r)` times plus an md5-coin extra with
+    * probability `frac(r)` — and audits achieved vs target share per
+    * source. All arithmetic is exact integer ppm (the α = 1/2 tilt via
+    * integer isqrt), the coin is the content hash, so the epoch is a
+    * pure function of the corpus: reproducible on any engine, any
+    * shard layout, with no shuffle in the emission path.
+    */
+  def q298EpochResample(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"),
+      col("n_chars"))
+    val rates = operators.EpochResample.replicationRates(
+      docs, "doc_id", "source", "n_chars")
+    val got = operators.EpochResample.resampledIds(
+        docs, "doc_id", "source", "n_chars")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_emitted"))
+    val joined = rates.join(got, Seq("source"), "left")
+      .withColumn("n_emitted", coalesce(col("n_emitted"), lit(0L)))
+    val tot = joined.agg(sum(col("n_emitted")).as("__te"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_rows"), col("p_ppm"),
+        col("target_ppm"), col("r_ppm"), col("n_emitted"),
+        expr("1000000 * n_emitted DIV __te").as("achieved_ppm"))
+      .orderBy(col("source"))
+  }
+
   private[graft] def queriesStatsCausal: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_epoch_resample" -> (q298EpochResample _),
     "q292_bootstrap_ci" -> (q292BootstrapCi _),
     "q293_conformal" -> (q293Conformal _),
     "q294_caliper_match" -> (q294CaliperMatch _),
     "q295_did" -> (q295Did _))
 
   private[graft] def oracleSqlStatsCausal: Map[String, String] = Map(
+    "q298_epoch_resample" ->
+      // exact ppm shares via HUGEINT division (q275's discipline), the
+      // α=1/2 tilt as integer isqrt, per-doc emission counted without
+      // materializing (sum of floor(r) + md5-coin), achieved ppm exact
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(mass) AS BIGINT) AS t,
+        |    CAST(sum(n_rows) AS BIGINT) AS nt FROM per),
+        |p AS (SELECT source, n_rows, mass,
+        |    CAST((1000000 * CAST(mass AS HUGEINT)) // tot.t AS BIGINT)
+        |      AS p_ppm
+        |  FROM per, tot),
+        |u AS (SELECT *, CAST(floor(sqrt(CAST(p_ppm AS DOUBLE)))
+        |    AS BIGINT) AS iu FROM p),
+        |su AS (SELECT CAST(sum(iu) AS BIGINT) AS s FROM u),
+        |tg AS (SELECT source, n_rows, p_ppm,
+        |    CAST((1000000 * CAST(iu AS HUGEINT)) // su.s AS BIGINT)
+        |      AS target_ppm
+        |  FROM u, su),
+        |r AS (SELECT source, n_rows, p_ppm, target_ppm,
+        |    CAST((CAST(nt AS HUGEINT) * 1000000 * target_ppm)
+        |      // (CAST(n_rows AS HUGEINT) * 1000000) AS BIGINT) AS r_ppm
+        |  FROM tg, tot),
+        |em AS (SELECT d.source,
+        |    CAST(sum(r.r_ppm // 1000000
+        |      + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id
+        |          AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000
+        |          < r.r_ppm % 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_emitted
+        |  FROM documents d JOIN r USING (source) GROUP BY 1),
+        |te AS (SELECT CAST(sum(n_emitted) AS BIGINT) AS s FROM em)
+        |SELECT r.source, r.n_rows, r.p_ppm, r.target_ppm, r.r_ppm,
+        |  CAST(coalesce(em.n_emitted, 0) AS BIGINT) AS n_emitted,
+        |  1000000 * coalesce(em.n_emitted, 0) // te.s AS achieved_ppm
+        |FROM r LEFT JOIN em USING (source) CROSS JOIN te
+        |ORDER BY r.source""".stripMargin,
     "q292_bootstrap_ci" ->
       // the SAME Poisson thresholds (floor(CDF·2^48) integer literals)
       // on the md5-48 uniform; replicate sums exact DECIMAL; rank 2 /

@@ -286,6 +286,47 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
       .orderBy(col("radius"))
   }
 
+  // ---------------------------------------------------------------- q296
+  /** Sketch-based harmonic centrality top-20 over the ≥2-support
+    * co-purchase graph ([[operators.NeighborhoodFunction
+    * .harmonicTopK]]): q241's bottom-8 ball-size profile telescoped
+    * into `H(v) ≈ Σ_r (ball_r − ball_{r−1})/r` (the HyperANF/HADI
+    * read-out of Boldi–Vigna's harmonic centrality) — the centrality
+    * ranking whose exact form is an all-pairs BFS no 100 TB cluster
+    * runs. Three edge-join rounds with k-long sketch partials; the
+    * telescoped sum is one float tree per node over the 6-dp per-
+    * radius estimates; top-20 by the total (harmonic DESC, node) key.
+    */
+  def q296HarmonicCentrality(s: SparkSession, d: String): DataFrame = {
+    val e = copurchasePairs(s, d).filter(col("n_both") >= 2)
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    operators.NeighborhoodFunction.harmonicTopK(e, "src", "dst",
+      k = 8, rounds = 3, topN = 20)
+  }
+
+  // ---------------------------------------------------------------- q297
+  /** Grid-accelerated DBSCAN over the 2-D hyperplane projection of the
+    * embedding corpus ([[operators.Dbscan.clusterSummary]]): density
+    * clusters (eps = 0.15, minPts = 5) with min-core-id labels, border
+    * attachment by MIN in-range core label (removing the classic
+    * visit-order dependence), and a noise row — the density-clustering
+    * face the suite lacked next to k-means (q89) and LSH communities
+    * (q97). The eps-search is a 9-cell grid equi-join, never
+    * all-pairs; components run the large-star/small-star fixpoint.
+    * The projection planes are the [[operators.Similarity
+    * .hyperplaneWeights]] literals, part of the portable definition.
+    */
+  def q297DbscanGrid(s: SparkSession, d: String): DataFrame = {
+    val w = operators.Similarity.hyperplaneWeights(2, 64)
+    def proj(i: Int) =
+      aggregate(zip_with(col("embedding"), typedLit(w(i).toSeq),
+        (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+    val pts = embeddings(s, d).select(col("vec_id"),
+      proj(0).as("x"), proj(1).as("y"))
+    operators.Dbscan.clusterSummary(pts, "vec_id", "x", "y",
+      eps = 0.15, minPts = 5L, topN = 10)
+  }
+
   // ---------------------------------------------------------------- q246
   /** Deterministic random-walk corpus over the ≥2-support co-purchase
     * graph ([[operators.RandomWalks.walks]] — the DeepWalk/node2vec
@@ -432,6 +473,8 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     "q148_kcore_peel" -> (q148KcorePeel _),
     "q152_assortativity" -> (q152Assortativity _),
     "q161_personalized_pr" -> (q161PersonalizedPr _),
+    "q296_harmonic_centrality" -> (q296HarmonicCentrality _),
+    "q297_dbscan_grid" -> (q297DbscanGrid _),
     "q173_adamic_adar" -> (q173AdamicAdar _),
     "q174_item_cosine" -> (q174ItemCosine _),
     "q175_hits" -> (q175Hits _),
@@ -439,7 +482,108 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     "q181_sssp" -> (q181Sssp _),
     "q218_ktruss_peel" -> (q218KtrussPeel _))
 
+  /** q297's replay: the SAME hyperplane literals project the vectors;
+    * the eps-neighborhood is the plain distance predicate (the grid
+    * join is a superset constraint — identical pair set); components
+    * via a transitive closure seeded with EVERY core (so isolated
+    * cores self-label, matching the Spark side's union), min-id
+    * labels; border rows take the MIN in-range core label. eps² is
+    * written `0.15·0.15` so both engines square the same double.
+    */
+  private[graft] lazy val dbscanGridSql: String = {
+    val w = operators.Similarity.hyperplaneWeights(2, 64)
+    val (w0, w1) = (w(0).mkString(", "), w(1).mkString(", "))
+    s"""WITH RECURSIVE p AS (SELECT vec_id AS id,
+       |    list_dot_product(CAST(embedding AS DOUBLE[]), [$w0]) AS x,
+       |    list_dot_product(CAST(embedding AS DOUBLE[]), [$w1]) AS y
+       |  FROM embeddings),
+       |nb AS MATERIALIZED (SELECT a.id, b.id AS id2 FROM p a JOIN p b
+       |  ON a.id <> b.id
+       |  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |    <= CAST(0.15 AS DOUBLE) * CAST(0.15 AS DOUBLE)),
+       |cr AS MATERIALIZED (SELECT id FROM
+       |  (SELECT id, count(*) AS c FROM nb GROUP BY id)
+       |  WHERE c + 1 >= 5),
+       |ce AS (SELECT nb.id AS a, nb.id2 AS b FROM nb
+       |  JOIN cr ON cr.id = nb.id JOIN cr c2 ON c2.id = nb.id2
+       |  WHERE nb.id < nb.id2),
+       |sym AS MATERIALIZED (SELECT a, b FROM ce
+       |  UNION ALL SELECT b, a FROM ce),
+       |reach(src, dst) AS (SELECT id, id FROM cr
+       |  UNION SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst),
+       |lab AS MATERIALIZED (SELECT src AS id, min(dst) AS lb
+       |  FROM reach GROUP BY 1),
+       |border AS MATERIALIZED (SELECT nb.id, min(l.lb) AS lb
+       |  FROM nb JOIN cr c2 ON c2.id = nb.id2 JOIN lab l ON l.id = nb.id2
+       |  WHERE nb.id NOT IN (SELECT id FROM cr) GROUP BY nb.id),
+       |cl AS (SELECT lb AS cluster,
+       |    CAST(sum(core) AS BIGINT) AS n_core,
+       |    CAST(sum(1 - core) AS BIGINT) AS n_border,
+       |    CAST(count(*) AS BIGINT) AS size
+       |  FROM (SELECT lb, 1 AS core FROM lab
+       |        UNION ALL SELECT lb, 0 FROM border)
+       |  GROUP BY lb ORDER BY size DESC, cluster LIMIT 10),
+       |noise AS (SELECT CAST(NULL AS BIGINT) AS cluster,
+       |    CAST(0 AS BIGINT) AS n_core, CAST(0 AS BIGINT) AS n_border,
+       |    CAST(count(*) AS BIGINT) AS size
+       |  FROM p WHERE id NOT IN (SELECT id FROM lab)
+       |    AND id NOT IN (SELECT id FROM border))
+       |SELECT cluster, n_core, n_border, size FROM
+       |  (SELECT * FROM cl UNION ALL SELECT * FROM noise)
+       |ORDER BY CASE WHEN cluster IS NULL THEN 1 ELSE 0 END,
+       |  size DESC, cluster""".stripMargin
+  }
+
   private[graft] def oracleSqlGraph: Map[String, String] = Map(
+    "q296_harmonic_centrality" ->
+      // q241's bottom-8 sketch replay extended one round, pivoted per
+      // node, telescoped (ball_r − ball_{r−1})/r term for term, top-20
+      // by the exact (harmonic DESC, node) key
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |ed AS (SELECT a.pk AS pa, b.pk AS pb
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst FROM ed
+        |      UNION SELECT pb, pa FROM ed),
+        |s0 AS (SELECT DISTINCT src AS node,
+        |    CAST(('0x' || substr(md5(CAST(src AS VARCHAR)), 1, 12))
+        |      AS BIGINT) AS h FROM e),
+        |m1 AS (SELECT e.src AS node, s.h FROM e JOIN s0 s ON s.node = e.dst
+        |       UNION SELECT node, h FROM s0),
+        |s1 AS (SELECT node, h FROM (SELECT node, h,
+        |    row_number() OVER (PARTITION BY node ORDER BY h) AS rk
+        |  FROM m1) WHERE rk <= 8),
+        |m2 AS (SELECT e.src AS node, s.h FROM e JOIN s1 s ON s.node = e.dst
+        |       UNION SELECT node, h FROM s1),
+        |s2 AS (SELECT node, h FROM (SELECT node, h,
+        |    row_number() OVER (PARTITION BY node ORDER BY h) AS rk
+        |  FROM m2) WHERE rk <= 8),
+        |m3 AS (SELECT e.src AS node, s.h FROM e JOIN s2 s ON s.node = e.dst
+        |       UNION SELECT node, h FROM s2),
+        |s3 AS (SELECT node, h FROM (SELECT node, h,
+        |    row_number() OVER (PARTITION BY node ORDER BY h) AS rk
+        |  FROM m3) WHERE rk <= 8),
+        |b AS (SELECT 0 AS radius, node, count(*) AS n_kept, max(h) AS kth
+        |      FROM s0 GROUP BY 1, 2
+        |      UNION ALL SELECT 1, node, count(*), max(h) FROM s1 GROUP BY 1, 2
+        |      UNION ALL SELECT 2, node, count(*), max(h) FROM s2 GROUP BY 1, 2
+        |      UNION ALL SELECT 3, node, count(*), max(h) FROM s3 GROUP BY 1, 2),
+        |est AS (SELECT radius, node,
+        |    round(CASE WHEN n_kept < 8 THEN CAST(n_kept AS DOUBLE)
+        |      ELSE CAST(7 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+        |        / CAST(kth AS DOUBLE) END, 6) AS est
+        |  FROM b),
+        |pv AS (SELECT node,
+        |    max(CASE WHEN radius = 0 THEN est END) AS e0,
+        |    max(CASE WHEN radius = 1 THEN est END) AS e1,
+        |    max(CASE WHEN radius = 2 THEN est END) AS e2,
+        |    max(CASE WHEN radius = 3 THEN est END) AS e3
+        |  FROM est GROUP BY node)
+        |SELECT node, e1 AS ball_1, e3 AS ball_3,
+        |  round((e1 - e0) / CAST(1 AS DOUBLE) + (e2 - e1) / CAST(2 AS DOUBLE)
+        |    + (e3 - e2) / CAST(3 AS DOUBLE), 6) + 0.0 AS harmonic
+        |FROM pv ORDER BY harmonic DESC, node LIMIT 20""".stripMargin,
+    "q297_dbscan_grid" -> dbscanGridSql,
     "q276_link_suite" ->
       // q173's wedge replay extended with the 1/deg RA weight, full-
       // degree Jaccard ppm (Spark DIV ≡ DuckDB // on positives), and
