@@ -68,6 +68,64 @@ object Regression {
       .select(col("k").as(keyCol), col("n"), col("slope"), col("intercept"))
   }
 
+  /** Simpson's-paradox audit: does the AGGREGATED trend contradict the
+    * per-stratum trends? The classic confounding trap — a pipeline
+    * that reads the pooled slope can conclude the opposite of every
+    * stratum (Simpson 1951); this row makes the check a standing
+    * guardrail. Fits [[olsPerKey]] per stratum AND pooled (both exact-
+    * moment closed forms), then counts strata whose slope sign
+    * opposes the pooled sign. One output row:
+    * `(overall_slope, n_strata, n_opposed, simpson_flag)` with the
+    * flag raised when a MAJORITY of strata oppose the pooled
+    * direction. Zero-slope strata oppose nothing (strict sign test).
+    * Scale shape: two moment aggregations over the same frame + a
+    * strata-sized reduce; no window, no pairs.
+    */
+  def simpsonAudit(df: DataFrame, strataCol: String, xCol: String,
+                   yCol: String): DataFrame = {
+    val base = df.select(col(strataCol).as("__st"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint(true)
+    // self-contained wide-DECIMAL slope (olsPerKey's (4,0) n-cast
+    // tops out at 9,999 rows per group — the POOLED fit here sees the
+    // whole frame). Headroom contract: |x| ≤ 1e7, |y| ≤ 1e9,
+    // n ≤ 1e10 (overflow → NULL slope → the stratum drops visibly)
+    def slopes(g: DataFrame): DataFrame =
+      g.groupBy(col("__st"))
+        .agg(count(lit(1)).as("__n"),
+          sum(col("__x").cast("decimal(12,0)")).as("__sx"),
+          sum(col("__y").cast("decimal(19,0)")).as("__sy"),
+          sum(col("__x").cast("decimal(8,0)") *
+            col("__y").cast("decimal(18,0)")).as("__sxy"),
+          sum((col("__x") * col("__x")).cast("decimal(15,0)")).as("__sxx"))
+        .filter(col("__n") >= 2L)
+        .withColumn("__den",
+          (col("__n").cast("decimal(11,0)") *
+            col("__sxx").cast("decimal(25,0)") -
+            col("__sx").cast("decimal(18,0)") *
+              col("__sx").cast("decimal(18,0)")).cast("double"))
+        .filter(col("__den") =!= 0.0)
+        .withColumn("slope", round(
+          (col("__n").cast("decimal(11,0)") *
+            col("__sxy").cast("decimal(27,0)") -
+            col("__sx").cast("decimal(18,0)") *
+              col("__sy").cast("decimal(19,0)")).cast("double") /
+            col("__den"), 6) + lit(0.0))
+        .filter(col("slope").isNotNull)
+        .select(col("__st"), col("slope"))
+    val per = slopes(base).select(col("slope").as("__s"))
+    val overall = slopes(base.withColumn("__st", lit(0L)))
+      .select(col("slope").as("overall_slope"))
+    per.crossJoin(broadcast(overall))
+      .groupBy(col("overall_slope"))
+      .agg(count(lit(1)).as("n_strata"),
+        sum(when(col("__s") * col("overall_slope") < 0.0, 1L)
+          .otherwise(0L)).as("n_opposed"))
+      .select(col("overall_slope"), col("n_strata"), col("n_opposed"),
+        (col("n_opposed") * 2L > col("n_strata")).as("simpson_flag"))
+  }
+
   /** Theil–Sen robust trend per group: the MEDIAN of all pairwise
     * slopes `(y_j − y_i)/(x_j − x_i)`, the estimator that shrugs off
     * up to ~29% contaminated points where OLS ([[olsPerKey]]) follows

@@ -128,7 +128,47 @@ private[graft] trait CausalStatsQueries { this: SparkEntry.type =>
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------- q300
+  /** Delta-method CI for the ratio metric "purchase revenue per
+    * click" ([[operators.ExperimentMetrics.ratioDeltaCi]]): per-user
+    * numerator/denominator masses (users, not rows, are the
+    * independent unit — the naive per-row variance is simply wrong
+    * for ratio metrics), exact DECIMAL moments, the classic
+    * first-order variance expansion, 95% bounds. The experiment-
+    * readout face q130's mean-difference t-test can't cover.
+    */
+  def q300RatioDelta(s: SparkSession, d: String): DataFrame = {
+    val per = events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .otherwise(0L)).as("rev_cents"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicks"))
+    operators.ExperimentMetrics.ratioDeltaCi(per, "rev_cents", "clicks")
+  }
+
+  // ---------------------------------------------------------------- q301
+  /** Sample-ratio-mismatch guardrail
+    * ([[operators.ExperimentMetrics.srmCheck]]) on q130's md5 arm
+    * assignment over the distinct event users: the 1-dof chi-square
+    * of observed arm sizes against the intended 50/50. An SRM means
+    * assignment or logging is broken and every downstream metric —
+    * including q130 and q300 — is untrustworthy; this is the check
+    * that runs FIRST.
+    */
+  def q301SrmCheck(s: SparkSession, d: String): DataFrame =
+    operators.ExperimentMetrics.srmCheck(
+      events(s, d).select(col("user_id")).filter(col("user_id").isNotNull)
+        .distinct()
+        .select((conv(substring(md5(col("user_id").cast("string")), 1, 8),
+          16, 10).cast("long") % 2 === 0L).as("arm")),
+      "arm")
+
   private[graft] def queriesStatsCausal: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_ratio_delta" -> (q300RatioDelta _),
+    "q301_srm_check" -> (q301SrmCheck _),
     "q298_epoch_resample" -> (q298EpochResample _),
     "q292_bootstrap_ci" -> (q292BootstrapCi _),
     "q293_conformal" -> (q293Conformal _),
@@ -136,6 +176,72 @@ private[graft] trait CausalStatsQueries { this: SparkEntry.type =>
     "q295_did" -> (q295Did _))
 
   private[graft] def oracleSqlStatsCausal: Map[String, String] = Map(
+    "q300_ratio_delta" ->
+      // exact DECIMAL moments over the per-user frame; each published
+      // double mirrors the Spark tree term for term; the big squared
+      // sums hop DECIMAL→VARCHAR→DOUBLE (the 1-ulp int128 cast)
+      """WITH per AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(19,0))) AS sx,
+        |    sum(CAST(y AS DECIMAL(19,0))) AS sy,
+        |    sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+        |      AS sxx,
+        |    sum(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+        |      AS syy,
+        |    sum(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+        |      AS sxy
+        |  FROM per),
+        |f AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+        |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+        |    CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd,
+        |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+        |    sy <> 0 AND n >= 2 AS ok
+        |  FROM m),
+        |g AS (SELECT n, ok, sxd / syd AS r,
+        |    (sxxd - sxd * sxd / nd) / (nd - 1.0) AS varx,
+        |    (syyd - syd * syd / nd) / (nd - 1.0) AS vary,
+        |    (sxyd - sxd * syd / nd) / (nd - 1.0) AS covxy,
+        |    syd / nd AS ybar, nd
+        |  FROM f),
+        |h AS (SELECT n, ok, r,
+        |    sqrt((varx - CAST(2 AS DOUBLE) * r * covxy + r * r * vary)
+        |      / (nd * ybar * ybar)) AS se
+        |  FROM g)
+        |SELECT n,
+        |  CASE WHEN ok THEN round(r, 6) + 0.0 END AS r,
+        |  CASE WHEN ok THEN round(se, 6) + 0.0 END AS se,
+        |  CASE WHEN ok THEN round(r - CAST(1.959964 AS DOUBLE) * se, 6)
+        |    + 0.0 END AS ci_lo,
+        |  CASE WHEN ok THEN round(r + CAST(1.959964 AS DOUBLE) * se, 6)
+        |    + 0.0 END AS ci_hi
+        |FROM h""".stripMargin,
+    "q301_srm_check" ->
+      // q130's md5 arm hash over distinct users; one float tree
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(user_id
+        |      AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(user_id
+        |      AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_b
+        |  FROM u)
+        |SELECT n_a, n_b,
+        |  round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |    / CAST(n_a + n_b AS DOUBLE), 6) + 0.0 AS chi2,
+        |  round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |    / CAST(n_a + n_b AS DOUBLE), 6) + 0.0
+        |    > CAST(3.841459 AS DOUBLE) AS srm_flag
+        |FROM a""".stripMargin,
     "q298_epoch_resample" ->
       // exact ppm shares via HUGEINT division (q275's discipline), the
       // α=1/2 tilt as integer isqrt, per-doc emission counted without

@@ -524,7 +524,31 @@ private[graft] trait RankStatsQueries { this: SparkEntry.type =>
       .orderBy(col("nation"))
   }
 
+  // ---------------------------------------------------------------- q299
+  /** Simpson's-paradox audit of the average-order-value trend
+    * ([[operators.Regression.simpsonAudit]]): the pooled daily-AOV
+    * slope across all nation-days vs each nation's own slope — the
+    * confounding guardrail that catches a dashboard reading a pooled
+    * trend every stratum contradicts (composition shift, not
+    * behavior). Daily AOV is an exact truncating integer (dollars =
+    * cents DIV (100·n)); both fits are wide-DECIMAL exact-moment
+    * closed forms on the calendar-bounded nation-day frame.
+    */
+  def q299SimpsonAudit(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).cast("long").as("__cents"),
+        count(lit(1)).as("__cnt"))
+      .select(col("nation"), col("day"),
+        expr("__cents DIV (100 * __cnt)").as("aov_dollars"))
+    operators.Regression.simpsonAudit(daily, "nation", "day", "aov_dollars")
+  }
+
   private[graft] def queriesStatsRank: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q299_simpson_audit" -> (q299SimpsonAudit _),
     "q130_ab_test" -> (q130AbTest _),
     "q153_mann_whitney" -> (q153MannWhitney _),
     "q159_benford" -> (q159Benford _),
@@ -550,6 +574,45 @@ private[graft] trait RankStatsQueries { this: SparkEntry.type =>
     "q291_fdr_bh" -> (q291FdrBh _))
 
   private[graft] def oracleSqlStatsRank: Map[String, String] = Map(
+    "q299_simpson_audit" ->
+      // exact HUGEINT moments per stratum and pooled; the one float
+      // per slope goes hugeint→VARCHAR→DOUBLE (DuckDB's direct
+      // int128→double cast is off by 1 ulp past 2^53)
+      """WITH b AS (SELECT c_nationkey AS st,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS x,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |v AS (SELECT st, x, cents // (100 * cnt) AS y FROM b),
+        |m AS (SELECT st, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM v GROUP BY st),
+        |mo AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM v),
+        |sl AS (SELECT st,
+        |    round(CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE), 6)
+        |      + 0.0 AS s
+        |  FROM m WHERE n >= 2 AND n * sxx - sx * sx <> 0),
+        |so AS (SELECT
+        |    round(CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE), 6)
+        |      + 0.0 AS overall_slope
+        |  FROM mo WHERE n >= 2 AND n * sxx - sx * sx <> 0)
+        |SELECT so.overall_slope, CAST(count(*) AS BIGINT) AS n_strata,
+        |  CAST(sum(CASE WHEN sl.s * so.overall_slope < 0 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_opposed,
+        |  2 * sum(CASE WHEN sl.s * so.overall_slope < 0 THEN 1 ELSE 0
+        |    END) > count(*) AS simpson_flag
+        |FROM sl CROSS JOIN so GROUP BY so.overall_slope""".stripMargin,
     "q288_mann_kendall" ->
       // S and the tie mass exact (DECIMAL for the n(n−1)(2n+5) terms,
       // which pass 2^63 at n ≈ 1.7e6); the continuity-corrected z is

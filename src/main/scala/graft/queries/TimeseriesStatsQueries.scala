@@ -287,7 +287,28 @@ private[graft] trait TimeseriesStatsQueries { this: SparkEntry.type =>
       windowLen = 7)
   }
 
+  // ---------------------------------------------------------------- q302
+  /** SAX symbolic motifs of the daily revenue series per priority
+    * ([[operators.Sax.topWords]]): z-normalize, discretize into the
+    * a–d quartile alphabet, and count 3-day symbol words — the
+    * SYMBOLIC face of motif discovery next to q280's numeric matrix
+    * profile: lossy but joinable/groupable at warehouse speed, the
+    * classic pre-filter before an exact profile pass. Moments exact
+    * DECIMAL; each z-score/symbol a fixed per-row tree; the word
+    * window runs on the calendar-bounded daily frame.
+    */
+  def q302SaxMotifs(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).cast("long").as("cents"))
+    operators.Sax.topWords(daily, "priority", "day", "cents",
+      w = 3, topPerKey = 3)
+  }
+
   private[graft] def queriesStatsTs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q302_sax_motifs" -> (q302SaxMotifs _),
     "q131_survival" -> (q131Survival _),
     "q178_ewma" -> (q178Ewma _),
     "q257_acf" -> (q257Acf _),
@@ -305,6 +326,47 @@ private[graft] trait TimeseriesStatsQueries { this: SparkEntry.type =>
       " + 8 * 100000000000000) // 8 - 100000000000000)"
 
   private[graft] def oracleSqlStatsTs: Map[String, String] = Map(
+    "q302_sax_motifs" ->
+      // population σ from exact DECIMAL moments (the big Σy² hops
+      // DECIMAL→VARCHAR→DOUBLE — DuckDB's direct int128→double cast
+      // is 1 ulp off past 2^53); N(0,1) quartile-breakpoint literals
+      // shared with Sax.topWords; NULL-propagating || drops tail words
+      """WITH dd AS (SELECT o_orderpriority AS priority,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |st AS (SELECT priority, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(y AS DECIMAL(19,0))) AS s,
+        |    sum(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+        |      AS ss
+        |  FROM dd GROUP BY 1),
+        |sp AS (SELECT priority,
+        |    CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(CAST(ss AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS m2
+        |  FROM st),
+        |sg AS (SELECT priority, mu, sqrt(m2 - mu * mu) AS sig FROM sp),
+        |z AS (SELECT dd.priority, dd.day,
+        |    (CAST(dd.y AS DOUBLE) - sg.mu) / sg.sig AS zv
+        |  FROM dd JOIN sg USING (priority) WHERE sg.sig > 0),
+        |sym AS (SELECT priority, day,
+        |    CASE WHEN zv < -CAST(0.6744897501960817 AS DOUBLE) THEN 'a'
+        |      WHEN zv < CAST(0 AS DOUBLE) THEN 'b'
+        |      WHEN zv < CAST(0.6744897501960817 AS DOUBLE) THEN 'c'
+        |      ELSE 'd' END AS sy
+        |  FROM z),
+        |wd AS (SELECT priority,
+        |    sy || lead(sy, 1) OVER w || lead(sy, 2) OVER w AS word
+        |  FROM sym WINDOW w AS (PARTITION BY priority ORDER BY day)),
+        |ct AS (SELECT priority, word, CAST(count(*) AS BIGINT) AS n
+        |  FROM wd WHERE length(word) = 3 GROUP BY 1, 2),
+        |rk AS (SELECT priority, word, n,
+        |    CAST(row_number() OVER (PARTITION BY priority
+        |      ORDER BY n DESC, word) AS BIGINT) AS rk
+        |  FROM ct)
+        |SELECT priority, word, n, rk FROM rk WHERE rk <= 3
+        |ORDER BY priority, rk""".stripMargin,
     "q280_motif_discord" -> {
       val ssd = (0 until 7).map(j =>
         s"CAST(a.w$j - b.w$j AS HUGEINT) * (a.w$j - b.w$j)")
