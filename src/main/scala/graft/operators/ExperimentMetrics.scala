@@ -64,6 +64,54 @@ object ExperimentMetrics {
           round(r + lit(z) * se, 6) + 0.0).as("ci_hi"))
   }
 
+  /** Minimum detectable effect at the experiment's CURRENT sample
+    * sizes — the planning readout that answers "is this test even
+    * capable of seeing the effect we care about" BEFORE anyone stares
+    * at an inconclusive p-value:
+    * `MDE = (z_{α/2} + z_{power})·sqrt(s_p²·(1/n_a + 1/n_b))` with the
+    * pooled variance from exact DECIMAL moments. Defaults: α = 0.05
+    * two-sided, 80% power. One row:
+    * `(n_a, n_b, sd_pooled, mde_abs, mde_rel)` — `mde_rel` is the
+    * absolute MDE over the pooled mean. NULL when a variance or mean
+    * degenerates.
+    */
+  def mdeCheck(df: DataFrame, armCol: String, valueCol: String,
+               zAlpha: Double = 1.959964,
+               zPower: Double = 0.8416212335729143): DataFrame = {
+    val m = df.select(col(armCol).cast("boolean").as("__a"),
+        col(valueCol).cast("long").as("__y"))
+      .filter(col("__a").isNotNull && col("__y").isNotNull)
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("n_b"),
+        sum(when(col("__a"), col("__y").cast("decimal(19,0)"))
+          .otherwise(lit(0L).cast("decimal(19,0)"))).as("__sa"),
+        sum(when(col("__a"), lit(0L).cast("decimal(19,0)"))
+          .otherwise(col("__y").cast("decimal(19,0)"))).as("__sb"),
+        sum(when(col("__a"), col("__y").cast("decimal(18,0)") *
+          col("__y").cast("decimal(18,0)"))
+          .otherwise(lit(0L).cast("decimal(18,0)"))).as("__ssa"),
+        sum(when(col("__a"), lit(0L).cast("decimal(18,0)"))
+          .otherwise(col("__y").cast("decimal(18,0)") *
+            col("__y").cast("decimal(18,0)"))).as("__ssb"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val va = (col("__ssa").cast("double") -
+      col("__sa").cast("double") * col("__sa").cast("double") / naD) /
+      (naD - 1.0)
+    val vb = (col("__ssb").cast("double") -
+      col("__sb").cast("double") * col("__sb").cast("double") / nbD) /
+      (nbD - 1.0)
+    val sp2 = ((naD - 1.0) * va + (nbD - 1.0) * vb) / (naD + nbD - 2.0)
+    val mde = lit(zAlpha + zPower) *
+      sqrt(sp2 * (lit(1.0) / naD + lit(1.0) / nbD))
+    val mean = (col("__sa") + col("__sb")).cast("double") / (naD + nbD)
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L
+    m.select(col("n_a"), col("n_b"),
+      when(ok, round(sqrt(sp2), 6) + 0.0).as("sd_pooled"),
+      when(ok, round(mde, 6) + 0.0).as("mde_abs"),
+      when(ok && mean =!= 0.0, round(mde / mean, 6) + 0.0).as("mde_rel"))
+  }
+
   /** Sample-ratio-mismatch check: a 1-dof chi-square goodness-of-fit
     * of the two arm sizes against the intended 50/50 —
     * `χ² = (n_a − n_b)²/(n_a + n_b)`, flagged past the 0.05 critical

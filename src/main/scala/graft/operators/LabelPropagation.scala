@@ -74,6 +74,52 @@ object LabelPropagation {
     * every update toward the identity labeling); mirrored once and
     * checkpointed — every round joins labels onto THIS frame.
     */
+
+  /** Newman modularity Q of a labeling over the undirected graph:
+    * `Q = Σ_c [e_c/m − (d_c/2m)²]` — how much denser the communities
+    * are than a degree-preserving random rewiring, THE quality score
+    * for any community assignment (LPA here, but the labeling is a
+    * parameter). Computed as the exact integer rational
+    * `(4m·Σe_intra − Σd_c²) / 4m²` — intra-edge counts and per-
+    * community degree sums are integers, so the only float is the
+    * final division, rounded 6 dp. One row:
+    * `(m, n_communities, n_intra, modularity)`.
+    *
+    * Scale shape: one edge-side double label join (hash, labels are
+    * node-sized), one degree aggregation, one community-sized reduce.
+    * Headroom: Σd_c² ≤ (2m)² — DECIMAL past m ~ 1.5e9 edges.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, nodeCol: String,
+                 labelCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
+    val intra = e0
+      .join(lab.toDF("src", "__la"), Seq("src"))
+      .join(lab.toDF("dst", "__lb"), Seq("dst"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("__la") === col("__lb"), 1L).otherwise(0L))
+          .as("n_intra"))
+    val deg = e0.select(col("src").as("__n"))
+      .unionAll(e0.select(col("dst").as("__n")))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+    val dc = deg.join(lab, Seq("__n"))
+      .groupBy(col("__l")).agg(sum(col("__d")).as("__dc"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("__dc").cast("decimal(19,0)") *
+          col("__dc").cast("decimal(19,0)")).as("__dc2"))
+    intra.crossJoin(broadcast(dc))
+      .select(col("m"), col("n_communities"), col("n_intra"),
+        (round((lit(4L).cast("decimal(2,0)") *
+            col("m").cast("decimal(12,0)") *
+            col("n_intra").cast("decimal(12,0)") -
+            col("__dc2")).cast("double") /
+            (lit(4.0) * col("m").cast("double") * col("m").cast("double")),
+            6) + 0.0).as("modularity"))
+  }
+
   private def mirroredEdges(edges: DataFrame, srcCol: String,
                             dstCol: String): DataFrame = {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))

@@ -84,6 +84,68 @@ object Matching {
             col("n_matched").cast("double"), 6) + 0.0).as("att"))
   }
 
+  /** Stratified (sub-classification) ATE — the other classic
+    * observational estimator next to [[caliperMatchAtt]]: bucket units
+    * by a confounder proxy (`strataCol`), take the treated−control
+    * mean gap WITHIN each stratum over the common support (both arms
+    * present), and average the gaps weighted by stratum size. The
+    * published `naive_diff` (pooled, unadjusted) sits alongside so
+    * the confounding correction is visible.
+    *
+    * One hash aggregation to the strata frame; exact DECIMAL sums.
+    * Cross-stratum combination uses the q131 rounded-term transport:
+    * each per-stratum gap is ONE float tree rounded 6 dp and carried
+    * as DECIMAL(18,6) — portable because |gap| stays far below the
+    * ~4.5e9 magnitude where a 6-dp rounding stops pinning the double
+    * (documented contract: integer outcomes under ~1e9).
+    * Output: `(n_strata, n_common, n_treated, n_control, naive_diff,
+    * ate_strat)`.
+    */
+  def stratifiedAte(df: DataFrame, treatedCol: String, strataCol: String,
+                    outcomeCol: String): DataFrame = {
+    val v = df.select(col(treatedCol).cast("boolean").as("__t"),
+        col(strataCol).as("__b"), col(outcomeCol).cast("long").as("__y"))
+      .filter(col("__t").isNotNull && col("__b").isNotNull &&
+        col("__y").isNotNull)
+    val strata = v.groupBy(col("__b"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("__nc"),
+        sum(when(col("__t"), col("__y").cast("decimal(19,0)"))
+          .otherwise(lit(0L).cast("decimal(19,0)"))).as("__st"),
+        sum(when(col("__t"), lit(0L).cast("decimal(19,0)"))
+          .otherwise(col("__y").cast("decimal(19,0)"))).as("__sc"))
+      .withColumn("__common", col("__nt") > 0L && col("__nc") > 0L)
+      .withColumn("__gap",
+        when(col("__common"),
+          round(col("__st").cast("double") / col("__nt").cast("double") -
+            col("__sc").cast("double") / col("__nc").cast("double"), 6)
+            .cast("decimal(18,6)")))
+    val naive = v.agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("n_treated"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("n_control"),
+      sum(when(col("__t"), col("__y").cast("decimal(19,0)"))
+        .otherwise(lit(0L).cast("decimal(19,0)"))).as("__st"),
+      sum(when(col("__t"), lit(0L).cast("decimal(19,0)"))
+        .otherwise(col("__y").cast("decimal(19,0)"))).as("__sc"))
+    strata.agg(count(lit(1)).as("n_strata"),
+        sum(when(col("__common"), 1L).otherwise(0L)).as("n_common"),
+        sum(when(col("__common"),
+          (col("__nt") + col("__nc")).cast("decimal(12,0)") *
+            col("__gap")).otherwise(lit(null))).as("__wsum"),
+        sum(when(col("__common"), col("__nt") + col("__nc"))
+          .otherwise(0L)).as("__nw"))
+      .crossJoin(broadcast(naive))
+      .select(col("n_strata"), col("n_common"), col("n_treated"),
+        col("n_control"),
+        when(col("n_treated") > 0L && col("n_control") > 0L,
+          round(col("__st").cast("double") / col("n_treated").cast("double")
+            - col("__sc").cast("double") / col("n_control").cast("double"),
+            6) + 0.0).as("naive_diff"),
+        when(col("__nw") > 0L,
+          round(col("__wsum").cast("double") / col("__nw").cast("double"),
+            6) + 0.0).as("ate_strat"))
+  }
+
   /** Difference-in-differences over a 2×2 panel: `groupCol` (treated
     * vs control, boolean) × `postCol` (pre vs post, boolean) cell
     * means of the integer `valueCol`, and

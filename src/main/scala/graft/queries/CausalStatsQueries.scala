@@ -166,7 +166,53 @@ private[graft] trait CausalStatsQueries { this: SparkEntry.type =>
           16, 10).cast("long") % 2 === 0L).as("arm")),
       "arm")
 
+  // ---------------------------------------------------------------- q304
+  /** Stratified ATE of the BUILDING segment on customer spend
+    * ([[operators.Matching.stratifiedAte]]): sub-classify on $1,000
+    * account-balance bands (the confounder proxy), average the
+    * within-band treated−control gaps over the common support — the
+    * OTHER classic observational estimator next to q294's 1-NN
+    * matching, published with the naive pooled difference so the
+    * confounding correction is visible. Bands via pmod flooring
+    * (negative balances band correctly).
+    */
+  def q304StratifiedAte(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).cast("long").as("__spend"))
+    val v = customer(s, d)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select((col("c_mktsegment") === "BUILDING").as("treated"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100)
+          .cast("long").as("__bal"),
+        coalesce(col("__spend"), lit(0L)).as("spend_cents"))
+      .withColumn("band", expr(
+        "CAST((__bal - pmod(__bal, 100000)) / 100000 AS BIGINT)"))
+    operators.Matching.stratifiedAte(v, "treated", "band", "spend_cents")
+  }
+
+  // ---------------------------------------------------------------- q305
+  /** Minimum detectable effect at the q130 experiment's current
+    * sample sizes ([[operators.ExperimentMetrics.mdeCheck]]): pooled
+    * SD from exact moments, 80% power at two-sided α = 0.05 — the
+    * planning readout that says whether an inconclusive q130 t-test
+    * means "no effect" or "underpowered test", which are opposite
+    * conclusions.
+    */
+  def q305MdePower(s: SparkSession, d: String): DataFrame =
+    operators.ExperimentMetrics.mdeCheck(
+      events(s, d).filter(col("user_id").isNotNull &&
+          col("value").isNotNull)
+        .select(
+          (conv(substring(md5(col("user_id").cast("string")), 1, 8),
+            16, 10).cast("long") % 2 === 0L).as("arm"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents")),
+      "arm", "cents")
+
   private[graft] def queriesStatsCausal: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q304_stratified_ate" -> (q304StratifiedAte _),
+    "q305_mde_power" -> (q305MdePower _),
     "q300_ratio_delta" -> (q300RatioDelta _),
     "q301_srm_check" -> (q301SrmCheck _),
     "q298_epoch_resample" -> (q298EpochResample _),
@@ -176,6 +222,115 @@ private[graft] trait CausalStatsQueries { this: SparkEntry.type =>
     "q295_did" -> (q295Did _))
 
   private[graft] def oracleSqlStatsCausal: Map[String, String] = Map(
+    "q304_stratified_ate" ->
+      // per-band exact sums; each within-band gap is ONE float tree
+      // rounded 6dp and re-summed weighted in DECIMAL (the q131
+      // rounded-term transport — valid because |gap| sits far below
+      // the ~4.5e9 magnitude where 6dp stops pinning a double)
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS sp
+        |  FROM orders GROUP BY 1),
+        |v AS (SELECT c_mktsegment = 'BUILDING' AS t,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS bal,
+        |    coalesce(sp, CAST(0 AS BIGINT)) AS y
+        |  FROM customer LEFT JOIN spend ON o_custkey = c_custkey),
+        |b AS (SELECT t, (bal - ((bal % 100000 + 100000) % 100000))
+        |      / 100000 AS band, y
+        |  FROM v),
+        |st AS (SELECT band,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS nc,
+        |    sum(CASE WHEN t THEN CAST(y AS DECIMAL(19,0))
+        |      ELSE CAST(0 AS DECIMAL(19,0)) END) AS sts,
+        |    sum(CASE WHEN t THEN CAST(0 AS DECIMAL(19,0))
+        |      ELSE CAST(y AS DECIMAL(19,0)) END) AS scs
+        |  FROM b GROUP BY 1),
+        |g AS (SELECT band, nt, nc, nt > 0 AND nc > 0 AS common,
+        |    CASE WHEN nt > 0 AND nc > 0 THEN
+        |      CAST(round(CAST(sts AS DOUBLE) / CAST(nt AS DOUBLE)
+        |        - CAST(scs AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+        |        AS DECIMAL(18,6)) END AS gap
+        |  FROM st),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(CASE WHEN common THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_common,
+        |    sum(CASE WHEN common THEN CAST(nt + nc AS DECIMAL(12,0))
+        |      * gap END) AS wsum,
+        |    CAST(sum(CASE WHEN common THEN nt + nc ELSE 0 END)
+        |      AS BIGINT) AS nw
+        |  FROM g),
+        |nv AS (SELECT
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_treated,
+        |    CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_control,
+        |    sum(CASE WHEN t THEN CAST(y AS DECIMAL(19,0))
+        |      ELSE CAST(0 AS DECIMAL(19,0)) END) AS sts,
+        |    sum(CASE WHEN t THEN CAST(0 AS DECIMAL(19,0))
+        |      ELSE CAST(y AS DECIMAL(19,0)) END) AS scs
+        |  FROM v)
+        |SELECT agg.n_strata, agg.n_common, nv.n_treated, nv.n_control,
+        |  CASE WHEN nv.n_treated > 0 AND nv.n_control > 0 THEN
+        |    round(CAST(nv.sts AS DOUBLE) / CAST(nv.n_treated AS DOUBLE)
+        |      - CAST(nv.scs AS DOUBLE) / CAST(nv.n_control AS DOUBLE), 6)
+        |      + 0.0 END AS naive_diff,
+        |  CASE WHEN agg.nw > 0 THEN
+        |    round(CAST(agg.wsum AS DOUBLE) / CAST(agg.nw AS DOUBLE), 6)
+        |      + 0.0 END AS ate_strat
+        |FROM agg CROSS JOIN nv""".stripMargin,
+    "q305_mde_power" ->
+      // exact per-arm DECIMAL moments; pooled variance and the MDE as
+      // single float trees mirroring mdeCheck term for term
+      """WITH ev AS (SELECT
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 = 0 AS a,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN a THEN CAST(y AS DECIMAL(19,0))
+        |      ELSE CAST(0 AS DECIMAL(19,0)) END) AS sa,
+        |    sum(CASE WHEN a THEN CAST(0 AS DECIMAL(19,0))
+        |      ELSE CAST(y AS DECIMAL(19,0)) END) AS sb,
+        |    sum(CASE WHEN a THEN CAST(y AS DECIMAL(18,0))
+        |        * CAST(y AS DECIMAL(18,0))
+        |      ELSE CAST(0 AS DECIMAL(18,0)) END) AS ssa,
+        |    sum(CASE WHEN a THEN CAST(0 AS DECIMAL(18,0))
+        |      ELSE CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))
+        |      END) AS ssb
+        |  FROM ev),
+        |f AS (SELECT n_a, n_b,
+        |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |    CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS sad,
+        |    CAST(CAST(sb AS VARCHAR) AS DOUBLE) AS sbd,
+        |    CAST(CAST(ssa AS VARCHAR) AS DOUBLE) AS ssad,
+        |    CAST(CAST(ssb AS VARCHAR) AS DOUBLE) AS ssbd,
+        |    CAST(CAST(sa + sb AS VARCHAR) AS DOUBLE) AS std,
+        |    n_a >= 2 AND n_b >= 2 AS ok
+        |  FROM m),
+        |g AS (SELECT n_a, n_b, ok, nad, nbd, std,
+        |    (ssad - sad * sad / nad) / (nad - 1.0) AS va,
+        |    (ssbd - sbd * sbd / nbd) / (nbd - 1.0) AS vb
+        |  FROM f),
+        |h AS (SELECT n_a, n_b, ok, nad, nbd, std,
+        |    ((nad - 1.0) * va + (nbd - 1.0) * vb) / (nad + nbd - 2.0)
+        |      AS sp2
+        |  FROM g),
+        |i AS (SELECT n_a, n_b, ok, sp2,
+        |    CAST(2.801585233572914 AS DOUBLE)
+        |      * sqrt(sp2 * (CAST(1 AS DOUBLE) / nad
+        |        + CAST(1 AS DOUBLE) / nbd)) AS mde,
+        |    std / (nad + nbd) AS mean
+        |  FROM h)
+        |SELECT n_a, n_b,
+        |  CASE WHEN ok THEN round(sqrt(sp2), 6) + 0.0 END AS sd_pooled,
+        |  CASE WHEN ok THEN round(mde, 6) + 0.0 END AS mde_abs,
+        |  CASE WHEN ok AND mean <> 0.0 THEN round(mde / mean, 6) + 0.0
+        |    END AS mde_rel
+        |FROM i""".stripMargin,
     "q300_ratio_delta" ->
       // exact DECIMAL moments over the per-user frame; each published
       // double mirrors the Spark tree term for term; the big squared

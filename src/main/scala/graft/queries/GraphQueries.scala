@@ -327,6 +327,41 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
       eps = 0.15, minPts = 5L, topN = 10)
   }
 
+  // ---------------------------------------------------------------- q303
+  /** DIMSUM-sampled item-item cosine ([[operators.Dimsum
+    * .cosineTopK]], Zadeh & Goel — MLlib's `columnSimilarities`):
+    * co-occurrences emitted with probability `min(1, γ/(√n_i·√n_j))`
+    * and unbiased by 1/p, so the shuffle mass per pair caps at ~γ
+    * REGARDLESS of item popularity — the skew-oblivious similarity
+    * join q174's exact face can't be at 100 TB. The md5 coin makes
+    * the sample a pure function of the data; the eval face publishes
+    * the exact cosine alongside the estimate.
+    */
+  def q303DimsumCosine(s: SparkSession, d: String): DataFrame =
+    operators.Dimsum.cosineTopK(
+      lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", gamma = 50.0, topN = 20)
+
+  // ---------------------------------------------------------------- q306
+  /** Newman modularity of q134's LPA communities
+    * ([[operators.LabelPropagation.modularity]]): how much denser the
+    * detected communities are than a degree-preserving random
+    * rewiring — the quality score that turns q134's labeling from "an
+    * output" into "a measured clustering". Exact integer rational
+    * `(4m·Σe_intra − Σd_c²)/4m²`; the only float is the final
+    * division. One double label join + one degree aggregation over
+    * the shared co-purchase artifact.
+    */
+  def q306Modularity(s: SparkSession, d: String): DataFrame = {
+    val edges = copurchasePairs(s, d)
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    val labels = operators.LabelPropagation.communities(
+        edges, "src", "dst", rounds = 5)
+      .select(col("node"), col("community"))
+    operators.LabelPropagation.modularity(edges, "src", "dst",
+      labels, "node", "community")
+  }
+
   // ---------------------------------------------------------------- q246
   /** Deterministic random-walk corpus over the ≥2-support co-purchase
     * graph ([[operators.RandomWalks.walks]] — the DeepWalk/node2vec
@@ -475,6 +510,8 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     "q161_personalized_pr" -> (q161PersonalizedPr _),
     "q296_harmonic_centrality" -> (q296HarmonicCentrality _),
     "q297_dbscan_grid" -> (q297DbscanGrid _),
+    "q303_dimsum_cosine" -> (q303DimsumCosine _),
+    "q306_modularity" -> (q306Modularity _),
     "q173_adamic_adar" -> (q173AdamicAdar _),
     "q174_item_cosine" -> (q174ItemCosine _),
     "q175_hits" -> (q175Hits _),
@@ -584,6 +621,70 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
         |    + (e3 - e2) / CAST(3 AS DOUBLE), 6) + 0.0 AS harmonic
         |FROM pv ORDER BY harmonic DESC, node LIMIT 20""".stripMargin,
     "q297_dbscan_grid" -> dbscanGridSql,
+    "q303_dimsum_cosine" ->
+      // the SAME γ=50 threshold and md5-48 coin; p/den recomputed from
+      // identical float trees; sampled and exact cosines side by side
+      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |cnt AS (SELECT it, CAST(count(*) AS BIGINT) AS n
+        |  FROM li GROUP BY 1),
+        |pr AS (SELECT a.bk, a.it AS i, b.it AS j
+        |  FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it),
+        |x AS (SELECT pr.i, pr.j, ci.n AS ni, cj.n AS nj,
+        |    sqrt(CAST(ci.n AS DOUBLE) * CAST(cj.n AS DOUBLE)) AS den,
+        |    least(CAST(1 AS DOUBLE), CAST(50 AS DOUBLE)
+        |      / sqrt(CAST(ci.n AS DOUBLE) * CAST(cj.n AS DOUBLE))) AS p,
+        |    CAST(CAST(('0x' || substr(md5(CAST(pr.bk AS VARCHAR) || ':'
+        |      || CAST(pr.i AS VARCHAR) || ':' || CAST(pr.j AS VARCHAR)),
+        |      1, 12)) AS BIGINT) AS DOUBLE)
+        |      / CAST(281474976710656 AS DOUBLE) AS u
+        |  FROM pr JOIN cnt ci ON ci.it = pr.i JOIN cnt cj ON cj.it = pr.j),
+        |g AS (SELECT i, j, ni, nj, den, p, CAST(count(*) AS BIGINT)
+        |      AS n_both,
+        |    CAST(sum(CASE WHEN u < p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_sampled
+        |  FROM x GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT i, j, ni AS n_i, nj AS n_j, n_both, n_sampled,
+        |  round(CAST(n_sampled AS DOUBLE) / (p * den), 6) + 0.0 AS est_cos,
+        |  round(CAST(n_both AS DOUBLE) / den, 6) + 0.0 AS exact_cos
+        |FROM g ORDER BY exact_cos DESC, i, j LIMIT 20""".stripMargin,
+    "q306_modularity" -> {
+      // the q134 LPA replay (5 synchronous rounds, identical CTEs)
+      // plus the modularity tail: exact integer intra-edge and
+      // degree-sum masses, one float division
+      val rounds = (1 to 5).map { r =>
+        s"""g$r AS (SELECT e.src AS node, l.label, count(*) AS c
+           |  FROM e JOIN l${r - 1} l ON l.node = e.dst GROUP BY 1, 2),
+           |l$r AS (SELECT node, label FROM (
+           |  SELECT node, label,
+           |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
+           |  FROM g$r) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+         |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |$rounds,
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+         |        FROM e GROUP BY 1),
+         |dc AS (SELECT l.label, CAST(sum(d.d) AS BIGINT) AS dcs
+         |       FROM l5 l JOIN deg d ON d.node = l.node GROUP BY 1),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         |    sum(CAST(dcs AS DECIMAL(19,0)) * CAST(dcs AS DECIMAL(19,0)))
+         |      AS dc2 FROM dc),
+         |im AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_intra
+         |  FROM e0 JOIN l5 la ON la.node = e0.src
+         |  JOIN l5 lb ON lb.node = e0.dst)
+         |SELECT m, ag.n_communities, n_intra,
+         |  round(CAST(CAST(4 AS DECIMAL(2,0)) * CAST(m AS DECIMAL(12,0))
+         |      * CAST(n_intra AS DECIMAL(12,0)) - ag.dc2 AS DOUBLE)
+         |    / (CAST(4 AS DOUBLE) * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)),
+         |    6) + 0.0 AS modularity
+         |FROM im CROSS JOIN ag""".stripMargin
+    },
     "q276_link_suite" ->
       // q173's wedge replay extended with the 1/deg RA weight, full-
       // degree Jaccard ppm (Spark DIV ≡ DuckDB // on positives), and

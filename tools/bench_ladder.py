@@ -56,6 +56,14 @@ ENTRIES = [
     # the MAD screen is two drills (~2x q282); the sketched overlap is
     # one kmv_lows scan + groups^2 driver arithmetic
     "q283_pq_index_reuse", "q284_mad_per_key", "q286_sketched_overlap",
+    # round-12 fifth session: the bootstrap is ONE scan whose 40×
+    # replicate expansion collapses map-side (alpha ~ scan); harmonic
+    # centrality adds a third sketch-propagation round over q241;
+    # DBSCAN's candidate-pair mass tracks grid density (the corpus is
+    # fixed-size per SF replica, so expect ~flat); the epoch emission
+    # is scan + explode with a sources-sized broadcast
+    "q292_bootstrap_ci", "q296_harmonic_centrality", "q297_dbscan_grid",
+    "q298_epoch_resample",
 ]
 
 ADD_OPENS = [
