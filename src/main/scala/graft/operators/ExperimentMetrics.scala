@@ -112,6 +112,36 @@ object ExperimentMetrics {
       when(ok && mean =!= 0.0, round(mde / mean, 6) + 0.0).as("mde_rel"))
   }
 
+  /** Fisher's index-of-dispersion test on per-unit counts: under a
+    * Poisson model `D = Σ(x − x̄)²/x̄ ~ χ²_{n−1}`, so
+    * `z = (D − (n−1))/√(2(n−1))` flags OVER-dispersion — the check
+    * that decides whether per-user event counts can be modeled
+    * Poisson or need a negative-binomial (burstiness), which changes
+    * every downstream variance estimate. Exact DECIMAL moments; D
+    * and z are single float trees; flag at the one-sided 0.05
+    * critical value. One row:
+    * `(n, mean, dispersion, z, overdispersed)`.
+    */
+  def dispersionIndex(df: DataFrame, countCol: String): DataFrame = {
+    val m = df.select(col(countCol).cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(19,0)")).as("__s"),
+        sum(col("__x").cast("decimal(18,0)") *
+          col("__x").cast("decimal(18,0)")).as("__ss"))
+    val nD = col("n").cast("double")
+    val mean = col("__s").cast("double") / nD
+    val disp = (col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nD) / mean
+    val z = (disp - (nD - 1.0)) / sqrt(lit(2.0) * (nD - 1.0))
+    val ok = col("n") >= 2L && col("__s") > 0L
+    m.select(col("n"),
+      when(ok, round(mean, 6) + 0.0).as("mean"),
+      when(ok, round(disp, 6) + 0.0).as("dispersion"),
+      when(ok, round(z, 6) + 0.0).as("z"),
+      when(ok, z > 1.644854).as("overdispersed"))
+  }
+
   /** Sample-ratio-mismatch check: a 1-dof chi-square goodness-of-fit
     * of the two arm sizes against the intended 50/50 —
     * `χ² = (n_a − n_b)²/(n_a + n_b)`, flagged past the 0.05 critical

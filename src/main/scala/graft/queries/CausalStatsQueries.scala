@@ -210,8 +210,23 @@ private[graft] trait CausalStatsQueries { this: SparkEntry.type =>
             .as("cents")),
       "arm", "cents")
 
+  // ---------------------------------------------------------------- q308
+  /** Fisher index-of-dispersion test on per-user event counts
+    * ([[operators.ExperimentMetrics.dispersionIndex]]): is user
+    * activity Poisson or bursty (over-dispersed)? The answer decides
+    * whether negative-binomial variance inflation is needed in every
+    * count-metric readout — including q300's ratio CI. Exact moments,
+    * two float trees, one-sided 5% flag.
+    */
+  def q308Dispersion(s: SparkSession, d: String): DataFrame =
+    operators.ExperimentMetrics.dispersionIndex(
+      events(s, d).filter(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events")),
+      "n_events")
+
   private[graft] def queriesStatsCausal: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q304_stratified_ate" -> (q304StratifiedAte _),
+    "q308_dispersion" -> (q308Dispersion _),
     "q305_mde_power" -> (q305MdePower _),
     "q300_ratio_delta" -> (q300RatioDelta _),
     "q301_srm_check" -> (q301SrmCheck _),
@@ -222,6 +237,34 @@ private[graft] trait CausalStatsQueries { this: SparkEntry.type =>
     "q295_did" -> (q295Did _))
 
   private[graft] def oracleSqlStatsCausal: Map[String, String] = Map(
+    "q308_dispersion" ->
+      // exact moments over per-user counts; D and z mirror the Spark
+      // trees term for term
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(19,0))) AS s,
+        |    sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+        |      AS ss
+        |  FROM pu),
+        |f AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s AS DOUBLE) AS sd, CAST(ss AS DOUBLE) AS ssd,
+        |    n >= 2 AND s > 0 AS ok
+        |  FROM m),
+        |g AS (SELECT n, ok, nd, sd / nd AS mean,
+        |    (ssd - sd * sd / nd) / (sd / nd) AS disp
+        |  FROM f),
+        |h AS (SELECT n, ok, mean, disp,
+        |    (disp - (nd - CAST(1 AS DOUBLE)))
+        |      / sqrt(CAST(2 AS DOUBLE) * (nd - CAST(1 AS DOUBLE))) AS z
+        |  FROM g)
+        |SELECT n,
+        |  CASE WHEN ok THEN round(mean, 6) + 0.0 END AS mean,
+        |  CASE WHEN ok THEN round(disp, 6) + 0.0 END AS dispersion,
+        |  CASE WHEN ok THEN round(z, 6) + 0.0 END AS z,
+        |  CASE WHEN ok THEN z > CAST(1.644854 AS DOUBLE) END
+        |    AS overdispersed
+        |FROM h""".stripMargin,
     "q304_stratified_ate" ->
       // per-band exact sums; each within-band gap is ONE float tree
       // rounded 6dp and re-summed weighted in DECIMAL (the q131

@@ -307,8 +307,34 @@ private[graft] trait TimeseriesStatsQueries { this: SparkEntry.type =>
       w = 3, topPerKey = 3)
   }
 
+  // ---------------------------------------------------------------- q307
+  /** Log-rank test of churn between the md5 experiment arms
+    * ([[operators.SurvivalTests.logRank]]) — the significance
+    * companion to q131's Kaplan–Meier curve: same lifetimes, same
+    * right-censoring rule (users active in the final 7 days leave
+    * the risk set without counting as churn), and the Mantel–Cox χ²
+    * over the per-time hypergeometric tables. Windows run only on
+    * the duration-distinct grid (the q131 contract).
+    */
+  def q307Logrank(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id"), expr("ts DIV 1000").as("us"))
+    val anchor = ev.agg(max(col("us")).as("end_us"))
+    val life = ev.groupBy(col("user_id"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+      .crossJoin(broadcast(anchor))
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2 === 0L).as("arm"),
+        expr(s"(last_us - first_us) DIV $dayUs").as("t"),
+        (col("end_us") - col("last_us") >= lit(7L * dayUs)).as("churned"))
+    operators.SurvivalTests.logRank(life, "arm", "t", "churned")
+  }
+
   private[graft] def queriesStatsTs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_sax_motifs" -> (q302SaxMotifs _),
+    "q307_logrank" -> (q307Logrank _),
     "q131_survival" -> (q131Survival _),
     "q178_ewma" -> (q178Ewma _),
     "q257_acf" -> (q257Acf _),
@@ -326,6 +352,69 @@ private[graft] trait TimeseriesStatsQueries { this: SparkEntry.type =>
       " + 8 * 100000000000000) // 8 - 100000000000000)"
 
   private[graft] def oracleSqlStatsTs: Map[String, String] = Map(
+    "q307_logrank" ->
+      // q131's lifetime/censoring construction; at-risk suffix sums on
+      // the (time × group) grid; E1/V one rounded float tree per event
+      // time, re-summed in DECIMAL(18,6)
+      """WITH ev AS (SELECT user_id,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+        |  FROM events WHERE user_id IS NOT NULL),
+        |anchor AS (SELECT max(us) AS end_us FROM ev),
+        |life AS (SELECT
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2 = 0 AS g,
+        |    (max(us) - min(us)) // 86400000000 AS t,
+        |    end_us - max(us) >= 7 * 86400000000 AS e
+        |  FROM ev CROSS JOIN anchor GROUP BY user_id, end_us),
+        |pergt AS (SELECT g, t,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM life GROUP BY 1, 2),
+        |grid AS (SELECT gg.g, tt.t, coalesce(p.d, 0) AS d,
+        |    coalesce(p.c, 0) AS c
+        |  FROM (SELECT DISTINCT t FROM pergt) tt
+        |  CROSS JOIN (SELECT DISTINCT g FROM pergt) gg
+        |  LEFT JOIN pergt p ON p.g = gg.g AND p.t = tt.t),
+        |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS tot
+        |  FROM life GROUP BY 1),
+        |ar AS (SELECT grid.g, grid.t, grid.d,
+        |    tot.tot - coalesce(sum(grid.d + grid.c) OVER (
+        |      PARTITION BY grid.g ORDER BY grid.t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS nrisk
+        |  FROM grid JOIN tot USING (g)),
+        |bt AS (SELECT t,
+        |    CAST(sum(CASE WHEN g THEN d ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(d) AS BIGINT) AS dt,
+        |    CAST(sum(CASE WHEN g THEN nrisk ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(nrisk) AS BIGINT) AS nt
+        |  FROM ar GROUP BY t),
+        |ft AS (SELECT * FROM bt WHERE dt > 0 AND nt > 1),
+        |terms AS (SELECT d1,
+        |    CAST(round(CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |      / CAST(nt AS DOUBLE), 6) AS DECIMAL(18,6)) AS e1r,
+        |    CAST(round(CAST(dt AS DOUBLE)
+        |      * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (CAST(1 AS DOUBLE) - CAST(n1 AS DOUBLE)
+        |        / CAST(nt AS DOUBLE))
+        |      * CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS vr
+        |  FROM ft),
+        |sm AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
+        |    CAST(sum(d1) AS BIGINT) AS o1, sum(e1r) AS e1s, sum(vr) AS vs
+        |  FROM terms),
+        |cn AS (SELECT
+        |    CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+        |    CAST(sum(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n_0
+        |  FROM life)
+        |SELECT n_1, n_0, n_times, o1,
+        |  CAST(e1s AS DOUBLE) + 0.0 AS e1_sum,
+        |  CAST(vs AS DOUBLE) + 0.0 AS var_sum,
+        |  CASE WHEN vs > 0.0 THEN
+        |    round((CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE))
+        |      * (CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE))
+        |      / CAST(vs AS DOUBLE), 6) + 0.0 END AS chi2
+        |FROM sm CROSS JOIN cn""".stripMargin,
     "q302_sax_motifs" ->
       // population σ from exact DECIMAL moments (the big Σy² hops
       // DECIMAL→VARCHAR→DOUBLE — DuckDB's direct int128→double cast

@@ -56,6 +56,39 @@ class DimsumModularitySpec extends SparkSpec {
     assert(r.getDouble(5) === 3.0)
   }
 
+  test("log-rank: identical groups score 0; separated hazards don't") {
+    // symmetric arms → O1 = E1 exactly → chi2 = 0
+    val same = Seq((true, 1L, true), (true, 2L, true),
+      (false, 1L, true), (false, 2L, true)).toDF("g", "t", "e")
+    val r0 = SurvivalTests.logRank(same, "g", "t", "e").collect()(0)
+    assert(r0.getDouble(6) === 0.0)
+    // group A churns at t=1,2; B at t=3,4 — hand tables give
+    // O1 = 2, E1 = 0.5 + 1/3 + 0, V = 0.25 + 2/9 + 0
+    val sep = Seq((true, 1L, true), (true, 2L, true),
+      (false, 3L, true), (false, 4L, true)).toDF("g", "t", "e")
+    val r = SurvivalTests.logRank(sep, "g", "t", "e").collect()(0)
+    assert(r.getLong(3) === 2L)
+    assert(r.getDouble(4) === 0.833333 && r.getDouble(5) === 0.472222)
+    assert(math.abs(r.getDouble(6) -
+      math.pow(2.0 - 0.833333, 2) / 0.472222) < 1e-5)
+    // a censored row leaves the risk set without counting as an event
+    val cens = Seq((true, 1L, true), (true, 2L, false),
+      (false, 1L, true), (false, 2L, false)).toDF("g", "t", "e")
+    val rc = SurvivalTests.logRank(cens, "g", "t", "e").collect()(0)
+    assert(rc.getLong(3) === 1L && rc.getDouble(6) === 0.0)
+  }
+
+  test("dispersion index: constant counts pass, a burst flags") {
+    val flat = Seq(5L, 5L, 5L, 5L).toDF("x")
+    val r0 = ExperimentMetrics.dispersionIndex(flat, "x").collect()(0)
+    assert(r0.getDouble(2) === 0.0 && !r0.getBoolean(4))
+    // [1,1,1,100]: D = 7350.75/25.75 = 285.466019 — wildly Poisson-
+    // incompatible
+    val burst = Seq(1L, 1L, 1L, 100L).toDF("x")
+    val r = ExperimentMetrics.dispersionIndex(burst, "x").collect()(0)
+    assert(r.getDouble(2) === 285.466019 && r.getBoolean(4))
+  }
+
   test("MDE: textbook pooled-variance case") {
     val df = Seq((true, 0L), (true, 200L), (false, 100L), (false, 300L))
       .toDF("arm", "y")
