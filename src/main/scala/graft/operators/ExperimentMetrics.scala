@@ -112,6 +112,58 @@ object ExperimentMetrics {
       when(ok && mean =!= 0.0, round(mde / mean, 6) + 0.0).as("mde_rel"))
   }
 
+  /** Jackknife CI for the ratio metric — [[ratioDeltaCi]]'s
+    * assumption-free sibling (the delta method linearizes; the
+    * jackknife just recomputes): each unit's leave-one-out ratio
+    * `R₋ᵢ = (Σx − xᵢ)/(Σy − yᵢ)` is a closed form off the global
+    * sums, so the "n recomputations" collapse into ONE pass with a
+    * 1-row broadcast. Cross-row variance mass uses the rounded-term
+    * DECIMAL transport on CENTERED values (`sᵢ = R₋ᵢ − R`, rounded
+    * 6 dp): centering keeps every decimal's unscaled value far below
+    * 2^53, where BOTH engines' decimal↔double conversions are exact —
+    * the uncentered Σr² would double-round differently per engine.
+    * One row: `(n, n_jk, r, se_jk, ci_lo, ci_hi)`; units whose
+    * removal empties the denominator drop from the jackknife
+    * (n_jk < n published honestly).
+    */
+  def ratioJackknifeCi(df: DataFrame, xCol: String, yCol: String,
+                       z: Double = 1.959964): DataFrame = {
+    val v = df.select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      // read by the sums AND the per-row pass — materialize once
+      .localCheckpoint(true)
+    val tot = v.agg(count(lit(1)).as("n"),
+      sum(col("__x").cast("decimal(19,0)")).as("__sx"),
+      sum(col("__y").cast("decimal(19,0)")).as("__sy"))
+    val center = round(col("__sx").cast("double") /
+      col("__sy").cast("double"), 6)
+    val jk = v.crossJoin(broadcast(tot))
+      .filter(col("__sy") - col("__y") > 0L)
+      .withColumn("__s",
+        round((col("__sx") - col("__x")).cast("double") /
+          (col("__sy") - col("__y")).cast("double") - center, 6)
+          .cast("decimal(18,6)"))
+      .agg(count(lit(1)).as("n_jk"), sum(col("__s")).as("__ss"),
+        sum(col("__s") * col("__s")).as("__ss2"))
+    val nJ = col("n_jk").cast("double")
+    val varJk = (nJ - 1.0) / nJ *
+      (col("__ss2").cast("double") -
+        col("__ss").cast("double") * col("__ss").cast("double") / nJ)
+    jk.crossJoin(broadcast(tot))
+      .withColumn("__r", round(col("__sx").cast("double") /
+        col("__sy").cast("double"), 6) + 0.0)
+      .withColumn("__se",
+        when(col("n_jk") >= 2L && varJk >= 0.0,
+          round(sqrt(varJk), 6) + 0.0))
+      .select(col("n"), col("n_jk"), col("__r").as("r"),
+        col("__se").as("se_jk"),
+        when(col("__se").isNotNull,
+          round(col("__r") - lit(z) * col("__se"), 6) + 0.0).as("ci_lo"),
+        when(col("__se").isNotNull,
+          round(col("__r") + lit(z) * col("__se"), 6) + 0.0).as("ci_hi"))
+  }
+
   /** Fisher's index-of-dispersion test on per-unit counts: under a
     * Poisson model `D = Σ(x − x̄)²/x̄ ~ χ²_{n−1}`, so
     * `z = (D − (n−1))/√(2(n−1))` flags OVER-dispersion — the check

@@ -146,6 +146,51 @@ object Matching {
             6) + 0.0).as("ate_strat"))
   }
 
+  /** Mantel–Haenszel pooled odds ratio over K strata of 2×2 tables —
+    * the binary-outcome sibling of [[stratifiedAte]] (Mantel &
+    * Haenszel 1959): `OR_MH = Σᵢ(aᵢdᵢ/nᵢ) / Σᵢ(bᵢcᵢ/nᵢ)` weights each
+    * stratum's odds ratio by its information content, giving the
+    * confounder-adjusted association a pooled 2×2 would misstate.
+    * One hash aggregation to the strata frame; each stratum's ad/n
+    * and bc/n term is ONE float tree rounded 6 dp re-summed in
+    * DECIMAL (counts-bounded magnitudes — safely inside the
+    * transport's validity). One row:
+    * `(k_strata, k_informative, sum_ad_n, sum_bc_n, or_mh)`; strata
+    * with an empty margin contribute zero to both sums (standard),
+    * `k_informative` counts those with both sums positive; NULL OR
+    * when the denominator mass is zero.
+    */
+  def mantelHaenszelOr(df: DataFrame, strataCol: String,
+                       exposedCol: String, outcomeCol: String): DataFrame = {
+    val v = df.select(col(strataCol).as("__s"),
+        col(exposedCol).cast("boolean").as("__e"),
+        col(outcomeCol).cast("boolean").as("__o"))
+      .filter(col("__s").isNotNull && col("__e").isNotNull &&
+        col("__o").isNotNull)
+    val strata = v.groupBy(col("__s"))
+      .agg(sum(when(col("__e") && col("__o"), 1L).otherwise(0L)).as("__a"),
+        sum(when(col("__e") && !col("__o"), 1L).otherwise(0L)).as("__b"),
+        sum(when(!col("__e") && col("__o"), 1L).otherwise(0L)).as("__c"),
+        sum(when(!col("__e") && !col("__o"), 1L).otherwise(0L)).as("__d"),
+        count(lit(1)).as("__n"))
+      .withColumn("__adn",
+        round((col("__a") * col("__d")).cast("double") /
+          col("__n").cast("double"), 6).cast("decimal(18,6)"))
+      .withColumn("__bcn",
+        round((col("__b") * col("__c")).cast("double") /
+          col("__n").cast("double"), 6).cast("decimal(18,6)"))
+      .withColumn("__inf", col("__adn") > 0.0 && col("__bcn") > 0.0)
+    strata.agg(count(lit(1)).as("k_strata"),
+        sum(when(col("__inf"), 1L).otherwise(0L)).as("k_informative"),
+        sum(col("__adn")).as("__sad"), sum(col("__bcn")).as("__sbc"))
+      .select(col("k_strata"), col("k_informative"),
+        (col("__sad").cast("double") + 0.0).as("sum_ad_n"),
+        (col("__sbc").cast("double") + 0.0).as("sum_bc_n"),
+        when(col("__sbc") > 0.0,
+          round(col("__sad").cast("double") / col("__sbc").cast("double"),
+            6) + 0.0).as("or_mh"))
+  }
+
   /** Difference-in-differences over a 2×2 panel: `groupCol` (treated
     * vs control, boolean) × `postCol` (pre vs post, boolean) cell
     * means of the integer `valueCol`, and

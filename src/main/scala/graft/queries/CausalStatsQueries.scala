@@ -224,9 +224,50 @@ private[graft] trait CausalStatsQueries { this: SparkEntry.type =>
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_events")),
       "n_events")
 
+  // ---------------------------------------------------------------- q309
+  /** Jackknife CI for the q300 ratio metric
+    * ([[operators.ExperimentMetrics.ratioJackknifeCi]]) — the
+    * recompute-everything sibling of the delta method on the SAME
+    * per-user frame, so the two standard errors can be compared row
+    * to row (they should nearly agree when the linearization is
+    * honest — a divergence flags heavy-tailed units). Leave-one-out
+    * ratios collapse to one pass off the global sums; the variance
+    * mass travels as centered rounded DECIMAL terms.
+    */
+  def q309JackknifeRatio(s: SparkSession, d: String): DataFrame = {
+    val per = events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .otherwise(0L)).as("rev_cents"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicks"))
+    operators.ExperimentMetrics.ratioJackknifeCi(per, "rev_cents", "clicks")
+  }
+
+  // ---------------------------------------------------------------- q310
+  /** Mantel–Haenszel pooled odds ratio of urgent-priority orders on
+    * order fulfilment ('F' status), stratified by nation
+    * ([[operators.Matching.mantelHaenszelOr]]) — the binary-outcome
+    * confounder adjustment next to q304's continuous ATE: each
+    * nation's 2×2 contributes information-weighted ad/n and bc/n
+    * masses, and the pooled OR is their ratio.
+    */
+  def q310MantelHaenszel(s: SparkSession, d: String): DataFrame =
+    operators.Matching.mantelHaenszelOr(
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nation"),
+          (col("o_orderpriority") === "1-URGENT").as("urgent"),
+          (col("o_orderstatus") === "F").as("fulfilled")),
+      "nation", "urgent", "fulfilled")
+
   private[graft] def queriesStatsCausal: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q304_stratified_ate" -> (q304StratifiedAte _),
     "q308_dispersion" -> (q308Dispersion _),
+    "q309_jackknife_ratio" -> (q309JackknifeRatio _),
+    "q310_mantel_haenszel" -> (q310MantelHaenszel _),
     "q305_mde_power" -> (q305MdePower _),
     "q300_ratio_delta" -> (q300RatioDelta _),
     "q301_srm_check" -> (q301SrmCheck _),
@@ -237,6 +278,84 @@ private[graft] trait CausalStatsQueries { this: SparkEntry.type =>
     "q295_did" -> (q295Did _))
 
   private[graft] def oracleSqlStatsCausal: Map[String, String] = Map(
+    "q309_jackknife_ratio" ->
+      // leave-one-out ratios off the global sums; centered rounded
+      // DECIMAL(18,6) variance mass (centering keeps the unscaled
+      // values below 2^53 where both engines' decimal↔double
+      // conversions are exact); float trees mirror ratioJackknifeCi
+      """WITH per AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(19,0))) AS sx,
+        |    sum(CAST(y AS DECIMAL(19,0))) AS sy
+        |  FROM per),
+        |jk AS (SELECT CAST(count(*) AS BIGINT) AS n_jk,
+        |    sum(s) AS ss, sum(s * s) AS ss2
+        |  FROM (SELECT CAST(round(
+        |      CAST(sx - x AS DOUBLE) / CAST(sy - y AS DOUBLE)
+        |      - round(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE), 6), 6)
+        |      AS DECIMAL(18,6)) AS s
+        |    FROM per CROSS JOIN tot WHERE sy - y > 0)),
+        |f AS (SELECT tot.n, jk.n_jk,
+        |    round(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE), 6) + 0.0 AS r,
+        |    CAST(n_jk AS DOUBLE) AS njd,
+        |    CAST(ss AS DOUBLE) AS ssd, CAST(ss2 AS DOUBLE) AS ss2d
+        |  FROM jk CROSS JOIN tot),
+        |g AS (SELECT n, n_jk, r,
+        |    (njd - 1.0) / njd * (ss2d - ssd * ssd / njd) AS var_jk
+        |  FROM f),
+        |h AS (SELECT n, n_jk, r,
+        |    CASE WHEN n_jk >= 2 AND var_jk >= 0.0
+        |      THEN round(sqrt(var_jk), 6) + 0.0 END AS se_jk
+        |  FROM g)
+        |SELECT n, n_jk, r, se_jk,
+        |  CASE WHEN se_jk IS NOT NULL THEN
+        |    round(r - CAST(1.959964 AS DOUBLE) * se_jk, 6) + 0.0 END
+        |    AS ci_lo,
+        |  CASE WHEN se_jk IS NOT NULL THEN
+        |    round(r + CAST(1.959964 AS DOUBLE) * se_jk, 6) + 0.0 END
+        |    AS ci_hi
+        |FROM h""".stripMargin,
+    "q310_mantel_haenszel" ->
+      // per-nation 2×2 masses; ad/n and bc/n one rounded float tree
+      // each, re-summed in DECIMAL; pooled OR is one division
+      """WITH v AS (SELECT c_nationkey AS st,
+        |    o_orderpriority = '1-URGENT' AS e,
+        |    o_orderstatus = 'F' AS o
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |s AS (SELECT st,
+        |    CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b,
+        |    CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c,
+        |    CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM v GROUP BY st),
+        |t AS (SELECT st,
+        |    CAST(round(CAST(a * d AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS adn,
+        |    CAST(round(CAST(b * c AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS bcn
+        |  FROM s),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k_strata,
+        |    CAST(sum(CASE WHEN adn > 0.0 AND bcn > 0.0 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS k_informative,
+        |    sum(adn) AS sad, sum(bcn) AS sbc
+        |  FROM t)
+        |SELECT k_strata, k_informative,
+        |  CAST(sad AS DOUBLE) + 0.0 AS sum_ad_n,
+        |  CAST(sbc AS DOUBLE) + 0.0 AS sum_bc_n,
+        |  CASE WHEN sbc > 0.0 THEN
+        |    round(CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE), 6) + 0.0 END
+        |    AS or_mh
+        |FROM agg""".stripMargin,
     "q308_dispersion" ->
       // exact moments over per-user counts; D and z mirror the Spark
       // trees term for term

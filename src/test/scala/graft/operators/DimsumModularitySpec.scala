@@ -89,6 +89,42 @@ class DimsumModularitySpec extends SparkSpec {
     assert(r.getDouble(2) === 285.466019 && r.getBoolean(4))
   }
 
+  test("jackknife ratio: constant data collapses to zero SE; empty denominators drop") {
+    // every unit (10, 2): every leave-one-out ratio is exactly 5
+    val const = (1L to 20L).map(_ => (10L, 2L)).toDF("x", "y")
+    val r = ExperimentMetrics.ratioJackknifeCi(const, "x", "y").collect()(0)
+    assert(r.getLong(0) === 20L && r.getLong(1) === 20L)
+    assert(r.getDouble(2) === 5.0 && r.getDouble(3) === 0.0 &&
+      r.getDouble(4) === 5.0 && r.getDouble(5) === 5.0)
+    // removing the only contributing denominator empties it → that
+    // unit drops from the jackknife; n_jk = 1 → SE null
+    val thin = Seq((5L, 3L), (7L, 0L)).toDF("x", "y")
+    val rt = ExperimentMetrics.ratioJackknifeCi(thin, "x", "y").collect()(0)
+    assert(rt.getLong(0) === 2L && rt.getLong(1) === 1L && rt.isNullAt(3))
+    // varied data: positive SE, CI brackets the point estimate
+    val varied = (1L to 100L).map(i => (i % 30L * 10L, 1L + i % 3L))
+      .toDF("x", "y")
+    val rv = ExperimentMetrics.ratioJackknifeCi(varied, "x", "y").collect()(0)
+    assert(rv.getDouble(3) > 0.0 &&
+      rv.getDouble(4) < rv.getDouble(2) && rv.getDouble(2) < rv.getDouble(5))
+  }
+
+  test("Mantel-Haenszel OR: hand-computed two-stratum pooling") {
+    // S1 balanced (OR 1, ad/n = bc/n = 2.5); S2 a=20 b=10 c=10 d=20
+    // (ad/n = 6.666667, bc/n = 1.666667) → OR_MH = 9.166667/4.166667
+    def cell(st: String, e: Boolean, o: Boolean, k: Int) =
+      Seq.fill(k)((st, e, o))
+    val rows = (cell("S1", true, true, 10) ++ cell("S1", true, false, 10) ++
+      cell("S1", false, true, 10) ++ cell("S1", false, false, 10) ++
+      cell("S2", true, true, 20) ++ cell("S2", true, false, 10) ++
+      cell("S2", false, true, 10) ++ cell("S2", false, false, 20))
+      .toDF("st", "e", "o")
+    val r = Matching.mantelHaenszelOr(rows, "st", "e", "o").collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 9.166667 && r.getDouble(3) === 4.166667)
+    assert(r.getDouble(4) === 2.2)
+  }
+
   test("MDE: textbook pooled-variance case") {
     val df = Seq((true, 0L), (true, 200L), (false, 100L), (false, 300L))
       .toDF("arm", "y")
