@@ -45,7 +45,10 @@ import graft.operators.Merge.{DuplicateMode, ImportMode, Key}
     "artifact_edges" -> ((s, d) => { copurchasePairs(s, d); () }),
     // reads edges — keep after artifact_edges so its entry bills the
     // wedge enumeration alone, not the co-purchase pair build
-    "artifact_tris" -> ((s, d) => { triangleList(s, d); () }))
+    "artifact_tris" -> ((s, d) => { triangleList(s, d); () }),
+    // the 5-round LPA labeling shared by q134 (communities) and q306
+    // (modularity); also after artifact_edges for the same reason
+    "artifact_lpa" -> ((s, d) => { lpaLabels(s, d); () }))
 
   /** One entry per implemented operator from SURVEY.md §2 — assembled
     * from the per-family trait maps (round-11 split of the 9.5k-line

@@ -77,7 +77,7 @@ private[graft] trait EntrySupport { this: SparkEntry.type =>
     val BuilderVersions: Map[String, String] = Map(
       "pairs" -> "r9-1", "labels" -> "r9-1",
       "epairs" -> "r9-1", "edges" -> "r9-1",
-      "tris" -> "r12-1").withDefaultValue("r10-1")
+      "tris" -> "r12-1", "lpa" -> "r12-1").withDefaultValue("r10-1")
     /** Effective version — `graft.artifact.version.<name>` (sys-prop)
       * overrides for specs that pin the one-artifact-rebuild contract.
       */
@@ -227,6 +227,20 @@ private[graft] trait EntrySupport { this: SparkEntry.type =>
   private[graft] def triangleList(s: SparkSession, d: String): DataFrame =
     SessionArtifacts.getOrBuild("tris", s, d) {
       operators.Triangles.enumerate(copurchaseEdges(s, d), "trisArtifact")
+    }
+
+  /** One 5-round LPA labeling of the full co-purchase graph shared by
+    * q134 (communities) and q306 (modularity): the five synchronous
+    * label-join rounds — the dominant cost of both queries — run once
+    * per (session, sf-dir) and land in a
+    * `(node, community, community_size)` parquet artifact.
+    */
+  private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame =
+    SessionArtifacts.getOrBuild("lpa", s, d) {
+      operators.LabelPropagation.communities(
+        copurchasePairs(s, d).select(col("pa").as("src"),
+          col("pb").as("dst")),
+        "src", "dst", rounds = 5)
     }
 
   // ----------------------------------------------------- source round-trips

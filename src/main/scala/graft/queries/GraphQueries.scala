@@ -62,10 +62,7 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     * q83/q119/q128, so the edge build costs nothing here.
     */
   def q134Communities(s: SparkSession, d: String): DataFrame =
-    operators.LabelPropagation.communities(
-        copurchasePairs(s, d).select(col("pa").as("src"), col("pb").as("dst")),
-        "src", "dst", rounds = 5)
-      .orderBy(col("node"))
+    lpaLabels(s, d).orderBy(col("node"))
 
   // ---------------------------------------------------------------- q140
   /** Per-node local clustering coefficient of the co-purchase graph
@@ -355,11 +352,9 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
   def q306Modularity(s: SparkSession, d: String): DataFrame = {
     val edges = copurchasePairs(s, d)
       .select(col("pa").as("src"), col("pb").as("dst"))
-    val labels = operators.LabelPropagation.communities(
-        edges, "src", "dst", rounds = 5)
-      .select(col("node"), col("community"))
     operators.LabelPropagation.modularity(edges, "src", "dst",
-      labels, "node", "community")
+      lpaLabels(s, d).select(col("node"), col("community")),
+      "node", "community")
   }
 
   // ---------------------------------------------------------------- q246

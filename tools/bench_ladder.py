@@ -64,6 +64,10 @@ ENTRIES = [
     # is scan + explode with a sources-sized broadcast
     "q292_bootstrap_ci", "q296_harmonic_centrality", "q297_dbscan_grid",
     "q298_epoch_resample",
+    # the 5-round LPA labeling became its own shared artifact (q134 +
+    # q306 both read it); bill the rounds once and verify the
+    # modularity tail is label-join-sized
+    "artifact_lpa", "q306_modularity",
 ]
 
 ADD_OPENS = [
