@@ -230,6 +230,69 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
       .orderBy(col("event_id"))
   }
 
+  // ---------------------------------------------------------------- q311
+  /** STREAM-STREAM LEFT OUTER interval join drained through the real
+    * engine — the last join-state emission path without an oracle
+    * row: q213's click↔view pairing, but every click must surface
+    * even with NO nearby view. The outer semantics change WHEN rows
+    * emit, not just which: matches stream out as they happen, while
+    * an unmatched click is null-extended only when the global
+    * watermark (min over both inputs' max event time, minus the
+    * delay) passes its last possible match time `c_ts + upper` —
+    * state expiry, observable only through a real drain. Both sides
+    * replay time-ordered (one month per file, increasing mtimes, one
+    * file per trigger — the q212 staging discipline) with a zero
+    * delay, so the finite replay's final no-data batch expires
+    * everything except clicks inside the terminal window, whose
+    * retention the oracle replicates as the explicit cutoff
+    * `c_ts + 300 s < min(max c_ts, max v_ts)`.
+    */
+  def q311StreamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q311-")
+    val ev = events(s, d).filter(col("user_id").isNotNull &&
+        col("user_id") < 300)
+      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+    def stage(df: DataFrame, name: String): String = {
+      val dir = tmp.resolve(name)
+      java.nio.file.Files.createDirectories(dir)
+      val months = df.select(date_trunc("month", col("ts_utc")).as("m"))
+        .distinct().orderBy(col("m"))
+        .collect().map(_.getTimestamp(0)) // bounded: one row per month
+      months.zipWithIndex.foreach { case (m, i) =>
+        df.filter(date_trunc("month", col("ts_utc")) === lit(m))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(dir.resolve(f"m$i%03d").toString)
+        Thread.sleep(25) // strictly increasing mtimes drive file order
+      }
+      dir.toString
+    }
+    val clicksDir = stage(ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_utc")), "clicks")
+    val viewsDir = stage(ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts_utc")), "views")
+    def rd(dir: String) = s.readStream
+      .schema(s.read.parquet(dir + "/m000").schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/m*")
+    val joined = streaming.StreamingImport.intervalJoinStreams(
+      rd(clicksDir).withColumnRenamed("ts_utc", "c_ts"),
+      rd(viewsDir).withColumnRenamed("ts_utc", "v_ts"),
+      "user_id", "v_user", "c_ts", "v_ts",
+      delay = "0 seconds", lowerBoundS = -300L, upperBoundS = 300L,
+      joinType = "left_outer")
+    val sink = s"q311_sink_${System.nanoTime()}"
+    val q = joined.select(col("user_id"), col("event_id"), col("v_user"))
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(sum(when(col("v_user").isNotNull, 1L).otherwise(0L))
+        .as("n_views_nearby"))
+      .orderBy(col("event_id"))
+  }
+
   // ---------------------------------------------------------------- q214
   /** The STREAMING IMPORT flagship drained against an oracle: monthly
     * per-user aggregates staged as one file per month (strictly
@@ -427,9 +490,34 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
     "q211_stream_sessions" -> (q211StreamSessions _),
     "q212_stream_append" -> (q212StreamAppend _),
     "q213_stream_interval_join" -> (q213StreamIntervalJoin _),
-    "q214_stream_upsert" -> (q214StreamUpsert _))
+    "q214_stream_upsert" -> (q214StreamUpsert _),
+    "q311_stream_outer_join" -> (q311StreamOuterJoin _))
 
   private[graft] def oracleSqlStreaming: Map[String, String] = Map(
+    "q311_stream_outer_join" ->
+      // outer-join emission contract, pinned empirically: matches all
+      // emit; an unmatched click emits iff the final global watermark
+      // (min of both inputs' max event time, zero delay) passed its
+      // last possible match time — strict `c_ts + 300 s < wm`; the
+      // terminal clicks inside that window stay in state forever
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS t FROM events
+        |  WHERE user_id IS NOT NULL AND user_id < 300),
+        |c AS (SELECT user_id, event_id, t AS c_ts FROM ev
+        |  WHERE event_type = 'click'),
+        |v AS (SELECT user_id AS v_user, t AS v_ts FROM ev
+        |  WHERE event_type = 'view'),
+        |wm AS (SELECT least((SELECT max(c_ts) FROM c),
+        |    (SELECT max(v_ts) FROM v)) AS w),
+        |m AS (SELECT c.user_id, c.event_id, c.c_ts,
+        |    CAST(count(v.v_user) AS BIGINT) AS n_views_nearby
+        |  FROM c LEFT JOIN v ON v.v_user = c.user_id
+        |    AND v.v_ts >= c.c_ts - INTERVAL 300 SECOND
+        |    AND v.v_ts <= c.c_ts + INTERVAL 300 SECOND
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, event_id, n_views_nearby FROM m CROSS JOIN wm
+        |WHERE n_views_nearby > 0 OR c_ts + INTERVAL 300 SECOND < wm.w
+        |ORDER BY event_id""".stripMargin,
     "q261_stream_running_totals" ->
       // the batch group-by the transformWithState fold must converge
       // to under any micro-batch split: exact integer cents per event

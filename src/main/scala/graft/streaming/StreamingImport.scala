@@ -158,7 +158,8 @@ object StreamingImport {
   def intervalJoinStreams(left: DataFrame, right: DataFrame,
                           leftKey: String, rightKey: String,
                           leftTs: String, rightTs: String,
-                          delay: String, lowerBoundS: Long, upperBoundS: Long): DataFrame = {
+                          delay: String, lowerBoundS: Long, upperBoundS: Long,
+                          joinType: String = "inner"): DataFrame = {
     require(upperBoundS >= lowerBoundS,
       s"upper bound ($upperBoundS s) must be >= lower bound ($lowerBoundS s)")
     // stream-stream joins resolve columns by NAME across both inputs,
@@ -166,11 +167,18 @@ object StreamingImport {
     val clash = Set(leftKey, leftTs).intersect(Set(rightKey, rightTs))
     require(clash.isEmpty,
       s"left and right column names must differ, both sides have: ${clash.mkString(", ")}")
+    // OUTER variants change the EMISSION contract, not just the rows:
+    // matches stream out as they happen, but an unmatched left row is
+    // emitted (null-extended) only when the global watermark passes
+    // its last possible match time (leftTs + upper) — state-expiry
+    // driven, so a finite replay needs time-ordered input and a small
+    // delay or tail rows stay buffered forever (q311 pins this)
     left.withWatermark(leftTs, delay)
       .join(right.withWatermark(rightTs, delay),
         expr(s"`$leftKey` = `$rightKey`" +
           s" AND `$rightTs` >= `$leftTs` + INTERVAL $lowerBoundS SECOND" +
-          s" AND `$rightTs` <= `$leftTs` + INTERVAL $upperBoundS SECOND"))
+          s" AND `$rightTs` <= `$leftTs` + INTERVAL $upperBoundS SECOND"),
+        joinType)
   }
 
   /** Stateless stream-static enrichment join: each micro-batch of the

@@ -32,7 +32,7 @@ class PlanAuditSpec extends SparkSpec {
     "q207_stream_windows", "q210_stream_dedup", "q211_stream_sessions",
     "q212_stream_append", "q213_stream_interval_join", "q214_stream_upsert",
     "q235_stream_static_join", "q251_stream_funnel",
-    "q261_stream_running_totals")
+    "q261_stream_running_totals", "q311_stream_outer_join")
 
   /** A subtree is visibly bounded when an aggregation or limit caps
     * its cardinality below the raw input's. `ReusedExchangeExec` is a

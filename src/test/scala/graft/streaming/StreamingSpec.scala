@@ -218,6 +218,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1, "click", "buy")))
   }
 
+  test("left-outer interval join: unmatched rows emit only past the watermark") {
+    val dirL = SyntheticFixtures.dir(s"ssoL_${System.nanoTime()}")
+    val dirR = SyntheticFixtures.dir(s"ssoR_${System.nanoTime()}")
+    // key 1 matches; key 2 is unmatched EARLY (its window closes long
+    // before the final watermark → null row emits); key 3 is unmatched
+    // at the stream END (window still open at the last watermark →
+    // stays in state, emits nowhere)
+    SyntheticFixtures.writeText(new File(dirL, "l.csv"),
+      "k;lts;lv\n1;2026-01-01 10:00:00;click\n2;2026-01-01 10:01:00;click\n3;2026-01-01 11:59:59;click")
+    SyntheticFixtures.writeText(new File(dirR, "r.csv"),
+      "rk;rts;rv\n1;2026-01-01 10:00:30;buy\n9;2026-01-01 12:00:00;buy")
+    val sL = org.apache.spark.sql.types.StructType.fromDDL(
+      "k INT, lts TIMESTAMP, lv STRING")
+    val sR = org.apache.spark.sql.types.StructType.fromDDL(
+      "rk INT, rts TIMESTAMP, rv STRING")
+    def src(dir: File, s: org.apache.spark.sql.types.StructType) =
+      spark.readStream.schema(s).option("sep", ";").option("header", "true")
+        .csv(dir.getPath)
+    val joined = StreamingImport.intervalJoinStreams(
+      src(dirL, sL), src(dirR, sR), "k", "rk", "lts", "rts",
+      delay = "0 seconds", lowerBoundS = 0L, upperBoundS = 60L,
+      joinType = "left_outer")
+    val sink = s"sso_out_${System.nanoTime()}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(sink)
+      .option("checkpointLocation", new File(dirL, "_cp").getPath)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(sink).select(col("k"), col("rv"))
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+    // 1 matched, 2 null-extended, 3 withheld (wm = min side-max =
+    // 11:59:59 from the left; 3's window end 12:00:59 ≥ wm)
+    assert(got === Set((1, Some("buy")), (2, None)))
+  }
+
   test("stream-static enrichment join: inner drops unmatched, left keeps them") {
     val dir = SyntheticFixtures.dir(s"sstat_${System.nanoTime()}")
     SyntheticFixtures.writeText(new File(dir, "s.csv"),
