@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * second scan; the k-row group frame then reduces to one row.
   *
   * Exactness discipline: the cross-group mass `Σ_g (Σy_g)²/n_g` is
-  * accumulated as TRUNCATING integer terms (`DIV`, exact in DECIMAL)
+  * accumulated as TRUNCATING integer terms, exact in DECIMAL
   * — a float term per group would have to be re-summed through a
   * double→DECIMAL transport, and that cast is NOT portable (Spark
   * expands the double's exact binary value, DuckDB its shortest
