@@ -357,6 +357,24 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
       "node", "community")
   }
 
+  // ---------------------------------------------------------------- q312
+  /** Degree-capped SPARSIFIED LPA ([[operators.LabelPropagation
+    * .communitiesSampled]]) — the approximate face for the
+    * artifact_lpa sf~1 wall (58 s of honest O(m)-per-round cost this
+    * round): each node keeps its 8 smallest-md5 incoming neighbors,
+    * so every round runs on ≤ 8n edges regardless of hub degrees.
+    * Deterministic sparsification → the labeling replays exactly in
+    * SQL; the exact q134 stays the full-fidelity oracle row, this is
+    * the pipeline face (the q281-vs-q119 DOULION pattern applied to
+    * community detection).
+    */
+  def q312LpaSampled(s: SparkSession, d: String): DataFrame =
+    operators.LabelPropagation.communitiesSampled(
+        copurchasePairs(s, d).select(col("pa").as("src"),
+          col("pb").as("dst")),
+        "src", "dst", rounds = 5, maxNbrs = 8)
+      .orderBy(col("node"))
+
   // ---------------------------------------------------------------- q246
   /** Deterministic random-walk corpus over the ≥2-support co-purchase
     * graph ([[operators.RandomWalks.walks]] — the DeepWalk/node2vec
@@ -507,6 +525,7 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     "q297_dbscan_grid" -> (q297DbscanGrid _),
     "q303_dimsum_cosine" -> (q303DimsumCosine _),
     "q306_modularity" -> (q306Modularity _),
+    "q312_lpa_sampled" -> (q312LpaSampled _),
     "q173_adamic_adar" -> (q173AdamicAdar _),
     "q174_item_cosine" -> (q174ItemCosine _),
     "q175_hits" -> (q175Hits _),
@@ -643,6 +662,37 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
         |  round(CAST(n_sampled AS DOUBLE) / (p * den), 6) + 0.0 AS est_cos,
         |  round(CAST(n_both AS DOUBLE) / den, 6) + 0.0 AS exact_cos
         |FROM g ORDER BY exact_cos DESC, i, j LIMIT 20""".stripMargin,
+    "q312_lpa_sampled" -> {
+      // the q134 replay on the DETERMINISTICALLY SPARSIFIED adjacency:
+      // per receiving node, keep the 8 incoming edges with the
+      // smallest md5-48(src:dst) (ties on dst), then the same five
+      // synchronous rounds and arg-max law
+      val rounds = (1 to 5).map { r =>
+        s"""g$r AS (SELECT sp.src AS node, l.label, count(*) AS c
+           |  FROM sp JOIN l${r - 1} l ON l.node = sp.dst GROUP BY 1, 2),
+           |l$r AS (SELECT node, label FROM (
+           |  SELECT node, label,
+           |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
+           |  FROM g$r) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+         |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |sp AS MATERIALIZED (SELECT src, dst FROM (
+         |  SELECT src, dst, row_number() OVER (PARTITION BY src
+         |    ORDER BY CAST(('0x' || substr(md5(CAST(src AS VARCHAR)
+         |      || ':' || CAST(dst AS VARCHAR)), 1, 12)) AS BIGINT), dst)
+         |      AS rk
+         |  FROM e) WHERE rk <= 8),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sp),
+         |$rounds,
+         |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+         |       FROM l5 GROUP BY label)
+         |SELECT l.node, l.label AS community, sz.community_size
+         |FROM l5 l JOIN sz ON sz.label = l.label
+         |ORDER BY l.node""".stripMargin
+    },
     "q306_modularity" -> {
       // the q134 LPA replay (5 synchronous rounds, identical CTEs)
       // plus the modularity tail: exact integer intra-edge and

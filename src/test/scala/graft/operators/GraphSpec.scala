@@ -128,6 +128,30 @@ class GraphSpec extends SparkSpec {
     assert(Seq(5L, 6L, 7L, 8L).forall(n => got(n) === ((5L, 4L))))
   }
 
+  test("sampled LPA: identical to exact below the cap, deterministic above") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    // degrees ≤ 4 < maxNbrs=8: the sparsification is a no-op, the
+    // labeling must equal the exact face row for row
+    val small = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) ++
+      Seq((4L, 5L))).toDF("src", "dst")
+    val exact = LabelPropagation.communities(small, "src", "dst", 5)
+      .collect().map(_.toSeq).toSet
+    val sampled = LabelPropagation.communitiesSampled(small, "src", "dst",
+      rounds = 5, maxNbrs = 8).collect().map(_.toSeq).toSet
+    assert(sampled === exact)
+    // a 30-spoke hub with maxNbrs=4: the cap binds; the run is a pure
+    // function of the edge set (two invocations identical) and every
+    // node still gets a label
+    val hub = (1L to 30L).map(i => (0L, i)).toDF("src", "dst")
+    val a = LabelPropagation.communitiesSampled(hub, "src", "dst", 3, 4)
+      .orderBy("node").collect().map(_.toSeq).toSeq
+    val b = LabelPropagation.communitiesSampled(hub, "src", "dst", 3, 4)
+      .orderBy("node").collect().map(_.toSeq).toSeq
+    assert(a === b && a.length === 31)
+  }
+
   test("k-truss: clique survives, pendant triangle and bridges peel away") {
     import spark.implicits._
     def clique(ids: Seq[Long]) =

@@ -68,6 +68,10 @@ ENTRIES = [
     # q306 both read it); bill the rounds once and verify the
     # modularity tail is label-join-sized
     "artifact_lpa", "q306_modularity",
+    # the sparsified approximate LPA face: one O(m) ranking pass +
+    # rounds on <= 8n edges (measured 1.7x under the exact rounds at
+    # sf~1; the win grows with hub degree)
+    "q312_lpa_sampled",
 ]
 
 ADD_OPENS = [
