@@ -31,6 +31,87 @@ object Triangles {
   /** Canonical undirected edge list `(lo, hi)` — deduped, self-loops
     * dropped, both input directions folded.
     */
+  /** APPROXIMATE per-node clustering coefficient by WEDGE SAMPLING
+    * (Schank & Wagner 2005) — the third member of the approximation
+    * pair around the exact enumeration: q281's DOULION samples EDGES
+    * for the global census; this samples k neighbor PAIRS per node
+    * and checks closure, so hubs cost k edge-existence probes instead
+    * of deg² wedges — the per-node face the exact artifact_tris wall
+    * (wedge count grows with density) cannot avoid. The pair choice
+    * is the md5 content hash over (node, trial): deterministic,
+    * engine-replayable (the q246 rank-th-neighbor discipline), with
+    * replacement (standard; Chernoff bounds on k draws).
+    *
+    * Cost: one O(m) adjacency ranking window, k·n probe rows, two
+    * (node, rank) equi-joins and one edge-existence hash join — no
+    * wedge enumeration anywhere. Returns the `topN` highest-degree
+    * nodes: `(node, deg, n_closed, cc_est_ppm)` with
+    * `cc_est_ppm = 1e6·closed DIV k` exact integers, ordered by
+    * `(deg DESC, node)`.
+    */
+  def sampledLocalClustering(edges: DataFrame, srcCol: String,
+                             dstCol: String, k: Int,
+                             topN: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // no checkpoint on e0: callers feed an artifact/parquet edge list,
+    // so its re-reads are scans, not recomputation
+    val e0 = canonicalEdges(edges, srcCol, dstCol)
+    val m = e0.select(col("lo").as("src"), col("hi").as("dst"))
+      .unionAll(e0.select(col("hi").as("src"), col("lo").as("dst")))
+    val byDst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    // the one O(m log) pass; read by both rank joins → materialized
+    val adj = m.withColumn("rk", row_number().over(byDst))
+      .localCheckpoint(true)
+    // degrees off the mirrored list directly (hash agg, no window read)
+    val deg = m.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2L)
+    def h48(suffix: String) =
+      conv(substring(md5(concat(col("node").cast("string"), lit("_"),
+        col("__t").cast("string"), lit(suffix))), 1, 12), 16, 10)
+        .cast("long")
+    val probes = deg
+      .withColumn("__t", explode(expr(s"sequence(0L, ${k - 1}L)")))
+      .withColumn("__i", h48("_a") % col("deg"))
+      .withColumn("__j0", h48("_b") % (col("deg") - 1L))
+      .withColumn("__j",
+        when(col("__j0") >= col("__i"), col("__j0") + 1L)
+          .otherwise(col("__j0")))
+    // rank is part of the EQUI-join key — a join on node alone with a
+    // rank filter after would expand each probe by the node's degree,
+    // re-buying the wedge blowup this operator exists to avoid
+    val withU = probes.withColumn("__rka", col("__i") + 1L)
+      .join(adj.select(col("src").as("node"), col("dst").as("__u"),
+        col("rk").as("__rka")), Seq("node", "__rka"))
+      .drop("__rka")
+    val withUv = withU.withColumn("__rkb", col("__j") + 1L)
+      .join(adj.select(col("src").as("node"), col("dst").as("__v"),
+        col("rk").as("__rkb")), Seq("node", "__rkb"))
+      .drop("__rkb")
+    // closure lookup on the single packed long, with the enumerate()
+    // measured-strategy rule: broadcast while the edge list fits,
+    // shuffle-hash past it — never a sort of the probe stream
+    val ek = e0.select(packed(col("lo"), col("hi"),
+      "Triangles.sampledLocalClustering").as("__ek"),
+      lit(1L).as("__hit"))
+    val lookup =
+      if (e0.count() <= BroadcastEdgeLimit) broadcast(ek)
+      else ek.hint("shuffle_hash")
+    val closed = withUv
+      .withColumn("__ek", packed(least(col("__u"), col("__v")),
+        greatest(col("__u"), col("__v")),
+        "Triangles.sampledLocalClustering"))
+      .join(lookup, Seq("__ek"), "left")
+      .groupBy(col("node"), col("deg"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_closed"))
+    closed
+      .select(col("node"), col("deg"), col("n_closed"),
+        expr(s"1000000 * n_closed DIV ${k}L").as("cc_est_ppm"))
+      .orderBy(col("deg").desc, col("node"))
+      .limit(topN)
+  }
+
   def canonicalEdges(edges: DataFrame, srcCol: String,
                      dstCol: String): DataFrame =
     // long-normalized up front: packed() below shifts by 32, and on an

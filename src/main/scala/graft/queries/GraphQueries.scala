@@ -375,6 +375,21 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
         "src", "dst", rounds = 5, maxNbrs = 8)
       .orderBy(col("node"))
 
+  // ---------------------------------------------------------------- q313
+  /** Wedge-sampled per-node clustering coefficients
+    * ([[operators.Triangles.sampledLocalClustering]], Schank–Wagner)
+    * over the full co-purchase graph — the per-node approximate face
+    * beside q281's edge-sampled global census: 16 md5-chosen neighbor
+    * pairs per node, closure checked by one edge-existence hash join,
+    * NO wedge enumeration — so the cost is k·n probes however dense
+    * the hubs get, the lever for the artifact_tris density wall. The
+    * exact q140 stays the fidelity row.
+    */
+  def q313SampledClustering(s: SparkSession, d: String): DataFrame =
+    operators.Triangles.sampledLocalClustering(
+      copurchasePairs(s, d).select(col("pa"), col("pb")),
+      "pa", "pb", k = 16, topN = 20)
+
   // ---------------------------------------------------------------- q246
   /** Deterministic random-walk corpus over the ≥2-support co-purchase
     * graph ([[operators.RandomWalks.walks]] — the DeepWalk/node2vec
@@ -526,6 +541,7 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     "q303_dimsum_cosine" -> (q303DimsumCosine _),
     "q306_modularity" -> (q306Modularity _),
     "q312_lpa_sampled" -> (q312LpaSampled _),
+    "q313_sampled_clustering" -> (q313SampledClustering _),
     "q173_adamic_adar" -> (q173AdamicAdar _),
     "q174_item_cosine" -> (q174ItemCosine _),
     "q175_hits" -> (q175Hits _),
@@ -662,6 +678,46 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
         |  round(CAST(n_sampled AS DOUBLE) / (p * den), 6) + 0.0 AS est_cos,
         |  round(CAST(n_both AS DOUBLE) / den, 6) + 0.0 AS exact_cos
         |FROM g ORDER BY exact_cos DESC, i, j LIMIT 20""".stripMargin,
+    "q313_sampled_clustering" ->
+      // the q246 rank-th-neighbor replay for wedge endpoints: trial t
+      // picks ranks from md5(node_t_a) mod deg and md5(node_t_b) mod
+      // (deg−1) with the ≥ shift, closure via EXISTS on the canonical
+      // edge list; all published values exact integers
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT DISTINCT CAST(a.pk AS BIGINT) AS lo,
+        |    CAST(b.pk AS BIGINT) AS hi
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |m AS (SELECT lo AS src, hi AS dst FROM e0
+        |      UNION ALL SELECT hi, lo FROM e0),
+        |adj AS MATERIALIZED (SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rk
+        |  FROM m),
+        |dg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM adj GROUP BY 1),
+        |nd AS (SELECT node, deg FROM dg WHERE deg >= 2),
+        |tr AS (SELECT node, deg, t,
+        |    CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || '_'
+        |      || CAST(t AS VARCHAR) || '_a'), 1, 12)) AS BIGINT)
+        |      % deg AS i,
+        |    CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || '_'
+        |      || CAST(t AS VARCHAR) || '_b'), 1, 12)) AS BIGINT)
+        |      % (deg - 1) AS j0
+        |  FROM nd CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS t)),
+        |pr AS (SELECT node, deg, t, i,
+        |    CASE WHEN j0 >= i THEN j0 + 1 ELSE j0 END AS j
+        |  FROM tr),
+        |wu AS (SELECT pr.node, pr.deg, pr.t, pr.j, a.dst AS u
+        |  FROM pr JOIN adj a ON a.src = pr.node AND a.rk = pr.i + 1),
+        |wv AS (SELECT wu.node, wu.deg, wu.t, wu.u, b.dst AS v
+        |  FROM wu JOIN adj b ON b.src = wu.node AND b.rk = wu.j + 1),
+        |cl AS (SELECT node, deg,
+        |    CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM e0
+        |      WHERE e0.lo = least(u, v) AND e0.hi = greatest(u, v))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_closed
+        |  FROM wv GROUP BY 1, 2)
+        |SELECT node, deg, n_closed,
+        |  1000000 * n_closed // 16 AS cc_est_ppm
+        |FROM cl ORDER BY deg DESC, node LIMIT 20""".stripMargin,
     "q312_lpa_sampled" -> {
       // the q134 replay on the DETERMINISTICALLY SPARSIFIED adjacency:
       // per receiving node, keep the 8 incoming edges with the

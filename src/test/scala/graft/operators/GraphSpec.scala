@@ -152,6 +152,30 @@ class GraphSpec extends SparkSpec {
     assert(a === b && a.length === 31)
   }
 
+  test("sampled clustering: clique saturates at 1e6 ppm, star at 0") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    // K5: every sampled neighbor pair closes → cc 1e6 ppm for all 5
+    val k5 = clique(Seq(1L, 2L, 3L, 4L, 5L)).toDF("a", "b")
+    val r = Triangles.sampledLocalClustering(k5, "a", "b", k = 16,
+      topN = 10).collect()
+    assert(r.length === 5)
+    assert(r.forall(row => row.getLong(3) === 1000000L &&
+      row.getLong(2) === 16L))
+    // star: the hub's neighbors never connect → cc 0; spokes have
+    // degree 1 and drop
+    val star = (1L to 10L).map(i => (0L, i)).toDF("a", "b")
+    val s0 = Triangles.sampledLocalClustering(star, "a", "b", 16, 10)
+      .collect()
+    assert(s0.length === 1 && s0(0).getLong(0) === 0L &&
+      s0(0).getLong(3) === 0L)
+    // deterministic across invocations
+    val again = Triangles.sampledLocalClustering(k5, "a", "b", 16, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(again === r.map(_.toSeq).toSeq)
+  }
+
   test("k-truss: clique survives, pendant triangle and bridges peel away") {
     import spark.implicits._
     def clique(ids: Seq[Long]) =

@@ -72,6 +72,10 @@ ENTRIES = [
     # rounds on <= 8n edges (measured 1.7x under the exact rounds at
     # sf~1; the win grows with hub degree)
     "q312_lpa_sampled",
+    # wedge-sampled clustering: one O(m log) ranking pass + k·n probes
+    # (24.8 s at sf~1 vs the exact enumeration's 46-62 s, and strictly
+    # O(m log m) where the exact face tracks wedge density)
+    "q313_sampled_clustering",
 ]
 
 ADD_OPENS = [
