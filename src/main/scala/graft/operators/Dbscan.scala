@@ -36,6 +36,12 @@ object Dbscan {
                      yCol: String, eps: Double, minPts: Long,
                      topN: Int = 10): DataFrame = {
     require(eps > 0.0, "eps must be positive")
+    // core-ness is derived from the NEIGHBOR-pair frame (self excluded),
+    // so a zero-neighbor point can never qualify; minPts = 1 (every
+    // point core, self-included count of 1) would silently misclassify
+    // isolated points as noise — refuse rather than be subtly wrong
+    require(minPts >= 2L,
+      "minPts must be >= 2 (self-included count; isolated points have no neighbor-pair rows)")
     val p = points.select(col(idCol).cast("long").as("__id"),
         col(xCol).cast("double").as("__x"),
         col(yCol).cast("double").as("__y"))

@@ -53,22 +53,27 @@ object EpochResample {
     * `(groupCol, n_rows, mass, p_ppm, target_ppm, r_ppm)` where
     * `target_ppm = 1e6·isqrt(p_ppm) DIV Σ isqrt(p_ppm)` (the T=2
     * tilt, exact) and `r_ppm = targetTotal·target_ppm DIV n_rows` is
-    * the per-document replication rate in ppm. Headroom: the DECIMAL
-    * products carry exabyte-scale masses (the
+    * the per-document replication rate in ppm. Headroom: `mass` itself
+    * accumulates in DECIMAL(28,0) — exabyte masses sum without the
+    * silent 2^63 LONG wrap, and past 1e28 they NULL honestly — and the
+    * downstream products carry the same headroom (the
     * [[Sampling.temperatureHalfWeights]] (28,0) discipline).
     */
   def replicationRates(docs: DataFrame, idCol: String, groupCol: String,
                        massCol: String,
                        targetTotalPpm: Long = 1000000L): DataFrame = {
     val per = docs.groupBy(col(groupCol))
+      // mass accumulates in DECIMAL (not LONG, which wraps silently
+      // past 2^63): overflow beyond (28,0) NULLs honestly instead
       .agg(count(lit(1)).as("n_rows"),
-        sum(col(massCol).cast("long")).cast("long").as("mass"))
+        sum(col(massCol).cast("decimal(28,0)")).cast("decimal(28,0)")
+          .as("mass"))
       .localCheckpoint(true)
-    val tot = per.agg(sum(col("mass")).as("__tot"),
+    val tot = per.agg(sum(col("mass")).cast("decimal(28,0)").as("__tot"),
       sum(col("n_rows")).as("__n_tot"))
     val p = per.crossJoin(broadcast(tot))
       .withColumn("p_ppm", expr(
-        "CAST((CAST(mass AS DECIMAL(28,0)) * 1000000) DIV __tot AS BIGINT)"))
+        "CAST((mass * 1000000) DIV __tot AS BIGINT)"))
       .withColumn("__u",
         floor(sqrt(col("p_ppm").cast("double"))).cast("long"))
     val su = p.agg(sum(col("__u")).as("__su"))

@@ -43,10 +43,13 @@ object Matching {
       // both branches below re-read this projection — tiny vs the
       // upstream join that typically builds the outcome column
       .localCheckpoint(true)
-    // floor(score/caliper) via (s − pmod)/c: exact for NEGATIVE scores
-    // too (pmod ≥ 0), where a long `/` would truncate toward zero
+    // floor(score/caliper) via (s − pmod) DIV c: exact for NEGATIVE
+    // scores too (pmod ≥ 0 makes the numerator an exact multiple of c,
+    // so truncating DIV equals floor) — pure 64-bit integer throughout;
+    // a `/` here is DOUBLE division under Spark SQL and loses ulps for
+    // |score|/caliper beyond 2^53
     def band(s: String) =
-      expr(s"CAST(($s - pmod($s, ${caliper}L)) / ${caliper}L AS BIGINT)")
+      expr(s"($s - pmod($s, ${caliper}L)) DIV ${caliper}L")
     val t = v.filter(col("__t"))
       .select(col("__id").as("__tid"), col("__s").as("__ts"),
         col("__o").as("__to"))

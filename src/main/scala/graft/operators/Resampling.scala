@@ -80,10 +80,14 @@ object Resampling {
     val hiRank = ((1000000L - alphaPpm / 2L) * reps + 999999L) / 1000000L
     val byMean = Window.orderBy(col("__mean"), col("__b"))
     val ranked = rep.withColumn("__r", row_number().over(byMean))
+    // aggregate the 0-or-1-row rank selections to ALWAYS-1-row scalar
+    // frames (max over an empty frame is one NULL row), so a degenerate
+    // input where every replicate dropped still emits the summary row
+    // with NULL bounds — the oracle's scalar-subquery behavior
     val lo = ranked.filter(col("__r") === math.max(1L, loRank))
-      .select(col("__mean").as("ci_lo"))
+      .agg(max(col("__mean")).as("ci_lo"))
     val hi = ranked.filter(col("__r") === math.min(reps.toLong, hiRank))
-      .select(col("__mean").as("ci_hi"))
+      .agg(max(col("__mean")).as("ci_hi"))
     base.agg(count(lit(1)).as("n"),
         sum(col("__v").cast("decimal(19,0)")).as("__s"))
       .withColumn("reps", lit(reps.toLong))

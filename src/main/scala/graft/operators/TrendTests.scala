@@ -69,7 +69,12 @@ object TrendTests {
         sum(col("__t").cast("decimal(12,0)") *
           (col("__t") - 1L).cast("decimal(12,0)") *
           (lit(2L) * col("__t") + 5L).cast("decimal(13,0)")).as("__tie"))
-    pairs.join(ties, Seq("__k"))
+    // LEFT from ties (one row per group, always): a single-point group
+    // produces no pair rows, but must still emit (n=1, n_pairs=0, s=0,
+    // z NULL) rather than vanish — the docstring's contract
+    ties.join(pairs, Seq("__k"), "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .withColumn("s", coalesce(col("s"), lit(0L)))
       .withColumn("__var",
         (col("n").cast("decimal(12,0)") *
           (col("n") - 1L).cast("decimal(12,0)") *

@@ -634,12 +634,14 @@ private[graft] trait RankStatsQueries { this: SparkEntry.type =>
         |    sum(CAST(t AS DECIMAL(12,0)) * CAST(t - 1 AS DECIMAL(12,0))
         |      * CAST(2 * t + 5 AS DECIMAL(13,0))) AS tie
         |  FROM tg GROUP BY 1),
-        |v AS (SELECT p.priority, ti.n, p.n_pairs, p.s,
+        |v AS (SELECT ti.priority, ti.n,
+        |    CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |    CAST(coalesce(p.s, 0) AS BIGINT) AS s,
         |    CAST(CAST(ti.n AS DECIMAL(12,0))
         |        * CAST(ti.n - 1 AS DECIMAL(12,0))
         |        * CAST(2 * ti.n + 5 AS DECIMAL(13,0)) - ti.tie AS DOUBLE)
         |      / CAST(18 AS DOUBLE) AS var
-        |  FROM p JOIN ti USING (priority))
+        |  FROM ti LEFT JOIN p USING (priority))
         |SELECT priority, n, n_pairs, s,
         |  CASE WHEN var <= 0.0 THEN NULL
         |    WHEN s > 0 THEN round(CAST(s - 1 AS DOUBLE) / sqrt(var), 6) + 0.0

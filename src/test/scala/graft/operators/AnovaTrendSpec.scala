@@ -31,6 +31,13 @@ class AnovaTrendSpec extends SparkSpec {
     val both = TrendTests.mannKendall(up.unionAll(dn), "k", "x", "y")
       .orderBy(col("k")).collect()
     assert(both.map(_.getLong(3)).toSeq === Seq(-10L, 10L))
+    // a single-point group has no pairs but still emits its row:
+    // (n=1, n_pairs=0, s=0, z NULL) — the docstring contract
+    val one = Seq(("s", 1L, 5L)).toDF("k", "x", "y")
+    val r4 = TrendTests.mannKendall(one, "k", "x", "y").collect()
+    assert(r4.length === 1)
+    assert(r4(0).getLong(1) === 1L && r4(0).getLong(2) === 0L &&
+      r4(0).getLong(3) === 0L && r4(0).isNullAt(4))
   }
 
   test("ANOVA one-way F: textbook two-group example and degenerates") {

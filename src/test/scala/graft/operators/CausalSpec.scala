@@ -25,6 +25,17 @@ class CausalSpec extends SparkSpec {
     assert(r1.toSeq === r2.toSeq)
   }
 
+  test("Poisson bootstrap: degenerate tiny input keeps the summary row") {
+    // one row, 40 replicates: ~37% of replicates draw weight 0 and are
+    // dropped, so rank 38 does not exist — the summary row must still
+    // emit (with NULL bounds where the rank is missing), matching the
+    // oracle's scalar-subquery behavior, not collapse to zero rows
+    val r = Resampling.poissonBootstrapCi(
+      Seq((1L, 100L)).toDF("id", "v"), "id", "v", reps = 40).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === 1L && r(0).getDouble(2) === 100.0)
+  }
+
   test("split conformal: hand-computed quantile, coverage, infinite interval") {
     // calib A = 1..10: median 5, sorted devs 0,1,1,2,2,3,3,4,4,5;
     // conformal rank ceil(11*0.9) = 10 → qhat = 5

@@ -36,6 +36,13 @@ class DensityGraphSpec extends SparkSpec {
     assert(r(1).isNullAt(0) && r(1).getLong(3) === 3L)
   }
 
+  test("DBSCAN: minPts below 2 is refused (isolated points have no pair rows)") {
+    val pts = Seq((1L, 0.0, 0.0)).toDF("id", "x", "y")
+    intercept[IllegalArgumentException] {
+      Dbscan.clusterSummary(pts, "id", "x", "y", 0.1, minPts = 1L)
+    }
+  }
+
   test("DBSCAN: two separate clusters get distinct min-id labels") {
     val mk = (base: Long, ox: Double) => Seq(
       (base, ox, 0.0), (base + 1, ox + 0.05, 0.0), (base + 2, ox, 0.05))
