@@ -114,6 +114,81 @@ object KnnGraph {
         Similarity.packBandKeys(col("__bits"), bands, numPlanes / bands))
       .drop("__bits")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    lshTopKFromKeyed(keyed, k, dim, maxBucketWidth, keyed.count())
+  }
+
+  /** Smallest band-key width r in [minBits, maxBits] with
+    * `target · 2^r ≥ n` (expected bucket width ≤ target under a uniform
+    * key spread) — i.e. ⌈log2(n/target)⌉ clamped, computed in pure
+    * integer arithmetic so an oracle SQL replays it exactly
+    * (`min r : (target << r) >= n`, no float log2 boundary hazard).
+    */
+  private[graft] def adaptiveBits(n: Long, target: Long,
+                                  minBits: Int, maxBits: Int): Int = {
+    var r = 0
+    while (r < maxBits && (target << r) < n) r += 1
+    math.max(minBits, r)
+  }
+
+  /** Scale-adaptive [[knnEdgesLsh]]: the band-key WIDTH grows with the
+    * corpus — r = ⌈log2(n / targetBucketWidth)⌉ clamped to
+    * [minBits, maxBits] — so expected bucket width, and with it
+    * candidate-pair mass, stays ~targetBucketWidth·n instead of the
+    * fixed-width n²/2^r blow-up (measured via `LshBucketStats` at sf~1:
+    * 157M candidate pairs for 20k vectors at the fixed 4-bit keys;
+    * adaptive keys hold the pair mass ~linear in n up to the maxBits
+    * cap, past which the hot-bucket diagnostic is the tripwire).
+    *
+    * Band b draws its planes from rows `b·maxBits … b·maxBits+r−1` of
+    * the FIXED family [[Similarity.hyperplaneWeights]](bands·maxBits,
+    * dim), so the adapted key equals the full-width key shifted right
+    * by (maxBits − r) — the formulation a SQL oracle replays with
+    * static bit columns plus one integer division, with r itself
+    * derived from `count(*)` in the same exact integer arithmetic
+    * ([[adaptiveBits]]) on both engines.
+    *
+    * The RECALL trade is explicit, not hidden: per-band match
+    * probability is (1 − θ/π)^r, so every +1 bit multiplies it by the
+    * per-plane agreement (~0.8 at cosine 0.8). q315 publishes the
+    * measured exact-vs-adaptive recall per corpus so the trade stays
+    * pinned. The one scalar `count` prices BOTH the r election and the
+    * vector-broadcast election — one job, two consumers.
+    */
+  def knnEdgesLshAdaptive(vecs: DataFrame, idCol: String, vecCol: String,
+                          k: Int, bands: Int = 6, dim: Int = 64,
+                          targetBucketWidth: Long = 128,
+                          minBits: Int = 4, maxBits: Int = 16,
+                          maxBucketWidth: Long = 8192): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minBits >= 1 && minBits <= maxBits && maxBits <= 20,
+      s"need 1 <= minBits ($minBits) <= maxBits ($maxBits) <= 20")
+    require(targetBucketWidth >= 2,
+      s"targetBucketWidth must be >= 2, got $targetBucketWidth")
+    require(maxBucketWidth >= 2, s"maxBucketWidth must be >= 2, got $maxBucketWidth")
+    val src = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val n = src.count()
+    val r = adaptiveBits(n, targetBucketWidth, minBits, maxBits)
+    val full = Similarity.hyperplaneWeights(bands * maxBits, dim)
+    // slice to the planes actually used: bit values are independent per
+    // plane, so computing only bands·r dots is bit-identical to the
+    // full-width computation followed by the oracle's right shift
+    val w = Array.tabulate(bands * r) { i => full((i / r) * maxBits + (i % r)) }
+    val keyed = Retained.track(src
+      .withColumn("__bits", Similarity.hyperplaneBits(col("__v"), w))
+      .withColumn("__bandkeys", Similarity.packBandKeys(col("__bits"), bands, r))
+      .drop("__bits")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    lshTopKFromKeyed(keyed, k, dim, maxBucketWidth, n)
+  }
+
+  /** Shared LSH-tier tail: hot-bucket cap → band-bucket candidate
+    * self-join → measured-strategy scoring joins → per-query top-k.
+    * `keyed` carries (__id, __v, __bandkeys) and stays persisted
+    * (three lazy consumers); `nVecs` prices the vector-broadcast
+    * election without re-counting.
+    */
+  private def lshTopKFromKeyed(keyed: DataFrame, k: Int, dim: Int,
+                               maxBucketWidth: Long, nVecs: Long): DataFrame = {
     val exploded = keyed.select(col("__id"),
       posexplode(col("__bandkeys")).as(Seq("__band", "__key")))
     // hot-bucket guard: count each (band, key) bucket and keep only
@@ -141,7 +216,7 @@ object KnnGraph {
     // stream shuffles but never sorts.
     val vecsOnly = keyed.select(col("__id"), col("__v"))
     val vecSide =
-      if (keyed.count() * dim <= VecBroadcastLimit) broadcast(vecsOnly)
+      if (nVecs * dim <= VecBroadcastLimit) broadcast(vecsOnly)
       else vecsOnly.hint("shuffle_hash")
     val scored = cand
       .join(vecSide.select(col("__id").as("query_id"), col("__v").as("__qv")), Seq("query_id"))

@@ -294,6 +294,69 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
       .orderBy(col("vec_id"))
   }
 
+  // ---------------------------------------------------------------- q314
+  /** q102's mutual-kNN face on SCALE-ADAPTIVE LSH banding
+    * ([[operators.KnnGraph.knnEdgesLshAdaptive]]): band-key width r
+    * grows as ⌈log2(n/128)⌉ (clamped to [4, 16]), so candidate-pair
+    * mass stays ~128·n instead of the fixed-4-bit n²/2^4 blow-up
+    * measured at sf~1 (157M pairs for 20k vectors). The oracle replays
+    * the full 16-bit keys statically and derives both r (from
+    * `count(*)`, exact integer `min r : 128·2^r ≥ n`) and the key
+    * shift inside the SQL — scale-honest at any sf, not pinned to the
+    * gate corpus size. q315 pins the recall side of the trade.
+    */
+  def q314MutualKnnAdaptive(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    operators.KnnGraph.mutualClusters(
+        operators.KnnGraph.knnEdgesLshAdaptive(e, "vec_id", "embedding", k = 4))
+      .orderBy(col("vec_id"))
+  }
+
+  // ---------------------------------------------------------------- q315
+  /** Recall audit for the adaptive-LSH kNN tier (the q108 pair-metrics
+    * discipline, vector edition): exact top-4 neighbors for a SAMPLED
+    * probe set (vec_id % 5 = 0 — the audit stays O(|probes|·n), never
+    * corpus²) measured against [[operators.KnnGraph.knnEdgesLshAdaptive]]
+    * on the full corpus. One row: overall recall plus recall over
+    * STRONG pairs (sim ≥ 0.7), where hyperplane banding theory puts
+    * per-band match at (1−θ/π)^r ≥ 0.35 per band at r = 4 → ≥ 0.92
+    * over 6 bands — the floor GraphSpec asserts. Counts and ppm ratios
+    * are exact integers; nothing here depends on float summation
+    * order.
+    */
+  def q315KnnAdaptiveRecall(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val probes = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val cs = operators.Similarity.cosine(col("query_vec"), col("embedding"))
+    val scored = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("__sim", when(!isnan(cs), cs))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("vec_id"))
+    val exact = scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 4)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("__sim"))
+    val lsh = operators.KnnGraph.knnEdgesLshAdaptive(
+        e, "vec_id", "embedding", k = 4)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    exact.join(lsh, Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        countDistinct(col("query_id")).as("n_probes"),
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"),
+        sum(when(col("__sim") >= 0.7, 1L).otherwise(0L)).as("n_exact_strong"),
+        sum(when(col("__sim") >= 0.7, coalesce(col("__hit"), lit(0L)))
+          .otherwise(0L)).as("n_hit_strong"))
+      .select(col("n_probes"), col("n_exact"), col("n_hit"),
+        expr("1000000 * n_hit DIV n_exact").as("recall_ppm"),
+        col("n_exact_strong"), col("n_hit_strong"),
+        expr("CASE WHEN n_exact_strong > 0 THEN 1000000 * n_hit_strong DIV n_exact_strong END")
+          .as("recall_strong_ppm"))
+  }
+
   // ---------------------------------------------------------------- q103
   /** DSIR importance resampling: score every non-`src0` document under
     * target-vs-raw hashed n-gram models (target = the `src0` slice) and
@@ -946,6 +1009,8 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
     "q101_source_overlap" -> (q101SourceOverlap _),
     "q286_sketched_overlap" -> (q286SketchedOverlap _),
     "q102_mutual_knn" -> (q102MutualKnn _),
+    "q314_knn_adaptive" -> (q314MutualKnnAdaptive _),
+    "q315_knn_adaptive_recall" -> (q315KnnAdaptiveRecall _),
     "q103_dsir" -> (q103Dsir _),
     "q104_canonical_dedup" -> (q104CanonicalDedup _),
     "q108_lsh_recall" -> (q108LshRecall _),
@@ -1527,6 +1592,112 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
          |SELECT vec_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM lab ORDER BY vec_id""".stripMargin
+    },
+    "q314_knn_adaptive" -> {
+      // replay knnEdgesLshAdaptive: 6 bands x 16-bit FULL keys built
+      // statically from the fixed 96-plane family, then r derived from
+      // count(*) in exact integer arithmetic (min r: 128·2^r >= n,
+      // clamped to [4,16]) and the adapted key = full key // 2^(16-r)
+      // — the same values Spark gets by packing only the first r
+      // planes of each band's block
+      val (bitCols, bandCols) = sqlBandCols(96, 6)
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bits AS (SELECT vec_id, v,
+         | $bitCols
+         | FROM e),
+         |band AS (SELECT vec_id, $bandCols FROM bits),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+         |rr AS (SELECT CAST(1 AS BIGINT) << (16 - least(16, greatest(4,
+         |        (SELECT min(g.r) FROM (SELECT unnest(generate_series(0, 16)) AS r) g
+         |         CROSS JOIN nn WHERE (CAST(128 AS BIGINT) << g.r) >= nn.n)))) AS d),
+         |eb AS (SELECT vec_id, generate_subscripts(bk, 1) AS band_idx,
+         |        unnest(bk) // (SELECT d FROM rr) AS bkey
+         |       FROM (SELECT vec_id, [b0, b1, b2, b3, b4, b5] AS bk FROM band)),
+         |ebw AS (SELECT band_idx, bkey FROM eb
+         |        GROUP BY band_idx, bkey HAVING count(*) <= 8192),
+         |ebc AS (SELECT eb.vec_id, eb.band_idx, eb.bkey
+         |        FROM eb JOIN ebw USING (band_idx, bkey)),
+         |cand AS (SELECT DISTINCT a.vec_id AS qa, b.vec_id AS qb
+         |         FROM ebc a JOIN ebc b ON a.band_idx = b.band_idx
+         |          AND a.bkey = b.bkey AND a.vec_id <> b.vec_id),
+         |s AS (SELECT cand.qa, cand.qb, ${sqlCosine("x.v", "y.v")} AS sim
+         |      FROM cand JOIN e x ON x.vec_id = cand.qa
+         |                JOIN e y ON y.vec_id = cand.qb),
+         |r AS (SELECT qa, qb,
+         |        row_number() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk
+         |      FROM s),
+         |knn AS (SELECT qa, qb FROM r WHERE rk <= 4),
+         |mut AS (SELECT k1.qa AS id1, k1.qb AS id2 FROM knn k1
+         |        JOIN knn k2 ON k1.qa = k2.qb AND k1.qb = k2.qa
+         |        WHERE k1.qa < k1.qb),
+         |edge AS (SELECT id1 AS a, id2 AS b FROM mut
+         |         UNION SELECT id2 AS a, id1 AS b FROM mut),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM edge
+         |  UNION
+         |  SELECT r2.src, e2.b FROM reach r2 JOIN edge e2 ON e2.a = r2.dst),
+         |lab AS (SELECT src AS vec_id, min(dst) AS cluster_id
+         |        FROM reach GROUP BY src)
+         |SELECT vec_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM lab ORDER BY vec_id""".stripMargin
+    },
+    "q315_knn_adaptive_recall" -> {
+      // exact top-4 for the vec_id % 5 = 0 probe set (O(|probes|·n),
+      // the q187 yardstick discipline) vs the SAME adaptive-LSH knn
+      // replay as q314; counts and ppm ratios exact integer
+      val (bitCols, bandCols) = sqlBandCols(96, 6)
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bits AS (SELECT vec_id, v,
+         | $bitCols
+         | FROM e),
+         |band AS (SELECT vec_id, $bandCols FROM bits),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+         |rr AS (SELECT CAST(1 AS BIGINT) << (16 - least(16, greatest(4,
+         |        (SELECT min(g.r) FROM (SELECT unnest(generate_series(0, 16)) AS r) g
+         |         CROSS JOIN nn WHERE (CAST(128 AS BIGINT) << g.r) >= nn.n)))) AS d),
+         |eb AS (SELECT vec_id, generate_subscripts(bk, 1) AS band_idx,
+         |        unnest(bk) // (SELECT d FROM rr) AS bkey
+         |       FROM (SELECT vec_id, [b0, b1, b2, b3, b4, b5] AS bk FROM band)),
+         |ebw AS (SELECT band_idx, bkey FROM eb
+         |        GROUP BY band_idx, bkey HAVING count(*) <= 8192),
+         |ebc AS (SELECT eb.vec_id, eb.band_idx, eb.bkey
+         |        FROM eb JOIN ebw USING (band_idx, bkey)),
+         |cand AS (SELECT DISTINCT a.vec_id AS qa, b.vec_id AS qb
+         |         FROM ebc a JOIN ebc b ON a.band_idx = b.band_idx
+         |          AND a.bkey = b.bkey AND a.vec_id <> b.vec_id),
+         |s AS (SELECT cand.qa, cand.qb, ${sqlCosine("x.v", "y.v")} AS sim
+         |      FROM cand JOIN e x ON x.vec_id = cand.qa
+         |                JOIN e y ON y.vec_id = cand.qb),
+         |r AS (SELECT qa, qb,
+         |        row_number() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk
+         |      FROM s),
+         |knn AS (SELECT qa, qb FROM r WHERE rk <= 4),
+         |p AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 5 = 0),
+         |sc AS (SELECT p.qid, e.vec_id AS nid, ${sqlCosine("p.qv", "e.v")} AS sim
+         |       FROM p CROSS JOIN e WHERE e.vec_id <> p.qid),
+         |ex AS (SELECT qid, nid, sim FROM (SELECT qid, nid, sim,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |       FROM sc) WHERE rk <= 4),
+         |h AS (SELECT ex.qid, ex.nid, ex.sim,
+         |        CASE WHEN k2.qa IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM ex LEFT JOIN knn k2 ON k2.qa = ex.qid AND k2.qb = ex.nid)
+         |SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_probes,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(hit) AS BIGINT) AS n_hit,
+         |  1000000 * CAST(sum(hit) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |    AS recall_ppm,
+         |  CAST(sum(CASE WHEN sim >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact_strong,
+         |  CAST(sum(CASE WHEN sim >= 0.7 THEN hit ELSE 0 END) AS BIGINT)
+         |    AS n_hit_strong,
+         |  CASE WHEN sum(CASE WHEN sim >= 0.7 THEN 1 ELSE 0 END) > 0
+         |    THEN 1000000 * CAST(sum(CASE WHEN sim >= 0.7 THEN hit ELSE 0 END)
+         |      AS BIGINT) // CAST(sum(CASE WHEN sim >= 0.7 THEN 1 ELSE 0 END)
+         |      AS BIGINT) END AS recall_strong_ppm
+         |FROM h""".stripMargin
     },
     "q103_dsir" ->
       // delta_b is ONE ln of a ratio of exact int64 products, rounded

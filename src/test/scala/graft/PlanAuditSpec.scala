@@ -85,7 +85,12 @@ class PlanAuditSpec extends SparkSpec {
     // (LogicalRDD, structurally opaque), calendar-bounded by the
     // operator's pre-aggregated-series contract (~2,400 rows for the
     // daily series at every SF), never fact-table-sized
-    "q280_motif_discord")
+    "q280_motif_discord",
+    // adaptive-LSH recall audit: the exact tier crossJoins the
+    // vec_id % 5 = 0 PROBE set (broadcast, |corpus|/5 rows by the
+    // sampling contract) with the corpus — the q187/q26 exact-yardstick
+    // shape, O(|probes|·n) by design, never corpus × corpus
+    "q315_knn_adaptive_recall")
 
   test("no query plans a nested-loop/cartesian join of two unbounded sides") {
     // plain (non-adaptive) plans so the join operators are directly

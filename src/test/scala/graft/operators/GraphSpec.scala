@@ -114,6 +114,48 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("adaptive band width: exact integer ceil-log2, clamped") {
+    // min r with 128·2^r >= n, clamped to [4, 16]
+    assert(KnnGraph.adaptiveBits(1L, 128L, 4, 16) === 4)
+    assert(KnnGraph.adaptiveBits(128L, 128L, 4, 16) === 4)
+    assert(KnnGraph.adaptiveBits(500L, 128L, 4, 16) === 4)
+    assert(KnnGraph.adaptiveBits(2048L, 128L, 4, 16) === 4)
+    assert(KnnGraph.adaptiveBits(2049L, 128L, 4, 16) === 5)
+    assert(KnnGraph.adaptiveBits(20000L, 128L, 4, 16) === 8)
+    assert(KnnGraph.adaptiveBits(200000L, 128L, 4, 16) === 11)
+    assert(KnnGraph.adaptiveBits(100000000L, 128L, 4, 16) === 16)
+  }
+
+  test("adaptive LSH kNN: planted pairs survive widened band keys; " +
+       "deterministic across runs") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    // 20 tight pairs (cosine ≈ 0.99995) among 560 noise vectors
+    val pairRows = (0 until 20).flatMap { p =>
+      val v = vec(); val w = v.clone(); w(0) += 0.01f
+      Seq((p * 2L, v), (p * 2L + 1, w))
+    }
+    val noise = (100L until 660L).map(id => (id, vec()))
+    val vecs = (pairRows ++ noise).toDF("vec_id", "embedding")
+    // targetBucketWidth = 2 forces r = ceil(log2(600/2)) = 9 — far past
+    // the gate corpora's r = 4, so this exercises the widened-key path:
+    // per-band match for a 0.99995-cosine pair is ~0.997^9 ≈ 0.97,
+    // and ≥1 of 6 bands hits with near-certainty
+    val lsh = KnnGraph.knnEdgesLshAdaptive(vecs, "vec_id", "embedding",
+        k = 2, targetBucketWidth = 2L, minBits = 4, maxBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val found = (0 until 20).count(p => lsh.contains((p * 2L, p * 2L + 1)))
+    assert(found >= 18, s"only $found of 20 planted pairs survived r=9 keys")
+    // deterministic hyperplanes + integer r election → rerun identical
+    val again = KnnGraph.knnEdgesLshAdaptive(vecs, "vec_id", "embedding",
+        k = 2, targetBucketWidth = 2L, minBits = 4, maxBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(lsh === again)
+    Retained.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
   test("label propagation: two cliques over a bridge resolve to two communities") {
     import spark.implicits._
     // 4-cliques {1..4} and {5..8} joined by the single bridge 4-5: each
