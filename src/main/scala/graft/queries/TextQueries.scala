@@ -339,6 +339,27 @@ private[graft] trait TextQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q317
+  /** q110's BPE encode served from a PERSISTED merge list (fourth
+    * artifact class): the 8 trained merge rules — the part that scans
+    * the corpus once per rule round — load from
+    * [[graft.index.IndexStore]]; encoding then touches only the
+    * vocabulary-sized distinct-word frame plus one token pass. Oracle
+    * replays the full training + encode chain: hash match = load ≡
+    * retrain for the BPE artifact class.
+    */
+  def q317BpeIndexReuse(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val trained = index.IndexStore.getOrTrain(s, "bpe_merges_documents",
+        "r13-1", index.IndexStore.inputKey(d), Map("merges" -> "8")) {
+      operators.BpeTrainer.train(docs, "text", merges = 8)
+    }
+    val rules = trained.orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    operators.BpeEncoder.subwordCounts(docs, "doc_id", "text", rules)
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- q121
   /** BM25-ranked keyword retrieval over the documents table
     * ([[operators.InvertedIndex.bm25TopK]]) — the scored companion to
@@ -897,6 +918,7 @@ private[graft] trait TextQueries { this: SparkEntry.type =>
     "q106_token_entropy" -> (q106TokenEntropy _),
     "q107_pmi_collocations" -> (q107PmiCollocations _),
     "q110_bpe_encode" -> (q110BpeEncode _),
+    "q317_bpe_index_reuse" -> (q317BpeIndexReuse _),
     "q121_bm25" -> (q121Bm25 _),
     "q127_rrf" -> (q127Rrf _),
     "q132_retrieval_eval" -> (q132RetrievalEval _),
@@ -910,6 +932,53 @@ private[graft] trait TextQueries { this: SparkEntry.type =>
     "q208_pii_mask" -> (q208PiiMask _),
     "q209_trigram_repetition" -> (q209TrigramRepetition _),
     "q217_novelty" -> (q217Novelty _))
+
+  /** The q110 BPE replay (q98's 8 training rounds + the encode chain
+    * unrolled: each venc stage applies rule b_n to the distinct-word
+    * table exactly as BpeEncoder's replace chain does) — shared
+    * verbatim by q317, whose Spark side LOADS the trained merge list
+    * from [[graft.index.IndexStore]] instead of retraining: identical
+    * hash against this full-retrain replay IS the load ≡ retrain
+    * proof for the BPE artifact class. */
+  private def bpeEncodeSql: String = {
+    val stages = (0 until 8).map { n =>
+      s"""p$n AS (
+         |  SELECT l[i] AS a, l[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS freq
+         |  FROM (SELECT l, cnt, unnest(generate_series(1, len(l)-1)) AS i
+         |        FROM (SELECT string_split(trim(seq), '  ') AS l, cnt FROM wf$n))
+         |  GROUP BY 1, 2),
+         |b$n AS (SELECT a, b FROM p$n ORDER BY freq DESC, a, b LIMIT 1),
+         |wf${n + 1} AS (
+         |  SELECT replace(seq, ' ' || a || '  ' || b || ' ',
+         |                 ' ' || a || b || ' ') AS seq, cnt
+         |  FROM wf$n, b$n)""".stripMargin
+    }.mkString(",\n")
+    val encStages = (0 until 8).map { n =>
+      s"""venc${n + 1} AS (
+         |  SELECT w, replace(seq, ' ' || a || '  ' || b || ' ',
+         |                    ' ' || a || b || ' ') AS seq
+         |  FROM venc$n, b$n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dwords AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents),
+       |wf0 AS (
+       |  SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS seq, count(*) AS cnt
+       |  FROM dwords WHERE w <> '' GROUP BY 1),
+       |$stages,
+       |venc0 AS (
+       |  SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS seq
+       |  FROM (SELECT DISTINCT w FROM dwords WHERE w <> '')),
+       |$encStages,
+       |vn AS (SELECT w,
+       |  CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_sub
+       |  FROM venc8)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(vn.n_sub) AS BIGINT) AS n_subwords
+       |FROM dwords JOIN vn ON vn.w = dwords.w
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   private[graft] def oracleSqlText: Map[String, String] = Map(
     "q287_window_dup_rate" ->
@@ -1366,48 +1435,8 @@ private[graft] trait TextQueries { this: SparkEntry.type =>
          |CROSS JOIN nu CROSS JOIN nb
          |WHERE c12 >= 5
          |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
-    "q110_bpe_encode" -> {
-      // q98's 8 training rounds, then the encode chain unrolled: each
-      // venc stage applies rule b_n to the distinct-word table exactly
-      // as BpeEncoder's replace chain does.
-      val stages = (0 until 8).map { n =>
-        s"""p$n AS (
-           |  SELECT l[i] AS a, l[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS freq
-           |  FROM (SELECT l, cnt, unnest(generate_series(1, len(l)-1)) AS i
-           |        FROM (SELECT string_split(trim(seq), '  ') AS l, cnt FROM wf$n))
-           |  GROUP BY 1, 2),
-           |b$n AS (SELECT a, b FROM p$n ORDER BY freq DESC, a, b LIMIT 1),
-           |wf${n + 1} AS (
-           |  SELECT replace(seq, ' ' || a || '  ' || b || ' ',
-           |                 ' ' || a || b || ' ') AS seq, cnt
-           |  FROM wf$n, b$n)""".stripMargin
-      }.mkString(",\n")
-      val encStages = (0 until 8).map { n =>
-        s"""venc${n + 1} AS (
-           |  SELECT w, replace(seq, ' ' || a || '  ' || b || ' ',
-           |                    ' ' || a || b || ' ') AS seq
-           |  FROM venc$n, b$n)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH dwords AS (
-         |  SELECT doc_id,
-         |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-         |  FROM documents),
-         |wf0 AS (
-         |  SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS seq, count(*) AS cnt
-         |  FROM dwords WHERE w <> '' GROUP BY 1),
-         |$stages,
-         |venc0 AS (
-         |  SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS seq
-         |  FROM (SELECT DISTINCT w FROM dwords WHERE w <> '')),
-         |$encStages,
-         |vn AS (SELECT w,
-         |  CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_sub
-         |  FROM venc8)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         |  CAST(sum(vn.n_sub) AS BIGINT) AS n_subwords
-         |FROM dwords JOIN vn ON vn.w = dwords.w
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+    "q110_bpe_encode" -> bpeEncodeSql,
+    "q317_bpe_index_reuse" -> bpeEncodeSql,
     "q121_bm25" ->
       // same expression tree as the operator: ln rounded to 6dp, each
       // term score rounded to 6dp and summed in DECIMAL, avg_len a

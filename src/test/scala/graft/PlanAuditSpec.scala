@@ -60,6 +60,14 @@ class PlanAuditSpec extends SparkSpec {
   private val boundedByContract = Set(
     "q26_ann_topk", "q78_quantized_ann", "q187_jl_recall",
     "q191_label_noise",
+    // q78 served from the persisted calibration index — the identical
+    // vec_id < 10 broadcast-probe crossJoin shape and size contract
+    "q318_int8_index_reuse",
+    // q27 served from the persisted IVF index: the nprobe crossJoin's
+    // build side is the centroid frame read from the store — |labels|
+    // rows by the trainer's contract (the q283 pattern: a parquet read
+    // is structurally opaque where q27's inline aggregation is visible)
+    "q316_ivf_index_reuse",
     // RRF / retrieval-eval drive bruteForceTopK with a one-vector /
     // filtered probe set as the exact yardstick for the indexed path
     "q127_rrf", "q132_retrieval_eval",
