@@ -105,11 +105,13 @@ object Triangles {
       .join(lookup, Seq("__ek"), "left")
       .groupBy(col("node"), col("deg"))
       .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_closed"))
-    closed
+    val full = closed
       .select(col("node"), col("deg"), col("n_closed"),
         expr(s"1000000 * n_closed DIV ${k}L").as("cc_est_ppm"))
-      .orderBy(col("deg").desc, col("node"))
-      .limit(topN)
+    // topN <= 0 = the FULL per-node frame, unsorted (the fidelity-audit
+    // face, q320) — no TakeOrdered node is planned at all
+    if (topN > 0) full.orderBy(col("deg").desc, col("node")).limit(topN)
+    else full
   }
 
   def canonicalEdges(edges: DataFrame, srcCol: String,

@@ -390,6 +390,78 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
       copurchasePairs(s, d).select(col("pa"), col("pb")),
       "pa", "pb", k = 16, topN = 20)
 
+  // ---------------------------------------------------------------- q319
+  /** Fidelity audit for the sampled-LPA face: Newman modularity of
+    * q312's degree-capped labeling measured NEXT TO q306's exact-LPA
+    * modularity on the same full co-purchase graph — determinism was
+    * already oracle-proven (q312 replays exactly); this row pins the
+    * approximation QUALITY: how much community structure the 8-neighbor
+    * sparsification actually loses, as one (modularity_exact,
+    * modularity_sampled, delta) row. Both labelings bill their shared
+    * artifacts; the modularity tails are two broadcast-scalar attaches.
+    */
+  def q319LpaFidelity(s: SparkSession, d: String): DataFrame = {
+    val edges = copurchasePairs(s, d)
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    val sampled = operators.LabelPropagation.communitiesSampled(
+      edges, "src", "dst", rounds = 5, maxNbrs = 8)
+    val me = operators.LabelPropagation.modularity(edges, "src", "dst",
+        lpaLabels(s, d).select(col("node"), col("community")),
+        "node", "community")
+      .select(col("m"), col("n_communities").as("nc_exact"),
+        col("modularity").as("modularity_exact"))
+    val ms = operators.LabelPropagation.modularity(edges, "src", "dst",
+        sampled.select(col("node"), col("community")), "node", "community")
+      .select(col("n_communities").as("nc_sampled"),
+        col("modularity").as("modularity_sampled"))
+    me.crossJoin(broadcast(ms))
+      .select(col("m"), col("nc_exact"), col("nc_sampled"),
+        col("modularity_exact"), col("modularity_sampled"),
+        (round(col("modularity_exact") - col("modularity_sampled"), 6)
+          + 0.0).as("delta"))
+  }
+
+  // ---------------------------------------------------------------- q320
+  /** Fidelity audit for the wedge-sampled clustering face: q313's
+    * cc_est_ppm (16 trials/node, FULL per-node frame) against q140's
+    * exact per-node coefficients on the same graph, published as the
+    * error DISTRIBUTION — exact integer |Δ| ppm at p50/p90/p99/max
+    * over the deg ≥ 2 nodes the estimator covers. Every quantity is an
+    * exact integer (both cc columns are ppm integers; ranks are
+    * ceil(q·n) in integer ppm arithmetic), so the row is
+    * engine-identical. The binomial bound to read it against:
+    * k = 16 trials puts σ ≤ 125,000 ppm per node — the p50/p90 this
+    * row publishes are what that theory looks like on real data.
+    */
+  def q320ClusteringFidelity(s: SparkSession, d: String): DataFrame = {
+    val est = operators.Triangles.sampledLocalClustering(
+        copurchasePairs(s, d).select(col("pa"), col("pb")),
+        "pa", "pb", k = 16, topN = 0)
+      .select(col("node"), col("cc_est_ppm"))
+    val exact = operators.Triangles.perNodeCensusFromTriangles(
+        copurchaseEdges(s, d), triangleList(s, d))
+      .select(col("node"), col("clustering_ppm"))
+    val err = est.join(exact, Seq("node"))
+      .select(col("node"),
+        abs(col("cc_est_ppm") - col("clustering_ppm")).as("err"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("err"), col("node"))
+    val tot = err.agg(count(lit(1)).as("n_nodes"))
+    err.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n_nodes")).as("n_nodes"),
+        max(when(col("rk") ===
+          expr("(n_nodes * 500000 + 999999) DIV 1000000"), col("err")))
+          .as("p50_err_ppm"),
+        max(when(col("rk") ===
+          expr("(n_nodes * 900000 + 999999) DIV 1000000"), col("err")))
+          .as("p90_err_ppm"),
+        max(when(col("rk") ===
+          expr("(n_nodes * 990000 + 999999) DIV 1000000"), col("err")))
+          .as("p99_err_ppm"),
+        max(col("err")).as("max_err_ppm"))
+  }
+
   // ---------------------------------------------------------------- q246
   /** Deterministic random-walk corpus over the ≥2-support co-purchase
     * graph ([[operators.RandomWalks.walks]] — the DeepWalk/node2vec
@@ -542,6 +614,8 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     "q306_modularity" -> (q306Modularity _),
     "q312_lpa_sampled" -> (q312LpaSampled _),
     "q313_sampled_clustering" -> (q313SampledClustering _),
+    "q319_lpa_fidelity" -> (q319LpaFidelity _),
+    "q320_clustering_fidelity" -> (q320ClusteringFidelity _),
     "q173_adamic_adar" -> (q173AdamicAdar _),
     "q174_item_cosine" -> (q174ItemCosine _),
     "q175_hits" -> (q175Hits _),
@@ -785,6 +859,144 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
          |    / (CAST(4 AS DOUBLE) * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)),
          |    6) + 0.0 AS modularity
          |FROM im CROSS JOIN ag""".stripMargin
+    },
+    "q319_lpa_fidelity" -> {
+      // BOTH labelings replayed side by side — q306's exact 5-round
+      // LPA (l*) and q312's 8-neighbor sparsified LPA (sl*) — then the
+      // same exact-integer modularity tail applied to each on the SAME
+      // full edge set and degrees; delta is one rounded subtraction of
+      // two already-6dp doubles
+      val rounds = (1 to 5).map { r =>
+        s"""g$r AS (SELECT e.src AS node, l.label, count(*) AS c
+           |  FROM e JOIN l${r - 1} l ON l.node = e.dst GROUP BY 1, 2),
+           |l$r AS (SELECT node, label FROM (
+           |  SELECT node, label,
+           |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
+           |  FROM g$r) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      val srounds = (1 to 5).map { r =>
+        s"""sg$r AS (SELECT sp.src AS node, l.label, count(*) AS c
+           |  FROM sp JOIN sl${r - 1} l ON l.node = sp.dst GROUP BY 1, 2),
+           |sl$r AS (SELECT node, label FROM (
+           |  SELECT node, label,
+           |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
+           |  FROM sg$r) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+         |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |sp AS MATERIALIZED (SELECT src, dst FROM (
+         |  SELECT src, dst, row_number() OVER (PARTITION BY src
+         |    ORDER BY CAST(('0x' || substr(md5(CAST(src AS VARCHAR)
+         |      || ':' || CAST(dst AS VARCHAR)), 1, 12)) AS BIGINT), dst)
+         |      AS rk
+         |  FROM e) WHERE rk <= 8),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |$rounds,
+         |sl0 AS (SELECT DISTINCT src AS node, src AS label FROM sp),
+         |$srounds,
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+         |        FROM e GROUP BY 1),
+         |dc AS (SELECT l.label, CAST(sum(d.d) AS BIGINT) AS dcs
+         |       FROM l5 l JOIN deg d ON d.node = l.node GROUP BY 1),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         |    sum(CAST(dcs AS DECIMAL(19,0)) * CAST(dcs AS DECIMAL(19,0)))
+         |      AS dc2 FROM dc),
+         |im AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_intra
+         |  FROM e0 JOIN l5 la ON la.node = e0.src
+         |  JOIN l5 lb ON lb.node = e0.dst),
+         |sdc AS (SELECT l.label, CAST(sum(d.d) AS BIGINT) AS dcs
+         |       FROM sl5 l JOIN deg d ON d.node = l.node GROUP BY 1),
+         |sag AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         |    sum(CAST(dcs AS DECIMAL(19,0)) * CAST(dcs AS DECIMAL(19,0)))
+         |      AS dc2 FROM sdc),
+         |sim AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_intra
+         |  FROM e0 JOIN sl5 la ON la.node = e0.src
+         |  JOIN sl5 lb ON lb.node = e0.dst),
+         |f AS (SELECT im.m, ag.n_communities AS nc_exact,
+         |    sag.n_communities AS nc_sampled,
+         |    round(CAST(CAST(4 AS DECIMAL(2,0)) * CAST(im.m AS DECIMAL(12,0))
+         |        * CAST(im.n_intra AS DECIMAL(12,0)) - ag.dc2 AS DOUBLE)
+         |      / (CAST(4 AS DOUBLE) * CAST(im.m AS DOUBLE)
+         |        * CAST(im.m AS DOUBLE)), 6) + 0.0 AS modularity_exact,
+         |    round(CAST(CAST(4 AS DECIMAL(2,0)) * CAST(sim.m AS DECIMAL(12,0))
+         |        * CAST(sim.n_intra AS DECIMAL(12,0)) - sag.dc2 AS DOUBLE)
+         |      / (CAST(4 AS DOUBLE) * CAST(sim.m AS DOUBLE)
+         |        * CAST(sim.m AS DOUBLE)), 6) + 0.0 AS modularity_sampled
+         |  FROM im CROSS JOIN ag CROSS JOIN sim CROSS JOIN sag)
+         |SELECT m, nc_exact, nc_sampled, modularity_exact,
+         |  modularity_sampled,
+         |  round(modularity_exact - modularity_sampled, 6) + 0.0 AS delta
+         |FROM f""".stripMargin
+    },
+    "q320_clustering_fidelity" -> {
+      // q313's trial replay WITHOUT the top-N cut (full deg >= 2 node
+      // frame) joined to q140's exact per-node coefficients (xw/xt/xpn
+      // — the unoriented wedge chain), then exact-integer |err| ppm
+      // quantiles by explicit ceil(q·n) ranks
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT DISTINCT CAST(a.pk AS BIGINT) AS lo,
+        |    CAST(b.pk AS BIGINT) AS hi
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |m AS (SELECT lo AS src, hi AS dst FROM e0
+        |      UNION ALL SELECT hi, lo FROM e0),
+        |adj AS MATERIALIZED (SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rk
+        |  FROM m),
+        |dg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM adj GROUP BY 1),
+        |nd AS (SELECT node, deg FROM dg WHERE deg >= 2),
+        |tr AS (SELECT node, deg, t,
+        |    CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || '_'
+        |      || CAST(t AS VARCHAR) || '_a'), 1, 12)) AS BIGINT)
+        |      % deg AS i,
+        |    CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || '_'
+        |      || CAST(t AS VARCHAR) || '_b'), 1, 12)) AS BIGINT)
+        |      % (deg - 1) AS j0
+        |  FROM nd CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS t)),
+        |pr AS (SELECT node, deg, t, i,
+        |    CASE WHEN j0 >= i THEN j0 + 1 ELSE j0 END AS j
+        |  FROM tr),
+        |wu AS (SELECT pr.node, pr.deg, pr.t, pr.j, a.dst AS u
+        |  FROM pr JOIN adj a ON a.src = pr.node AND a.rk = pr.i + 1),
+        |wv AS (SELECT wu.node, wu.deg, wu.t, wu.u, b.dst AS v
+        |  FROM wu JOIN adj b ON b.src = wu.node AND b.rk = wu.j + 1),
+        |cl AS (SELECT node, deg,
+        |    CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM e0
+        |      WHERE e0.lo = least(u, v) AND e0.hi = greatest(u, v))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_closed
+        |  FROM wv GROUP BY 1, 2),
+        |xw AS (SELECT ab.lo AS u, ab.hi AS v, ac.hi AS wv
+        |      FROM e0 ab JOIN e0 ac ON ab.lo = ac.lo AND ab.hi < ac.hi),
+        |xt AS (SELECT u, v, wv FROM xw
+        |      WHERE EXISTS (SELECT 1 FROM e0
+        |        WHERE e0.lo = xw.v AND e0.hi = xw.wv)),
+        |xpn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+        |        SELECT u AS node FROM xt
+        |        UNION ALL SELECT v FROM xt
+        |        UNION ALL SELECT wv FROM xt) GROUP BY node),
+        |er AS (SELECT cl.node,
+        |    abs((1000000 * cl.n_closed // 16)
+        |      - CAST((2000000 * coalesce(xpn.tri, 0))
+        |        // (cl.deg * (cl.deg - 1)) AS BIGINT)) AS err
+        |  FROM cl LEFT JOIN xpn ON xpn.node = cl.node),
+        |rk AS (SELECT err, node,
+        |    row_number() OVER (ORDER BY err, node) AS rk FROM er),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM er)
+        |SELECT nn.n_nodes,
+        |  CAST(max(CASE WHEN rk = (n_nodes * 500000 + 999999) // 1000000
+        |    THEN err END) AS BIGINT) AS p50_err_ppm,
+        |  CAST(max(CASE WHEN rk = (n_nodes * 900000 + 999999) // 1000000
+        |    THEN err END) AS BIGINT) AS p90_err_ppm,
+        |  CAST(max(CASE WHEN rk = (n_nodes * 990000 + 999999) // 1000000
+        |    THEN err END) AS BIGINT) AS p99_err_ppm,
+        |  CAST(max(err) AS BIGINT) AS max_err_ppm
+        |FROM rk CROSS JOIN nn GROUP BY nn.n_nodes""".stripMargin
     },
     "q276_link_suite" ->
       // q173's wedge replay extended with the 1/deg RA weight, full-

@@ -156,6 +156,25 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("fidelity audits: sampled-LPA modularity within 0.01 of exact; " +
+       "sampled clustering errors inside the k=16 binomial envelope") {
+    // the q319/q320 published bounds, pinned at spec scale (they were
+    // also measured to hold at sf0.01 and sf0.1 — PLANS.md round 13):
+    // |modularity delta| ≤ 0.01, and error quantiles within ~3σ of the
+    // k = 16 wedge-trial binomial (σ ≤ 125,000 ppm)
+    val f1 = graft.SparkEntry.queries("q319_lpa_fidelity")(spark, sf())
+      .collect()(0)
+    assert(math.abs(f1.getAs[Double]("delta")) <= 0.01,
+      s"modularity delta ${f1.getAs[Double]("delta")} out of bound")
+    val f2 = graft.SparkEntry.queries("q320_clustering_fidelity")(spark, sf())
+      .collect()(0)
+    assert(f2.getAs[Long]("p50_err_ppm") <= 150000L &&
+      f2.getAs[Long]("max_err_ppm") <= 400000L,
+      s"clustering error out of envelope: $f2")
+    Retained.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
   test("label propagation: two cliques over a bridge resolve to two communities") {
     import spark.implicits._
     // 4-cliques {1..4} and {5..8} joined by the single bridge 4-5: each
