@@ -51,7 +51,8 @@ object Triangles {
     */
   def sampledLocalClustering(edges: DataFrame, srcCol: String,
                              dstCol: String, k: Int,
-                             topN: Int): DataFrame = {
+                             topN: Int,
+                             knownEdges: Option[Long] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // no checkpoint on e0: callers feed an artifact/parquet edge list,
     // so its re-reads are scans, not recomputation
@@ -91,12 +92,16 @@ object Triangles {
       .drop("__rkb")
     // closure lookup on the single packed long, with the enumerate()
     // measured-strategy rule: broadcast while the edge list fits,
-    // shuffle-hash past it — never a sort of the probe stream
+    // shuffle-hash past it — never a sort of the probe stream.
+    // `knownEdges` = the caller's artifact-manifest count (equal to the
+    // canonical edge count when the input is already pa < pb distinct,
+    // as the co-purchase artifact is) — skips the per-call count job
     val ek = e0.select(packed(col("lo"), col("hi"),
       "Triangles.sampledLocalClustering").as("__ek"),
       lit(1L).as("__hit"))
     val lookup =
-      if (e0.count() <= BroadcastEdgeLimit) broadcast(ek)
+      if (knownEdges.getOrElse(e0.count()) <= BroadcastEdgeLimit)
+        broadcast(ek)
       else ek.hint("shuffle_hash")
     val closed = withUv
       .withColumn("__ek", packed(least(col("__u"), col("__v")),
@@ -162,7 +167,8 @@ object Triangles {
     * join's O(m^1.5) cardinality every extra column is gigabytes of
     * shuffle, so width is the contract here.
     */
-  def enumerate(e: DataFrame, tag: String = "Triangles"): DataFrame = {
+  def enumerate(e: DataFrame, tag: String = "Triangles",
+                knownEdges: Option[Long] = None): DataFrame = {
     val deg = degrees(e)
     // orient each edge toward the (degree, id)-larger endpoint: every
     // triangle then has exactly ONE vertex with both out-edges, and
@@ -182,14 +188,15 @@ object Triangles {
       .select(col("ab.u").as("u"),
         packed(col("ab.v"), col("ac.v"), tag).as("ek"))
     val ek = e.select(packed(col("lo"), col("hi"), tag).as("ek"))
-    // one cheap |E|-row count picks the lookup strategy; both choices
-    // hash-probe the wedge stream in place of sorting it. Broadcast
-    // wins while the edge list fits (the probe stream is O(m^1.5) —
-    // measured 25 s vs 48 s shuffle-hash vs 244 s sort-merge on the
-    // sf~1 slice); past the limit the wedge stream shuffles once but
-    // still never sorts.
+    // the |E| count picks the lookup strategy; both choices hash-probe
+    // the wedge stream in place of sorting it. Broadcast wins while the
+    // edge list fits (the probe stream is O(m^1.5) — measured 25 s vs
+    // 48 s shuffle-hash vs 244 s sort-merge on the sf~1 slice); past
+    // the limit the wedge stream shuffles once but still never sorts.
+    // `knownEdges` (an artifact manifest's recorded count) prices the
+    // election without an extra count job per call.
     val closing =
-      if (e.count() <= BroadcastEdgeLimit) broadcast(ek)
+      if (knownEdges.getOrElse(e.count()) <= BroadcastEdgeLimit) broadcast(ek)
       else ek.hint("shuffle_hash")
     wedges.join(closing, Seq("ek"), "left_semi")
       .select(col("u"),

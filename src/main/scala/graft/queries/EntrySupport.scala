@@ -139,6 +139,12 @@ private[graft] trait EntrySupport { this: SparkEntry.type =>
           Files.createDirectories(dir.getParent)
           val tmp = dir.getParent.resolve(s".tmp_${name}_${System.nanoTime()}")
           build.write.mode("overwrite").parquet(tmp.toString)
+          // row count recorded at build time (footer-stats count on the
+          // just-written files — cheap), so measured-strategy sites read
+          // the manifest instead of running a count job per call
+          val n = s.read.parquet(tmp.toString).count()
+          Files.writeString(tmp.resolve(ManifestFile),
+            s"""{"manifest_version": 1, "rows": $n}""")
           try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
           catch { // lost a cross-JVM race: the winner's artifact is equivalent
             case _: java.nio.file.FileAlreadyExistsException |
@@ -148,6 +154,41 @@ private[graft] trait EntrySupport { this: SparkEntry.type =>
         }
       }
       s.read.parquet(dir.toString)
+    }
+
+    private val ManifestFile = "_graft_manifest.json"
+    private val RowsRe = """"rows"\s*:\s*(\d+)""".r.unanchored
+    private val countCache = scala.collection.concurrent.TrieMap[String, Long]()
+
+    /** The artifact's recorded row count — manifest first, else one
+      * footer-stats count backfilled into a manifest (pre-manifest warm
+      * caches), memoized per JVM. Only meaningful AFTER [[getOrBuild]]
+      * has produced the artifact; returns None when it never ran.
+      */
+    def rowCount(name: String, s: SparkSession, d: String): Option[Long] = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dir = Paths.get(cacheRoot, contentKey(d),
+        s"$name-v${builderVersion(name)}")
+      if (!Files.exists(dir.resolve("_SUCCESS"))) None
+      else Some(countCache.getOrElseUpdate(dir.toString, {
+        val fromManifest = {
+          val p = dir.resolve(ManifestFile)
+          if (Files.exists(p)) RowsRe.findFirstMatchIn(Files.readString(p))
+            .map(_.group(1).toLong)
+          else None
+        }
+        fromManifest.getOrElse {
+          val n = s.read.parquet(dir.toString).count()
+          val tmp = dir.resolve(s".tmp_manifest_${System.nanoTime()}")
+          Files.writeString(tmp,
+            s"""{"manifest_version": 1, "rows": $n}""")
+          try Files.move(tmp, dir.resolve(ManifestFile),
+            StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileSystemException =>
+            Files.deleteIfExists(tmp) }
+          n
+        }
+      }))
     }
   }
 
@@ -226,7 +267,11 @@ private[graft] trait EntrySupport { this: SparkEntry.type =>
     */
   private[graft] def triangleList(s: SparkSession, d: String): DataFrame =
     SessionArtifacts.getOrBuild("tris", s, d) {
-      operators.Triangles.enumerate(copurchaseEdges(s, d), "trisArtifact")
+      // the edges artifact exists by the time this builder runs
+      // (copurchaseEdges derives from it), so its manifest count prices
+      // the closing-edge strategy without a count job
+      operators.Triangles.enumerate(copurchaseEdges(s, d), "trisArtifact",
+        knownEdges = SessionArtifacts.rowCount("edges", s, d))
     }
 
   /** One 5-round LPA labeling of the full co-purchase graph shared by

@@ -385,10 +385,14 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     * the hubs get, the lever for the artifact_tris density wall. The
     * exact q140 stays the fidelity row.
     */
-  def q313SampledClustering(s: SparkSession, d: String): DataFrame =
-    operators.Triangles.sampledLocalClustering(
-      copurchasePairs(s, d).select(col("pa"), col("pb")),
-      "pa", "pb", k = 16, topN = 20)
+  def q313SampledClustering(s: SparkSession, d: String): DataFrame = {
+    val e = copurchasePairs(s, d).select(col("pa"), col("pb"))
+    // the pair artifact is pa < pb distinct, so its manifest count IS
+    // the canonical edge count — no per-call count job
+    operators.Triangles.sampledLocalClustering(e, "pa", "pb",
+      k = 16, topN = 20,
+      knownEdges = SessionArtifacts.rowCount("edges", s, d))
+  }
 
   // ---------------------------------------------------------------- q319
   /** Fidelity audit for the sampled-LPA face: Newman modularity of
@@ -436,7 +440,8 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
   def q320ClusteringFidelity(s: SparkSession, d: String): DataFrame = {
     val est = operators.Triangles.sampledLocalClustering(
         copurchasePairs(s, d).select(col("pa"), col("pb")),
-        "pa", "pb", k = 16, topN = 0)
+        "pa", "pb", k = 16, topN = 0,
+        knownEdges = SessionArtifacts.rowCount("edges", s, d))
       .select(col("node"), col("cc_est_ppm"))
     val exact = operators.Triangles.perNodeCensusFromTriangles(
         copurchaseEdges(s, d), triangleList(s, d))
