@@ -31,14 +31,17 @@ import org.apache.spark.sql.functions._
   *    ×10; sessions scale with users).
   * Replica 0 is the identity, so sf0.1 is an exact subset.
   *
-  * Usage: runMain graft.tools.MakeLadderSf1 [srcDir] [outDir]
-  * (defaults /root/testdata/sf0.1 → /tmp/graft-sf1).
+  * Usage: runMain graft.tools.MakeLadderSf1 [srcDir] [outDir] [reps]
+  * (defaults /root/testdata/sf0.1 → /tmp/graft-sf1 × 10; reps = 30
+  * builds the sf~3 half-decade slice at /tmp/graft-sf3 — round-13
+  * verdict task 5).
   */
 object MakeLadderSf1 {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.drop(1).headOption.getOrElse("/tmp/graft-sf1")
-    val reps = 10
+    val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    require(reps >= 2 && reps <= 64, s"reps must be in [2, 64], got $reps")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")

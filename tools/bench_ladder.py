@@ -76,6 +76,23 @@ ENTRIES = [
     # (24.8 s at sf~1 vs the exact enumeration's 46-62 s, and strictly
     # O(m log m) where the exact face tracks wedge density)
     "q313_sampled_clustering",
+    # round-13: the scale-adaptive LSH banding face — band keys widen
+    # with n, so candidate-pair mass (and time) must stay ~linear where
+    # fixed-key q102 grows ~n²/2^r
+    "q314_knn_adaptive",
+]
+
+# round-13 verdict task 5: the half-decade extension — the largest
+# sf~1 absolutes get an sf~3 point (30 key-remapped replicas of sf0.1,
+# MakeLadderSf1 with reps=30) so the top-decade alpha fits are
+# interpolations, not extrapolations. Only these entries run at sf~3;
+# the full ENTRIES sweep there would cost an hour for queries whose
+# fits are already scan-flat.
+SF3_DIR = os.environ.get("GRAFT_SF3_DIR", "/tmp/graft-sf3")
+SF3_ENTRIES = [
+    "artifact_edges", "artifact_tris", "artifact_lpa",
+    "q102_mutual_knn", "q218_ktruss_peel", "q312_lpa_sampled",
+    "q313_sampled_clustering", "q314_knn_adaptive",
 ]
 
 ADD_OPENS = [
@@ -92,9 +109,11 @@ ADD_OPENS = [
 def run_sf(sf: str, cpus: str):
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = (
-        SF1_DIR if sf == "1" else f"/root/testdata/sf{sf}")
+        SF1_DIR if sf == "1" else
+        SF3_DIR if sf == "3" else f"/root/testdata/sf{sf}")
     env["SPARK_GRAFT_CPUS"] = cpus
-    env["SPARK_GRAFT_ONLY"] = ",".join(ENTRIES)
+    env["SPARK_GRAFT_ONLY"] = ",".join(
+        SF3_ENTRIES if sf == "3" else ENTRIES)
     # fresh cache root per (ladder, sf): artifact entries must measure a
     # real build, not a cross-session cache read
     env["GRAFT_ARTIFACT_CACHE"] = tempfile.mkdtemp(prefix=f"ladder-sf{sf}-")
@@ -121,6 +140,8 @@ def main():
     sfs = list(SFS)
     if os.path.isdir(SF1_DIR):
         sfs.append("1")
+    if os.path.isdir(SF3_DIR):
+        sfs.append("3")
     runs = {sf: run_sf(sf, cpus) for sf in sfs}
     # cal-normalized times: t_norm = t * CAL_REF / min(cal probes) — the
     # same normalization graft.Bench publishes as "caln" (the run's
@@ -140,11 +161,17 @@ def main():
         if ts.get("1") and ts["0.1"]:
             table[e]["alpha_1_to_10"] = round(
                 math.log(ts["1"] / ts["0.1"]) / math.log(10), 2)
+        # half-decade interpolation point (verdict task 5): alpha over
+        # sf~1 -> sf~3, on cal-NORMALIZED times (the 3x wall times of
+        # these runs make raw cross-run ratios pure box noise)
+        if tn.get("3") and tn.get("1"):
+            table[e]["alpha_1_to_3_norm"] = round(
+                math.log(tn["3"] / tn["1"]) / math.log(3), 2)
     out = {
         "entries": table,
-        "cal": {sf: runs[sf].get("cal") for sf in SFS},
+        "cal": {sf: runs[sf].get("cal") for sf in sfs},
         "caln": calns,
-        "load": {sf: runs[sf].get("load") for sf in SFS},
+        "load": {sf: runs[sf].get("load") for sf in sfs},
         "note": ("alpha fitted on the sf0.01->sf0.1 decade; sf0.001 "
                  "times sit on the per-query scheduling overhead floor. "
                  "alpha<=1.1 linear-ish, >1.5 flags super-linear."),
@@ -156,7 +183,8 @@ def main():
         print(f"{e:28s} {ts['0.001'] or 0:7.2f} {ts['0.01'] or 0:7.2f} "
               f"{ts['0.1'] or 0:7.2f} {ts.get('1') or 0:7.2f}  "
               f"alpha={r['alpha_01_to_1']} "
-              f"alpha_top={r.get('alpha_1_to_10')}")
+              f"alpha_top={r.get('alpha_1_to_10')} "
+              f"alpha_sf3={r.get('alpha_1_to_3_norm')}")
 
 
 if __name__ == "__main__":
