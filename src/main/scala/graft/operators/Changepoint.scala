@@ -51,4 +51,47 @@ object Changepoint {
         col("m.__k").as("cp_index"), (-col("m.neg")).as("cusum_abs"),
         col("m.__n").as("n_rows"))
   }
+
+  /** SEQUENTIAL one-sided (upper) CUSUM drift alarm per key — the
+    * ONLINE companion to [[cusumPeak]] (which locates a single shift
+    * offline) and to `TrendTests.mannKendall` (which scores a monotone
+    * trend): Page's control chart `S_i = max(0, S_{i−1} + x_i − slack)`
+    * with decision interval `threshold`, answering the monitoring
+    * question "WHEN does the alarm fire". Downward drift = run on
+    * negated values.
+    *
+    * The recursion is not window-expressible directly, but the classic
+    * identity `S_i = A_i − min(0, min_{j≤i} A_j)` with
+    * `A_i = prefix_i − i·slack` turns it into ONE key-partitioned
+    * window pass (running sum, ordinal, running min) — no iteration,
+    * no driver state, exact integer arithmetic throughout (values and
+    * slack in the same integer unit; headroom `n·max|x − slack|`
+    * under 2^63).
+    *
+    * Output one row per key:
+    * `(keyCol, n_rows, max_s, alarm_ts, alarm_index)` — the exact
+    * maximum of the statistic and the FIRST `tsCol`/index where
+    * `S_i ≥ threshold` (NULLs when no crossing). `tsCol` must be
+    * unique within a key (a period key, the [[cusumPeak]] contract).
+    */
+  def cusumAlarm(events: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, slack: Long,
+                 threshold: Long): DataFrame = {
+    require(threshold > 0L, s"threshold must be positive, got $threshold")
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = events
+      .withColumn("__i", count(lit(1)).over(wRun))
+      .withColumn("__adj", sum(col(valueCol)).over(wRun) - col("__i") * slack)
+      .withColumn("__s",
+        col("__adj") - least(lit(0L), min(col("__adj")).over(wRun)))
+    s.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("__s")).as("max_s"),
+        min(when(col("__s") >= threshold,
+          struct(col("__i"), col(tsCol)))).as("__a"))
+      .select(col(keyCol), col("n_rows"), col("max_s"),
+        col(s"__a.$tsCol").as("alarm_ts"),
+        col("__a.__i").as("alarm_index"))
+  }
 }

@@ -451,6 +451,34 @@ private[graft] trait RankStatsQueries { this: SparkEntry.type =>
       .orderBy(col("priority"))
   }
 
+  // ---------------------------------------------------------------- q321
+  /** Sequential CUSUM drift alarm on the same daily revenue series
+    * ([[operators.Changepoint.cusumAlarm]]) — the MONITORING face
+    * beside q288 (is the trend real) and q157's offline changepoint
+    * (where was the shift): Page's control chart with slack = the
+    * exact global mean daily revenue (integer DIV) and decision
+    * interval 35·slack, publishing each priority's exact max statistic
+    * and FIRST alarm day. The recursion runs as one key-partitioned
+    * window pass via `S_i = A_i − min(0, min_{j≤i} A_j)`; slack
+    * derives from one bounded scalar aggregate, replayed by the
+    * oracle in the same exact integer arithmetic.
+    */
+  def q321CusumAlarm(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).cast("long").as("cents"))
+      .localCheckpoint(true)
+    val r = daily.agg(sum(col("cents")).as("__t"), count(lit(1)).as("__n"))
+      .select(expr("__t DIV __n").as("__slack")).head()
+    val slack = r.getLong(0)
+    operators.Changepoint.cusumAlarm(daily, "priority", "day", "cents",
+        slack = slack, threshold = 35L * slack)
+      .orderBy(col("priority"))
+  }
+
   // ---------------------------------------------------------------- q289
   /** One-way ANOVA of order value across the five priorities
     * ([[operators.Anova.oneWayF]]) — the parametric k-group mean test
@@ -569,6 +597,7 @@ private[graft] trait RankStatsQueries { this: SparkEntry.type =>
     "q272_friedman" -> (q272Friedman _),
     "q273_mcnemar" -> (q273Mcnemar _),
     "q288_mann_kendall" -> (q288MannKendall _),
+    "q321_cusum_alarm" -> (q321CusumAlarm _),
     "q289_anova_f" -> (q289AnovaF _),
     "q290_brown_forsythe" -> (q290BrownForsythe _),
     "q291_fdr_bh" -> (q291FdrBh _))
@@ -648,6 +677,40 @@ private[graft] trait RankStatsQueries { this: SparkEntry.type =>
         |    WHEN s < 0 THEN round(CAST(s + 1 AS DOUBLE) / sqrt(var), 6) + 0.0
         |    ELSE 0.0 END AS z
         |FROM v ORDER BY priority""".stripMargin,
+    "q321_cusum_alarm" ->
+      // the same daily frame as q288; slack = exact integer mean via
+      // //; the recursion replayed through the running-min identity
+      // (windowed sums go HUGEINT in DuckDB — cast the published
+      // integers back to BIGINT)
+      """WITH d AS (SELECT o_orderpriority AS priority,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |      AS slack FROM d),
+        |a AS (SELECT priority, day,
+        |    row_number() OVER (PARTITION BY priority ORDER BY day) AS i,
+        |    sum(cents) OVER (PARTITION BY priority ORDER BY day)
+        |      - row_number() OVER (PARTITION BY priority ORDER BY day)
+        |        * (SELECT slack FROM t) AS adj
+        |  FROM d),
+        |s AS (SELECT priority, day, i,
+        |    adj - least(0, min(adj) OVER (PARTITION BY priority ORDER BY day))
+        |      AS s
+        |  FROM a),
+        |al AS (SELECT s.priority, CAST(min(s.i) AS BIGINT) AS alarm_index
+        |       FROM s CROSS JOIN t WHERE s.s >= 35 * t.slack GROUP BY 1),
+        |ad AS (SELECT al.priority, al.alarm_index, s.day AS alarm_ts
+        |       FROM al JOIN s ON s.priority = al.priority
+        |        AND s.i = al.alarm_index),
+        |g AS (SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(max(s) AS BIGINT) AS max_s FROM s GROUP BY 1)
+        |SELECT g.priority, g.n_rows, g.max_s, ad.alarm_ts,
+        |  CAST(ad.alarm_index AS BIGINT) AS alarm_index
+        |FROM g LEFT JOIN ad ON ad.priority = g.priority
+        |ORDER BY g.priority""".stripMargin,
     "q289_anova_f" ->
       // exact DECIMAL (n, Σy, Σy²) per group; each per-group Σ²/n term
       // is ONE float tree rounded 6dp and re-summed in DECIMAL(38,6) —

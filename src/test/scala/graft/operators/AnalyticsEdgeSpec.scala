@@ -133,6 +133,22 @@ class AnalyticsEdgeSpec extends SparkSpec {
     assert(got === Map(1L -> ((10L, 10L, 10000L, 20L))))
   }
 
+  test("sequential cusum alarm: hand-traced chart, first crossing, no-alarm NULLs") {
+    // key A: values 5,5,20,20,5 with slack 10 → S = 0,0,10,20,15;
+    // threshold 15 first crossed at i=4 (ts 4); max_s = 20.
+    // key B: all values at slack → S stays 0, no alarm (NULL ts/index)
+    val rows = Seq(("A", 1L, 5L), ("A", 2L, 5L), ("A", 3L, 20L),
+      ("A", 4L, 20L), ("A", 5L, 5L),
+      ("B", 1L, 10L), ("B", 2L, 10L))
+    val got = Changepoint.cusumAlarm(rows.toDF("k", "ts", "v"),
+        "k", "ts", "v", slack = 10L, threshold = 15L)
+      .orderBy(col("k")).collect()
+    assert(got(0).getLong(1) === 5L && got(0).getLong(2) === 20L &&
+      got(0).getLong(3) === 4L && got(0).getLong(4) === 4L)
+    assert(got(1).getLong(1) === 2L && got(1).getLong(2) === 0L &&
+      got(1).isNullAt(3) && got(1).isNullAt(4))
+  }
+
   test("per-node triangle census: clique + pendant coefficients, 3x corner credit") {
     // 4-clique {1..4} plus pendant 5 hanging off node 4: clique nodes
     // 1-3 sit in 3 triangles over deg 3 (coefficient 1.0); node 4 has

@@ -89,9 +89,13 @@ ENTRIES = [
 # the full ENTRIES sweep there would cost an hour for queries whose
 # fits are already scan-flat.
 SF3_DIR = os.environ.get("GRAFT_SF3_DIR", "/tmp/graft-sf3")
+# q102 (FIXED 4-bit keys) is deliberately absent: at sf~3 (60k
+# vectors) one pass exceeded 10 minutes — the measured n²/2^r wall
+# itself. Its scale path q314 (adaptive keys) carries the sf~3 point;
+# q102's own fit stays on the sf0.1->sf~1 decade where it terminates.
 SF3_ENTRIES = [
     "artifact_edges", "artifact_tris", "artifact_lpa",
-    "q102_mutual_knn", "q218_ktruss_peel", "q312_lpa_sampled",
+    "q218_ktruss_peel", "q312_lpa_sampled",
     "q313_sampled_clustering", "q314_knn_adaptive",
 ]
 
