@@ -467,6 +467,28 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
         max(col("err")).as("max_err_ppm"))
   }
 
+  // ---------------------------------------------------------------- q322
+  /** Sampled-source bounded-hop Brandes betweenness over the
+    * ≥2-support co-purchase graph ([[operators.Betweenness]]) — the
+    * shortest-path-load centrality the suite lacked beside PageRank
+    * (q83), harmonic (q296), and HITS: which parts sit on the most
+    * shortest paths between the sampled sources' neighborhoods. The
+    * q144 seed set (`p_partkey % 500 = 0`) and hop bound 3 keep the
+    * estimator at |seeds| BFS trees of bounded depth; σ path counts
+    * are exact integers, and every dependency term is rounded 6 dp
+    * then DECIMAL-summed, so the accumulation is engine-exact. The
+    * oracle unrolls forward levels and backward dependency rounds as
+    * explicit CTEs (the q144 fixed-depth discipline).
+    */
+  def q322Betweenness(s: SparkSession, d: String): DataFrame = {
+    val e = copurchasePairs(s, d).filter(col("n_both") >= 2)
+      .select(col("pa"), col("pb"))
+    val seeds = part(s, d).filter(col("p_partkey") % 500 === 0)
+      .select(col("p_partkey"))
+    operators.Betweenness.sampledBetweenness(e, "pa", "pb", seeds,
+      maxHops = 3, topN = 20)
+  }
+
   // ---------------------------------------------------------------- q246
   /** Deterministic random-walk corpus over the ≥2-support co-purchase
     * graph ([[operators.RandomWalks.walks]] — the DeepWalk/node2vec
@@ -621,6 +643,7 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     "q313_sampled_clustering" -> (q313SampledClustering _),
     "q319_lpa_fidelity" -> (q319LpaFidelity _),
     "q320_clustering_fidelity" -> (q320ClusteringFidelity _),
+    "q322_betweenness" -> (q322Betweenness _),
     "q173_adamic_adar" -> (q173AdamicAdar _),
     "q174_item_cosine" -> (q174ItemCosine _),
     "q175_hits" -> (q175Hits _),
@@ -1003,6 +1026,78 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
         |  CAST(max(err) AS BIGINT) AS max_err_ppm
         |FROM rk CROSS JOIN nn GROUP BY nn.n_nodes""".stripMargin
     },
+    "q322_betweenness" ->
+      // forward: 3 path-counting BFS levels per seed (NOT EXISTS =
+      // the anti-join visited guard); backward: dependency rounds
+      // deepest-first, each term round-6dp into DECIMAL(18,6) and
+      // summed DECIMAL(38,6) — the q106/q289 float discipline; level-3
+      // nodes carry delta 0 (the hop-bound truncation, both engines)
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |sup AS (SELECT a.pk AS pa, b.pk AS pb
+        |        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |        GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+        |adj AS MATERIALIZED (SELECT CAST(pa AS BIGINT) AS u,
+        |         CAST(pb AS BIGINT) AS v FROM sup
+        |       UNION SELECT CAST(pb AS BIGINT), CAST(pa AS BIGINT)
+        |         FROM sup),
+        |l0 AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS seed,
+        |         CAST(p_partkey AS BIGINT) AS node,
+        |         CAST(1 AS BIGINT) AS sigma
+        |       FROM part WHERE p_partkey % 500 = 0),
+        |l1 AS (SELECT l0.seed, adj.v AS node,
+        |         CAST(sum(l0.sigma) AS BIGINT) AS sigma
+        |       FROM l0 JOIN adj ON adj.u = l0.node
+        |       WHERE NOT EXISTS (SELECT 1 FROM l0 x
+        |         WHERE x.seed = l0.seed AND x.node = adj.v)
+        |       GROUP BY 1, 2),
+        |l2 AS (SELECT l1.seed, adj.v AS node,
+        |         CAST(sum(l1.sigma) AS BIGINT) AS sigma
+        |       FROM l1 JOIN adj ON adj.u = l1.node
+        |       WHERE NOT EXISTS (SELECT 1 FROM l0 x
+        |         WHERE x.seed = l1.seed AND x.node = adj.v)
+        |        AND NOT EXISTS (SELECT 1 FROM l1 y
+        |         WHERE y.seed = l1.seed AND y.node = adj.v)
+        |       GROUP BY 1, 2),
+        |l3 AS (SELECT l2.seed, adj.v AS node,
+        |         CAST(sum(l2.sigma) AS BIGINT) AS sigma
+        |       FROM l2 JOIN adj ON adj.u = l2.node
+        |       WHERE NOT EXISTS (SELECT 1 FROM l0 x
+        |         WHERE x.seed = l2.seed AND x.node = adj.v)
+        |        AND NOT EXISTS (SELECT 1 FROM l1 y
+        |         WHERE y.seed = l2.seed AND y.node = adj.v)
+        |        AND NOT EXISTS (SELECT 1 FROM l2 z
+        |         WHERE z.seed = l2.seed AND z.node = adj.v)
+        |       GROUP BY 1, 2),
+        |d2 AS (SELECT l2.seed, l2.node,
+        |         CAST(sum(CAST(round(CAST(l2.sigma AS DOUBLE)
+        |           / CAST(l3.sigma AS DOUBLE) * (1.0 + 0.0), 6)
+        |           AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS delta
+        |       FROM l2 JOIN adj ON adj.u = l2.node
+        |       JOIN l3 ON l3.seed = l2.seed AND l3.node = adj.v
+        |       GROUP BY 1, 2),
+        |d2f AS (SELECT l2.seed, l2.node,
+        |         coalesce(d2.delta, CAST(0 AS DECIMAL(38,6))) AS delta
+        |       FROM l2 LEFT JOIN d2 ON d2.seed = l2.seed
+        |        AND d2.node = l2.node),
+        |d1 AS (SELECT l1.seed, l1.node,
+        |         CAST(sum(CAST(round(CAST(l1.sigma AS DOUBLE)
+        |           / CAST(l2.sigma AS DOUBLE)
+        |           * (1.0 + CAST(d2f.delta AS DOUBLE)), 6)
+        |           AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS delta
+        |       FROM l1 JOIN adj ON adj.u = l1.node
+        |       JOIN l2 ON l2.seed = l1.seed AND l2.node = adj.v
+        |       JOIN d2f ON d2f.seed = l2.seed AND d2f.node = l2.node
+        |       GROUP BY 1, 2),
+        |d1f AS (SELECT l1.seed, l1.node,
+        |         coalesce(d1.delta, CAST(0 AS DECIMAL(38,6))) AS delta
+        |       FROM l1 LEFT JOIN d1 ON d1.seed = l1.seed
+        |        AND d1.node = l1.node),
+        |un AS (SELECT * FROM d1f UNION ALL SELECT * FROM d2f)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_seeds_reaching,
+        |  CAST(CAST(sum(delta) AS DECIMAL(38,6)) AS DOUBLE) + 0.0 AS bc
+        |FROM un GROUP BY node
+        |ORDER BY bc DESC, node LIMIT 20""".stripMargin,
     "q276_link_suite" ->
       // q173's wedge replay extended with the 1/deg RA weight, full-
       // degree Jaccard ppm (Spark DIV ≡ DuckDB // on positives), and

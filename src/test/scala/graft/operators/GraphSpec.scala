@@ -175,6 +175,33 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("betweenness: path chain dependencies; diamond splits path mass") {
+    import org.apache.spark.sql.functions.col
+    // path 1-2-3-4 from seed 1: sigma = 1 everywhere; delta(3) = 1
+    // (carries pair (1,4)), delta(2) = 1·(1+1) = 2 (pairs (1,3),(1,4));
+    // node 4 sits at the hop bound with delta 0 and is not emitted
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val s1 = Seq(Tuple1(1L)).toDF("p")
+    val r1 = Betweenness.sampledBetweenness(path, "a", "b", s1,
+        maxHops = 3, topN = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(r1 === Map(2L -> 2.0, 3L -> 1.0))
+    // diamond 1-{2,3}-4: sigma(4) = 2, so each middle node carries
+    // half the (1,4) path mass
+    val dia = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val r2 = Betweenness.sampledBetweenness(dia, "a", "b", s1,
+        maxHops = 2, topN = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(r2 === Map(2L -> 0.5, 3L -> 0.5))
+    // two seeds add their trees: seeds {1, 4} on the path double the
+    // middle by symmetry (2 carries 2 from seed 1, 1 from seed 4)
+    val s2 = Seq(Tuple1(1L), Tuple1(4L)).toDF("p")
+    val r3 = Betweenness.sampledBetweenness(path, "a", "b", s2,
+        maxHops = 3, topN = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(r3 === Map(2L -> 3.0, 3L -> 3.0))
+  }
+
   test("label propagation: two cliques over a bridge resolve to two communities") {
     import spark.implicits._
     // 4-cliques {1..4} and {5..8} joined by the single bridge 4-5: each
