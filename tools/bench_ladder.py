@@ -80,6 +80,10 @@ ENTRIES = [
     # with n, so candidate-pair mass (and time) must stay ~linear where
     # fixed-key q102 grows ~n²/2^r
     "q314_knn_adaptive",
+    # round-13: sampled-source bounded-hop Brandes — |seeds| grows with
+    # the part table, each tree is depth-bounded, so expect ~linear
+    # (measured 3.1 s warm at sf~1)
+    "q322_betweenness",
 ]
 
 # round-13 verdict task 5: the half-decade extension — the largest
