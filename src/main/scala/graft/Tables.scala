@@ -79,4 +79,37 @@ object Tables {
     normalizeTs(tbl(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
+
+  /** Exact row count of a source table, read from parquet FOOTER
+    * metadata on the driver — no Spark job. Memoized per (JVM, path):
+    * the testdata is immutable for a session's lifetime, and at
+    * cluster scale footer reads cost one RPC per file (the driver
+    * lists the files anyway to plan the scan) where a `count()` job
+    * launches a task per row-group. Footer record counts are the
+    * parquet writer's own exact totals, so the value is identical to
+    * the oracle's `count(*)` — strategy elections and the q314 r-law
+    * stay engine-exact. Handles both single-file tables (the driver
+    * generator's shape) and directory-of-part-files tables.
+    */
+  private val rowCountCache =
+    scala.collection.concurrent.TrieMap[String, Long]()
+  def rowCount(s: SparkSession, d: String, name: String): Long =
+    rowCountCache.getOrElseUpdate(s"$d/$name", {
+      import org.apache.hadoop.fs.Path
+      val root = new Path(s"$d/$name.parquet")
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = root.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(root).isFile) Array(fs.getFileStatus(root))
+        else fs.listStatus(root).filter { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+      files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
 }

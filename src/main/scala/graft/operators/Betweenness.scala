@@ -36,6 +36,14 @@ object Betweenness {
     * `bc` is the rounded seed-summed dependency and
     * `n_seeds_reaching` counts seeds whose tree assigned the node a
     * positive-depth place (an auditable sample-coverage signal).
+    *
+    * Contract: nodes placed ONLY at the hop-bound level (depth ==
+    * `maxHops`) are excluded from the output entirely — from `bc`
+    * AND from `n_seeds_reaching`. Their δ is identically 0 (the
+    * bounded estimator cuts their subtree), so they contribute no
+    * centrality mass; emitting them would only add delta-0 rows. The
+    * q322 oracle replays the same exclusion (its backward CTEs start
+    * at level maxHops−1).
     */
   def sampledBetweenness(edges: DataFrame, srcCol: String, dstCol: String,
                          seeds: DataFrame, maxHops: Int,

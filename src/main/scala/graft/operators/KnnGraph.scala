@@ -102,7 +102,8 @@ object KnnGraph {
     */
   def knnEdgesLsh(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
                   numPlanes: Int = 24, bands: Int = 6, dim: Int = 64,
-                  maxBucketWidth: Long = 8192): DataFrame = {
+                  maxBucketWidth: Long = 8192,
+                  knownN: Option[Long] = None): DataFrame = {
     require(k >= 1 && numPlanes % bands == 0,
       s"k >= 1 and bands ($bands) must divide numPlanes ($numPlanes)")
     require(maxBucketWidth >= 2, s"maxBucketWidth must be >= 2, got $maxBucketWidth")
@@ -114,7 +115,11 @@ object KnnGraph {
         Similarity.packBandKeys(col("__bits"), bands, numPlanes / bands))
       .drop("__bits")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    lshTopKFromKeyed(keyed, k, dim, maxBucketWidth, keyed.count())
+    // knownN (a recorded source/artifact count, e.g. parquet footer
+    // totals) prices the broadcast election without a count job; the
+    // fallback count doubles as a cache warm on the keyed frame
+    lshTopKFromKeyed(keyed, k, dim, maxBucketWidth,
+      knownN.getOrElse(keyed.count()))
   }
 
   /** Smallest band-key width r in [minBits, maxBits] with
@@ -151,14 +156,18 @@ object KnnGraph {
     * probability is (1 − θ/π)^r, so every +1 bit multiplies it by the
     * per-plane agreement (~0.8 at cosine 0.8). q315 publishes the
     * measured exact-vs-adaptive recall per corpus so the trade stays
-    * pinned. The one scalar `count` prices BOTH the r election and the
-    * vector-broadcast election — one job, two consumers.
+    * pinned. `n` feeds BOTH the r election and the vector-broadcast
+    * election; pass `knownN` (a recorded source/artifact count —
+    * parquet footer totals via [[graft.Tables.rowCount]], artifact
+    * manifests via `SessionArtifacts.rowCount`) to avoid the scalar
+    * count job entirely.
     */
   def knnEdgesLshAdaptive(vecs: DataFrame, idCol: String, vecCol: String,
                           k: Int, bands: Int = 6, dim: Int = 64,
                           targetBucketWidth: Long = 128,
                           minBits: Int = 4, maxBits: Int = 16,
-                          maxBucketWidth: Long = 8192): DataFrame = {
+                          maxBucketWidth: Long = 8192,
+                          knownN: Option[Long] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(minBits >= 1 && minBits <= maxBits && maxBits <= 20,
       s"need 1 <= minBits ($minBits) <= maxBits ($maxBits) <= 20")
@@ -166,7 +175,11 @@ object KnnGraph {
       s"targetBucketWidth must be >= 2, got $targetBucketWidth")
     require(maxBucketWidth >= 2, s"maxBucketWidth must be >= 2, got $maxBucketWidth")
     val src = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val n = src.count()
+    // knownN MUST equal the corpus row count the oracle's count(*)
+    // sees — it feeds the exact r-law, not just strategy election.
+    // Callers pass recorded counts (parquet footer totals, artifact
+    // manifests); anything derived from a filtered frame must count.
+    val n = knownN.getOrElse(src.count())
     val r = adaptiveBits(n, targetBucketWidth, minBits, maxBits)
     val full = Similarity.hyperplaneWeights(bands * maxBits, dim)
     // slice to the planes actually used: bit values are independent per

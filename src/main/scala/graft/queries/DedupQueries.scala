@@ -290,7 +290,8 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
   def q102MutualKnn(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
     operators.KnnGraph.mutualClusters(
-        operators.KnnGraph.knnEdgesLsh(e, "vec_id", "embedding", k = 4))
+        operators.KnnGraph.knnEdgesLsh(e, "vec_id", "embedding", k = 4,
+          knownN = Some(Tables.rowCount(s, d, "embeddings"))))
       .orderBy(col("vec_id"))
   }
 
@@ -308,7 +309,8 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
   def q314MutualKnnAdaptive(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
     operators.KnnGraph.mutualClusters(
-        operators.KnnGraph.knnEdgesLshAdaptive(e, "vec_id", "embedding", k = 4))
+        operators.KnnGraph.knnEdgesLshAdaptive(e, "vec_id", "embedding",
+          k = 4, knownN = Some(Tables.rowCount(s, d, "embeddings"))))
       .orderBy(col("vec_id"))
   }
 
@@ -340,7 +342,8 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("__sim"))
     val lsh = operators.KnnGraph.knnEdgesLshAdaptive(
-        e, "vec_id", "embedding", k = 4)
+        e, "vec_id", "embedding", k = 4,
+        knownN = Some(Tables.rowCount(s, d, "embeddings")))
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
     exact.join(lsh, Seq("query_id", "neighbor_id"), "left")
       .agg(
@@ -1679,8 +1682,8 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
          |band AS (SELECT vec_id, $bandCols FROM bits),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
          |rr AS (SELECT CAST(1 AS BIGINT) << (16 - least(16, greatest(4,
-         |        (SELECT min(g.r) FROM (SELECT unnest(generate_series(0, 16)) AS r) g
-         |         CROSS JOIN nn WHERE (CAST(128 AS BIGINT) << g.r) >= nn.n)))) AS d),
+         |        coalesce((SELECT min(g.r) FROM (SELECT unnest(generate_series(0, 16)) AS r) g
+         |         CROSS JOIN nn WHERE (CAST(128 AS BIGINT) << g.r) >= nn.n), 16)))) AS d),
          |eb AS (SELECT vec_id, generate_subscripts(bk, 1) AS band_idx,
          |        unnest(bk) // (SELECT d FROM rr) AS bkey
          |       FROM (SELECT vec_id, [b0, b1, b2, b3, b4, b5] AS bk FROM band)),
@@ -1726,8 +1729,8 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
          |band AS (SELECT vec_id, $bandCols FROM bits),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
          |rr AS (SELECT CAST(1 AS BIGINT) << (16 - least(16, greatest(4,
-         |        (SELECT min(g.r) FROM (SELECT unnest(generate_series(0, 16)) AS r) g
-         |         CROSS JOIN nn WHERE (CAST(128 AS BIGINT) << g.r) >= nn.n)))) AS d),
+         |        coalesce((SELECT min(g.r) FROM (SELECT unnest(generate_series(0, 16)) AS r) g
+         |         CROSS JOIN nn WHERE (CAST(128 AS BIGINT) << g.r) >= nn.n), 16)))) AS d),
          |eb AS (SELECT vec_id, generate_subscripts(bk, 1) AS band_idx,
          |        unnest(bk) // (SELECT d FROM rr) AS bkey
          |       FROM (SELECT vec_id, [b0, b1, b2, b3, b4, b5] AS bk FROM band)),
@@ -1746,7 +1749,9 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
          |      FROM s),
          |knn AS (SELECT qa, qb FROM r WHERE rk <= 4),
          |p AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 5 = 0),
-         |sc AS (SELECT p.qid, e.vec_id AS nid, ${sqlCosine("p.qv", "e.v")} AS sim
+         |sc AS (SELECT p.qid, e.vec_id AS nid,
+         |        CASE WHEN isnan(${sqlCosine("p.qv", "e.v")}) THEN NULL
+         |             ELSE ${sqlCosine("p.qv", "e.v")} END AS sim
          |       FROM p CROSS JOIN e WHERE e.vec_id <> p.qid),
          |ex AS (SELECT qid, nid, sim FROM (SELECT qid, nid, sim,
          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk

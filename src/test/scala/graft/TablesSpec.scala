@@ -42,6 +42,25 @@ class TablesSpec extends SparkSpec {
     assert(roundTrip(df) === usEpoch * 1000)
   }
 
+  test("rowCount: footer totals equal count() for file and directory tables") {
+    val dir = Files.createTempDirectory("tablesspec").toFile
+    // directory-of-part-files shape (Spark's own writer, 3 parts)
+    Seq.tabulate(100)(i => (i.toLong, i.toString)).toDF("id", "v")
+      .repartition(3)
+      .write.mode("overwrite").parquet(new java.io.File(dir, "t.parquet").getPath)
+    assert(Tables.rowCount(spark, dir.getPath, "t") === 100L)
+    // memoized: a second call must not re-read (same value back)
+    assert(Tables.rowCount(spark, dir.getPath, "t") === 100L)
+    // single-file shape (the driver generator's layout)
+    val one = Files.createTempDirectory("tablesspec1").toFile
+    val staged = new java.io.File(one, "staged")
+    Seq.tabulate(7)(i => (i.toLong, i * 2.0)).toDF("id", "x")
+      .coalesce(1).write.mode("overwrite").parquet(staged.getPath)
+    val part = staged.listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, new java.io.File(one, "u.parquet").toPath)
+    assert(Tables.rowCount(spark, one.getPath, "u") === 7L)
+  }
+
   test("GRAFT_STRICT_TS: planted sub-µs residue fails loudly at ingest") {
     sys.props("graft.strict.ts") = "1"
     try {
