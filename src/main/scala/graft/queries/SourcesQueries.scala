@@ -464,6 +464,57 @@ private[graft] trait SourcesQueries { this: SparkEntry.type =>
       sheetName = Some("data"), password = Some("abc123")))
   }
 
+  // ---------------------------------------------------------------- q323
+  /** HTML ingestion + boilerplate extraction end-to-end
+    * ([[sources.HtmlSource]]): each document's text is wrapped in a
+    * deterministic page — head with title/style/script, a nav of
+    * links, an aside, an h1, the text as TWO unclosed `<p>` paragraphs
+    * (split at the word midpoint), an all-link "see also" div, and a
+    * footer — then parsed back by the tolerant tokenizer and run
+    * through the boilerpipe-style content heuristic. The oracle never
+    * parses HTML: it predicts the extraction analytically from the
+    * same word-split on the raw text, so every structural rule (head
+    * skip, raw-text skip, nav/aside/footer pruning, the ≥5-word and
+    * link-density cuts, entity round-trip, unclosed-tag healing) is
+    * load-bearing for the hash match. Fully distributed: the page is
+    * built and parsed per-row, no driver loop, no shuffle before the
+    * final 1-row-per-doc aggregate.
+    */
+  def q323HtmlExtract(s: SparkSession, d: String): DataFrame = {
+    def esc(c: Column): Column = regexp_replace(regexp_replace(
+      regexp_replace(c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val docs = documents(s, d).select(col("doc_id"),
+        trim(regexp_replace(col("text"), "\\s+", " ")).as("__t"))
+      .withColumn("__ws", split(col("__t"), " "))
+      .withColumn("__h", expr("(size(__ws) + 1) div 2"))
+      .withColumn("__p1",
+        array_join(slice(col("__ws"), lit(1), col("__h")), " "))
+      .withColumn("__p2", array_join(slice(col("__ws"),
+        col("__h") + 1, size(col("__ws")) - col("__h")), " "))
+    val page = docs.select(col("doc_id"), concat(
+      lit("<!DOCTYPE html>\n<html>\n<head><title>Doc "), col("doc_id"),
+      lit("</title>\n<style>p { margin: 0 }</style>\n" +
+        "<script>if (1<2) { var x = \"a & </div> b\"; }</script>\n" +
+        "</head>\n<body>\n" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+        "<a href=\"/c\">Contact</a></nav>\n<aside>Related: doc "),
+      col("doc_id"), lit("</aside>\n<article>\n<h1>Doc "), col("doc_id"),
+      lit("</h1>\n<p>"), esc(col("__p1")), lit("\n<p>"), esc(col("__p2")),
+      lit("\n<div class=\"links\"><a href=\"/1\">See</a> " +
+        "<a href=\"/2\">also</a> <a href=\"/3\">item</a> " +
+        "<a href=\"/4\">A</a> <a href=\"/5\">item</a> " +
+        "<a href=\"/6\">B</a> <a href=\"/7\">item</a> " +
+        "<a href=\"/8\">C</a></div>\n</article>\n" +
+        "<footer>&copy; 2026 example corpus footer</footer>\n" +
+        "</body>\n</html>")).as("__html"))
+    sources.HtmlSource.mainStats(page, "doc_id", "__html")
+      .select(col("doc_id"), col("n_blocks"), col("n_content"),
+        col("content_words"),
+        length(col("content_text")).cast("long").as("content_len"),
+        md5(col("content_text").cast("binary")).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] def queriesSources: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_meta" -> (q29MultimodalMeta _),
     "q30_src_csv" -> (q30SrcCsv _),
@@ -483,9 +534,38 @@ private[graft] trait SourcesQueries { this: SparkEntry.type =>
     "q141_silence_spans" -> (q141SilenceSpans _),
     "q142_image_dhash" -> (q142ImageDhash _),
     "q149_scene_change" -> (q149SceneChange _),
-    "q154_dhash_hamming" -> (q154DhashHamming _))
+    "q154_dhash_hamming" -> (q154DhashHamming _),
+    "q323_html_extract" -> (q323HtmlExtract _))
 
   private[graft] def oracleSqlSources: Map[String, String] = Map(
+    "q323_html_extract" ->
+      // predicts the HTML round-trip analytically: the page template
+      // contributes 5 fixed blocks (nav, aside, h1 — 2 words, the
+      // all-link div, footer), none content (structural prune /
+      // word-count / link-density); the two <p> halves of the
+      // word-split text are the only content candidates (>= 5 words)
+      """WITH d AS (SELECT doc_id,
+        |  trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents),
+        |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+        |q AS (SELECT doc_id, len(ws) AS n, (len(ws) + 1) // 2 AS h, ws FROM w),
+        |p AS (SELECT doc_id, n, h,
+        |  array_to_string(list_slice(ws, 1, h), ' ') AS p1,
+        |  array_to_string(list_slice(ws, h + 1, n), ' ') AS p2 FROM q),
+        |c AS (SELECT doc_id, n, h, p1, p2,
+        |  CASE WHEN h >= 5 AND n - h >= 5 THEN p1 || ' ' || p2
+        |       WHEN h >= 5 THEN p1 WHEN n - h >= 5 THEN p2
+        |       ELSE '' END AS content FROM p)
+        |SELECT doc_id,
+        |  CAST(5 + (CASE WHEN p1 <> '' THEN 1 ELSE 0 END)
+        |         + (CASE WHEN p2 <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+        |  CAST((CASE WHEN h >= 5 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN n - h >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_content,
+        |  CAST(h * (CASE WHEN h >= 5 THEN 1 ELSE 0 END)
+        |     + (n - h) * (CASE WHEN n - h >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS content_words,
+        |  CAST(len(content) AS BIGINT) AS content_len,
+        |  md5(content) AS content_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q29_multimodal_meta" ->
       """WITH media AS (SELECT doc_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
