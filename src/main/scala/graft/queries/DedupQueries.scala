@@ -360,6 +360,64 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
           .as("recall_strong_ppm"))
   }
 
+  // ---------------------------------------------------------------- q324
+  /** Planted-cluster recall companion to q315: the q315 aggregate runs
+    * on the NEAR-RANDOM gate corpus (cosine 0.33–0.5), where banding
+    * theory itself caps recall — so it cannot certify the claim that
+    * CLUSTERED mass (real near-duplicates) survives adaptive banding.
+    * This row plants it: every vec_id % 50 == 0 seed gets two copies
+    * perturbed by +0.05 on one deterministic coordinate (unit-norm
+    * corpus → pairwise cosine ≈ 1 − d²/2 ≈ 0.99875 within each
+    * 3-member group), the adaptive-LSH kNN runs on the AUGMENTED
+    * corpus (r derived from its n on both engines), and recall is
+    * measured over the planted directed pairs only. Banding math at
+    * 0.99875: per-plane agreement 1 − θ/π ≈ 0.984, all-6-bands miss
+    * ≤ 1e-5 at any adaptive r ≤ 16 — GraphSpec asserts the ≥ 90%
+    * floor; the oracle replays the measurement exactly (counts and
+    * ppm are integers). The perturbation is double-exact on both
+    * engines: cast-to-double first, then one +0.05.
+    */
+  def q324PlantedRecall(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val copies = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("gid"), col("v"),
+        explode(array(lit(1L), lit(2L))).as("cp"))
+      .select(col("gid"),
+        (col("gid") + lit(10000000L) * col("cp")).as("vec_id"),
+        transform(sequence(lit(1), lit(64)), j =>
+          when(j === pmod(col("gid") + col("cp"), lit(64)) + 1,
+            element_at(col("v"), j) + lit(0.05))
+            .otherwise(element_at(col("v"), j))).as("v"))
+    val aug = base.select(col("vec_id"), col("v"))
+      .unionAll(copies.select(col("vec_id"), col("v")))
+    // the audit corpus is synthesized, so its n is not a recorded
+    // footer count — one scalar job prices r AND the broadcast
+    // election, and feeds the published n_corpus/r_bits columns
+    val nCorpus = aug.count()
+    val rBits = operators.KnnGraph.adaptiveBits(nCorpus, 128, 4, 16)
+    val knn = operators.KnnGraph.knnEdgesLshAdaptive(
+        aug, "vec_id", "v", k = 4, knownN = Some(nCorpus))
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    val members = base.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("gid"), col("vec_id"))
+      .unionAll(copies.select(col("gid"), col("vec_id")))
+    val pairs = members.as("a").join(members.as("b"),
+        col("a.gid") === col("b.gid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.gid").as("gid"), col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("neighbor_id"))
+    pairs.join(knn, Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        lit(nCorpus).as("n_corpus"),
+        lit(rBits.toLong).as("r_bits"),
+        countDistinct(col("gid")).as("n_groups"),
+        count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("n_corpus"), col("r_bits"), col("n_groups"),
+        col("n_pairs"), col("n_hit"),
+        expr("1000000 * n_hit DIV n_pairs").as("recall_ppm"))
+  }
+
   // ---------------------------------------------------------------- q103
   /** DSIR importance resampling: score every non-`src0` document under
     * target-vs-raw hashed n-gram models (target = the `src0` slice) and
@@ -1072,6 +1130,7 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
     "q314_knn_adaptive" -> (q314MutualKnnAdaptive _),
     "q315_knn_adaptive_recall" -> (q315KnnAdaptiveRecall _),
     "q103_dsir" -> (q103Dsir _),
+    "q324_planted_recall" -> (q324PlantedRecall _),
     "q104_canonical_dedup" -> (q104CanonicalDedup _),
     "q108_lsh_recall" -> (q108LshRecall _),
     "q113_dup_provenance" -> (q113DupProvenance _),
@@ -1772,6 +1831,66 @@ private[graft] trait DedupQueries { this: SparkEntry.type =>
          |    THEN 1000000 * CAST(sum(CASE WHEN sim >= 0.7 THEN hit ELSE 0 END)
          |      AS BIGINT) // CAST(sum(CASE WHEN sim >= 0.7 THEN 1 ELSE 0 END)
          |      AS BIGINT) END AS recall_strong_ppm
+         |FROM h""".stripMargin
+    },
+    "q324_planted_recall" -> {
+      // replay the planted-cluster recall audit end to end: augment the
+      // corpus with the same double-exact +0.05 one-coordinate copies,
+      // derive r from the AUGMENTED count, band with the full 16-bit
+      // static keys >> (16-r), rank candidates, then measure the
+      // planted directed pairs against the kNN edge set
+      val (bitCols, bandCols) = sqlBandCols(96, 6)
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cp AS (SELECT b.vec_id AS gid,
+         |        b.vec_id + 10000000 * c.cp AS vec_id,
+         |        list_transform(generate_series(1, 64), j ->
+         |          CASE WHEN j = ((b.vec_id + c.cp) % 64) + 1
+         |               THEN b.v[j] + 0.05 ELSE b.v[j] END) AS v
+         |       FROM base b CROSS JOIN (VALUES (1), (2)) c(cp)
+         |       WHERE b.vec_id % 50 = 0),
+         |e AS (SELECT vec_id, v FROM base
+         |      UNION ALL SELECT vec_id, v FROM cp),
+         |bits AS (SELECT vec_id, v,
+         | $bitCols
+         | FROM e),
+         |band AS (SELECT vec_id, $bandCols FROM bits),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+         |rb AS (SELECT least(16, greatest(4,
+         |        coalesce((SELECT min(g.r) FROM (SELECT unnest(generate_series(0, 16)) AS r) g
+         |         CROSS JOIN nn WHERE (CAST(128 AS BIGINT) << g.r) >= nn.n), 16))) AS r),
+         |rr AS (SELECT CAST(1 AS BIGINT) << (16 - r) AS d FROM rb),
+         |eb AS (SELECT vec_id, generate_subscripts(bk, 1) AS band_idx,
+         |        unnest(bk) // (SELECT d FROM rr) AS bkey
+         |       FROM (SELECT vec_id, [b0, b1, b2, b3, b4, b5] AS bk FROM band)),
+         |ebw AS (SELECT band_idx, bkey FROM eb
+         |        GROUP BY band_idx, bkey HAVING count(*) <= 8192),
+         |ebc AS (SELECT eb.vec_id, eb.band_idx, eb.bkey
+         |        FROM eb JOIN ebw USING (band_idx, bkey)),
+         |cand AS (SELECT DISTINCT a.vec_id AS qa, b.vec_id AS qb
+         |         FROM ebc a JOIN ebc b ON a.band_idx = b.band_idx
+         |          AND a.bkey = b.bkey AND a.vec_id <> b.vec_id),
+         |s AS (SELECT cand.qa, cand.qb, ${sqlCosine("x.v", "y.v")} AS sim
+         |      FROM cand JOIN e x ON x.vec_id = cand.qa
+         |                JOIN e y ON y.vec_id = cand.qb),
+         |r AS (SELECT qa, qb,
+         |        row_number() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk
+         |      FROM s),
+         |knn AS (SELECT qa, qb FROM r WHERE rk <= 4),
+         |m AS (SELECT vec_id AS gid, vec_id FROM base WHERE vec_id % 50 = 0
+         |      UNION ALL SELECT gid, vec_id FROM cp),
+         |pr AS (SELECT a.gid, a.vec_id AS qa, b.vec_id AS qb
+         |       FROM m a JOIN m b ON a.gid = b.gid AND a.vec_id <> b.vec_id),
+         |h AS (SELECT pr.gid,
+         |        CASE WHEN k.qa IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM pr LEFT JOIN knn k ON k.qa = pr.qa AND k.qb = pr.qb)
+         |SELECT (SELECT n FROM nn) AS n_corpus,
+         |  CAST((SELECT r FROM rb) AS BIGINT) AS r_bits,
+         |  CAST(count(DISTINCT gid) AS BIGINT) AS n_groups,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(hit) AS BIGINT) AS n_hit,
+         |  1000000 * CAST(sum(hit) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |    AS recall_ppm
          |FROM h""".stripMargin
     },
     "q103_dsir" ->

@@ -156,6 +156,19 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("planted-cluster recall audit (q324): >= 90% of 0.99875-cosine " +
+       "planted pairs survive the adaptive banding") {
+    // the clustered-mass floor the near-random q315 aggregate cannot
+    // certify; measured 100% at sf0.001/0.01/0.1 (PLANS.md round 14)
+    val r = graft.SparkEntry.queries("q324_planted_recall")(spark, sf())
+      .collect()(0)
+    assert(r.getAs[Long]("n_pairs") > 0L)
+    assert(r.getAs[Long]("recall_ppm") >= 900000L,
+      s"planted recall below the 90% floor: $r")
+    Retained.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
   test("fidelity audits: sampled-LPA modularity within 0.01 of exact; " +
        "sampled clustering errors inside the k=16 binomial envelope") {
     // the q319/q320 published bounds, pinned at spec scale (they were
