@@ -84,6 +84,12 @@ ENTRIES = [
     # the part table, each tree is depth-bounded, so expect ~linear
     # (measured 3.1 s warm at sf~1)
     "q322_betweenness",
+    # round-13: the CUSUM alarm is one keyed window pass — expect ~scan
+    "q321_cusum_alarm",
+    # round-14: HTML extraction is a per-row parse (scan-shaped); the
+    # planted-recall audit is the adaptive-banding pass plus a planted
+    # pair join, so it must track q314
+    "q323_html_extract", "q324_planted_recall",
 ]
 
 # round-13 verdict task 5: the half-decade extension — the largest
@@ -103,6 +109,13 @@ SF3_ENTRIES = [
     "q313_sampled_clustering", "q314_knn_adaptive",
 ]
 
+# round-14 verdict task 3: a fourth decade endpoint. The sf~10 slice is
+# MakeLadderSf1 applied to the sf~1 slice with reps=10 (isometries and
+# vocab suffixes compose, so it equals ~100 key-remapped sf0.1 replicas)
+# — the 100x design claim then rests on two fully MEASURED decades
+# (sf0.1 -> sf~1 -> sf~10). Same entry set as sf~3.
+SF10_DIR = os.environ.get("GRAFT_SF10_DIR", "/tmp/graft-sf10")
+
 ADD_OPENS = [
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
@@ -118,10 +131,11 @@ def run_sf(sf: str, cpus: str):
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = (
         SF1_DIR if sf == "1" else
-        SF3_DIR if sf == "3" else f"/root/testdata/sf{sf}")
+        SF3_DIR if sf == "3" else
+        SF10_DIR if sf == "10" else f"/root/testdata/sf{sf}")
     env["SPARK_GRAFT_CPUS"] = cpus
     env["SPARK_GRAFT_ONLY"] = ",".join(
-        SF3_ENTRIES if sf == "3" else ENTRIES)
+        SF3_ENTRIES if sf in ("3", "10") else ENTRIES)
     # fresh cache root per (ladder, sf): artifact entries must measure a
     # real build, not a cross-session cache read
     env["GRAFT_ARTIFACT_CACHE"] = tempfile.mkdtemp(prefix=f"ladder-sf{sf}-")
@@ -133,7 +147,7 @@ def run_sf(sf: str, cpus: str):
             "graft.Bench"]
     t0 = time.time()
     out = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                         cwd=REPO, timeout=3600)
+                         cwd=REPO, timeout=7200)
     wall = time.time() - t0
     line = [l for l in out.stdout.splitlines()
             if l.startswith('{"metric"')][0]
@@ -150,6 +164,8 @@ def main():
         sfs.append("1")
     if os.path.isdir(SF3_DIR):
         sfs.append("3")
+    if os.path.isdir(SF10_DIR):
+        sfs.append("10")
     runs = {sf: run_sf(sf, cpus) for sf in sfs}
     # cal-normalized times: t_norm = t * CAL_REF / min(cal probes) — the
     # same normalization graft.Bench publishes as "caln" (the run's
@@ -175,6 +191,11 @@ def main():
         if tn.get("3") and tn.get("1"):
             table[e]["alpha_1_to_3_norm"] = round(
                 math.log(tn["3"] / tn["1"]) / math.log(3), 2)
+        # second measured decade endpoint (round-14): sf~3 -> sf~10 on
+        # cal-normalized times
+        if tn.get("10") and tn.get("3"):
+            table[e]["alpha_3_to_10_norm"] = round(
+                math.log(tn["10"] / tn["3"]) / math.log(10.0 / 3.0), 2)
     out = {
         "entries": table,
         "cal": {sf: runs[sf].get("cal") for sf in sfs},
@@ -192,7 +213,8 @@ def main():
               f"{ts['0.1'] or 0:7.2f} {ts.get('1') or 0:7.2f}  "
               f"alpha={r['alpha_01_to_1']} "
               f"alpha_top={r.get('alpha_1_to_10')} "
-              f"alpha_sf3={r.get('alpha_1_to_3_norm')}")
+              f"alpha_sf3={r.get('alpha_1_to_3_norm')} "
+              f"alpha_sf10={r.get('alpha_3_to_10_norm')}")
 
 
 if __name__ == "__main__":
