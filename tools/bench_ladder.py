@@ -127,7 +127,15 @@ ADD_OPENS = [
 ]
 
 
-def run_sf(sf: str, cpus: str):
+# per-scale record cache: each completed scale's Bench record is
+# persisted immediately, so a crash (or OOM) at one scale never loses
+# the hours already measured at the others. GRAFT_LADDER_REUSE=1 reuses
+# cached records instead of re-running their scales — delete a record
+# file (or the dir) to force a fresh measurement.
+RUNS_DIR = os.environ.get("GRAFT_LADDER_RUNS", "/tmp/graft-ladder-runs")
+
+
+def run_sf_once(sf: str, cpus: str):
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = (
         SF1_DIR if sf == "1" else
@@ -149,11 +157,34 @@ def run_sf(sf: str, cpus: str):
     out = subprocess.run(cmd, env=env, capture_output=True, text=True,
                          cwd=REPO, timeout=7200)
     wall = time.time() - t0
-    line = [l for l in out.stdout.splitlines()
-            if l.startswith('{"metric"')][0]
-    rec = json.loads(line)
+    lines = [l for l in out.stdout.splitlines()
+             if l.startswith('{"metric"')]
+    if not lines:  # JVM died without a record (e.g. OOM-killed)
+        raise RuntimeError(
+            f"sf{sf}: Bench exited rc={out.returncode} without a metric "
+            f"line; stderr tail: {out.stderr[-800:]}")
+    rec = json.loads(lines[0])
     print(f"sf{sf}: total={rec['value']:.1f}s wall={wall:.0f}s "
           f"cal={rec.get('cal')} load={rec.get('load')}", flush=True)
+    return rec
+
+
+def run_sf(sf: str, cpus: str):
+    cache = os.path.join(RUNS_DIR, f"sf{sf}.json")
+    if os.environ.get("GRAFT_LADDER_REUSE") == "1" and os.path.exists(cache):
+        with open(cache) as f:
+            rec = json.load(f)
+        print(f"sf{sf}: reused {cache} (total={rec['value']:.1f}s)",
+              flush=True)
+        return rec
+    try:
+        rec = run_sf_once(sf, cpus)
+    except RuntimeError as e:  # one retry on a recordless exit
+        print(f"RETRY {e}", flush=True)
+        rec = run_sf_once(sf, cpus)
+    os.makedirs(RUNS_DIR, exist_ok=True)
+    with open(cache, "w") as f:
+        json.dump(rec, f)
     return rec
 
 
