@@ -515,6 +515,79 @@ private[graft] trait SourcesQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q325
+  /** WARC / WET web-archive round-trip ([[sources.WarcSource]]): each
+    * sampled document becomes either a WET `conversion` record
+    * (text/plain, UTF-8) or a `response` record carrying a full HTTP
+    * message — one variant with `Content-Length` framing and a lower
+    * case `charset=utf-8`, one chunked-transfer-encoded with a quoted
+    * `charset="UTF-16BE"` — plus an ignored `request` twin and a
+    * per-file `warcinfo` header record. The records are spread across
+    * the three Common Crawl layouts (per-record gzip members,
+    * single-member gzip, uncompressed) and read back through one glob.
+    * The oracle replays the surviving rows analytically from
+    * `documents`, so record framing, multi-member gzip, HTTP header
+    * parsing, chunked decoding, the UTF-16BE round-trip, the charset
+    * report, WARC-Date parsing, and the type filter are each
+    * load-bearing for the hash match.
+    */
+  def q325SrcWarc(s: SparkSession, d: String): DataFrame = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import sources.WarcWriter
+    val docs = documents(s, d).filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("source"), col("text"))
+      .orderBy(col("doc_id")).collect()
+    def dt(id: Long): String = f"2026-01-${id % 28 + 1}%02dT00:00:00Z"
+    val perDoc: Seq[Seq[Array[Byte]]] = docs.toIndexedSeq.map { r =>
+      val id = r.getLong(0)
+      val src = r.getString(1)
+      val text = r.getString(2)
+      val host = s"$src.example.org"
+      val uri = s"https://$host/docs/$id"
+      id % 3 match {
+        case 0 => Seq(WarcWriter.record("conversion", Seq(
+          "WARC-Target-URI" -> uri, "WARC-Date" -> dt(id),
+          "Content-Type" -> "text/plain"), text.getBytes(UTF_8)))
+        case 1 => Seq(
+          WarcWriter.record("request", Seq(
+            "WARC-Target-URI" -> uri, "WARC-Date" -> dt(id),
+            "Content-Type" -> "application/http; msgtype=request"),
+            WarcWriter.httpRequest(s"/docs/$id", host)),
+          WarcWriter.record("response", Seq(
+            "WARC-Target-URI" -> uri, "WARC-Date" -> dt(id),
+            "Content-Type" -> "application/http; msgtype=response"),
+            WarcWriter.httpResponse(200, "OK", "text/plain; charset=utf-8",
+              text.getBytes(UTF_8))))
+        case _ => Seq(WarcWriter.record("response", Seq(
+          "WARC-Target-URI" -> uri, "WARC-Date" -> dt(id),
+          "Content-Type" -> "application/http; msgtype=response"),
+          WarcWriter.httpResponse(200, "OK",
+            "text/plain; charset=\"UTF-16BE\"", text.getBytes("UTF-16BE"),
+            chunked = true)))
+      }
+    }
+    val byThree = perDoc.zipWithIndex.groupBy(_._2 % 3)
+    def shard(i: Int): Seq[Array[Byte]] =
+      WarcWriter.warcinfo("2026-01-01T00:00:00Z") +:
+        byThree.getOrElse(i, Seq.empty).flatMap(_._1)
+    val dir = sources.SyntheticFixtures.dir("warc")
+    WarcWriter.write(new java.io.File(dir, "cc_a.warc.gz"), shard(0), "members")
+    WarcWriter.write(new java.io.File(dir, "cc_b.warc.gz"), shard(1), "gzip")
+    WarcWriter.write(new java.io.File(dir, "cc_c.warc"), shard(2), "plain")
+    sources.WarcSource.read(s, new java.io.File(dir, "cc_*").getPath)
+      .filter(col("warc_type").isin("conversion", "response"))
+      .select(
+        regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        col("warc_type").as("rec_type"),
+        col("http_status").cast("long").as("status"),
+        col("charset"),
+        length(col("body")).cast("long").as("n_chars"),
+        to_timestamp(substring(col("warc_date"), 1, 10)).as("warc_day"),
+        md5(col("body").cast("binary")).as("body_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] def queriesSources: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_meta" -> (q29MultimodalMeta _),
     "q30_src_csv" -> (q30SrcCsv _),
@@ -535,9 +608,27 @@ private[graft] trait SourcesQueries { this: SparkEntry.type =>
     "q142_image_dhash" -> (q142ImageDhash _),
     "q149_scene_change" -> (q149SceneChange _),
     "q154_dhash_hamming" -> (q154DhashHamming _),
-    "q323_html_extract" -> (q323HtmlExtract _))
+    "q323_html_extract" -> (q323HtmlExtract _),
+    "q325_src_warc" -> (q325SrcWarc _))
 
   private[graft] def oracleSqlSources: Map[String, String] = Map(
+    "q325_src_warc" ->
+      // the archive round-trip replayed analytically: doc_id % 3 picks
+      // the record shape (conversion / content-length response /
+      // chunked UTF-16BE response); framing and decode must restore
+      // the exact text for the md5 to survive
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'conversion' ELSE 'response' END
+        |    AS rec_type,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 200 END AS BIGINT)
+        |    AS status,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'utf-16be' ELSE 'utf-8' END
+        |    AS charset,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(DATE '2026-01-01' + CAST(doc_id % 28 AS INTEGER) AS TIMESTAMP)
+        |    AS warc_day,
+        |  md5(text) AS body_md5
+        |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin,
     "q323_html_extract" ->
       // predicts the HTML round-trip analytically: the page template
       // contributes 5 fixed blocks (nav, aside, h1 — 2 words, the
