@@ -588,6 +588,49 @@ private[graft] trait SourcesQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q326
+  /** URL canonicalization + registered-domain extraction
+    * ([[graft.functions.UrlOps]]): each document gets a deterministic
+    * messy URL — upper-case scheme/host, a default or explicit port,
+    * `/./` and `/../` dot segments, mixed-case percent escapes of both
+    * unreserved (`%7e`) and reserved (`%2f`) characters, tracking
+    * params (`utm_*`, `gclid`) shuffled between real params, and a
+    * fragment — and every tenth document a scheme-less junk string.
+    * The oracle predicts the canonical form, the PSL-based registered
+    * domain (including the multi-label `co.uk`/`com.cn` suffixes), and
+    * the kept/dropped param counts analytically, so each rule (scheme/
+    * host folding, default-port drop, dot-segment removal, percent
+    * normalization, tracking-param drop, param sort, fragment drop,
+    * null on unparsable) is load-bearing. Pure per-row scalar work: no
+    * shuffle before the final order.
+    */
+  def q326UrlCanonical(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.UrlOps
+    val docs = documents(s, d).select(col("doc_id"), col("source"), col("lang"))
+    val tld = when(col("lang") === "en", "co.uk")
+      .when(col("lang") === "de", "de").when(col("lang") === "es", "es")
+      .when(col("lang") === "fr", "fr").otherwise("com.cn")
+    val port = when(col("doc_id") % 4 === 0, ":443")
+      .when(col("doc_id") % 4 === 1, ":80")
+      .when(col("doc_id") % 4 === 2, ":8080").otherwise("")
+    val scheme = when(col("doc_id") % 2 === 0, "HTTPS").otherwise("http")
+    val url = when(col("doc_id") % 10 === 9,
+      concat(lit("www.example.com/no-scheme-"), col("doc_id")))
+      .otherwise(concat(scheme, lit("://WWW."), col("source"),
+        lit(".Example."), tld, port,
+        lit("/A/./B/../docs/%7e"), col("doc_id"), lit("/x%2fy"),
+        lit("?utm_source=feed&z=26&a=1&gclid=g"), col("doc_id"),
+        lit("&m="), col("doc_id") % 5, lit("#sec-"), col("doc_id")))
+    docs.withColumn("__c", UrlOps.canonicalizeStatsUdf(url))
+      .select(col("doc_id"),
+        col("__c.canonical").as("url_canonical"),
+        UrlOps.registeredDomainUdf(UrlOps.hostUdf(col("__c.canonical")))
+          .as("registered_domain"),
+        col("__c.kept_params").cast("long").as("kept_params"),
+        col("__c.dropped_params").cast("long").as("dropped_params"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] def queriesSources: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_meta" -> (q29MultimodalMeta _),
     "q30_src_csv" -> (q30SrcCsv _),
@@ -609,9 +652,34 @@ private[graft] trait SourcesQueries { this: SparkEntry.type =>
     "q149_scene_change" -> (q149SceneChange _),
     "q154_dhash_hamming" -> (q154DhashHamming _),
     "q323_html_extract" -> (q323HtmlExtract _),
-    "q325_src_warc" -> (q325SrcWarc _))
+    "q325_src_warc" -> (q325SrcWarc _),
+    "q326_url_canonical" -> (q326UrlCanonical _))
 
   private[graft] def oracleSqlSources: Map[String, String] = Map(
+    "q326_url_canonical" ->
+      // predicts every canonicalization rule's output analytically:
+      // folded scheme/host, :8080 kept while default ports drop,
+      // /A/./B/../ resolved, %7e decoded + %2f upper-cased, tracking
+      // params dropped, the rest (a,m,z) key-sorted, fragment gone;
+      // scheme-less junk rows canonicalize to NULL
+      """WITH b AS (SELECT doc_id, source,
+        |  CASE lang WHEN 'en' THEN 'co.uk' WHEN 'de' THEN 'de'
+        |    WHEN 'es' THEN 'es' WHEN 'fr' THEN 'fr' ELSE 'com.cn' END
+        |    AS tld FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 9 THEN NULL ELSE
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+        |    || '://www.' || source || '.example.' || tld
+        |    || (CASE WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+        |    || '/A/docs/~' || CAST(doc_id AS VARCHAR) || '/x%2Fy?a=1&m='
+        |    || CAST(doc_id % 5 AS VARCHAR) || '&z=26' END AS url_canonical,
+        |  CASE WHEN doc_id % 10 = 9 THEN NULL
+        |       ELSE 'example.' || tld END AS registered_domain,
+        |  CAST(CASE WHEN doc_id % 10 = 9 THEN NULL ELSE 3 END AS BIGINT)
+        |    AS kept_params,
+        |  CAST(CASE WHEN doc_id % 10 = 9 THEN NULL ELSE 2 END AS BIGINT)
+        |    AS dropped_params
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q325_src_warc" ->
       // the archive round-trip replayed analytically: doc_id % 3 picks
       // the record shape (conversion / content-length response /
