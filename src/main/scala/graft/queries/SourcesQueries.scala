@@ -631,6 +631,52 @@ private[graft] trait SourcesQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q327
+  /** Host-level link graph from HTML outlinks
+    * ([[sources.HtmlSource.extractLinks]] + [[graft.functions.UrlOps]]
+    * resolution): each document's page carries anchors in all three
+    * attribute quote styles (double, single, bare), an upper-case
+    * `HREF`, relative links with dot segments, absolute links with an
+    * upper-case scheme/host, plus non-links that must NOT count (an
+    * anchor inside a comment, one inside a `<script>` body, and a
+    * `<a name=…>` with no href). Links resolve against the page's base
+    * URI (RFC 3986 §5.2), fold to hosts, and aggregate to
+    * (src_host, dst_host) edge weights — the boilerplate-to-PageRank
+    * bridge of a web corpus. The oracle replays the edge list
+    * analytically, so extraction tolerance, reference resolution, and
+    * host folding are each load-bearing. One shuffle (the final
+    * group-by), parse is per-row.
+    */
+  def q327LinkGraph(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.UrlOps
+    val docs = documents(s, d).select(col("doc_id"), col("source"))
+    val k1 = (col("doc_id") + 1) % 20
+    val k2 = (col("doc_id") + 7) % 20
+    val base = concat(lit("https://"), col("source"),
+      lit(".example.org/docs/"), col("doc_id"), lit("/index.html"))
+    val page = concat(
+      lit("<html><head><title>d</title><script>var a = " +
+        "'<a href=\"/not-a-link\">';</script></head><body>\n" +
+        "<nav><a href=\"/\">Home</a> <a href='/about'>About</a> " +
+        "<a href=contact.html>Contact</a></nav>\n<p>See <a href=\"../"),
+      col("doc_id") * 2 % 100,
+      lit("/\">rel</a> and <a href=\"https://src"), k1,
+      lit(".example.org/docs/"), col("doc_id") + 1,
+      lit("?a=1&amp;b=2\">x</a> <a HREF=\"HTTPS://SRC"), k2,
+      lit(".EXAMPLE.ORG/d/"), col("doc_id") + 7,
+      lit("#f\">y</a>.</p><!-- <a href=\"/in-comment\">no</a> -->" +
+        "<a name=anchor>not a link</a></body></html>"))
+    val pages = docs.select(col("doc_id"), col("source"),
+      base.as("__base"), page.as("__html"))
+    sources.HtmlSource.extractLinks(pages, "__html")
+      .withColumn("__abs", UrlOps.resolveUdf(col("__base"), col("href")))
+      .select(concat(col("source"), lit(".example.org")).as("src_host"),
+        UrlOps.hostUdf(col("__abs")).as("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+      .orderBy(col("src_host"), col("dst_host"))
+  }
+
   private[graft] def queriesSources: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_meta" -> (q29MultimodalMeta _),
     "q30_src_csv" -> (q30SrcCsv _),
@@ -653,9 +699,30 @@ private[graft] trait SourcesQueries { this: SparkEntry.type =>
     "q154_dhash_hamming" -> (q154DhashHamming _),
     "q323_html_extract" -> (q323HtmlExtract _),
     "q325_src_warc" -> (q325SrcWarc _),
-    "q326_url_canonical" -> (q326UrlCanonical _))
+    "q326_url_canonical" -> (q326UrlCanonical _),
+    "q327_link_graph" -> (q327LinkGraph _))
 
   private[graft] def oracleSqlSources: Map[String, String] = Map(
+    "q327_link_graph" ->
+      // the page template's true links replayed analytically: four
+      // same-host (nav "/", "/about", bare contact.html, the ../ rel
+      // link) and two cross-host (k+1, k+7 mod 20); the comment,
+      // script-body, and href-less anchors contribute nothing
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |e AS (
+        |  SELECT source || '.example.org' AS src_host,
+        |         source || '.example.org' AS dst_host, 4 AS n FROM d
+        |  UNION ALL
+        |  SELECT source || '.example.org',
+        |    'src' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.example.org',
+        |    1 FROM d
+        |  UNION ALL
+        |  SELECT source || '.example.org',
+        |    'src' || CAST((doc_id + 7) % 20 AS VARCHAR) || '.example.org',
+        |    1 FROM d)
+        |SELECT src_host, dst_host, CAST(sum(n) AS BIGINT) AS n_links
+        |FROM e GROUP BY src_host, dst_host
+        |ORDER BY src_host, dst_host""".stripMargin,
     "q326_url_canonical" ->
       // predicts every canonicalization rule's output analytically:
       // folded scheme/host, :8080 kept while default ports drop,

@@ -247,6 +247,161 @@ object HtmlSource {
     out.result()
   }
 
+  /** Decode entities in an attribute value (same rules as text:
+    * named + numeric; unknown/unterminated stay literal).
+    */
+  private[sources] def decodeEntities(s: String): String = {
+    val n = s.length
+    val lower = s.toLowerCase(Locale.ROOT)
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        if (i + 1 < n && s.charAt(i + 1) == '#') {
+          val hex = i + 2 < n &&
+            (s.charAt(i + 2) == 'x' || s.charAt(i + 2) == 'X')
+          var j = i + (if (hex) 3 else 2)
+          val d0 = j
+          while (j < n && j - d0 < 8 && (if (hex)
+            Character.digit(s.charAt(j), 16) >= 0 else s.charAt(j).isDigit))
+            j += 1
+          var done = false
+          if (j > d0 && j < n && s.charAt(j) == ';') {
+            try {
+              val cp = Integer.parseInt(s.substring(d0, j), if (hex) 16 else 10)
+              if (cp > 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF)) {
+                sb.append(Character.toChars(cp)); i = j + 1; done = true
+              }
+            } catch { case _: NumberFormatException => }
+          }
+          if (!done) { sb.append('&'); i += 1 }
+        } else {
+          var j = i + 1
+          while (j < n && j - i <= 8 && s.charAt(j).isLetter) j += 1
+          val named = if (j < n && s.charAt(j) == ';')
+            NamedEntities.get(lower.substring(i + 1, j)) else None
+          named match {
+            case Some(v) => sb.append(v); i = j + 1
+            case None => sb.append('&'); i += 1
+          }
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Every `<a href=…>` target in document order — the outlink face
+    * for link-graph construction. The same tolerance as
+    * [[parseBlocks]]: raw-text elements (`<script>` bodies that
+    * mention anchors) and comments are skipped, attribute names are
+    * case-insensitive, values may be double-quoted, single-quoted, or
+    * bare, and entity references in the value decode (`&amp;` is how
+    * `&` legally appears in an href). Anchors without an href are not
+    * links.
+    */
+  def parseLinks(html: String): Vector[String] = {
+    val n = html.length
+    val lower = html.toLowerCase(Locale.ROOT)
+    val out = Vector.newBuilder[String]
+    var i = 0
+
+    def skipRaw(tag: String, from: Int): Int = {
+      val at = lower.indexOf("</" + tag, from)
+      if (at < 0) n else { val gt = html.indexOf('>', at); if (gt < 0) n else gt + 1 }
+    }
+
+    // scan one tag's attributes from `start` (after the name) to '>',
+    // returning (href value or null, pos after '>')
+    def hrefOf(start: Int): (String, Int) = {
+      var j = start
+      var href: String = null
+      while (j < n && html.charAt(j) != '>') {
+        // skip whitespace and stray slashes
+        while (j < n && (Character.isWhitespace(html.charAt(j)) ||
+          html.charAt(j) == '/')) j += 1
+        if (j < n && html.charAt(j) != '>') {
+          val a0 = j
+          while (j < n && !Character.isWhitespace(html.charAt(j)) &&
+            html.charAt(j) != '=' && html.charAt(j) != '>' &&
+            html.charAt(j) != '/') j += 1
+          val name = lower.substring(a0, j)
+          while (j < n && Character.isWhitespace(html.charAt(j))) j += 1
+          var value: String = null
+          if (j < n && html.charAt(j) == '=') {
+            j += 1
+            while (j < n && Character.isWhitespace(html.charAt(j))) j += 1
+            if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+              val q = html.charAt(j)
+              val v0 = j + 1
+              var k = v0
+              while (k < n && html.charAt(k) != q) k += 1
+              value = html.substring(v0, k)
+              j = if (k < n) k + 1 else n
+            } else {
+              val v0 = j
+              while (j < n && !Character.isWhitespace(html.charAt(j)) &&
+                html.charAt(j) != '>') j += 1
+              value = html.substring(v0, j)
+            }
+          }
+          if (name == "href" && href == null && value != null)
+            href = decodeEntities(value)
+        }
+      }
+      (href, if (j < n) j + 1 else n)
+    }
+
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n &&
+          (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          val e = html.indexOf('>', i)
+          i = if (e < 0) n else e + 1
+        } else if (i + 1 < n && html.charAt(i + 1) == '/') {
+          val e = html.indexOf('>', i)
+          i = if (e < 0) n else e + 1
+        } else {
+          var j = i + 1
+          if (j < n && html.charAt(j).isLetter) {
+            val t0 = j
+            j += 1
+            while (j < n && (html.charAt(j).isLetterOrDigit ||
+              html.charAt(j) == '-' || html.charAt(j) == ':')) j += 1
+            val name = lower.substring(t0, j)
+            if (name == "a") {
+              val (href, after) = hrefOf(j)
+              if (href != null) out += href
+              i = after
+            } else if (RawTextTags(name)) {
+              val gt = html.indexOf('>', j)
+              i = skipRaw(name, if (gt < 0) n else gt + 1)
+            } else {
+              val gt = html.indexOf('>', j)
+              i = if (gt < 0) n else gt + 1
+            }
+          } else { i += 1 }
+        }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  private val linksUdf = udf { html: String =>
+    if (html == null) Vector.empty[String] else parseLinks(html)
+  }
+
+  /** One row per outlink, in document order: every column of `df`
+    * except the consumed html column, plus `href`. Documents with no
+    * links produce no rows.
+    */
+  def extractLinks(df: DataFrame, htmlCol: String): DataFrame =
+    df.withColumn("__href", explode(linksUdf(col(htmlCol))))
+      .drop(htmlCol).withColumnRenamed("__href", "href")
+
   private val blocksUdf = udf { html: String =>
     if (html == null) Vector.empty[HtmlBlock] else parseBlocks(html)
   }

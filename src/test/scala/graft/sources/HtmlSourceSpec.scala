@@ -136,6 +136,39 @@ class HtmlSourceSpec extends SparkSpec {
     assert(stats(1).getString(4) === "")
   }
 
+  test("links: three quote styles, case-insensitive HREF, document order") {
+    val html = "<a href=\"/dq\">a</a><a href='/sq'>b</a>" +
+      "<a href=/bare>c</a><A HREF=\"/up\">d</A>" +
+      "<a class=x href = \"/spaced\" rel=nofollow>e</a>"
+    assert(HtmlSource.parseLinks(html) ===
+      Vector("/dq", "/sq", "/bare", "/up", "/spaced"))
+  }
+
+  test("links: script bodies, comments, and href-less anchors contribute " +
+    "nothing; entities decode in href values") {
+    val html = "<script>var a='<a href=\"/no1\">';</script>" +
+      "<!-- <a href=\"/no2\">x</a> --><a name=anchor>plain</a>" +
+      "<a href=\"/q?a=1&amp;b=2\">yes</a>"
+    assert(HtmlSource.parseLinks(html) === Vector("/q?a=1&b=2"))
+  }
+
+  test("links: first href wins within a tag; an unterminated trailing " +
+    "anchor still yields its href (fail-soft)") {
+    assert(HtmlSource.parseLinks(
+      "<a href=\"/first\" href=\"/second\">x</a>") === Vector("/first"))
+    assert(HtmlSource.parseLinks("<p>text<a href=\"/x\"") === Vector("/x"))
+  }
+
+  test("extractLinks face: one row per href, html column consumed") {
+    import spark.implicits._
+    val df = Seq((1L, "s1", "<a href=\"/a\">x</a><a href=\"/b\">y</a>"),
+      (2L, "s2", "<p>no links</p>")).toDF("id", "src", "html")
+    val got = HtmlSource.extractLinks(df, "html")
+      .orderBy(col("id"), col("href")).collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq === Seq((1L, "s1", "/a"), (1L, "s1", "/b")))
+  }
+
   test("file face: one row per block with the source path") {
     val dir = SyntheticFixtures.dir("html")
     SyntheticFixtures.writeText(new File(dir, "a.html"),
