@@ -677,6 +677,53 @@ private[graft] trait SourcesQueries { this: SparkEntry.type =>
       .orderBy(col("src_host"), col("dst_host"))
   }
 
+  // ---------------------------------------------------------------- q328
+  /** robots.txt crawl-compliance filter ([[graft.functions.RobotsTxt]],
+    * RFC 9309): even-indexed sources publish a file whose `GraftBot`
+    * group (two UA lines, mixed case, CRLF endings, inline comments)
+    * must be chosen over both the `*` group and an `other` group that
+    * disallows everything; odd-indexed sources have no named group, so
+    * the crawler falls to `*` (which disallows `/docs/`). Paths cycle
+    * through five shapes that each decide via a different rule:
+    * longest-match between `Allow: /docs/` and `Disallow: /docs/4`,
+    * plain prefix disallow, wildcard allow overriding a shorter
+    * disallow, the `*.tmp$`-style wildcard+anchor rule, and the
+    * anchor's negative case. Rules compile ONCE per source on the driver (20 files) and
+    * ride a broadcast closure — the scale shape where robots number in
+    * the domains and pages in the billions; verdicts are per-row,
+    * shuffle-free. The oracle replays every verdict analytically.
+    */
+  def q328Robots(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.RobotsTxt
+    def robotsFor(k: Int): String =
+      if (k % 2 == 1)
+        "User-agent: other\nDisallow: /\n\nUser-agent: *\nDisallow: /docs/\n"
+      else
+        "# graft fixture\r\nUser-agent: other\r\nDisallow: /\r\n\r\n" +
+          "User-agent: *\r\nDisallow: /docs/\r\n\r\n" +
+          "User-agent: GraftBot\r\nUser-agent: graftbot-img\r\n" +
+          "Disallow: /private/ # staff only\r\n" +
+          "Allow: /private/pub*\r\n" +
+          "Disallow: /*.tmp$\r\n" +
+          "Allow: /docs/\r\nDisallow: /docs/4\r\n"
+    val rulesBySource: Map[String, RobotsTxt.Rules] =
+      (0 until 20).map(k =>
+        s"src$k" -> RobotsTxt.rulesFor(robotsFor(k), "graftbot/1.2")).toMap
+    val verdict = udf { (source: String, path: String) =>
+      rulesBySource.get(source).forall(r => RobotsTxt.isAllowed(r, path))
+    }
+    val path = when(col("doc_id") % 5 === 0,
+        concat(lit("/docs/"), col("doc_id")))
+      .when(col("doc_id") % 5 === 1, concat(lit("/private/doc"), col("doc_id")))
+      .when(col("doc_id") % 5 === 2, concat(lit("/private/pub"), col("doc_id")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("/tmp/file"), col("doc_id"), lit(".tmp")))
+      .otherwise(concat(lit("/tmp/file"), col("doc_id"), lit(".tmp2")))
+    documents(s, d).select(col("doc_id"), col("source"), path.as("path"))
+      .withColumn("allowed", verdict(col("source"), col("path")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] def queriesSources: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_meta" -> (q29MultimodalMeta _),
     "q30_src_csv" -> (q30SrcCsv _),
@@ -700,9 +747,34 @@ private[graft] trait SourcesQueries { this: SparkEntry.type =>
     "q323_html_extract" -> (q323HtmlExtract _),
     "q325_src_warc" -> (q325SrcWarc _),
     "q326_url_canonical" -> (q326UrlCanonical _),
-    "q327_link_graph" -> (q327LinkGraph _))
+    "q327_link_graph" -> (q327LinkGraph _),
+    "q328_robots" -> (q328Robots _))
 
   private[graft] def oracleSqlSources: Map[String, String] = Map(
+    "q328_robots" ->
+      // every verdict replayed analytically: odd sources fall to the
+      // `*` group (only /docs/ disallowed); even sources use the
+      // GraftBot group, where each path shape decides via a different
+      // rule (longest-match /docs/4 vs /docs/, prefix disallow,
+      // wildcard allow override, anchored /*.tmp$, anchor miss)
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(substr(source, 4, 10) AS INTEGER) % 2 AS odd,
+        |  doc_id % 5 AS m FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN m = 0 THEN '/docs/' || CAST(doc_id AS VARCHAR)
+        |       WHEN m = 1 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+        |       WHEN m = 2 THEN '/private/pub' || CAST(doc_id AS VARCHAR)
+        |       WHEN m = 3 THEN '/tmp/file' || CAST(doc_id AS VARCHAR)
+        |         || '.tmp'
+        |       ELSE '/tmp/file' || CAST(doc_id AS VARCHAR) || '.tmp2' END
+        |    AS path,
+        |  CAST(CASE WHEN odd = 1 THEN (CASE WHEN m = 0 THEN 0 ELSE 1 END)
+        |    ELSE CASE WHEN m = 0 THEN
+        |           (CASE WHEN CAST(doc_id AS VARCHAR) LIKE '4%'
+        |                 THEN 0 ELSE 1 END)
+        |         WHEN m = 1 THEN 0 WHEN m = 2 THEN 1
+        |         WHEN m = 3 THEN 0 ELSE 1 END END AS BIGINT) AS allowed
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q327_link_graph" ->
       // the page template's true links replayed analytically: four
       // same-host (nav "/", "/about", bare contact.html, the ../ rel
