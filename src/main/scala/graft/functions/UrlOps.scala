@@ -232,6 +232,35 @@ object UrlOps {
       }
     }
 
+  /** SURT (Sort-friendly URI Reordering Transform) key of an absolute
+    * URL — the Common Crawl / web-archive index key: host labels
+    * reversed and comma-joined, the non-default port kept after a
+    * colon, then `)` and the path+query, the whole key lower-cased
+    * and scheme-free. `https://WWW.Example.co.uk/A?b=1` →
+    * `uk,co,example,www)/a?b=1`. Canonicalize FIRST when equivalence
+    * classes matter — SURT itself is a pure reordering. None on
+    * unparsable input.
+    */
+  def surt(url: String): Option[String] =
+    split(url).map { p =>
+      val scheme = p.scheme.toLowerCase(Locale.ROOT)
+      val at = p.authority.lastIndexOf('@')
+      val hp = p.authority.substring(at + 1)
+      val colon = hp.lastIndexOf(':')
+      val isPort = colon >= 0 && hp.substring(colon + 1).forall(_.isDigit) &&
+        colon > hp.lastIndexOf(']')
+      val host = (if (isPort) hp.substring(0, colon) else hp)
+        .toLowerCase(Locale.ROOT).stripSuffix(".")
+      val port = if (isPort) hp.substring(colon + 1) else ""
+      val keepPort = port.nonEmpty && port.toIntOption.exists { n =>
+        !((scheme == "http" && n == 80) || (scheme == "https" && n == 443))
+      }
+      val key = host.split('.').reverse.mkString(",") +
+        (if (keepPort) s":$port" else "") + ")" + p.path +
+        (if (p.query != null && p.query.nonEmpty) s"?${p.query}" else "")
+      key.toLowerCase(Locale.ROOT)
+    }
+
   // ---- Spark faces --------------------------------------------------
 
   case class CanonStats(canonical: String, kept_params: Int,
@@ -274,6 +303,11 @@ object UrlOps {
           .toLowerCase(Locale.ROOT).stripSuffix(".")
       }
     }
+    (c: Column) => f(c)
+  }
+
+  val surtUdf: Column => Column = {
+    val f = udf { url: String => if (url == null) None else surt(url) }
     (c: Column) => f(c)
   }
 

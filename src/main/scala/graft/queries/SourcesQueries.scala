@@ -724,6 +724,53 @@ private[graft] trait SourcesQueries { this: SparkEntry.type =>
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q329
+  /** SURT crawl-frontier collapse ([[graft.functions.UrlOps.surt]]):
+    * every document is seen three times as DIFFERENT messy URLs —
+    * upper-case scheme/host with a dot segment, shuffled params and a
+    * tracking key; an explicit default `:443` port with a `../`
+    * segment, another tracker and a fragment; a trailing-dot host —
+    * that must collapse to ONE canonical form and therefore ONE SURT
+    * index key (host labels reversed, non-default port kept, key
+    * lower-cased, scheme-free). The frontier keeps the earliest crawl
+    * day per key, and each variant carries a different day schedule so
+    * the min is not positional. The oracle predicts the SURT string
+    * and winning day analytically — canonical-equivalence of all
+    * three variants is what makes the 3-candidate count hash-match.
+    * One shuffle (the key group-by); candidate generation is a
+    * per-row explode, no driver work.
+    */
+  def q329SurtFrontier(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.UrlOps
+    val docs = documents(s, d).select(col("doc_id"), col("source"), col("lang"))
+    val tld = when(col("lang") === "en", "co.uk")
+      .when(col("lang") === "de", "de").when(col("lang") === "es", "es")
+      .when(col("lang") === "fr", "fr").otherwise("com.cn")
+    val m = col("doc_id") % 5
+    val p8080 = col("doc_id") % 4 === 2
+    val portA = when(p8080, ":8080").otherwise("")
+    val portB = when(p8080, ":8080").otherwise(":443")
+    val vA = concat(lit("HTTPS://WWW."), upper(col("source")),
+      lit(".EXAMPLE."), upper(tld), portA, lit("/d/./"), col("doc_id"),
+      lit("?b="), m, lit("&a=1&utm_source=x"))
+    val vB = concat(lit("https://www."), col("source"), lit(".example."),
+      tld, portB, lit("/x/../d/"), col("doc_id"),
+      lit("?a=1&utm_medium=y&b="), m, lit("#top"))
+    val vC = concat(lit("https://www."), col("source"), lit(".example."),
+      tld, lit("."), portA, lit("/d/"), col("doc_id"),
+      lit("?b="), m, lit("&a=1"))
+    docs.select(col("doc_id"),
+        posexplode(array(vA, vB, vC)).as(Seq("k", "url")))
+      .withColumn("crawl_day",
+        lit(1) + (col("doc_id") + col("k") * 7) % 27)
+      .withColumn("surt",
+        UrlOps.surtUdf(UrlOps.canonicalizeUdf(col("url"))))
+      .groupBy(col("surt"))
+      .agg(count(lit(1)).as("n_candidates"),
+        min(col("crawl_day")).cast("long").as("first_day"))
+      .orderBy(col("surt"))
+  }
+
   private[graft] def queriesSources: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_meta" -> (q29MultimodalMeta _),
     "q30_src_csv" -> (q30SrcCsv _),
@@ -748,9 +795,28 @@ private[graft] trait SourcesQueries { this: SparkEntry.type =>
     "q325_src_warc" -> (q325SrcWarc _),
     "q326_url_canonical" -> (q326UrlCanonical _),
     "q327_link_graph" -> (q327LinkGraph _),
-    "q328_robots" -> (q328Robots _))
+    "q328_robots" -> (q328Robots _),
+    "q329_surt_frontier" -> (q329SurtFrontier _))
 
   private[graft] def oracleSqlSources: Map[String, String] = Map(
+    "q329_surt_frontier" ->
+      // the collapse replayed analytically: all three messy variants
+      // reduce to one canonical URL, so each doc owns exactly one SURT
+      // key with 3 candidates; the winning crawl day is the least of
+      // the three per-variant schedules, not the first-listed one
+      """WITH b AS (SELECT doc_id, source,
+        |  CASE lang WHEN 'en' THEN 'uk,co' WHEN 'de' THEN 'de'
+        |    WHEN 'es' THEN 'es' WHEN 'fr' THEN 'fr' ELSE 'cn,com' END
+        |    AS rtld,
+        |  doc_id % 5 AS m FROM documents)
+        |SELECT rtld || ',example,' || source || ',www'
+        |    || (CASE WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+        |    || ')/d/' || CAST(doc_id AS VARCHAR) || '?a=1&b='
+        |    || CAST(m AS VARCHAR) AS surt,
+        |  CAST(3 AS BIGINT) AS n_candidates,
+        |  CAST(1 + least(doc_id % 27, (doc_id + 7) % 27,
+        |    (doc_id + 14) % 27) AS BIGINT) AS first_day
+        |FROM b ORDER BY surt""".stripMargin,
     "q328_robots" ->
       // every verdict replayed analytically: odd sources fall to the
       // `*` group (only /docs/ disallowed); even sources use the

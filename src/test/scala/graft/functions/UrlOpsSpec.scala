@@ -68,6 +68,17 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(registeredDomain("a.b.unknowntld") === "b.unknowntld")
   }
 
+  test("SURT: host labels reverse, non-default port kept, key " +
+    "lower-cased and scheme-free; unparsable is None") {
+    assert(surt("https://WWW.Example.co.uk/A?b=1") ===
+      Some("uk,co,example,www)/a?b=1"))
+    assert(surt("https://host.example:8080/p") ===
+      Some("example,host:8080)/p"))
+    assert(surt("https://host.example:443/p") === Some("example,host)/p"))
+    assert(surt("http://host.example.:80/") === Some("example,host)/"))
+    assert(surt("no-scheme/path") === None)
+  }
+
   private val Base = "http://a/b/c/d;p?q"
 
   test("RFC 3986 5.4.1 normal reference-resolution examples") {
