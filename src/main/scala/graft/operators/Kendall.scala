@@ -43,6 +43,13 @@ object Kendall {
           col(xCol).cast("long").as("__x"),
           col(yCol).cast("long").as("__y"))): _*)
       .filter(col("__x").isNotNull && col("__y").isNotNull)
+      // spread the series BEFORE checkpointing: AQE coalesces the tiny
+      // pre-aggregation to ~1 partition, and the O(n²) pair expansion
+      // streams over these partitions (the planner broadcasts the
+      // other side) — unspread it runs single-threaded (guide §2.5,
+      // measured on the q268 twin of this shape)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        (groupCols.map(col) :+ col("__t")): _*)
       // both self-join sides read this frame — materialize the (small,
       // pre-aggregated) series once instead of re-running its upstream
       // aggregation twice (the Quantiles localCheckpoint pattern)

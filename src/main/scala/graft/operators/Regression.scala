@@ -154,6 +154,16 @@ object Regression {
         col(xCol).cast("long").as("__x"),
         col(yCol).cast("long").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
+      // spread the pre-aggregated series across the cluster BEFORE
+      // checkpointing: the series is tiny in BYTES, so AQE coalesces
+      // its agg shuffle to ~1 partition — but the O(n²) pair expansion
+      // below streams over THESE partitions (the planner broadcasts
+      // the other side), so without this the whole expansion runs
+      // single-threaded (measured at sf0.1: 15.4 s of 1-task jobs vs
+      // 2.9 s spread; guide §2.5 — partition by the unit of WORK, not
+      // bytes). (__k, __x) is unique per row: an even spread
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("__k"), col("__x"))
       // both self-join sides read this frame — materialize the small
       // pre-aggregated series once (the Quantiles localCheckpoint
       // pattern) instead of re-running its upstream agg twice
@@ -172,13 +182,15 @@ object Regression {
     // RAW slope rows, deliberately NOT compressed through a
     // groupBy(key, slope) distinct-count: real-valued series make
     // slopes ~all distinct (measured 0.002% compression), so that agg
-    // is a full-width shuffle bought for nothing. Checkpointed once:
-    // the median drill below scans it ~3 times.
+    // is a full-width shuffle bought for nothing. NOT checkpointed:
+    // the median drill persists its projection of this frame anyway
+    // (ExactSelection), so an eager checkpoint here would pay one
+    // extra full materialization pass for nothing (§1 measured: the
+    // checkpoint WAS the single largest job of the old plan).
     val slopes = a.join(b, Seq("__k", "__r"))
       .filter(col("__x") < col("__x2"))
       .select(col("__k"),
         expr("((__y2 - __y) * 1000000) DIV (__x2 - __x)").as("__s"))
-      .localCheckpoint(true)
     // per-key lower median by the SORT-FREE histogram drill — a
     // window would funnel the expansion through |keys| tasks and a
     // sort/prefix pays an RDD pass over every slope row; the drill

@@ -60,6 +60,12 @@ object Resampling {
         col(valueCol).cast("long").as("__v"))
       .filter(col("__id").isNotNull && col("__v").isNotNull)
     val rep = base
+      // the ×reps explode multiplies per-row CPU (one md5 per
+      // replicate per row) — spread the input first: a small
+      // single-file scan is ONE task, and the whole replicate fan-out
+      // would serialize on it (guide §2.5; measured at sf0.1: the 40×
+      // md5 pass was a single 6.1 s task, 0.5 s spread over 32)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("__b", explode(expr(s"sequence(0L, ${reps - 1}L)")))
       .withColumn("__u",
         conv(substring(md5(concat(col("__id"), lit("_"),

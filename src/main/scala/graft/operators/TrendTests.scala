@@ -40,6 +40,13 @@ object TrendTests {
         col(xCol).cast("long").as("__x"),
         col(yCol).cast("long").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
+      // spread the series BEFORE checkpointing: AQE coalesces the tiny
+      // pre-aggregation to ~1 partition, and the O(n²) pair expansion
+      // streams over these partitions (the planner broadcasts the
+      // other side) — unspread it runs single-threaded (guide §2.5,
+      // measured on the q268 twin of this shape)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("__k"), col("__x"))
       // the self-join reads this frame twice and the tie pass once —
       // materialize the small pre-aggregated series one time
       .localCheckpoint(true)
