@@ -39,7 +39,8 @@ object LabelPropagation {
     val e = mirroredEdges(edges, srcCol, dstCol)
     var labels = initialLabels(e)
     for (_ <- 1 to rounds) labels = propagateOnce(e, labels)
-    withSizes(labels)
+    // one checkpoint of the FINAL labeling: withSizes reads it twice
+    withSizes(labels.localCheckpoint(true))
   }
 
   /** Fixpoint face for API callers: identical semantics per round, but
@@ -60,7 +61,10 @@ object LabelPropagation {
     var round = 0
     var changed = 1L
     while (round < maxRounds && changed > 0L) {
-      val next = propagateOnce(e, labels)
+      // materialized per round HERE: each round's labels feed both the
+      // change probe and the next round (propagateOnce itself no longer
+      // checkpoints)
+      val next = propagateOnce(e, labels).localCheckpoint(true)
       changed = next
         .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
         .filter(col("label") =!= col("prev")).count()
@@ -122,10 +126,17 @@ object LabelPropagation {
 
   private def mirroredEdges(edges: DataFrame, srcCol: String,
                             dstCol: String): DataFrame = {
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // canonicalize FIRST (one distinct over m undirected keys), then
+    // mirror: the old orientation-preserving distinct needed a SECOND
+    // distinct over the 2m mirrored rows to fold inputs that carry both
+    // directions — canonical keys make the mirror duplicate-free by
+    // construction, deleting one full O(2m) shuffle (guide §2.4); the
+    // undirected edge SET (hence the labeling) is identical
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).as("src"),
+        greatest(col(srcCol), col(dstCol)).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
     e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .repartition(col("dst"))
       .localCheckpoint(true)
   }
@@ -171,12 +182,27 @@ object LabelPropagation {
       .withColumn("__rk", row_number().over(byHash))
       .filter(col("__rk") <= maxNbrs)
       .select(col("src"), col("dst"))
+      // the window left this hash-partitioned by src, but every round
+      // joins it on dst — re-key ONCE before the checkpoint instead of
+      // paying a sampled-edge shuffle per round (guide §2.4)
+      .repartition(col("dst"))
       .localCheckpoint(true)
     var labels = initialLabels(sampled)
     for (_ <- 1 to rounds) labels = propagateOnce(sampled, labels)
-    withSizes(labels)
+    // one checkpoint of the FINAL labeling: withSizes reads it twice
+    withSizes(labels.localCheckpoint(true))
   }
 
+  /** NOT materialized: each round's labels feed exactly ONE consumer in
+    * the fixed-round faces (the next round), so the rounds chain into a
+    * single fused job — the old per-round eager `localCheckpoint` paid
+    * a scheduling round-trip plus a full label materialization per
+    * round for lineage nobody re-read (§1 measured: 35 jobs → a
+    * handful; the label frames are node-sized either way). Call sites
+    * that DO read a round twice ([[communitiesConverged]]'s change
+    * probe, the final labels under [[withSizes]]) checkpoint
+    * explicitly.
+    */
   private def propagateOnce(e: DataFrame, labels: DataFrame): DataFrame =
     e.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
       .groupBy(col("src").as("node"), col("label"))
@@ -184,7 +210,6 @@ object LabelPropagation {
       .groupBy(col("node"))
       .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
       .select(col("node"), col("m.label").as("label"))
-      .localCheckpoint(true)
 
   private def withSizes(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("label"))

@@ -40,6 +40,11 @@ object PageRank {
       .repartition(col("src"))
       .localCheckpoint(true)
     val base = (1.0 - damping) / n
+    // iterations are NOT checkpointed: each round's rank table feeds
+    // exactly one consumer (the next round), so the k rounds fuse into
+    // one linear job — the old per-round eager localCheckpoint paid a
+    // scheduling round-trip plus a node-sized materialization per round
+    // for lineage nobody re-read (the LabelPropagation discipline)
     var p = nodes.withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to iters) {
       val contribs = e.join(p.withColumnRenamed("node", "src"), Seq("src"))
@@ -48,7 +53,6 @@ object PageRank {
       p = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
-        .localCheckpoint(true)
     }
     p
   }
@@ -85,6 +89,7 @@ object PageRank {
       .repartition(col("src"))
       .localCheckpoint(true)
     var p = restart.select(col("node"), col("rm").as("pr"))
+    // un-checkpointed rounds fuse into one linear job — see [[ranks]]
     for (_ <- 1 to iters) {
       val contribs = e.join(p.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
@@ -93,7 +98,6 @@ object PageRank {
         .select(col("node"),
           (lit(1.0 - damping) * col("rm") +
             lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
-        .localCheckpoint(true)
     }
     p
   }

@@ -73,6 +73,14 @@ object Triangles {
         col("__t").cast("string"), lit(suffix))), 1, 12), 16, 10)
         .cast("long")
     val probes = deg
+      // NOT re-spread after the ×k explode, deliberately (§1 measured):
+      // AQE coalesces the deg agg's exchange by BYTES, so at bench
+      // scale the k·n probe pipeline runs on ~3 tasks — but per-probe
+      // work is constant (two md5s + three hash probes), not an
+      // expansion, so an explicit repartition paid more in shuffle than
+      // the tail it recovered (A/B: q313 4.30 → 4.72 s with the
+      // spread). At real scale the deg exchange is data-sized and AQE's
+      // byte targets provide the parallelism by themselves.
       .withColumn("__t", explode(expr(s"sequence(0L, ${k - 1}L)")))
       .withColumn("__i", h48("_a") % col("deg"))
       .withColumn("__j0", h48("_b") % (col("deg") - 1L))
@@ -183,6 +191,16 @@ object Triangles {
         when(col("dl") < col("dh") ||
             (col("dl") === col("dh") && col("lo") < col("hi")),
           col("hi")).otherwise(col("lo")).as("v"))
+      // spread the oriented list BEFORE the wedge self-join: the list is
+      // small in BYTES, so AQE coalesces the orientation join's output
+      // to ~3 partitions — but the self-join below expands each row by
+      // the apex out-degree (the O(m^1.5) wedge stream is produced
+      // HERE), so unspread the whole expansion runs on 3 tasks (guide
+      // §2.5 — partition by the unit of WORK, not bytes; measured 3.4 s
+      // wall on a 9.8 s-CPU wedge job at sf0.1). (u, v) is unique: an
+      // even spread
+      .repartition(e.sparkSession.sparkContext.defaultParallelism,
+        col("u"), col("v"))
     val wedges = o.as("ab").join(o.as("ac"),
         col("ab.u") === col("ac.u") && col("ab.v") < col("ac.v"))
       .select(col("ab.u").as("u"),

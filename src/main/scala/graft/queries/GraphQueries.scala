@@ -449,19 +449,26 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     val err = est.join(exact, Seq("node"))
       .select(col("node"),
         abs(col("cc_est_ppm") - col("clustering_ppm")).as("err"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("err"), col("node"))
+    // rank drill over the err HISTOGRAM, not the rows: the old global
+    // row_number window funneled every per-node row through ONE task
+    // (guide §2.5 — the "No Partition Defined" plan). The value at rank
+    // k in (err asc) order is the smallest err whose cumulative count
+    // reaches k, and err lives in a BOUNDED integer domain (ppm |Δ| ≤
+    // 10⁶), so the single-task window now sees ≤ 10⁶+1 distinct values
+    // at ANY corpus scale — the q268 histogram-drill discipline.
     val tot = err.agg(count(lit(1)).as("n_nodes"))
-    err.withColumn("rk", row_number().over(w))
+    val hist = err.groupBy(col("err")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("err"))
+    hist.withColumn("cum", sum(col("c")).over(w))
       .crossJoin(broadcast(tot))
       .agg(max(col("n_nodes")).as("n_nodes"),
-        max(when(col("rk") ===
+        min(when(col("cum") >=
           expr("(n_nodes * 500000 + 999999) DIV 1000000"), col("err")))
           .as("p50_err_ppm"),
-        max(when(col("rk") ===
+        min(when(col("cum") >=
           expr("(n_nodes * 900000 + 999999) DIV 1000000"), col("err")))
           .as("p90_err_ppm"),
-        max(when(col("rk") ===
+        min(when(col("cum") >=
           expr("(n_nodes * 990000 + 999999) DIV 1000000"), col("err")))
           .as("p99_err_ppm"),
         max(col("err")).as("max_err_ppm"))
