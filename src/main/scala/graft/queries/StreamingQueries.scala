@@ -34,7 +34,11 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
     * Value sums run in DECIMAL pre-aggregation for engine-portable
     * doubles (FP sum order differs between engines).
     */
-  def q207StreamWindows(s: SparkSession, d: String): DataFrame = {
+  def q207StreamWindows(s: SparkSession, d: String): DataFrame =
+    // state partitions sized to the drain's keyed-state volume, not
+    // host cores (see withStatePartitions — §1-measured 80-90 s of
+    // per-batch state-store bookkeeping at the CPU-count default)
+    streaming.StreamingImport.withStatePartitions(s) {
     streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
     val tmp = java.nio.file.Files.createTempDirectory("graft-q207-")
     val src = tmp.resolve("src").toString
@@ -72,7 +76,11 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
     * checks the order-invariant contract: exactly one row per key,
     * no key lost or invented across micro-batches.
     */
-  def q210StreamDedup(s: SparkSession, d: String): DataFrame = {
+  def q210StreamDedup(s: SparkSession, d: String): DataFrame =
+    // state partitions sized to the drain's keyed-state volume, not
+    // host cores (see withStatePartitions — §1-measured 80-90 s of
+    // per-batch state-store bookkeeping at the CPU-count default)
+    streaming.StreamingImport.withStatePartitions(s) {
     streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
     val tmp = java.nio.file.Files.createTempDirectory("graft-q210-")
     val src = tmp.resolve("src").toString
@@ -104,7 +112,11 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
     * accumulated incrementally across triggers. Complete output mode
     * for the same end-of-stream reason as q207.
     */
-  def q211StreamSessions(s: SparkSession, d: String): DataFrame = {
+  def q211StreamSessions(s: SparkSession, d: String): DataFrame =
+    // state partitions sized to the drain's keyed-state volume, not
+    // host cores (see withStatePartitions — §1-measured 80-90 s of
+    // per-batch state-store bookkeeping at the CPU-count default)
+    streaming.StreamingImport.withStatePartitions(s) {
     streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
     val tmp = java.nio.file.Files.createTempDirectory("graft-q211-")
     val src = tmp.resolve("src").toString
@@ -149,7 +161,11 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
     * classifies a batch-N row late, with zero delay and no span-sized
     * watermark crutch.
     */
-  def q212StreamAppend(s: SparkSession, d: String): DataFrame = {
+  def q212StreamAppend(s: SparkSession, d: String): DataFrame =
+    // state partitions sized to the drain's keyed-state volume, not
+    // host cores (see withStatePartitions — §1-measured 80-90 s of
+    // per-batch state-store bookkeeping at the CPU-count default)
+    streaming.StreamingImport.withStatePartitions(s) {
     streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
     val tmp = java.nio.file.Files.createTempDirectory("graft-q212-")
     val src = tmp.resolve("src")
@@ -199,7 +215,11 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
     * replay order is not. Users < 300 keep the drained pair table
     * driver-memory-sized.
     */
-  def q213StreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+  def q213StreamIntervalJoin(s: SparkSession, d: String): DataFrame =
+    // state partitions sized to the drain's keyed-state volume, not
+    // host cores (see withStatePartitions — §1-measured 80-90 s of
+    // per-batch state-store bookkeeping at the CPU-count default)
+    streaming.StreamingImport.withStatePartitions(s) {
     streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
     val tmp = java.nio.file.Files.createTempDirectory("graft-q213-")
     val ev = events(s, d).filter(col("user_id") < 300)
@@ -247,7 +267,11 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
     * retention the oracle replicates as the explicit cutoff
     * `c_ts + 300 s < min(max c_ts, max v_ts)`.
     */
-  def q311StreamOuterJoin(s: SparkSession, d: String): DataFrame = {
+  def q311StreamOuterJoin(s: SparkSession, d: String): DataFrame =
+    // state partitions sized to the drain's keyed-state volume, not
+    // host cores (see withStatePartitions — §1-measured 80-90 s of
+    // per-batch state-store bookkeeping at the CPU-count default)
+    streaming.StreamingImport.withStatePartitions(s) {
     streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
     val tmp = java.nio.file.Files.createTempDirectory("graft-q311-")
     val ev = events(s, d).filter(col("user_id").isNotNull &&
@@ -305,7 +329,11 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
     * final target is every user's LATEST month row, which DuckDB
     * replays as an argmax-by-month join.
     */
-  def q214StreamUpsert(s: SparkSession, d: String): DataFrame = {
+  def q214StreamUpsert(s: SparkSession, d: String): DataFrame =
+    // state partitions sized to the drain's keyed-state volume, not
+    // host cores (see withStatePartitions — §1-measured 80-90 s of
+    // per-batch state-store bookkeeping at the CPU-count default)
+    streaming.StreamingImport.withStatePartitions(s) {
     streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
     val tmp = java.nio.file.Files.createTempDirectory("graft-q214-")
     val src = tmp.resolve("src")
@@ -351,7 +379,11 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
     * under test is exactly the join. Oracle: the same join + rollup
     * in plain SQL. Value sums in DECIMAL (exact, order-free).
     */
-  def q235StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+  def q235StreamStaticJoin(s: SparkSession, d: String): DataFrame =
+    // state partitions sized to the drain's keyed-state volume, not
+    // host cores (see withStatePartitions — §1-measured 80-90 s of
+    // per-batch state-store bookkeeping at the CPU-count default)
+    streaming.StreamingImport.withStatePartitions(s) {
     streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
     val tmp = java.nio.file.Files.createTempDirectory("graft-q235-")
     val src = tmp.resolve("src").toString
@@ -393,7 +425,11 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
     * still the real engine's. Driver data has µs-unique per-user
     * timestamps, so the in-batch sort is total.
     */
-  def q251StreamFunnel(s: SparkSession, d: String): DataFrame = {
+  def q251StreamFunnel(s: SparkSession, d: String): DataFrame =
+    // state partitions sized to the drain's keyed-state volume, not
+    // host cores (see withStatePartitions — §1-measured 80-90 s of
+    // per-batch state-store bookkeeping at the CPU-count default)
+    streaming.StreamingImport.withStatePartitions(s) {
     streaming.StreamingImport.configureStateStore(s) // GRAFT_STREAM_STATE=rocksdb opt-in
     val tmp = java.nio.file.Files.createTempDirectory("graft-q251-")
     val src = tmp.resolve("src").toString
@@ -436,7 +472,11 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
     * session's prior state-store provider is restored afterwards so
     * the other drains keep honoring `GRAFT_STREAM_STATE`.
     */
-  def q261StreamRunningTotals(s: SparkSession, d: String): DataFrame = {
+  def q261StreamRunningTotals(s: SparkSession, d: String): DataFrame =
+    // state partitions sized to the drain's keyed-state volume, not
+    // host cores (see withStatePartitions — §1-measured 80-90 s of
+    // per-batch state-store bookkeeping at the CPU-count default)
+    streaming.StreamingImport.withStatePartitions(s) {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prior = s.conf.getOption(key)
     s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +

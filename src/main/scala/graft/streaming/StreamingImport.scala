@@ -110,6 +110,31 @@ object StreamingImport {
                       name: String): StreamingQuery =
     w.format("memory").queryName(name).start()
 
+  /** Run `body` (a whole streaming drain: stage → start → drain →
+    * stop) with the session's shuffle-partition count set to the
+    * STATE-PARTITION budget, restoring the caller's value after.
+    *
+    * Stateful operators fix their state-store partition count from
+    * `spark.sql.shuffle.partitions` at the query's FIRST batch, and
+    * every micro-batch then pays per-partition state-store open /
+    * commit / fsync on every stateful operator — with the session's
+    * CPU-count partitioning (32), a drain over a keyed state of a few
+    * thousand rows burned 80–90 s of task time PER BATCH on store
+    * bookkeeping (§1-measured; the join/agg work itself is
+    * milliseconds). State partitions are sized by keyed-state VOLUME,
+    * not by host cores: `GRAFT_STREAM_STATE_PARTITIONS` (default 8)
+    * parameterizes it — a production stream with wide keyed state
+    * raises it; results are partition-count-invariant (the oracle
+    * rows hash-match at any value).
+    */
+  def withStatePartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key,
+      sys.env.getOrElse("GRAFT_STREAM_STATE_PARTITIONS", "8"))
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Cross-batch streaming dedup via keyed state
     * (`mapGroupsWithState`): the first record per key passes, every
     * later occurrence — in the same OR any later micro-batch — drops.
