@@ -61,12 +61,13 @@ object ExactSelection {
 
   // ------------------------------------------------------------ core
 
-  /** One selection request: group `g` (string-rendered key), request
-    * id within the group, target rank (1-based, ties counted with
-    * multiplicity), current candidate range [lo, hi] known to contain
-    * the answer, and the residual rank within that range.
+  /** One selection request: group `g` (the xxhash64 gid of the
+    * string-rendered key — see the drill doc), request id within the
+    * group, target rank (1-based, ties counted with multiplicity),
+    * current candidate range [lo, hi] known to contain the answer,
+    * and the residual rank within that range.
     */
-  private final case class Cand(g: String, id: Int, rank: Long,
+  private final case class Cand(g: Long, id: Int, rank: Long,
                                 lo: Long, hi: Long, inner: Long)
 
   private def width(lo: Long, hi: Long): BigInt = BigInt(hi) - BigInt(lo)
@@ -82,8 +83,14 @@ object ExactSelection {
       budget / math.max(1, nRanges))).toInt
 
   /** THE shared drill: narrows every candidate to its exact value.
-    * `vals` must be a persisted `(__g string, __v long)` frame with no
-    * NULLs. Returns each candidate with its selected value.
+    * `vals` must be a persisted `(__g long, __v long)` frame with no
+    * NULLs — the group key is an INTEGER gid (xxhash64 of the string
+    * key, collision-checked by the per-key face), not the string
+    * itself: every drill round re-scans the cached frame, and a
+    * string-keyed scan paid ~2.8× the CPU of an int-keyed one
+    * (§1-measured, 14M rows: 2.76 s vs 0.99 s per histogram pass —
+    * string decode + string hash-join probes). Returns each candidate
+    * with its selected value.
     */
   private def drill(vals: DataFrame, init: Seq[Cand], maxBuckets: Int,
                     budget: Long): Seq[(Cand, Long)] = {
@@ -201,7 +208,7 @@ object ExactSelection {
     require(maxBuckets >= 2, "maxBuckets must be at least 2")
     val spark = df.sparkSession
     import spark.implicits._
-    val vals = df.select(lit("").as("__g"),
+    val vals = df.select(lit(0L).as("__g"),
         col(valueCol).cast("long").as("__v"))
       .filter(col("__v").isNotNull)
       .persist()
@@ -222,7 +229,7 @@ object ExactSelection {
         "value domain spans more than 2^63; pre-split the input first")
       val init = qs.zipWithIndex.map { case (q, i) =>
         val k = math.max(1L, math.ceil(q * n).toLong)
-        Cand("", i, k, vmin, vmax, k)
+        Cand(0L, i, k, vmin, vmax, k)
       }
       drill(vals, init, maxBuckets, driverRowBudget)
         .map { case (c, v) => (qs(c.id), c.rank, v, n) }
@@ -252,33 +259,49 @@ object ExactSelection {
     require(maxBuckets >= 2, "maxBuckets must be at least 2")
     val spark = df.sparkSession
     import spark.implicits._
-    val vals = df.select(col(keyCol).cast("string").as("__g"),
+    // the cached frame carries BOTH the xxhash64 gid (what every drill
+    // round keys on — int scans cost ~1/2.8 of string scans, see the
+    // drill doc) and the string key (read ONCE by the head pass below
+    // to map gids back to keys; the drill's (__g, __v) projection
+    // prunes the column out of the cache scan entirely)
+    val vals = df.select(col(keyCol).cast("string").as("__k"),
         col(valueCol).cast("long").as("__v"))
       // NULL keys would fall out of the equi-joins in the drill after
       // being planned — drop them up front (no group, no quantile)
-      .filter(col("__v").isNotNull && col("__g").isNotNull)
+      .filter(col("__v").isNotNull && col("__k").isNotNull)
+      .select(xxhash64(col("__k")).as("__g"), col("__k"), col("__v"))
       .persist()
     val keyType = df.schema(keyCol).dataType
     try {
       val stats = vals.groupBy(col("__g"))
-        .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
+        .agg(count_distinct(col("__k")).as("nk"), min(col("__k")).as("k"),
+          min(col("__v")).as("lo"), max(col("__v")).as("hi"),
           count(lit(1)).as("n"))
-        .as[(String, Long, Long, Long)].collect()
-      stats.foreach { case (k, lo, hi, _) =>
+        .as[(Long, Long, String, Long, Long, Long)].collect()
+      // a 64-bit hash collision across GROUP-like key counts is a
+      // ~1e-8 event even at 10⁶ keys — but it would silently merge two
+      // groups, so it fails LOUDLY instead (re-keying the offending
+      // corpus is the remedy; silent wrong data never is)
+      require(stats.forall(_._2 == 1L),
+        "ExactSelection: xxhash64 collision across group keys — " +
+          stats.filter(_._2 > 1L).map(_._3).mkString(", "))
+      stats.foreach { case (_, _, k, lo, hi, _) =>
         require(width(lo, hi) < BigInt(2).pow(63),
           s"value domain of key $k spans more than 2^63") }
-      val nOf = stats.map(s => s._1 -> s._4).toMap
+      val keyOf = stats.map(s => s._1 -> s._3).toMap
+      val nOf = stats.map(s => s._1 -> s._6).toMap
       val init = for {
-        (k, lo, hi, n) <- stats.toSeq
+        (gid, _, _, lo, hi, n) <- stats.toSeq
         (q, i) <- qs.zipWithIndex
-      } yield Cand(k, i, math.max(1L, math.ceil(q * n).toLong), lo, hi,
+      } yield Cand(gid, i, math.max(1L, math.ceil(q * n).toLong), lo, hi,
         math.max(1L, math.ceil(q * n).toLong))
-      drill(vals, init, maxBuckets, driverRowBudget)
-        .map { case (c, v) => (c.g, qs(c.id), c.rank, v, nOf(c.g)) }
-        .toDF("__g", "q", "rank", "value", "n_values")
+      drill(vals.select(col("__g"), col("__v")), init, maxBuckets,
+          driverRowBudget)
+        .map { case (c, v) => (keyOf(c.g), qs(c.id), c.rank, v, nOf(c.g)) }
+        .toDF("__k", "q", "rank", "value", "n_values")
         // the drill keys on a string rendering; hand back the caller's
         // key type (integral/string keys round-trip exactly)
-        .select(col("__g").cast(keyType).as(keyCol), col("q"),
+        .select(col("__k").cast(keyType).as(keyCol), col("q"),
           col("rank"), col("value"), col("n_values"))
         .orderBy(col(keyCol), col("q"))
     } finally vals.unpersist()
