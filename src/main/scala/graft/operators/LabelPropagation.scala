@@ -34,9 +34,10 @@ object LabelPropagation {
     * [[ConnectedComponents]].
     */
   def communities(edges: DataFrame, srcCol: String, dstCol: String,
-                  rounds: Int = 5): DataFrame = {
+                  rounds: Int = 5,
+                  assumeCanonical: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e = mirroredEdges(edges, srcCol, dstCol)
+    val e = mirroredEdges(edges, srcCol, dstCol, assumeCanonical)
     var labels = initialLabels(e)
     for (_ <- 1 to rounds) labels = propagateOnce(e, labels)
     // one checkpoint of the FINAL labeling: withSizes reads it twice
@@ -125,17 +126,22 @@ object LabelPropagation {
   }
 
   private def mirroredEdges(edges: DataFrame, srcCol: String,
-                            dstCol: String): DataFrame = {
+                            dstCol: String,
+                            assumeCanonical: Boolean = false): DataFrame = {
     // canonicalize FIRST (one distinct over m undirected keys), then
     // mirror: the old orientation-preserving distinct needed a SECOND
     // distinct over the 2m mirrored rows to fold inputs that carry both
     // directions — canonical keys make the mirror duplicate-free by
     // construction, deleting one full O(2m) shuffle (guide §2.4); the
     // undirected edge SET (hence the labeling) is identical
-    val e0 = edges.select(
+    val e0raw = edges.select(
         least(col(srcCol), col(dstCol)).as("src"),
         greatest(col(srcCol), col(dstCol)).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+      .filter(col("src") =!= col("dst"))
+    // assumeCanonical: the caller's rows are unique src < dst pairs by
+    // construction (the co-purchase artifact) — skip the one remaining
+    // distinct too (§2.4)
+    val e0 = if (assumeCanonical) e0raw else e0raw.distinct()
     e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("dst"))
       .localCheckpoint(true)
@@ -169,10 +175,11 @@ object LabelPropagation {
     * edges.
     */
   def communitiesSampled(edges: DataFrame, srcCol: String, dstCol: String,
-                         rounds: Int, maxNbrs: Int): DataFrame = {
+                         rounds: Int, maxNbrs: Int,
+                         assumeCanonical: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(maxNbrs >= 1, s"maxNbrs must be >= 1, got $maxNbrs")
-    val e = mirroredEdges(edges, srcCol, dstCol)
+    val e = mirroredEdges(edges, srcCol, dstCol, assumeCanonical)
     val byHash = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src"))
       .orderBy(conv(substring(md5(concat(col("src").cast("string"),

@@ -20,10 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** (node, pr) after `iters` rounds on the DISTINCT directed edges. */
+  /** (node, pr) after `iters` rounds on the DISTINCT directed edges.
+    * `knownDistinct = true` skips the normalizing distinct — a full
+    * O(edges) exchange — when the caller's edge list is unique by
+    * construction (the mirrored pa < pb pair artifact is; §2.4 "a
+    * distinct on data that is already unique").
+    */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
-            iters: Int = 3, damping: Double = 0.85): DataFrame = {
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+            iters: Int = 3, damping: Double = 0.85,
+            knownDistinct: Boolean = false): DataFrame = {
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e0 = (if (knownDistinct) raw else raw.distinct())
       .localCheckpoint(true)
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct()
@@ -69,8 +76,10 @@ object PageRank {
     */
   def personalizedRanks(edges: DataFrame, srcCol: String, dstCol: String,
                         seeds: DataFrame, iters: Int = 3,
-                        damping: Double = 0.85): DataFrame = {
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+                        damping: Double = 0.85,
+                        knownDistinct: Boolean = false): DataFrame = {
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e0 = (if (knownDistinct) raw else raw.distinct())
       .localCheckpoint(true)
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct()

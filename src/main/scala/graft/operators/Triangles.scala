@@ -52,11 +52,12 @@ object Triangles {
   def sampledLocalClustering(edges: DataFrame, srcCol: String,
                              dstCol: String, k: Int,
                              topN: Int,
-                             knownEdges: Option[Long] = None): DataFrame = {
+                             knownEdges: Option[Long] = None,
+                             assumeCanonical: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // no checkpoint on e0: callers feed an artifact/parquet edge list,
     // so its re-reads are scans, not recomputation
-    val e0 = canonicalEdges(edges, srcCol, dstCol)
+    val e0 = canonicalEdges(edges, srcCol, dstCol, assumeCanonical)
     val m = e0.select(col("lo").as("src"), col("hi").as("dst"))
       .unionAll(e0.select(col("hi").as("src"), col("lo").as("dst")))
     val byDst = org.apache.spark.sql.expressions.Window
@@ -127,16 +128,24 @@ object Triangles {
     else full
   }
 
+  /** `assumeCanonical = true` skips the normalizing distinct — a full
+    * O(edges) exchange — when the input is unique src < dst pairs by
+    * construction (the co-purchase pair artifact is; §2.4 "a distinct
+    * on data that is already unique"). The cheap narrow guards
+    * (orientation, self-loop filter, long cast) still run.
+    */
   def canonicalEdges(edges: DataFrame, srcCol: String,
-                     dstCol: String): DataFrame =
+                     dstCol: String,
+                     assumeCanonical: Boolean = false): DataFrame = {
     // long-normalized up front: packed() below shifts by 32, and on an
     // IntegerType column shiftleft(_, 32) is a silent no-op (Java masks
     // the shift amount), which would collide keys instead of packing
-    edges.select(
+    val c = edges.select(
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("lo"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("hi"))
       .filter(col("lo") =!= col("hi"))
-      .distinct()
+    if (assumeCanonical) c else c.distinct()
+  }
 
   /** Node degrees of a canonical edge list: `(n, deg)`. */
   def degrees(e: DataFrame): DataFrame =
@@ -285,9 +294,10 @@ object Triangles {
     * O(1/√(T/inverseP³)) on graphs with enough triangles).
     */
   def sampledCensus(edges: DataFrame, srcCol: String, dstCol: String,
-                    inverseP: Int): DataFrame = {
+                    inverseP: Int,
+                    assumeCanonical: Boolean = false): DataFrame = {
     require(inverseP >= 1, s"inverseP must be >= 1, got $inverseP")
-    val e = canonicalEdges(edges, srcCol, dstCol)
+    val e = canonicalEdges(edges, srcCol, dstCol, assumeCanonical)
     val kept = e.filter(
       conv(substring(md5(concat_ws("_", col("lo"), col("hi"))), 1, 8),
         16, 10).cast("long") % inverseP === 0)

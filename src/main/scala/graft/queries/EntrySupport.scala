@@ -254,7 +254,8 @@ private[graft] trait EntrySupport { this: SparkEntry.type =>
     */
   private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame =
     operators.Triangles.canonicalEdges(
-      copurchasePairs(s, d).select(col("pa"), col("pb")), "pa", "pb")
+      copurchasePairs(s, d).select(col("pa"), col("pb")), "pa", "pb",
+      assumeCanonical = true)
 
   /** One triangle ENUMERATION of the full co-purchase graph shared by
     * q119 (census), q140 (per-node clustering), and q218 (k-truss
@@ -285,7 +286,7 @@ private[graft] trait EntrySupport { this: SparkEntry.type =>
       operators.LabelPropagation.communities(
         copurchasePairs(s, d).select(col("pa").as("src"),
           col("pb").as("dst")),
-        "src", "dst", rounds = 5)
+        "src", "dst", rounds = 5, assumeCanonical = true)
     }
 
   // ----------------------------------------------------- source round-trips

@@ -33,7 +33,10 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     val p = copurchasePairs(s, d)
     val edges = p.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(p.select(col("pb").as("src"), col("pa").as("dst")))
-    operators.PageRank.ranks(edges, "src", "dst", iters = 3)
+    // the mirror of unique pa < pb pairs is distinct by construction —
+    // skip ranks' normalizing distinct (one O(2m) exchange, §2.4)
+    operators.PageRank.ranks(edges, "src", "dst", iters = 3,
+      knownDistinct = true)
       .withColumn("prr", round(col("pr"), 6))
       .orderBy(col("prr").desc, col("node"))
       .limit(20)
@@ -144,7 +147,9 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
       .unionAll(p.select(col("pb").as("src"), col("pa").as("dst")))
     val seeds = part(s, d).filter(col("p_partkey") % 300 === 0)
       .select(col("p_partkey").as("node"))
-    operators.PageRank.personalizedRanks(edges, "src", "dst", seeds, iters = 3)
+    // distinct by construction — see q83
+    operators.PageRank.personalizedRanks(edges, "src", "dst", seeds,
+      iters = 3, knownDistinct = true)
       .withColumn("prr", round(col("pr"), 6))
       .filter(col("prr") > 0.0) // untouched nodes are exact zeros
       .orderBy(col("prr").desc, col("node"))
@@ -372,7 +377,8 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     operators.LabelPropagation.communitiesSampled(
         copurchasePairs(s, d).select(col("pa").as("src"),
           col("pb").as("dst")),
-        "src", "dst", rounds = 5, maxNbrs = 8)
+        "src", "dst", rounds = 5, maxNbrs = 8,
+        assumeCanonical = true)
       .orderBy(col("node"))
 
   // ---------------------------------------------------------------- q313
@@ -391,7 +397,8 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     // the canonical edge count — no per-call count job
     operators.Triangles.sampledLocalClustering(e, "pa", "pb",
       k = 16, topN = 20,
-      knownEdges = SessionArtifacts.rowCount("edges", s, d))
+      knownEdges = SessionArtifacts.rowCount("edges", s, d),
+      assumeCanonical = true)
   }
 
   // ---------------------------------------------------------------- q319
@@ -408,7 +415,8 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     val edges = copurchasePairs(s, d)
       .select(col("pa").as("src"), col("pb").as("dst"))
     val sampled = operators.LabelPropagation.communitiesSampled(
-      edges, "src", "dst", rounds = 5, maxNbrs = 8)
+      edges, "src", "dst", rounds = 5, maxNbrs = 8,
+      assumeCanonical = true)
     val me = operators.LabelPropagation.modularity(edges, "src", "dst",
         lpaLabels(s, d).select(col("node"), col("community")),
         "node", "community")
@@ -441,7 +449,8 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
     val est = operators.Triangles.sampledLocalClustering(
         copurchasePairs(s, d).select(col("pa"), col("pb")),
         "pa", "pb", k = 16, topN = 0,
-        knownEdges = SessionArtifacts.rowCount("edges", s, d))
+        knownEdges = SessionArtifacts.rowCount("edges", s, d),
+        assumeCanonical = true)
       .select(col("node"), col("cc_est_ppm"))
     val exact = operators.Triangles.perNodeCensusFromTriangles(
         copurchaseEdges(s, d), triangleList(s, d))
@@ -624,7 +633,7 @@ private[graft] trait GraphQueries { this: SparkEntry.type =>
   def q281TrianglesSampled(s: SparkSession, d: String): DataFrame =
     operators.Triangles.sampledCensus(
       copurchasePairs(s, d).select(col("pa").as("src"), col("pb").as("dst")),
-      "src", "dst", inverseP = 4)
+      "src", "dst", inverseP = 4, assumeCanonical = true)
 
   private[graft] def queriesGraph: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q281_triangles_sampled" -> (q281TrianglesSampled _),
