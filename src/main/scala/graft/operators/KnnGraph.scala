@@ -248,7 +248,13 @@ object KnnGraph {
     * undirected mutual graph → (vec_id, cluster_id, cluster_size).
     */
   def mutualClusters(edges: DataFrame): DataFrame = {
-    val mutual = edges.as("e1").join(edges.as("e2"),
+    // materialize the (n·k)-row top-k edge list once: the mutual
+    // check reads it from BOTH join sides with different key layouts,
+    // and exchange reuse does not cover the window subtree — unpinned,
+    // the whole LSH scoring pipeline ran twice (§1: two ~14 s-CPU job
+    // pairs in the q102 profile)
+    val e = edges.localCheckpoint(true)
+    val mutual = e.as("e1").join(e.as("e2"),
         col("e1.query_id") === col("e2.neighbor_id") &&
         col("e1.neighbor_id") === col("e2.query_id") &&
         col("e1.query_id") < col("e1.neighbor_id"))

@@ -31,6 +31,10 @@ object Outliers {
       .select(groupCols.map(col) :+ col(valueCol).cast("double").as("__x"): _*)
       .join(broadcast(meds), groupCols)
       .withColumn("__dev", abs(col("__x") - col("__med")))
+      // read twice (the MAD quantile pass and the final outlier agg) —
+      // materialize once instead of re-scanning the fact table and
+      // re-paying the median broadcast join per consumer
+      .localCheckpoint(true)
     val mads = Quantiles.exactQuantiles(
         devs.select(groupCols.map(col) :+ col("__dev"): _*),
         groupCols, "__dev", Seq(0.5))
