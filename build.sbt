@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver machine-reads the LAST stdout line of
+// `sbt "runMain graft.Bench"` (one compact JSON line). Two pieces of
+// sbt decoration broke that contract for two rounds running (r14
+// verdict what's-wrong #4): the default LoggedOutput strategy prefixes
+// every forked-process line with "[info] ", and the "[success] Total
+// time" footer lands after the program's output. Route forked run
+// output straight through and drop the success footer — exit codes
+// (which CI/driver gating keys on) are unaffected.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

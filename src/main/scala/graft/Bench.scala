@@ -79,6 +79,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // COLD artifact builds per bench run (r14 verdict what's-wrong #2):
+    // the durable cross-JVM artifact cache is the PIPELINE contract
+    // (day-2 dedup must not rebuild day-1 pairs), but inside a bench it
+    // meant the artifact_* entries timed a warm parquet READ of files
+    // built by an earlier run — a timed entry must do its work. Point
+    // the cache at a fresh per-run temp dir (deleted on exit) unless
+    // the caller explicitly pinned one (profiling runs set
+    // GRAFT_ARTIFACT_CACHE to keep a warm cache on purpose).
+    val freshArtifactDir: Option[java.nio.file.Path] =
+      if (sys.env.contains("GRAFT_ARTIFACT_CACHE") ||
+          sys.props.contains("graft.artifact.cache")) None
+      else {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-bench-artifacts-")
+        sys.props("graft.artifact.cache") = p.toString
+        Some(p)
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -207,13 +224,31 @@ object Bench {
     // full-precision, full-name record for humans / logs — carries the
     // raw map AND the cal-normalized map side by side
     val calArr = calSamples.map(_.toString).mkString(",")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"caln":$caln,"errors":$errs,"cal":[$calArr],"load":[$loadStart,$loadEnd],"sf":"$sfDir"}""")
-    // compact duplicate printed LAST: the harness keeps only a ~2000-char
-    // stdout tail, which used to cut the line's head (losing "total" and
-    // a third of the timings) — see [[compactLine]] for the budget policy
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"caln":$caln,"errors":$errs,"cal":[$calArr],"load":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
+    println(fullLine)
+    // ... AND mirrored to a file (r14 verdict what's-wrong #4: two
+    // rounds of PERF had per_query = {} because the stdout line sat
+    // mid-log behind sbt decoration) — the file can never be eaten by
+    // log prefixes or tail truncation
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    scala.util.Try(java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), fullLine + "\n"))
+    spark.stop()
+    freshArtifactDir.foreach { p =>
+      scala.util.Try { // best-effort: a leftover temp dir is harmless
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+    // compact duplicate printed LAST — the machine-read contract line.
+    // build.sbt routes forked run output straight to stdout and
+    // suppresses sbt's [success] footer, so this IS the final stdout
+    // line; see [[compactLine]] for the length-budget policy
     println(compactLine(ordered, failures.toSeq, total, sfDir,
       cal = calSamples.toSeq, load = Seq(loadStart, loadEnd),
       caln = caln))
-    spark.stop()
   }
 }

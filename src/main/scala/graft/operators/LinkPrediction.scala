@@ -42,10 +42,20 @@ object LinkPrediction {
       .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
     val deg = m.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
     // wedge centers: every w contributes deg(w)² wedge rows — cap the
-    // hubs (their 1/ln weight is the smallest term in any score)
+    // hubs (their 1/ln weight is the smallest term in any score).
+    // deg = 1 ⇒ ln(deg) = 0: the weight is NULL on both engines (a
+    // degree-1 center closes no wedge, so it never reaches the output
+    // anyway) — but under ANSI (Spark 4 default) a RAW divide THROWS
+    // whenever the planner evaluates this projection eagerly (fused
+    // into the degree agg's output ahead of the wedge join, as the
+    // SMJ-shaped plans do; broadcast-shaped plans defer it past the
+    // join, which is why the r14 driver-bench DIVIDE_BY_ZERO came and
+    // went with plan shape). The deg >= 2 guard makes the expression
+    // total — identical results at every plan shape.
     val centers = deg.filter(col("deg") <= maxWedgeDegree)
       .withColumn("aa_w",
-        round(lit(1.0) / log(col("deg").cast("double")), 6)
+        when(col("deg") >= 2L,
+          round(lit(1.0) / log(col("deg").cast("double")), 6))
           .cast("decimal(8,6)"))
     val adj = m.select(col("v").as("w"), col("u").as("n"))
       .join(centers, Seq("w"))
@@ -84,9 +94,15 @@ object LinkPrediction {
     val m = e.select(col("lo").as("u"), col("hi").as("v"))
       .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
     val deg = m.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
+    // same deg >= 2 guard as [[adamicAdarTopK]] (see the comment there):
+    // ln(1) = 0 makes the raw ANSI divide throw under eager projection
+    // placement; the guarded form is result-identical (NULL weight on
+    // both engines, and a degree-1 center closes no wedge). ra_w's
+    // divisor is deg itself (>= 1) — never zero, no guard needed.
     val centers = deg.filter(col("deg") <= maxWedgeDegree)
       .withColumn("aa_w",
-        round(lit(1.0) / log(col("deg").cast("double")), 6)
+        when(col("deg") >= 2L,
+          round(lit(1.0) / log(col("deg").cast("double")), 6))
           .cast("decimal(8,6)"))
       .withColumn("ra_w",
         round(lit(1.0) / col("deg").cast("double"), 6)

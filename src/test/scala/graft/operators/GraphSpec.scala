@@ -544,6 +544,30 @@ class GraphSpec extends SparkSpec {
       (2L, 4L, 2L, 1000000L, 1.0, 2.88539)))
   }
 
+  test("neighborhoodScoresTopK: degree-1 centers are ANSI-safe at every plan shape") {
+    // pendant node 3 and isolated pair 8-9 are degree-1 centers: their
+    // Adamic–Adar weight divides 1.0 by ln(1) = 0. A degree-1 center
+    // closes no wedge, so the value never reaches the output — but under
+    // ANSI (Spark 4 default) the raw divide THREW whenever the planner
+    // evaluated the centers projection eagerly (fused into the degree
+    // agg's output ahead of the wedge join — the SMJ plan shape the r14
+    // driver bench hit; broadcast plans defer it past the join, which is
+    // why the failure came and went). Force the SMJ shape and assert the
+    // guarded expression stays total and result-identical.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (8L, 9L))
+      .toDF("src", "dst")
+    def run() = LinkPrediction.neighborhoodScoresTopK(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val broadcastShape = run()
+    spark.conf.set(key, "-1")
+    try assert(run() === broadcastShape)
+    finally spark.conf.set(key, prev)
+    assert(broadcastShape === Seq((1L, 3L, 1L, 500000L), (2L, 3L, 1L, 500000L)))
+  }
+
   test("neighborhoodScoresTopK: jaccard uses full degrees, aa ranks differ") {
     // star center 0 with leaves 1,2,3 plus edge 1-2: candidate pairs
     // through center 0 (deg 3): (1,3),(2,3) cn=1; (1,2) is an EDGE ->
