@@ -56,8 +56,14 @@ object KTruss {
         case Some(tt) => Triangles.edgeSupportFromTriangles(tt)
         case None     => edgeSupport(e)
       }
-      e = e.join(support, Seq("lo", "hi"), "left")
-        .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
+      // survivors are exactly the supported edges at or above k−2:
+      // support's (lo, hi) domain is a SUBSET of e (triangles are
+      // enumerated from / filtered to e), its rows are unique (hash
+      // agg), and with k ≥ 3 a zero-support edge can never survive —
+      // so the former `e ⟕ support` join + coalesce filter re-derived
+      // this set while paying one extra exchange + join of the full
+      // edge list per round (§2.4 remove shuffles outright)
+      e = support.filter(col("support") >= (k - 2).toLong)
         .select(col("lo"), col("hi"))
         .localCheckpoint(true)
       t = t.map(tt =>

@@ -173,6 +173,22 @@ object Triangles {
     */
   val BroadcastEdgeLimit: Long = 20L * 1000 * 1000
 
+  /** Edge-count floor above which [[enumerate]] spreads the oriented
+    * list before the wedge self-join. The spread recovers the
+    * AQE-coalesced tail of the O(m^1.5) expansion but costs two
+    * m-row exchanges plus two scheduled stages — a trade that flips
+    * with wedge mass. Measured at sf0.1 (r14/r15): the full
+    * co-purchase graph (m = 1.20M) gains ~2 s spread; q281's DOULION
+    * sample of the same graph (m/4 ≈ 0.30M, 1/16 the wedge mass)
+    * LOSES ~1 s — it ran FASTER on 8 cores than 32, the signature of
+    * fixed-spread overhead (r14 verdict what's-wrong #1). The floor
+    * is the geometric midpoint of that measured win/loss pair; any
+    * graph a 100 TB run enumerates sits far above it, so the spread
+    * engages everywhere it matters and steps aside exactly where the
+    * expansion is too small to amortize the exchanges.
+    */
+  val SpreadEdgeFloor: Long = 600L * 1000
+
   /** Every triangle of the canonical edge list `e`, exactly once:
     * `(u, v, w)` where `u` is the orientation apex (both `u→v` and
     * `u→w` survive the degree orientation) and `v < w`. One wedge
@@ -186,11 +202,15 @@ object Triangles {
     */
   def enumerate(e: DataFrame, tag: String = "Triangles",
                 knownEdges: Option[Long] = None): DataFrame = {
+    // one |E| count prices BOTH measured strategies below (the wedge
+    // spread gate and the closing-edge lookup election); `knownEdges`
+    // (an artifact manifest's recorded count) skips the count job.
+    val edgeCount = knownEdges.getOrElse(e.count())
     val deg = degrees(e)
     // orient each edge toward the (degree, id)-larger endpoint: every
     // triangle then has exactly ONE vertex with both out-edges, and
     // oriented out-degree is O(sqrt m), bounding the wedge join
-    val o = e
+    val oriented = e
       .join(deg.select(col("n").as("lo"), col("deg").as("dl")), "lo")
       .join(deg.select(col("n").as("hi"), col("deg").as("dh")), "hi")
       .select(
@@ -200,16 +220,23 @@ object Triangles {
         when(col("dl") < col("dh") ||
             (col("dl") === col("dh") && col("lo") < col("hi")),
           col("hi")).otherwise(col("lo")).as("v"))
-      // spread the oriented list BEFORE the wedge self-join: the list is
-      // small in BYTES, so AQE coalesces the orientation join's output
-      // to ~3 partitions — but the self-join below expands each row by
-      // the apex out-degree (the O(m^1.5) wedge stream is produced
-      // HERE), so unspread the whole expansion runs on 3 tasks (guide
-      // §2.5 — partition by the unit of WORK, not bytes; measured 3.4 s
-      // wall on a 9.8 s-CPU wedge job at sf0.1). (u, v) is unique: an
-      // even spread
-      .repartition(e.sparkSession.sparkContext.defaultParallelism,
-        col("u"), col("v"))
+    // spread the oriented list BEFORE the wedge self-join: the list is
+    // small in BYTES, so AQE coalesces the orientation join's output
+    // to ~3 partitions — but the self-join below expands each row by
+    // the apex out-degree (the O(m^1.5) wedge stream is produced
+    // HERE), so unspread the whole expansion runs on 3 tasks (guide
+    // §2.5 — partition by the unit of WORK, not bytes; measured 3.4 s
+    // wall on a 9.8 s-CPU wedge job at sf0.1). (u, v) is unique: an
+    // even spread. GATED on wedge mass ([[SpreadEdgeFloor]]): below
+    // the floor the two extra exchanges cost more than the coalesced
+    // tail they recover (the r14 q281 regression — the DOULION sample
+    // ran faster on FEWER cores).
+    val o =
+      if (edgeCount >= SpreadEdgeFloor)
+        oriented.repartition(
+          e.sparkSession.sparkContext.defaultParallelism,
+          col("u"), col("v"))
+      else oriented
     val wedges = o.as("ab").join(o.as("ac"),
         col("ab.u") === col("ac.u") && col("ab.v") < col("ac.v"))
       .select(col("ab.u").as("u"),
@@ -220,10 +247,8 @@ object Triangles {
     // edge list fits (the probe stream is O(m^1.5) — measured 25 s vs
     // 48 s shuffle-hash vs 244 s sort-merge on the sf~1 slice); past
     // the limit the wedge stream shuffles once but still never sorts.
-    // `knownEdges` (an artifact manifest's recorded count) prices the
-    // election without an extra count job per call.
     val closing =
-      if (knownEdges.getOrElse(e.count()) <= BroadcastEdgeLimit) broadcast(ek)
+      if (edgeCount <= BroadcastEdgeLimit) broadcast(ek)
       else ek.hint("shuffle_hash")
     wedges.join(closing, Seq("ek"), "left_semi")
       .select(col("u"),

@@ -19,6 +19,51 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
 
   import Tables._
 
+  /** Stage `df` as one directory per month value of `monthExpr`
+    * (`m000`, `m001`, … in chronological order, one parquet file each,
+    * strictly increasing mtimes) — the time-ordered replay layout the
+    * append-mode drains need (one file per trigger drives the
+    * watermark forward deterministically).
+    *
+    * ONE partitioned write job replaces the former month LOOP (collect
+    * the month list, then one full-input filter+scan+write PER MONTH
+    * plus a 25 ms mtime sleep each — N scans and N driver-serialized
+    * jobs for an N-month table; §6 fewer write jobs / §2.6 don't
+    * serialize independent work on the driver). `repartition(monthExpr)`
+    * puts each month wholly in one task, so every `__stage_m=…`
+    * directory holds exactly one data file; directories are then
+    * renamed into the flat `mNNN` layout (chronological = lexicographic
+    * for the fixed-format truncated timestamps) and each file's mtime
+    * is set explicitly — the replay ORDER contract is carried by
+    * metadata, not by when the driver happened to run each write.
+    * Null months are excluded, exactly like the old `=== lit(m)`
+    * filter (null never equals).
+    */
+  private def stageMonthly(df: DataFrame, monthExpr: Column,
+                           dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    df.filter(monthExpr.isNotNull)
+      .withColumn("__stage_m", monthExpr)
+      .repartition(col("__stage_m"))
+      .write.partitionBy("__stage_m").mode("overwrite")
+      .parquet(dir.toString)
+    val ls = java.nio.file.Files.list(dir)
+    val months = try ls.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("__stage_m="))
+      .sortBy(_.getFileName.toString)
+    finally ls.close()
+    val base = System.currentTimeMillis()
+    months.zipWithIndex.foreach { case (p, i) =>
+      val target = dir.resolve(f"m$i%03d")
+      java.nio.file.Files.move(p, target)
+      val fs = java.nio.file.Files.list(target)
+      try fs.iterator().asScala.toSeq.foreach { f =>
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+      } finally fs.close()
+    }
+  }
+
   // ---------------------------------------------------------------- q207
   /** Streaming windowed stats drained through the REAL Structured
     * Streaming engine and hash-compared against the batch oracle —
@@ -174,15 +219,7 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
       .select(timestamp_micros(expr("ts DIV 1000")).as("ts_utc"),
         col("event_type"),
         col("value").cast("decimal(18,6)").as("value"))
-    val months = ev.select(date_trunc("month", col("ts_utc")).as("m"))
-      .distinct().orderBy(col("m"))
-      .collect().map(_.getTimestamp(0)) // bounded: one row per month
-    months.zipWithIndex.foreach { case (m, i) =>
-      ev.filter(date_trunc("month", col("ts_utc")) === lit(m))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(src.resolve(f"m$i%03d").toString)
-      Thread.sleep(25) // strictly increasing mtimes drive file order
-    }
+    stageMonthly(ev, date_trunc("month", col("ts_utc")), src)
     val schema = s.read.parquet(src.resolve("m000").toString).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -280,15 +317,7 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
     def stage(df: DataFrame, name: String): String = {
       val dir = tmp.resolve(name)
       java.nio.file.Files.createDirectories(dir)
-      val months = df.select(date_trunc("month", col("ts_utc")).as("m"))
-        .distinct().orderBy(col("m"))
-        .collect().map(_.getTimestamp(0)) // bounded: one row per month
-      months.zipWithIndex.foreach { case (m, i) =>
-        df.filter(date_trunc("month", col("ts_utc")) === lit(m))
-          .coalesce(1).write.mode("overwrite")
-          .parquet(dir.resolve(f"m$i%03d").toString)
-        Thread.sleep(25) // strictly increasing mtimes drive file order
-      }
+      stageMonthly(df, date_trunc("month", col("ts_utc")), dir)
       dir.toString
     }
     val clicksDir = stage(ev.filter(col("event_type") === "click")
@@ -345,13 +374,7 @@ private[graft] trait StreamingQueries { this: SparkEntry.type =>
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double")
           .as("sum_value"))
-    val months = monthly.select(col("m")).distinct().orderBy(col("m"))
-      .collect().map(_.getTimestamp(0)) // bounded: one row per month
-    months.zipWithIndex.foreach { case (m, i) =>
-      monthly.filter(col("m") === lit(m)).coalesce(1)
-        .write.mode("overwrite").parquet(src.resolve(f"m$i%03d").toString)
-      Thread.sleep(25)
-    }
+    stageMonthly(monthly, col("m"), src)
     val schema = s.read.parquet(src.resolve("m000").toString).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src.toString + "/m*")
